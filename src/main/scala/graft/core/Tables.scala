@@ -1,0 +1,30 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Loaders for the driver-generated star schema (see /root/repo/TESTDATA.md,
+  * FIXTURES.md §B). One parquet file per table under the sf dir.
+  *
+  * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark 4 refuses
+  * to read natively. We flip `spark.sql.legacy.parquet.nanosAsLong` (a
+  * dynamic SQL conf) so the column arrives as raw nanos-since-epoch, then
+  * rebuild a proper TimestampType by flooring to microseconds — the same
+  * truncation DuckDB applies when it reads TIMESTAMP_NS, so oracle
+  * comparisons stay exact.
+  */
+object Tables {
+  val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    df.schema.fields.foldLeft(df) {
+      case (d, f) if f.name == "ts" && f.dataType == LongType =>
+        d.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case (d, _) => d
+    }
+  }
+}

@@ -1,0 +1,26 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only: time queries warm vs cold to separate JIT/codegen overhead
+  * from real plan cost. Not part of the engine surface. */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val names = if (args.length > 1) args.drop(1).toSeq
+                else graft.SparkEntry.queries.keys.toSeq.sorted
+    for (n <- names; rep <- 1 to 2) {
+      val t0 = System.nanoTime()
+      val cnt = graft.SparkEntry.queries(n)(spark, sfDir).count()
+      println(f"[probe] $n rep$rep: ${(System.nanoTime() - t0) / 1e9}%.2f s ($cnt rows)")
+    }
+    spark.stop()
+  }
+}
