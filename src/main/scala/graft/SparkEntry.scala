@@ -11,7 +11,11 @@ import graft.core.QueryDef
 object SparkEntry {
 
   def registry: Map[String, QueryDef] =
-    graft.queries.Relational.defs
+    graft.queries.Relational.defs ++
+      graft.queries.Windows.defs ++
+      graft.queries.Grouping.defs ++
+      graft.queries.Functions.defs ++
+      graft.queries.TimeWindows.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -61,6 +61,20 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: columns duck={sorted(dcols)} spark={sorted(scols)}")
             n_fail += 1
             continue
+        # arrow-level type parity (warn only; driver may or may not be strict)
+        try:
+            import pyarrow.parquet as _pq
+            import glob as _glob
+            dt = {f.name: str(f.type) for f in con.execute(sql).arrow().schema}
+            sfile = _glob.glob(f"{out_dir}/{name}/*.parquet")[0]
+            st = {f.name: str(f.type) for f in _pq.read_schema(sfile)}
+            for c in dt:
+                a, b = dt[c], st.get(c, "?")
+                if a != b and {a, b} not in ({"int64", "int32"},):
+                    if not (a.startswith("timestamp") and b.startswith("timestamp")):
+                        print(f"  WARN {name}.{c}: duck={a} spark={b}")
+        except Exception as e:
+            print(f"  WARN {name}: type check skipped: {e}")
         da, cols = canon(drows, dcols)
         sa, _ = canon(srows, scols)
         if len(da) != len(sa):
