@@ -15,7 +15,10 @@ object SparkEntry {
       graft.queries.Windows.defs ++
       graft.queries.Grouping.defs ++
       graft.queries.Functions.defs ++
-      graft.queries.TimeWindows.defs
+      graft.queries.TimeWindows.defs ++
+      graft.ext.Dedup.defs ++
+      graft.ext.Similarity.defs ++
+      graft.ext.TextAnalytics.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,157 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{QueryDef, Tables}
+
+/** Deduplication operators for LLM-data pipelines (BASELINE.json north
+  * star): exact (content-hash groupBy), exact n-gram Jaccard, MinHash+LSH
+  * banding, and SimHash. All are pure DataFrame dataflows — shuffle keys
+  * are content hashes / band keys, so they scale horizontally: no
+  * all-pairs comparison ever materializes except within verified LSH
+  * candidate buckets.
+  */
+object Dedup {
+
+  /** Word tokens per document, deduplicated — the shingle base for
+    * unigram-level dedup ops. */
+  private def unigrams(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+      explode(array_distinct(split(col("text"), " "))).as("w"))
+
+  /** Exact dedup via content fingerprint: one hash-groupBy, the canonical
+    * row is the minimum id. At 100 TB this is the only exact-dedup shape
+    * that works — the shuffle key is the 128-bit digest, never the text. */
+  private val q30ExactDedup = QueryDef(
+    (s, dir) =>
+      Tables(s, dir, "documents")
+        .groupBy(md5(col("text")).as("fp"))
+        .agg(min("doc_id").as("canonical_id"), count("*").as("n_copies"))
+        .orderBy("canonical_id"),
+    """SELECT md5(text) AS fp, min(doc_id) AS canonical_id,
+      |       count(*) AS n_copies
+      |FROM documents GROUP BY md5(text) ORDER BY canonical_id""")
+
+  /** Exact word-bigram Jaccard over same-language candidate pairs (a
+    * doc_id subsample keeps the oracle tractable; the dataflow itself is
+    * the inverted-index pattern: explode shingles, self-join on shingle,
+    * count — never a cartesian product). */
+  private val q31NgramJaccard = QueryDef(
+    (s, dir) => {
+      val sub = Tables(s, dir, "documents")
+        .filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))
+      val toks = sub.select(col("doc_id"), col("lang"),
+        explode(array_distinct(
+          zip_with(
+            slice(col("w"), lit(1), size(col("w")) - 1),
+            slice(col("w"), lit(2), size(col("w")) - 1),
+            (a, b) => concat(a, lit(" "), b)))).as("sh"))
+      val cnt = toks.groupBy("doc_id").agg(count("*").as("n"))
+      val a = toks.select(col("doc_id").as("doc_a"), col("lang"), col("sh"))
+      val b = toks.select(col("doc_id").as("doc_b"),
+        col("lang").as("lang_b"), col("sh").as("sh_b"))
+      val common = a.join(b,
+          col("sh") === col("sh_b") && col("lang") === col("lang_b") &&
+            col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count("*").as("c"))
+      common
+        .join(cnt.withColumnRenamed("doc_id", "doc_a")
+          .withColumnRenamed("n", "na"), "doc_a")
+        .join(cnt.withColumnRenamed("doc_id", "doc_b")
+          .withColumnRenamed("n", "nb"), "doc_b")
+        .withColumn("jaccard",
+          round(col("c") * lit(1.0) / (col("na") + col("nb") - col("c")), 6))
+        .filter(col("jaccard") >= 0.04)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    },
+    """WITH sub AS (SELECT doc_id, lang, string_split(text, ' ') AS l
+      |            FROM documents WHERE doc_id % 20 = 0),
+      |toks AS (SELECT DISTINCT doc_id, lang, l[i] || ' ' || l[i+1] AS sh
+      |         FROM sub, UNNEST(generate_series(1, len(l)-1)) AS t(i)),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+      |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      |           FROM toks a JOIN toks b
+      |             ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id
+      |           GROUP BY 1, 2)
+      |SELECT doc_a, doc_b,
+      |       round(c * 1.0 / (ca.n + cb.n - c), 6) AS jaccard
+      |FROM common
+      |JOIN cnt ca ON ca.doc_id = doc_a
+      |JOIN cnt cb ON cb.doc_id = doc_b
+      |WHERE round(c * 1.0 / (ca.n + cb.n - c), 6) >= 0.04
+      |ORDER BY doc_a, doc_b""")
+
+  /** MinHash + banded LSH near-dedup: 16 deterministic xxhash64 minhashes
+    * per doc, 4 bands x 4 rows; docs sharing a band key become candidate
+    * pairs; candidates are verified with exact unigram Jaccard >= 0.7.
+    * Only candidate pairs are ever compared — the all-pairs O(n^2) never
+    * happens, which is the whole point at 100 TB. Hash-based, so no SQL
+    * oracle (rows-only check); the Jaccard math itself is oracle-covered
+    * by q31. */
+  private val q32MinhashLsh = QueryDef.noOracle(
+    (s, dir) => {
+      val toks = unigrams(Tables(s, dir, "documents"))
+      // 16 (hash-index, xxhash64(i, w)) pairs per token
+      val hashed = toks.select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(0, 15), i -> struct(i AS h, xxhash64(i, w) AS v))"))
+          .as("hv"))
+        .select(col("doc_id"), col("hv.h").as("h"), col("hv.v").as("v"))
+      val sig = hashed.groupBy("doc_id", "h").agg(min("v").as("mh"))
+      val bands = sig
+        .withColumn("band", (col("h") / 4).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(concat_ws(",",
+          expr("transform(array_sort(collect_list(struct(h, mh))), x -> cast(x.mh AS string))"))
+          .as("bk"))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      // exact unigram-Jaccard verification, restricted to candidates
+      val cnt = toks.groupBy("doc_id").agg(count("*").as("n"))
+      val common = cand
+        .join(toks.select(col("doc_id").as("doc_a"), col("w")), Seq("doc_a"))
+        .join(toks.select(col("doc_id").as("doc_b"), col("w")), Seq("doc_b", "w"))
+        .groupBy("doc_a", "doc_b").agg(count("*").as("c"))
+      common
+        .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+        .withColumn("jaccard",
+          round(col("c") * lit(1.0) / (col("na") + col("nb") - col("c")), 6))
+        .filter(col("jaccard") >= 0.7)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    })
+
+  /** 64-bit SimHash signatures from unigram token hashes: per bit, sum of
+    * +/-1 votes across token hashes, sign becomes the bit. One groupBy
+    * with 64 conditional sums — a single shuffle on doc_id. Hash-based:
+    * rows-only check. */
+  private val q33Simhash = QueryDef.noOracle(
+    (s, dir) => {
+      val toks = unigrams(Tables(s, dir, "documents"))
+        .withColumn("th", xxhash64(col("w")))
+      val votes: Seq[Column] = (0 until 64).map { j =>
+        sum(when(shiftright(col("th"), j).bitwiseAND(lit(1L)) === 1L, 1)
+          .otherwise(-1)).as(s"b$j")
+      }
+      val agg = toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      val sim = (0 until 64).map { j =>
+        when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+      }.reduce((a, b) => a.bitwiseOR(b))
+      agg.select(col("doc_id"), sim.as("simhash"))
+        .withColumn("bucket16", shiftright(col("simhash"), 48))
+        .orderBy("doc_id")
+    })
+
+  val defs: Map[String, QueryDef] = Map(
+    "q30_dedup_exact" -> q30ExactDedup,
+    "q31_ngram_jaccard" -> q31NgramJaccard,
+    "q32_minhash_lsh" -> q32MinhashLsh,
+    "q33_simhash" -> q33Simhash,
+  )
+}

@@ -1,0 +1,138 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.core.{QueryDef, Tables}
+
+/** Text-analysis operators for training-data pipelines (north star):
+  * marker-based language ID, quality scoring, corpus token statistics,
+  * and winnowing-style document fingerprinting. All pure codegen'd
+  * expressions over the documents table — per-row work with one optional
+  * shuffle for corpus-level aggregation.
+  */
+object TextAnalytics {
+
+  private def toks: Column = split(col("text"), " ")
+
+  /** Marker-token language ID (the word-level n-gram heuristic, n=1):
+    * score = |distinct tokens ∩ markers|; prediction falls back to "und"
+    * when no marker hits. Real marker tables plug in as literal arrays —
+    * the dataflow (broadcast-free, per-row) is what matters at scale. */
+  private val q36LangId = QueryDef(
+    (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(filter(array_distinct(toks),
+            x => x.isin("the", "a"))).cast("long").as("en_score"))
+        .withColumn("predicted",
+          when(col("en_score") > 0, "en").otherwise("und"))
+        .orderBy("doc_id"),
+    """SELECT doc_id, lang,
+      |       CAST(len(list_filter(list_distinct(string_split(text, ' ')),
+      |         x -> x IN ('the', 'a'))) AS BIGINT) AS en_score,
+      |       CASE WHEN len(list_filter(list_distinct(string_split(text, ' ')),
+      |         x -> x IN ('the', 'a'))) > 0 THEN 'en' ELSE 'und' END
+      |         AS predicted
+      |FROM documents ORDER BY doc_id""")
+
+  /** Truncate to 6 decimals via floor — unlike round(), floor has no
+    * tie-break semantics, so when both engines compute a bit-identical
+    * double (exact rational like m/128 included) the result is always
+    * identical. Used for ratios of small integers where round-half ties
+    * are actually reachable. */
+  private def trunc6(c: Column): Column = floor(c * lit(1e6)) / lit(1e6)
+
+  /** Quality scoring: token counts, type/token ratio, mean token length,
+    * stopword ratio, and a composite score — the length/punct/stopword
+    * family from data-quality filtering pipelines. All ratios are exact
+    * integer divisions evaluated identically in both engines, truncated
+    * (not rounded — see trunc6) to 6 decimals. */
+  private val q37Quality = QueryDef(
+    (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), toks.as("w"))
+        .select(
+          col("doc_id"),
+          col("n_chars"),
+          size(col("w")).cast("long").as("n_tokens"),
+          size(array_distinct(col("w"))).cast("long").as("n_distinct"),
+          trunc6(size(array_distinct(col("w"))).cast("double") /
+            size(col("w"))).as("type_token_ratio"),
+          trunc6(aggregate(transform(col("w"), x => length(x)), lit(0.0),
+            (acc, x) => acc + x.cast("double")) / size(col("w")))
+            .as("avg_token_len"),
+          trunc6(size(filter(col("w"), x => x.isin("the", "a")))
+            .cast("double") / size(col("w"))).as("stopword_ratio"))
+        .withColumn("quality_score",
+          trunc6(lit(0.5) * col("type_token_ratio") +
+            lit(0.5) * (lit(1.0) - col("stopword_ratio"))))
+        .orderBy("doc_id"),
+    """WITH base AS (SELECT doc_id, n_chars, string_split(text, ' ') AS w
+      |             FROM documents),
+      |m AS (
+      |  SELECT doc_id, n_chars,
+      |         CAST(len(w) AS BIGINT) AS n_tokens,
+      |         CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+      |         floor(CAST(len(list_distinct(w)) AS DOUBLE) / len(w) * 1000000)
+      |           / 1000000 AS type_token_ratio,
+      |         floor(list_sum(list_transform(w,
+      |           x -> CAST(length(x) AS DOUBLE))) / len(w) * 1000000)
+      |           / 1000000 AS avg_token_len,
+      |         floor(CAST(len(list_filter(w, x -> x IN ('the', 'a')))
+      |           AS DOUBLE) / len(w) * 1000000) / 1000000 AS stopword_ratio
+      |  FROM base)
+      |SELECT doc_id, n_chars, n_tokens, n_distinct, type_token_ratio,
+      |       avg_token_len, stopword_ratio,
+      |       floor((0.5 * type_token_ratio + 0.5 * (1.0 - stopword_ratio))
+      |         * 1000000) / 1000000 AS quality_score
+      |FROM m ORDER BY doc_id""")
+
+  /** Corpus token frequencies, top 20 — explode + count, the canonical
+    * two-phase (partial/final) aggregation; at 100 TB the map-side combine
+    * reduces each partition to |vocab| rows before the shuffle. */
+  private val q38TokenTopk = QueryDef(
+    (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(explode(toks).as("token"))
+        .groupBy("token")
+        .agg(count("*").as("freq"))
+        .orderBy(desc("freq"), asc("token"))
+        .limit(20),
+    """SELECT token, count(*) AS freq
+      |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |GROUP BY token ORDER BY freq DESC, token LIMIT 20""")
+
+  /** Winnowing-style fingerprint: md5 over word 5-grams, keep the minimum
+    * digest per document. Near-identical documents share the minimum with
+    * high probability; the fingerprint is a fixed-width shuffle key for
+    * cross-corpus matching. */
+  private val q39Fingerprint = QueryDef(
+    (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), toks.as("w"))
+        .filter(size(col("w")) >= 5)
+        .select(col("doc_id"),
+          explode(expr(
+            "transform(sequence(0, size(w) - 5), " +
+              "i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))"))
+            .as("g"))
+        .groupBy("doc_id")
+        .agg(min(md5(col("g"))).as("fingerprint"),
+          count("*").as("n_grams"))
+        .orderBy("doc_id"),
+    """WITH sub AS (SELECT doc_id, string_split(text, ' ') AS l
+      |            FROM documents WHERE len(string_split(text, ' ')) >= 5),
+      |g AS (SELECT doc_id,
+      |        md5(l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' ||
+      |            l[i+3] || ' ' || l[i+4]) AS h
+      |      FROM sub, UNNEST(generate_series(1, len(l)-4)) AS t(i))
+      |SELECT doc_id, min(h) AS fingerprint, count(*) AS n_grams
+      |FROM g GROUP BY doc_id ORDER BY doc_id""")
+
+  val defs: Map[String, QueryDef] = Map(
+    "q36_lang_id" -> q36LangId,
+    "q37_quality_score" -> q37Quality,
+    "q38_token_topk" -> q38TokenTopk,
+    "q39_fingerprint" -> q39Fingerprint,
+  )
+}
