@@ -16,6 +16,7 @@ object SparkEntry {
       graft.queries.Grouping.defs ++
       graft.queries.Functions.defs ++
       graft.queries.TimeWindows.defs ++
+      graft.queries.Ingestion.defs ++
       graft.ext.Dedup.defs ++
       graft.ext.Similarity.defs ++
       graft.ext.TextAnalytics.defs

@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Event record for the typed streaming surface (events table shape,
+  * FIXTURES.md §B). */
+case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+/** Per-user running aggregate maintained by the stateful operator. */
+case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
+
+/** Structured-Streaming twin of the incremental ingestion job (SURVEY.md
+  * §2.3): the same windowed/sessionized aggregations as
+  * graft.queries.TimeWindows, but incremental — state lives in the
+  * checkpointed state store, watermarks bound it, and the foreachBatch
+  * sink commits offsets only after a successful idempotent write
+  * (sink-then-commit, the reference's delivery bug fixed).
+  *
+  * Every transform takes and returns streaming DataFrames/Datasets, so
+  * they compose identically in batch tests (MemoryStream) and production.
+  */
+object EventsStream {
+
+  /** Tumbling-window counts with a watermark: late rows beyond the
+    * watermark are dropped from state — bounded memory at any scale. */
+  def tumblingCounts(events: DataFrame, window: String = "10 minutes",
+      watermark: String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("event_type"))
+      .agg(count("*").as("n_events"), round(sum("value"), 2).as("total"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total"))
+
+  /** Streaming exact dedup on event_id within the watermark horizon —
+    * the PRIMARY-KEY enforcement the reference's Snowflake DDL implies
+    * but never enforces (reference README.md:268). */
+  def dedup(events: DataFrame, watermark: String = "5 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicates("event_id", "ts")
+
+  /** Session windows (gap-based) per user. */
+  def sessions(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count("*").as("n_events"), round(sum("value"), 2).as("total"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("total"))
+
+  /** Custom state: per-user running totals via mapGroupsWithState — the
+    * engine's generic stateful-operator surface (cursor-like state the
+    * reference keeps in last_repo_id generalizes to arbitrary per-key
+    * state here). */
+  def runningUserTotals(events: Dataset[Event]): Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserTotal, UserTotal](
+        GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[UserTotal]) =>
+          val prev = state.getOption.getOrElse(UserTotal(userId, 0L, 0.0))
+          val (n, v) = batch.foldLeft((prev.n_events, prev.total_value)) {
+            case ((cn, cv), e) => (cn + 1, cv + e.value)
+          }
+          val next = UserTotal(userId, n, math.rint(v * 100) / 100)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Exactly-once sink: idempotent per-batch overwrite keyed by batchId.
+    * Re-delivery of a batch after a crash rewrites the same directory —
+    * offsets (checkpoint) advance only after this function returns, so
+    * sink-then-commit ordering holds (fixes reference
+    * src/extract_github_data.py:714 vs :746). */
+  def writeBatchIdempotent(out: String)(batch: DataFrame, batchId: Long): Unit =
+    batch.write.mode("overwrite").parquet(s"$out/batch=$batchId")
+
+  def startToParquet(stream: DataFrame, out: String,
+      checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch(writeBatchIdempotent(out) _)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+}

@@ -1,0 +1,129 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.SparkSpec
+
+class EventsStreamSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.from(java.time.Instant.parse("2024-01-01T00:00:00Z")
+      .plusSeconds(minute * 60L))
+
+  private def ev(id: Long, minute: Int, user: Long = 1L,
+      typ: String = "click", value: Double = 1.0): Event =
+    Event(id, ts(minute), user, typ, value)
+
+  test("tumbling windows aggregate per window and drop late rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventsStream.tumblingCounts(input.toDF(), "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(ev(1, 0), ev(2, 3), ev(3, 11))
+      q.processAllAvailable()
+      // advance watermark far past the first window
+      input.addData(ev(4, 40))
+      q.processAllAvailable()
+      // late row for the long-closed first window: beyond watermark, dropped
+      input.addData(ev(5, 1))
+      q.processAllAvailable()
+      input.addData(ev(6, 60)) // push watermark so window [40,50) finalizes
+      q.processAllAvailable()
+      val rows = spark.table("tumbling")
+        .select("window_start", "n_events").collect()
+        .map(r => (r.getTimestamp(0).toInstant.toString, r.getLong(1))).toMap
+      assert(rows("2024-01-01T00:00:00Z") == 2) // late ev(5) NOT counted
+      assert(rows("2024-01-01T00:10:00Z") == 1)
+      assert(rows("2024-01-01T00:40:00Z") == 1)
+    } finally q.stop()
+  }
+
+  test("streaming dedup keeps one row per event_id") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventsStream.dedup(input.toDF())
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(ev(1, 0), ev(2, 1))
+      q.processAllAvailable()
+      input.addData(ev(1, 0), ev(3, 2)) // redelivery of event 1
+      q.processAllAvailable()
+      val ids = spark.table("dedup").select("event_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("session windows split on the gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventsStream.sessions(input.toDF(), gap = "10 minutes")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: events at 0,5 (one session), then 30 (new session)
+      input.addData(ev(1, 0), ev(2, 5), ev(3, 30))
+      q.processAllAvailable()
+      input.addData(ev(4, 120)) // advance watermark, finalize sessions
+      q.processAllAvailable()
+      val sessions = spark.table("sessions")
+        .select("session_start", "n_events").collect()
+        .map(r => (r.getTimestamp(0).toInstant.toString, r.getLong(1))).toMap
+      assert(sessions("2024-01-01T00:00:00Z") == 2)
+      assert(sessions("2024-01-01T00:30:00Z") == 1)
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState maintains running per-user totals across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventsStream.runningUserTotals(input.toDS())
+      .writeStream.format("memory").queryName("totals")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(ev(1, 0, user = 1, value = 2.5), ev(2, 1, user = 2, value = 1.0))
+      q.processAllAvailable()
+      input.addData(ev(3, 2, user = 1, value = 4.0))
+      q.processAllAvailable()
+      // memory sink in Update mode appends updates; take the last per user
+      val last = spark.table("totals").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+        .groupBy(_._1).map { case (u, rs) => u -> rs.map(_._2).maxBy(_._1) }
+      assert(last(1L) == (2L, 6.5))
+      assert(last(2L) == (1L, 1.0))
+    } finally q.stop()
+  }
+
+  test("foreachBatch sink is idempotent under batch redelivery") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-eos").toString
+    val batch = Seq(ev(1, 0), ev(2, 1)).toDF()
+    EventsStream.writeBatchIdempotent(out)(batch, 7L)
+    EventsStream.writeBatchIdempotent(out)(batch, 7L) // crash-replay of batch 7
+    val back = spark.read.parquet(s"$out/batch=7")
+    assert(back.count() == 2) // not 4: replay overwrote, no duplicates
+  }
+
+  test("end-to-end AvailableNow run: source -> window agg -> parquet sink") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft-stream-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val input = MemoryStream[Event]
+    input.addData(ev(1, 0), ev(2, 3), ev(3, 11), ev(4, 40))
+    val q = EventsStream.startToParquet(
+      EventsStream.tumblingCounts(input.toDF()), out, ckpt)
+    q.awaitTermination()
+    val dirs = new java.io.File(out).listFiles().map(_.getName)
+    assert(dirs.exists(_.startsWith("batch=")))
+  }
+}
