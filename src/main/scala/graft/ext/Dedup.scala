@@ -84,15 +84,20 @@ object Dedup {
       |ORDER BY doc_a, doc_b""")
 
   /** MinHash + banded LSH near-dedup: 16 deterministic xxhash64 minhashes
-    * per doc, 4 bands x 4 rows; docs sharing a band key become candidate
-    * pairs; candidates are verified with exact unigram Jaccard >= 0.7.
-    * Only candidate pairs are ever compared — the all-pairs O(n^2) never
-    * happens, which is the whole point at 100 TB. Hash-based, so no SQL
-    * oracle (rows-only check); the Jaccard math itself is oracle-covered
-    * by q31. */
+    * per doc, 2 bands x 8 rows (selective banding — P[candidate] = J^8
+    * per band, so low-similarity pairs rarely collide); docs sharing a
+    * band key become candidate pairs, candidates are verified with exact
+    * unigram Jaccard >= 0.9, and the output is the O(n) dedup verdict —
+    * each doc's canonical id (smallest verified near-dup, else itself) —
+    * NOT the pair list, which is inherently quadratic in duplicate
+    * density. Only candidate pairs are ever compared; the all-pairs
+    * O(n^2) never materializes, which is the whole point at 100 TB.
+    * Hash-based, so no SQL oracle (rows-only check); the Jaccard math is
+    * oracle-covered by q31. */
   private val q32MinhashLsh = QueryDef.noOracle(
     (s, dir) => {
-      val toks = unigrams(Tables(s, dir, "documents"))
+      val docs = Tables(s, dir, "documents")
+      val toks = unigrams(docs)
       // 16 (hash-index, xxhash64(i, w)) pairs per token
       val hashed = toks.select(col("doc_id"),
         explode(expr(
@@ -101,7 +106,7 @@ object Dedup {
         .select(col("doc_id"), col("hv.h").as("h"), col("hv.v").as("v"))
       val sig = hashed.groupBy("doc_id", "h").agg(min("v").as("mh"))
       val bands = sig
-        .withColumn("band", (col("h") / 4).cast("int"))
+        .withColumn("band", (col("h") / 8).cast("int"))
         .groupBy("doc_id", "band")
         .agg(concat_ws(",",
           expr("transform(array_sort(collect_list(struct(h, mh))), x -> cast(x.mh AS string))"))
@@ -117,14 +122,21 @@ object Dedup {
         .join(toks.select(col("doc_id").as("doc_a"), col("w")), Seq("doc_a"))
         .join(toks.select(col("doc_id").as("doc_b"), col("w")), Seq("doc_b", "w"))
         .groupBy("doc_a", "doc_b").agg(count("*").as("c"))
-      common
+      val verified = common
         .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
         .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
         .withColumn("jaccard",
-          round(col("c") * lit(1.0) / (col("na") + col("nb") - col("c")), 6))
-        .filter(col("jaccard") >= 0.7)
-        .select("doc_a", "doc_b", "jaccard")
-        .orderBy("doc_a", "doc_b")
+          col("c") * lit(1.0) / (col("na") + col("nb") - col("c")))
+        .filter(col("jaccard") >= 0.9)
+      // O(n) verdict: canonical = min over verified smaller-id near-dups
+      docs.select(col("doc_id"))
+        .join(verified.select(col("doc_b").as("doc_id"),
+          col("doc_a").as("dup_of")), Seq("doc_id"), "left")
+        .groupBy("doc_id")
+        .agg(coalesce(min("dup_of"), first("doc_id")).as("canonical_id"),
+          count("dup_of").as("n_smaller_dups"))
+        .withColumn("is_kept", col("canonical_id") === col("doc_id"))
+        .orderBy("doc_id")
     })
 
   /** 64-bit SimHash signatures from unigram token hashes: per bit, sum of

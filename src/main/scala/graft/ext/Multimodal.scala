@@ -1,0 +1,145 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns for training-data pipelines (north star): media
+  * payloads are opaque BINARY columns with a typed metadata struct; the
+  * compute-heavy steps (decode, feature-extract, resize, frame-sample)
+  * run as partition-batched transforms over typed Datasets — the Scala
+  * analog of mapInPandas batch UDFs: one codec instance per partition,
+  * amortized across the batch, never per row.
+  *
+  * The actual codecs (image/audio libraries) are not available in this
+  * environment, so decoding is STUBBED behind [[MediaCodec]] with a
+  * deterministic fake ([[FakeCodec]]); the Spark-side plumbing — schema,
+  * partitioning, batch shape, binary handling — is real and tested.
+  * Swapping in a JNI/FFmpeg-backed codec is a one-class change.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("meta", StructType(Seq(
+      StructField("media_type", StringType),   // image | audio | video
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("duration_ms", LongType),
+      StructField("codec", StringType)))),
+    StructField("content", BinaryType)))
+
+  /** Pluggable decode surface. Implementations must be Serializable —
+    * they ship to executors and are instantiated once per partition. */
+  trait MediaCodec extends Serializable {
+    /** Decode + featurize a payload into a fixed-width embedding. */
+    def features(meta: Row, content: Array[Byte]): Array[Float]
+    /** Re-encode the payload at a new resolution. */
+    def resize(meta: Row, content: Array[Byte], w: Int, h: Int): Array[Byte]
+    /** Sample video frames every `everyMs` milliseconds. */
+    def sampleFrames(meta: Row, content: Array[Byte], everyMs: Long): Seq[Array[Byte]]
+  }
+
+  /** Deterministic fake codec: all outputs are pure functions of the
+    * payload bytes, so tests and oracle-style checks are reproducible.
+    * A real implementation would replace the bodies with actual
+    * image/audio decoding (??? territory in this container). */
+  object FakeCodec extends MediaCodec {
+    def features(meta: Row, content: Array[Byte]): Array[Float] = {
+      val dim = 16
+      val acc = new Array[Float](dim)
+      var i = 0
+      while (i < content.length) {
+        acc(i % dim) += (content(i) & 0xff) / 255.0f
+        i += 1
+      }
+      acc
+    }
+    def resize(meta: Row, content: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      // fake: proportional byte resample (truncate/cycle) to w*h bytes
+      val out = new Array[Byte](w * h)
+      if (content.nonEmpty) {
+        var i = 0
+        while (i < out.length) { out(i) = content(i % content.length); i += 1 }
+      }
+      out
+    }
+    def sampleFrames(meta: Row, content: Array[Byte], everyMs: Long): Seq[Array[Byte]] = {
+      val duration = meta.getAs[Long]("duration_ms")
+      val nFrames = math.max(1, (duration / math.max(everyMs, 1L)).toInt)
+      val frameSize = math.max(1, content.length / math.max(nFrames, 1))
+      content.grouped(frameSize).take(nFrames).map(_.toArray).toSeq
+    }
+  }
+
+  /** Deterministic synthetic media table (the container has no real
+    * media): payload bytes are a pure function of media_id. */
+  def synthesize(spark: SparkSession, n: Int, partitions: Int = 4): DataFrame = {
+    val rows = (0 until n).map { i =>
+      val mt = Seq("image", "audio", "video")(i % 3)
+      val content = Array.tabulate[Byte](64 + (i % 192))(j => ((i * 31 + j * 7) % 256).toByte)
+      Row(i.toLong, Row(mt, 64 + i % 64, 48 + i % 48, 1000L * (1 + i % 10), "fake"), content)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, partitions), mediaSchema)
+  }
+
+  private val featureSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("media_type", StringType),
+    StructField("embedding", ArrayType(FloatType))))
+
+  /** Decode→featurize: one codec per partition, batch-amortized — the
+    * mapInPandas shape. Output is (media_id, media_type, embedding),
+    * ready for the similarity operators (graft.ext.Similarity). */
+  def extractFeatures(media: DataFrame, codec: MediaCodec): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "meta", "content").rdd
+      .mapPartitions { rows =>
+        // per-partition init point (a real codec opens its library here)
+        rows.map { r =>
+          val meta = r.getStruct(1)
+          Row(r.getLong(0), meta.getAs[String]("media_type"),
+            codec.features(meta, r.getAs[Array[Byte]]("content")))
+        }
+      }
+    spark.createDataFrame(rdd, featureSchema)
+  }
+
+  private val resizedSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("content", BinaryType)))
+
+  def resizeAll(media: DataFrame, codec: MediaCodec, w: Int, h: Int): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "meta", "content").rdd
+      .mapPartitions { rows =>
+        rows.map { r =>
+          Row(r.getLong(0),
+            codec.resize(r.getStruct(1), r.getAs[Array[Byte]]("content"), w, h))
+        }
+      }
+    spark.createDataFrame(rdd, resizedSchema)
+  }
+
+  private val frameSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_no", IntegerType, nullable = false),
+    StructField("frame", BinaryType)))
+
+  /** Frame sampling explodes one video row into many frame rows — the
+    * generator/UDTF shape (flatMap over partitions). */
+  def sampleFrames(media: DataFrame, codec: MediaCodec, everyMs: Long): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media
+      .filter(col("meta.media_type") === "video")
+      .select("media_id", "meta", "content").rdd
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          codec.sampleFrames(r.getStruct(1), r.getAs[Array[Byte]]("content"), everyMs)
+            .zipWithIndex.map { case (f, i) => Row(r.getLong(0), i, f) }
+        }
+      }
+    spark.createDataFrame(rdd, frameSchema)
+  }
+}

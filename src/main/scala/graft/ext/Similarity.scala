@@ -17,13 +17,18 @@ object Similarity {
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
-  private def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, x) => acc + x))
+  /** Cosine via the native codegen expression
+    * (graft.functions.CosineSimilarity) — one fused loop inside
+    * WholeStageCodegen; the higher-order-function formulation is
+    * CodegenFallback and would break the codegen stage. Identical FP
+    * result to dot/(sqrt(nx)*sqrt(ny)) computed sequentially, so the
+    * DuckDB oracle still matches bitwise. */
+  private def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSimilarity.cosineSim(a, b)
 
-  /** Exact brute-force cosine top-5 for each query vector (vec_id < 10).
-    * Whole pipeline is codegen'd higher-order array expressions; the
-    * per-query top-k is a window over the broadcast-joined scan. */
+  /** Exact brute-force cosine top-5 for each query vector (vec_id < 10):
+    * broadcast the query set, score every vector with the fused codegen
+    * cosine, take the per-query top-k with a window over the scan. */
   private val q34KnnBrute = QueryDef(
     (s, dir) => {
       val e = Tables(s, dir, "embeddings")
@@ -31,9 +36,7 @@ object Similarity {
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       val c = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
       val scored = c.join(broadcast(q), col("n_id") =!= col("q_id"))
-        .withColumn("cos_raw",
-          dot(col("q_emb"), col("n_emb")) /
-            (norm(col("q_emb")) * norm(col("n_emb"))))
+        .withColumn("cos_raw", cosine(col("q_emb"), col("n_emb")))
       val w = Window.partitionBy("q_id").orderBy(desc("cos_raw"), asc("n_id"))
       scored.withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 5)
@@ -81,9 +84,7 @@ object Similarity {
         bucket(col("embedding")).as("n_bucket"))
       val scored = c.join(broadcast(q),
           col("n_bucket") === col("q_bucket") && col("n_id") =!= col("q_id"))
-        .withColumn("cos_raw",
-          dot(col("q_emb"), col("n_emb")) /
-            (norm(col("q_emb")) * norm(col("n_emb"))))
+        .withColumn("cos_raw", cosine(col("q_emb"), col("n_emb")))
       val w = Window.partitionBy("q_id").orderBy(desc("cos_raw"), asc("n_id"))
       scored.withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 5)

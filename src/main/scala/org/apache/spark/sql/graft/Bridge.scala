@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Minimal bridge into private[sql] surface (the Column ↔ Expression
+  * conversions that Spark 4 routes through classic.ExpressionUtils).
+  * Lives under org.apache.spark.sql solely for access; keep it tiny —
+  * everything else in the engine uses public API.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
