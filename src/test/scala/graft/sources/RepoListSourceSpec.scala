@@ -1,0 +1,83 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class RepoListSourceSpec extends SparkSpec {
+
+  /** JSON-lines fixture shaped like the list endpoint (ids 1..n). */
+  private def fixture(n: Int): String = {
+    val f = Files.createTempFile("repos", ".jsonl")
+    val lines = (1 to n).map { i =>
+      s"""{"id": $i, "name": "repo-$i", "full_name": "o/$i", "html_url": "https://x/$i", """ +
+        s""""description": "d$i", "stargazers_count": ${i * 10}, "language": "Scala", """ +
+        s""""created_at": "2024-03-05T10:00:00Z", "updated_at": "2024-03-06T11:30:00Z", """ +
+        s""""owner": {"login": "u$i", "id": ${i + 1000}, "type": "User", """ +
+        s""""avatar_url": "https://a/$i", "html_url": "https://h/$i"}}"""
+    }
+    Files.write(f, lines.mkString("\n").getBytes("UTF-8"))
+    f.toString
+  }
+
+  private def read(path: String, opts: (String, String)*): DataFrame = {
+    val r = spark.read.format("graft-repos").option("path", path)
+    opts.foldLeft(r) { case (rr, (k, v)) => rr.option(k, v) }.load()
+  }
+
+  test("reads the full fixture through the short-name registration") {
+    val df = read(fixture(25))
+    assert(df.count() == 25)
+    assert(df.schema == graft.ingest.RepoSchema.raw)
+    val first = df.orderBy("id").collect()(0)
+    assert(first.getStruct(first.fieldIndex("owner")).getAs[String]("login") == "u1")
+  }
+
+  test("keyset predicate id > since is pushed into the source") {
+    val df = read(fixture(30)).filter(col("id") > 20L)
+    assert(df.count() == 10)
+    // the filter shows up as a pushed filter in the scan, and the scan
+    // description proves the cursor moved
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("since=20"))
+  }
+
+  test("the since option sets the initial cursor") {
+    val df = read(fixture(30), "since" -> "25")
+    assert(df.count() == 5)
+    assert(df.agg(min("id")).collect()(0).getLong(0) == 26L)
+  }
+
+  test("limit is pushed down and stops pagination early") {
+    val df = read(fixture(500), "pageSize" -> "50").limit(7)
+    assert(df.count() == 7)
+    val scan = read(fixture(500), "pageSize" -> "50").limit(7)
+      .queryExecution.executedPlan.toString
+    assert(scan.contains("limit=7"))
+  }
+
+  test("filter AND limit pushdown compose (IsNotNull must not block limit)") {
+    val df = read(fixture(100)).filter(col("id") > 30L).limit(4)
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("since=30"))
+    assert(scan.contains("limit=4"))
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(31L, 32L, 33L, 34L))
+  }
+
+  test("pagination walks pages in id order across page boundaries") {
+    val df = read(fixture(230), "pageSize" -> "100")
+    val ids = df.select("id").collect().map(_.getLong(0)).toSeq
+    assert(ids == (1L to 230L))
+  }
+
+  test("flows into the ingestion pipeline end-to-end") {
+    val raw = read(fixture(12), "since" -> "2").limit(5)
+    val validated = graft.ingest.IngestPipeline.withValidation(
+      graft.ingest.IngestPipeline.flatten(raw))
+    val rows = validated.orderBy("id").collect()
+    assert(rows.map(_.getAs[Long]("id")).toSeq == Seq(3L, 4L, 5L, 6L, 7L))
+    assert(rows.forall(_.getAs[Boolean]("is_valid")))
+  }
+}
