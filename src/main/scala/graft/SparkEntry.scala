@@ -17,6 +17,7 @@ object SparkEntry {
       graft.queries.Functions.defs ++
       graft.queries.TimeWindows.defs ++
       graft.queries.Ingestion.defs ++
+      graft.queries.Extra.defs ++
       graft.ext.Dedup.defs ++
       graft.ext.Similarity.defs ++
       graft.ext.TextAnalytics.defs
