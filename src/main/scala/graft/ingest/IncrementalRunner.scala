@@ -83,6 +83,13 @@ final class IncrementalRunner(spark: SparkSession, source: RepoSource,
       val m = IngestPipeline.metrics(validated, since, source.failedCount,
         testMode, (System.nanoTime() - t0) / 1e9)
       val rows = m.collect()
+      // persist the run envelope at a SIBLING path (inside the sink it
+      // would collide with Hive partition discovery) — still BEFORE the
+      // cursor commit, so metadata can never claim a batch the cursor
+      // doesn't cover (reference metadata block,
+      // src/extract_github_data.py:730-742)
+      m.coalesce(1).write.mode("append")
+        .json(s"${sinkDir.stripSuffix("/")}_metadata")
       val lastId = rows(0).getAs[Long]("last_repo_id")
       if (lastId > since) commitCursor(lastId)
       // return the materialized row, not the live plan — the runner's
