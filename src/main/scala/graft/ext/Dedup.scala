@@ -160,10 +160,41 @@ object Dedup {
         .orderBy("doc_id")
     })
 
+  /** Embedding-cosine near-duplicate detection — the semantic-dedup mode:
+    * exact all-pairs baseline with the native codegen cosine (q35's LSH
+    * bucketing is the scale path for the same computation; at 100 TB the
+    * pair space is pre-partitioned by LSH bucket and this exact scoring
+    * runs per bucket). Self-join keyed a.id < b.id, pairs kept at
+    * cosine >= 0.4. */
+  private val q51EmbeddingNeardup = QueryDef(
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+      a.join(b, col("a_id") < col("b_id"))
+        .withColumn("c",
+          graft.functions.CosineSimilarity.cosineSim(col("a_emb"), col("b_emb")))
+        .filter(col("c") >= 0.4)
+        .select(col("a_id"), col("b_id"), round(col("c"), 6).as("cosine"))
+        .orderBy("a_id", "b_id")
+    },
+    """WITH p AS (
+      |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |    list_sum(list_transform(a.embedding,
+      |      (x,i) -> CAST(x AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
+      |    (sqrt(list_sum(list_transform(a.embedding,
+      |       x -> CAST(x AS DOUBLE) * x))) *
+      |     sqrt(list_sum(list_transform(b.embedding,
+      |       x -> CAST(x AS DOUBLE) * x)))) AS c
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+      |SELECT a_id, b_id, round(c, 6) AS cosine
+      |FROM p WHERE c >= 0.4 ORDER BY a_id, b_id""")
+
   val defs: Map[String, QueryDef] = Map(
     "q30_dedup_exact" -> q30ExactDedup,
     "q31_ngram_jaccard" -> q31NgramJaccard,
     "q32_minhash_lsh" -> q32MinhashLsh,
     "q33_simhash" -> q33Simhash,
+    "q51_embedding_neardup" -> q51EmbeddingNeardup,
   )
 }

@@ -129,10 +129,30 @@ object TextAnalytics {
       |SELECT doc_id, min(h) AS fingerprint, count(*) AS n_grams
       |FROM g GROUP BY doc_id ORDER BY doc_id""")
 
+  /** Regex (BPE-ish) token counting: word-or-punctuation segmentation via
+    * regexp_extract_all, compared against whitespace token counts — the
+    * two tokenizer families a data pipeline meters corpus size with. */
+  private val q52TokenCount = QueryDef(
+    (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+          size(regexp_extract_all(col("text"), lit("\\w+|[^\\w\\s]"), lit(0)))
+            .cast("long").as("re_tokens"),
+          length(col("text")).cast("long").as("n_chars_actual"))
+        .orderBy("doc_id"),
+    """SELECT doc_id,
+      |       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+      |       CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT)
+      |         AS re_tokens,
+      |       CAST(length(text) AS BIGINT) AS n_chars_actual
+      |FROM documents ORDER BY doc_id""")
+
   val defs: Map[String, QueryDef] = Map(
     "q36_lang_id" -> q36LangId,
     "q37_quality_score" -> q37Quality,
     "q38_token_topk" -> q38TokenTopk,
     "q39_fingerprint" -> q39Fingerprint,
+    "q52_token_count" -> q52TokenCount,
   )
 }
