@@ -89,11 +89,17 @@ final class RepoListScanBuilder(schema: StructType,
 
   override def build(): Scan = new RepoListScan(schema,
     options.get("path"), since, limit,
-    options.getInt("pageSize", 100), options.getLong("pageDelayMs", 0L))
+    options.getInt("pageSize", 100), options.getLong("pageDelayMs", 0L),
+    options.containsKey("token"))
 }
 
+/** `authenticated` mirrors the reference's token regime switch (T7,
+  * reference src/extract_github_data.py:351-369): a real REST transport
+  * decorates requests with the token and gets the 5000 req/h budget; the
+  * flag is surfaced in the scan description for plan-level visibility. */
 final class RepoListScan(schema: StructType, path: String, since: Long,
-    limit: Int, pageSize: Int, pageDelayMs: Long) extends Scan with Batch {
+    limit: Int, pageSize: Int, pageDelayMs: Long,
+    authenticated: Boolean = false) extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
@@ -101,7 +107,8 @@ final class RepoListScan(schema: StructType, path: String, since: Long,
   override def createReaderFactory(): PartitionReaderFactory =
     new RepoListReaderFactory(schema)
   override def description(): String =
-    s"graft-repos since=$since limit=$limit pageSize=$pageSize"
+    s"graft-repos since=$since limit=$limit pageSize=$pageSize " +
+      s"auth=${if (authenticated) "token" else "anonymous"}"
 }
 
 case class RepoListPartition(path: String, since: Long, limit: Int,
