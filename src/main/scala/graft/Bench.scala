@@ -1,19 +1,49 @@
 package graft
 
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): runs every registered query against
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query and total
-  * seconds.
+  * seconds to stdout (build.sbt routes the forked JVM's stdout through
+  * un-prefixed via `run / outputStrategy := StdoutOutput`); the same line
+  * is also written to SPARK_GRAFT_BENCH_OUT (default /tmp/bench.json) as
+  * a belt-and-braces channel for the driver.
   *
   * Each query gets one warmup execution (JIT + codegen compilation + file
-  * footer caches) and one measured execution — at bench scale the
-  * steady-state number is the meaningful one; cold-JVM overhead is a
-  * constant ~2 s/query that would swamp the actual operator cost.
+  * footer caches) and two measured executions, reporting the per-query
+  * minimum — at bench scale the steady-state number is the meaningful
+  * one; cold-JVM overhead and transient co-tenant/GC noise would
+  * otherwise swamp the actual operator cost. A query that throws is
+  * recorded in an `errors` map (wall time still charged) instead of being
+  * silently timed at ~0 s.
   */
 object Bench {
+  private def runOnce(spark: SparkSession, sfDir: String,
+      name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+      : (Double, Option[String]) = {
+    val t0 = System.nanoTime()
+    val err =
+      try { fn(spark, sfDir).count(); None }
+      catch { case t: Throwable =>
+        Some(s"${t.getClass.getSimpleName}: ${Option(t.getMessage).getOrElse("").take(160)}")
+      }
+    ((System.nanoTime() - t0) / 1e9, err)
+  }
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
     val spark = SparkSession.builder()
@@ -27,21 +57,40 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
-    // warmup: full execution of every query once
-    queries.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+
+    // warmup: full execution of every query once (errors logged, not fatal)
+    queries.foreach { case (name, fn) =>
+      val (sec, err) = runOnce(spark, sfDir, name, fn)
+      System.err.println(f"[bench] warmup $name%-28s $sec%8.3f s${err.fold("")(" ERR " + _)}")
     }
-    val results = queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+    System.gc() // drop warmup garbage so measured passes see a quiet heap
+
+    val passes = (1 to 2).map { pass =>
+      val r = queries.map { case (name, fn) =>
+        val (sec, err) = runOnce(spark, sfDir, name, fn)
+        System.err.println(f"[bench] pass$pass  $name%-28s $sec%8.3f s${err.fold("")(" ERR " + _)}")
+        name -> ((sec, err))
+      }
+      System.gc()
+      r
     }
+    // steady-state = per-query min across measured passes
+    val results = passes.head.zip(passes.last).map {
+      case ((name, (s1, e1)), (_, (s2, e2))) =>
+        (name, math.min(s1, s2), e1.orElse(e2))
+    }
+
     val qs = results
-      .map { case (k, v) => "\"" + k + f"""":$v%.4f""" }
+      .map { case (k, v, _) => jsonStr(k) + f":$v%.4f" }
       .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(e)) => jsonStr(k) + ":" + jsonStr(e) }
+    val errJson = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
     val total = results.map(_._2).sum
-    println(
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}"""
+    try Files.write(Paths.get(outPath), (line + "\n").getBytes(StandardCharsets.UTF_8))
+    catch { case t: Throwable => System.err.println(s"[bench] file write failed: $t") }
+    println(line)
     spark.stop()
   }
 }
