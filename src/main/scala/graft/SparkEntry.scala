@@ -20,7 +20,8 @@ object SparkEntry {
       graft.queries.Extra.defs ++
       graft.ext.Dedup.defs ++
       graft.ext.Similarity.defs ++
-      graft.ext.TextAnalytics.defs
+      graft.ext.TextAnalytics.defs ++
+      graft.ext.Multimodal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

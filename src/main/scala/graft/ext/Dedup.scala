@@ -19,6 +19,24 @@ object Dedup {
     docs.select(col("doc_id"), col("lang"),
       explode(array_distinct(split(col("text"), " "))).as("w"))
 
+  /** Hot-shingle guard: drop shingles whose document frequency exceeds
+    * `maxDf` before any shingle self-join. An inverted-index join costs
+    * Σ df(shingle)² — natural text is skewed by construction ("of the"
+    * appears in every document), so without a cap the hottest posting
+    * lists go quadratic at scale. Dropping ubiquitous shingles is the
+    * standard fix (they carry no discriminative signal for near-dup
+    * detection) and bounds every posting list at maxDf. The hot list
+    * itself is tiny (≤ total_shingles/maxDf entries), so AQE plans the
+    * anti-join as a broadcast. */
+  def withoutHotShingles(toks: DataFrame, shingleCols: Seq[String],
+      maxDf: Long): DataFrame = {
+    val hot = toks.groupBy(shingleCols.map(col): _*)
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select(shingleCols.map(col): _*)
+    toks.join(hot, shingleCols, "left_anti")
+  }
+
   /** Exact dedup via content fingerprint: one hash-groupBy, the canonical
     * row is the minimum id. At 100 TB this is the only exact-dedup shape
     * that works — the shuffle key is the 128-bit digest, never the text. */
@@ -41,12 +59,15 @@ object Dedup {
       val sub = Tables(s, dir, "documents")
         .filter(col("doc_id") % 20 === 0)
         .select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))
-      val toks = sub.select(col("doc_id"), col("lang"),
+      val raw = sub.select(col("doc_id"), col("lang"),
         explode(array_distinct(
           zip_with(
             slice(col("w"), lit(1), size(col("w")) - 1),
             slice(col("w"), lit(2), size(col("w")) - 1),
             (a, b) => concat(a, lit(" "), b)))).as("sh"))
+      // hot-shingle guard: posting lists capped at df<=100 so the
+      // self-join below is bounded by 100·|shingles| pairs, not Σdf²
+      val toks = withoutHotShingles(raw, Seq("lang", "sh"), 100L)
       val cnt = toks.groupBy("doc_id").agg(count("*").as("n"))
       val a = toks.select(col("doc_id").as("doc_a"), col("lang"), col("sh"))
       val b = toks.select(col("doc_id").as("doc_b"),
@@ -68,8 +89,13 @@ object Dedup {
     },
     """WITH sub AS (SELECT doc_id, lang, string_split(text, ' ') AS l
       |            FROM documents WHERE doc_id % 20 = 0),
-      |toks AS (SELECT DISTINCT doc_id, lang, l[i] || ' ' || l[i+1] AS sh
-      |         FROM sub, UNNEST(generate_series(1, len(l)-1)) AS t(i)),
+      |raw AS (SELECT DISTINCT doc_id, lang, l[i] || ' ' || l[i+1] AS sh
+      |        FROM sub, UNNEST(generate_series(1, len(l)-1)) AS t(i)),
+      |hot AS (SELECT lang, sh FROM raw GROUP BY lang, sh
+      |        HAVING count(*) > 100),
+      |toks AS (SELECT r.* FROM raw r
+      |         WHERE NOT EXISTS (SELECT 1 FROM hot h
+      |                           WHERE h.lang = r.lang AND h.sh = r.sh)),
       |cnt AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
       |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
       |           FROM toks a JOIN toks b
@@ -97,7 +123,10 @@ object Dedup {
   private val q32MinhashLsh = QueryDef.noOracle(
     (s, dir) => {
       val docs = Tables(s, dir, "documents")
-      val toks = unigrams(docs)
+      // hot-shingle guard on the minhash vocabulary: ubiquitous unigrams
+      // (stopwords) carry no near-dup signal and skew the verification
+      // join's posting lists; df<=200 bounds them
+      val toks = withoutHotShingles(unigrams(docs), Seq("w"), 200L)
       // 16 (hash-index, xxhash64(i, w)) pairs per token
       val hashed = toks.select(col("doc_id"),
         explode(expr(
@@ -190,11 +219,79 @@ object Dedup {
       |SELECT a_id, b_id, round(c, 6) AS cosine
       |FROM p WHERE c >= 0.4 ORDER BY a_id, b_id""")
 
+  /** Signed-integer hyperplane dot for LSH bucketing, exactly computable
+    * in both engines: embeddings are quantized to round(x*1000) (exact —
+    * f32→f64 widening then one half-away-from-zero round in both Spark and
+    * DuckDB) and dotted with small integer pseudo-hyperplanes
+    * w(i,p) = ((i*31 + p*17) % 7) - 3, so the bucket decision is pure
+    * BIGINT arithmetic with no float-sign ambiguity. */
+  private def intPlaneDot(emb: Column, p: Int): Column =
+    aggregate(
+      transform(emb, (x, i) =>
+        round(x.cast("double") * 1000, 0).cast("long") *
+          ((i * 31 + p * 17) % 7 - 3).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Embedding near-dup, LSH-bucketed — the 100 TB shape for q51's
+    * computation: 4 integer hyperplanes give every vector a 16-way sign
+    * bucket; candidate pairs are an EQUI-join on the bucket key (shuffle
+    * hash / sort-merge, never BroadcastNestedLoopJoin), and the exact
+    * codegen cosine runs only within buckets (~16× fewer pairs; more
+    * planes at higher SF). q51 remains the exact all-pairs oracle
+    * baseline; this is the operator a pipeline would actually run. */
+  private val q55EmbeddingNeardupLsh = QueryDef(
+    (s, dir) => {
+      def bucket(v: Column): Column = (0 until 4).map { p =>
+        when(intPlaneDot(v, p) > 0, lit(1 << p)).otherwise(lit(0))
+      }.reduce(_ + _)
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          bucket(col("embedding")).as("bucket"))
+      val a = e.select(col("vec_id").as("a_id"),
+        col("embedding").as("a_emb"), col("bucket"))
+      val b = e.select(col("vec_id").as("b_id"),
+        col("embedding").as("b_emb"), col("bucket").as("bucket_b"))
+      a.join(b, col("bucket") === col("bucket_b") && col("a_id") < col("b_id"))
+        .withColumn("c",
+          graft.functions.CosineSimilarity.cosineSim(col("a_emb"), col("b_emb")))
+        .filter(col("c") >= 0.4)
+        .select(col("a_id"), col("b_id"), round(col("c"), 6).as("cosine"))
+        .orderBy("a_id", "b_id")
+    },
+    """WITH d AS (
+      |  SELECT vec_id, embedding,
+      |    (CASE WHEN list_sum(list_transform(embedding, (x,i) ->
+      |       CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+      |       * ((((i-1) * 31 + 0) % 7) - 3))) > 0 THEN 1 ELSE 0 END)
+      |  + (CASE WHEN list_sum(list_transform(embedding, (x,i) ->
+      |       CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+      |       * ((((i-1) * 31 + 17) % 7) - 3))) > 0 THEN 2 ELSE 0 END)
+      |  + (CASE WHEN list_sum(list_transform(embedding, (x,i) ->
+      |       CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+      |       * ((((i-1) * 31 + 34) % 7) - 3))) > 0 THEN 4 ELSE 0 END)
+      |  + (CASE WHEN list_sum(list_transform(embedding, (x,i) ->
+      |       CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+      |       * ((((i-1) * 31 + 51) % 7) - 3))) > 0 THEN 8 ELSE 0 END)
+      |    AS bucket
+      |  FROM embeddings),
+      |p AS (
+      |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |    list_sum(list_transform(a.embedding,
+      |      (x,i) -> CAST(x AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
+      |    (sqrt(list_sum(list_transform(a.embedding,
+      |       x -> CAST(x AS DOUBLE) * x))) *
+      |     sqrt(list_sum(list_transform(b.embedding,
+      |       x -> CAST(x AS DOUBLE) * x)))) AS c
+      |  FROM d a JOIN d b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+      |SELECT a_id, b_id, round(c, 6) AS cosine
+      |FROM p WHERE c >= 0.4 ORDER BY a_id, b_id""")
+
   val defs: Map[String, QueryDef] = Map(
     "q30_dedup_exact" -> q30ExactDedup,
     "q31_ngram_jaccard" -> q31NgramJaccard,
     "q32_minhash_lsh" -> q32MinhashLsh,
     "q33_simhash" -> q33Simhash,
     "q51_embedding_neardup" -> q51EmbeddingNeardup,
+    "q55_embedding_neardup_lsh" -> q55EmbeddingNeardupLsh,
   )
 }

@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.core.QueryDef
 
 /** Multimodal columns for training-data pipelines (north star): media
   * payloads are opaque BINARY columns with a typed metadata struct; the
@@ -142,4 +143,59 @@ object Multimodal {
       }
     spark.createDataFrame(rdd, frameSchema)
   }
+
+  // ---- driver-checked queries --------------------------------------------
+  //
+  // FakeCodec is pure byte arithmetic over `synthesize`'s deterministic
+  // payloads, so both queries have exact DuckDB oracles: the SQL re-derives
+  // the payload bytes from media_id via generate_series and reproduces the
+  // codec's arithmetic in integer space.
+
+  /** Decode→featurize, checked end-to-end: run the real partition-batched
+    * codec path, then recover the integer per-dim byte sums from the float
+    * embedding (feature = byteSum/255 accumulated in f32; the accumulated
+    * error is ≤1e-4·255 ≪ 0.5, so round(f·255) is the exact integer). */
+  private val q53MediaFeatures = QueryDef(
+    (s, dir) => {
+      val feats = extractFeatures(synthesize(s, 500), FakeCodec)
+      feats
+        .select(col("media_id"), col("media_type"),
+          posexplode(col("embedding")).as(Seq("dim", "f")))
+        .select(col("media_id"), col("media_type"), col("dim"),
+          round(col("f").cast("double") * 255, 0).cast("long").as("byte_sum"))
+        .orderBy("media_id", "dim")
+    },
+    """WITH m AS (SELECT CAST(i AS BIGINT) AS media_id, 64 + i % 192 AS len
+      |           FROM UNNEST(generate_series(0, 499)) t(i)),
+      |b AS (SELECT media_id, (media_id * 31 + j * 7) % 256 AS bv,
+      |             CAST(j % 16 AS INTEGER) AS dim
+      |      FROM m, UNNEST(generate_series(0, len - 1)) t(j))
+      |SELECT media_id,
+      |       CASE media_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+      |            ELSE 'video' END AS media_type,
+      |       dim, CAST(sum(bv) AS BIGINT) AS byte_sum
+      |FROM b GROUP BY 1, 2, 3 ORDER BY media_id, dim""")
+
+  /** Video frame sampling, checked end-to-end: nFrames = duration/everyMs
+    * and frameSize = floor(len/nFrames), so nFrames·frameSize ≤ len and
+    * every emitted frame is exactly frameSize bytes — integer-exact in
+    * DuckDB. */
+  private val q54MediaFrames = QueryDef(
+    (s, dir) =>
+      sampleFrames(synthesize(s, 500), FakeCodec, 500L)
+        .select(col("media_id"), col("frame_no"),
+          length(col("frame")).cast("long").as("frame_bytes"))
+        .orderBy("media_id", "frame_no"),
+    """WITH v AS (SELECT CAST(i AS BIGINT) AS media_id,
+      |                  64 + i % 192 AS len, 2 * (1 + i % 10) AS nf
+      |           FROM UNNEST(generate_series(0, 499)) t(i) WHERE i % 3 = 2)
+      |SELECT media_id, CAST(j AS INTEGER) AS frame_no,
+      |       CAST(len // nf AS BIGINT) AS frame_bytes
+      |FROM v, UNNEST(generate_series(0, nf - 1)) t(j)
+      |ORDER BY media_id, frame_no""")
+
+  val defs: Map[String, QueryDef] = Map(
+    "q53_media_features" -> q53MediaFeatures,
+    "q54_media_frames" -> q54MediaFrames,
+  )
 }

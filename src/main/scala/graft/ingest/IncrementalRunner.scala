@@ -21,16 +21,68 @@ trait RepoSource {
     * (reference src/extract_github_data.py:630,662). */
   def fetch(spark: SparkSession, since: Long, limit: Int): DataFrame
 
-  /** Records the source failed to fetch this run (404/403 analogs,
-    * reference src/extract_github_data.py:480-491) — counted, never fatal. */
+  /** Cumulative records the source failed to fetch (404/403 analogs,
+    * reference src/extract_github_data.py:480-491) — counted, never
+    * fatal; the runner reports per-run deltas. */
   def failedCount: Long = 0L
+
+  /** Cumulative external requests made (reference api_calls counter,
+    * src/extract_github_data.py:737); the runner reports per-run deltas. */
+  def apiCalls: Long = 0L
+
+  /** Cumulative records served from cache instead of the network
+    * (reference cache_hits counter, :739). */
+  def cacheHits: Long = 0L
 }
 
-/** A RepoSource over a fixed raw DataFrame (tests) or JSON path. */
+/** A RepoSource over a fixed raw DataFrame (tests) or JSON path;
+  * `simulatedFailures` records are charged as failed on every fetch. */
 final class DataFrameRepoSource(data: DataFrame,
-    override val failedCount: Long = 0L) extends RepoSource {
-  def fetch(spark: SparkSession, since: Long, limit: Int): DataFrame =
+    simulatedFailures: Long = 0L) extends RepoSource {
+  private var calls = 0L
+  def fetch(spark: SparkSession, since: Long, limit: Int): DataFrame = {
+    calls += 1 // one list request per keyset page walk
     data.filter(col("id") > since).orderBy("id").limit(limit)
+  }
+  override def apiCalls: Long = calls
+  override def failedCount: Long = calls * simulatedFailures
+}
+
+/** S1→S3→S2→S4 composed: a keyset list page, served through the bronze
+  * read-through cache, with per-key detail fetch only for the misses —
+  * the full reference flow (list :394-435, cache check :293-344, detail
+  * fetch :438-491) as one source. api_calls counts the list page plus one
+  * detail request per cache miss; cache_hits counts records served from
+  * bronze; detail-fetch failures flow from the enricher's accumulator. */
+final class CachedDetailRepoSource(
+    list: RepoSource, bronzeDir: String,
+    clientFactory: DetailEnricher.DetailClientFactory) extends RepoSource {
+
+  private var calls = 0L
+  private var hits = 0L
+  private var failures = 0L
+
+  def fetch(spark: SparkSession, since: Long, limit: Int): DataFrame = {
+    val summaries = list.fetch(spark, since, limit)
+    var acc: Option[org.apache.spark.util.LongAccumulator] = None
+    val (batch, nHits, nMisses) =
+      BronzeCache.readThrough(spark, bronzeDir, summaries, missKeys => {
+        val (enriched, failedAcc) = DetailEnricher.enrich(missKeys, clientFactory)
+        acc = Some(failedAcc)
+        DetailEnricher.details(enriched)
+      })
+    // readThrough has already written the misses to bronze (one executed
+    // pass over the enrichment plan), so the accumulator has settled
+    calls += nMisses // one detail request per cache miss
+    hits += nHits
+    failures += acc.fold(0L)(_.value)
+    batch
+  }
+
+  /** list pages are counted by the wrapped list source itself. */
+  override def apiCalls: Long = calls + list.apiCalls
+  override def cacheHits: Long = hits
+  override def failedCount: Long = failures
 }
 
 /** Incremental micro-batch runner — the engine form of
@@ -43,16 +95,24 @@ final class DataFrameRepoSource(data: DataFrame,
   * streaming twin.
   */
 final class IncrementalRunner(spark: SparkSession, source: RepoSource,
-    stateDir: String) {
+    stateDir: String, env: String => Option[String] = sys.env.get) {
 
   private val cursorFile = Paths.get(stateDir, "last_repo_id.txt")
 
-  /** S5 state read (reference src/extract_github_data.py:164-235). */
+  /** Env-var cursor backend name (reference LAST_REPO_ID env fallback,
+    * src/extract_github_data.py:190-194). */
+  val cursorEnvVar = "GRAFT_LAST_REPO_ID"
+
+  /** S5 state read (reference src/extract_github_data.py:164-235):
+    * file backend first (it is what commits advance), then the env-var
+    * backend as the seed for fresh deployments, then 0. The reference's
+    * S3/DynamoDB backends are remote KV stores with the same read/commit
+    * contract; they slot in here behind the same precedence. */
   def cursor: Long =
     if (Files.exists(cursorFile))
       new String(Files.readAllBytes(cursorFile), StandardCharsets.UTF_8)
         .trim.toLong
-    else 0L
+    else env(cursorEnvVar).map(_.trim.toLong).getOrElse(0L)
 
   /** S6 state commit — atomic (write temp + move) so a crash never leaves
     * a torn cursor. */
@@ -72,6 +132,8 @@ final class IncrementalRunner(spark: SparkSession, source: RepoSource,
       testMode: Boolean = false): DataFrame = {
     val t0 = System.nanoTime()
     val since = cursor
+    val (api0, hits0, failed0) =
+      (source.apiCalls, source.cacheHits, source.failedCount)
     val raw = source.fetch(spark, since, budget)
     val validated = IngestPipeline.withValidation(IngestPipeline.flatten(raw))
       .persist() // consumed by two sinks + metrics; one source scan
@@ -80,7 +142,11 @@ final class IncrementalRunner(spark: SparkSession, source: RepoSource,
       // ---- sink first (both streams), commit cursor only afterwards ----
       IngestPipeline.writePartitioned(valid, sinkDir)
       invalid.write.mode("append").json(quarantineDir)
-      val m = IngestPipeline.metrics(validated, since, source.failedCount,
+      // counter deltas read AFTER the sinks ran: lazy sources only incur
+      // their requests when the plan actually executes
+      val m = IngestPipeline.metrics(validated, since,
+        source.failedCount - failed0,
+        source.apiCalls - api0, source.cacheHits - hits0,
         testMode, (System.nanoTime() - t0) / 1e9)
       val rows = m.collect()
       // persist the run envelope at a SIBLING path (inside the sink it

@@ -53,8 +53,11 @@ object IngestPipeline {
 
   /** T5 run-summary metrics as a one-row aggregation (reference counters
     * at src/extract_github_data.py:670-742). failedCount arrives from the
-    * fetch stage (null detail rows), testMode/duration from the runner. */
+    * fetch stage (null detail rows), apiCalls/cacheHits from the source's
+    * request counters + the bronze read-through (reference :737-739),
+    * testMode/duration from the runner. */
   def metrics(validated: DataFrame, startRepoId: Long, failedCount: Long,
+      apiCalls: Long, cacheHits: Long,
       testMode: Boolean, durationSeconds: Double): DataFrame =
     validated.agg(
       date_format(current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss")
@@ -65,6 +68,8 @@ object IngestPipeline {
       sum(when(col("is_valid"), 1L).otherwise(0L)).as("valid_count"),
       sum(when(!col("is_valid"), 1L).otherwise(0L)).as("invalid_count"),
       lit(failedCount).as("failed_count"),
+      lit(apiCalls).as("api_calls"),
+      lit(cacheHits).as("cache_hits"),
       lit(testMode).as("test_mode"),
       lit(durationSeconds).as("duration_seconds"))
 

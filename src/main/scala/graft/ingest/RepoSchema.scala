@@ -60,7 +60,10 @@ object RepoSchema {
     StructField("owner_url", StringType)))
 
   /** Run-metrics envelope (reference src/extract_github_data.py:730-742),
-    * produced as a one-row aggregation instead of mutable counters. */
+    * produced as a one-row aggregation instead of mutable counters.
+    * api_calls / cache_hits mirror the reference's request + cache
+    * counters (:737-739), fed from the source's page/detail call counts
+    * and the bronze read-through hit counts. */
   val metrics: StructType = StructType(Seq(
     StructField("extraction_date", StringType),
     StructField("start_repo_id", LongType),
@@ -69,6 +72,8 @@ object RepoSchema {
     StructField("valid_count", LongType),
     StructField("invalid_count", LongType),
     StructField("failed_count", LongType),
+    StructField("api_calls", LongType),
+    StructField("cache_hits", LongType),
     StructField("test_mode", BooleanType),
     StructField("duration_seconds", DoubleType)))
 }

@@ -90,7 +90,12 @@ final class RepoListScanBuilder(schema: StructType,
   override def build(): Scan = new RepoListScan(schema,
     options.get("path"), since, limit,
     options.getInt("pageSize", 100), options.getLong("pageDelayMs", 0L),
-    options.containsKey("token"))
+    options.containsKey("token"),
+    RateLimit.Policy(
+      baseBackoffMs = options.getLong("backoffMs", 1000L),
+      maxRetries = options.getInt("maxRetries", 3),
+      quotaFloor = options.getInt("quotaFloor", 5),
+      floorDelayMs = options.getLong("floorDelayMs", 60000L)))
 }
 
 /** `authenticated` mirrors the reference's token regime switch (T7,
@@ -99,11 +104,12 @@ final class RepoListScanBuilder(schema: StructType,
   * flag is surfaced in the scan description for plan-level visibility. */
 final class RepoListScan(schema: StructType, path: String, since: Long,
     limit: Int, pageSize: Int, pageDelayMs: Long,
-    authenticated: Boolean = false) extends Scan with Batch {
+    authenticated: Boolean = false,
+    policy: RateLimit.Policy = RateLimit.Policy()) extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    Array(RepoListPartition(path, since, limit, pageSize, pageDelayMs))
+    Array(RepoListPartition(path, since, limit, pageSize, pageDelayMs, policy))
   override def createReaderFactory(): PartitionReaderFactory =
     new RepoListReaderFactory(schema)
   override def description(): String =
@@ -112,7 +118,8 @@ final class RepoListScan(schema: StructType, path: String, since: Long,
 }
 
 case class RepoListPartition(path: String, since: Long, limit: Int,
-    pageSize: Int, pageDelayMs: Long) extends InputPartition
+    pageSize: Int, pageDelayMs: Long,
+    policy: RateLimit.Policy = RateLimit.Policy()) extends InputPartition
 
 final class RepoListReaderFactory(schema: StructType)
     extends PartitionReaderFactory {
@@ -147,8 +154,10 @@ final class RepoListReader(schema: StructType, part: RepoListPartition)
     if (emitted >= part.limit) return false
     while (!page.hasNext && !exhausted) {
       if (emitted > 0 && part.pageDelayMs > 0)
-        Thread.sleep(part.pageDelayMs) // admission control between pages
-      val rows = fetcher.fetch(cursor, part.pageSize)
+        Thread.sleep(part.pageDelayMs) // fixed-delay floor between pages
+      // adaptive admission on top of the floor: exponential backoff on a
+      // rate-limit rejection, proactive pause on low reported quota
+      val rows = RateLimit.fetchPage(fetcher, cursor, part.pageSize, part.policy)
       if (rows.isEmpty) exhausted = true
       else {
         cursor = rows.last._1 // keyset invariant: ids strictly ascend
@@ -167,9 +176,59 @@ final class RepoListReader(schema: StructType, part: RepoListPartition)
 }
 
 /** Transport contract: one "API page" per call — rows with id > since,
-  * ascending, at most pageSize. */
+  * ascending, at most pageSize. Transports that see rate-limit headers
+  * (X-RateLimit-Remaining / 403 analogs, reference
+  * src/extract_github_data.py:372-391) surface them through the two
+  * inspection methods so the reader can adapt its admission rate. */
 trait PageFetcher extends Serializable {
   def fetch(since: Long, pageSize: Int): Seq[(Long, String)]
+
+  /** Remaining request quota reported by the last fetch
+    * (X-RateLimit-Remaining analog); None when the transport has no
+    * quota signal (e.g. file fixtures). */
+  def remainingQuota: Option[Int] = None
+
+  /** True when the last fetch was REJECTED by rate limiting (the 403 +
+    * "rate limit exceeded" analog, reference :484-487) and returned no
+    * usable page. */
+  def rateLimited: Boolean = false
+}
+
+/** Adaptive admission control for the page walk (reference
+  * check_rate_limit :372-391 + the 60 s backoff :107): a rejected page is
+  * retried under exponential backoff, and a reported quota at or below
+  * `quotaFloor` inserts a proactive pause BEFORE the budget is exhausted
+  * (the reference warns at <5 remaining). The injectable `sleep` keeps
+  * specs wall-clock-free. */
+object RateLimit {
+  final case class Policy(baseBackoffMs: Long = 1000L, maxRetries: Int = 3,
+      quotaFloor: Int = 5, floorDelayMs: Long = 60000L)
+
+  final class RateLimitedException(attempts: Int)
+    extends RuntimeException(
+      s"page fetch still rate-limited after $attempts backoff attempts")
+
+  /** One page fetch under the policy. Exponential backoff on rejection
+    * (base, 2·base, 4·base, …); a low-quota success still pauses
+    * `floorDelayMs` so the NEXT request doesn't hit the hard 403. */
+  def fetchPage(fetcher: PageFetcher, since: Long, pageSize: Int,
+      policy: Policy, sleep: Long => Unit = Thread.sleep)
+      : Seq[(Long, String)] = {
+    var attempt = 0
+    while (true) {
+      val rows = fetcher.fetch(since, pageSize)
+      if (!fetcher.rateLimited) {
+        if (fetcher.remainingQuota.exists(_ <= policy.quotaFloor))
+          sleep(policy.floorDelayMs)
+        return rows
+      }
+      if (attempt >= policy.maxRetries)
+        throw new RateLimitedException(attempt)
+      sleep(policy.baseBackoffMs << attempt)
+      attempt += 1
+    }
+    Nil // unreachable
+  }
 }
 
 /** Offline transport: JSON-lines fixture ordered/filterable by the `id`

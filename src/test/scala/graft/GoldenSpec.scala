@@ -1,0 +1,29 @@
+package graft
+
+import scala.io.Source
+
+/** Hard deterministic checks for the four queries the driver can only
+  * rows-check (hash/sketch ops with no DuckDB-expressible oracle):
+  * q20 (HLL sketch), q32 (minhash+LSH), q33 (simhash), q35 (LSH ANN).
+  * Expected outputs were generated once by graft.tools.GoldenGen at
+  * sf0.001, reviewed, and committed — any drift in hash functions,
+  * banding, hyperplanes, or ordering fails here even though the oracle
+  * gate records them as rows-only. */
+class GoldenSpec extends SparkSpec {
+
+  private def golden(name: String): Seq[String] = {
+    val src = Source.fromResource(s"golden/$name.jsonl")
+    try src.getLines().toVector finally src.close()
+  }
+
+  for (name <- graft.tools.GoldenGen.goldenQueries)
+    test(s"$name matches its committed golden output") {
+      val got = SparkEntry.queries(name)(spark, graft.tools.GoldenGen.sfDir)
+        .toJSON.collect().toSeq
+      val want = golden(name)
+      assert(got.length == want.length,
+        s"row count ${got.length} != golden ${want.length}")
+      for (((g, w), i) <- got.zip(want).zipWithIndex)
+        assert(g == w, s"row $i differs:\n  got    $g\n  golden $w")
+    }
+}

@@ -1,0 +1,38 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+
+  test("hot-shingle guard drops df>maxDf shingles and bounds posting lists") {
+    import spark.implicits._
+    // "the cat" appears in 6 docs (hot), "rare pair" in 2 (signal)
+    val toks = (
+      (1L to 6L).map(i => (i, "en", "the cat")) ++
+        Seq((1L, "en", "rare pair"), (2L, "en", "rare pair")) ++
+        Seq((3L, "fr", "chat rare"))
+      ).toDF("doc_id", "lang", "sh")
+
+    val kept = Dedup.withoutHotShingles(toks, Seq("lang", "sh"), maxDf = 3L)
+    assert(kept.filter(col("sh") === "the cat").count() == 0)
+    assert(kept.filter(col("sh") === "rare pair").count() == 2)
+    assert(kept.filter(col("sh") === "chat rare").count() == 1)
+
+    // the bound the self-join relies on: every surviving posting list has
+    // df <= maxDf, so join fan-out per shingle is at most maxDf^2
+    val worstDf = kept.groupBy("lang", "sh").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    assert(worstDf <= 3L)
+  }
+
+  test("guard is df-based, not frequency-based: dup shingles in ONE doc survive") {
+    import spark.implicits._
+    // same shingle 5x in one document (df counts rows post array_distinct
+    // upstream, but the guard itself must key on the shingle columns only)
+    val toks = Seq((1L, "en", "x y"), (2L, "en", "x y"))
+      .toDF("doc_id", "lang", "sh")
+    val kept = Dedup.withoutHotShingles(toks, Seq("lang", "sh"), maxDf = 2L)
+    assert(kept.count() == 2)
+  }
+}

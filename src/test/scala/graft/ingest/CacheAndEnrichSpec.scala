@@ -88,6 +88,33 @@ class CacheAndEnrichSpec extends SparkSpec {
     assert(flat.filter("owner_login = 'u1'").count() == 1)
   }
 
+  test("cached detail source wires api_calls/cache_hits into the envelope") {
+    val bronze = Files.createTempDirectory("bronze").toString
+    val src = new CachedDetailRepoSource(
+      new DataFrameRepoSource(summaries(1L to 10L: _*)), bronze,
+      FakeClientFactory)
+    val runner = new IncrementalRunner(spark, src,
+      Files.createTempDirectory("state").toString)
+    val m1 = runner.runOnce(Files.createTempDirectory("sink").toString,
+      Files.createTempDirectory("q").toString, budget = 10).collect()(0)
+    // run 1: 1 list page + 10 detail fetches (all miss), ids 3/6/9 404
+    assert(m1.getAs[Long]("api_calls") == 11L)
+    assert(m1.getAs[Long]("cache_hits") == 0L)
+    assert(m1.getAs[Long]("failed_count") == 3L)
+    assert(m1.getAs[Long]("total_processed") == 7L)
+
+    // fresh cursor, same bronze: the 7 cached details are hits; only the
+    // previously-failed ids are re-fetched (and fail again)
+    val runner2 = new IncrementalRunner(spark, src,
+      Files.createTempDirectory("state2").toString)
+    val m2 = runner2.runOnce(Files.createTempDirectory("sink2").toString,
+      Files.createTempDirectory("q2").toString, budget = 10).collect()(0)
+    assert(m2.getAs[Long]("cache_hits") == 7L)
+    assert(m2.getAs[Long]("api_calls") == 1L + 3L)
+    assert(m2.getAs[Long]("failed_count") == 3L)
+    assert(m2.getAs[Long]("total_processed") == 7L)
+  }
+
   test("runner persists the metadata envelope next to the sink") {
     val state = Files.createTempDirectory("state").toString
     val sink = Files.createTempDirectory("sink").toString

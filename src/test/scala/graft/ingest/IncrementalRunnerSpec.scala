@@ -76,6 +76,39 @@ class IncrementalRunnerSpec extends SparkSpec {
     assert(runner.cursor == 2L)
   }
 
+  test("cursor precedence: file beats env, env beats zero") {
+    // reference env-var cursor backend (src/extract_github_data.py:190-194)
+    val state = tmp("state")
+    val env = Map("GRAFT_LAST_REPO_ID" -> "7")
+    val runner = new IncrementalRunner(spark,
+      new DataFrameRepoSource(raw(1L to 20L: _*)), state, env.get)
+    assert(runner.cursor == 7L) // no file yet: env seeds a fresh deployment
+    val m = runner.runOnce(tmp("sink"), tmp("q"), budget = 5).collect()(0)
+    assert(m.getAs[Long]("start_repo_id") == 7L)
+    assert(m.getAs[Long]("last_repo_id") == 12L)
+    assert(runner.cursor == 12L) // committed file now beats the env value
+    val noEnv = new IncrementalRunner(spark,
+      new DataFrameRepoSource(raw(1L to 20L: _*)), tmp("state2"), _ => None)
+    assert(noEnv.cursor == 0L)
+  }
+
+  test("run envelope reports per-run api_calls and failed_count deltas") {
+    val state = tmp("state")
+    val runner = new IncrementalRunner(spark,
+      new DataFrameRepoSource(raw(1L to 20L: _*), simulatedFailures = 2L),
+      state)
+    val sink = tmp("sink")
+    val q = tmp("q")
+    val m1 = runner.runOnce(sink, q, budget = 10).collect()(0)
+    assert(m1.getAs[Long]("api_calls") == 1L)
+    assert(m1.getAs[Long]("failed_count") == 2L)
+    assert(m1.getAs[Long]("cache_hits") == 0L)
+    val m2 = runner.runOnce(sink, q, budget = 10).collect()(0)
+    // deltas, not cumulative totals: the second run charges its own call
+    assert(m2.getAs[Long]("api_calls") == 1L)
+    assert(m2.getAs[Long]("failed_count") == 2L)
+  }
+
   test("invalid rows are quarantined with reasons, not dropped") {
     val state = tmp("state")
     val bad = raw(1L, 2L, 3L)

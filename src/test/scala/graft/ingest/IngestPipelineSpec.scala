@@ -84,14 +84,31 @@ class IngestPipelineSpec extends SparkSpec {
       rawRow(id = 110L))
     val validated = IngestPipeline.withValidation(IngestPipeline.flatten(df))
     val m = IngestPipeline.metrics(validated, startRepoId = 100L,
-      failedCount = 3L, testMode = true, durationSeconds = 1.5).collect()(0)
+      failedCount = 3L, apiCalls = 7L, cacheHits = 2L,
+      testMode = true, durationSeconds = 1.5).collect()(0)
     assert(m.getAs[Long]("start_repo_id") == 100L)
     assert(m.getAs[Long]("last_repo_id") == 110L)
     assert(m.getAs[Long]("total_processed") == 3L)
     assert(m.getAs[Long]("valid_count") == 2L)
     assert(m.getAs[Long]("invalid_count") == 1L)
     assert(m.getAs[Long]("failed_count") == 3L)
+    assert(m.getAs[Long]("api_calls") == 7L)
+    assert(m.getAs[Long]("cache_hits") == 2L)
     assert(m.getAs[Boolean]("test_mode"))
+  }
+
+  test("metrics envelope matches the full 11-field contract schema") {
+    val validated = IngestPipeline.withValidation(
+      IngestPipeline.flatten(rawDf(rawRow())))
+    val m = IngestPipeline.metrics(validated, startRepoId = 0L,
+      failedCount = 0L, apiCalls = 1L, cacheHits = 0L,
+      testMode = false, durationSeconds = 0.1)
+    // field names, order, and types all match the reference envelope
+    // (reference src/extract_github_data.py:730-742 incl. api_calls and
+    // cache_hits at :737-739)
+    assert(m.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      RepoSchema.metrics.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(m.schema.fields.length == 11)
   }
 
   test("date partition derivation is Hive-style and prunable") {

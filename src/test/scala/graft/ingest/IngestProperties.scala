@@ -69,6 +69,7 @@ object IngestProperties extends Properties("Ingest") {
       }
       val v = IngestPipeline.withValidation(IngestPipeline.flatten(df(withIds)))
       val m = IngestPipeline.metrics(v, startRepoId = 99L, failedCount = 0,
+        apiCalls = 0L, cacheHits = 0L,
         testMode = true, durationSeconds = 0.0).collect()(0)
       m.getAs[Long]("last_repo_id") >= 99L &&
         m.getAs[Long]("valid_count") + m.getAs[Long]("invalid_count") ==

@@ -80,4 +80,60 @@ class RepoListSourceSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("id")).toSeq == Seq(3L, 4L, 5L, 6L, 7L))
     assert(rows.forall(_.getAs[Boolean]("is_valid")))
   }
+
+  /** Transport double for the rate-limit paths: rejects the first
+    * `rejectFirst` fetches (403 analog), then serves pages while
+    * reporting a draining quota. */
+  private final class ThrottledFetcher(rejectFirst: Int, quotaStart: Int)
+      extends PageFetcher {
+    var calls = 0
+    private var limited = false
+    private var quota = quotaStart
+    override def fetch(since: Long, pageSize: Int): Seq[(Long, String)] = {
+      calls += 1
+      if (calls <= rejectFirst) { limited = true; Nil }
+      else {
+        limited = false
+        quota -= 1
+        (since + 1 to since + pageSize).map(i => (i, s"""{"id": $i}"""))
+      }
+    }
+    override def rateLimited: Boolean = limited
+    override def remainingQuota: Option[Int] = Some(quota)
+  }
+
+  test("backoff: rejected pages retry exponentially, then succeed") {
+    val fetcher = new ThrottledFetcher(rejectFirst = 2, quotaStart = 100)
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val rows = RateLimit.fetchPage(fetcher, since = 0L, pageSize = 3,
+      RateLimit.Policy(baseBackoffMs = 100L, maxRetries = 3,
+        quotaFloor = 5, floorDelayMs = 60000L), sleeps.append(_))
+    assert(rows.map(_._1) == Seq(1L, 2L, 3L))
+    assert(fetcher.calls == 3)          // 2 rejections + 1 success
+    assert(sleeps.toSeq == Seq(100L, 200L)) // exponential: base, 2·base
+  }
+
+  test("backoff: gives up after maxRetries rejections") {
+    val fetcher = new ThrottledFetcher(rejectFirst = 99, quotaStart = 100)
+    val ex = intercept[RateLimit.RateLimitedException] {
+      RateLimit.fetchPage(fetcher, 0L, 3,
+        RateLimit.Policy(baseBackoffMs = 1L, maxRetries = 2,
+          quotaFloor = 5, floorDelayMs = 1L), _ => ())
+    }
+    assert(fetcher.calls == 3) // initial try + 2 retries
+    assert(ex.getMessage.contains("rate-limited"))
+  }
+
+  test("backoff: low reported quota inserts a proactive pause") {
+    // quota drops to the floor on the first success -> the floor delay
+    // fires BEFORE the next request would 403 (reference warns at <5)
+    val fetcher = new ThrottledFetcher(rejectFirst = 0, quotaStart = 6)
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val policy = RateLimit.Policy(baseBackoffMs = 1L, maxRetries = 1,
+      quotaFloor = 5, floorDelayMs = 777L)
+    RateLimit.fetchPage(fetcher, 0L, 3, policy, sleeps.append(_))
+    assert(sleeps.toSeq == Seq(777L)) // quota hit 5 == floor
+    RateLimit.fetchPage(fetcher, 3L, 3, policy, sleeps.append(_))
+    assert(sleeps.toSeq == Seq(777L, 777L))
+  }
 }
