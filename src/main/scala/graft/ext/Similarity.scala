@@ -94,8 +94,78 @@ object Similarity {
         .orderBy("q_id", "rk")
     })
 
+  /** IVF-style ANN — the codebook-partitioned scale path: every vector is
+    * assigned to its nearest of k coarse centroids (one broadcast of the
+    * k-row codebook, N·k scoring, linear); queries then probe ONLY their
+    * own cell via an equi-join on the centroid id. With real k-means
+    * centroids this is textbook IVF-Flat; here the codebook is the first
+    * 8 vectors (deterministic), which keeps the whole operator — argmax
+    * assignment included — exactly oracle-checkable in DuckDB since the
+    * cosine form and tiebreakers are the proven q34 ones. At 100 TB the
+    * assignment is a map-side broadcast join and the probe shuffles on
+    * cell id, so no stage touches the N² pair space. */
+  private val q59KnnIvf = QueryDef(
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val codebook = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("c_id"),
+          col("embedding").as("c_emb"))
+      val wAssign = Window.partitionBy("vec_id")
+        .orderBy(desc("ccos"), asc("c_id"))
+      val assigned = e.crossJoin(broadcast(codebook))
+        .withColumn("ccos", cosine(col("embedding"), col("c_emb")))
+        .withColumn("arn", row_number().over(wAssign))
+        .filter(col("arn") === 1)
+        .select(col("vec_id"), col("embedding"), col("c_id").as("cell"))
+      val q = assigned.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("cell"))
+      val cand = assigned.select(col("vec_id").as("n_id"),
+        col("embedding").as("n_emb"), col("cell").as("n_cell"))
+      val wTop = Window.partitionBy("q_id").orderBy(desc("cos_raw"), asc("n_id"))
+      cand.join(broadcast(q),
+          col("n_cell") === col("cell") && col("n_id") =!= col("q_id"))
+        .withColumn("cos_raw", cosine(col("q_emb"), col("n_emb")))
+        .withColumn("rk", row_number().over(wTop))
+        .filter(col("rk") <= 5)
+        .select(col("q_id"), col("n_id"),
+          round(col("cos_raw"), 6).as("cosine"),
+          col("rk").cast("long").as("rk"))
+        .orderBy("q_id", "rk")
+    },
+    """WITH cb AS (SELECT CAST(vec_id AS INTEGER) AS c_id,
+      |                   embedding AS c_emb
+      |            FROM embeddings WHERE vec_id < 8),
+      |sc AS (SELECT e.vec_id, e.embedding, c_id,
+      |         list_sum(list_transform(e.embedding,
+      |           (x,i) -> CAST(x AS DOUBLE) * CAST(c_emb[i] AS DOUBLE))) /
+      |         (sqrt(list_sum(list_transform(e.embedding,
+      |            x -> CAST(x AS DOUBLE) * x))) *
+      |          sqrt(list_sum(list_transform(c_emb,
+      |            x -> CAST(x AS DOUBLE) * x)))) AS ccos
+      |       FROM embeddings e, cb),
+      |a AS (SELECT vec_id, embedding, c_id AS cell,
+      |        row_number() OVER (PARTITION BY vec_id
+      |          ORDER BY ccos DESC, c_id) AS arn
+      |      FROM sc QUALIFY arn = 1),
+      |q AS (SELECT vec_id AS q_id, embedding AS q_emb, cell
+      |      FROM a WHERE vec_id < 10),
+      |p AS (SELECT q_id, a.vec_id AS n_id,
+      |        list_sum(list_transform(q_emb,
+      |          (x,i) -> CAST(x AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))) /
+      |        (sqrt(list_sum(list_transform(q_emb,
+      |           x -> CAST(x AS DOUBLE) * x))) *
+      |         sqrt(list_sum(list_transform(a.embedding,
+      |           x -> CAST(x AS DOUBLE) * x)))) AS cos_raw
+      |      FROM a JOIN q ON a.cell = q.cell AND a.vec_id <> q.q_id)
+      |SELECT q_id, n_id, round(cos_raw, 6) AS cosine,
+      |       row_number() OVER (PARTITION BY q_id
+      |         ORDER BY cos_raw DESC, n_id) AS rk
+      |FROM p QUALIFY rk <= 5 ORDER BY q_id, rk""")
+
   val defs: Map[String, QueryDef] = Map(
     "q34_knn_cosine" -> q34KnnBrute,
     "q35_knn_lsh" -> q35KnnLsh,
+    "q59_knn_ivf" -> q59KnnIvf,
   )
 }

@@ -148,11 +148,46 @@ object TextAnalytics {
       |       CAST(length(text) AS BIGINT) AS n_chars_actual
       |FROM documents ORDER BY doc_id""")
 
+  /** Cross-document contamination check — the decontamination primitive
+    * for eval/train separation: surface 8-gram shingles that appear in
+    * more than one document (a long verbatim n-gram shared between a
+    * training doc and a benchmark is the standard leakage signal).
+    * Dataflow: per-doc DISTINCT shingles → groupBy(shingle) document
+    * frequency — ONE shuffle keyed on the shingle, output top-k by df.
+    * The same df-guard logic as dedup applies upstream at 100 TB (cap or
+    * hash the shingle key); output is top-k, never the full pair list. */
+  private val q58Contamination = QueryDef(
+    (s, dir) => {
+      val words = Tables(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 8)
+      val sh = words
+        .select(col("doc_id"), explode(expr(
+          "array_distinct(transform(sequence(1, size(w) - 7), " +
+            "i -> array_join(slice(w, i, 8), ' ')))")).as("sh"))
+      sh.groupBy("sh")
+        .agg(count(lit(1)).as("df"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .filter(col("df") >= 2)
+        .orderBy(desc("df"), asc("sh"))
+        .limit(50)
+    },
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS l
+      |           FROM documents WHERE len(string_split(text, ' ')) >= 8),
+      |sh AS (SELECT DISTINCT doc_id,
+      |              array_to_string(l[i:i+7], ' ') AS sh
+      |       FROM w, UNNEST(generate_series(1, len(l) - 7)) t(i))
+      |SELECT sh, CAST(count(*) AS BIGINT) AS df,
+      |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM sh GROUP BY sh HAVING count(*) >= 2
+      |ORDER BY df DESC, sh LIMIT 50""")
+
   val defs: Map[String, QueryDef] = Map(
     "q36_lang_id" -> q36LangId,
     "q37_quality_score" -> q37Quality,
     "q38_token_topk" -> q38TokenTopk,
     "q39_fingerprint" -> q39Fingerprint,
     "q52_token_count" -> q52TokenCount,
+    "q58_contamination" -> q58Contamination,
   )
 }
