@@ -194,8 +194,37 @@ object Multimodal {
       |FROM v, UNNEST(generate_series(0, nf - 1)) t(j)
       |ORDER BY media_id, frame_no""")
 
+  /** Resize, checked end-to-end: every payload is re-encoded at 8×8
+    * (64 bytes; all payloads are ≥64 bytes so the fake resample never
+    * cycles) and summarized as an integer byte checksum the oracle
+    * re-derives arithmetically. The summary is computed in the same
+    * partition-batched pass — binary payloads never need a SQL-side
+    * byte-extraction detour. */
+  private val q60MediaResize = QueryDef(
+    (s, dir) => {
+      val resized = resizeAll(synthesize(s, 500), FakeCodec, 8, 8)
+      val rdd = resized.rdd.map { r =>
+        val bytes = r.getAs[Array[Byte]]("content")
+        Row(r.getLong(0), bytes.length,
+          bytes.foldLeft(0L)((a, b) => a + (b & 0xff)))
+      }
+      resized.sparkSession.createDataFrame(rdd, StructType(Seq(
+        StructField("media_id", LongType, nullable = false),
+        StructField("resized_bytes", IntegerType, nullable = false),
+        StructField("byte_sum", LongType, nullable = false))))
+        .orderBy("media_id")
+    },
+    """WITH m AS (SELECT CAST(i AS BIGINT) AS media_id, 64 + i % 192 AS len
+      |           FROM UNNEST(generate_series(0, 499)) t(i))
+      |SELECT media_id, CAST(64 AS INTEGER) AS resized_bytes,
+      |       CAST(sum((media_id * 31 + (j % len) * 7) % 256) AS BIGINT)
+      |         AS byte_sum
+      |FROM m, UNNEST(generate_series(0, 63)) t(j)
+      |GROUP BY media_id ORDER BY media_id""")
+
   val defs: Map[String, QueryDef] = Map(
     "q53_media_features" -> q53MediaFeatures,
     "q54_media_frames" -> q54MediaFrames,
+    "q60_media_resize" -> q60MediaResize,
   )
 }
