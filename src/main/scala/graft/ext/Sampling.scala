@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.{QueryDef, Tables}
 
@@ -74,8 +75,32 @@ object Sampling {
       |   OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'
       |ORDER BY doc_id""")
 
+  /** Balanced subset — per-group contribution caps (≤20 docs per lang),
+    * the curation op that stops one domain/language from dominating a
+    * mixture. Selection order inside each group is the md5 hash (an
+    * unbiased deterministic shuffle), so the cap takes a reproducible
+    * random-looking sample rather than the lowest ids. One window over
+    * the group key — partitions by lang, never a global sort. */
+  private val q61BalancedSubset = QueryDef(
+    (s, dir) => {
+      val w = Window.partitionBy("lang")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      Tables(s, dir, "documents")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 20)
+        .select(col("doc_id"), col("lang"), col("source"), col("rn"))
+        .orderBy("lang", "rn")
+    },
+    """SELECT doc_id, lang, source, rn FROM (
+      |  SELECT doc_id, lang, source,
+      |         row_number() OVER (PARTITION BY lang
+      |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |  FROM documents)
+      |WHERE rn <= 20 ORDER BY lang, rn""")
+
   val defs: Map[String, QueryDef] = Map(
     "q56_stratified_split" -> q56StratifiedSplit,
     "q57_dataset_mix" -> q57DatasetMix,
+    "q61_balanced_subset" -> q61BalancedSubset,
   )
 }

@@ -163,9 +163,44 @@ object Similarity {
       |         ORDER BY cos_raw DESC, n_id) AS rk
       |FROM p QUALIFY rk <= 5 ORDER BY q_id, rk""")
 
+  /** Per-vector int8 quantization — the storage/bandwidth op for serving
+    * embeddings at scale (4× smaller than f32, enough for recall-oriented
+    * ANN): min-max affine scale to 0..255 plus the per-vector scale and
+    * zero-point needed to dequantize. Pure per-row expression work, no
+    * shuffle at all; both engines compute the identical IEEE-double
+    * affine map, so the integer codes are oracle-exact. */
+  private val q62Quantize = QueryDef(
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val mn = array_min(col("embedding")).cast("double")
+      val mx = array_max(col("embedding")).cast("double")
+      val scale = (mx - mn) / 255.0
+      // exploded scalar rows (vec_id, dim, qcode) rather than a list
+      // column: every code is individually oracle-checked and the output
+      // schema stays arrow-plain for the driver compare
+      e.select(col("vec_id"),
+          posexplode(transform(col("embedding"), x =>
+            round((x.cast("double") - mn) / scale, 0).cast("int")))
+            .as(Seq("dim", "qcode")),
+          mn.as("zero_point"), scale.as("scale"))
+        .orderBy("vec_id", "dim")
+    },
+    """SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,
+      |  CAST(round(
+      |    (CAST(embedding[i] AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE)) /
+      |    ((CAST(list_max(embedding) AS DOUBLE) -
+      |      CAST(list_min(embedding) AS DOUBLE)) / 255.0)) AS INTEGER)
+      |    AS qcode,
+      |  CAST(list_min(embedding) AS DOUBLE) AS zero_point,
+      |  (CAST(list_max(embedding) AS DOUBLE) -
+      |   CAST(list_min(embedding) AS DOUBLE)) / 255.0 AS scale
+      |FROM embeddings, UNNEST(generate_series(1, len(embedding))) t(i)
+      |ORDER BY vec_id, dim""")
+
   val defs: Map[String, QueryDef] = Map(
     "q34_knn_cosine" -> q34KnnBrute,
     "q35_knn_lsh" -> q35KnnLsh,
     "q59_knn_ivf" -> q59KnnIvf,
+    "q62_embedding_quantize" -> q62Quantize,
   )
 }

@@ -44,7 +44,10 @@ def main(sf_dir, out_dir):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    import os as _os
     for name, sql in sorted(oracle.items()):
+        if not _os.path.isdir(f"{out_dir}/{name}"):
+            continue  # partial dump (Verify's dev-only query filter)
         try:
             duck = con.execute(sql)
             dcols = [d[0] for d in duck.description]
