@@ -177,19 +177,24 @@ object Similarity {
       val scale = (mx - mn) / 255.0
       // exploded scalar rows (vec_id, dim, qcode) rather than a list
       // column: every code is individually oracle-checked and the output
-      // schema stays arrow-plain for the driver compare
+      // schema stays arrow-plain for the driver compare. A constant vector
+      // makes scale 0 and the engines' x/0 semantics diverge (Spark NULL
+      // vs DuckDB IEEE), so the affine map is guarded to qcode=0.
       e.select(col("vec_id"),
           posexplode(transform(col("embedding"), x =>
-            round((x.cast("double") - mn) / scale, 0).cast("int")))
+            when(mx === mn, lit(0))
+              .otherwise(round((x.cast("double") - mn) / scale, 0))
+              .cast("int")))
             .as(Seq("dim", "qcode")),
           mn.as("zero_point"), scale.as("scale"))
         .orderBy("vec_id", "dim")
     },
     """SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,
-      |  CAST(round(
+      |  CASE WHEN list_max(embedding) = list_min(embedding) THEN 0
+      |  ELSE CAST(round(
       |    (CAST(embedding[i] AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE)) /
       |    ((CAST(list_max(embedding) AS DOUBLE) -
-      |      CAST(list_min(embedding) AS DOUBLE)) / 255.0)) AS INTEGER)
+      |      CAST(list_min(embedding) AS DOUBLE)) / 255.0)) AS INTEGER) END
       |    AS qcode,
       |  CAST(list_min(embedding) AS DOUBLE) AS zero_point,
       |  (CAST(list_max(embedding) AS DOUBLE) -

@@ -152,23 +152,46 @@ object TextAnalytics {
     * for eval/train separation: surface 8-gram shingles that appear in
     * more than one document (a long verbatim n-gram shared between a
     * training doc and a benchmark is the standard leakage signal).
-    * Dataflow: per-doc DISTINCT shingles → groupBy(shingle) document
-    * frequency — ONE shuffle keyed on the shingle, output top-k by df.
-    * The same df-guard logic as dedup applies upstream at 100 TB (cap or
-    * hash the shingle key); output is top-k, never the full pair list. */
+    *
+    * Dataflow (the 100 TB shape): the corpus-wide shuffle is keyed on
+    * `xxhash64(shingle)` — an 8-byte long — never on the ~50-byte raw
+    * 8-gram string, so exchange bytes are ~6× smaller than the naive
+    * string-keyed aggregation. Winners are selected by a tie-break-
+    * independent df threshold (the df of the 50th row is the same under
+    * any ordering of equal dfs), and only the winning hashes are resolved
+    * back to strings by a second corpus pass that is broadcast-filtered
+    * before any shuffle. The duplicated agg subtree collapses to one
+    * physical exchange via ReuseExchange. Output is top-k, never the full
+    * pair list. */
   private val q58Contamination = QueryDef(
     (s, dir) => {
       val words = Tables(s, dir, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .filter(size(col("w")) >= 8)
-      val sh = words
-        .select(col("doc_id"), explode(expr(
-          "array_distinct(transform(sequence(1, size(w) - 7), " +
-            "i -> array_join(slice(w, i, 8), ' ')))")).as("sh"))
-      sh.groupBy("sh")
+      // per-doc distinct shingle HASHES: longs cross the shuffle, not text
+      val hashed = words.select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(1, size(w) - 7), " +
+          "i -> xxhash64(array_join(slice(w, i, 8), ' '))))")).as("h"))
+      val byHash = hashed.groupBy("h")
         .agg(count(lit(1)).as("df"),
           min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
         .filter(col("df") >= 2)
+      // df of the 50th row — identical under any tie-break among equal dfs,
+      // so selecting df >= thresh captures every string-order winner
+      val thresh = byHash.orderBy(desc("df")).limit(50)
+        .agg(min(col("df")).as("df_min"))
+      val winners = byHash.join(broadcast(thresh), col("df") >= col("df_min"))
+        .select("h", "df", "first_doc", "last_doc")
+      // resolve winning hashes to strings: broadcast semi-join prunes the
+      // re-scan to the handful of winner shingles before any shuffle
+      val resolved = words.select(explode(expr(
+          "array_distinct(transform(sequence(1, size(w) - 7), " +
+            "i -> array_join(slice(w, i, 8), ' ')))")).as("sh"))
+        .select(col("sh"), xxhash64(col("sh")).as("h"))
+        .join(broadcast(winners.select("h")), Seq("h"), "left_semi")
+        .groupBy("h").agg(min("sh").as("sh"))
+      winners.join(broadcast(resolved), Seq("h"))
+        .select("sh", "df", "first_doc", "last_doc")
         .orderBy(desc("df"), asc("sh"))
         .limit(50)
     },

@@ -44,10 +44,20 @@ def main(sf_dir, out_dir):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    skipped = []
     import os as _os
+    # A missing dump dir is only legitimate under Verify's dev-only query
+    # filter (opt in with GRAFT_VERIFY_PARTIAL=1); otherwise it means the
+    # Spark-side dump failed and must count as a FAIL, not a silent skip.
+    allow_partial = _os.environ.get("GRAFT_VERIFY_PARTIAL") == "1"
     for name, sql in sorted(oracle.items()):
         if not _os.path.isdir(f"{out_dir}/{name}"):
-            continue  # partial dump (Verify's dev-only query filter)
+            if allow_partial:
+                skipped.append(name)
+                continue
+            print(f"FAIL {name}: no dump dir (Spark-side write failed?)")
+            n_fail += 1
+            continue
         try:
             duck = con.execute(sql)
             dcols = [d[0] for d in duck.description]
@@ -107,7 +117,9 @@ def main(sf_dir, out_dir):
         if os.path.isdir(f"{out_dir}/{d}"):
             n = con.execute(f"SELECT count(*) FROM '{out_dir}/{d}/*.parquet'").fetchone()[0]
             print(f"ROWS {d}: {n} rows (no oracle)")
-    print(f"\n{n_pass} pass, {n_fail} fail")
+    tail = f", {len(skipped)} skipped (partial dump: {', '.join(skipped)})" \
+        if skipped else ""
+    print(f"\n{n_pass} pass, {n_fail} fail{tail}")
     return 1 if n_fail else 0
 
 
