@@ -74,16 +74,32 @@ object Multimodal {
   }
 
   /** Deterministic synthetic media table (the container has no real
-    * media): payload bytes are a pure function of media_id. */
+    * media): payload bytes are a pure function of media_id. Rows are
+    * materialized on the EXECUTORS (range → map), not the driver, so the
+    * fixture generator itself scales with n. */
   def synthesize(spark: SparkSession, n: Int, partitions: Int = 4): DataFrame = {
-    val rows = (0 until n).map { i =>
-      val mt = Seq("image", "audio", "video")(i % 3)
-      val content = Array.tabulate[Byte](64 + (i % 192))(j => ((i * 31 + j * 7) % 256).toByte)
-      Row(i.toLong, Row(mt, 64 + i % 64, 48 + i % 48, 1000L * (1 + i % 10), "fake"), content)
-    }
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, partitions), mediaSchema)
+    val rdd = spark.sparkContext
+      .range(0L, n.toLong, numSlices = partitions)
+      .map { id =>
+        val i = id.toInt
+        val mt = Seq("image", "audio", "video")(i % 3)
+        val content = Array.tabulate[Byte](64 + (i % 192))(j => ((i * 31 + j * 7) % 256).toByte)
+        Row(id, Row(mt, 64 + i % 64, 48 + i % 48, 1000L * (1 + i % 10), "fake"), content)
+      }
+    spark.createDataFrame(rdd, mediaSchema)
   }
+
+  /** Scale-factor-proportional fixture: one media row per `documents`
+    * row, so q53/q54/q60 measure 10× the codec work at 10× the sf (the
+    * parquet count() is statistics-only — no data scan). The DuckDB
+    * oracles derive the same row set from documents via row_number(). */
+  def mediaFixture(spark: SparkSession, dir: String): DataFrame =
+    synthesize(spark, graft.core.Tables(spark, dir, "documents").count().toInt)
+
+  /** Shared oracle-SQL prelude: media_id/len re-derived from documents. */
+  private val oracleIds =
+    """SELECT CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS i
+      |             FROM documents""".stripMargin
 
   private val featureSchema = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
@@ -157,7 +173,7 @@ object Multimodal {
     * error is ≤1e-4·255 ≪ 0.5, so round(f·255) is the exact integer). */
   private val q53MediaFeatures = QueryDef(
     (s, dir) => {
-      val feats = extractFeatures(synthesize(s, 500), FakeCodec)
+      val feats = extractFeatures(mediaFixture(s, dir), FakeCodec)
       feats
         .select(col("media_id"), col("media_type"),
           posexplode(col("embedding")).as(Seq("dim", "f")))
@@ -165,8 +181,8 @@ object Multimodal {
           round(col("f").cast("double") * 255, 0).cast("long").as("byte_sum"))
         .orderBy("media_id", "dim")
     },
-    """WITH m AS (SELECT CAST(i AS BIGINT) AS media_id, 64 + i % 192 AS len
-      |           FROM UNNEST(generate_series(0, 499)) t(i)),
+    s"""WITH ids AS ($oracleIds),
+      |m AS (SELECT i AS media_id, 64 + i % 192 AS len FROM ids),
       |b AS (SELECT media_id, (media_id * 31 + j * 7) % 256 AS bv,
       |             CAST(j % 16 AS INTEGER) AS dim
       |      FROM m, UNNEST(generate_series(0, len - 1)) t(j))
@@ -182,13 +198,14 @@ object Multimodal {
     * DuckDB. */
   private val q54MediaFrames = QueryDef(
     (s, dir) =>
-      sampleFrames(synthesize(s, 500), FakeCodec, 500L)
+      sampleFrames(mediaFixture(s, dir), FakeCodec, 500L)
         .select(col("media_id"), col("frame_no"),
           length(col("frame")).cast("long").as("frame_bytes"))
         .orderBy("media_id", "frame_no"),
-    """WITH v AS (SELECT CAST(i AS BIGINT) AS media_id,
-      |                  64 + i % 192 AS len, 2 * (1 + i % 10) AS nf
-      |           FROM UNNEST(generate_series(0, 499)) t(i) WHERE i % 3 = 2)
+    s"""WITH ids AS ($oracleIds),
+      |v AS (SELECT i AS media_id,
+      |             64 + i % 192 AS len, 2 * (1 + i % 10) AS nf
+      |      FROM ids WHERE i % 3 = 2)
       |SELECT media_id, CAST(j AS INTEGER) AS frame_no,
       |       CAST(len // nf AS BIGINT) AS frame_bytes
       |FROM v, UNNEST(generate_series(0, nf - 1)) t(j)
@@ -202,7 +219,7 @@ object Multimodal {
     * byte-extraction detour. */
   private val q60MediaResize = QueryDef(
     (s, dir) => {
-      val resized = resizeAll(synthesize(s, 500), FakeCodec, 8, 8)
+      val resized = resizeAll(mediaFixture(s, dir), FakeCodec, 8, 8)
       val rdd = resized.rdd.map { r =>
         val bytes = r.getAs[Array[Byte]]("content")
         Row(r.getLong(0), bytes.length,
@@ -214,8 +231,8 @@ object Multimodal {
         StructField("byte_sum", LongType, nullable = false))))
         .orderBy("media_id")
     },
-    """WITH m AS (SELECT CAST(i AS BIGINT) AS media_id, 64 + i % 192 AS len
-      |           FROM UNNEST(generate_series(0, 499)) t(i))
+    s"""WITH ids AS ($oracleIds),
+      |m AS (SELECT i AS media_id, 64 + i % 192 AS len FROM ids)
       |SELECT media_id, CAST(64 AS INTEGER) AS resized_bytes,
       |       CAST(sum((media_id * 31 + (j % len) * 7) % 256) AS BIGINT)
       |         AS byte_sum
