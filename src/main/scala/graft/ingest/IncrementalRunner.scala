@@ -1,8 +1,5 @@
 package graft.ingest
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
-import java.nio.charset.StandardCharsets
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -95,34 +92,25 @@ final class CachedDetailRepoSource(
   * streaming twin.
   */
 final class IncrementalRunner(spark: SparkSession, source: RepoSource,
-    stateDir: String, env: String => Option[String] = sys.env.get) {
-
-  private val cursorFile = Paths.get(stateDir, "last_repo_id.txt")
+    stateDir: String, env: String => Option[String] = sys.env.get,
+    store: Option[CursorStore] = None) {
 
   /** Env-var cursor backend name (reference LAST_REPO_ID env fallback,
     * src/extract_github_data.py:190-194). */
-  val cursorEnvVar = "GRAFT_LAST_REPO_ID"
+  val cursorEnvVar: String = IncrementalRunner.CursorEnvVar
 
-  /** S5 state read (reference src/extract_github_data.py:164-235):
-    * file backend first (it is what commits advance), then the env-var
-    * backend as the seed for fresh deployments, then 0. The reference's
-    * S3/DynamoDB backends are remote KV stores with the same read/commit
-    * contract; they slot in here behind the same precedence. */
-  def cursor: Long =
-    if (Files.exists(cursorFile))
-      new String(Files.readAllBytes(cursorFile), StandardCharsets.UTF_8)
-        .trim.toLong
-    else env(cursorEnvVar).map(_.trim.toLong).getOrElse(0L)
+  /** S5/S6 backend: file → env seed by default (reference
+    * src/extract_github_data.py:164-235); remote-KV deployments inject a
+    * chain with a KVCursorStore at the head (see CursorStore). */
+  private val cursorStore: CursorStore =
+    store.getOrElse(CursorStore.default(stateDir, env))
 
-  /** S6 state commit — atomic (write temp + move) so a crash never leaves
-    * a torn cursor. */
-  private def commitCursor(id: Long): Unit = {
-    Files.createDirectories(cursorFile.getParent)
-    val tmp = cursorFile.resolveSibling("last_repo_id.tmp")
-    Files.write(tmp, id.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, cursorFile, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-  }
+  /** S5 state read: first backend in the chain with a value, else 0. */
+  def cursor: Long = cursorStore.read().getOrElse(0L)
+
+  /** S6 state commit — atomic in every backend (file: temp + move; KV:
+    * atomic whole-value put), so a crash never leaves a torn cursor. */
+  private def commitCursor(id: Long): Unit = cursorStore.commit(id)
 
   /** One micro-batch: fetch (limit pushed down) → flatten → validate →
     * sink valid + quarantine invalid → metrics → commit cursor last.
@@ -164,4 +152,9 @@ final class IncrementalRunner(spark: SparkSession, source: RepoSource,
         java.util.Arrays.asList(rows: _*), m.schema)
     } finally validated.unpersist()
   }
+}
+
+object IncrementalRunner {
+  /** Env-var cursor seed (reference LAST_REPO_ID, :190-194). */
+  val CursorEnvVar = "GRAFT_LAST_REPO_ID"
 }

@@ -87,38 +87,52 @@ final class RepoListScanBuilder(schema: StructType,
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new RepoListScan(schema,
-    options.get("path"), since, limit,
-    options.getInt("pageSize", 100), options.getLong("pageDelayMs", 0L),
-    options.containsKey("token"),
-    RateLimit.Policy(
-      baseBackoffMs = options.getLong("backoffMs", 1000L),
-      maxRetries = options.getInt("maxRetries", 3),
-      quotaFloor = options.getInt("quotaFloor", 5),
-      floorDelayMs = options.getLong("floorDelayMs", 60000L)))
+  override def build(): Scan = {
+    // Auth regime switch (reference src/extract_github_data.py:25-28,:365):
+    // a token moves the hourly request budget 60 -> 5000 and scales the
+    // proactive low-quota floor with it. Both remain option-overridable.
+    val authenticated = options.containsKey("token")
+    new RepoListScan(schema,
+      options.get("path"), since, limit,
+      options.getInt("pageSize", 100), options.getLong("pageDelayMs", 0L),
+      authenticated,
+      options.getInt("requestBudget", if (authenticated) 5000 else 60),
+      RateLimit.Policy(
+        baseBackoffMs = options.getLong("backoffMs", 1000L),
+        maxRetries = options.getInt("maxRetries", 3),
+        quotaFloor = options.getInt("quotaFloor", if (authenticated) 50 else 5),
+        floorDelayMs = options.getLong("floorDelayMs", 60000L)))
+  }
 }
 
 /** `authenticated` mirrors the reference's token regime switch (T7,
   * reference src/extract_github_data.py:351-369): a real REST transport
-  * decorates requests with the token and gets the 5000 req/h budget; the
-  * flag is surfaced in the scan description for plan-level visibility. */
+  * decorates requests with the token and gets the 5000 req/h budget.
+  * The regime is BEHAVIORAL, not just plan-visible: `requestBudget`
+  * bounds the number of page fetches the walk may issue (60 anonymous,
+  * 5000 with token), the moral of the reference slicing its work to
+  * MAX_REQUESTS_PER_RUN before fetching. */
 final class RepoListScan(schema: StructType, path: String, since: Long,
     limit: Int, pageSize: Int, pageDelayMs: Long,
     authenticated: Boolean = false,
+    requestBudget: Int = 60,
     policy: RateLimit.Policy = RateLimit.Policy()) extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    Array(RepoListPartition(path, since, limit, pageSize, pageDelayMs, policy))
+    Array(RepoListPartition(path, since, limit, pageSize, pageDelayMs,
+      requestBudget, policy))
   override def createReaderFactory(): PartitionReaderFactory =
     new RepoListReaderFactory(schema)
   override def description(): String =
     s"graft-repos since=$since limit=$limit pageSize=$pageSize " +
-      s"auth=${if (authenticated) "token" else "anonymous"}"
+      s"auth=${if (authenticated) "token" else "anonymous"} " +
+      s"budget=$requestBudget"
 }
 
 case class RepoListPartition(path: String, since: Long, limit: Int,
     pageSize: Int, pageDelayMs: Long,
+    requestBudget: Int = 60,
     policy: RateLimit.Policy = RateLimit.Policy()) extends InputPartition
 
 final class RepoListReaderFactory(schema: StructType)
@@ -144,8 +158,10 @@ final class RepoListReader(schema: StructType, part: RepoListPartition)
     parser.parse(UTF8String.fromString(json),
       CreateJacksonParser.utf8String, identity[UTF8String]).headOption
 
+  private val admission = new RateLimit.Admission(part.policy)
   private var cursor = part.since
   private var emitted = 0
+  private var fetched = 0
   private var page: Iterator[String] = Iterator.empty
   private var current: InternalRow = _
   private var exhausted = false
@@ -153,15 +169,21 @@ final class RepoListReader(schema: StructType, part: RepoListPartition)
   override def next(): Boolean = {
     if (emitted >= part.limit) return false
     while (!page.hasNext && !exhausted) {
-      if (emitted > 0 && part.pageDelayMs > 0)
-        Thread.sleep(part.pageDelayMs) // fixed-delay floor between pages
-      // adaptive admission on top of the floor: exponential backoff on a
-      // rate-limit rejection, proactive pause on low reported quota
-      val rows = RateLimit.fetchPage(fetcher, cursor, part.pageSize, part.policy)
-      if (rows.isEmpty) exhausted = true
+      // auth-regime budget: the walk never issues more page fetches than
+      // the current regime's hourly allowance (60 anon / 5000 token)
+      if (fetched >= part.requestBudget) { exhausted = true }
       else {
-        cursor = rows.last._1 // keyset invariant: ids strictly ascend
-        page = rows.iterator.map(_._2)
+        if (emitted > 0 && part.pageDelayMs > 0)
+          Thread.sleep(part.pageDelayMs) // fixed-delay floor between pages
+        // adaptive admission on top of the floor: exponential backoff on a
+        // rate-limit rejection, proactive pause on low reported quota
+        val rows = admission.fetchPage(fetcher, cursor, part.pageSize)
+        fetched += 1
+        if (rows.isEmpty) exhausted = true
+        else {
+          cursor = rows.last._1 // keyset invariant: ids strictly ascend
+          page = rows.iterator.map(_._2)
+        }
       }
     }
     if (!page.hasNext) return false
@@ -206,28 +228,35 @@ object RateLimit {
 
   final class RateLimitedException(attempts: Int)
     extends RuntimeException(
-      s"page fetch still rate-limited after $attempts backoff attempts")
+      s"page fetch still rate-limited after $attempts attempts")
 
-  /** One page fetch under the policy. Exponential backoff on rejection
-    * (base, 2·base, 4·base, …); a low-quota success still pauses
-    * `floorDelayMs` so the NEXT request doesn't hit the hard 403. */
-  def fetchPage(fetcher: PageFetcher, since: Long, pageSize: Int,
-      policy: Policy, sleep: Long => Unit = Thread.sleep)
-      : Seq[(Long, String)] = {
-    var attempt = 0
-    while (true) {
-      val rows = fetcher.fetch(since, pageSize)
-      if (!fetcher.rateLimited) {
-        if (fetcher.remainingQuota.exists(_ <= policy.quotaFloor))
-          sleep(policy.floorDelayMs)
-        return rows
+  /** Stateful admission controller — one instance per cursor walk.
+    * Exponential backoff on rejection (base, 2·base, 4·base, …); a
+    * low-quota success arms a `floorDelayMs` pause that is DEFERRED to
+    * the start of the NEXT fetch, so the final/exhausting fetch of a
+    * walk never pays a dead pause with no request behind it. The
+    * injectable `sleep` keeps specs wall-clock-free. */
+  final class Admission(policy: Policy, sleep: Long => Unit = Thread.sleep) {
+    private var pendingPause = false
+
+    def fetchPage(fetcher: PageFetcher, since: Long, pageSize: Int)
+        : Seq[(Long, String)] = {
+      if (pendingPause) { sleep(policy.floorDelayMs); pendingPause = false }
+      var attempt = 0
+      while (true) {
+        val rows = fetcher.fetch(since, pageSize)
+        if (!fetcher.rateLimited) {
+          if (fetcher.remainingQuota.exists(_ <= policy.quotaFloor))
+            pendingPause = true // pay it just before the next request
+          return rows
+        }
+        if (attempt >= policy.maxRetries)
+          throw new RateLimitedException(attempt + 1) // total fetches tried
+        sleep(policy.baseBackoffMs << attempt)
+        attempt += 1
       }
-      if (attempt >= policy.maxRetries)
-        throw new RateLimitedException(attempt)
-      sleep(policy.baseBackoffMs << attempt)
-      attempt += 1
+      Nil // unreachable
     }
-    Nil // unreachable
   }
 }
 

@@ -105,9 +105,10 @@ class RepoListSourceSpec extends SparkSpec {
   test("backoff: rejected pages retry exponentially, then succeed") {
     val fetcher = new ThrottledFetcher(rejectFirst = 2, quotaStart = 100)
     val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
-    val rows = RateLimit.fetchPage(fetcher, since = 0L, pageSize = 3,
+    val adm = new RateLimit.Admission(
       RateLimit.Policy(baseBackoffMs = 100L, maxRetries = 3,
         quotaFloor = 5, floorDelayMs = 60000L), sleeps.append(_))
+    val rows = adm.fetchPage(fetcher, since = 0L, pageSize = 3)
     assert(rows.map(_._1) == Seq(1L, 2L, 3L))
     assert(fetcher.calls == 3)          // 2 rejections + 1 success
     assert(sleeps.toSeq == Seq(100L, 200L)) // exponential: base, 2·base
@@ -116,24 +117,49 @@ class RepoListSourceSpec extends SparkSpec {
   test("backoff: gives up after maxRetries rejections") {
     val fetcher = new ThrottledFetcher(rejectFirst = 99, quotaStart = 100)
     val ex = intercept[RateLimit.RateLimitedException] {
-      RateLimit.fetchPage(fetcher, 0L, 3,
+      new RateLimit.Admission(
         RateLimit.Policy(baseBackoffMs = 1L, maxRetries = 2,
           quotaFloor = 5, floorDelayMs = 1L), _ => ())
+        .fetchPage(fetcher, 0L, 3)
     }
     assert(fetcher.calls == 3) // initial try + 2 retries
     assert(ex.getMessage.contains("rate-limited"))
+    assert(ex.getMessage.contains("3 attempts")) // reports fetches TRIED
   }
 
-  test("backoff: low reported quota inserts a proactive pause") {
+  test("backoff: low reported quota arms a pause deferred to the next fetch") {
     // quota drops to the floor on the first success -> the floor delay
-    // fires BEFORE the next request would 403 (reference warns at <5)
+    // fires just BEFORE the next request (reference warns at <5), never
+    // as a dead pause after the final fetch of a walk
     val fetcher = new ThrottledFetcher(rejectFirst = 0, quotaStart = 6)
     val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
-    val policy = RateLimit.Policy(baseBackoffMs = 1L, maxRetries = 1,
-      quotaFloor = 5, floorDelayMs = 777L)
-    RateLimit.fetchPage(fetcher, 0L, 3, policy, sleeps.append(_))
-    assert(sleeps.toSeq == Seq(777L)) // quota hit 5 == floor
-    RateLimit.fetchPage(fetcher, 3L, 3, policy, sleeps.append(_))
+    val adm = new RateLimit.Admission(
+      RateLimit.Policy(baseBackoffMs = 1L, maxRetries = 1,
+        quotaFloor = 5, floorDelayMs = 777L), sleeps.append(_))
+    adm.fetchPage(fetcher, 0L, 3)
+    assert(sleeps.isEmpty) // quota hit the floor, but no request follows yet
+    adm.fetchPage(fetcher, 3L, 3)
+    assert(sleeps.toSeq == Seq(777L)) // paid at the start of the next fetch
+    adm.fetchPage(fetcher, 6L, 3)
     assert(sleeps.toSeq == Seq(777L, 777L))
+  }
+
+  test("auth regime: token raises the page-fetch budget 60 -> 5000") {
+    // 200 rows at pageSize=2 needs 100 fetches: the anonymous walk stops
+    // at its 60-request budget (120 rows); a token lifts it to 5000
+    val path = fixture(200)
+    val anon = read(path, "pageSize" -> "2")
+    assert(anon.count() == 120)
+    assert(anon.queryExecution.executedPlan.toString.contains("budget=60"))
+    val authed = read(path, "pageSize" -> "2", "token" -> "t0ken")
+    assert(authed.count() == 200)
+    assert(authed.queryExecution.executedPlan.toString.contains("budget=5000"))
+  }
+
+  test("auth regime: requestBudget option overrides either default") {
+    val path = fixture(50)
+    assert(read(path, "pageSize" -> "10", "requestBudget" -> "3").count() == 30)
+    assert(read(path, "pageSize" -> "10", "token" -> "t",
+      "requestBudget" -> "2").count() == 20)
   }
 }
