@@ -189,17 +189,20 @@ object Dedup {
         .orderBy("doc_id")
     })
 
-  /** Embedding-cosine near-duplicate detection — the semantic-dedup mode:
-    * exact all-pairs baseline with the native codegen cosine (q35's LSH
-    * bucketing is the scale path for the same computation; at 100 TB the
-    * pair space is pre-partitioned by LSH bucket and this exact scoring
-    * runs per bucket). Self-join keyed a.id < b.id, pairs kept at
-    * cosine >= 0.4. */
+  /** Embedding-cosine near-duplicate detection — the exact all-pairs
+    * ORACLE BASELINE for the semantic-dedup family (q55 is the production
+    * LSH-bucketed entry; this one exists to pin the cosine math exactly).
+    * Because all-pairs is inherently quadratic, the input is capped at a
+    * deterministic ~500-vector sample (`vec_id % k = 0` with
+    * k = N/500) so the baseline's bench cost stays FLAT as sf grows —
+    * at sf0.01 k=1 and the cap is a no-op. */
   private val q51EmbeddingNeardup = QueryDef(
     (s, dir) => {
       val e = Tables(s, dir, "embeddings")
-      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
-      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+      val k = math.max(e.count() / 500L, 1L)
+      val sub = e.filter(col("vec_id") % k === 0)
+      val a = sub.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+      val b = sub.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
       a.join(b, col("a_id") < col("b_id"))
         .withColumn("c",
           graft.functions.CosineSimilarity.cosineSim(col("a_emb"), col("b_emb")))
@@ -207,7 +210,11 @@ object Dedup {
         .select(col("a_id"), col("b_id"), round(col("c"), 6).as("cosine"))
         .orderBy("a_id", "b_id")
     },
-    """WITH p AS (
+    """WITH s AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  WHERE vec_id % (SELECT greatest(count(*) // 500, 1)
+      |                  FROM embeddings) = 0),
+      |p AS (
       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
       |    list_sum(list_transform(a.embedding,
       |      (x,i) -> CAST(x AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
@@ -215,7 +222,7 @@ object Dedup {
       |       x -> CAST(x AS DOUBLE) * x))) *
       |     sqrt(list_sum(list_transform(b.embedding,
       |       x -> CAST(x AS DOUBLE) * x)))) AS c
-      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+      |  FROM s a JOIN s b ON a.vec_id < b.vec_id)
       |SELECT a_id, b_id, round(c, 6) AS cosine
       |FROM p WHERE c >= 0.4 ORDER BY a_id, b_id""")
 
@@ -232,16 +239,28 @@ object Dedup {
           ((i * 31 + p * 17) % 7 - 3).cast("long")),
       lit(0L), (acc, x) => acc + x)
 
+  /** Scale-adaptive hyperplane count: 4 planes at the 500-vector base,
+    * +1 per corpus DOUBLING — i.e. 4 + floor(log2(N/500)) — so bucket
+    * fan-out (2^planes) tracks corpus size and expected bucket occupancy
+    * stays roughly constant at any sf. Computed with exact integer
+    * arithmetic (binary digit count), never float log, so the Spark and
+    * DuckDB sides can't disagree at a power-of-two boundary. */
+  def lshPlanes(nVectors: Long): Int = {
+    val ratio = math.max(nVectors / 500L, 1L)
+    4 + (63 - java.lang.Long.numberOfLeadingZeros(ratio))
+  }
+
   /** Embedding near-dup, LSH-bucketed — the 100 TB shape for q51's
-    * computation: 4 integer hyperplanes give every vector a 16-way sign
-    * bucket; candidate pairs are an EQUI-join on the bucket key (shuffle
-    * hash / sort-merge, never BroadcastNestedLoopJoin), and the exact
-    * codegen cosine runs only within buckets (~16× fewer pairs; more
-    * planes at higher SF). q51 remains the exact all-pairs oracle
-    * baseline; this is the operator a pipeline would actually run. */
+    * computation: `lshPlanes(N)` integer hyperplanes (4 at sf0.01, 6 at
+    * sf0.1) give every vector a 2^planes-way sign bucket; candidate pairs
+    * are an EQUI-join on the bucket key (shuffle hash / sort-merge, never
+    * BroadcastNestedLoopJoin), and the exact codegen cosine runs only
+    * within buckets. q51 remains the exact all-pairs oracle baseline;
+    * this is the operator a pipeline would actually run. */
   private val q55EmbeddingNeardupLsh = QueryDef(
     (s, dir) => {
-      def bucket(v: Column): Column = (0 until 4).map { p =>
+      val planes = lshPlanes(Tables(s, dir, "embeddings").count())
+      def bucket(v: Column): Column = (0 until planes).map { p =>
         when(intPlaneDot(v, p) > 0, lit(1 << p)).otherwise(lit(0))
       }.reduce(_ + _)
       val e = Tables(s, dir, "embeddings")
@@ -258,21 +277,16 @@ object Dedup {
         .select(col("a_id"), col("b_id"), round(col("c"), 6).as("cosine"))
         .orderBy("a_id", "b_id")
     },
-    """WITH d AS (
+    """WITH np AS (
+      |  SELECT 4 + length(bin(greatest(count(*) // 500, 1))) - 1 AS planes
+      |  FROM embeddings),
+      |d AS (
       |  SELECT vec_id, embedding,
-      |    (CASE WHEN list_sum(list_transform(embedding, (x,i) ->
+      |    (SELECT sum(CASE WHEN list_sum(list_transform(embedding, (x,i) ->
       |       CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
-      |       * ((((i-1) * 31 + 0) % 7) - 3))) > 0 THEN 1 ELSE 0 END)
-      |  + (CASE WHEN list_sum(list_transform(embedding, (x,i) ->
-      |       CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
-      |       * ((((i-1) * 31 + 17) % 7) - 3))) > 0 THEN 2 ELSE 0 END)
-      |  + (CASE WHEN list_sum(list_transform(embedding, (x,i) ->
-      |       CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
-      |       * ((((i-1) * 31 + 34) % 7) - 3))) > 0 THEN 4 ELSE 0 END)
-      |  + (CASE WHEN list_sum(list_transform(embedding, (x,i) ->
-      |       CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
-      |       * ((((i-1) * 31 + 51) % 7) - 3))) > 0 THEN 8 ELSE 0 END)
-      |    AS bucket
+      |       * ((((i-1) * 31 + p * 17) % 7) - 3))) > 0
+      |     THEN 1 << p ELSE 0 END)
+      |     FROM generate_series(0, 62) t(p), np WHERE p < planes) AS bucket
       |  FROM embeddings),
       |p AS (
       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
