@@ -53,7 +53,8 @@ final class RepoListTable(schema: StructType) extends Table with SupportsRead {
   override def name(): String = "graft_repo_list"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new RepoListScanBuilder(schema, options)
 }
@@ -97,6 +98,7 @@ final class RepoListScanBuilder(schema: StructType,
       options.getInt("pageSize", 100), options.getLong("pageDelayMs", 0L),
       authenticated,
       options.getInt("requestBudget", if (authenticated) 5000 else 60),
+      options.getInt("maxIdsPerTrigger", 1000),
       RateLimit.Policy(
         baseBackoffMs = options.getLong("backoffMs", 1000L),
         maxRetries = options.getInt("maxRetries", 3),
@@ -116,9 +118,15 @@ final class RepoListScan(schema: StructType, path: String, since: Long,
     limit: Int, pageSize: Int, pageDelayMs: Long,
     authenticated: Boolean = false,
     requestBudget: Int = 60,
+    maxIdsPerTrigger: Int = 1000,
     policy: RateLimit.Policy = RateLimit.Policy()) extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
+  /** Streaming twin (SURVEY §2.3): the checkpointed offset is the keyset
+    * cursor — see RepoListMicroBatchStream. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new RepoListMicroBatchStream(path, since, pageSize, maxIdsPerTrigger, policy)
   override def planInputPartitions(): Array[InputPartition] =
     Array(RepoListPartition(path, since, limit, pageSize, pageDelayMs,
       requestBudget, policy))

@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
 
 /** Event record for the typed streaming surface (events table shape,
   * FIXTURES.md §B). */
@@ -73,6 +73,39 @@ object EventsStream {
           state.update(next)
           next
       }
+  }
+
+  /** The same running totals on the `transformWithState` successor API
+    * (SURVEY §2.5): typed ValueState through a StatefulProcessor handle —
+    * the surface that adds composable state variables, timers, and TTL
+    * over what mapGroupsWithState offers. Requires the RocksDB state
+    * store provider (the operator rejects the default HDFS-backed one). */
+  final class RunningTotalsProcessor
+      extends StatefulProcessor[Long, Event, UserTotal] {
+    @transient private var totals: ValueState[UserTotal] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[UserTotal]("totals",
+        Encoders.product[UserTotal], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[UserTotal] = {
+      val prev = if (totals.exists()) totals.get() else UserTotal(key, 0L, 0.0)
+      val (n, v) = rows.foldLeft((prev.n_events, prev.total_value)) {
+        case ((cn, cv), e) => (cn + 1, cv + e.value)
+      }
+      val next = UserTotal(key, n, math.rint(v * 100) / 100)
+      totals.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  def runningUserTotalsTws(events: Dataset[Event]): Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 
   /** Exactly-once sink: idempotent per-batch overwrite keyed by batchId.

@@ -103,6 +103,37 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState maintains the same totals on the successor API") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    // the transformWithState operator requires the RocksDB provider (the
+    // HDFS-backed default has no column-family support); queries capture
+    // the conf at start, restore it after for the sibling specs
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val q = EventsStream.runningUserTotalsTws(input.toDS())
+      .writeStream.format("memory").queryName("totals_tws")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(ev(1, 0, user = 1, value = 2.5), ev(2, 1, user = 2, value = 1.0))
+      q.processAllAvailable()
+      input.addData(ev(3, 2, user = 1, value = 4.0))
+      q.processAllAvailable()
+      val last = spark.table("totals_tws").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+        .groupBy(_._1).map { case (u, rs) => u -> rs.map(_._2).maxBy(_._1) }
+      assert(last(1L) == (2L, 6.5)) // state carried across micro-batches
+      assert(last(2L) == (1L, 1.0))
+    } finally {
+      q.stop()
+      prevProvider.fold(spark.conf.unset(providerKey))(
+        spark.conf.set(providerKey, _))
+    }
+  }
+
   test("foreachBatch sink is idempotent under batch redelivery") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft-eos").toString
