@@ -1,0 +1,184 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.{QueryDef, Tables}
+
+/** Training-batch assembly operators — the last mile of an LLM data
+  * pipeline, between curation (Dedup/Sampling/TextAnalytics) and the
+  * trainer: packing documents into fixed-token-budget sequences, PII
+  * redaction, the deterministic corpus shuffle/shard step, and relevance
+  * scoring for retrieval-based curation. All pure DataFrame dataflows
+  * with exact DuckDB oracles (the md5/fixed-point disciplines from
+  * Sampling/TextAnalytics apply).
+  */
+object Assembly {
+
+  private def trunc6(c: Column): Column = floor(c * lit(1e6)) / lit(1e6)
+
+  /** Sequence packing: assign each document to a fixed-token-budget
+    * training pack (budget 512) by its cumulative start offset within the
+    * language stream — the deterministic "contiguous fill" packer.
+    * One window (cumulative sum partitioned on lang, ordered by doc_id —
+    * never a global sort) plus one aggregation; at 100 TB a single
+    * language is itself sub-sharded first (the window key becomes
+    * (lang, shard)), which changes nothing in this dataflow. */
+  private val q63SequencePacking = QueryDef(
+    (s, dir) => {
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("tok"))
+        .withColumn("cum", sum("tok").over(w))
+        .withColumn("pack_id", expr("(cum - tok) div 512"))
+        .groupBy("lang", "pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum("tok").as("pack_tokens"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("lang", "pack_id")
+    },
+    """WITH t AS (SELECT doc_id, lang,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+      |  FROM documents),
+      |c AS (SELECT doc_id, lang, tok,
+      |        sum(tok) OVER (PARTITION BY lang ORDER BY doc_id
+      |                       ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+      |SELECT lang, CAST((cum - tok) // 512 AS BIGINT) AS pack_id,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(tok) AS BIGINT) AS pack_tokens,
+      |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM c GROUP BY 1, 2 ORDER BY lang, pack_id""")
+
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\d{3}-\\d{3}-\\d{4}"
+
+  /** PII redaction: regex scrub of emails and phone numbers with
+    * per-document redaction counts — the compliance pass every scraped
+    * corpus needs before training. The fixture text carries no PII, so a
+    * deterministic email+phone suffix is appended first (same derivation
+    * in the oracle — the Multimodal fixture pattern); both regex dialects
+    * (Java / RE2) agree on these character-class-only patterns. Pure
+    * per-row expressions: zero shuffle. */
+  private val q64PiiRedaction = QueryDef(
+    (s, dir) => {
+      val raw = concat(col("text"), lit(" user"),
+        col("doc_id").cast("string"), lit("@mail.example ping 555-867-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      val redacted = regexp_replace(
+        regexp_replace(raw, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          size(regexp_extract_all(raw, lit(EmailRe), lit(0)))
+            .cast("long").as("n_emails"),
+          size(regexp_extract_all(raw, lit(PhoneRe), lit(0)))
+            .cast("long").as("n_phones"),
+          md5(redacted).as("redacted_fp"),
+          length(redacted).cast("long").as("redacted_len"))
+        .orderBy("doc_id")
+    },
+    """WITH p AS (SELECT doc_id,
+      |    text || ' user' || CAST(doc_id AS VARCHAR) ||
+      |      '@mail.example ping 555-867-' ||
+      |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(raw,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+      |    AS n_emails,
+      |  CAST(len(regexp_extract_all(raw, '\d{3}-\d{3}-\d{4}')) AS BIGINT)
+      |    AS n_phones,
+      |  md5(regexp_replace(regexp_replace(raw,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g')) AS redacted_fp,
+      |  CAST(length(regexp_replace(regexp_replace(raw,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g')) AS BIGINT) AS redacted_len
+      |FROM p ORDER BY doc_id""")
+
+  /** Deterministic corpus shuffle + sharding: every document gets a
+    * content-stable position — shard = first hex digit of
+    * md5(doc_id:text) (16 shards), position = rank of the full hash
+    * within the shard. This is the reproducible global shuffle a training
+    * run performs before sequence packing: hash order is unbiased,
+    * engine-shared bit-for-bit, stable under retries, and the window
+    * partitions on the shard key (1/16 of the corpus each), never a
+    * global sort. */
+  private val q65CorpusShard = QueryDef(
+    (s, dir) => {
+      val hx = md5(concat(col("doc_id").cast("string"), lit(":"), col("text")))
+      val w = Window.partitionBy("shard").orderBy("hx", "doc_id")
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), hx.as("hx"))
+        .withColumn("shard", substring(col("hx"), 1, 1))
+        .withColumn("pos", row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "pos")
+        .orderBy("shard", "pos")
+    },
+    """WITH h AS (SELECT doc_id,
+      |    md5(CAST(doc_id AS VARCHAR) || ':' || text) AS hx FROM documents)
+      |SELECT doc_id, substr(hx, 1, 1) AS shard,
+      |       CAST(row_number() OVER (PARTITION BY substr(hx, 1, 1)
+      |         ORDER BY hx, doc_id) AS BIGINT) AS pos
+      |FROM h ORDER BY shard, pos""")
+
+  /** BM25 relevance scoring (rational-idf variant) for the fixed query
+    * {spark, table} — the retrieval-side primitive of quality curation
+    * ("keep documents relevant to X"). idf uses BM25's rational core
+    * (N-df+0.5)/(df+0.5) WITHOUT the log: log is not correctly-rounded
+    * across libms, while +,*,/ are IEEE-exact, so the score is
+    * bit-identical in both engines (and monotone in the classic BM25).
+    * Corpus stats (N, df, avgdl) are one tiny broadcast aggregate; term
+    * frequencies are per-row expressions; top-50 is TakeOrdered. All
+    * double literals are forced to DOUBLE in the oracle (2.2e0) — DuckDB
+    * would otherwise parse 2.2 as exact DECIMAL and diverge. */
+  private val q66Bm25 = QueryDef(
+    (s, dir) => {
+      def tf(term: String): Column =
+        size(filter(split(col("text"), " "), x => x === term)).cast("long")
+      val t = Tables(s, dir, "documents")
+        .select(col("doc_id"), tf("spark").as("tf1"), tf("table").as("tf2"),
+          size(split(col("text"), " ")).cast("long").as("dl"))
+      val g = t.agg(count(lit(1)).as("n"),
+        sum(when(col("tf1") > 0, 1).otherwise(0)).as("df1"),
+        sum(when(col("tf2") > 0, 1).otherwise(0)).as("df2"),
+        (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+      def idf(df: Column, n: Column): Column =
+        (n - df + lit(0.5)) / (df + lit(0.5))
+      def part(tfc: Column): Column =
+        (tfc * lit(2.2)) / (tfc + lit(1.2) *
+          (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl"))))
+      t.crossJoin(broadcast(g))
+        .select(col("doc_id"), col("tf1"), col("tf2"), col("dl"),
+          trunc6(idf(col("df1"), col("n")) * part(col("tf1")) +
+            idf(col("df2"), col("n")) * part(col("tf2"))).as("score"))
+        .orderBy(desc("score"), asc("doc_id"))
+        .limit(50)
+    },
+    """WITH t AS (SELECT doc_id,
+      |    CAST(len(list_filter(string_split(text,' '), x -> x = 'spark'))
+      |      AS BIGINT) AS tf1,
+      |    CAST(len(list_filter(string_split(text,' '), x -> x = 'table'))
+      |      AS BIGINT) AS tf2,
+      |    CAST(len(string_split(text,' ')) AS BIGINT) AS dl
+      |  FROM documents),
+      |g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+      |    CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2,
+      |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM t)
+      |SELECT doc_id, tf1, tf2, dl,
+      |  floor((
+      |    ((n - df1 + 0.5e0) / (df1 + 0.5e0)) *
+      |      ((tf1 * 2.2e0) / (tf1 + 1.2e0 * (0.25e0 + 0.75e0 * (dl / avgdl)))) +
+      |    ((n - df2 + 0.5e0) / (df2 + 0.5e0)) *
+      |      ((tf2 * 2.2e0) / (tf2 + 1.2e0 * (0.25e0 + 0.75e0 * (dl / avgdl))))
+      |  ) * 1000000) / 1000000 AS score
+      |FROM t, g ORDER BY score DESC, doc_id LIMIT 50""")
+
+  val defs: Map[String, QueryDef] = Map(
+    "q63_sequence_packing" -> q63SequencePacking,
+    "q64_pii_redaction" -> q64PiiRedaction,
+    "q65_corpus_shard" -> q65CorpusShard,
+    "q66_bm25" -> q66Bm25,
+  )
+}

@@ -1,0 +1,71 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Semantic invariants of the training-batch assembly operators — the
+  * properties the DuckDB hash-compare can't express directly. */
+class AssemblySpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def run(name: String) =
+    graft.SparkEntry.queries(name)(spark, dir)
+
+  test("q63: packs are contiguous per lang and cover every document") {
+    val packs = run("q63_sequence_packing").collect()
+    val docs = graft.core.Tables(spark, dir, "documents").count()
+    assert(packs.map(_.getAs[Long]("n_docs")).sum == docs)
+    // pack ids are dense from 0 within each lang (contiguous fill)
+    packs.groupBy(_.getAs[String]("lang")).foreach { case (_, rows) =>
+      val ids = rows.map(_.getAs[Long]("pack_id")).sorted
+      assert(ids.head == 0L && ids.zipWithIndex.forall { case (p, i) => p == i })
+    }
+    // a pack never holds more than budget + one straddling document
+    val maxDoc = graft.core.Tables(spark, dir, "documents")
+      .select(max(size(split(col("text"), " ")))).collect()(0).getInt(0)
+    assert(packs.forall(_.getAs[Long]("pack_tokens") <= 512L + maxDoc))
+  }
+
+  test("q64: redaction strips every email and phone it counted") {
+    val r = run("q64_pii_redaction")
+    // every doc got exactly the 1 synthetic email + 1 phone injected
+    assert(r.filter(col("n_emails") === 1 && col("n_phones") === 1).count()
+      == r.count())
+    // and no '@' or phone shape survives in any redacted text: re-derive
+    // the redacted string the query fingerprinted and scan it
+    val raw = concat(col("text"), lit(" user"),
+      col("doc_id").cast("string"), lit("@mail.example ping 555-867-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    val red = regexp_replace(regexp_replace(raw,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+      "\\d{3}-\\d{3}-\\d{4}", "<PHONE>")
+    val leftovers = graft.core.Tables(spark, dir, "documents")
+      .select(red.as("r"))
+      .filter(col("r").contains("@") ||
+        col("r").rlike("\\d{3}-\\d{3}-\\d{4}"))
+      .count()
+    assert(leftovers == 0)
+  }
+
+  test("q65: sharding is a permutation — every doc exactly once, dense positions") {
+    val r = run("q65_corpus_shard").collect()
+    val docs = graft.core.Tables(spark, dir, "documents").count()
+    assert(r.length == docs)
+    assert(r.map(_.getAs[Long]("doc_id")).distinct.length == docs)
+    r.groupBy(_.getAs[String]("shard")).foreach { case (_, rows) =>
+      val pos = rows.map(_.getAs[Long]("pos")).sorted
+      assert(pos.head == 1L && pos.last == pos.length.toLong) // dense 1..n
+    }
+  }
+
+  test("q66: zero-tf docs score zero; scores are non-negative and ranked") {
+    val r = run("q66_bm25").collect()
+    val scores = r.map(_.getAs[Double]("score"))
+    assert(scores.forall(_ >= 0.0))
+    assert(scores.sameElements(scores.sortBy(-_))) // descending
+    r.foreach { row =>
+      if (row.getAs[Long]("tf1") == 0L && row.getAs[Long]("tf2") == 0L)
+        assert(row.getAs[Double]("score") == 0.0)
+    }
+  }
+}
