@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.{QueryDef, Tables}
 
@@ -50,43 +51,50 @@ object Dedup {
       |       count(*) AS n_copies
       |FROM documents GROUP BY md5(text) ORDER BY canonical_id""")
 
+  /** Scored same-language word-bigram Jaccard pairs over the doc_id
+    * subsample (shared by q31 and q67): inverted-index self-join behind
+    * the df ≤ 100 hot-shingle guard — bounded pair space, never a
+    * cartesian product. */
+  private def scoredPairs(s: SparkSession, dir: String): DataFrame = {
+    val sub = Tables(s, dir, "documents")
+      .filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))
+    val raw = sub.select(col("doc_id"), col("lang"),
+      explode(array_distinct(
+        zip_with(
+          slice(col("w"), lit(1), size(col("w")) - 1),
+          slice(col("w"), lit(2), size(col("w")) - 1),
+          (a, b) => concat(a, lit(" "), b)))).as("sh"))
+    // hot-shingle guard: posting lists capped at df<=100 so the
+    // self-join below is bounded by 100·|shingles| pairs, not Σdf²
+    val toks = withoutHotShingles(raw, Seq("lang", "sh"), 100L)
+    val cnt = toks.groupBy("doc_id").agg(count("*").as("n"))
+    val a = toks.select(col("doc_id").as("doc_a"), col("lang"), col("sh"))
+    val b = toks.select(col("doc_id").as("doc_b"),
+      col("lang").as("lang_b"), col("sh").as("sh_b"))
+    val common = a.join(b,
+        col("sh") === col("sh_b") && col("lang") === col("lang_b") &&
+          col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count("*").as("c"))
+    common
+      .join(cnt.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n", "na"), "doc_a")
+      .join(cnt.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n", "nb"), "doc_b")
+      .withColumn("jaccard",
+        round(col("c") * lit(1.0) / (col("na") + col("nb") - col("c")), 6))
+      .filter(col("jaccard") >= 0.04)
+  }
+
   /** Exact word-bigram Jaccard over same-language candidate pairs (a
     * doc_id subsample keeps the oracle tractable; the dataflow itself is
     * the inverted-index pattern: explode shingles, self-join on shingle,
     * count — never a cartesian product). */
   private val q31NgramJaccard = QueryDef(
-    (s, dir) => {
-      val sub = Tables(s, dir, "documents")
-        .filter(col("doc_id") % 20 === 0)
-        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))
-      val raw = sub.select(col("doc_id"), col("lang"),
-        explode(array_distinct(
-          zip_with(
-            slice(col("w"), lit(1), size(col("w")) - 1),
-            slice(col("w"), lit(2), size(col("w")) - 1),
-            (a, b) => concat(a, lit(" "), b)))).as("sh"))
-      // hot-shingle guard: posting lists capped at df<=100 so the
-      // self-join below is bounded by 100·|shingles| pairs, not Σdf²
-      val toks = withoutHotShingles(raw, Seq("lang", "sh"), 100L)
-      val cnt = toks.groupBy("doc_id").agg(count("*").as("n"))
-      val a = toks.select(col("doc_id").as("doc_a"), col("lang"), col("sh"))
-      val b = toks.select(col("doc_id").as("doc_b"),
-        col("lang").as("lang_b"), col("sh").as("sh_b"))
-      val common = a.join(b,
-          col("sh") === col("sh_b") && col("lang") === col("lang_b") &&
-            col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b").agg(count("*").as("c"))
-      common
-        .join(cnt.withColumnRenamed("doc_id", "doc_a")
-          .withColumnRenamed("n", "na"), "doc_a")
-        .join(cnt.withColumnRenamed("doc_id", "doc_b")
-          .withColumnRenamed("n", "nb"), "doc_b")
-        .withColumn("jaccard",
-          round(col("c") * lit(1.0) / (col("na") + col("nb") - col("c")), 6))
-        .filter(col("jaccard") >= 0.04)
+    (s, dir) =>
+      scoredPairs(s, dir)
         .select("doc_a", "doc_b", "jaccard")
-        .orderBy("doc_a", "doc_b")
-    },
+        .orderBy("doc_a", "doc_b"),
     """WITH sub AS (SELECT doc_id, lang, string_split(text, ' ') AS l
       |            FROM documents WHERE doc_id % 20 = 0),
       |raw AS (SELECT DISTINCT doc_id, lang, l[i] || ' ' || l[i+1] AS sh
@@ -300,9 +308,91 @@ object Dedup {
       |SELECT a_id, b_id, round(c, 6) AS cosine
       |FROM p WHERE c >= 0.4 ORDER BY a_id, b_id""")
 
+  /** The q31 pair derivation as oracle CTEs (shared text for q67's
+    * recursive-closure oracle). */
+  private val pairCtes =
+    """sub AS (SELECT doc_id, lang, string_split(text, ' ') AS l
+      |        FROM documents WHERE doc_id % 20 = 0),
+      |raw AS (SELECT DISTINCT doc_id, lang, l[i] || ' ' || l[i+1] AS sh
+      |        FROM sub, UNNEST(generate_series(1, len(l)-1)) AS t(i)),
+      |hot AS (SELECT lang, sh FROM raw GROUP BY lang, sh
+      |        HAVING count(*) > 100),
+      |toks AS (SELECT r.* FROM raw r
+      |         WHERE NOT EXISTS (SELECT 1 FROM hot h
+      |                           WHERE h.lang = r.lang AND h.sh = r.sh)),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+      |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      |           FROM toks a JOIN toks b
+      |             ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id
+      |           GROUP BY 1, 2),
+      |pairs AS (SELECT doc_a, doc_b
+      |          FROM common JOIN cnt ca ON ca.doc_id = doc_a
+      |          JOIN cnt cb ON cb.doc_id = doc_b
+      |          WHERE round(c * 1.0 / (ca.n + cb.n - c), 6) >= 0.04)"""
+      .stripMargin
+
+  /** Dedup cluster canonicalization — transitive closure over the
+    * verified near-dup pairs: pairwise verdicts alone under-merge (A~B,
+    * B~C but A and C land in different "clusters" under min-neighbor),
+    * so production dedup needs connected components before choosing
+    * canonical representatives. Implemented as hash-min label
+    * propagation: each vertex starts labeled with itself and iteratively
+    * takes the min label over its neighborhood — one equi-join shuffle
+    * per iteration, converging in O(graph diameter) rounds (clusters are
+    * near-cliques, so 2-4 in practice; hard-capped). Each iteration is
+    * localCheckpoint-ed: lineage stays constant-depth, which is THE
+    * requirement for iterative DataFrame algorithms at scale. The DuckDB
+    * oracle is a recursive CTE over the same pair derivation. */
+  private val q67DedupComponents = QueryDef(
+    (s, dir) => {
+      val pairs = scoredPairs(s, dir).select("doc_a", "doc_b")
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .localCheckpoint(true)
+      var labels = edges.select(col("src").as("v")).distinct()
+        .withColumn("lbl", col("v"))
+        .localCheckpoint(true)
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 20) {
+        val nbr = edges
+          .join(labels.select(col("v").as("dst"), col("lbl")), "dst")
+          .select(col("src").as("v"), col("lbl"))
+        val next = labels.union(nbr)
+          .groupBy("v").agg(min("lbl").as("lbl"))
+          .localCheckpoint(true)
+        val changed = next.select(col("v"), col("lbl").as("new_lbl"))
+          .join(labels, "v")
+          .filter(col("new_lbl") < col("lbl")).count()
+        labels = next
+        converged = changed == 0
+        iter += 1
+      }
+      val comp = labels
+        .select(col("v").as("doc_id"), col("lbl").as("component_id"))
+      comp
+        .withColumn("component_size",
+          count(lit(1)).over(Window.partitionBy("component_id")).cast("long"))
+        .orderBy("component_id", "doc_id")
+    },
+    s"""WITH RECURSIVE $pairCtes,
+      |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+      |      UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT a, a FROM e
+      |  UNION
+      |  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a),
+      |comp AS (SELECT src AS doc_id, min(dst) AS component_id
+      |         FROM reach GROUP BY src)
+      |SELECT doc_id, component_id,
+      |       CAST(count(*) OVER (PARTITION BY component_id) AS BIGINT)
+      |         AS component_size
+      |FROM comp ORDER BY component_id, doc_id""")
+
   val defs: Map[String, QueryDef] = Map(
     "q30_dedup_exact" -> q30ExactDedup,
     "q31_ngram_jaccard" -> q31NgramJaccard,
+    "q67_dedup_components" -> q67DedupComponents,
     "q32_minhash_lsh" -> q32MinhashLsh,
     "q33_simhash" -> q33Simhash,
     "q51_embedding_neardup" -> q51EmbeddingNeardup,

@@ -35,4 +35,21 @@ class DedupSpec extends SparkSpec {
     val kept = Dedup.withoutHotShingles(toks, Seq("lang", "sh"), maxDf = 2L)
     assert(kept.count() == 2)
   }
+
+  test("q67: components are a fixpoint — every near-dup pair shares one label") {
+    val dir = "/root/testdata/sf0.001"
+    val comp = graft.SparkEntry.queries("q67_dedup_components")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("component_id")).toMap
+    val pairs = graft.SparkEntry.queries("q31_ngram_jaccard")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(pairs.nonEmpty)
+    // fixpoint: both endpoints of every verified pair carry the same
+    // component label (min-neighbor alone would violate this on chains)
+    pairs.foreach { case (a, b) => assert(comp(a) == comp(b)) }
+    // canonical representative: the label IS the component's min doc_id
+    comp.groupBy(_._2).foreach { case (lbl, members) =>
+      assert(lbl == members.keys.min)
+    }
+  }
 }
