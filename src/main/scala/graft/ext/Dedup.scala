@@ -349,18 +349,23 @@ object Dedup {
       val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
         .localCheckpoint(true)
-      var labels = edges.select(col("src").as("v")).distinct()
-        .withColumn("lbl", col("v"))
+      // seed with one propagation round for free: lbl = min(v, neighbors)
+      var labels = edges.groupBy(col("src").as("v"))
+        .agg(least(min("dst"), first("src")).as("lbl"))
         .localCheckpoint(true)
+      // one distributed round of hash-min propagation (pure plan, no action)
+      def step(l: DataFrame): DataFrame =
+        l.union(edges
+            .join(l.select(col("v").as("dst"), col("lbl")), "dst")
+            .select(col("src").as("v"), col("lbl")))
+          .groupBy("v").agg(min("lbl").as("lbl"))
       var converged = false
       var iter = 0
-      while (!converged && iter < 20) {
-        val nbr = edges
-          .join(labels.select(col("v").as("dst"), col("lbl")), "dst")
-          .select(col("src").as("v"), col("lbl"))
-        val next = labels.union(nbr)
-          .groupBy("v").agg(min("lbl").as("lbl"))
-          .localCheckpoint(true)
+      while (!converged && iter < 10) {
+        // fold 3 propagation hops into ONE materialized job per
+        // convergence check: iteration cost here is Spark job overhead,
+        // not data volume, and a no-change triple-step implies fixpoint
+        val next = step(step(step(labels))).localCheckpoint(true)
         val changed = next.select(col("v"), col("lbl").as("new_lbl"))
           .join(labels, "v")
           .filter(col("new_lbl") < col("lbl")).count()
