@@ -239,8 +239,13 @@ object Dedup {
     * f32→f64 widening then one half-away-from-zero round in both Spark and
     * DuckDB) and dotted with small integer pseudo-hyperplanes
     * w(i,p) = ((i*31 + p*17) % 7) - 3, so the bucket decision is pure
-    * BIGINT arithmetic with no float-sign ambiguity. */
-  private def intPlaneDot(emb: Column, p: Int): Column =
+    * BIGINT arithmetic with no float-sign ambiguity.
+    *
+    * This HOF composition is the REFERENCE form: q55 runs the fused
+    * codegen twin (graft.functions.HyperplaneBucket — HOFs are
+    * CodegenFallback and break WholeStageCodegen on the scan hot path);
+    * HyperplaneBucketSpec proves the two agree on the real embeddings. */
+  private[graft] def intPlaneDot(emb: Column, p: Int): Column =
     aggregate(
       transform(emb, (x, i) =>
         round(x.cast("double") * 1000, 0).cast("long") *
@@ -268,12 +273,10 @@ object Dedup {
   private val q55EmbeddingNeardupLsh = QueryDef(
     (s, dir) => {
       val planes = lshPlanes(Tables(s, dir, "embeddings").count())
-      def bucket(v: Column): Column = (0 until planes).map { p =>
-        when(intPlaneDot(v, p) > 0, lit(1 << p)).otherwise(lit(0))
-      }.reduce(_ + _)
       val e = Tables(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"),
-          bucket(col("embedding")).as("bucket"))
+          graft.functions.HyperplaneBucket.bucket(col("embedding"), planes)
+            .as("bucket"))
       val a = e.select(col("vec_id").as("a_id"),
         col("embedding").as("a_emb"), col("bucket"))
       val b = e.select(col("vec_id").as("b_id"),

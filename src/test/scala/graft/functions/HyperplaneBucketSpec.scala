@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class HyperplaneBucketSpec extends SparkSpec {
+
+  /** The HOF reference form the fused expression replaces (same
+    * arithmetic as Dedup.intPlaneDot + sign-bit assembly). */
+  private def hofBucket(v: org.apache.spark.sql.Column, planes: Int) =
+    (0 until planes).map { p =>
+      when(aggregate(
+        transform(v, (x, i) =>
+          round(x.cast("double") * 1000, 0).cast("long") *
+            ((i * 31 + p * 17) % 7 - 3).cast("long")),
+        lit(0L), (acc, x) => acc + x) > 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  test("fused codegen bucket equals the HOF composition on real embeddings") {
+    val e = graft.core.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    for (planes <- Seq(4, 6, 9)) {
+      val diff = e.select(
+          HyperplaneBucket.bucket(col("embedding"), planes).as("fused"),
+          hofBucket(col("embedding"), planes).as("hof"))
+        .filter(col("fused") =!= col("hof")).count()
+      assert(diff == 0, s"fused != HOF at planes=$planes")
+    }
+  }
+
+  test("handles nulls, ties, and negative quantized values") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(Array(0.0015f, -0.0025f, 0.5f))), // ±half-away ties at *1000
+      (2L, Some(Array.fill(8)(0.0f))),            // all-zero -> bucket 0
+      (3L, None: Option[Array[Float]])            // null -> null
+    ).toDF("id", "v")
+    val out = df.select(col("id"),
+        HyperplaneBucket.bucket(col("v"), 4).as("b"),
+        hofBucket(col("v"), 4).as("h"))
+      .orderBy("id").collect()
+    assert(out(0).getInt(1) == out(0).getInt(2))
+    assert(out(1).getInt(1) == 0)
+    assert(out(2).isNullAt(1))
+  }
+
+  test("stays inside WholeStageCodegen (the reason it exists)") {
+    val e = graft.core.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val plan = e.select(
+      HyperplaneBucket.bucket(col("embedding"), 6).as("b"))
+      .queryExecution.executedPlan
+    val stages = plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(stages.exists(_.toString.contains("hyperplane_bucket")))
+  }
+}
