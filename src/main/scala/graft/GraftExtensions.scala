@@ -4,16 +4,16 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, HyperplaneBucket}
 
 /** Session-extension entry point: registers the engine's native
   * expressions into every session built with
   *
   *   --conf spark.sql.extensions=graft.GraftExtensions
   *
-  * so `SELECT cosine_sim(a, b)` works in plain SQL on a cluster without
-  * any driver-side registration call. (The per-session alternative is
-  * CosineSimilarity.register(spark).)
+  * so `SELECT cosine_sim(a, b)` / `hyperplane_bucket(v, 6)` work in
+  * plain SQL on a cluster without any driver-side registration call.
+  * (The per-session alternative is CosineSimilarity.register(spark).)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
@@ -22,5 +22,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         CosineSimilarity(exprs.head, exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("hyperplane_bucket"),
+      new ExpressionInfo(classOf[HyperplaneBucket].getName, "hyperplane_bucket"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        HyperplaneBucket(exprs.head, GraftExtensions.intLiteral(exprs(1)))))
+  }
+}
+
+object GraftExtensions {
+  /** The planes argument must be a foldable int literal — evaluated at
+    * registration, so a bad call fails at analysis, not mid-job. */
+  private[graft] def intLiteral(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Int = {
+    require(e.foldable, "hyperplane_bucket(v, planes): planes must be a literal")
+    e.eval() match {
+      case i: Int => i
+      case other => throw new IllegalArgumentException(
+        s"hyperplane_bucket(v, planes): planes must be an int literal, got $other")
+    }
   }
 }

@@ -100,4 +100,12 @@ object HyperplaneBucket {
   /** Column-API entry point: hyperplane_bucket(v, planes). */
   def bucket(v: Column, planes: Int): Column =
     Bridge.column(HyperplaneBucket(Bridge.expression(v), planes))
+
+  /** SQL registration: SELECT hyperplane_bucket(v, 6) ... */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hyperplane_bucket",
+      { exprs => HyperplaneBucket(exprs.head,
+          graft.GraftExtensions.intLiteral(exprs(1))) },
+      "built-in")
 }

@@ -43,6 +43,24 @@ class HyperplaneBucketSpec extends SparkSpec {
     assert(out(2).isNullAt(1))
   }
 
+  test("SQL registration: hyperplane_bucket(v, planes) with literal planes") {
+    HyperplaneBucket.register(spark)
+    graft.core.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .limit(5).createOrReplaceTempView("hb_in")
+    val viaSql = spark.sql(
+      "SELECT vec_id, hyperplane_bucket(embedding, 4) AS b FROM hb_in")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val viaCol = spark.table("hb_in")
+      .select(col("vec_id"), HyperplaneBucket.bucket(col("embedding"), 4).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(viaSql == viaCol)
+    // non-literal planes is an analysis-time error, not a mid-job one
+    intercept[Exception] {
+      spark.sql("SELECT hyperplane_bucket(embedding, CAST(vec_id AS INT)) FROM hb_in")
+        .collect()
+    }
+  }
+
   test("stays inside WholeStageCodegen (the reason it exists)") {
     val e = graft.core.Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val plan = e.select(
