@@ -175,10 +175,72 @@ object Assembly {
       |  ) * 1000000) / 1000000 AS score
       |FROM t, g ORDER BY score DESC, doc_id LIMIT 50""")
 
+  /** The curation pipeline as ONE declarative query — exact dedup →
+    * marker language-ID → quality gate → length gate → reproducible
+    * split, i.e. the operator families q30/q36/q37/q56 composed the way
+    * a production corpus-curation DAG actually runs them. Single logical
+    * pass: one window shuffle on the content fingerprint (dedup), then
+    * pure per-row expressions; Catalyst pipelines the whole filter chain
+    * into the scan stage. Thresholds (quality ≥ 0.5, 10–200 tokens,
+    * 12/16 train) are the pipeline's config surface. */
+  private val q68CurationPipeline = QueryDef(
+    (s, dir) => {
+      val wDedup = Window.partitionBy(md5(col("text"))).orderBy("doc_id")
+      val w = split(col("text"), " ")
+      val stop = (x: Column) => x.isin("the", "a")
+      val predicted = when(
+        size(filter(array_distinct(w), stop)) > 0, "en").otherwise("und")
+      val quality = trunc6(
+        lit(0.5) * (size(array_distinct(w)).cast("double") / size(w)) +
+          lit(0.5) * (lit(1.0) -
+            size(filter(w, stop)).cast("double") / size(w)))
+      Tables(s, dir, "documents")
+        .withColumn("rn", row_number().over(wDedup))
+        .filter(col("rn") === 1) // exact-dedup canonical (min doc_id)
+        .select(col("doc_id"), col("lang"),
+          size(w).cast("long").as("n_tokens"),
+          predicted.as("predicted"), quality.as("quality"))
+        .filter(col("predicted") === "en" && col("quality") >= 0.5 &&
+          col("n_tokens").between(10, 200))
+        .withColumn("split",
+          when(substring(md5(col("doc_id").cast("string")), 1, 1) < "c",
+            "train").otherwise("heldout"))
+        .select("doc_id", "lang", "n_tokens", "quality", "split")
+        .orderBy("doc_id")
+    },
+    """WITH canon AS (
+      |  SELECT doc_id, lang, text,
+      |         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id)
+      |           AS rn
+      |  FROM documents),
+      |feat AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS w
+      |  FROM canon WHERE rn = 1),
+      |scored AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(w) AS BIGINT) AS n_tokens,
+      |    CASE WHEN len(list_filter(list_distinct(w),
+      |           x -> x IN ('the','a'))) > 0
+      |         THEN 'en' ELSE 'und' END AS predicted,
+      |    floor((0.5e0 * (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) +
+      |           0.5e0 * (1.0e0 -
+      |             CAST(len(list_filter(w, x -> x IN ('the','a')))
+      |               AS DOUBLE) / len(w))) * 1000000) / 1000000 AS quality
+      |  FROM feat),
+      |gated AS (
+      |  SELECT *, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+      |                 THEN 'train' ELSE 'heldout' END AS split
+      |  FROM scored
+      |  WHERE predicted = 'en' AND quality >= 0.5e0
+      |    AND n_tokens BETWEEN 10 AND 200)
+      |SELECT doc_id, lang, n_tokens, quality, split
+      |FROM gated ORDER BY doc_id""")
+
   val defs: Map[String, QueryDef] = Map(
     "q63_sequence_packing" -> q63SequencePacking,
     "q64_pii_redaction" -> q64PiiRedaction,
     "q65_corpus_shard" -> q65CorpusShard,
     "q66_bm25" -> q66Bm25,
+    "q68_curation_pipeline" -> q68CurationPipeline,
   )
 }

@@ -58,6 +58,22 @@ class AssemblySpec extends SparkSpec {
     }
   }
 
+  test("q68: curation output is deduped and every row passes its own gates") {
+    val out = run("q68_curation_pipeline")
+    val docs = graft.core.Tables(spark, dir, "documents")
+    // joined back to the corpus, no two surviving docs share a text
+    // fingerprint (the dedup stage held)
+    val fps = out.join(docs, "doc_id").select(md5(col("text"))).collect()
+    assert(fps.map(_.getString(0)).distinct.length == fps.length)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Double]("quality") >= 0.5))
+    assert(rows.forall { r =>
+      val n = r.getAs[Long]("n_tokens"); n >= 10 && n <= 200 })
+    assert(rows.map(_.getAs[String]("split")).toSet.subsetOf(
+      Set("train", "heldout")))
+  }
+
   test("q66: zero-tf docs score zero; scores are non-negative and ranked") {
     val r = run("q66_bm25").collect()
     val scores = r.map(_.getAs[Double]("score"))
