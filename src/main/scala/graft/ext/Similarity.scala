@@ -163,6 +163,144 @@ object Similarity {
       |         ORDER BY cos_raw DESC, n_id) AS rk
       |FROM p QUALIFY rk <= 5 ORDER BY q_id, rk""")
 
+  /** ANN recall instrumentation — the tuning loop a real vector pipeline
+    * runs before trusting an approximate index: IVF top-5 (q59's
+    * operator, nprobe parameterized) is joined against the EXACT top-5
+    * ground truth (q34's operator, free since both are deterministic) and
+    * recall@5 is emitted per query for nprobe=1 and nprobe=2, plus the
+    * corpus mean. nprobe=2 probes each query's two nearest coarse cells —
+    * candidate cost doubles, recall can only rise (an exact-top-5 member
+    * reachable at nprobe=1 is never displaced by widening: at most 4
+    * vectors outrank it anywhere). SimilaritySpec asserts the
+    * monotonicity; the mean recall is computed from INTEGER hit totals
+    * (sum(hits)/(5·n_queries), one final division) so float summation
+    * order can't diverge between engines. */
+  private val q70AnnRecall = QueryDef(
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val codebook = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("c_id"),
+          col("embedding").as("c_emb"))
+      val wAssign = Window.partitionBy("vec_id")
+        .orderBy(desc("ccos"), asc("c_id"))
+      val ranked = e.crossJoin(broadcast(codebook))
+        .withColumn("ccos", cosine(col("embedding"), col("c_emb")))
+        .withColumn("arn", row_number().over(wAssign))
+      val cand = ranked.filter(col("arn") === 1)
+        .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+          col("c_id").as("n_cell"))
+      // each query's nprobe nearest cells (rank from the same assignment)
+      val probes = ranked.filter(col("vec_id") < 10 && col("arn") <= 2)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("c_id").as("p_cell"), col("arn").as("p_rank"))
+      def ivfTop5(np: Int): org.apache.spark.sql.DataFrame = {
+        val w = Window.partitionBy("q_id").orderBy(desc("cos_raw"), asc("n_id"))
+        cand.join(broadcast(probes.filter(col("p_rank") <= np)),
+            col("n_cell") === col("p_cell") && col("n_id") =!= col("q_id"))
+          .withColumn("cos_raw", cosine(col("q_emb"), col("n_emb")))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5)
+          .select(col("q_id"), col("n_id"))
+      }
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val wExact = Window.partitionBy("q_id").orderBy(desc("cos_raw"), asc("n_id"))
+      val exact = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+        .join(broadcast(q), col("n_id") =!= col("q_id"))
+        .withColumn("cos_raw", cosine(col("q_emb"), col("n_emb")))
+        .withColumn("rk", row_number().over(wExact))
+        .filter(col("rk") <= 5)
+        .select(col("q_id"), col("n_id"))
+      def hits(np: Int, as: String): org.apache.spark.sql.DataFrame =
+        exact.join(ivfTop5(np), Seq("q_id", "n_id"), "left_semi")
+          .groupBy("q_id").agg(count(lit(1)).as(as))
+      val perQ = q.select(col("q_id"))
+        .join(hits(1, "h1"), Seq("q_id"), "left")
+        .join(hits(2, "h2"), Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("h1"), lit(0L)).as("hits1"),
+          coalesce(col("h2"), lit(0L)).as("hits2"))
+      val mean = perQ.agg(
+        (sum("hits1").cast("double") / (count(lit(1)) * 5))
+          .as("mean_recall1"),
+        (sum("hits2").cast("double") / (count(lit(1)) * 5))
+          .as("mean_recall2"))
+      perQ.crossJoin(broadcast(mean))
+        .select(col("q_id"), col("hits1"), col("hits2"),
+          (col("hits1") / lit(5.0)).as("recall1"),
+          (col("hits2") / lit(5.0)).as("recall2"),
+          col("mean_recall1"), col("mean_recall2"))
+        .orderBy("q_id")
+    },
+    """WITH cb AS (SELECT CAST(vec_id AS INTEGER) AS c_id,
+      |                   embedding AS c_emb
+      |            FROM embeddings WHERE vec_id < 8),
+      |r AS (SELECT e.vec_id, e.embedding, c_id,
+      |        row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |          list_sum(list_transform(e.embedding,
+      |            (x,i) -> CAST(x AS DOUBLE) * CAST(c_emb[i] AS DOUBLE))) /
+      |          (sqrt(list_sum(list_transform(e.embedding,
+      |             x -> CAST(x AS DOUBLE) * x))) *
+      |           sqrt(list_sum(list_transform(c_emb,
+      |             x -> CAST(x AS DOUBLE) * x)))) DESC, c_id) AS arn
+      |      FROM embeddings e, cb),
+      |a AS (SELECT vec_id AS n_id, embedding AS n_emb, c_id AS n_cell
+      |      FROM r WHERE arn = 1),
+      |pr AS (SELECT vec_id AS q_id, embedding AS q_emb, c_id AS p_cell,
+      |              arn AS p_rank
+      |       FROM r WHERE vec_id < 10 AND arn <= 2),
+      |q AS (SELECT vec_id AS q_id, embedding AS q_emb
+      |      FROM embeddings WHERE vec_id < 10),
+      |ex AS (SELECT q_id, n_id FROM (
+      |        SELECT q_id, e.vec_id AS n_id,
+      |          row_number() OVER (PARTITION BY q_id ORDER BY
+      |            list_sum(list_transform(q_emb,
+      |              (x,i) -> CAST(x AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) /
+      |            (sqrt(list_sum(list_transform(q_emb,
+      |               x -> CAST(x AS DOUBLE) * x))) *
+      |             sqrt(list_sum(list_transform(e.embedding,
+      |               x -> CAST(x AS DOUBLE) * x)))) DESC, e.vec_id) AS rk
+      |        FROM embeddings e, q WHERE e.vec_id <> q_id)
+      |       WHERE rk <= 5),
+      |iv1 AS (SELECT q_id, n_id FROM (
+      |        SELECT q_id, a.n_id,
+      |          row_number() OVER (PARTITION BY q_id ORDER BY
+      |            list_sum(list_transform(q_emb,
+      |              (x,i) -> CAST(x AS DOUBLE) * CAST(a.n_emb[i] AS DOUBLE))) /
+      |            (sqrt(list_sum(list_transform(q_emb,
+      |               x -> CAST(x AS DOUBLE) * x))) *
+      |             sqrt(list_sum(list_transform(a.n_emb,
+      |               x -> CAST(x AS DOUBLE) * x)))) DESC, a.n_id) AS rk
+      |        FROM a JOIN pr p ON a.n_cell = p.p_cell AND a.n_id <> p.q_id
+      |        WHERE p.p_rank <= 1)
+      |       WHERE rk <= 5),
+      |iv2 AS (SELECT q_id, n_id FROM (
+      |        SELECT q_id, a.n_id,
+      |          row_number() OVER (PARTITION BY q_id ORDER BY
+      |            list_sum(list_transform(q_emb,
+      |              (x,i) -> CAST(x AS DOUBLE) * CAST(a.n_emb[i] AS DOUBLE))) /
+      |            (sqrt(list_sum(list_transform(q_emb,
+      |               x -> CAST(x AS DOUBLE) * x))) *
+      |             sqrt(list_sum(list_transform(a.n_emb,
+      |               x -> CAST(x AS DOUBLE) * x)))) DESC, a.n_id) AS rk
+      |        FROM a JOIN pr p ON a.n_cell = p.p_cell AND a.n_id <> p.q_id
+      |        WHERE p.p_rank <= 2)
+      |       WHERE rk <= 5),
+      |h1 AS (SELECT ex.q_id, CAST(count(*) AS BIGINT) AS h1
+      |       FROM ex JOIN iv1 USING (q_id, n_id) GROUP BY ex.q_id),
+      |h2 AS (SELECT ex.q_id, CAST(count(*) AS BIGINT) AS h2
+      |       FROM ex JOIN iv2 USING (q_id, n_id) GROUP BY ex.q_id),
+      |perq AS (SELECT q.q_id, coalesce(h1, 0) AS hits1, coalesce(h2, 0) AS hits2
+      |         FROM q LEFT JOIN h1 ON q.q_id = h1.q_id
+      |                LEFT JOIN h2 ON q.q_id = h2.q_id),
+      |m AS (SELECT CAST(sum(hits1) AS DOUBLE) / (count(*) * 5) AS mean_recall1,
+      |             CAST(sum(hits2) AS DOUBLE) / (count(*) * 5) AS mean_recall2
+      |      FROM perq)
+      |SELECT q_id, hits1, hits2,
+      |       hits1 / 5.0e0 AS recall1, hits2 / 5.0e0 AS recall2,
+      |       mean_recall1, mean_recall2
+      |FROM perq, m ORDER BY q_id""")
+
   /** Per-vector int8 quantization — the storage/bandwidth op for serving
     * embeddings at scale (4× smaller than f32, enough for recall-oriented
     * ANN): min-max affine scale to 0..255 plus the per-vector scale and
@@ -206,6 +344,7 @@ object Similarity {
     "q34_knn_cosine" -> q34KnnBrute,
     "q35_knn_lsh" -> q35KnnLsh,
     "q59_knn_ivf" -> q59KnnIvf,
+    "q70_ann_recall" -> q70AnnRecall,
     "q62_embedding_quantize" -> q62Quantize,
   )
 }

@@ -184,12 +184,23 @@ object TextAnalytics {
         .select("h", "df", "first_doc", "last_doc")
       // resolve winning hashes to strings: broadcast semi-join prunes the
       // re-scan to the handful of winner shingles before any shuffle
+      // collision guard: a 64-bit collision between distinct winning
+      // shingles would silently inflate df and pick one string
+      // arbitrarily — vanishingly unlikely, but fail LOUDLY (raise_error
+      // on the offending hash) instead of surfacing as an undiagnosable
+      // oracle mismatch
       val resolved = words.select(explode(expr(
           "array_distinct(transform(sequence(1, size(w) - 7), " +
             "i -> array_join(slice(w, i, 8), ' ')))")).as("sh"))
         .select(col("sh"), xxhash64(col("sh")).as("h"))
         .join(broadcast(winners.select("h")), Seq("h"), "left_semi")
-        .groupBy("h").agg(min("sh").as("sh"))
+        .groupBy("h")
+        .agg(min("sh").as("sh0"), countDistinct("sh").as("nsh"))
+        .select(col("h"),
+          when(col("nsh") === 1, col("sh0")).otherwise(raise_error(concat(
+            lit("xxhash64 collision: "), col("nsh").cast("string"),
+            lit(" distinct shingles share hash "), col("h").cast("string"))))
+            .as("sh"))
       winners.join(broadcast(resolved), Seq("h"))
         .select("sh", "df", "first_doc", "last_doc")
         .orderBy(desc("df"), asc("sh"))
@@ -205,6 +216,55 @@ object TextAnalytics {
       |FROM sh GROUP BY sh HAVING count(*) >= 2
       |ORDER BY df DESC, sh LIMIT 50""")
 
+  /** Two-corpus decontamination — the production form of q58: an eval
+    * BENCHMARK corpus (here a deterministic `doc_id % 50 = 7` slice of
+    * `documents`, standing in for a held-out benchmark table) is shielded
+    * from the TRAINING corpus by flagging every training document that
+    * shares any verbatim 8-gram with any eval document.
+    *
+    * Dataflow (the 100 TB shape): the eval side is tiny relative to the
+    * training corpus (benchmarks are MBs, corpora are TBs), so its
+    * distinct shingle hashes aggregate in a small shuffle and the result
+    * — (xxhash64, first eval doc) — is BROADCAST. The training corpus is
+    * then pruned by a map-side broadcast hash join at the scan: clean
+    * documents (the overwhelming majority) never reach any exchange, and
+    * the only corpus-wide shuffle is the per-contaminated-doc count over
+    * the handful of matching rows. Keys crossing the join are 8-byte
+    * xxhash64 longs (q58's discipline), never the ~50-byte shingle
+    * strings. Output is the flag table a curation DAG anti-joins against
+    * before training. */
+  private val q69Decontamination = QueryDef(
+    (s, dir) => {
+      val words = Tables(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 8)
+      // per-doc distinct 8-gram shingle hashes (8-byte longs, not text)
+      val shingles = words.select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(1, size(w) - 7), " +
+          "i -> xxhash64(array_join(slice(w, i, 8), ' '))))")).as("h"))
+      // the eval corpus' shingle set: small by construction -> broadcast
+      val evalSet = shingles.filter(col("doc_id") % 50 === 7)
+        .groupBy("h").agg(min("doc_id").as("eval_doc"))
+      shingles.filter(col("doc_id") % 50 =!= 7)
+        .join(broadcast(evalSet), Seq("h"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shared_shingles"),
+          min("eval_doc").as("first_matching_eval_doc"))
+        .orderBy("doc_id")
+    },
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS l
+      |           FROM documents WHERE len(string_split(text, ' ')) >= 8),
+      |sh AS (SELECT DISTINCT doc_id,
+      |              array_to_string(l[i:i+7], ' ') AS sh
+      |       FROM w, UNNEST(generate_series(1, len(l) - 7)) t(i)),
+      |ev AS (SELECT sh, min(doc_id) AS eval_doc FROM sh
+      |       WHERE doc_id % 50 = 7 GROUP BY sh)
+      |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shared_shingles,
+      |       min(ev.eval_doc) AS first_matching_eval_doc
+      |FROM sh s JOIN ev ON s.sh = ev.sh
+      |WHERE s.doc_id % 50 <> 7
+      |GROUP BY s.doc_id ORDER BY doc_id""")
+
   val defs: Map[String, QueryDef] = Map(
     "q36_lang_id" -> q36LangId,
     "q37_quality_score" -> q37Quality,
@@ -212,5 +272,6 @@ object TextAnalytics {
     "q39_fingerprint" -> q39Fingerprint,
     "q52_token_count" -> q52TokenCount,
     "q58_contamination" -> q58Contamination,
+    "q69_decontamination" -> q69Decontamination,
   )
 }
