@@ -346,38 +346,60 @@ object Dedup {
     * localCheckpoint-ed: lineage stays constant-depth, which is THE
     * requirement for iterative DataFrame algorithms at scale. The DuckDB
     * oracle is a recursive CTE over the same pair derivation. */
+  /** Reusable connected-components core (hash-min label propagation) over
+    * an undirected pair list `(doc_a, doc_b)`: each vertex starts labeled
+    * with itself and iteratively takes the min label over its
+    * neighborhood — one equi-join shuffle per hop, 3 hops folded into
+    * each materialized convergence check, localCheckpoint-ed so lineage
+    * stays constant-depth. Converges in O(component diameter) hops.
+    *
+    * NON-CONVERGENCE IS LOUD: if the fixpoint is not reached within
+    * `maxIters` triple-hop rounds (diameter > 3·maxIters, e.g. a
+    * pathological chain corpus), this THROWS rather than returning
+    * silently-wrong labels — an oracle mismatch must never be a masked
+    * convergence failure. DedupSpec proves detection on a >30-hop path
+    * graph and convergence of the same graph under a raised cap. */
+  private[ext] def connectedComponents(pairs: DataFrame,
+      maxIters: Int = 10): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true)
+    // seed with one propagation round for free: lbl = min(v, neighbors)
+    var labels = edges.groupBy(col("src").as("v"))
+      .agg(least(min("dst"), first("src")).as("lbl"))
+      .localCheckpoint(true)
+    // one distributed round of hash-min propagation (pure plan, no action)
+    def step(l: DataFrame): DataFrame =
+      l.union(edges
+          .join(l.select(col("v").as("dst"), col("lbl")), "dst")
+          .select(col("src").as("v"), col("lbl")))
+        .groupBy("v").agg(min("lbl").as("lbl"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      // fold 3 propagation hops into ONE materialized job per
+      // convergence check: iteration cost here is Spark job overhead,
+      // not data volume, and a no-change triple-step implies fixpoint
+      val next = step(step(step(labels))).localCheckpoint(true)
+      val changed = next.select(col("v"), col("lbl").as("new_lbl"))
+        .join(labels, "v")
+        .filter(col("new_lbl") < col("lbl")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"label propagation did not converge in $maxIters rounds " +
+          s"(${3 * maxIters} hops): a component's diameter exceeds the " +
+          "cap; raise maxIters for this graph shape")
+    labels.select(col("v").as("doc_id"), col("lbl").as("component_id"))
+  }
+
   private val q67DedupComponents = QueryDef(
     (s, dir) => {
-      val pairs = scoredPairs(s, dir).select("doc_a", "doc_b")
-      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-        .localCheckpoint(true)
-      // seed with one propagation round for free: lbl = min(v, neighbors)
-      var labels = edges.groupBy(col("src").as("v"))
-        .agg(least(min("dst"), first("src")).as("lbl"))
-        .localCheckpoint(true)
-      // one distributed round of hash-min propagation (pure plan, no action)
-      def step(l: DataFrame): DataFrame =
-        l.union(edges
-            .join(l.select(col("v").as("dst"), col("lbl")), "dst")
-            .select(col("src").as("v"), col("lbl")))
-          .groupBy("v").agg(min("lbl").as("lbl"))
-      var converged = false
-      var iter = 0
-      while (!converged && iter < 10) {
-        // fold 3 propagation hops into ONE materialized job per
-        // convergence check: iteration cost here is Spark job overhead,
-        // not data volume, and a no-change triple-step implies fixpoint
-        val next = step(step(step(labels))).localCheckpoint(true)
-        val changed = next.select(col("v"), col("lbl").as("new_lbl"))
-          .join(labels, "v")
-          .filter(col("new_lbl") < col("lbl")).count()
-        labels = next
-        converged = changed == 0
-        iter += 1
-      }
-      val comp = labels
-        .select(col("v").as("doc_id"), col("lbl").as("component_id"))
+      val comp = connectedComponents(scoredPairs(s, dir)
+        .select("doc_a", "doc_b"))
       comp
         .withColumn("component_size",
           count(lit(1)).over(Window.partitionBy("component_id")).cast("long"))

@@ -36,6 +36,26 @@ class DedupSpec extends SparkSpec {
     assert(kept.count() == 2)
   }
 
+  test("connectedComponents THROWS on a >30-hop chain instead of emitting " +
+      "silently-unconverged labels") {
+    import spark.implicits._
+    // path graph 0-1-2-...-99: min label 0 travels one hop per step, so
+    // diameter 99 >> the default cap of 10 rounds x 3 hops
+    val chain = (0L until 99L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val ex = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain) // default maxIters = 10
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
+  test("connectedComponents converges on the same chain under a raised cap") {
+    import spark.implicits._
+    val chain = (0L until 99L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val comp = Dedup.connectedComponents(chain, maxIters = 40).collect()
+    assert(comp.length == 100)
+    assert(comp.forall(_.getAs[Long]("component_id") == 0L))
+  }
+
   test("q67: components are a fixpoint — every near-dup pair shares one label") {
     val dir = "/root/testdata/sf0.001"
     val comp = graft.SparkEntry.queries("q67_dedup_components")(spark, dir)
