@@ -50,6 +50,40 @@ object Assembly {
       |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
       |FROM c GROUP BY 1, 2 ORDER BY lang, pack_id""")
 
+  /** q63 re-based on the VOCAB tokenizer (q71): packs are budgeted by the
+    * greedy longest-match merge-vocabulary count — the number the trainer
+    * actually meters — instead of whitespace words. Same single-window
+    * dataflow as q63 (cumulative sum partitioned on lang, rollup reusing
+    * the window partitioning); only the token metric changes. */
+  private val q73VocabPacking = QueryDef(
+    (s, dir) => {
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(regexp_extract_all(col("text"),
+            lit(TextAnalytics.vocabPattern), lit(0)))
+            .cast("long").as("tok"))
+        .withColumn("cum", sum("tok").over(w))
+        .withColumn("pack_id", expr("(cum - tok) div 512"))
+        .groupBy("lang", "pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum("tok").as("pack_tokens"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("lang", "pack_id")
+    },
+    s"""WITH t AS (SELECT doc_id, lang,
+      |    CAST(len(regexp_extract_all(text, '${TextAnalytics.vocabPattern}'))
+      |      AS BIGINT) AS tok
+      |  FROM documents),
+      |c AS (SELECT doc_id, lang, tok,
+      |        sum(tok) OVER (PARTITION BY lang ORDER BY doc_id
+      |                       ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+      |SELECT lang, CAST((cum - tok) // 512 AS BIGINT) AS pack_id,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(tok) AS BIGINT) AS pack_tokens,
+      |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM c GROUP BY 1, 2 ORDER BY lang, pack_id""")
+
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val PhoneRe = "\\d{3}-\\d{3}-\\d{4}"
 
@@ -242,5 +276,6 @@ object Assembly {
     "q65_corpus_shard" -> q65CorpusShard,
     "q66_bm25" -> q66Bm25,
     "q68_curation_pipeline" -> q68CurationPipeline,
+    "q73_vocab_packing" -> q73VocabPacking,
   )
 }

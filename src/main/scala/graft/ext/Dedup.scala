@@ -346,6 +346,55 @@ object Dedup {
     * localCheckpoint-ed: lineage stays constant-depth, which is THE
     * requirement for iterative DataFrame algorithms at scale. The DuckDB
     * oracle is a recursive CTE over the same pair derivation. */
+  private def trunc6(c: Column): Column = floor(c * lit(1e6)) / lit(1e6)
+
+  /** Paragraph-level (intra-document) dedup — the boilerplate detector a
+    * corpus cleaner runs NEXT TO whole-doc dedup (q30): headers, footers,
+    * and navigation chrome repeat across documents long before whole docs
+    * do. Each document is split into paragraphs, every paragraph is
+    * fingerprinted with q30's md5 discipline, corpus-wide paragraph
+    * frequency is computed, and each doc reports its duplicated-paragraph
+    * ratio (the signal a quality gate thresholds on).
+    *
+    * A real pipeline splits on a separator (`\n\n`); the fixture text
+    * carries none, so paragraphs are deterministic fixed-width 3-word
+    * segments — the dataflow (explode → ONE md5-keyed window shuffle →
+    * per-doc rollup) is identical either way, and the 128-bit fingerprint
+    * is the only corpus-wide shuffle key, never the paragraph text. */
+  private val q72ParagraphDedup = QueryDef(
+    (s, dir) => {
+      val segs = Tables(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, cast(ceil(size(w) / 3.0) as int) - 1), " +
+            "i -> array_join(slice(w, i * 3 + 1, 3), ' '))")).as("seg"))
+        .withColumn("fp", md5(col("seg")))
+      // corpus-wide paragraph frequency via ONE exchange on the digest
+      segs
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("fp")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_paragraphs"),
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_paragraphs"))
+        .withColumn("dup_ratio", trunc6(
+          col("n_dup_paragraphs").cast("double") / col("n_paragraphs")))
+        .orderBy("doc_id")
+    },
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS l
+      |           FROM documents),
+      |seg AS (SELECT doc_id,
+      |          array_to_string(l[(i-1)*3+1:(i-1)*3+3], ' ') AS seg
+      |        FROM w, UNNEST(generate_series(1,
+      |          CAST(ceil(len(l) / 3.0) AS BIGINT))) t(i)),
+      |d AS (SELECT doc_id,
+      |        count(*) OVER (PARTITION BY md5(seg)) AS df
+      |      FROM seg)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paragraphs,
+      |       CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_dup_paragraphs,
+      |       floor(CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+      |         / count(*) * 1000000) / 1000000 AS dup_ratio
+      |FROM d GROUP BY doc_id ORDER BY doc_id""")
+
   /** Reusable connected-components core (hash-min label propagation) over
     * an undirected pair list `(doc_a, doc_b)`: each vertex starts labeled
     * with itself and iteratively takes the min label over its
@@ -423,6 +472,7 @@ object Dedup {
     "q30_dedup_exact" -> q30ExactDedup,
     "q31_ngram_jaccard" -> q31NgramJaccard,
     "q67_dedup_components" -> q67DedupComponents,
+    "q72_paragraph_dedup" -> q72ParagraphDedup,
     "q32_minhash_lsh" -> q32MinhashLsh,
     "q33_simhash" -> q33Simhash,
     "q51_embedding_neardup" -> q51EmbeddingNeardup,

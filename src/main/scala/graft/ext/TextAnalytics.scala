@@ -216,6 +216,54 @@ object TextAnalytics {
       |FROM sh GROUP BY sh HAVING count(*) >= 2
       |ORDER BY df DESC, sh LIMIT 50""")
 
+  /** BPE-style merge vocabulary for q71/q73 — full high-frequency words
+    * plus sub-word merges, the shape a learned tokenizer's merge table
+    * has. Greedy longest-match is encoded ORDER-FREE of engine internals:
+    * the alternation lists entries longest-first, and both Java regex
+    * (Spark) and RE2 (DuckDB) use leftmost-FIRST alternation semantics,
+    * so at every position the longest matching vocab entry wins in both
+    * engines; `[^ ]` is the single-char fallback token (whitespace is
+    * never a token). Entries are letter-only literals — no regex
+    * metacharacters, no escaping divergence. */
+  private[ext] val mergeVocab: Seq[String] = Seq(
+    // full-word merges (high-frequency corpus words)
+    "customer", "window", "stream", "vector", "filter", "column",
+    "table", "value", "order", "query", "small", "group", "batch",
+    "merge", "spark", "scan", "slow", "fast", "hash", "sort", "line",
+    "data", "join", "part",
+    // sub-word merges (BPE intermediate units)
+    "tion", "ing", "ter", "ble", "str", "gro",
+    "th", "he", "ke", "ey", "ro", "ow", "li", "ne", "jo", "in",
+    "ag", "gg", "bi", "ig", "pa", "rt", "da", "ta", "er", "or",
+    "st", "an", "sc", "gr")
+  private[ext] val vocabPattern: String =
+    mergeVocab.sortBy(v => (-v.length, v)).mkString("", "|", "|[^ ]")
+
+  /** Vocab-driven (BPE-style) token counting — the number an LLM
+    * pipeline actually budgets by, vs q52's whitespace/regex counts:
+    * greedy longest-match over the ~54-entry merge vocabulary, evaluated
+    * as ONE codegen'd regexp_extract_all per row (the merge table is
+    * compiled into the pattern — broadcast-free, shuffle-free).
+    * q73 re-bases sequence packing on this count. */
+  private val q71VocabTokens = QueryDef(
+    (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit(vocabPattern), lit(0)))
+            .cast("long").as("vocab_tokens"),
+          size(split(col("text"), " ")).cast("long").as("ws_tokens"))
+        .withColumn("tokens_per_word",
+          trunc6(col("vocab_tokens").cast("double") / col("ws_tokens")))
+        .orderBy("doc_id"),
+    s"""SELECT doc_id,
+      |       CAST(len(regexp_extract_all(text, '$vocabPattern')) AS BIGINT)
+      |         AS vocab_tokens,
+      |       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+      |       floor(CAST(len(regexp_extract_all(text, '$vocabPattern'))
+      |           AS DOUBLE) / len(string_split(text, ' ')) * 1000000)
+      |         / 1000000 AS tokens_per_word
+      |FROM documents ORDER BY doc_id""")
+
   /** Two-corpus decontamination — the production form of q58: an eval
     * BENCHMARK corpus (here a deterministic `doc_id % 50 = 7` slice of
     * `documents`, standing in for a held-out benchmark table) is shielded
@@ -273,5 +321,6 @@ object TextAnalytics {
     "q52_token_count" -> q52TokenCount,
     "q58_contamination" -> q58Contamination,
     "q69_decontamination" -> q69Decontamination,
+    "q71_vocab_tokens" -> q71VocabTokens,
   )
 }
