@@ -14,26 +14,68 @@ object TextAnalytics {
 
   private def toks: Column = split(col("text"), " ")
 
-  /** Marker-token language ID (the word-level n-gram heuristic, n=1):
-    * score = |distinct tokens ∩ markers|; prediction falls back to "und"
-    * when no marker hits. Real marker tables plug in as literal arrays —
-    * the dataflow (broadcast-free, per-row) is what matters at scale. */
+  /** Top-20 stopword marker arrays per language (ASCII-only so the
+    * literal lists round-trip identically through the oracle SQL).
+    * Real language-ID swaps richer tables in; the dataflow — literal
+    * arrays compiled into per-row codegen'd filters, broadcast-free —
+    * is the part that matters at scale. */
+  private[ext] val stopEn = Seq("the", "a", "of", "and", "to", "in", "is",
+    "it", "that", "on", "for", "as", "with", "was", "at", "by", "an",
+    "be", "this", "from")
+  private[ext] val stopDe = Seq("der", "die", "das", "und", "zu", "ist",
+    "es", "dass", "auf", "als", "mit", "war", "bei", "von", "ein",
+    "sein", "nicht", "aus", "dem", "den")
+  private[ext] val stopFr = Seq("le", "la", "les", "et", "est", "il",
+    "que", "sur", "pour", "avec", "par", "un", "une", "ce", "dans",
+    "du", "des", "au", "pas", "ne")
+
+  /** Marker-overlap scoring + argmax prediction over (doc_id, lang, text)
+    * rows — factored out of q36 so TextAnalyticsSpec can drive it with
+    * real multi-language sentences (the fixture vocabulary is
+    * English-only, so only the spec can exercise de/fr prediction).
+    * Ties break by en > de > fr priority (deterministic in both
+    * engines); zero overlap everywhere falls back to "und". */
+  private[ext] def langScores(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    def score(stops: Seq[String]): Column =
+      size(filter(array_distinct(split(col("text"), " ")),
+        x => x.isin(stops.map(lit(_)): _*))).cast("long")
+    docs
+      .select(col("doc_id"), col("lang"),
+        score(stopEn).as("en_score"), score(stopDe).as("de_score"),
+        score(stopFr).as("fr_score"))
+      .withColumn("predicted",
+        when(col("en_score") >= col("de_score") &&
+          col("en_score") >= col("fr_score") && col("en_score") > 0, "en")
+          .when(col("de_score") >= col("fr_score") &&
+            col("de_score") > 0, "de")
+          .when(col("fr_score") > 0, "fr")
+          .otherwise("und"))
+  }
+
+  private def sqlIn(stops: Seq[String]): String =
+    stops.map(s => s"'$s'").mkString("(", ", ", ")")
+
+  /** Marker-token language ID (word-level n-gram heuristic, n=1) over
+    * three top-20 stopword tables: per-language score = |distinct tokens
+    * ∩ markers|, prediction = deterministic argmax. */
   private val q36LangId = QueryDef(
-    (s, dir) =>
-      Tables(s, dir, "documents")
-        .select(col("doc_id"), col("lang"),
-          size(filter(array_distinct(toks),
-            x => x.isin("the", "a"))).cast("long").as("en_score"))
-        .withColumn("predicted",
-          when(col("en_score") > 0, "en").otherwise("und"))
-        .orderBy("doc_id"),
-    """SELECT doc_id, lang,
-      |       CAST(len(list_filter(list_distinct(string_split(text, ' ')),
-      |         x -> x IN ('the', 'a'))) AS BIGINT) AS en_score,
-      |       CASE WHEN len(list_filter(list_distinct(string_split(text, ' ')),
-      |         x -> x IN ('the', 'a'))) > 0 THEN 'en' ELSE 'und' END
-      |         AS predicted
-      |FROM documents ORDER BY doc_id""")
+    (s, dir) => langScores(Tables(s, dir, "documents")).orderBy("doc_id"),
+    s"""WITH sc AS (SELECT doc_id, lang,
+      |    CAST(len(list_filter(list_distinct(string_split(text, ' ')),
+      |      x -> x IN ${sqlIn(stopEn)})) AS BIGINT) AS en_score,
+      |    CAST(len(list_filter(list_distinct(string_split(text, ' ')),
+      |      x -> x IN ${sqlIn(stopDe)})) AS BIGINT) AS de_score,
+      |    CAST(len(list_filter(list_distinct(string_split(text, ' ')),
+      |      x -> x IN ${sqlIn(stopFr)})) AS BIGINT) AS fr_score
+      |  FROM documents)
+      |SELECT doc_id, lang, en_score, de_score, fr_score,
+      |       CASE WHEN en_score >= de_score AND en_score >= fr_score
+      |                 AND en_score > 0 THEN 'en'
+      |            WHEN de_score >= fr_score AND de_score > 0 THEN 'de'
+      |            WHEN fr_score > 0 THEN 'fr'
+      |            ELSE 'und' END AS predicted
+      |FROM sc ORDER BY doc_id""")
 
   /** Truncate to 6 decimals via floor — unlike round(), floor has no
     * tie-break semantics, so when both engines compute a bit-identical
