@@ -217,29 +217,41 @@ object Assembly {
     * pure per-row expressions; Catalyst pipelines the whole filter chain
     * into the scan stage. Thresholds (quality ≥ 0.5, 10–200 tokens,
     * 12/16 train) are the pipeline's config surface. */
+  /** The per-row gate chain of the curation pipeline (lang-ID → quality
+    * gate → length gate → reproducible split) over any (doc_id, lang,
+    * text) relation — batch OR streaming: every gate is a pure per-row
+    * expression (no window, no shuffle, no state), so the SAME function
+    * runs inside q68 after its dedup stage and inside
+    * graft.streaming.CurationStream on micro-batches. */
+  private[graft] def curationGates(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val w = split(col("text"), " ")
+    val stop = (x: Column) => x.isin("the", "a")
+    val predicted = when(
+      size(filter(array_distinct(w), stop)) > 0, "en").otherwise("und")
+    val quality = trunc6(
+      lit(0.5) * (size(array_distinct(w)).cast("double") / size(w)) +
+        lit(0.5) * (lit(1.0) -
+          size(filter(w, stop)).cast("double") / size(w)))
+    docs
+      .select(col("doc_id"), col("lang"),
+        size(w).cast("long").as("n_tokens"),
+        predicted.as("predicted"), quality.as("quality"))
+      .filter(col("predicted") === "en" && col("quality") >= 0.5 &&
+        col("n_tokens").between(10, 200))
+      .withColumn("split",
+        when(substring(md5(col("doc_id").cast("string")), 1, 1) < "c",
+          "train").otherwise("heldout"))
+      .select("doc_id", "lang", "n_tokens", "quality", "split")
+  }
+
   private val q68CurationPipeline = QueryDef(
     (s, dir) => {
       val wDedup = Window.partitionBy(md5(col("text"))).orderBy("doc_id")
-      val w = split(col("text"), " ")
-      val stop = (x: Column) => x.isin("the", "a")
-      val predicted = when(
-        size(filter(array_distinct(w), stop)) > 0, "en").otherwise("und")
-      val quality = trunc6(
-        lit(0.5) * (size(array_distinct(w)).cast("double") / size(w)) +
-          lit(0.5) * (lit(1.0) -
-            size(filter(w, stop)).cast("double") / size(w)))
-      Tables(s, dir, "documents")
-        .withColumn("rn", row_number().over(wDedup))
-        .filter(col("rn") === 1) // exact-dedup canonical (min doc_id)
-        .select(col("doc_id"), col("lang"),
-          size(w).cast("long").as("n_tokens"),
-          predicted.as("predicted"), quality.as("quality"))
-        .filter(col("predicted") === "en" && col("quality") >= 0.5 &&
-          col("n_tokens").between(10, 200))
-        .withColumn("split",
-          when(substring(md5(col("doc_id").cast("string")), 1, 1) < "c",
-            "train").otherwise("heldout"))
-        .select("doc_id", "lang", "n_tokens", "quality", "split")
+      curationGates(
+        Tables(s, dir, "documents")
+          .withColumn("rn", row_number().over(wDedup))
+          .filter(col("rn") === 1)) // exact-dedup canonical (min doc_id)
         .orderBy("doc_id")
     },
     """WITH canon AS (
