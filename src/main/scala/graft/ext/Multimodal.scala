@@ -93,8 +93,13 @@ object Multimodal {
     * row, so q53/q54/q60 measure 10× the codec work at 10× the sf (the
     * parquet count() is statistics-only — no data scan). The DuckDB
     * oracles derive the same row set from documents via row_number(). */
-  def mediaFixture(spark: SparkSession, dir: String): DataFrame =
-    synthesize(spark, graft.core.Tables(spark, dir, "documents").count().toInt)
+  def mediaFixture(spark: SparkSession, dir: String): DataFrame = {
+    val n = graft.core.Tables(spark, dir, "documents").count()
+    require(n <= Int.MaxValue,
+      s"mediaFixture generates one media row per document; $n documents " +
+        "exceeds the Int-sized fixture bound (synthesize takes an Int)")
+    synthesize(spark, n.toInt)
+  }
 
   /** Shared oracle-SQL prelude: media_id/len re-derived from documents. */
   private val oracleIds =

@@ -46,10 +46,12 @@ final class FileCursorStore(stateDir: String) extends CursorStore {
   private val cursorFile = Paths.get(stateDir, "last_repo_id.txt")
 
   override def read(): Option[Long] =
-    if (Files.exists(cursorFile))
-      Some(new String(Files.readAllBytes(cursorFile), StandardCharsets.UTF_8)
-        .trim.toLong)
-    else None
+    if (Files.exists(cursorFile)) {
+      val v = new String(Files.readAllBytes(cursorFile),
+        StandardCharsets.UTF_8).trim
+      Some(Try(v.toLong).getOrElse(throw new IllegalStateException(
+        s"cursor file $cursorFile holds a non-numeric value: '$v'")))
+    } else None
 
   override def commit(id: Long): Unit = {
     Files.createDirectories(cursorFile.getParent)

@@ -126,7 +126,8 @@ final class RepoListScan(schema: StructType, path: String, since: Long,
     * cursor — see RepoListMicroBatchStream. */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new RepoListMicroBatchStream(path, since, pageSize, maxIdsPerTrigger, policy)
+    new RepoListMicroBatchStream(path, since, pageSize, maxIdsPerTrigger,
+      policy, requestBudget)
   override def planInputPartitions(): Array[InputPartition] =
     Array(RepoListPartition(path, since, limit, pageSize, pageDelayMs,
       requestBudget, policy))
@@ -178,8 +179,16 @@ final class RepoListReader(schema: StructType, part: RepoListPartition)
     if (emitted >= part.limit) return false
     while (!page.hasNext && !exhausted) {
       // auth-regime budget: the walk never issues more page fetches than
-      // the current regime's hourly allowance (60 anon / 5000 token)
-      if (fetched >= part.requestBudget) { exhausted = true }
+      // the current regime's hourly allowance (60 anon / 5000 token).
+      // Stopping on budget TRUNCATES the scan — warn so a budget-bound
+      // result is distinguishable from a complete one in the logs.
+      if (fetched >= part.requestBudget) {
+        exhausted = true
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"graft-repos: request budget of ${part.requestBudget} page " +
+            s"fetches exhausted at cursor $cursor; scan result is " +
+            "truncated, not end-of-data")
+      }
       else {
         if (emitted > 0 && part.pageDelayMs > 0)
           Thread.sleep(part.pageDelayMs) // fixed-delay floor between pages

@@ -15,22 +15,73 @@ import org.apache.spark.unsafe.types.UTF8String
   * for free: after a kill, the engine replays/resumes from the last
   * committed cursor, never from 0.
   *
+  * FETCH-ONCE DISCIPLINE (quota is the scarce resource against a real
+  * rate-limited API): every page is fetched exactly once, on the DRIVER,
+  * through ONE shared RateLimit.Admission, and the rows are cached and
+  * HANDED to the partition — the executor reader never re-fetches what
+  * offset planning already paid for. The cache is pruned at commit(), so
+  * driver memory holds only in-flight batches. The auth-regime
+  * `requestBudget` (60 anonymous / 5000 token, same switch as the batch
+  * scan) bounds total page fetches across the walk; exhaustion stops
+  * planning with a logged warning instead of silently re-issuing.
+  *
   * `maxIdsPerTrigger` bounds each micro-batch (the streaming analog of
-  * the batch source's pushed limit / request budget); Trigger.AvailableNow
-  * drains to the fixture's end across several bounded batches. */
+  * the batch source's pushed limit); Trigger.AvailableNow drains to the
+  * fixture's end across several bounded batches. */
 final case class RepoStreamOffset(lastId: Long) extends Offset {
   override def json(): String = s"""{"lastId":$lastId}"""
 }
 
 final class RepoListMicroBatchStream(path: String, since: Long,
-    pageSize: Int, maxIdsPerTrigger: Int, policy: RateLimit.Policy)
+    pageSize: Int, maxIdsPerTrigger: Int, policy: RateLimit.Policy,
+    requestBudget: Int = Int.MaxValue,
+    fetcherFactory: String => PageFetcher = new JsonFileFetcher(_))
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
-  private val fetcher = new JsonFileFetcher(path)
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+  private val fetcher = fetcherFactory(path)
+  // ONE admission controller for the whole walk: backoff / floor-pause
+  // state is never split between planner and reader
   private val admission = new RateLimit.Admission(policy)
+
+  // planner-side row cache, ids strictly ascending; walkedTo = cursor
+  // through which the upstream has been fetched in this incarnation
+  private val cache = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+  private var walkedTo: Long = since
+  private var fetched = 0
+  private var warnedBudget = false
   // AvailableNow target: fixed at prepare time so the drain terminates
   // even if the upstream keeps growing mid-run
   @volatile private var availableNowTarget: Option[Long] = None
+
+  private def budgetLeft: Boolean = fetched < requestBudget
+
+  private def warnBudget(): Unit = if (!warnedBudget) {
+    warnedBudget = true
+    log.warn(s"graft-repos stream: request budget of $requestBudget page " +
+      "fetches exhausted; planning stops at the current cursor (results " +
+      "are truncated, not complete)")
+  }
+
+  /** Advance the keyset walk, appending to the cache, until `need` rows
+    * beyond `from` are cached, the upstream has no more rows right now,
+    * or the request budget is exhausted. The only fetch path in the
+    * class. */
+  private def extendCache(from: Long, need: Long): Unit = {
+    var after = cache.iterator.count(_._1 > from)
+    var drained = false
+    while (after < need && !drained && budgetLeft) {
+      val rows = admission.fetchPage(fetcher, walkedTo, pageSize)
+      fetched += 1
+      if (rows.isEmpty) drained = true
+      else {
+        cache ++= rows
+        walkedTo = rows.last._1
+        after += rows.count(_._1 > from)
+      }
+    }
+    if (after < need && !drained && !budgetLeft) warnBudget()
+  }
 
   override def initialOffset(): Offset = RepoStreamOffset(since)
 
@@ -42,25 +93,28 @@ final class RepoListMicroBatchStream(path: String, since: Long,
   }
 
   override def prepareForTriggerAvailableNow(): Unit = {
-    // drain target = the last id currently visible in the fixture
-    var cur = since
-    var rows = fetcher.fetch(cur, pageSize)
-    while (rows.nonEmpty) { cur = rows.last._1; rows = fetcher.fetch(cur, pageSize) }
-    availableNowTarget = Some(cur)
+    // drain target = the last id currently visible upstream; the walk
+    // fills the cache, so the drain's batches re-fetch NOTHING
+    extendCache(Long.MaxValue, 1) // walks until drained (or budget out)
+    availableNowTarget = Some(if (cache.nonEmpty) cache.last._1 else walkedTo)
   }
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(maxIdsPerTrigger)
 
   /** Admission-controlled batch planning: advance the cursor by at most
-    * the read limit's rows, clamped to the AvailableNow drain target. */
+    * the read limit's rows, clamped to the AvailableNow drain target.
+    * Rows discovered here are cached for planInputPartitions — planning
+    * IS the fetch. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[RepoStreamOffset].lastId
     val cap = limit match {
-      case mr: ReadMaxRows => math.min(mr.maxRows(), Int.MaxValue.toLong).toInt
-      case _ => maxIdsPerTrigger
+      case mr: ReadMaxRows => mr.maxRows()
+      case _ => maxIdsPerTrigger.toLong
     }
-    val rows = admission.fetchPage(fetcher, from, cap)
-    val next = if (rows.isEmpty) from else rows.last._1
+    extendCache(from, cap)
+    val planned = cache.iterator.filter(_._1 > from).take(
+      math.min(cap, Int.MaxValue.toLong).toInt).toSeq
+    val next = if (planned.isEmpty) from else planned.last._1
     RepoStreamOffset(availableNowTarget.fold(next)(math.min(next, _)))
   }
 
@@ -68,21 +122,49 @@ final class RepoListMicroBatchStream(path: String, since: Long,
     throw new UnsupportedOperationException(
       "admission-controlled source: use latestOffset(start, limit)")
 
-  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
-    Array(RepoStreamPartition(path,
-      start.asInstanceOf[RepoStreamOffset].lastId,
-      end.asInstanceOf[RepoStreamOffset].lastId, pageSize, policy))
+  /** Hand the cached rows for (start, end] to the executor. The normal
+    * path is a pure cache slice; a WAL replay after a restart (offsets
+    * re-planned from the checkpoint before any latestOffset call in this
+    * incarnation) re-walks the range through the same budget-counted
+    * admission path. */
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[RepoStreamOffset].lastId
+    val to = end.asInstanceOf[RepoStreamOffset].lastId
+    while (walkedTo < to && budgetLeft) {
+      val rows = admission.fetchPage(fetcher, walkedTo, pageSize)
+      fetched += 1
+      if (rows.isEmpty) walkedTo = to // upstream shrank below the offset
+      else { cache ++= rows; walkedTo = rows.last._1 }
+    }
+    if (walkedTo < to)
+      throw new IllegalStateException(
+        s"graft-repos stream: request budget of $requestBudget exhausted " +
+          s"while replaying committed range ($from, $to] — refusing to " +
+          "plan a partial batch")
+    val slice = cache.iterator
+      .filter(r => r._1 > from && r._1 <= to).map(_._2).toArray
+    Array(RepoStreamPartition(slice))
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new RepoStreamReaderFactory(graft.ingest.RepoSchema.raw)
 
-  override def commit(end: Offset): Unit = () // the offset log is the state
+  /** The offset log is the state; a committed batch's rows can leave the
+    * planner cache (bounded driver memory over a long-running stream). */
+  override def commit(end: Offset): Unit = {
+    val upTo = end.asInstanceOf[RepoStreamOffset].lastId
+    val keep = cache.dropWhile(_._1 <= upTo)
+    cache.clear()
+    cache ++= keep
+  }
 
   override def stop(): Unit = ()
 }
 
-case class RepoStreamPartition(path: String, fromId: Long, toId: Long,
-    pageSize: Int, policy: RateLimit.Policy) extends InputPartition
+/** Micro-batch slice with its rows INLINE: the planner already fetched
+  * and paid admission for them — shipping them with the partition is
+  * what makes the source fetch-once. Bounded by maxIdsPerTrigger. */
+case class RepoStreamPartition(rows: Array[String]) extends InputPartition
 
 final class RepoStreamReaderFactory(schema: StructType)
     extends PartitionReaderFactory {
@@ -90,41 +172,28 @@ final class RepoStreamReaderFactory(schema: StructType)
     new RepoStreamReader(schema, p.asInstanceOf[RepoStreamPartition])
 }
 
-/** Serial keyset walk over the half-open id range (fromId, toId] — the
-  * micro-batch slice the offsets delimit. Same page mechanics as the
-  * batch reader. */
+/** Parses the planner-fetched JSON rows — no transport, no admission
+  * state on the executor. */
 final class RepoStreamReader(schema: StructType, part: RepoStreamPartition)
     extends PartitionReader[InternalRow] {
 
-  private val fetcher = new JsonFileFetcher(part.path)
-  private val admission = new RateLimit.Admission(part.policy)
   private val parser = {
     val opts = new JSONOptions(Map.empty[String, String], "UTC")
     new JacksonParser(schema, opts, allowArrayAsStructs = false)
   }
 
-  private var cursor = part.fromId
-  private var page: Iterator[(Long, String)] = Iterator.empty
+  private val it = part.rows.iterator
   private var current: InternalRow = _
-  private var exhausted = cursor >= part.toId
 
   override def next(): Boolean = {
-    while (!page.hasNext && !exhausted) {
-      val rows = admission.fetchPage(fetcher, cursor, part.pageSize)
-        .filter(_._1 <= part.toId) // offsets delimit the batch exactly
-      if (rows.isEmpty) exhausted = true
-      else {
-        cursor = rows.last._1
-        if (cursor >= part.toId) exhausted = true
-        page = rows.iterator
+    while (it.hasNext) {
+      parser.parse(UTF8String.fromString(it.next()),
+        CreateJacksonParser.utf8String, identity[UTF8String]).headOption match {
+        case Some(r) => current = r; return true
+        case None => () // skip malformed line
       }
     }
-    if (!page.hasNext) return false
-    parser.parse(UTF8String.fromString(page.next()._2),
-      CreateJacksonParser.utf8String, identity[UTF8String]).headOption match {
-      case Some(r) => current = r; true
-      case None => next() // skip malformed line
-    }
+    false
   }
 
   override def get(): InternalRow = current

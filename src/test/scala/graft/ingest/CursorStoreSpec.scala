@@ -22,6 +22,17 @@ class CursorStoreSpec extends AnyFunSuite {
     assert(st.read().contains(43L))
   }
 
+  test("file store: a corrupt cursor file fails naming the file, not bare NFE") {
+    val dir = tmpDir()
+    Files.write(java.nio.file.Paths.get(dir, "last_repo_id.txt"),
+      "garbage".getBytes("UTF-8"))
+    val ex = intercept[IllegalStateException] {
+      new FileCursorStore(dir).read()
+    }
+    assert(ex.getMessage.contains("last_repo_id.txt"))
+    assert(ex.getMessage.contains("garbage"))
+  }
+
   test("env store: blank is unset, numeric seeds, junk fails naming the var") {
     def env(m: Map[String, String]): String => Option[String] = m.get
     assert(new EnvCursorStore("V", env(Map.empty)).read().isEmpty)

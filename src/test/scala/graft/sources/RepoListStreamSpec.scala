@@ -79,6 +79,70 @@ class RepoListStreamSpec extends SparkSpec {
       .map(_.getLong(0)).toSeq.sorted == (16L to 20L))
   }
 
+  /** Wraps the file fetcher, counting pages — the quota meter a real
+    * rate-limited transport bills by. */
+  private final class CountingFetcher(path: String) extends PageFetcher {
+    val inner = new JsonFileFetcher(path)
+    var fetches = 0
+    override def fetch(since: Long, pageSize: Int): Seq[(Long, String)] = {
+      fetches += 1
+      inner.fetch(since, pageSize)
+    }
+  }
+
+  test("fetch-once: a micro-batch's pages are fetched during planning only") {
+    val path = fixture(10)
+    val counting = new CountingFetcher(path)
+    val s = new RepoListMicroBatchStream(path, 0L, pageSize = 5,
+      maxIdsPerTrigger = 10, RateLimit.Policy(),
+      fetcherFactory = _ => counting)
+    val start = s.initialOffset()
+    val end = s.latestOffset(start,
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.maxRows(10))
+    assert(end.asInstanceOf[RepoStreamOffset].lastId == 10L)
+    assert(counting.fetches == 2) // 10 ids / pageSize 5 — planning's walk
+    // partition planning and the executor read add ZERO fetches: the
+    // planner's rows ride inside the partition
+    val parts = s.planInputPartitions(start, end)
+    val reader = s.createReaderFactory().createReader(parts(0))
+    var n = 0
+    while (reader.next()) n += 1
+    assert(n == 10)
+    assert(counting.fetches == 2) // unchanged — no driver or executor re-fetch
+  }
+
+  test("request budget bounds the stream walk and stops planning loudly") {
+    val path = fixture(30)
+    val counting = new CountingFetcher(path)
+    val s = new RepoListMicroBatchStream(path, 0L, pageSize = 5,
+      maxIdsPerTrigger = 100, RateLimit.Policy(), requestBudget = 2,
+      fetcherFactory = _ => counting)
+    val lim = org.apache.spark.sql.connector.read.streaming.ReadLimit.maxRows(100)
+    val end = s.latestOffset(s.initialOffset(), lim)
+    // 2 budgeted pages x 5 rows: the cursor stops at 10, not 30
+    assert(end.asInstanceOf[RepoStreamOffset].lastId == 10L)
+    assert(counting.fetches == 2)
+    // further planning makes no progress and issues no further fetches
+    val again = s.latestOffset(end, lim)
+    assert(again.asInstanceOf[RepoStreamOffset].lastId == 10L)
+    assert(counting.fetches == 2)
+  }
+
+  test("commit prunes the planner cache up to the committed offset") {
+    val path = fixture(20)
+    val s = new RepoListMicroBatchStream(path, 0L, pageSize = 10,
+      maxIdsPerTrigger = 10, RateLimit.Policy())
+    val lim = org.apache.spark.sql.connector.read.streaming.ReadLimit.maxRows(10)
+    val o1 = s.latestOffset(s.initialOffset(), lim)
+    s.commit(o1) // batch 0 done: its rows may leave driver memory
+    val o2 = s.latestOffset(o1, lim)
+    // planning continues correctly from the pruned cache
+    assert(o2.asInstanceOf[RepoStreamOffset].lastId == 20L)
+    val rows = s.planInputPartitions(o1, o2)(0)
+      .asInstanceOf[RepoStreamPartition].rows
+    assert(rows.length == 10)
+  }
+
   test("offset json round-trips through deserializeOffset") {
     val s = new RepoListMicroBatchStream(fixture(5), 0L, 100, 10,
       RateLimit.Policy())
