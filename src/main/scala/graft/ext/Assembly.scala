@@ -282,6 +282,79 @@ object Assembly {
       |SELECT doc_id, lang, n_tokens, quality, split
       |FROM gated ORDER BY doc_id""")
 
+  /** The production corpus builder end-to-end: q68's curation chain with
+    * q69's decontamination composed in — eval-slice exclusion →
+    * contaminated-doc anti-join → exact dedup → gates → split, as ONE
+    * declarative query. This is the "don't ship contaminated data" DAG a
+    * real training-corpus build runs.
+    *
+    * Scale shape: the eval shingle-hash set is small and BROADCASTS
+    * (q69's argument); the contaminated-id set is smaller still (⊆ docs
+    * sharing an 8-gram with the benchmark) and broadcasts into a
+    * LEFT ANTI hash join — so both decontamination stages prune the
+    * corpus map-side before the dedup window's content-fingerprint
+    * shuffle, the plan's one corpus-wide exchange. */
+  private val q75DecontaminatedCuration = QueryDef(
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val words = docs
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 8)
+      val sh = words.select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(1, size(w) - 7), " +
+          "i -> xxhash64(array_join(slice(w, i, 8), ' '))))")).as("h"))
+      val evalSet = sh.filter(col("doc_id") % 50 === 7)
+        .select("h").distinct()
+      val contaminated = sh.filter(col("doc_id") % 50 =!= 7)
+        .join(broadcast(evalSet), Seq("h"), "left_semi")
+        .select("doc_id").distinct()
+      val wDedup = Window.partitionBy(md5(col("text"))).orderBy("doc_id")
+      curationGates(
+        docs.filter(col("doc_id") % 50 =!= 7) // the benchmark never trains
+          .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+          .withColumn("rn", row_number().over(wDedup))
+          .filter(col("rn") === 1))
+        .orderBy("doc_id")
+    },
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS l
+      |           FROM documents WHERE len(string_split(text, ' ')) >= 8),
+      |sh AS (SELECT DISTINCT doc_id,
+      |              array_to_string(l[i:i+7], ' ') AS sh
+      |       FROM w, UNNEST(generate_series(1, len(l) - 7)) t(i)),
+      |ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 50 = 7),
+      |cont AS (SELECT DISTINCT s.doc_id FROM sh s
+      |         JOIN ev ON s.sh = ev.sh WHERE s.doc_id % 50 <> 7),
+      |clean AS (SELECT d.doc_id, d.lang, d.text FROM documents d
+      |          WHERE d.doc_id % 50 <> 7 AND NOT EXISTS
+      |            (SELECT 1 FROM cont c WHERE c.doc_id = d.doc_id)),
+      |canon AS (
+      |  SELECT doc_id, lang, text,
+      |         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id)
+      |           AS rn
+      |  FROM clean),
+      |feat AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS w
+      |  FROM canon WHERE rn = 1),
+      |scored AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(w) AS BIGINT) AS n_tokens,
+      |    CASE WHEN len(list_filter(list_distinct(w),
+      |           x -> x IN ('the','a'))) > 0
+      |         THEN 'en' ELSE 'und' END AS predicted,
+      |    floor((0.5e0 * (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) +
+      |           0.5e0 * (1.0e0 -
+      |             CAST(len(list_filter(w, x -> x IN ('the','a')))
+      |               AS DOUBLE) / len(w))) * 1000000) / 1000000 AS quality
+      |  FROM feat),
+      |gated AS (
+      |  SELECT *, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+      |                 THEN 'train' ELSE 'heldout' END AS split
+      |  FROM scored
+      |  WHERE predicted = 'en' AND quality >= 0.5e0
+      |    AND n_tokens BETWEEN 10 AND 200)
+      |SELECT doc_id, lang, n_tokens, quality, split
+      |FROM gated ORDER BY doc_id""")
+
   val defs: Map[String, QueryDef] = Map(
     "q63_sequence_packing" -> q63SequencePacking,
     "q64_pii_redaction" -> q64PiiRedaction,
@@ -289,5 +362,6 @@ object Assembly {
     "q66_bm25" -> q66Bm25,
     "q68_curation_pipeline" -> q68CurationPipeline,
     "q73_vocab_packing" -> q73VocabPacking,
+    "q75_decontaminated_curation" -> q75DecontaminatedCuration,
   )
 }

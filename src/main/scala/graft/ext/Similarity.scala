@@ -301,6 +301,76 @@ object Similarity {
       |       mean_recall1, mean_recall2
       |FROM perq, m ORDER BY q_id""")
 
+  /** Multi-probe hyperplane-LSH ANN — the recall lever for the LSH index
+    * family, sibling to q70's nprobe lever for IVF: each query probes its
+    * HOME sign-bucket plus every bucket at Hamming distance 1 (one
+    * hyperplane's sign flipped — the planes+1 most likely buckets for a
+    * near neighbor to land in), so candidate cost is (planes+1)/2^planes
+    * of the corpus instead of 1/2^planes, and boundary-crossing neighbors
+    * stop being missed. Buckets come from the integer-exact codegen
+    * `hyperplane_bucket` (q55's discipline), so — unlike q35's
+    * float-Gaussian planes — the whole operator, probe set included, is
+    * oracle-exact in DuckDB via BIGINT xor. The probe set is tiny
+    * (10 queries × planes+1 buckets) and broadcasts; candidates arrive
+    * through a bucket equi-join, never a cross product. */
+  private val q74KnnMultiprobe = QueryDef(
+    (s, dir) => {
+      val e0 = Tables(s, dir, "embeddings")
+      val planes = graft.ext.Dedup.lshPlanes(e0.count())
+      val e = e0.select(col("vec_id"), col("embedding"),
+        graft.functions.HyperplaneBucket.bucket(col("embedding"), planes)
+          .as("bucket"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("bucket").as("qb"))
+      // home bucket + one-bit flips = the Hamming-1 probe ball
+      val probeCols = col("qb") +: (0 until planes).map(p =>
+        col("qb").bitwiseXOR(lit(1 << p)))
+      val probes = q.select(col("q_id"), col("q_emb"),
+        explode(array(probeCols: _*)).as("pb"))
+      val cand = e.select(col("vec_id").as("n_id"),
+        col("embedding").as("n_emb"), col("bucket").as("n_bucket"))
+      val w = Window.partitionBy("q_id").orderBy(desc("cos_raw"), asc("n_id"))
+      cand.join(broadcast(probes),
+          col("n_bucket") === col("pb") && col("n_id") =!= col("q_id"))
+        .withColumn("cos_raw", cosine(col("q_emb"), col("n_emb")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("q_id"), col("n_id"),
+          round(col("cos_raw"), 6).as("cosine"),
+          col("rk").cast("long").as("rk"))
+        .orderBy("q_id", "rk")
+    },
+    """WITH np AS (
+      |  SELECT 4 + length(bin(greatest(count(*) // 500, 1))) - 1 AS planes
+      |  FROM embeddings),
+      |d AS (
+      |  SELECT vec_id, embedding,
+      |    (SELECT sum(CASE WHEN list_sum(list_transform(embedding, (x,i) ->
+      |       CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+      |       * ((((i-1) * 31 + p * 17) % 7) - 3))) > 0
+      |     THEN 1 << p ELSE 0 END)
+      |     FROM generate_series(0, 62) t(p), np WHERE p < planes) AS bucket
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket AS qb
+      |      FROM d WHERE vec_id < 10),
+      |pb AS (SELECT q_id, q_emb,
+      |         CASE WHEN p = -1 THEN qb ELSE xor(qb, 1 << p) END AS pb
+      |       FROM q, generate_series(-1, 62) t(p), np WHERE p < planes),
+      |c AS (SELECT q_id, d.vec_id AS n_id,
+      |        list_sum(list_transform(q_emb,
+      |          (x,i) -> CAST(x AS DOUBLE) * CAST(d.embedding[i] AS DOUBLE))) /
+      |        (sqrt(list_sum(list_transform(q_emb,
+      |           x -> CAST(x AS DOUBLE) * x))) *
+      |         sqrt(list_sum(list_transform(d.embedding,
+      |           x -> CAST(x AS DOUBLE) * x)))) AS cos_raw
+      |      FROM d JOIN pb ON d.bucket = pb.pb AND d.vec_id <> pb.q_id)
+      |SELECT q_id, n_id, round(cos_raw, 6) AS cosine,
+      |       CAST(rk AS BIGINT) AS rk
+      |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+      |        ORDER BY cos_raw DESC, n_id) AS rk FROM c)
+      |WHERE rk <= 5 ORDER BY q_id, rk""")
+
   /** Per-vector int8 quantization — the storage/bandwidth op for serving
     * embeddings at scale (4× smaller than f32, enough for recall-oriented
     * ANN): min-max affine scale to 0..255 plus the per-vector scale and
@@ -345,6 +415,7 @@ object Similarity {
     "q35_knn_lsh" -> q35KnnLsh,
     "q59_knn_ivf" -> q59KnnIvf,
     "q70_ann_recall" -> q70AnnRecall,
+    "q74_knn_multiprobe" -> q74KnnMultiprobe,
     "q62_embedding_quantize" -> q62Quantize,
   )
 }

@@ -28,6 +28,27 @@ object CurationStream {
   def gated(docs: DataFrame): DataFrame =
     graft.ext.Assembly.curationGates(docs)
 
+  /** Cross-batch exact dedup on the CONTENT fingerprint — the stateful
+    * stage of the curation chain (q30/q68's dedup in incremental form):
+    * the state store keeps one md5 digest per distinct document ever
+    * seen, so a re-crawled or re-delivered document is dropped in any
+    * later micro-batch, exactly like the batch window keeps only the
+    * first (min doc_id) copy. State is keyed on the 128-bit digest, never
+    * the text — the q30 shuffle discipline carried into the state store.
+    * Retention is unbounded by design here (a corpus's identity set IS
+    * its state); a horizon-bounded deployment swaps in
+    * dropDuplicatesWithinWatermark on an event-time column. */
+  def dedupByFingerprint(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, md5}
+    docs.withColumn("fp", md5(col("text")))
+      .dropDuplicates("fp")
+      .drop("fp")
+  }
+
+  /** The full incremental curation chain: stateful content dedup, then
+    * the stateless gates. */
+  def curated(docs: DataFrame): DataFrame = gated(dedupByFingerprint(docs))
+
   /** AvailableNow drain of the gated stream into an idempotent
     * batch-keyed parquet layout. */
   def startToParquet(docs: DataFrame, out: String,

@@ -60,6 +60,26 @@ class CurationStreamSpec extends SparkSpec {
     assert(ids.toSeq == Seq(1L, 3L, 4L))
   }
 
+  test("content dedup drops a re-delivered document in a LATER micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[CurDoc]
+    val q = CurationStream.curated(input.toDF())
+      .writeStream.format("memory").queryName("curated_dedup")
+      .outputMode("append").start()
+    try {
+      input.addData(good(1), good(10))
+      q.processAllAvailable()
+      // batch 2: doc 1's exact text re-crawled under a NEW doc_id, plus a
+      // fresh doc — cross-batch state must drop the re-crawl
+      input.addData(CurDoc(2L, "en", good(1).text), good(11))
+      q.processAllAvailable()
+      val ids = spark.table("curated_dedup").select("doc_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 10L, 11L)) // 2L deduped against batch 1
+    } finally q.stop()
+  }
+
   test("crash-replay of a batch overwrites its directory, never duplicates") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft-cur-replay").toString
