@@ -98,9 +98,90 @@ object Sampling {
       |  FROM documents)
       |WHERE rn <= 20 ORDER BY lang, rn""")
 
+  /** Adaptive quality gate — "keep the best 75% per language" instead of
+    * a fixed threshold: corpora differ, so production gates are set
+    * RELATIVE to the observed quality distribution. The decision is
+    * RANK-based (row_number ≤ ceil(0.75·n_lang)), not value-interpolated
+    * (a percentile-value cut would hang the keep/drop decision on the
+    * last float bit of an interpolated threshold); 0.75·n is exact binary
+    * arithmetic, so the gate is bit-identical in both engines. One window
+    * per language partition — q61's discipline, never a global sort. */
+  private val q76AdaptiveQualityGate = QueryDef(
+    (s, dir) => {
+      val w = split(col("text"), " ")
+      val stop = (x: Column) => x.isin("the", "a")
+      val quality = floor((lit(0.5) *
+        (size(array_distinct(w)).cast("double") / size(w)) +
+        lit(0.5) * (lit(1.0) -
+          size(filter(w, stop)).cast("double") / size(w))) * lit(1e6)) / lit(1e6)
+      val wr = Window.partitionBy("lang").orderBy(desc("quality"), asc("doc_id"))
+      val wn = Window.partitionBy("lang")
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), quality.as("quality"))
+        .withColumn("quality_rank", row_number().over(wr).cast("long"))
+        .withColumn("n_lang", count(lit(1)).over(wn).cast("long"))
+        .filter(col("quality_rank") <= ceil(lit(0.75) * col("n_lang")))
+        .orderBy("doc_id")
+    },
+    """WITH q AS (
+      |  SELECT doc_id, lang,
+      |    floor((0.5e0 * (CAST(len(list_distinct(string_split(text, ' ')))
+      |             AS DOUBLE) / len(string_split(text, ' '))) +
+      |           0.5e0 * (1.0e0 -
+      |             CAST(len(list_filter(string_split(text, ' '),
+      |               x -> x IN ('the','a'))) AS DOUBLE)
+      |               / len(string_split(text, ' ')))) * 1000000) / 1000000
+      |      AS quality
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, lang, quality,
+      |    CAST(row_number() OVER (PARTITION BY lang
+      |      ORDER BY quality DESC, doc_id) AS BIGINT) AS quality_rank,
+      |    CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n_lang
+      |  FROM q)
+      |SELECT doc_id, lang, quality, quality_rank, n_lang
+      |FROM r WHERE quality_rank <= ceil(0.75e0 * n_lang)
+      |ORDER BY doc_id""")
+
+  /** Per-source token-budget sampling — "take ~800 tokens from each
+    * source" (the unit a mixture recipe is actually written in, vs q57's
+    * row-rate mixing): docs are ordered by their content-stable md5
+    * position within the source (q65's reproducible shuffle), token
+    * counts accumulate, and each source admits docs while the budget is
+    * unfilled (the first doc crossing the line is included, so every
+    * source reaches its budget). One window per source partition;
+    * deterministic under retries, driver-free. */
+  private val q77TokenBudgetMix = QueryDef(
+    (s, dir) => {
+      val hx = md5(concat(col("doc_id").cast("string"), lit(":"), col("text")))
+      val w = Window.partitionBy("source").orderBy("hx", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("tok"), hx.as("hx"))
+        .withColumn("cum", sum("tok").over(w))
+        .filter(col("cum") - col("tok") < 800) // start offset below budget
+        .select(col("doc_id"), col("source"), col("tok"), col("cum"))
+        .orderBy("doc_id")
+    },
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+      |    md5(CAST(doc_id AS VARCHAR) || ':' || text) AS hx
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, source, tok,
+      |    sum(tok) OVER (PARTITION BY source ORDER BY hx, doc_id
+      |                   ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM t)
+      |SELECT doc_id, source, tok, CAST(cum AS BIGINT) AS cum
+      |FROM c WHERE cum - tok < 800 ORDER BY doc_id""")
+
   val defs: Map[String, QueryDef] = Map(
     "q56_stratified_split" -> q56StratifiedSplit,
     "q57_dataset_mix" -> q57DatasetMix,
     "q61_balanced_subset" -> q61BalancedSubset,
+    "q76_adaptive_quality_gate" -> q76AdaptiveQualityGate,
+    "q77_token_budget_mix" -> q77TokenBudgetMix,
   )
 }
