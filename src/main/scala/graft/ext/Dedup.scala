@@ -423,6 +423,17 @@ object Dedup {
           .join(l.select(col("v").as("dst"), col("lbl")), "dst")
           .select(col("src").as("v"), col("lbl")))
         .groupBy("v").agg(min("lbl").as("lbl"))
+    // convergence metric: labels are per-vertex MONOTONICALLY
+    // NON-INCREASING and the vertex set is fixed, so the label sum is
+    // unchanged iff the round was a fixpoint. Summing in decimal(38,0)
+    // keeps the check exact at any corpus size (no silent long wrap).
+    // One tiny partial-aggregation per round — strictly cheaper than
+    // joining consecutive label sets and counting changed rows.
+    def lblSum(l: DataFrame): java.math.BigDecimal = {
+      val d = l.agg(sum(col("lbl").cast("decimal(38,0)"))).collect()(0)
+      if (d.isNullAt(0)) java.math.BigDecimal.ZERO else d.getDecimal(0)
+    }
+    var curSum = lblSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -430,11 +441,10 @@ object Dedup {
       // convergence check: iteration cost here is Spark job overhead,
       // not data volume, and a no-change triple-step implies fixpoint
       val next = step(step(step(labels))).localCheckpoint(true)
-      val changed = next.select(col("v"), col("lbl").as("new_lbl"))
-        .join(labels, "v")
-        .filter(col("new_lbl") < col("lbl")).count()
+      val nextSum = lblSum(next)
       labels = next
-      converged = changed == 0
+      converged = nextSum.compareTo(curSum) == 0
+      curSum = nextSum
       iter += 1
     }
     if (!converged)
