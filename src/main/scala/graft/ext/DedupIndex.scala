@@ -1,0 +1,68 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental exact-dedup index — the production form of q30 for the
+  * reference's incremental path (SURVEY §2.3: hourly cron, only new
+  * records): a 100 TB corpus is never re-deduped per run. Instead the
+  * pipeline keeps a FINGERPRINT INDEX (one md5 digest + canonical doc_id
+  * per distinct document ever admitted) and each batch of newly crawled
+  * documents is admitted by anti-joining the index — cost per run is
+  * O(batch + index-probe), not O(corpus).
+  *
+  * Layout: an append-only parquet table of (fp, canonical_id). Each
+  * `admit` call writes exactly the NEW fingerprints, so retries of a
+  * failed run re-derive the same rows (content-hash keys are
+  * deterministic — re-appending after a partial failure duplicates
+  * index rows but never admits a duplicate DOCUMENT, because admission
+  * double-checks both the index and the in-batch window; a dup index
+  * row only costs probe space and is ignored by the anti-join).
+  *
+  * Scale shape: the index probe is a hash join keyed on the 128-bit
+  * digest (never text); the in-batch dedup is q30's window. At real
+  * scale the index table is bucketed by fp so the probe join co-locates
+  * without a shuffle of the (much larger) index side.
+  */
+object DedupIndex {
+
+  /** Admit the not-seen-before documents of `batch` against the index at
+    * `indexDir`, append their fingerprints, and return the admitted rows
+    * (with their `fp`). Duplicate texts WITHIN the batch collapse to the
+    * min doc_id, exactly like q30. */
+  def admit(spark: SparkSession, indexDir: String,
+      batch: DataFrame): DataFrame = {
+    val fingerprinted = batch.withColumn("fp", md5(col("text")))
+    // in-batch dedup first (q30's canonical window), then the index probe
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("fp").orderBy("doc_id")
+    val inBatchCanonical = fingerprinted
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    val index = readIndex(spark, indexDir)
+    val admitted = inBatchCanonical
+      .join(index.select(col("fp")), Seq("fp"), "left_anti")
+      // the anti-join result feeds BOTH the index append and the caller:
+      // materialize once so the two consumers agree under speculation
+      .localCheckpoint(true)
+    admitted.select(col("fp"), col("doc_id").as("canonical_id"))
+      .write.mode("append").parquet(indexDir)
+    admitted
+  }
+
+  /** The current index (empty relation when no run has committed yet). */
+  def readIndex(spark: SparkSession, indexDir: String): DataFrame = {
+    val path = new java.io.File(indexDir)
+    if (path.exists() && path.listFiles() != null &&
+        path.listFiles().exists(_.getName.endsWith(".parquet")))
+      spark.read.parquet(indexDir)
+    else
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("fp",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("canonical_id",
+            org.apache.spark.sql.types.LongType))))
+  }
+}

@@ -1,0 +1,56 @@
+package graft.ext
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+class DedupIndexSpec extends SparkSpec {
+
+  private def doc(id: Long, text: String): (Long, String) = (id, text)
+
+  test("cross-run dedup: a later batch's re-crawl of known content is rejected") {
+    import spark.implicits._
+    val idx = Files.createTempDirectory("dedup-idx").toString
+
+    // run 1: two distinct docs, one in-batch duplicate (id 3 repeats id 1)
+    val r1 = DedupIndex.admit(spark, idx, Seq(
+      doc(1, "alpha beta gamma"), doc(2, "delta epsilon"),
+      doc(3, "alpha beta gamma")).toDF("doc_id", "text"))
+    assert(r1.select("doc_id").collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(1L, 2L)) // 3 collapsed onto 1 within the batch
+
+    // run 2: doc 2's text re-crawled under a new id + one genuinely new doc
+    val r2 = DedupIndex.admit(spark, idx, Seq(
+      doc(10, "delta epsilon"), doc(11, "zeta eta")).toDF("doc_id", "text"))
+    assert(r2.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(11L))
+
+    // the index now holds exactly the three distinct fingerprints, with
+    // first-seen canonical ids
+    val index = DedupIndex.readIndex(spark, idx).collect()
+      .map(r => r.getAs[String]("fp") -> r.getAs[Long]("canonical_id")).toMap
+    assert(index.size == 3)
+    assert(index.values.toSet == Set(1L, 2L, 11L))
+  }
+
+  test("admission cost shape: a fully-duplicate batch admits nothing and appends nothing") {
+    import spark.implicits._
+    val idx = Files.createTempDirectory("dedup-idx2").toString
+    DedupIndex.admit(spark, idx,
+      Seq(doc(1, "one"), doc(2, "two")).toDF("doc_id", "text"))
+    val before = DedupIndex.readIndex(spark, idx).count()
+    val r = DedupIndex.admit(spark, idx,
+      Seq(doc(5, "one"), doc(6, "two")).toDF("doc_id", "text"))
+    assert(r.isEmpty)
+    assert(DedupIndex.readIndex(spark, idx).count() == before)
+  }
+
+  test("fresh index dir: everything admits, index bootstraps") {
+    import spark.implicits._
+    val idx = Files.createTempDirectory("dedup-idx3").toString
+    assert(DedupIndex.readIndex(spark, idx).isEmpty)
+    val r = DedupIndex.admit(spark, idx,
+      Seq(doc(7, "seven")).toDF("doc_id", "text"))
+    assert(r.count() == 1)
+    assert(DedupIndex.readIndex(spark, idx).count() == 1)
+  }
+}
