@@ -311,24 +311,96 @@ object Dedup {
       |SELECT a_id, b_id, round(c, 6) AS cosine
       |FROM p WHERE c >= 0.4 ORDER BY a_id, b_id""")
 
+  /** Multi-probe near-dup pair join — q74's Hamming-1 probe ball applied
+    * to q55's PAIR join, the recall lever q78 proved necessary: at the
+    * 0.4 cosine bar single-bucket LSH co-buckets only ~16% of true pairs
+    * ((1−θ/π)^planes theory, measured 0.15–0.17), because a planes-bit
+    * sign signature splits similar-but-not-identical vectors across
+    * adjacent buckets. Probing each vector's home bucket PLUS every
+    * one-bit flip admits any pair whose signatures differ by ≤ 1
+    * hyperplane — measured pair recall rises ~3.8× (0.58 at sf0.01) for
+    * (planes+1)× candidate cost, still a vanishing corpus fraction
+    * ((planes+1)/2^planes, shrinking as planes grow with N).
+    *
+    * Scale shape: the probe side explodes to planes+1 rows per vector
+    * and the join stays an EQUI-join on the integer bucket (shuffle
+    * hash — never a theta/cross join), so the plan is q55's with
+    * (planes+1)× map-side fan-out. Each qualifying pair matches on
+    * EXACTLY one probe (signatures at Hamming distance d agree with the
+    * probe set for d=0 via the home probe, d=1 via that bit's flip, and
+    * never twice), so no post-join dedup is needed — the pair set is
+    * exactly {(a,b) : hamming(sig_a, sig_b) ≤ 1, cosine ≥ 0.4}, which is
+    * what the DuckDB oracle states declaratively via BIGINT xor. */
+  private[ext] def multiProbePairs(s: SparkSession, dir: String): DataFrame = {
+    val planes = lshPlanes(Tables(s, dir, "embeddings").count())
+    val e = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.HyperplaneBucket.bucket(col("embedding"), planes)
+          .as("bucket"))
+    val probeCols = col("bucket") +: (0 until planes).map(p =>
+      col("bucket").bitwiseXOR(lit(1 << p)))
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+      explode(array(probeCols: _*)).as("pb"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+      col("bucket").as("bucket_b"))
+    a.join(b, col("pb") === col("bucket_b") && col("a_id") < col("b_id"))
+      .withColumn("c",
+        graft.functions.CosineSimilarity.cosineSim(col("a_emb"), col("b_emb")))
+      .filter(col("c") >= 0.4)
+      .select(col("a_id"), col("b_id"), round(col("c"), 6).as("cosine"))
+  }
+
+  private val multiProbePairSql =
+    """np AS (
+      |  SELECT 4 + length(bin(greatest(count(*) // 500, 1))) - 1 AS planes
+      |  FROM embeddings),
+      |d AS (
+      |  SELECT vec_id, embedding,
+      |    (SELECT sum(CASE WHEN list_sum(list_transform(embedding, (x,i) ->
+      |       CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+      |       * ((((i-1) * 31 + p * 17) % 7) - 3))) > 0
+      |     THEN 1 << p ELSE 0 END)
+      |     FROM generate_series(0, 62) t(p), np WHERE p < planes) AS bucket
+      |  FROM embeddings),
+      |mp AS (
+      |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |    list_sum(list_transform(a.embedding,
+      |      (x,i) -> CAST(x AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
+      |    (sqrt(list_sum(list_transform(a.embedding,
+      |       x -> CAST(x AS DOUBLE) * x))) *
+      |     sqrt(list_sum(list_transform(b.embedding,
+      |       x -> CAST(x AS DOUBLE) * x)))) AS c
+      |  FROM d a JOIN d b
+      |    ON a.vec_id < b.vec_id
+      |   AND bit_count(xor(a.bucket, b.bucket)) <= 1)""".stripMargin
+
+  private val q79NeardupMultiprobe = QueryDef(
+    (s, dir) => multiProbePairs(s, dir).orderBy("a_id", "b_id"),
+    s"""WITH $multiProbePairSql
+      |SELECT a_id, b_id, round(c, 6) AS cosine
+      |FROM mp WHERE c >= 0.4 ORDER BY a_id, b_id""")
+
   /** Near-dup PAIR recall of the LSH path — q70's instrumentation idea
     * applied to the dedup family: over q51's capped sample (where exact
     * all-pairs ground truth is affordable), every true near-dup pair
-    * (cosine ≥ 0.4) is annotated with whether the q55 bucketing would
-    * have co-bucketed it, yielding the pair-level recall a pipeline
-    * checks before trusting LSH dedup at full scale. Single-row output:
-    * (n_exact_pairs, n_lsh_pairs, pair_recall); recall is one integer
-    * division (no float-sum ordering). Plane count derives from the
-    * SAMPLE size (the experiment's corpus), integer-exact in both
+    * (cosine ≥ 0.4) is annotated with whether (a) the q55 single-bucket
+    * construction would have co-bucketed it and (b) the q79 multi-probe
+    * construction (Hamming ≤ 1 signatures) would have admitted it —
+    * the before/after recall a pipeline reads when choosing its near-dup
+    * index. Single-row output: (n_exact_pairs, n_lsh_pairs,
+    * n_multiprobe_pairs, pair_recall, multiprobe_recall); recalls are
+    * integer divisions (no float-sum ordering). Plane count derives from
+    * the SAMPLE size (the experiment's corpus), integer-exact in both
     * engines.
     *
     * The measurement is physically meaningful: at the 0.4 threshold the
-    * observed recall (~0.15–0.17 on the fixtures) matches the
-    * random-hyperplane theory value (1 − θ/π)^planes ≈ 0.16 for
-    * cos θ = 0.4, planes = 4 — which is exactly the argument for
-    * multi-probe (q74) or banded-OR (q32) construction when the
-    * similarity bar is low, vs single-bucket LSH's fine recall at the
-    * ≥0.9 dedup bar. */
+    * observed single-bucket recall (~0.15–0.17 on the fixtures) matches
+    * the random-hyperplane theory value (1 − θ/π)^planes ≈ 0.16 for
+    * cos θ = 0.4, planes = 4, and the multi-probe recall (~0.58)
+    * matches r^k + k·r^(k−1)(1−r) ≈ 0.53 at the boundary (higher in
+    * aggregate because true pairs sit above the bar) — a measured ~3.8×
+    * recall lift for (planes+1)× candidate cost. DedupSpec pins the
+    * ≥ 3× lift; single-bucket remains fine at the ≥0.9 dedup bar. */
   private val q78NeardupPairRecall = QueryDef(
     (s, dir) => {
       val e = Tables(s, dir, "embeddings")
@@ -348,9 +420,13 @@ object Dedup {
         .filter(col("c") >= 0.4)
         .agg(count(lit(1)).as("n_exact_pairs"),
           sum(when(col("ba") === col("bb"), 1L).otherwise(0L))
-            .as("n_lsh_pairs"))
+            .as("n_lsh_pairs"),
+          sum(when(bit_count(col("ba").bitwiseXOR(col("bb"))) <= 1, 1L)
+            .otherwise(0L)).as("n_multiprobe_pairs"))
         .withColumn("pair_recall",
           col("n_lsh_pairs").cast("double") / col("n_exact_pairs"))
+        .withColumn("multiprobe_recall",
+          col("n_multiprobe_pairs").cast("double") / col("n_exact_pairs"))
     },
     """WITH s AS (
       |  SELECT vec_id, embedding FROM embeddings
@@ -370,6 +446,7 @@ object Dedup {
       |p AS (
       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
       |    a.b = b.b AS same_bucket,
+      |    bit_count(xor(a.b, b.b)) <= 1 AS probe_hit,
       |    list_sum(list_transform(a.embedding,
       |      (x,i) -> CAST(x AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
       |    (sqrt(list_sum(list_transform(a.embedding,
@@ -380,8 +457,12 @@ object Dedup {
       |SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
       |       CAST(sum(CASE WHEN same_bucket THEN 1 ELSE 0 END) AS BIGINT)
       |         AS n_lsh_pairs,
+      |       CAST(sum(CASE WHEN probe_hit THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_multiprobe_pairs,
       |       CAST(sum(CASE WHEN same_bucket THEN 1 ELSE 0 END) AS DOUBLE)
-      |         / count(*) AS pair_recall
+      |         / count(*) AS pair_recall,
+      |       CAST(sum(CASE WHEN probe_hit THEN 1 ELSE 0 END) AS DOUBLE)
+      |         / count(*) AS multiprobe_recall
       |FROM p WHERE c >= 0.4""")
 
   /** The q31 pair derivation as oracle CTEs (shared text for q67's
@@ -471,15 +552,19 @@ object Dedup {
   /** Reusable connected-components core (hash-min label propagation) over
     * an undirected pair list `(doc_a, doc_b)`: each vertex starts labeled
     * with itself and iteratively takes the min label over its
-    * neighborhood — one equi-join shuffle per hop, 3 hops folded into
+    * neighborhood — one equi-join shuffle per hop, 4 hops folded into
     * each materialized convergence check, localCheckpoint-ed so lineage
     * stays constant-depth. Converges in O(component diameter) hops.
+    * Iteration cost on real dedup graphs (near-clique components,
+    * diameter 2-4) is dominated by Spark JOB OVERHEAD per materialized
+    * round, not data volume — folding one more hop per round cuts a
+    * whole job+checkpoint cycle on graphs that converge in 1-2 checks.
     *
     * NON-CONVERGENCE IS LOUD: if the fixpoint is not reached within
-    * `maxIters` triple-hop rounds (diameter > 3·maxIters, e.g. a
+    * `maxIters` quad-hop rounds (diameter > 4·maxIters, e.g. a
     * pathological chain corpus), this THROWS rather than returning
     * silently-wrong labels — an oracle mismatch must never be a masked
-    * convergence failure. DedupSpec proves detection on a >30-hop path
+    * convergence failure. DedupSpec proves detection on a >40-hop path
     * graph and convergence of the same graph under a raised cap. */
   private[ext] def connectedComponents(pairs: DataFrame,
       maxIters: Int = 10): DataFrame = {
@@ -510,10 +595,10 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
-      // fold 3 propagation hops into ONE materialized job per
+      // fold 4 propagation hops into ONE materialized job per
       // convergence check: iteration cost here is Spark job overhead,
-      // not data volume, and a no-change triple-step implies fixpoint
-      val next = step(step(step(labels))).localCheckpoint(true)
+      // not data volume, and a no-change quad-step implies fixpoint
+      val next = step(step(step(step(labels)))).localCheckpoint(true)
       val nextSum = lblSum(next)
       labels = next
       converged = nextSum.compareTo(curSum) == 0
@@ -523,7 +608,7 @@ object Dedup {
     if (!converged)
       throw new IllegalStateException(
         s"label propagation did not converge in $maxIters rounds " +
-          s"(${3 * maxIters} hops): a component's diameter exceeds the " +
+          s"(${4 * maxIters} hops): a component's diameter exceeds the " +
           "cap; raise maxIters for this graph shape")
     labels.select(col("v").as("doc_id"), col("lbl").as("component_id"))
   }
@@ -551,12 +636,64 @@ object Dedup {
       |         AS component_size
       |FROM comp ORDER BY component_id, doc_id""")
 
+  /** End-to-end SEMANTIC dedup — how embedding near-dup actually ships:
+    * q79's multi-probe pair join feeds q67's connected-components closure
+    * (pairwise verdicts under-merge: A~B, B~C must collapse to ONE
+    * canonical even when A~C misses the bar), and every vector gets a
+    * per-doc verdict — its component's canonical id (the min member),
+    * whether it is the kept representative, and the component size.
+    * Singletons (no near-dup) are their own canonical via the left join.
+    *
+    * Scale shape: pairs arrive through q79's bucket equi-join
+    * ((planes+1)× map fan-out, never theta), the closure is one
+    * equi-join shuffle per hop with constant-depth lineage
+    * (localCheckpoint), and the verdict join shuffles on vec_id. The
+    * DuckDB oracle restates the whole DAG declaratively: Hamming ≤ 1
+    * pairs via BIGINT xor, closure via recursive CTE (q67's oracle
+    * discipline), verdicts via left join + count window. */
+  private val q80SemanticDedup = QueryDef(
+    (s, dir) => {
+      val pairs = multiProbePairs(s, dir)
+        .select(col("a_id").as("doc_a"), col("b_id").as("doc_b"))
+      val comp = connectedComponents(pairs)
+        .withColumnRenamed("doc_id", "vec_id")
+      Tables(s, dir, "embeddings").select(col("vec_id"))
+        .join(comp, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("component_id"), col("vec_id")).as("component_id"))
+        .withColumn("is_kept", col("component_id") === col("vec_id"))
+        .withColumn("component_size",
+          count(lit(1)).over(Window.partitionBy("component_id")).cast("long"))
+        .orderBy("vec_id")
+    },
+    s"""WITH RECURSIVE $multiProbePairSql,
+      |pairs AS (SELECT a_id AS doc_a, b_id AS doc_b
+      |          FROM mp WHERE c >= 0.4),
+      |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+      |      UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT a, a FROM e
+      |  UNION
+      |  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a),
+      |comp AS (SELECT src AS vec_id, min(dst) AS component_id
+      |         FROM reach GROUP BY src)
+      |SELECT emb.vec_id,
+      |       coalesce(c.component_id, emb.vec_id) AS component_id,
+      |       coalesce(c.component_id, emb.vec_id) = emb.vec_id AS is_kept,
+      |       CAST(count(*) OVER (PARTITION BY
+      |           coalesce(c.component_id, emb.vec_id)) AS BIGINT)
+      |         AS component_size
+      |FROM embeddings emb LEFT JOIN comp c ON emb.vec_id = c.vec_id
+      |ORDER BY emb.vec_id""")
+
   val defs: Map[String, QueryDef] = Map(
     "q30_dedup_exact" -> q30ExactDedup,
     "q31_ngram_jaccard" -> q31NgramJaccard,
     "q67_dedup_components" -> q67DedupComponents,
     "q72_paragraph_dedup" -> q72ParagraphDedup,
     "q78_neardup_pair_recall" -> q78NeardupPairRecall,
+    "q79_neardup_multiprobe" -> q79NeardupMultiprobe,
+    "q80_semantic_dedup" -> q80SemanticDedup,
     "q32_minhash_lsh" -> q32MinhashLsh,
     "q33_simhash" -> q33Simhash,
     "q51_embedding_neardup" -> q51EmbeddingNeardup,

@@ -36,11 +36,11 @@ class DedupSpec extends SparkSpec {
     assert(kept.count() == 2)
   }
 
-  test("connectedComponents THROWS on a >30-hop chain instead of emitting " +
+  test("connectedComponents THROWS on a >40-hop chain instead of emitting " +
       "silently-unconverged labels") {
     import spark.implicits._
     // path graph 0-1-2-...-99: min label 0 travels one hop per step, so
-    // diameter 99 >> the default cap of 10 rounds x 3 hops
+    // diameter 99 >> the default cap of 10 rounds x 4 hops
     val chain = (0L until 99L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val ex = intercept[IllegalStateException] {
       Dedup.connectedComponents(chain) // default maxIters = 10
@@ -71,5 +71,65 @@ class DedupSpec extends SparkSpec {
     comp.groupBy(_._2).foreach { case (lbl, members) =>
       assert(lbl == members.keys.min)
     }
+  }
+
+  test("q78: multi-probe pair recall is >= 3x single-bucket recall (the " +
+      "measured lift that justifies the q79 construction)") {
+    val dir = "/root/testdata/sf0.001"
+    val r = graft.SparkEntry.queries("q78_neardup_pair_recall")(spark, dir)
+      .collect()(0)
+    val single = r.getAs[Double]("pair_recall")
+    val multi = r.getAs[Double]("multiprobe_recall")
+    assert(r.getAs[Long]("n_exact_pairs") > 0)
+    assert(multi >= 3.0 * single,
+      s"multi-probe recall $multi < 3x single-bucket $single")
+    // sanity: multi-probe admits a strict superset of single-bucket pairs
+    assert(r.getAs[Long]("n_multiprobe_pairs") >
+      r.getAs[Long]("n_lsh_pairs"))
+  }
+
+  test("q79 pairs = q55 pairs plus exactly the Hamming-1 boundary " +
+      "crossers; every pair matched once (no post-join dedup needed)") {
+    val dir = "/root/testdata/sf0.001"
+    val q55 = graft.SparkEntry.queries("q55_embedding_neardup_lsh")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+    val q79 = graft.SparkEntry.queries("q79_neardup_multiprobe")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+    // superset, and strictly larger (the whole point of probing)
+    assert(q55.toSet.subsetOf(q79.toSet))
+    assert(q79.length > q55.length)
+    // exactly-once matching: the probe-explosion join emits no dup pairs
+    assert(q79.distinct.length == q79.length)
+  }
+
+  test("q80: semantic-dedup verdicts are a closure fixpoint over q79 " +
+      "pairs with min-member canonicals and exact component sizes") {
+    val dir = "/root/testdata/sf0.001"
+    val verdicts = graft.SparkEntry.queries("q80_semantic_dedup")(spark, dir)
+      .collect()
+    val comp = verdicts.map(r => r.getAs[Long]("vec_id") ->
+      r.getAs[Long]("component_id")).toMap
+    val pairs = graft.SparkEntry.queries("q79_neardup_multiprobe")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+    assert(pairs.nonEmpty)
+    // fixpoint: both endpoints of every near-dup pair share one label
+    pairs.foreach { case (a, b) => assert(comp(a) == comp(b)) }
+    // canonical = component min; is_kept marks exactly that member
+    comp.groupBy(_._2).foreach { case (lbl, members) =>
+      assert(lbl == members.keys.min)
+    }
+    verdicts.foreach { r =>
+      assert(r.getAs[Boolean]("is_kept") ==
+        (r.getAs[Long]("vec_id") == r.getAs[Long]("component_id")))
+    }
+    // component_size is the exact member count (singletons included)
+    val sizes = comp.groupBy(_._2).map { case (l, m) => l -> m.size }
+    verdicts.foreach { r =>
+      assert(r.getAs[Long]("component_size") ==
+        sizes(r.getAs[Long]("component_id")))
+    }
+    // every vector got a verdict
+    assert(verdicts.length ==
+      spark.read.parquet(s"$dir/embeddings.parquet").count())
   }
 }
