@@ -222,11 +222,15 @@ object Assembly {
     * text) relation — batch OR streaming: every gate is a pure per-row
     * expression (no window, no shuffle, no state), so the SAME function
     * runs inside q68 after its dedup stage and inside
-    * graft.streaming.CurationStream on micro-batches. */
+    * graft.streaming.CurationStream on micro-batches.
+    *
+    * Quality/lang markers are the SHARED top-20 English stopword table
+    * (TextAnalytics.stopEn) — one quality definition across q36/q37,
+    * this chain, and q76, not a per-query toy set. */
   private[graft] def curationGates(
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val w = split(col("text"), " ")
-    val stop = (x: Column) => x.isin("the", "a")
+    val stop = (x: Column) => x.isin(TextAnalytics.stopEn.map(lit(_)): _*)
     val predicted = when(
       size(filter(array_distinct(w), stop)) > 0, "en").otherwise("und")
     val quality = trunc6(
@@ -254,7 +258,7 @@ object Assembly {
           .filter(col("rn") === 1)) // exact-dedup canonical (min doc_id)
         .orderBy("doc_id")
     },
-    """WITH canon AS (
+    s"""WITH canon AS (
       |  SELECT doc_id, lang, text,
       |         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id)
       |           AS rn
@@ -266,11 +270,12 @@ object Assembly {
       |  SELECT doc_id, lang,
       |    CAST(len(w) AS BIGINT) AS n_tokens,
       |    CASE WHEN len(list_filter(list_distinct(w),
-      |           x -> x IN ('the','a'))) > 0
+      |           x -> x IN ${TextAnalytics.sqlIn(TextAnalytics.stopEn)})) > 0
       |         THEN 'en' ELSE 'und' END AS predicted,
       |    floor((0.5e0 * (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) +
       |           0.5e0 * (1.0e0 -
-      |             CAST(len(list_filter(w, x -> x IN ('the','a')))
+      |             CAST(len(list_filter(w,
+      |               x -> x IN ${TextAnalytics.sqlIn(TextAnalytics.stopEn)}))
       |               AS DOUBLE) / len(w))) * 1000000) / 1000000 AS quality
       |  FROM feat),
       |gated AS (
@@ -316,7 +321,7 @@ object Assembly {
           .filter(col("rn") === 1))
         .orderBy("doc_id")
     },
-    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS l
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS l
       |           FROM documents WHERE len(string_split(text, ' ')) >= 8),
       |sh AS (SELECT DISTINCT doc_id,
       |              array_to_string(l[i:i+7], ' ') AS sh
@@ -339,11 +344,12 @@ object Assembly {
       |  SELECT doc_id, lang,
       |    CAST(len(w) AS BIGINT) AS n_tokens,
       |    CASE WHEN len(list_filter(list_distinct(w),
-      |           x -> x IN ('the','a'))) > 0
+      |           x -> x IN ${TextAnalytics.sqlIn(TextAnalytics.stopEn)})) > 0
       |         THEN 'en' ELSE 'und' END AS predicted,
       |    floor((0.5e0 * (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) +
       |           0.5e0 * (1.0e0 -
-      |             CAST(len(list_filter(w, x -> x IN ('the','a')))
+      |             CAST(len(list_filter(w,
+      |               x -> x IN ${TextAnalytics.sqlIn(TextAnalytics.stopEn)}))
       |               AS DOUBLE) / len(w))) * 1000000) / 1000000 AS quality
       |  FROM feat),
       |gated AS (

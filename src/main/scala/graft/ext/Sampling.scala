@@ -105,11 +105,14 @@ object Sampling {
     * (a percentile-value cut would hang the keep/drop decision on the
     * last float bit of an interpolated threshold); 0.75·n is exact binary
     * arithmetic, so the gate is bit-identical in both engines. One window
-    * per language partition — q61's discipline, never a global sort. */
+    * per language partition — q61's discipline, never a global sort.
+    * The quality markers are the SHARED top-20 English stopword table
+    * (TextAnalytics.stopEn) — the engine has ONE quality definition. */
   private val q76AdaptiveQualityGate = QueryDef(
     (s, dir) => {
       val w = split(col("text"), " ")
-      val stop = (x: Column) => x.isin("the", "a")
+      val stop = (x: Column) =>
+        x.isin(TextAnalytics.stopEn.map(lit(_)): _*)
       val quality = floor((lit(0.5) *
         (size(array_distinct(w)).cast("double") / size(w)) +
         lit(0.5) * (lit(1.0) -
@@ -123,13 +126,14 @@ object Sampling {
         .filter(col("quality_rank") <= ceil(lit(0.75) * col("n_lang")))
         .orderBy("doc_id")
     },
-    """WITH q AS (
+    s"""WITH q AS (
       |  SELECT doc_id, lang,
       |    floor((0.5e0 * (CAST(len(list_distinct(string_split(text, ' ')))
       |             AS DOUBLE) / len(string_split(text, ' '))) +
       |           0.5e0 * (1.0e0 -
       |             CAST(len(list_filter(string_split(text, ' '),
-      |               x -> x IN ('the','a'))) AS DOUBLE)
+      |               x -> x IN ${TextAnalytics.sqlIn(TextAnalytics.stopEn)}))
+      |               AS DOUBLE)
       |               / len(string_split(text, ' ')))) * 1000000) / 1000000
       |      AS quality
       |  FROM documents),

@@ -53,7 +53,7 @@ object TextAnalytics {
           .otherwise("und"))
   }
 
-  private def sqlIn(stops: Seq[String]): String =
+  private[ext] def sqlIn(stops: Seq[String]): String =
     stops.map(s => s"'$s'").mkString("(", ", ", ")")
 
   /** Marker-token language ID (word-level n-gram heuristic, n=1) over
