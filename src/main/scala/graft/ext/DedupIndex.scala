@@ -50,19 +50,30 @@ object DedupIndex {
     admitted
   }
 
+  private val indexSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("fp",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("canonical_id",
+      org.apache.spark.sql.types.LongType)))
+
   /** The current index (empty relation when no run has committed yet). */
-  def readIndex(spark: SparkSession, indexDir: String): DataFrame = {
-    val path = new java.io.File(indexDir)
-    if (path.exists() && path.listFiles() != null &&
-        path.listFiles().exists(_.getName.endsWith(".parquet")))
-      spark.read.parquet(indexDir)
-    else
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("fp",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("canonical_id",
-            org.apache.spark.sql.types.LongType))))
-  }
+  def readIndex(spark: SparkSession, indexDir: String): DataFrame =
+    readOrEmpty(spark, indexDir, indexSchema)
+
+  /** Read a persisted index through Spark's OWN reader with an explicit
+    * schema, mapping only a genuinely absent/empty path to the empty
+    * relation. The previous detection listed `*.parquet` files directly
+    * in the dir, so a partitioned or subdir-committed layout silently
+    * read as "empty index" and re-admitted the whole corpus — the
+    * explicit schema makes an empty-but-existing dir a valid empty
+    * relation while partitioned layouts (key=value subdirs) resolve
+    * through normal partition discovery. */
+  private[ext] def readOrEmpty(spark: SparkSession, indexDir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    try spark.read.schema(schema).parquet(indexDir)
+    catch {
+      case _: org.apache.spark.sql.AnalysisException =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
 }
