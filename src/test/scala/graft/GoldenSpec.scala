@@ -6,21 +6,23 @@ import scala.io.Source
   * rows-check (hash/sketch ops with no DuckDB-expressible oracle):
   * q20 (HLL sketch), q32 (minhash+LSH), q33 (simhash), q35 (LSH ANN).
   * Expected outputs were generated once by graft.tools.GoldenGen at
-  * sf0.001, reviewed, and committed — any drift in hash functions,
-  * banding, hyperplanes, or ordering fails here even though the oracle
-  * gate records them as rows-only. */
+  * sf0.001 AND sf0.1 (the bench scale — hash/banding drift that only
+  * manifests on the larger corpus must also fail hard), reviewed, and
+  * committed — any drift in hash functions, banding, hyperplanes, or
+  * ordering fails here even though the oracle gate records them as
+  * rows-only. */
 class GoldenSpec extends SparkSpec {
 
-  private def golden(name: String): Seq[String] = {
-    val src = Source.fromResource(s"golden/$name.jsonl")
+  private def golden(sfName: String, name: String): Seq[String] = {
+    val src = Source.fromResource(s"golden/$sfName/$name.jsonl")
     try src.getLines().toVector finally src.close()
   }
 
-  for (name <- graft.tools.GoldenGen.goldenQueries)
-    test(s"$name matches its committed golden output") {
-      val got = SparkEntry.queries(name)(spark, graft.tools.GoldenGen.sfDir)
-        .toJSON.collect().toSeq
-      val want = golden(name)
+  for ((sfName, dir) <- graft.tools.GoldenGen.sfDirs;
+       name <- graft.tools.GoldenGen.goldenQueries)
+    test(s"$name matches its committed golden output at $sfName") {
+      val got = SparkEntry.queries(name)(spark, dir).toJSON.collect().toSeq
+      val want = golden(sfName, name)
       assert(got.length == want.length,
         s"row count ${got.length} != golden ${want.length}")
       for (((g, w), i) <- got.zip(want).zipWithIndex)
