@@ -61,11 +61,16 @@ object NearDupIndex {
       .select(col("vec_id")).distinct()
     // (a) near-dup of an already-indexed vector: probe only colliding
     // buckets — the ONLY part whose cost touches the index, and it is
-    // partition-pruned by the bucket key
+    // partition-pruned by the bucket key. SELF-matches (same vec_id) are
+    // excluded so a replayed batch — the foreachBatch retry path — finds
+    // its own prior append in the index and still re-derives the SAME
+    // admissions: retries duplicate index rows (harmless probe space,
+    // the DedupIndex retry contract) but never flip a verdict.
     val index = readIndex(spark, indexDir)
     val dupOfIndex = verified(probes.join(
-      index.select(col("bucket").as("pb"), col("embedding").as("i_emb")),
-      Seq("pb")))
+      index.select(col("bucket").as("pb"), col("vec_id").as("i_id"),
+        col("embedding").as("i_emb")),
+      Seq("pb")).filter(col("i_id") =!= col("vec_id")))
     // (b) near-dup of a smaller-id batch member (greedy min-id keep)
     val dupInBatch = verified(probes.join(
       b.select(col("bucket").as("pb"), col("vec_id").as("i_id"),

