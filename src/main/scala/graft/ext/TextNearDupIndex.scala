@@ -1,0 +1,107 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType,
+  StringType, StructField, StructType}
+
+/** Incremental near-dup index for TEXT — the MinHash band-key sibling of
+  * [[NearDupIndex]] (embeddings) and [[DedupIndex]] (exact): the
+  * hourly-cron incremental path must reject a near-duplicate re-crawl
+  * (boilerplate re-render, trivial edit) without re-shingling the
+  * admitted corpus.
+  *
+  * What persists per admitted document is exactly what q32's LSH needs
+  * and nothing more: the 16-value MinHash SIGNATURE plus its 2 band keys
+  * (8 rows each) — never the text. Unlike q32's batch form, the
+  * signature here takes NO hot-shingle guard: the guard keys on corpus
+  * document frequency, which changes as the corpus grows, and an
+  * incremental index needs signatures that are a pure function of the
+  * document alone so band keys stay stable across runs.
+  *
+  * Admission per batch:
+  *  1. signatures + band keys for the batch (per-row expressions);
+  *  2. candidates = equi-join on (band, band_key) against the index —
+  *     probe cost ∝ colliding keys, never ∝ index (at real scale the
+  *     index table is bucketed by band_key so the probe co-locates);
+  *  3. verification = estimated Jaccard from the STORED signatures:
+  *     matching minhash positions ≥ `minMatches` of 16 (15 ≈ J ≥ 0.9) —
+  *     no text ever leaves the batch;
+  *  4. in-batch near-dups collapse greedily to the min doc_id (q32's
+  *     verdict discipline); self-matches are excluded so a replayed
+  *     batch re-derives identical admissions (the foreachBatch retry
+  *     contract shared with NearDupIndex).
+  */
+object TextNearDupIndex {
+
+  private val indexSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("sig", ArrayType(LongType)),
+    StructField("band", IntegerType),
+    StructField("band_key", StringType)))
+
+  /** (doc_id, sig) — 16 deterministic xxhash64 minhashes over distinct
+    * unigrams, ordered by hash index (q32's signature, guard-free). */
+  private def signatures(batch: DataFrame): DataFrame =
+    batch.select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("w"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, 15), i -> struct(i AS h, xxhash64(i, w) AS v))"))
+        .as("hv"))
+      .select(col("doc_id"), col("hv.h").as("h"), col("hv.v").as("v"))
+      .groupBy("doc_id", "h").agg(min("v").as("mh"))
+      .groupBy("doc_id")
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(h, mh))), x -> x.mh)")
+        .as("sig"))
+
+  /** Explode a signature into its (band, band_key) rows: 2 bands x 8
+    * rows, key = comma-joined minhash values of the band. */
+  private def bandKeys(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), col("sig"),
+        explode(expr(
+          """transform(sequence(0, 1), b -> struct(cast(b AS int) AS band,
+            |  array_join(transform(slice(sig, b * 8 + 1, 8),
+            |    x -> cast(x AS string)), ',') AS band_key))""".stripMargin))
+          .as("bk"))
+      .select(col("doc_id"), col("sig"),
+        col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+
+  /** Matching-position count between two 16-value signatures. */
+  private def sigMatches(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x)
+
+  /** Admit the documents of `batch` (doc_id, text) with no verified
+    * near-dup (signature agreement ≥ `minMatches`/16) in the index or
+    * among smaller-id batch members; append their signatures; return
+    * the admitted (doc_id, sig) rows. */
+  def admit(spark: SparkSession, indexDir: String, batch: DataFrame,
+      minMatches: Int = 15): DataFrame = {
+    val keyed = bandKeys(signatures(batch)).localCheckpoint(true)
+    def verified(cand: DataFrame): DataFrame = cand
+      .filter(sigMatches(col("sig"), col("i_sig")) >= minMatches)
+      .select(col("doc_id")).distinct()
+    val index = readIndex(spark, indexDir)
+    val dupOfIndex = verified(keyed.join(
+      index.select(col("band"), col("band_key"),
+        col("doc_id").as("i_id"), col("sig").as("i_sig")),
+      Seq("band", "band_key")).filter(col("i_id") =!= col("doc_id")))
+    val dupInBatch = verified(keyed.join(
+      keyed.select(col("band"), col("band_key"),
+        col("doc_id").as("i_id"), col("sig").as("i_sig")),
+      Seq("band", "band_key")).filter(col("i_id") < col("doc_id")))
+    val admitted = keyed
+      .join(dupOfIndex, Seq("doc_id"), "left_anti")
+      .join(dupInBatch, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true) // index append + caller must agree
+    admitted.select(col("doc_id"), col("sig"), col("band"), col("band_key"))
+      .write.mode("append").parquet(indexDir)
+    admitted.select(col("doc_id"), col("sig")).distinct()
+  }
+
+  /** The current index (empty relation when no run has committed yet);
+    * detection through Spark's own reader (DedupIndex.readOrEmpty). */
+  def readIndex(spark: SparkSession, indexDir: String): DataFrame =
+    DedupIndex.readOrEmpty(spark, indexDir, indexSchema)
+}
