@@ -132,4 +132,74 @@ class DedupSpec extends SparkSpec {
     assert(verdicts.length ==
       spark.read.parquet(s"$dir/embeddings.parquet").count())
   }
+
+  test("connectedComponents matches an in-memory union-find on seeded " +
+      "random graphs (beyond the fixture's near-clique shape)") {
+    import spark.implicits._
+    for (seed <- Seq(11, 22, 33)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 30 + rnd.nextInt(20)
+      val edges = (1 to n * 2).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      // ground truth: plain union-find over the same edges
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = {
+        var r = x; while (parent(r) != r) r = parent(r); r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(v => v -> {
+          // union-find root, then normalize to the component MIN member
+          val members = edges.flatMap(e => Seq(e._1, e._2)).distinct
+            .filter(u => find(u.toInt) == find(v.toInt))
+          members.min
+        }).toMap
+      val got = Dedup.connectedComponents(
+          edges.toDF("doc_a", "doc_b"), maxIters = 20)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          r.getAs[Long]("component_id")).toMap
+      assert(got == want, s"seed $seed: labels diverge from union-find")
+    }
+  }
+
+  test("q79 pair set EQUALS brute-force {hamming<=1, cosine>=0.4} " +
+      "computed independently from collected vectors") {
+    val dir = "/root/testdata/sf0.001"
+    val planes = Dedup.lshPlanes(
+      spark.read.parquet(s"$dir/embeddings.parquet").count())
+    import org.apache.spark.sql.functions._
+    val rows = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.HyperplaneBucket.bucket(col("embedding"), planes)
+          .as("b"))
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray,
+        r.getAs[Int]("b")))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val want = (for {
+      (ia, va, ba) <- rows; (ib, vb, bb) <- rows
+      if ia < ib && Integer.bitCount(ba ^ bb) <= 1 && cos(va, vb) >= 0.4
+    } yield (ia, ib)).toSet
+    val got = graft.SparkEntry.queries("q79_neardup_multiprobe")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+      .toSet
+    assert(got == want,
+      s"probe-join pairs (${got.size}) != brute-force (${want.size})")
+  }
 }
