@@ -435,38 +435,40 @@ object Similarity {
     * (cell, dim) partial-agg shuffle — all map-side combinable, nothing
     * ∝ N² anywhere. Two rounds unrolled keep lineage flat (a long
     * k-means would localCheckpoint per round, q67's discipline). */
-  private val q81KmeansCodebook = QueryDef(
-    (s, dir) => {
-      val pts = Tables(s, dir, "embeddings")
-        .select(col("vec_id"), posexplode(transform(col("embedding"),
-          x => round(x.cast("double") * 1000, 0).cast("long")))
-          .as(Seq("dim", "q")))
-      val seed = pts.filter(col("vec_id") < 8)
-        .select(col("vec_id").cast("int").as("cell"), col("dim"),
-          col("q").as("c"))
-      def distances(cent: DataFrame): DataFrame =
-        pts.join(broadcast(cent), Seq("dim"))
-          .groupBy("vec_id", "cell")
-          .agg(sum((col("q") - col("c")) * (col("q") - col("c"))).as("d2"))
-      val w = Window.partitionBy("vec_id").orderBy(asc("d2"), asc("cell"))
-      def assign(cent: DataFrame): DataFrame =
-        distances(cent).withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-      // exact grid round-half-up: c' = floordiv(2s+n, 2n) in integers
-      def update(asg: DataFrame): DataFrame =
-        pts.join(asg.select("vec_id", "cell"), Seq("vec_id"))
-          .groupBy("cell", "dim")
-          .agg(sum("q").as("s"), count(lit(1)).as("n"))
-          .select(col("cell"), col("dim"),
-            expr("""(2*s + n - pmod(2*s + n, 2*n)) div (2*n)""").as("c"))
-      val trained = update(assign(update(assign(seed))))
-      val wn = Window.partitionBy("cell")
-      assign(trained)
-        .select(col("vec_id"), col("cell"), col("d2"))
-        .withColumn("cell_size", count(lit(1)).over(wn).cast("long"))
-        .orderBy("vec_id")
-    },
-    """WITH pts AS (
+  /** The trained (vec_id, cell, d2) assignment after two Lloyd rounds —
+    * shared by q81 (the training verdict table) and q82 (the trained-IVF
+    * probe). See q81's Scaladoc for the integer-exact discipline. */
+  private def trainedAssignment(s: SparkSession, dir: String): DataFrame = {
+    val pts = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), posexplode(transform(col("embedding"),
+        x => round(x.cast("double") * 1000, 0).cast("long")))
+        .as(Seq("dim", "q")))
+    val seed = pts.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cell"), col("dim"),
+        col("q").as("c"))
+    def distances(cent: DataFrame): DataFrame =
+      pts.join(broadcast(cent), Seq("dim"))
+        .groupBy("vec_id", "cell")
+        .agg(sum((col("q") - col("c")) * (col("q") - col("c"))).as("d2"))
+    val w = Window.partitionBy("vec_id").orderBy(asc("d2"), asc("cell"))
+    def assign(cent: DataFrame): DataFrame =
+      distances(cent).withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+    // exact grid round-half-up: c' = floordiv(2s+n, 2n) in integers
+    def update(asg: DataFrame): DataFrame =
+      pts.join(asg.select("vec_id", "cell"), Seq("vec_id"))
+        .groupBy("cell", "dim")
+        .agg(sum("q").as("s"), count(lit(1)).as("n"))
+        .select(col("cell"), col("dim"),
+          expr("""(2*s + n - pmod(2*s + n, 2*n)) div (2*n)""").as("c"))
+    val trained = update(assign(update(assign(seed))))
+    assign(trained).select(col("vec_id"), col("cell"), col("d2"))
+  }
+
+  /** The q81 oracle's training rounds as shared CTE text (pts → final
+    * assignment `af`), reused verbatim by q82's oracle. */
+  private val trainedAssignmentSql =
+    """pts AS (
       |  SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,
       |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS q
       |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) t(i)),
@@ -512,10 +514,69 @@ object Similarity {
       |        SELECT vec_id, cell, d2,
       |          row_number() OVER (PARTITION BY vec_id
       |            ORDER BY d2, cell) AS rn
-      |        FROM df) WHERE rn = 1)
+      |        FROM df) WHERE rn = 1)""".stripMargin
+
+  private val q81KmeansCodebook = QueryDef(
+    (s, dir) => {
+      val wn = Window.partitionBy("cell")
+      trainedAssignment(s, dir)
+        .withColumn("cell_size", count(lit(1)).over(wn).cast("long"))
+        .orderBy("vec_id")
+    },
+    s"""WITH $trainedAssignmentSql
       |SELECT vec_id, cell, d2,
       |       CAST(count(*) OVER (PARTITION BY cell) AS BIGINT) AS cell_size
       |FROM af ORDER BY vec_id""")
+
+  /** Trained IVF, end-to-end — the composition q59's Scaladoc promised:
+    * q81's two-round k-means codebook replaces the fixed first-8-vectors
+    * codebook, and queries probe their own TRAINED cell with the proven
+    * cosine + tiebreak discipline. Train → index → serve as one
+    * declarative query, every stage still oracle-exact (the integer-grid
+    * training composes with the float-exact cosine because the cell id
+    * is the only thing that crosses between them).
+    *
+    * Scale shape: training is q81's (broadcast centroid joins +
+    * partial-agg shuffles); serving is q59's (probe equi-join on cell,
+    * broadcast query set) — nothing N². */
+  private val q82KnnIvfTrained = QueryDef(
+    (s, dir) => {
+      val assigned = trainedAssignment(s, dir)
+        .join(Tables(s, dir, "embeddings"), Seq("vec_id"))
+        .select(col("vec_id"), col("embedding"), col("cell"))
+      val q = assigned.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("cell"))
+      val cand = assigned.select(col("vec_id").as("n_id"),
+        col("embedding").as("n_emb"), col("cell").as("n_cell"))
+      val wTop = Window.partitionBy("q_id").orderBy(desc("cos_raw"), asc("n_id"))
+      cand.join(broadcast(q),
+          col("n_cell") === col("cell") && col("n_id") =!= col("q_id"))
+        .withColumn("cos_raw", cosine(col("q_emb"), col("n_emb")))
+        .withColumn("rk", row_number().over(wTop))
+        .filter(col("rk") <= 5)
+        .select(col("q_id"), col("n_id"),
+          round(col("cos_raw"), 6).as("cosine"),
+          col("rk").cast("long").as("rk"))
+        .orderBy("q_id", "rk")
+    },
+    s"""WITH $trainedAssignmentSql,
+      |av AS (SELECT e.vec_id, e.embedding, af.cell
+      |       FROM embeddings e JOIN af ON e.vec_id = af.vec_id),
+      |q AS (SELECT vec_id AS q_id, embedding AS q_emb, cell
+      |      FROM av WHERE vec_id < 10),
+      |p AS (SELECT q_id, av.vec_id AS n_id,
+      |        list_sum(list_transform(q_emb,
+      |          (x,i) -> CAST(x AS DOUBLE) * CAST(av.embedding[i] AS DOUBLE))) /
+      |        (sqrt(list_sum(list_transform(q_emb,
+      |           x -> CAST(x AS DOUBLE) * x))) *
+      |         sqrt(list_sum(list_transform(av.embedding,
+      |           x -> CAST(x AS DOUBLE) * x)))) AS cos_raw
+      |      FROM av JOIN q ON av.cell = q.cell AND av.vec_id <> q.q_id)
+      |SELECT q_id, n_id, round(cos_raw, 6) AS cosine,
+      |       row_number() OVER (PARTITION BY q_id
+      |         ORDER BY cos_raw DESC, n_id) AS rk
+      |FROM p QUALIFY rk <= 5 ORDER BY q_id, rk""")
 
   val defs: Map[String, QueryDef] = Map(
     "q34_knn_cosine" -> q34KnnBrute,
@@ -524,6 +585,7 @@ object Similarity {
     "q70_ann_recall" -> q70AnnRecall,
     "q74_knn_multiprobe" -> q74KnnMultiprobe,
     "q81_kmeans_codebook" -> q81KmeansCodebook,
+    "q82_knn_ivf_trained" -> q82KnnIvfTrained,
     "q62_embedding_quantize" -> q62Quantize,
   )
 }
