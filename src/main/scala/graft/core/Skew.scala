@@ -24,4 +24,24 @@ object Skew {
       .agg(sum(value).as("psum"), count("*").as("pcnt"))
       .groupBy("k")
       .agg(sum("psum").as("total"), sum("pcnt").as("cnt"))
+
+  /** Salted shuffle JOIN — the join-side twin of [[saltedSumCount]] for
+    * when AQE's skew-split can't help (its partition splitting handles
+    * size skew of the PROBE side, but a hot key whose matching build
+    * rows must co-locate still funnels into one task when the build side
+    * can't broadcast): every probe row takes a salt from a per-row
+    * source (so a hot key's rows spread across `salts` shuffle
+    * partitions), the build side replicates `salts` ways, and the join
+    * keys become (key, salt). Result is EXACTLY the plain equi-join —
+    * replication costs `salts`× the (smaller) build side, bounded and
+    * chosen, instead of an unbounded hot-task straggler. */
+  def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
+      saltSource: Column, salts: Int): DataFrame = {
+    val saltedProbe = probe
+      .withColumn("__salt", (abs(hash(saltSource)) % salts).cast("int"))
+    val replicatedBuild = build
+      .withColumn("__salt",
+        explode(array((0 until salts).map(lit(_)): _*)))
+    saltedProbe.join(replicatedBuild, Seq(key, "__salt")).drop("__salt")
+  }
 }

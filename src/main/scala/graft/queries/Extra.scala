@@ -193,6 +193,28 @@ object Extra {
       |       count(*) AS cnt
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
 
+  /** Salted JOIN (Skew.saltedJoin) — the hot-key join mitigation: probe
+    * rows take a per-row salt, the build side replicates `salts` ways,
+    * and the shuffle keys become (key, salt), spreading a hot orderkey
+    * over 8 reducers. The oracle is the PLAIN join + aggregation — the
+    * technique's whole contract is plan-only, result-identical. */
+  private val q83SaltedJoin = QueryDef(
+    (s, dir) =>
+      graft.core.Skew.saltedJoin(
+          Tables(s, dir, "lineitem")
+            .withColumnRenamed("l_orderkey", "o_orderkey"),
+          Tables(s, dir, "orders"),
+          key = "o_orderkey",
+          saltSource = col("l_linenumber"), salts = 8)
+        .groupBy("o_orderpriority")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority"),
+    """SELECT o_orderpriority, round(sum(l_quantity), 2) AS sum_qty,
+      |       count(*) AS n
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+
   /** Array predicate HOFs: exists / forall / filter-count. */
   private val q50ArrayPredicates = QueryDef(
     (s, dir) =>
@@ -221,6 +243,7 @@ object Extra {
     "q47_stats_agg" -> q47Stats,
     "q48_percentile" -> q48Percentile,
     "q49_salted_agg" -> q49SaltedAgg,
+    "q83_salted_join" -> q83SaltedJoin,
     "q50_array_predicates" -> q50ArrayPredicates,
   )
 }

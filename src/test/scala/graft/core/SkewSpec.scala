@@ -1,0 +1,44 @@
+package graft.core
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SkewSpec extends SparkSpec {
+
+  test("saltedJoin equals the plain equi-join on a hot-key dataset, " +
+      "and spreads the hot key across salts") {
+    import spark.implicits._
+    // key 7 is hot: 500 probe rows; build side has one row per key
+    val probe = ((1 to 500).map(i => (7L, i.toLong)) ++
+      (1 to 50).map(i => (i.toLong % 5, 1000L + i)))
+      .toDF("k", "row_id")
+    val build = (0L to 10L).map(k => (k, s"dim$k")).toDF("k", "label")
+
+    val plain = probe.join(build, Seq("k"))
+      .select("k", "row_id", "label").collect().map(_.toSeq).toSet
+    val salted = Skew.saltedJoin(probe, build, "k",
+        saltSource = col("row_id"), salts = 8)
+      .select("k", "row_id", "label").collect().map(_.toSeq).toSet
+    assert(salted == plain, "salted join changed the result")
+
+    // the mitigation itself: the hot key's probe rows occupy >1 salt,
+    // so its matches no longer co-locate in a single shuffle partition
+    val saltsUsed = probe.filter(col("k") === 7L)
+      .select((abs(hash(col("row_id"))) % 8).as("salt"))
+      .distinct().count()
+    assert(saltsUsed > 1, "hot key stayed on one salt")
+  }
+
+  test("saltedSumCount equals the plain aggregation") {
+    import spark.implicits._
+    val df = ((1 to 300).map(i => ("hot", i.toLong)) ++
+      (1 to 30).map(i => (s"cold${i % 3}", i.toLong)))
+      .toDF("k", "v")
+    val plain = df.groupBy("k")
+      .agg(sum("v").as("total"), count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val salted = Skew.saltedSumCount(df, col("k"), col("v"), col("v"), 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(salted == plain)
+  }
+}
