@@ -24,9 +24,14 @@ import org.apache.spark.sql.SparkSession
   *
   * The stdout line carries ONLY the driver-contract fields
   * (metric/value/unit/queries[/errors]/sf) — round 4 proved that growing
-  * it (a passes map) breaks the driver's parser. The per-pass variance
-  * data still ships, on a sibling file (SPARK_GRAFT_BENCH_PASSES,
-  * default /tmp/bench_passes.json) plus the per-pass stderr log.
+  * it (a passes map) breaks the driver's parser — AND is kept SHORT:
+  * rounds 4–5 proved the driver's stdout capture window holds only ~2 KB
+  * (a 1,797-byte line parsed; 2,269 did not), so per-query keys compress
+  * to their unambiguous qNN prefix (the contract's own example shape,
+  * {"q1":sec,...}), values to 2 decimals, and sf to its basename. The
+  * full-name 4-decimal map plus per-pass variance data ship on a sibling
+  * file (SPARK_GRAFT_BENCH_PASSES, default /tmp/bench_passes.json) and
+  * the full-precision contract line on SPARK_GRAFT_BENCH_OUT.
   */
 object Bench {
   private def runOnce(spark: SparkSession, sfDir: String,
@@ -89,8 +94,12 @@ object Bench {
       (name, secs.min, passes.flatMap(_(i)._2._2).headOption)
     }
 
+    // stdout keys = the qNN prefix (unique by registry numbering; checked)
+    def shortKey(name: String): String = name.takeWhile(_ != '_')
+    require(results.map(r => shortKey(r._1)).distinct.size == results.size,
+      "qNN prefixes are no longer unique; stdout bench keys would collide")
     val qs = results
-      .map { case (k, v, _) => jsonStr(k) + f":$v%.4f" }
+      .map { case (k, v, _) => jsonStr(shortKey(k)) + f":$v%.2f" }
       .mkString("{", ",", "}")
     // all measured passes per query, not just the min: lets the judge
     // (and future rounds) see run-to-run variance instead of trusting
@@ -110,12 +119,26 @@ object Bench {
       System.err.println(s"[bench] passes file write failed: $t") }
     val errs = results.collect { case (k, _, Some(e)) => jsonStr(k) + ":" + jsonStr(e) }
     val errJson = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
+    // errors on stdout stay terse (short keys, clipped messages) so a
+    // failing run can't blow the capture window either
+    val errsShort = results.collect { case (k, _, Some(e)) =>
+      jsonStr(shortKey(k)) + ":" + jsonStr(e.take(40)) }
+    val errShortJson =
+      if (errsShort.isEmpty) "" else errsShort.mkString(""","errors":{""", ",", "}")
     val total = results.map(_._2).sum
-    val line =
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}"""
-    try Files.write(Paths.get(outPath), (line + "\n").getBytes(StandardCharsets.UTF_8))
+    val sfBase = Paths.get(sfDir).getFileName.toString
+    val stdoutLine =
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs$errShortJson,"sf":"$sfBase"}"""
+    // the file channel keeps full names, 4-decimal precision, full path
+    val qsFull = results
+      .map { case (k, v, _) => jsonStr(k) + f":$v%.4f" }
+      .mkString("{", ",", "}")
+    val fileLine =
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qsFull$errJson,"sf":"$sfDir"}"""
+    try Files.write(Paths.get(outPath), (fileLine + "\n").getBytes(StandardCharsets.UTF_8))
     catch { case t: Throwable => System.err.println(s"[bench] file write failed: $t") }
-    println(line)
+    System.err.println(s"[bench] stdout contract line: ${stdoutLine.length} bytes")
+    println(stdoutLine)
     spark.stop()
     // a silently-erroring query fails fast at ~0 s and would flatter the
     // total: after reporting, make errors impossible to miss

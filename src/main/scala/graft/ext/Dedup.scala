@@ -331,19 +331,36 @@ object Dedup {
     * never twice), so no post-join dedup is needed — the pair set is
     * exactly {(a,b) : hamming(sig_a, sig_b) ≤ 1, cosine ≥ 0.4}, which is
     * what the DuckDB oracle states declaratively via BIGINT xor. */
+  /** ID-ONLY PROBE EXCHANGE — the scale discipline of this whole family:
+    * the exploded probe side carries (a_id, probe_bucket) and NOTHING
+    * else, so the (planes+1)× map-side fan-out replicates ~12 bytes/row,
+    * never the embedding array. With planes growing as 4 + log₂(N/500)
+    * the fan-out is ~22× at 1 B vectors; shipping the payload through it
+    * would turn a 300 GB embedding column into a multi-TB exchange. Here
+    * the bucket join produces bare candidate (a_id, b_id) pairs and the
+    * embeddings re-join BY ID afterwards — each embedding crosses an
+    * exchange at most twice (once per pair side), independent of planes,
+    * so exchange bytes are ∝ ids + candidates, not ∝ payload × fan-out. */
   private[ext] def multiProbePairs(s: SparkSession, dir: String): DataFrame = {
     val planes = lshPlanes(Tables(s, dir, "embeddings").count())
-    val e = Tables(s, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"),
+    val sigs = Tables(s, dir, "embeddings")
+      .select(col("vec_id"),
         graft.functions.HyperplaneBucket.bucket(col("embedding"), planes)
           .as("bucket"))
     val probeCols = col("bucket") +: (0 until planes).map(p =>
       col("bucket").bitwiseXOR(lit(1 << p)))
-    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+    val a = sigs.select(col("vec_id").as("a_id"),
       explode(array(probeCols: _*)).as("pb"))
-    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
-      col("bucket").as("bucket_b"))
-    a.join(b, col("pb") === col("bucket_b") && col("a_id") < col("b_id"))
+    val b = sigs.select(col("vec_id").as("b_id"), col("bucket").as("bucket_b"))
+    val cand = a
+      .join(b, col("pb") === col("bucket_b") && col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+    val emb = Tables(s, dir, "embeddings")
+    cand
+      .join(emb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb")),
+        Seq("a_id"))
+      .join(emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb")),
+        Seq("b_id"))
       .withColumn("c",
         graft.functions.CosineSimilarity.cosineSim(col("a_emb"), col("b_emb")))
       .filter(col("c") >= 0.4)

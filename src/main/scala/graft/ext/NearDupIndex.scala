@@ -28,9 +28,13 @@ import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType,
   *     failed run re-derives the same buckets deterministically.
   *
   * `planes` is part of the index's identity: bucket keys must be stable
-  * across runs, so it is fixed at index creation and passed identically
-  * to every admit (a real deployment would persist it in a catalog
-  * entry alongside the path).
+  * across runs, so it is fixed at index creation and PERSISTED in a
+  * `_graft_meta` file next to the index data. Every admit checks it and
+  * THROWS on mismatch — a re-run configured with a different corpus-size
+  * estimate must fail loudly, not silently probe wrong buckets and
+  * re-admit near-duplicates. (Underscore-prefixed files are invisible to
+  * Spark's parquet reader, `_SUCCESS`-style, so the meta file never
+  * pollutes `readIndex`.)
   */
 object NearDupIndex {
 
@@ -44,17 +48,23 @@ object NearDupIndex {
     * smaller-id batch members; append them to the index; return them. */
   def admit(spark: SparkSession, indexDir: String, batch: DataFrame,
       planes: Int, bar: Double = 0.9): DataFrame = {
+    checkPlanesMeta(spark, indexDir, planes)
     val b = batch.select(col("vec_id"), col("embedding"),
       graft.functions.HyperplaneBucket.bucket(col("embedding"), planes)
         .as("bucket"))
       // two probe passes + the append consume this; materialize once
       .localCheckpoint(true)
-    // Hamming-0/1 probe ball per batch vector (q79's recall discipline)
+    // Hamming-0/1 probe ball per batch vector (q79's recall discipline).
+    // ID-ONLY probe exchange (multiProbePairs' discipline): the exploded
+    // side carries (vec_id, probe_bucket) — ~12 bytes/row — never the
+    // embedding; the batch embedding re-joins BY ID after the bucket
+    // match, so the (planes+1)× fan-out never replicates the payload.
     val probeCols = col("bucket") +: (0 until planes).map(p =>
       col("bucket").bitwiseXOR(lit(1 << p)))
-    val probes = b.select(col("vec_id"), col("embedding"),
+    val probes = b.select(col("vec_id"),
       explode(array(probeCols: _*)).as("pb"))
     def verified(cand: DataFrame): DataFrame = cand
+      .join(b.select(col("vec_id"), col("embedding")), Seq("vec_id"))
       .withColumn("c", graft.functions.CosineSimilarity.cosineSim(
         col("embedding"), col("i_emb")))
       .filter(col("c") >= bar)
@@ -83,6 +93,33 @@ object NearDupIndex {
     admitted.select(col("vec_id"), col("embedding"), col("bucket"))
       .write.mode("append").partitionBy("bucket").parquet(indexDir)
     admitted
+  }
+
+  /** Enforce the planes-stability contract: on the index's FIRST admit,
+    * persist `planes` to `indexDir/_graft_meta`; on every later admit,
+    * require the caller's `planes` to equal the persisted one. Goes
+    * through the Hadoop FileSystem API so the contract holds on any
+    * storage scheme the index itself can live on. */
+  private def checkPlanesMeta(spark: SparkSession, indexDir: String,
+      planes: Int): Unit = {
+    val path = new org.apache.hadoop.fs.Path(indexDir, "_graft_meta")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) {
+      val in = fs.open(path)
+      val stored =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+        finally in.close()
+      if (stored != planes)
+        throw new IllegalArgumentException(
+          s"NearDupIndex at $indexDir was created with planes=$stored but " +
+            s"admit was called with planes=$planes; bucket keys would not " +
+            "match the persisted index — pass the index's own planes " +
+            "(stored in its _graft_meta file)")
+    } else {
+      fs.mkdirs(path.getParent)
+      val out = fs.create(path, false)
+      try out.write(planes.toString.getBytes("UTF-8")) finally out.close()
+    }
   }
 
   /** The current index (empty relation when no run has committed yet).

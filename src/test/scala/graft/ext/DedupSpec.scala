@@ -102,6 +102,25 @@ class DedupSpec extends SparkSpec {
     assert(q79.distinct.length == q79.length)
   }
 
+  test("q79 probe explosion is ID-ONLY: no array column rides the " +
+      "(planes+1)x Generate fan-out (embeddings re-join by id after " +
+      "the bucket match)") {
+    val dir = "/root/testdata/sf0.001"
+    val df = graft.SparkEntry.queries("q79_neardup_multiprobe")(spark, dir)
+    val gens = df.queryExecution.optimizedPlan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }
+    assert(gens.nonEmpty, "expected the probe-ball explode in the plan")
+    gens.foreach { g =>
+      val arrays = g.output.filter(
+        _.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+      assert(arrays.isEmpty,
+        s"probe-side Generate replicates payload columns: " +
+          arrays.map(a => s"${a.name}:${a.dataType.simpleString}")
+            .mkString(", "))
+    }
+  }
+
   test("q80: semantic-dedup verdicts are a closure fixpoint over q79 " +
       "pairs with min-member canonicals and exact component sizes") {
     val dir = "/root/testdata/sf0.001"

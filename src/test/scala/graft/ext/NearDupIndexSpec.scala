@@ -85,6 +85,22 @@ class NearDupIndexSpec extends SparkSpec {
     assert(r.isEmpty, "boundary-crossing near-dup was re-admitted")
   }
 
+  test("planes-stability contract: admit with a different planes than the " +
+      "index was created with THROWS (persisted in _graft_meta)") {
+    val idx = Files.createTempDirectory("neardup-idx6").toString
+    NearDupIndex.admit(spark, idx, df(1L -> base(30)), planes)
+    // the meta file exists next to the data and is invisible to readIndex
+    assert(new java.io.File(idx, "_graft_meta").isFile)
+    assert(NearDupIndex.readIndex(spark, idx).count() == 1)
+    val ex = intercept[IllegalArgumentException] {
+      NearDupIndex.admit(spark, idx, df(2L -> base(31)), planes + 1)
+    }
+    assert(ex.getMessage.contains(s"planes=$planes"))
+    // the matching planes still admits fine after the failed attempt
+    assert(NearDupIndex.admit(spark, idx, df(2L -> base(31)), planes)
+      .count() == 1)
+  }
+
   test("readIndex sees a partitioned (subdir-committed) layout — the " +
       "flat *.parquet listing would have read it as an empty index") {
     val idx = Files.createTempDirectory("neardup-idx5").toString
