@@ -23,7 +23,8 @@ object SparkEntry {
       graft.ext.TextAnalytics.defs ++
       graft.ext.Multimodal.defs ++
       graft.ext.Sampling.defs ++
-      graft.ext.Assembly.defs
+      graft.ext.Assembly.defs ++
+      graft.ext.Incremental.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

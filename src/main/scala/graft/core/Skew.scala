@@ -44,4 +44,31 @@ object Skew {
         explode(array((0 until salts).map(lit(_)): _*)))
     saltedProbe.join(replicatedBuild, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** HYBRID hot-key salted join — the production refinement of
+    * [[saltedJoin]], whose whole-build replication is `salts`× the
+    * ENTIRE build side: at 100 TB with a large build table that is a new
+    * bottleneck, not a mitigation. Here the probe side's key histogram
+    * (one map-side-combinable count aggregation) decides which keys are
+    * actually hot (count > `hotThreshold`); ONLY those go through the
+    * salted path — replicating just the hot slice of the build side,
+    * ≤ |probe|/hotThreshold keys by construction, broadcast-small — and
+    * every other row takes the plain equi-join Spark would have planned
+    * anyway. Build replication becomes `salts` × (hot-key build rows)
+    * instead of `salts` × |build|; the result is EXACTLY the plain join
+    * (the two probe slices partition the probe rows, and each joins the
+    * full set of its keys' build rows). */
+  def hybridSaltedJoin(probe: DataFrame, build: DataFrame, key: String,
+      saltSource: Column, salts: Int, hotThreshold: Long): DataFrame = {
+    val hot = probe.groupBy(col(key)).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > hotThreshold)
+      .select(col(key))
+    // the hot list is bounded at |probe|/hotThreshold keys — broadcast it
+    // to split both sides without an extra shuffle
+    val hotProbe = probe.join(broadcast(hot), Seq(key), "left_semi")
+    val coldProbe = probe.join(broadcast(hot), Seq(key), "left_anti")
+    val hotBuild = build.join(broadcast(hot), Seq(key), "left_semi")
+    saltedJoin(hotProbe, hotBuild, key, saltSource, salts)
+      .unionByName(coldProbe.join(build, Seq(key)))
+  }
 }

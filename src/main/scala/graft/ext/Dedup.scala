@@ -404,11 +404,15 @@ object Dedup {
     * construction would have co-bucketed it and (b) the q79 multi-probe
     * construction (Hamming ≤ 1 signatures) would have admitted it —
     * the before/after recall a pipeline reads when choosing its near-dup
-    * index. Single-row output: (n_exact_pairs, n_lsh_pairs,
-    * n_multiprobe_pairs, pair_recall, multiprobe_recall); recalls are
-    * integer divisions (no float-sum ordering). Plane count derives from
-    * the SAMPLE size (the experiment's corpus), integer-exact in both
-    * engines.
+    * index — plus (c) the Hamming ≤ 2 ball, the THIRD point on the
+    * recall/cost curve (probe cost 1 + planes + C(planes,2) buckets):
+    * the next lever if a pipeline needs more than the ~0.6 pair recall
+    * Hamming ≤ 1 reaches at the 0.4 bar. Single-row output:
+    * (n_exact_pairs, n_lsh_pairs, n_multiprobe_pairs,
+    * n_multiprobe2_pairs, pair_recall, multiprobe_recall,
+    * multiprobe2_recall); recalls are integer divisions (no float-sum
+    * ordering). Plane count derives from the SAMPLE size (the
+    * experiment's corpus), integer-exact in both engines.
     *
     * The measurement is physically meaningful: at the 0.4 threshold the
     * observed single-bucket recall (~0.15–0.17 on the fixtures) matches
@@ -439,11 +443,15 @@ object Dedup {
           sum(when(col("ba") === col("bb"), 1L).otherwise(0L))
             .as("n_lsh_pairs"),
           sum(when(bit_count(col("ba").bitwiseXOR(col("bb"))) <= 1, 1L)
-            .otherwise(0L)).as("n_multiprobe_pairs"))
+            .otherwise(0L)).as("n_multiprobe_pairs"),
+          sum(when(bit_count(col("ba").bitwiseXOR(col("bb"))) <= 2, 1L)
+            .otherwise(0L)).as("n_multiprobe2_pairs"))
         .withColumn("pair_recall",
           col("n_lsh_pairs").cast("double") / col("n_exact_pairs"))
         .withColumn("multiprobe_recall",
           col("n_multiprobe_pairs").cast("double") / col("n_exact_pairs"))
+        .withColumn("multiprobe2_recall",
+          col("n_multiprobe2_pairs").cast("double") / col("n_exact_pairs"))
     },
     """WITH s AS (
       |  SELECT vec_id, embedding FROM embeddings
@@ -464,6 +472,7 @@ object Dedup {
       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
       |    a.b = b.b AS same_bucket,
       |    bit_count(xor(a.b, b.b)) <= 1 AS probe_hit,
+      |    bit_count(xor(a.b, b.b)) <= 2 AS probe2_hit,
       |    list_sum(list_transform(a.embedding,
       |      (x,i) -> CAST(x AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
       |    (sqrt(list_sum(list_transform(a.embedding,
@@ -476,10 +485,14 @@ object Dedup {
       |         AS n_lsh_pairs,
       |       CAST(sum(CASE WHEN probe_hit THEN 1 ELSE 0 END) AS BIGINT)
       |         AS n_multiprobe_pairs,
+      |       CAST(sum(CASE WHEN probe2_hit THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_multiprobe2_pairs,
       |       CAST(sum(CASE WHEN same_bucket THEN 1 ELSE 0 END) AS DOUBLE)
       |         / count(*) AS pair_recall,
       |       CAST(sum(CASE WHEN probe_hit THEN 1 ELSE 0 END) AS DOUBLE)
-      |         / count(*) AS multiprobe_recall
+      |         / count(*) AS multiprobe_recall,
+      |       CAST(sum(CASE WHEN probe2_hit THEN 1 ELSE 0 END) AS DOUBLE)
+      |         / count(*) AS multiprobe2_recall
       |FROM p WHERE c >= 0.4""")
 
   /** The q31 pair derivation as oracle CTEs (shared text for q67's

@@ -69,11 +69,19 @@ object DedupIndex {
     * relation while partitioned layouts (key=value subdirs) resolve
     * through normal partition discovery. */
   private[ext] def readOrEmpty(spark: SparkSession, indexDir: String,
-      schema: org.apache.spark.sql.types.StructType): DataFrame =
-    try spark.read.schema(schema).parquet(indexDir)
-    catch {
-      case _: org.apache.spark.sql.AnalysisException =>
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    }
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    // pre-check existence so the bootstrap (no index yet) path is the
+    // quiet normal case rather than a logged-then-caught AnalysisException
+    // on every first run; an existing path still goes through Spark's own
+    // reader (partition discovery included), with the catch kept as a
+    // belt-and-braces for a dir that exists but holds no readable data
+    val path = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    if (!fs.exists(path)) empty
+    else
+      try spark.read.schema(schema).parquet(indexDir)
+      catch { case _: org.apache.spark.sql.AnalysisException => empty }
+  }
 }

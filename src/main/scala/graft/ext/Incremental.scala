@@ -1,0 +1,170 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{QueryDef, Tables}
+
+/** Oracle gates for the INCREMENTAL index family — the operators that
+  * implement the reference's actual production model (hourly resumable
+  * micro-batches, SURVEY §2.3: the cron only ever sees new records and
+  * must reject re-crawls against everything admitted before). The index
+  * operators themselves live in [[DedupIndex]], [[NearDupIndex]], and
+  * [[TextNearDupIndex]]; these registry entries run a DETERMINISTIC
+  * two-batch admission sequence against a fresh throwaway index — batch
+  * A bootstraps, batch B is admitted against A's persisted state — so
+  * the whole incremental path (bucket/fingerprint persistence, probe
+  * join, verification, in-batch collapse, append, re-read) sits inside
+  * the driver's hard rows+schema+hash gate, not just ScalaTest.
+  *
+  * The admission math is batch-expressible, so DuckDB can restate
+  * admit(B | A) declaratively:
+  *  - admit(A | ∅): v ∈ A survives iff no smaller-id batch member is a
+  *    verified near-dup of v;
+  *  - admit(B | A): v ∈ B survives iff no ADMITTED-A member verifies
+  *    (the index after run 1 holds exactly admitted-A) and no smaller-id
+  *    B member verifies.
+  * A fresh temp dir per invocation keeps every run (Verify, bench
+  * passes, specs) bit-identical — nothing accumulates across calls.
+  */
+object Incremental {
+
+  /** Two-batch NearDupIndex admission (embedding near-dup, multi-probe
+    * Hamming ≤ 1 + exact-cosine verification at bar 0.4 — the q51/q79
+    * threshold, where the fixtures actually contain cross-batch
+    * near-dups, so the gate exercises real rejections). `planes` derives
+    * from the FULL corpus size (the index's catalog entry, q55's rule);
+    * verification parity with DuckDB holds because collision is pure
+    * BIGINT signature xor and the cosine is the proven bit-exact form. */
+  private val q84NeardupIndexAdmit = QueryDef(
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val planes = Dedup.lshPlanes(e.count())
+      val idx = java.nio.file.Files.createTempDirectory("graft-q84-idx")
+        .resolve("index").toString
+      val batchA = e.filter(col("vec_id") % 2 === 0)
+        .select("vec_id", "embedding")
+      val batchB = e.filter(col("vec_id") % 2 === 1)
+        .select("vec_id", "embedding")
+      val admA = NearDupIndex.admit(s, idx, batchA, planes, bar = 0.4)
+        .select(col("vec_id"), lit(0).as("batch"))
+      val admB = NearDupIndex.admit(s, idx, batchB, planes, bar = 0.4)
+        .select(col("vec_id"), lit(1).as("batch"))
+      admA.unionByName(admB).orderBy("vec_id")
+    },
+    """WITH np AS (
+      |  SELECT 4 + length(bin(greatest(count(*) // 500, 1))) - 1 AS planes
+      |  FROM embeddings),
+      |d AS (
+      |  SELECT vec_id, embedding,
+      |    (SELECT sum(CASE WHEN list_sum(list_transform(embedding, (x,i) ->
+      |       CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+      |       * ((((i-1) * 31 + p * 17) % 7) - 3))) > 0
+      |     THEN 1 << p ELSE 0 END)
+      |     FROM generate_series(0, 62) t(p), np WHERE p < planes) AS bucket
+      |  FROM embeddings),
+      |ca AS (
+      |  SELECT v.vec_id FROM d v
+      |  WHERE v.vec_id % 2 = 0
+      |    AND NOT EXISTS (
+      |      SELECT 1 FROM d u
+      |      WHERE u.vec_id % 2 = 0 AND u.vec_id < v.vec_id
+      |        AND bit_count(xor(u.bucket, v.bucket)) <= 1
+      |        AND list_sum(list_transform(v.embedding,
+      |              (x,i) -> CAST(x AS DOUBLE) * CAST(u.embedding[i] AS DOUBLE))) /
+      |            (sqrt(list_sum(list_transform(v.embedding,
+      |               x -> CAST(x AS DOUBLE) * x))) *
+      |             sqrt(list_sum(list_transform(u.embedding,
+      |               x -> CAST(x AS DOUBLE) * x)))) >= 0.4)),
+      |cb AS (
+      |  SELECT v.vec_id FROM d v
+      |  WHERE v.vec_id % 2 = 1
+      |    AND NOT EXISTS (
+      |      SELECT 1 FROM d u JOIN ca ON u.vec_id = ca.vec_id
+      |      WHERE bit_count(xor(u.bucket, v.bucket)) <= 1
+      |        AND list_sum(list_transform(v.embedding,
+      |              (x,i) -> CAST(x AS DOUBLE) * CAST(u.embedding[i] AS DOUBLE))) /
+      |            (sqrt(list_sum(list_transform(v.embedding,
+      |               x -> CAST(x AS DOUBLE) * x))) *
+      |             sqrt(list_sum(list_transform(u.embedding,
+      |               x -> CAST(x AS DOUBLE) * x)))) >= 0.4)
+      |    AND NOT EXISTS (
+      |      SELECT 1 FROM d u
+      |      WHERE u.vec_id % 2 = 1 AND u.vec_id < v.vec_id
+      |        AND bit_count(xor(u.bucket, v.bucket)) <= 1
+      |        AND list_sum(list_transform(v.embedding,
+      |              (x,i) -> CAST(x AS DOUBLE) * CAST(u.embedding[i] AS DOUBLE))) /
+      |            (sqrt(list_sum(list_transform(v.embedding,
+      |               x -> CAST(x AS DOUBLE) * x))) *
+      |             sqrt(list_sum(list_transform(u.embedding,
+      |               x -> CAST(x AS DOUBLE) * x)))) >= 0.4))
+      |SELECT vec_id, 0 AS batch FROM ca
+      |UNION ALL
+      |SELECT vec_id, 1 AS batch FROM cb
+      |ORDER BY vec_id""")
+
+  /** Two-batch DedupIndex admission (exact md5 fingerprints): batch A's
+    * in-batch dedup collapses same-text docs to the min doc_id; batch B
+    * additionally anti-joins A's persisted fingerprints. The oracle
+    * restates both runs with windows + NOT EXISTS over the same md5. */
+  private val q85DedupIndexAdmit = QueryDef(
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val idx = java.nio.file.Files.createTempDirectory("graft-q85-idx")
+        .resolve("index").toString
+      val batchA = docs.filter(col("doc_id") % 2 === 0)
+        .select("doc_id", "text")
+      val batchB = docs.filter(col("doc_id") % 2 === 1)
+        .select("doc_id", "text")
+      val admA = DedupIndex.admit(s, idx, batchA)
+        .select(col("doc_id"), col("fp"), lit(0).as("batch"))
+      val admB = DedupIndex.admit(s, idx, batchB)
+        .select(col("doc_id"), col("fp"), lit(1).as("batch"))
+      admA.unionByName(admB).orderBy("doc_id")
+    },
+    """WITH a AS (SELECT doc_id, md5(text) AS fp FROM documents
+      |           WHERE doc_id % 2 = 0),
+      |b AS (SELECT doc_id, md5(text) AS fp FROM documents
+      |      WHERE doc_id % 2 = 1),
+      |ca AS (SELECT doc_id, fp FROM (
+      |         SELECT doc_id, fp,
+      |           row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      |         FROM a) WHERE rn = 1),
+      |cb AS (SELECT doc_id, fp FROM (
+      |         SELECT doc_id, fp,
+      |           row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      |         FROM b) t
+      |       WHERE rn = 1
+      |         AND NOT EXISTS (SELECT 1 FROM a WHERE a.fp = t.fp))
+      |SELECT doc_id, fp, 0 AS batch FROM ca
+      |UNION ALL
+      |SELECT doc_id, fp, 1 AS batch FROM cb
+      |ORDER BY doc_id""")
+
+  /** Two-batch TextNearDupIndex admission (MinHash band keys + stored-
+    * signature verification ≥ 15/16). The signature is xxhash64-based —
+    * not DuckDB-expressible (q32's limitation) — so this entry is
+    * GOLDEN-PINNED (GoldenSpec, both sfs) rather than oracle-checked;
+    * the registry row still puts the text-incremental path under the
+    * driver's rows-only check and the bench clock. */
+  private val q88TextIndexAdmit = QueryDef.noOracle(
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val idx = java.nio.file.Files.createTempDirectory("graft-q88-idx")
+        .resolve("index").toString
+      val batchA = docs.filter(col("doc_id") % 2 === 0)
+        .select("doc_id", "text")
+      val batchB = docs.filter(col("doc_id") % 2 === 1)
+        .select("doc_id", "text")
+      val admA = TextNearDupIndex.admit(s, idx, batchA)
+        .select(col("doc_id"), lit(0).as("batch"))
+      val admB = TextNearDupIndex.admit(s, idx, batchB)
+        .select(col("doc_id"), lit(1).as("batch"))
+      admA.unionByName(admB).orderBy("doc_id")
+    })
+
+  val defs: Map[String, QueryDef] = Map(
+    "q84_neardup_index_admit" -> q84NeardupIndexAdmit,
+    "q85_dedup_index_admit" -> q85DedupIndexAdmit,
+    "q88_text_index_admit" -> q88TextIndexAdmit,
+  )
+}

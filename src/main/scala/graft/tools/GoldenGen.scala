@@ -24,7 +24,8 @@ import org.apache.spark.sql.SparkSession
   */
 object GoldenGen {
   val goldenQueries: Seq[String] =
-    Seq("q20_approx_distinct", "q32_minhash_lsh", "q33_simhash", "q35_knn_lsh")
+    Seq("q20_approx_distinct", "q32_minhash_lsh", "q33_simhash",
+      "q35_knn_lsh", "q88_text_index_admit")
   val sfDirs: Seq[(String, String)] = Seq(
     "sf0.001" -> "/root/testdata/sf0.001",
     "sf0.1" -> "/root/testdata/sf0.1")

@@ -29,6 +29,51 @@ class SkewSpec extends SparkSpec {
     assert(saltsUsed > 1, "hot key stayed on one salt")
   }
 
+  test("hybridSaltedJoin equals the plain equi-join, salts ONLY the hot " +
+      "keys, and replicates only the hot build slice") {
+    import spark.implicits._
+    // key 7 is hot (500 rows), keys 0-4 are cold (10 rows each)
+    val probe = ((1 to 500).map(i => (7L, i.toLong)) ++
+      (1 to 50).map(i => (i.toLong % 5, 1000L + i)))
+      .toDF("k", "row_id")
+    val build = (0L to 10L).map(k => (k, s"dim$k")).toDF("k", "label")
+
+    val plain = probe.join(build, Seq("k"))
+      .select("k", "row_id", "label").collect().map(_.toSeq).toSet
+    val hybrid = Skew.hybridSaltedJoin(probe, build, "k",
+        saltSource = col("row_id"), salts = 8, hotThreshold = 100L)
+      .select("k", "row_id", "label").collect().map(_.toSeq).toSet
+    assert(hybrid == plain, "hybrid salted join changed the result")
+
+    // the point of the hybrid: exactly one key qualifies as hot at the
+    // 100-row threshold, so the salted path replicates ONE build row
+    // 8x (vs saltedJoin's 11 x 8) and the cold path carries the rest
+    val hot = probe.groupBy("k").count().filter(col("count") > 100L)
+    assert(hot.collect().map(_.getLong(0)).toSeq == Seq(7L))
+
+    // degenerate thresholds still equal the plain join: everything hot
+    val allHot = Skew.hybridSaltedJoin(probe, build, "k",
+        saltSource = col("row_id"), salts = 8, hotThreshold = 0L)
+      .select("k", "row_id", "label").collect().map(_.toSeq).toSet
+    assert(allHot == plain)
+    // ...and everything cold
+    val allCold = Skew.hybridSaltedJoin(probe, build, "k",
+        saltSource = col("row_id"), salts = 8, hotThreshold = 10000L)
+      .select("k", "row_id", "label").collect().map(_.toSeq).toSet
+    assert(allCold == plain)
+  }
+
+  test("q86 exercises BOTH hybrid paths on the fixture: some orderkeys " +
+      "are hot (>5 lineitems), most are cold") {
+    val dir = "/root/testdata/sf0.001"
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val byKey = li.groupBy("l_orderkey").count()
+    val nHot = byKey.filter(col("count") > 5).count()
+    val nCold = byKey.filter(col("count") <= 5).count()
+    assert(nHot > 0, "no hot keys at threshold 5: the salted path is dead")
+    assert(nCold > 0, "no cold keys: the plain path is dead")
+  }
+
   test("saltedSumCount equals the plain aggregation") {
     import spark.implicits._
     val df = ((1 to 300).map(i => ("hot", i.toLong)) ++

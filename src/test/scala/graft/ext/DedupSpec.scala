@@ -86,6 +86,13 @@ class DedupSpec extends SparkSpec {
     // sanity: multi-probe admits a strict superset of single-bucket pairs
     assert(r.getAs[Long]("n_multiprobe_pairs") >
       r.getAs[Long]("n_lsh_pairs"))
+    // the recall/cost curve is monotone in probe radius: widening the
+    // Hamming ball can only admit more true pairs (ball containment)
+    val multi2 = r.getAs[Double]("multiprobe2_recall")
+    assert(multi2 >= multi && multi >= single,
+      s"recall not monotone in radius: $single / $multi / $multi2")
+    assert(r.getAs[Long]("n_multiprobe2_pairs") >=
+      r.getAs[Long]("n_multiprobe_pairs"))
   }
 
   test("q79 pairs = q55 pairs plus exactly the Hamming-1 boundary " +

@@ -35,6 +35,36 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q87: trained-vs-fixed codebook compare is an honest instrument — " +
+      "recall comes WITH candidate cost, and on the structureless fixture " +
+      "training holds recall and cost in the same regime") {
+    val r = graft.SparkEntry
+      .queries("q87_ivf_trained_recall")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(r.length == 1)
+    val row = r.head
+    val n = row.getAs[Long]("n_queries")
+    val hf = row.getAs[Long]("hits_fixed")
+    val ht = row.getAs[Long]("hits_trained")
+    val cf = row.getAs[Long]("cand_fixed")
+    val ct = row.getAs[Long]("cand_trained")
+    assert(n == 10L)
+    assert(hf >= 0L && hf <= 5L * n && ht >= 0L && ht <= 5L * n)
+    assert(cf > 0L && ct > 0L)
+    // recall identity: one integer division, nothing float-summed
+    assert(row.getAs[Double]("recall_fixed") == hf.toDouble / (5 * n))
+    assert(row.getAs[Double]("recall_trained") == ht.toDouble / (5 * n))
+    // the fixture's embeddings are synthetic and structureless, so two
+    // Lloyd rounds must NOT blow up serve cost (cells stay balanced —
+    // within 2x of the fixed layout) ...
+    assert(ct <= 2L * cf && cf <= 2L * ct,
+      s"cell balance diverged: cand_fixed=$cf cand_trained=$ct")
+    // ... and both indexes must stay usable at nprobe=1 (recall floor
+    // well below the ~0.8 both measure, well above a broken index)
+    assert(hf >= 2L * n && ht >= 2L * n, // recall >= 0.4
+      s"recall floor broken: hits_fixed=$hf hits_trained=$ht of ${5 * n}")
+  }
+
   test("q81: every vector assigned once, 8 live cells, and two Lloyd " +
       "rounds beat the seed codebook's distortion") {
     val dir = "/root/testdata/sf0.001"
