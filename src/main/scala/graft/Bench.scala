@@ -69,7 +69,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // local-iteration escape hatch: comma-separated name prefixes (e.g.
+    // "q84,q88") restrict the run; the driver never sets this
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
 
     // warmup: full execution of every query once (errors logged, not fatal)
     queries.foreach { case (name, fn) =>

@@ -49,10 +49,15 @@ object NearDupIndex {
   def admit(spark: SparkSession, indexDir: String, batch: DataFrame,
       planes: Int, bar: Double = 0.9): DataFrame = {
     checkPlanesMeta(spark, indexDir, planes)
-    val b = batch.select(col("vec_id"), col("embedding"),
+    // bucket computation is per-row dot-product work; spread narrow
+    // batches (e.g. a single input split) across the cluster first
+    val np = spark.sparkContext.defaultParallelism
+    val spread = if (batch.rdd.getNumPartitions < np)
+      batch.repartition(np) else batch
+    val b = spread.select(col("vec_id"), col("embedding"),
       graft.functions.HyperplaneBucket.bucket(col("embedding"), planes)
         .as("bucket"))
-      // two probe passes + the append consume this; materialize once
+      // the probe pass + the append consume this; materialize once
       .localCheckpoint(true)
     // Hamming-0/1 probe ball per batch vector (q79's recall discipline).
     // ID-ONLY probe exchange (multiProbePairs' discipline): the exploded
@@ -63,34 +68,44 @@ object NearDupIndex {
       col("bucket").bitwiseXOR(lit(1 << p)))
     val probes = b.select(col("vec_id"),
       explode(array(probeCols: _*)).as("pb"))
-    def verified(cand: DataFrame): DataFrame = cand
+    // ONE probe join against (index ∪ batch): the two rejection sources
+    // differ only in their id predicate, carried by the `from_index` tag —
+    // (a) near-dup of an already-indexed vector rejects on ANY other id
+    // (SELF-matches excluded so a replayed batch — the foreachBatch retry
+    // path — finds its own prior append in the index and still re-derives
+    // the SAME admissions: retries duplicate index rows, harmless probe
+    // space, but never flip a verdict); (b) near-dup of a smaller-id batch
+    // member (greedy min-id keep). The index side is the ONLY part whose
+    // cost touches the index, and it is partition-pruned by the bucket key.
+    val index = readIndex(spark, indexDir)
+    val postings = index
+      .select(col("bucket").as("pb"), col("vec_id").as("i_id"),
+        col("embedding").as("i_emb"), lit(true).as("from_index"))
+      .unionByName(b.select(col("bucket").as("pb"),
+        col("vec_id").as("i_id"), col("embedding").as("i_emb"),
+        lit(false).as("from_index")))
+    val dup = probes.join(postings, Seq("pb"))
+      .filter((col("from_index") && col("i_id") =!= col("vec_id")) ||
+        (!col("from_index") && col("i_id") < col("vec_id")))
       .join(b.select(col("vec_id"), col("embedding")), Seq("vec_id"))
       .withColumn("c", graft.functions.CosineSimilarity.cosineSim(
         col("embedding"), col("i_emb")))
       .filter(col("c") >= bar)
       .select(col("vec_id")).distinct()
-    // (a) near-dup of an already-indexed vector: probe only colliding
-    // buckets — the ONLY part whose cost touches the index, and it is
-    // partition-pruned by the bucket key. SELF-matches (same vec_id) are
-    // excluded so a replayed batch — the foreachBatch retry path — finds
-    // its own prior append in the index and still re-derives the SAME
-    // admissions: retries duplicate index rows (harmless probe space,
-    // the DedupIndex retry contract) but never flip a verdict.
-    val index = readIndex(spark, indexDir)
-    val dupOfIndex = verified(probes.join(
-      index.select(col("bucket").as("pb"), col("vec_id").as("i_id"),
-        col("embedding").as("i_emb")),
-      Seq("pb")).filter(col("i_id") =!= col("vec_id")))
-    // (b) near-dup of a smaller-id batch member (greedy min-id keep)
-    val dupInBatch = verified(probes.join(
-      b.select(col("bucket").as("pb"), col("vec_id").as("i_id"),
-        col("embedding").as("i_emb")),
-      Seq("pb")).filter(col("i_id") < col("vec_id")))
     val admitted = b
-      .join(dupOfIndex, Seq("vec_id"), "left_anti")
-      .join(dupInBatch, Seq("vec_id"), "left_anti")
+      .join(dup, Seq("vec_id"), "left_anti")
       .localCheckpoint(true) // index append + caller must agree
+    // cluster rows by bucket before the dynamic-partition write: without
+    // it every task opens a parquet writer in every bucket dir it touches
+    // (tasks × buckets file inits — measured ~18 ms each, 10× the write
+    // cost at sf0.1, and a small-file explosion at real scale).
+    // EXPLICIT partition count: a bare repartition(col) lets AQE coalesce
+    // the tiny exchange to one task, which serializes the file inits —
+    // the explicit number keeps them parallel at one-file-per-bucket.
+    val writeTasks = math.min(1 << planes,
+      spark.sparkContext.defaultParallelism)
     admitted.select(col("vec_id"), col("embedding"), col("bucket"))
+      .repartition(writeTasks, col("bucket"))
       .write.mode("append").partitionBy("bucket").parquet(indexDir)
     admitted
   }

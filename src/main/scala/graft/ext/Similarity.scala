@@ -445,30 +445,63 @@ object Similarity {
     * shared by q81 (the training verdict table) and q82 (the trained-IVF
     * probe). See q81's Scaladoc for the integer-exact discipline. */
   private def trainedAssignment(s: SparkSession, dir: String): DataFrame = {
-    val pts = Tables(s, dir, "embeddings")
-      .select(col("vec_id"), posexplode(transform(col("embedding"),
-        x => round(x.cast("double") * 1000, 0).cast("long")))
-        .as(Seq("dim", "q")))
-    val seed = pts.filter(col("vec_id") < 8)
-      .select(col("vec_id").cast("int").as("cell"), col("dim"),
-        col("q").as("c"))
-    def distances(cent: DataFrame): DataFrame =
-      pts.join(broadcast(cent), Seq("dim"))
-        .groupBy("vec_id", "cell")
-        .agg(sum((col("q") - col("c")) * (col("q") - col("c"))).as("d2"))
-    val w = Window.partitionBy("vec_id").orderBy(asc("d2"), asc("cell"))
-    def assign(cent: DataFrame): DataFrame =
-      distances(cent).withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-    // exact grid round-half-up: c' = floordiv(2s+n, 2n) in integers
-    def update(asg: DataFrame): DataFrame =
-      pts.join(asg.select("vec_id", "cell"), Seq("vec_id"))
+    // Lloyd's loop in its canonical Spark shape (the one MLlib KMeans
+    // uses): the k·d centroid table is BOUNDED driver state (8×64 grid
+    // longs here), so each round collects it and re-plants it as a
+    // LITERAL in a per-row argmin expression — assignment costs zero
+    // joins/windows, and the update is ONE map-side-combinable
+    // (cell, dim) shuffle per round. The fully-declarative unrolled form
+    // this replaces spent ~12 tiny stages on the same 512 numbers.
+    // All arithmetic is the same integer grid / BIGINT d2 / floordiv
+    // round-half-up as the oracle — relocating it per-row cannot change
+    // a bit. argmin tie-break: struct(d2, cell) natural (lexicographic)
+    // MIN = smallest d2 then smallest cell, the oracle's ORDER BY.
+    // grid-transform once, spread the (typically single) input split
+    // across the cluster, and materialize: seed, both update rounds and
+    // the final assignment all read this cached 2-column frame instead
+    // of re-scanning + re-transforming the parquet per round
+    val e = Tables(s, dir, "embeddings")
+    val np = s.sparkContext.defaultParallelism
+    val eg = e.select(col("vec_id"), expr(
+        "transform(embedding, x -> cast(round(cast(x as double) * 1000, 0) as bigint))")
+        .as("qa"))
+      .repartition(np)
+      .localCheckpoint(true)
+    // SQL text because aliases inside lambda bodies are stripped by the
+    // analyzer — named_struct is the only way to keep the field names
+    val bestSql =
+      """array_min(transform(__cents, c -> named_struct(
+        |  'd2', aggregate(zip_with(qa, c._2, (a, b) -> (a - b) * (a - b)),
+        |        cast(0 as bigint), (acc, x) -> acc + x),
+        |  'cell', c._1)))""".stripMargin
+    def withBest(cents: Seq[(Int, Seq[Long])]): DataFrame =
+      eg.withColumn("__cents", typedLit(cents))
+        .withColumn("best", expr(bestSql)).drop("__cents")
+    // one Lloyd update: assign per-row, then the exact grid
+    // round-half-up c' = floordiv(2s+n, 2n) over member sums; empty
+    // cells drop out (no member rows), matching the oracle's group-by
+    def updateRound(cents: Seq[(Int, Seq[Long])]): Seq[(Int, Seq[Long])] =
+      withBest(cents)
+        .select(col("best.cell").as("cell"),
+          posexplode(col("qa")).as(Seq("dim", "q")))
         .groupBy("cell", "dim")
         .agg(sum("q").as("s"), count(lit(1)).as("n"))
         .select(col("cell"), col("dim"),
           expr("""(2*s + n - pmod(2*s + n, 2*n)) div (2*n)""").as("c"))
-    val trained = update(assign(update(assign(seed))))
-    assign(trained).select(col("vec_id"), col("cell"), col("d2"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+        .toSeq.sortBy(_._1)
+    val seed = eg.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cell"), col("qa"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Long](1).toSeq)
+      .toSeq.sortBy(_._1)
+    val trained = updateRound(updateRound(seed))
+    withBest(trained)
+      .select(col("vec_id"), col("best.cell").as("cell"),
+        col("best.d2").as("d2"))
   }
 
   /** The q81 oracle's training rounds as shared CTE text (pts → final
@@ -620,41 +653,50 @@ object Similarity {
         .withColumn("rk", row_number().over(wTop))
         .filter(col("rk") <= 5)
         .select(col("q_id"), col("n_id"))
-      def top5(assigned: DataFrame): DataFrame = {
-        val qa = assigned.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-            col("cell"))
-        val cand = assigned.select(col("vec_id").as("n_id"),
-          col("embedding").as("n_emb"), col("cell").as("n_cell"))
-        cand.join(broadcast(qa),
-            col("n_cell") === col("cell") && col("n_id") =!= col("q_id"))
-          .withColumn("cos_raw", cosine(col("q_emb"), col("n_emb")))
-          .withColumn("rk", row_number().over(wTop))
-          .filter(col("rk") <= 5)
-          .select(col("q_id"), col("n_id"))
-      }
-      val trained = trainedAssignment(s, dir)
+      // ONE tagged assignment frame instead of per-codebook branches: the
+      // serve, hit and cost computations each run ONCE over (src ∈ {f,t})
+      // with src in their keys, and the per-codebook totals fall out of a
+      // conditional aggregate — the former shape evaluated two serves,
+      // two costs and two hit counts as six separate one-row sub-DAGs
+      val both = trainedAssignment(s, dir)
         .join(e, Seq("vec_id"))
         .select(col("vec_id"), col("embedding"), col("cell"))
-      val fixed = fixedAssignment(s, dir)
+        .withColumn("src", lit("t"))
+        .unionByName(fixedAssignment(s, dir).withColumn("src", lit("f")))
+        .localCheckpoint(true)
+      val qb = both.filter(col("vec_id") < 10)
+        .select(col("src").as("q_src"), col("vec_id").as("q_id"),
+          col("embedding").as("q_emb"), col("cell"))
+      val wTopS = Window.partitionBy("src", "q_id")
+        .orderBy(desc("cos_raw"), asc("n_id"))
+      val serve = both.select(col("src"), col("vec_id").as("n_id"),
+          col("embedding").as("n_emb"), col("cell").as("n_cell"))
+        .join(broadcast(qb), col("src") === col("q_src") &&
+          col("n_cell") === col("cell") && col("n_id") =!= col("q_id"))
+        .withColumn("cos_raw", cosine(col("q_emb"), col("n_emb")))
+        .withColumn("rk", row_number().over(wTopS))
+        .filter(col("rk") <= 5)
+        .select(col("src"), col("q_id"), col("n_id"))
+      val hits = serve.join(exact, Seq("q_id", "n_id"), "left_semi")
+        .groupBy().agg(
+          coalesce(sum(when(col("src") === "f", 1L).otherwise(0L)), lit(0L))
+            .as("hits_fixed"),
+          coalesce(sum(when(col("src") === "t", 1L).otherwise(0L)), lit(0L))
+            .as("hits_trained"))
       // candidate cost = Σ over queries of (probed cell's size - 1):
       // the rows the nprobe=1 serve path actually scans
-      def candCost(assigned: DataFrame, as: String): DataFrame = {
-        val sz = assigned.groupBy("cell").agg(count(lit(1)).as("__n"))
-        assigned.filter(col("vec_id") < 10)
-          .join(broadcast(sz), Seq("cell"))
-          .agg(sum(col("__n") - 1).as(as))
-      }
+      val sz = both.groupBy("src", "cell").agg(count(lit(1)).as("__n"))
+      val cost = both.filter(col("vec_id") < 10)
+        .join(broadcast(sz), Seq("src", "cell"))
+        .groupBy().agg(
+          sum(when(col("src") === "f", col("__n") - 1).otherwise(0L))
+            .as("cand_fixed"),
+          sum(when(col("src") === "t", col("__n") - 1).otherwise(0L))
+            .as("cand_trained"))
       val nQ = q.agg(count(lit(1)).as("n_queries"))
-      val hf = exact.join(top5(fixed),
-        Seq("q_id", "n_id"), "left_semi").agg(count(lit(1)).as("hits_fixed"))
-      val ht = exact.join(top5(trained),
-        Seq("q_id", "n_id"), "left_semi").agg(count(lit(1)).as("hits_trained"))
-      // five one-row aggregates combine via broadcast nested-loop —
+      // three one-row aggregates combine via broadcast nested-loop —
       // bounded by construction (PlanGuard-allowlisted)
-      nQ.crossJoin(broadcast(hf)).crossJoin(broadcast(ht))
-        .crossJoin(broadcast(candCost(fixed, "cand_fixed")))
-        .crossJoin(broadcast(candCost(trained, "cand_trained")))
+      nQ.crossJoin(broadcast(hits)).crossJoin(broadcast(cost))
         .select(col("n_queries"), col("hits_fixed"), col("hits_trained"),
           col("cand_fixed"), col("cand_trained"),
           (col("hits_fixed").cast("double") / (col("n_queries") * 5))

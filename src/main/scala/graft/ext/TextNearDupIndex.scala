@@ -41,19 +41,16 @@ object TextNearDupIndex {
     StructField("band_key", StringType)))
 
   /** (doc_id, sig) — 16 deterministic xxhash64 minhashes over distinct
-    * unigrams, ordered by hash index (q32's signature, guard-free). */
+    * unigrams, ordered by hash index (q32's signature, guard-free).
+    * Computed as ONE per-row codegen expression: the minhash is a pure
+    * function of the document's own token set, so there is nothing to
+    * shuffle — the explode→groupBy→groupBy formulation cost two
+    * exchanges and a 16× row blow-up for the identical array. */
   private def signatures(batch: DataFrame): DataFrame =
-    batch.select(col("doc_id"),
-        explode(array_distinct(split(col("text"), " "))).as("w"))
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, 15), i -> struct(i AS h, xxhash64(i, w) AS v))"))
-        .as("hv"))
-      .select(col("doc_id"), col("hv.h").as("h"), col("hv.v").as("v"))
-      .groupBy("doc_id", "h").agg(min("v").as("mh"))
-      .groupBy("doc_id")
-      .agg(expr(
-        "transform(array_sort(collect_list(struct(h, mh))), x -> x.mh)")
-        .as("sig"))
+    batch.select(col("doc_id"), expr(
+      """transform(sequence(0, 15), i ->
+        |  array_min(transform(array_distinct(split(text, ' ')),
+        |    w -> xxhash64(i, w))))""".stripMargin).as("sig"))
 
   /** Explode a signature into its (band, band_key) rows: 2 bands x 8
     * rows, key = comma-joined minhash values of the band. */
@@ -78,22 +75,33 @@ object TextNearDupIndex {
     * the admitted (doc_id, sig) rows. */
   def admit(spark: SparkSession, indexDir: String, batch: DataFrame,
       minMatches: Int = 15): DataFrame = {
-    val keyed = bandKeys(signatures(batch)).localCheckpoint(true)
-    def verified(cand: DataFrame): DataFrame = cand
+    // the signature is CPU-bound per-row work (16 hash passes over the
+    // token set); a batch arriving as a handful of input splits would
+    // serialize it, so spread narrow batches across the cluster first —
+    // a shuffle of raw (id, text) rows, cheap relative to the hashing
+    val np = spark.sparkContext.defaultParallelism
+    val spread = if (batch.rdd.getNumPartitions < np)
+      batch.repartition(np) else batch
+    val keyed = bandKeys(signatures(spread)).localCheckpoint(true)
+    val index = readIndex(spark, indexDir)
+    // ONE probe join against (index ∪ smaller-id batch members): the two
+    // rejection sources differ only in their id predicate, carried by the
+    // `from_index` tag — vs-index rejects on ANY other id, vs-batch only
+    // on a smaller id (greedy min-id keep). Half the join/verify work of
+    // the former two-pass shape, same admissions.
+    val postings = index
+      .select(col("band"), col("band_key"), col("doc_id").as("i_id"),
+        col("sig").as("i_sig"), lit(true).as("from_index"))
+      .unionByName(keyed.select(col("band"), col("band_key"),
+        col("doc_id").as("i_id"), col("sig").as("i_sig"),
+        lit(false).as("from_index")))
+    val dup = keyed.join(postings, Seq("band", "band_key"))
+      .filter((col("from_index") && col("i_id") =!= col("doc_id")) ||
+        (!col("from_index") && col("i_id") < col("doc_id")))
       .filter(sigMatches(col("sig"), col("i_sig")) >= minMatches)
       .select(col("doc_id")).distinct()
-    val index = readIndex(spark, indexDir)
-    val dupOfIndex = verified(keyed.join(
-      index.select(col("band"), col("band_key"),
-        col("doc_id").as("i_id"), col("sig").as("i_sig")),
-      Seq("band", "band_key")).filter(col("i_id") =!= col("doc_id")))
-    val dupInBatch = verified(keyed.join(
-      keyed.select(col("band"), col("band_key"),
-        col("doc_id").as("i_id"), col("sig").as("i_sig")),
-      Seq("band", "band_key")).filter(col("i_id") < col("doc_id")))
     val admitted = keyed
-      .join(dupOfIndex, Seq("doc_id"), "left_anti")
-      .join(dupInBatch, Seq("doc_id"), "left_anti")
+      .join(dup, Seq("doc_id"), "left_anti")
       .localCheckpoint(true) // index append + caller must agree
     admitted.select(col("doc_id"), col("sig"), col("band"), col("band_key"))
       .write.mode("append").parquet(indexDir)
