@@ -27,4 +27,17 @@ object Tables {
       case (d, _) => d
     }
   }
+
+  /** Spread a frame across the cluster before CPU-dense per-row work
+    * (shingle/token hashing, fingerprinting, vector math). The fixture
+    * tables are single-row-group parquet, so Spark's size-based file
+    * splitting (`maxPartitionBytes`) cannot parallelize them and the
+    * heavy map stage — including its partial aggregation — would run on
+    * ONE core. A cheap exchange of the raw rows first buys full map-side
+    * parallelism; frames that already arrive wide (a real 100 TB scan)
+    * pass through untouched. */
+  def spread(spark: SparkSession, df: DataFrame): DataFrame = {
+    val np = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < np) df.repartition(np) else df
+  }
 }

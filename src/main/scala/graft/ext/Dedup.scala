@@ -15,7 +15,9 @@ import graft.core.{QueryDef, Tables}
 object Dedup {
 
   /** Word tokens per document, deduplicated — the shingle base for
-    * unigram-level dedup ops. */
+    * unigram-level dedup ops. NOT spread here: half its callers tokenize
+    * a subsample (q31/q67's doc_id % 20) where an extra exchange costs
+    * more than the single-split tokenization it parallelizes. */
   private def unigrams(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("lang"),
       explode(array_distinct(split(col("text"), " "))).as("w"))
@@ -588,7 +590,9 @@ object Dedup {
     * Iteration cost on real dedup graphs (near-clique components,
     * diameter 2-4) is dominated by Spark JOB OVERHEAD per materialized
     * round, not data volume — folding one more hop per round cuts a
-    * whole job+checkpoint cycle on graphs that converge in 1-2 checks.
+    * whole job+checkpoint cycle on graphs that converge in 1-2 checks
+    * (a 2-hop fold was measured SLOWER at sf0.1: the extra
+    * round+checkpoint+collect outweighs the two hops it saves).
     *
     * NON-CONVERGENCE IS LOUD: if the fixpoint is not reached within
     * `maxIters` quad-hop rounds (diameter > 4·maxIters, e.g. a

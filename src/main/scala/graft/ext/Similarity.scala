@@ -385,7 +385,7 @@ object Similarity {
     * affine map, so the integer codes are oracle-exact. */
   private val q62Quantize = QueryDef(
     (s, dir) => {
-      val e = Tables(s, dir, "embeddings")
+      val e = Tables.spread(s, Tables(s, dir, "embeddings"))
       val mn = array_min(col("embedding")).cast("double")
       val mx = array_max(col("embedding")).cast("double")
       val scale = (mx - mn) / 255.0

@@ -150,7 +150,7 @@ object TextAnalytics {
     * cross-corpus matching. */
   private val q39Fingerprint = QueryDef(
     (s, dir) =>
-      Tables(s, dir, "documents")
+      Tables.spread(s, Tables(s, dir, "documents"))
         .select(col("doc_id"), toks.as("w"))
         .filter(size(col("w")) >= 5)
         .select(col("doc_id"),
@@ -207,7 +207,9 @@ object TextAnalytics {
     * pair list. */
   private val q58Contamination = QueryDef(
     (s, dir) => {
-      val words = Tables(s, dir, "documents")
+      // spread before the 8-gram hashing — both the df pass and the
+      // winner-resolution pass re-run it, and it is the heavy map stage
+      val words = Tables.spread(s, Tables(s, dir, "documents"))
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .filter(size(col("w")) >= 8)
       // per-doc distinct shingle HASHES: longs cross the shuffle, not text
