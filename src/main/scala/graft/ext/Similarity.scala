@@ -773,7 +773,213 @@ object Similarity {
       |       CAST((SELECT count(*) FROM ex JOIN tt USING (q_id, n_id))
       |         AS DOUBLE) / ((SELECT count(*) FROM q) * 5) AS recall_trained""")
 
+  /** PRODUCT QUANTIZATION (PQ) — the vector-compression operator behind
+    * every 100 B-vector ANN deployment (IVF-PQ): the 64-dim space splits
+    * into M=4 independent 16-dim subspaces, each trained with its own
+    * K=4-centroid k-means, and a vector's code is its per-subspace
+    * argmin cell — 4 small ints instead of 64 floats (64× smaller with
+    * these toy parameters; 256× with production K=256/M=8, same math).
+    *
+    * Training reuses q81's bit-exact integer discipline verbatim —
+    * round(x·1000) grid points, BIGINT squared-L2 argmin with (d2, cell)
+    * tie-break, floordiv round-half-up centroid updates, empty cells
+    * dropping out of the update — so the whole iterative trainer sits
+    * inside the DuckDB oracle gate. Per-(sub, cell) keys replace q81's
+    * per-cell keys everywhere; otherwise the two Lloyd rounds are the
+    * same driver-side loop over bounded M·K·subdim centroid state.
+    *
+    * Scale shape: identical to [[trainedAssignment]] — per-row codegen
+    * assignment against a literal codebook, one map-side-combinable
+    * (sub, cell, dim) shuffle per update round; the code table the
+    * trainer emits is M rows of (vec_id, sub, code) — the compressed
+    * index a PQ serve path (q90) scans instead of raw vectors. */
+  private val PQ_M = 4
+  private val PQ_K = 4
+  private val PQ_SUBDIM = 16
+
+  /** Trained PQ assignment: (vec_id, sub, code, d2) — one row per vector
+    * per subspace after two Lloyd rounds — plus the final codebook as a
+    * literal-plantable Seq[(sub, cell, gridCoords)]. */
+  private def pqAssignment(s: SparkSession, dir: String)
+      : (DataFrame, Seq[(Int, Int, Seq[Long])]) = {
+    val e = Tables(s, dir, "embeddings")
+    val np = s.sparkContext.defaultParallelism
+    val eg = e.select(col("vec_id"), expr(
+        "transform(embedding, x -> cast(round(cast(x as double) * 1000, 0) as bigint))")
+        .as("qa"))
+      .repartition(np)
+      .localCheckpoint(true)
+    // per-row, per-subspace argmin over the planted codebook; filter by
+    // sub because empty cells drop out of an update (no positional
+    // indexing into the literal is safe)
+    val bestSql =
+      s"""transform(sequence(0, ${PQ_M - 1}), m ->
+        |  array_min(transform(filter(__cents, c -> c._1 = m), c ->
+        |    named_struct(
+        |      'd2', aggregate(zip_with(slice(qa, m * $PQ_SUBDIM + 1, $PQ_SUBDIM),
+        |              c._3, (a, b) -> (a - b) * (a - b)),
+        |            cast(0 as bigint), (acc, x) -> acc + x),
+        |      'cell', c._2))))""".stripMargin
+    def withBest(cents: Seq[(Int, Int, Seq[Long])]): DataFrame =
+      eg.withColumn("__cents", typedLit(cents))
+        .withColumn("ba", expr(bestSql)).drop("__cents")
+    def updateRound(cents: Seq[(Int, Int, Seq[Long])])
+        : Seq[(Int, Int, Seq[Long])] =
+      withBest(cents)
+        .select(col("qa"), posexplode(col("ba")).as(Seq("sub", "bc")))
+        .select(col("sub"), col("bc.cell").as("cell"),
+          posexplode(slice(col("qa"), col("sub") * PQ_SUBDIM + 1,
+            lit(PQ_SUBDIM))).as(Seq("sdim", "q")))
+        .groupBy("sub", "cell", "sdim")
+        .agg(sum("q").as("s"), count(lit(1)).as("n"))
+        .select(col("sub"), col("cell"), col("sdim"),
+          expr("""(2*s + n - pmod(2*s + n, 2*n)) div (2*n)""").as("c"))
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
+        .map { case ((sub, cell), rows) =>
+          (sub, cell, rows.sortBy(_.getInt(2)).map(_.getLong(3)).toSeq) }
+        .toSeq.sortBy(t => (t._1, t._2))
+    val seed = eg.filter(col("vec_id") < PQ_K)
+      .select(col("vec_id").cast("int").as("cell"), col("qa"))
+      .collect()
+      .flatMap { r =>
+        val cell = r.getInt(0); val qa = r.getSeq[Long](1)
+        (0 until PQ_M).map(m =>
+          (m, cell, qa.slice(m * PQ_SUBDIM, (m + 1) * PQ_SUBDIM).toSeq))
+      }.toSeq.sortBy(t => (t._1, t._2))
+    val trained = updateRound(updateRound(seed))
+    val codes = withBest(trained)
+      .select(col("vec_id"), posexplode(col("ba")).as(Seq("sub", "bc")))
+      .select(col("vec_id"), col("sub"),
+        col("bc.cell").as("code"), col("bc.d2").as("d2"))
+    (codes, trained)
+  }
+
+  /** q81's training CTEs with (sub, cell) keys — shared by q89/q90. */
+  private val pqAssignmentSql =
+    """pts AS (
+      |  SELECT vec_id, CAST((i - 1) // 16 AS INTEGER) AS sub,
+      |    CAST(i - 1 AS INTEGER) AS dim,
+      |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS q
+      |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) t(i)),
+      |c0 AS (SELECT sub, CAST(vec_id AS INTEGER) AS cell, dim, q AS c
+      |       FROM pts WHERE vec_id < 4),
+      |d1 AS (SELECT p.vec_id, c.sub, c.cell,
+      |         CAST(sum((p.q - c.c) * (p.q - c.c)) AS BIGINT) AS d2
+      |       FROM pts p JOIN c0 c ON p.dim = c.dim
+      |       GROUP BY 1, 2, 3),
+      |a1 AS (SELECT vec_id, sub, cell FROM (
+      |        SELECT vec_id, sub, cell,
+      |          row_number() OVER (PARTITION BY vec_id, sub
+      |            ORDER BY d2, cell) AS rn
+      |        FROM d1) WHERE rn = 1),
+      |c1 AS (SELECT sub, cell, dim,
+      |         (2*s + n - ((((2*s + n) % (2*n)) + 2*n) % (2*n))) // (2*n)
+      |           AS c
+      |       FROM (SELECT a.sub, a.cell, p.dim,
+      |               CAST(sum(p.q) AS BIGINT) AS s,
+      |               CAST(count(*) AS BIGINT) AS n
+      |             FROM pts p
+      |             JOIN a1 a ON p.vec_id = a.vec_id AND p.sub = a.sub
+      |             GROUP BY 1, 2, 3)),
+      |d2r AS (SELECT p.vec_id, c.sub, c.cell,
+      |          CAST(sum((p.q - c.c) * (p.q - c.c)) AS BIGINT) AS d2
+      |        FROM pts p JOIN c1 c ON p.dim = c.dim
+      |        GROUP BY 1, 2, 3),
+      |a2 AS (SELECT vec_id, sub, cell FROM (
+      |        SELECT vec_id, sub, cell,
+      |          row_number() OVER (PARTITION BY vec_id, sub
+      |            ORDER BY d2, cell) AS rn
+      |        FROM d2r) WHERE rn = 1),
+      |c2 AS (SELECT sub, cell, dim,
+      |         (2*s + n - ((((2*s + n) % (2*n)) + 2*n) % (2*n))) // (2*n)
+      |           AS c
+      |       FROM (SELECT a.sub, a.cell, p.dim,
+      |               CAST(sum(p.q) AS BIGINT) AS s,
+      |               CAST(count(*) AS BIGINT) AS n
+      |             FROM pts p
+      |             JOIN a2 a ON p.vec_id = a.vec_id AND p.sub = a.sub
+      |             GROUP BY 1, 2, 3)),
+      |dfin AS (SELECT p.vec_id, c.sub, c.cell,
+      |           CAST(sum((p.q - c.c) * (p.q - c.c)) AS BIGINT) AS d2
+      |         FROM pts p JOIN c2 c ON p.dim = c.dim
+      |         GROUP BY 1, 2, 3),
+      |af AS (SELECT vec_id, sub, cell, d2 FROM (
+      |        SELECT vec_id, sub, cell, d2,
+      |          row_number() OVER (PARTITION BY vec_id, sub
+      |            ORDER BY d2, cell) AS rn
+      |        FROM dfin) WHERE rn = 1)""".stripMargin
+
+  private val q89PqCodebook = QueryDef(
+    (s, dir) => pqAssignment(s, dir)._1.orderBy("vec_id", "sub"),
+    s"""WITH $pqAssignmentSql
+      |SELECT vec_id, sub, cell AS code, d2
+      |FROM af ORDER BY vec_id, sub""")
+
+  /** PQ ASYMMETRIC-DISTANCE serve (ADC) — how a PQ index answers top-k:
+    * each query precomputes its exact squared-L2 distance to every
+    * (sub, cell) centroid (an M·K lookup table, broadcast), and a DB
+    * vector's approximate distance is the SUM of table entries selected
+    * by its stored code — the serve path never touches raw DB vectors,
+    * only the M-int codes. All distances stay on the BIGINT grid, so
+    * ranking and tie-breaks are oracle-exact end-to-end.
+    *
+    * Scale shape: the lookup table is queries × M·K rows (broadcast);
+    * the scan side joins the code table on (sub, cell) and partial-aggs
+    * the M per-sub terms map-side before one (q_id, n_id) shuffle —
+    * cost ∝ codes scanned, the entire point of PQ. */
+  private val q90PqAdcTopk = QueryDef(
+    (s, dir) => {
+      val (codes, cents) = pqAssignment(s, dir)
+      // query-side lookup table: exact grid distance to every centroid
+      val e = Tables(s, dir, "embeddings")
+      val qd = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), expr(
+          "transform(embedding, x -> cast(round(cast(x as double) * 1000, 0) as bigint))")
+          .as("qa"))
+        .withColumn("__cents", typedLit(cents))
+        .select(col("q_id"), explode(expr(
+          s"""transform(__cents, c -> named_struct(
+            |  'sub', c._1, 'cell', c._2,
+            |  'd2q', aggregate(zip_with(
+            |           slice(qa, c._1 * $PQ_SUBDIM + 1, $PQ_SUBDIM), c._3,
+            |           (a, b) -> (a - b) * (a - b)),
+            |         cast(0 as bigint), (acc, x) -> acc + x)))""".stripMargin))
+          .as("t"))
+        .select(col("q_id"), col("t.sub").as("sub"),
+          col("t.cell").as("code"), col("t.d2q").as("d2q"))
+      val wTop = Window.partitionBy("q_id").orderBy(asc("adist"), asc("n_id"))
+      codes.select(col("vec_id").as("n_id"), col("sub"), col("code"))
+        .join(broadcast(qd), Seq("sub", "code"))
+        .filter(col("n_id") =!= col("q_id"))
+        .groupBy("q_id", "n_id")
+        .agg(sum("d2q").as("adist"))
+        .withColumn("rk", row_number().over(wTop))
+        .filter(col("rk") <= 5)
+        .select(col("q_id"), col("n_id"), col("adist"),
+          col("rk").cast("long").as("rk"))
+        .orderBy("q_id", "rk")
+    },
+    s"""WITH $pqAssignmentSql,
+      |qd AS (SELECT p.vec_id AS q_id, c.sub, c.cell AS code,
+      |         CAST(sum((p.q - c.c) * (p.q - c.c)) AS BIGINT) AS d2q
+      |       FROM pts p JOIN c2 c ON p.dim = c.dim
+      |       WHERE p.vec_id < 10
+      |       GROUP BY 1, 2, 3),
+      |adc AS (SELECT qd.q_id, af.vec_id AS n_id,
+      |          CAST(sum(qd.d2q) AS BIGINT) AS adist
+      |        FROM af JOIN qd
+      |          ON af.sub = qd.sub AND af.cell = qd.code
+      |        WHERE af.vec_id <> qd.q_id
+      |        GROUP BY 1, 2)
+      |SELECT q_id, n_id, adist,
+      |       row_number() OVER (PARTITION BY q_id
+      |         ORDER BY adist, n_id) AS rk
+      |FROM adc QUALIFY rk <= 5 ORDER BY q_id, rk""")
+
   val defs: Map[String, QueryDef] = Map(
+    "q89_pq_codebook" -> q89PqCodebook,
+    "q90_pq_adc_topk" -> q90PqAdcTopk,
     "q34_knn_cosine" -> q34KnnBrute,
     "q35_knn_lsh" -> q35KnnLsh,
     "q59_knn_ivf" -> q59KnnIvf,
