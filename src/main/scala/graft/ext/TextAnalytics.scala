@@ -357,6 +357,121 @@ object TextAnalytics {
       |WHERE s.doc_id % 50 <> 7
       |GROUP BY s.doc_id ORDER BY doc_id""")
 
+  /** BLOOM-FILTER decontamination — q69's scale escape hatch: when the
+    * eval corpus outgrows an exact broadcast hash set (a 10 B-shingle
+    * benchmark suite), the membership structure becomes a fixed-size
+    * Bloom filter — here 4096 bits (64 longs) with k=4 probes — and the
+    * train-side test a pure per-row expression against that bounded
+    * state (the same pattern as Spark's own runtime bloom-filter join
+    * pruning, and q81's literal codebook). No false negatives, so every
+    * exactly-contaminated doc is still caught; the price is false
+    * positives, WHICH THIS QUERY MEASURES: each flagged doc reports its
+    * bloom count next to its exact count, so the output is
+    * simultaneously the decontamination verdict and the filter's
+    * observed FPR — the number that decides whether 4096 bits suffice.
+    *
+    * Oracle-exact despite being probabilistic: bit positions derive from
+    * four disjoint 8-hex-digit slices of md5(shingle), which Spark
+    * (conv base-16) and DuckDB (0x cast) compute identically, and the
+    * filter WIDTH is a pure function of the eval corpus (smallest power
+    * of two ≥ 32 × its distinct-shingle count — m/n ≈ 32 at k = 4,
+    * ~2·10⁻⁴ per-shingle FPR), so both engines build the SAME bit set
+    * and flag the SAME docs. Sizing from the data is part of the
+    * operator, and the m/n ratio is chosen for DOC-level shielding: a
+    * ~100-shingle document amplifies per-shingle FPR ~100×, so the
+    * filter must be an order denser than the textbook ~1%-per-probe
+    * sizing (measured: at m/n ≈ 8, 161 of 162 flagged fixture docs
+    * were pure false positives; an undersized FIXED width saturates
+    * outright). 32 bits/shingle is still ~200× smaller than the
+    * broadcast hash set it replaces. */
+  private val q91BloomDecontamination = QueryDef(
+    (s, dir) => {
+      val words = Tables.spread(s, Tables(s, dir, "documents"))
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 8)
+      val shingles = words.select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(1, size(w) - 7), " +
+          "i -> array_join(slice(w, i, 8), ' ')))")).as("sh"))
+        .withColumn("h", md5(col("sh")))
+      val nEval = shingles.filter(col("doc_id") % 50 === 7)
+        .select("sh").distinct().count()
+      var m = 4096L
+      while (m < 32L * nEval) m <<= 1
+      // k=4 positions per shingle from disjoint md5 slices
+      val posArr =
+        s"""transform(sequence(0, 3), i ->
+          |  cast(conv(substring(h, 1 + i * 8, 8), 16, 10) as bigint)
+          |    % $m)""".stripMargin
+      // the eval side's m-bit filter: distinct bit positions OR-ed into
+      // m/64 words, collected as BOUNDED driver state (m/64 longs — how
+      // Spark's own InjectRuntimeFilter materializes its blooms)
+      val bloomWords = shingles.filter(col("doc_id") % 50 === 7)
+        .select(explode(expr(posArr)).as("p")).distinct()
+        .groupBy(expr("cast(p div 64 as int)").as("wd"))
+        .agg(expr("bit_or(shiftleft(cast(1 as bigint), cast(p % 64 as int)))")
+          .as("bits"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val bloom: Seq[Long] =
+        (0 until (m / 64).toInt).map(w => bloomWords.getOrElse(w, 0L))
+      val bloomHit = expr(
+        s"""forall($posArr, p ->
+          |  (shiftright(element_at(__bloom, cast(p div 64 as int) + 1),
+          |     cast(p % 64 as int)) & 1) = 1)""".stripMargin)
+      val train = shingles.filter(col("doc_id") % 50 =!= 7)
+      val nBloom = train.withColumn("__bloom", typedLit(bloom))
+        .filter(bloomHit)
+        .groupBy("doc_id").agg(count(lit(1)).as("n_bloom_shingles"))
+      // exact eval membership for the SAME shingles — the FPR yardstick
+      val evalExact = shingles.filter(col("doc_id") % 50 === 7)
+        .select(col("h")).distinct()
+      val nExact = train.join(broadcast(evalExact), Seq("h"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_exact_shingles"))
+      nBloom.join(nExact, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_bloom_shingles"),
+          coalesce(col("n_exact_shingles"), lit(0L)).as("n_exact_shingles"),
+          (col("n_bloom_shingles") -
+            coalesce(col("n_exact_shingles"), lit(0L))).as("n_false_pos"))
+        .orderBy("doc_id")
+    },
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS l
+      |           FROM documents WHERE len(string_split(text, ' ')) >= 8),
+      |sh AS (SELECT DISTINCT doc_id,
+      |              array_to_string(l[i:i+7], ' ') AS s
+      |       FROM w, UNNEST(generate_series(1, len(l) - 7)) t(i)),
+      |shp AS (SELECT doc_id, s, md5(s) AS h FROM sh),
+      |mm AS (SELECT CAST(power(2, ceil(log2(
+      |         greatest(32 * count(DISTINCT s), 4096)))) AS BIGINT) AS m
+      |       FROM shp WHERE doc_id % 50 = 7),
+      |ep AS (SELECT DISTINCT
+      |         CAST(('0x' || substr(h, 1 + i * 8, 8)) AS BIGINT) % m AS p
+      |       FROM shp, UNNEST([0, 1, 2, 3]) t(i), mm
+      |       WHERE doc_id % 50 = 7),
+      |tp AS (SELECT doc_id, s,
+      |         CAST(('0x' || substr(h, 1 + i * 8, 8)) AS BIGINT) % m AS p
+      |       FROM shp, UNNEST([0, 1, 2, 3]) t(i), mm
+      |       WHERE doc_id % 50 <> 7),
+      |-- a set bloom bit IS membership of the position in ep, so the
+      |-- oracle tests the position set directly (no 1<<63 bit packing,
+      |-- which DuckDB's checked shift rejects); false positives arise
+      |-- identically, from position collisions between shingles
+      |hit AS (SELECT doc_id, s FROM tp
+      |        LEFT JOIN ep ON tp.p = ep.p
+      |        GROUP BY doc_id, s
+      |        HAVING sum(CASE WHEN ep.p IS NOT NULL THEN 1 ELSE 0 END) = 4),
+      |nb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bloom_shingles
+      |       FROM hit GROUP BY 1),
+      |evx AS (SELECT DISTINCT h FROM shp WHERE doc_id % 50 = 7),
+      |ne AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_exact_shingles
+      |       FROM shp JOIN evx USING (h)
+      |       WHERE doc_id % 50 <> 7 GROUP BY 1)
+      |SELECT nb.doc_id, nb.n_bloom_shingles,
+      |       CAST(coalesce(ne.n_exact_shingles, 0) AS BIGINT)
+      |         AS n_exact_shingles,
+      |       CAST(nb.n_bloom_shingles - coalesce(ne.n_exact_shingles, 0)
+      |         AS BIGINT) AS n_false_pos
+      |FROM nb LEFT JOIN ne ON nb.doc_id = ne.doc_id
+      |ORDER BY nb.doc_id""")
+
   val defs: Map[String, QueryDef] = Map(
     "q36_lang_id" -> q36LangId,
     "q37_quality_score" -> q37Quality,
@@ -366,5 +481,6 @@ object TextAnalytics {
     "q58_contamination" -> q58Contamination,
     "q69_decontamination" -> q69Decontamination,
     "q71_vocab_tokens" -> q71VocabTokens,
+    "q91_bloom_decontamination" -> q91BloomDecontamination,
   )
 }

@@ -57,4 +57,48 @@ class TextAnalyticsSpec extends SparkSpec {
     // to single chars; "ke" is a 2-char merge
     assert(toks == Seq("customer", "window", "s", "ke", "y", "hash"))
   }
+
+  test("q91: bloom decontamination has NO false negatives vs q69's exact " +
+      "join, and its per-doc exact counts agree with q69") {
+    val dir = "/root/testdata/sf0.001"
+    val bloom = graft.SparkEntry.queries("q91_bloom_decontamination")(spark, dir)
+      .collect()
+    val exact = graft.SparkEntry.queries("q69_decontamination")(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_shared_shingles"))
+      .toMap
+    val bloomByDoc = bloom.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // every exactly-contaminated doc is bloom-flagged (no false
+    // negatives — the property that makes a bloom usable for shielding)
+    exact.foreach { case (doc, nShared) =>
+      val b = bloomByDoc.get(doc)
+      assert(b.isDefined, s"doc $doc exact-contaminated but not flagged")
+      // and the bloom row's exact count is the same number q69 computed
+      assert(b.get.getAs[Long]("n_exact_shingles") == nShared)
+    }
+    // accounting identity + nonnegative FPR on every flagged doc
+    bloom.foreach { r =>
+      assert(r.getAs[Long]("n_bloom_shingles") ==
+        r.getAs[Long]("n_exact_shingles") + r.getAs[Long]("n_false_pos"))
+      assert(r.getAs[Long]("n_false_pos") >= 0L)
+      assert(r.getAs[Long]("n_bloom_shingles") >= 1L)
+    }
+    // the instrument's own FPR reading must sit in the designed regime:
+    // at m/n = 32, k = 4 the per-shingle FPR is ~2e-4, so false-positive
+    // SHINGLES across the whole train corpus must stay under 1% of the
+    // train shingle volume (50x design margin — a failure here means the
+    // sizing rule regressed, the saturation failure mode of a fixed m)
+    val trainShingles = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 50 =!= 7)
+      .select(explode(expr(
+        """array_distinct(transform(sequence(1,
+          |  greatest(size(split(text, ' ')) - 7, 0)),
+          |  i -> array_join(slice(split(text, ' '), i, 8), ' ')))"""
+          .stripMargin)).as("sh"))
+      .count()
+    val fpShingles = bloom.map(_.getAs[Long]("n_false_pos")).sum
+    assert(fpShingles * 100 <= trainShingles,
+      s"$fpShingles FP shingles of $trainShingles train shingles " +
+        "(>1%): bloom sizing regressed")
+  }
 }
