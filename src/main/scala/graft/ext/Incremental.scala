@@ -35,23 +35,12 @@ object Incremental {
     * from the FULL corpus size (the index's catalog entry, q55's rule);
     * verification parity with DuckDB holds because collision is pure
     * BIGINT signature xor and the cosine is the proven bit-exact form. */
-  private val q84NeardupIndexAdmit = QueryDef(
-    (s, dir) => {
-      val e = Tables(s, dir, "embeddings")
-      val planes = Dedup.lshPlanes(e.count())
-      val idx = java.nio.file.Files.createTempDirectory("graft-q84-idx")
-        .resolve("index").toString
-      val batchA = e.filter(col("vec_id") % 2 === 0)
-        .select("vec_id", "embedding")
-      val batchB = e.filter(col("vec_id") % 2 === 1)
-        .select("vec_id", "embedding")
-      val admA = NearDupIndex.admit(s, idx, batchA, planes, bar = 0.4)
-        .select(col("vec_id"), lit(0).as("batch"))
-      val admB = NearDupIndex.admit(s, idx, batchB, planes, bar = 0.4)
-        .select(col("vec_id"), lit(1).as("batch"))
-      admA.unionByName(admB).orderBy("vec_id")
-    },
-    """WITH np AS (
+  /** The shared two-batch NearDupIndex admission CTEs (np/d/ca/cb):
+    * planes from the full corpus, integer hyperplane buckets, batch A
+    * admissions, batch B admissions against A's index — the text both
+    * q84 (admission sequence) and q92 (post-compaction contents) build
+    * their oracles from. */
+  private val neardupAdmitCtes = """np AS (
       |  SELECT 4 + length(bin(greatest(count(*) // 500, 1))) - 1 AS planes
       |  FROM embeddings),
       |d AS (
@@ -96,10 +85,60 @@ object Incremental {
       |            (sqrt(list_sum(list_transform(v.embedding,
       |               x -> CAST(x AS DOUBLE) * x))) *
       |             sqrt(list_sum(list_transform(u.embedding,
-      |               x -> CAST(x AS DOUBLE) * x)))) >= 0.4))
+      |               x -> CAST(x AS DOUBLE) * x)))) >= 0.4))""".stripMargin
+
+  private def neardupTwoBatchAdmit(s: SparkSession, dir: String)
+      : (String, DataFrame, DataFrame) = {
+    val e = Tables(s, dir, "embeddings")
+    val planes = Dedup.lshPlanes(e.count())
+    val idx = java.nio.file.Files.createTempDirectory("graft-q84-idx")
+      .resolve("index").toString
+    val batchA = e.filter(col("vec_id") % 2 === 0)
+      .select("vec_id", "embedding")
+    val batchB = e.filter(col("vec_id") % 2 === 1)
+      .select("vec_id", "embedding")
+    val admA = NearDupIndex.admit(s, idx, batchA, planes, bar = 0.4)
+    val admB = NearDupIndex.admit(s, idx, batchB, planes, bar = 0.4)
+    (idx, admA, admB)
+  }
+
+  private val q84NeardupIndexAdmit = QueryDef(
+    (s, dir) => {
+      val (_, admA, admB) = neardupTwoBatchAdmit(s, dir)
+      admA.select(col("vec_id"), lit(0).as("batch"))
+        .unionByName(admB.select(col("vec_id"), lit(1).as("batch")))
+        .orderBy("vec_id")
+    },
+    s"""WITH $neardupAdmitCtes
       |SELECT vec_id, 0 AS batch FROM ca
       |UNION ALL
       |SELECT vec_id, 1 AS batch FROM cb
+      |ORDER BY vec_id""")
+
+  /** Post-COMPACTION index contents: build the q84 index (two admits),
+    * compact it (one file per bucket partition), and hold the compacted
+    * index's (vec_id, bucket) rows to the SAME oracle that governs the
+    * admissions — compaction must change layout, never content. The
+    * bucket VALUE itself goes under the gate here (q84 compares only
+    * admission ids), so the oracle's integer hyperplane formula is
+    * pinned against `HyperplaneBucket` directly. */
+  private val q92IndexCompaction = QueryDef(
+    (s, dir) => {
+      val (idx, admA, admB) = neardupTwoBatchAdmit(s, dir)
+      // materialize both admissions before compacting (admit is eager,
+      // but the returned frames must not be re-derived from a swapped
+      // directory); the union forces nothing extra — both are
+      // checkpointed by admit
+      admA.count(); admB.count()
+      NearDupIndex.compact(s, idx)
+      NearDupIndex.readIndex(s, idx)
+        .select(col("vec_id"), col("bucket"))
+        .orderBy("vec_id")
+    },
+    s"""WITH $neardupAdmitCtes
+      |SELECT vec_id, CAST(bucket AS INTEGER) AS bucket
+      |FROM d JOIN (SELECT vec_id FROM ca
+      |             UNION ALL SELECT vec_id FROM cb) adm USING (vec_id)
       |ORDER BY vec_id""")
 
   /** Two-batch DedupIndex admission (exact md5 fingerprints): batch A's
@@ -166,5 +205,6 @@ object Incremental {
     "q84_neardup_index_admit" -> q84NeardupIndexAdmit,
     "q85_dedup_index_admit" -> q85DedupIndexAdmit,
     "q88_text_index_admit" -> q88TextIndexAdmit,
+    "q92_index_compaction" -> q92IndexCompaction,
   )
 }

@@ -119,4 +119,40 @@ class NearDupIndexSpec extends SparkSpec {
       .write.mode("append").partitionBy("part").parquet(idx2)
     assert(DedupIndex.readIndex(spark, idx2).count() == 1)
   }
+
+  test("compact: one file per bucket, identical contents, planes meta " +
+      "preserved, and the index keeps rejecting re-crawls afterwards") {
+    val idx = Files.createTempDirectory("neardup-compact").toString
+    // three appends -> each touched bucket dir accumulates files
+    NearDupIndex.admit(spark, idx, df(1L -> base(40), 2L -> base(41)), planes)
+    NearDupIndex.admit(spark, idx, df(3L -> base(42)), planes)
+    NearDupIndex.admit(spark, idx, df(4L -> base(43)), planes)
+    val before = NearDupIndex.readIndex(spark, idx)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).sorted
+    def filesPerBucket: Map[String, Int] =
+      new java.io.File(idx).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+        .map(d => d.getName ->
+          d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    assert(filesPerBucket.nonEmpty)
+    NearDupIndex.compact(spark, idx)
+    // layout: exactly one parquet file per bucket partition
+    val after = filesPerBucket
+    assert(after.nonEmpty && after.values.forall(_ == 1),
+      s"compaction left multi-file buckets: $after")
+    // content: bit-identical (vec_id, bucket) set
+    val afterRows = NearDupIndex.readIndex(spark, idx)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).sorted
+    assert(afterRows.toSeq == before.toSeq)
+    // the planes contract survived the rewrite: wrong planes still throw
+    intercept[IllegalArgumentException] {
+      NearDupIndex.admit(spark, idx, df(9L -> base(44)), planes + 1)
+    }
+    // and the compacted index still rejects a re-crawl of indexed content
+    assert(NearDupIndex.admit(spark, idx, df(9L -> base(40)), planes)
+      .isEmpty, "re-crawl admitted after compaction")
+    // while genuinely new content still gets in
+    assert(NearDupIndex.admit(spark, idx, df(10L -> base(99)), planes)
+      .count() == 1)
+  }
 }
