@@ -40,7 +40,7 @@ object Incremental {
     * admissions, batch B admissions against A's index — the text both
     * q84 (admission sequence) and q92 (post-compaction contents) build
     * their oracles from. */
-  private val neardupAdmitCtes = """np AS (
+  private val neardupBucketCtes = """np AS (
       |  SELECT 4 + length(bin(greatest(count(*) // 500, 1))) - 1 AS planes
       |  FROM embeddings),
       |d AS (
@@ -50,7 +50,9 @@ object Incremental {
       |       * ((((i-1) * 31 + p * 17) % 7) - 3))) > 0
       |     THEN 1 << p ELSE 0 END)
       |     FROM generate_series(0, 62) t(p), np WHERE p < planes) AS bucket
-      |  FROM embeddings),
+      |  FROM embeddings)""".stripMargin
+
+  private val neardupAdmitCtes = s"""$neardupBucketCtes,
       |ca AS (
       |  SELECT v.vec_id FROM d v
       |  WHERE v.vec_id % 2 = 0
@@ -115,31 +117,39 @@ object Incremental {
       |SELECT vec_id, 1 AS batch FROM cb
       |ORDER BY vec_id""")
 
-  /** Post-COMPACTION index contents: build the q84 index (two admits),
-    * compact it (one file per bucket partition), and hold the compacted
-    * index's (vec_id, bucket) rows to the SAME oracle that governs the
-    * admissions — compaction must change layout, never content. The
-    * bucket VALUE itself goes under the gate here (q84 compares only
-    * admission ids), so the oracle's integer hyperplane formula is
-    * pinned against `HyperplaneBucket` directly. */
+  /** Post-COMPACTION index contents: decay an index the way production
+    * does — three hourly-style appends (id-sliced thirds of the corpus,
+    * each clustered and written PARTITIONED BY bucket) — then
+    * `NearDupIndex.compact` it and hold the compacted index's
+    * (vec_id, bucket) rows to a DuckDB oracle. Compaction must change
+    * layout, never content, and the integer hyperplane bucket VALUES of
+    * the ENTIRE corpus go under the hash gate (q84's oracle only ever
+    * compares admission ids). Admission logic is deliberately absent:
+    * that is q84's subject; this entry isolates the maintenance op. */
   private val q92IndexCompaction = QueryDef(
     (s, dir) => {
-      val (idx, admA, admB) = neardupTwoBatchAdmit(s, dir)
-      // materialize both admissions before compacting (admit is eager,
-      // but the returned frames must not be re-derived from a swapped
-      // directory); the union forces nothing extra — both are
-      // checkpointed by admit
-      admA.count(); admB.count()
+      val e = Tables(s, dir, "embeddings")
+      val planes = Dedup.lshPlanes(e.count())
+      val idx = java.nio.file.Files.createTempDirectory("graft-q92-idx")
+        .resolve("index").toString
+      val writeTasks = math.min(1 << planes,
+        s.sparkContext.defaultParallelism)
+      (0 until 3).foreach { k =>
+        e.filter(col("vec_id") % 3 === k)
+          .select(col("vec_id"), col("embedding"),
+            graft.functions.HyperplaneBucket.bucket(col("embedding"), planes)
+              .as("bucket"))
+          .repartition(writeTasks, col("bucket"))
+          .write.mode("append").partitionBy("bucket").parquet(idx)
+      }
       NearDupIndex.compact(s, idx)
       NearDupIndex.readIndex(s, idx)
         .select(col("vec_id"), col("bucket"))
         .orderBy("vec_id")
     },
-    s"""WITH $neardupAdmitCtes
+    s"""WITH $neardupBucketCtes
       |SELECT vec_id, CAST(bucket AS INTEGER) AS bucket
-      |FROM d JOIN (SELECT vec_id FROM ca
-      |             UNION ALL SELECT vec_id FROM cb) adm USING (vec_id)
-      |ORDER BY vec_id""")
+      |FROM d ORDER BY vec_id""")
 
   /** Two-batch DedupIndex admission (exact md5 fingerprints): batch A's
     * in-batch dedup collapses same-text docs to the min doc_id; batch B
