@@ -615,28 +615,33 @@ object Dedup {
           .join(l.select(col("v").as("dst"), col("lbl")), "dst")
           .select(col("src").as("v"), col("lbl")))
         .groupBy("v").agg(min("lbl").as("lbl"))
-    // convergence metric: labels are per-vertex MONOTONICALLY
-    // NON-INCREASING and the vertex set is fixed, so the label sum is
-    // unchanged iff the round was a fixpoint. Summing in decimal(38,0)
-    // keeps the check exact at any corpus size (no silent long wrap).
-    // One tiny partial-aggregation per round — strictly cheaper than
-    // joining consecutive label sets and counting changed rows.
-    def lblSum(l: DataFrame): java.math.BigDecimal = {
-      val d = l.agg(sum(col("lbl").cast("decimal(38,0)"))).collect()(0)
-      if (d.isNullAt(0)) java.math.BigDecimal.ZERO else d.getDecimal(0)
+    // convergence check, DIRECT form: labels are per-vertex MONOTONICALLY
+    // NON-INCREASING and the vertex set is fixed, so `labels` is a
+    // fixpoint iff sum(step(labels)) == sum(labels). Both sums evaluate
+    // in ONE job (cross-joined one-row aggregates over the checkpointed
+    // labels — a bounded driver-side action, never part of the returned
+    // plan). Checking the CURRENT labels directly — rather than running
+    // a full quad-hop round and comparing its sum to the previous
+    // round's — saves an entire 8-exchange confirm round on every graph
+    // that has already converged, which real dedup graphs (near-clique,
+    // diameter 2-4) reach after the seed or one round. Summing in
+    // decimal(38,0) keeps the check exact at any corpus size.
+    def isFixpoint(l: DataFrame): Boolean = {
+      val r = l.agg(sum(col("lbl").cast("decimal(38,0)")).as("s1"))
+        .crossJoin(step(l)
+          .agg(sum(col("lbl").cast("decimal(38,0)")).as("s2")))
+        .collect()(0)
+      val a = if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+      val b = if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1)
+      a.compareTo(b) == 0
     }
-    var curSum = lblSum(labels)
-    var converged = false
+    var converged = isFixpoint(labels)
     var iter = 0
     while (!converged && iter < maxIters) {
-      // fold 4 propagation hops into ONE materialized job per
-      // convergence check: iteration cost here is Spark job overhead,
-      // not data volume, and a no-change quad-step implies fixpoint
-      val next = step(step(step(step(labels)))).localCheckpoint(true)
-      val nextSum = lblSum(next)
-      labels = next
-      converged = nextSum.compareTo(curSum) == 0
-      curSum = nextSum
+      // fold 4 propagation hops into ONE materialized job per round:
+      // iteration cost here is Spark job overhead, not data volume
+      labels = step(step(step(step(labels)))).localCheckpoint(true)
+      converged = isFixpoint(labels)
       iter += 1
     }
     if (!converged)
