@@ -128,19 +128,31 @@ object Dedup {
     * NOT the pair list, which is inherently quadratic in duplicate
     * density. Only candidate pairs are ever compared; the all-pairs
     * O(n^2) never materializes, which is the whole point at 100 TB.
-    * Hash-based, so no SQL oracle (rows-only check); the Jaccard math is
-    * oracle-covered by q31. */
-  private val q32MinhashLsh = QueryDef.noOracle(
+    *
+    * Hash = the engine-portable md5-slice BIGINT (q88's discipline:
+    * leading 60 bits of md5("i:word")), which DuckDB recomputes with a
+    * 0x cast — so the ENTIRE pipeline (guard → signatures → banding →
+    * candidate join → Jaccard verification → verdict) sits under the
+    * hash-exact oracle gate; banding is replicated faithfully in the
+    * oracle (HAVING count(*) = 8 per band) because with Jaccard
+    * verification banding is result-RELEVANT: a true near-dup pair
+    * missed by both bands must stay missed in both engines. */
+  private val q32MinhashLsh = QueryDef(
     (s, dir) => {
       val docs = Tables(s, dir, "documents")
       // hot-shingle guard on the minhash vocabulary: ubiquitous unigrams
       // (stopwords) carry no near-dup signal and skew the verification
       // join's posting lists; df<=200 bounds them
       val toks = withoutHotShingles(unigrams(docs), Seq("w"), 200L)
-      // 16 (hash-index, xxhash64(i, w)) pairs per token
-      val hashed = toks.select(col("doc_id"),
+      // 16 (hash-index, md5-slice) pairs per token; spread first — the
+      // 16 md5s/token are the CPU-dense stage and the guarded token
+      // table inherits the scan's single split
+      val hashed = Tables.spread(s, toks).select(col("doc_id"),
         explode(expr(
-          "transform(sequence(0, 15), i -> struct(i AS h, xxhash64(i, w) AS v))"))
+          """transform(sequence(0, 15), i -> struct(i AS h,
+            |  cast(conv(substring(
+            |    md5(concat(cast(i as string), ':', w)), 1, 15),
+            |  16, 10) as bigint) AS v))""".stripMargin))
           .as("hv"))
         .select(col("doc_id"), col("hv.h").as("h"), col("hv.v").as("v"))
       val sig = hashed.groupBy("doc_id", "h").agg(min("v").as("mh"))
@@ -176,28 +188,79 @@ object Dedup {
           count("dup_of").as("n_smaller_dups"))
         .withColumn("is_kept", col("canonical_id") === col("doc_id"))
         .orderBy("doc_id")
-    })
+    },
+    """WITH raw AS (SELECT DISTINCT doc_id, wd FROM (
+      |             SELECT doc_id, unnest(string_split(text, ' ')) AS wd
+      |             FROM documents)),
+      |hot AS (SELECT wd FROM raw GROUP BY wd HAVING count(*) > 200),
+      |g AS (SELECT r.doc_id, r.wd FROM raw r
+      |      WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.wd = r.wd)),
+      |hv AS (SELECT doc_id, i,
+      |         min(CAST(('0x' || substr(md5(i || ':' || wd), 1, 15))
+      |           AS BIGINT)) AS mh
+      |       FROM g, UNNEST(generate_series(0, 15)) t(i)
+      |       GROUP BY doc_id, i),
+      |cand AS (SELECT DISTINCT da, db FROM (
+      |          SELECT a.doc_id AS da, b.doc_id AS db, a.i // 8 AS band
+      |          FROM hv a JOIN hv b ON a.i = b.i AND a.mh = b.mh
+      |          WHERE a.doc_id < b.doc_id
+      |          GROUP BY 1, 2, 3 HAVING count(*) = 8)),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+      |com AS (SELECT c.da, c.db, count(*) AS cc
+      |        FROM cand c
+      |        JOIN g ga ON ga.doc_id = c.da
+      |        JOIN g gb ON gb.doc_id = c.db AND gb.wd = ga.wd
+      |        GROUP BY 1, 2),
+      |ver AS (SELECT da, db FROM com
+      |        JOIN cnt na ON na.doc_id = da
+      |        JOIN cnt nb ON nb.doc_id = db
+      |        WHERE cc * 1.0 / (na.n + nb.n - cc) >= 0.9)
+      |SELECT d.doc_id,
+      |       coalesce(min(v.da), d.doc_id) AS canonical_id,
+      |       CAST(count(v.da) AS BIGINT) AS n_smaller_dups,
+      |       coalesce(min(v.da), d.doc_id) = d.doc_id AS is_kept
+      |FROM documents d LEFT JOIN ver v ON v.db = d.doc_id
+      |GROUP BY d.doc_id ORDER BY d.doc_id""")
 
-  /** 64-bit SimHash signatures from unigram token hashes: per bit, sum of
+  /** 60-bit SimHash signatures from unigram token hashes: per bit, sum of
     * +/-1 votes across token hashes, sign becomes the bit. One groupBy
-    * with 64 conditional sums — a single shuffle on doc_id. Hash-based:
-    * rows-only check. */
-  private val q33Simhash = QueryDef.noOracle(
+    * with 60 conditional sums — a single shuffle on doc_id. The token
+    * hash is the engine-portable md5-slice BIGINT (q88's discipline,
+    * 60 bits so every shift stays clear of DuckDB's checked 1<<63), so
+    * the whole signature — and the q55-style top-16-bit prefix bucket —
+    * is under the hash-exact oracle gate. */
+  private val q33Simhash = QueryDef(
     (s, dir) => {
-      val toks = unigrams(Tables(s, dir, "documents"))
-        .withColumn("th", xxhash64(col("w")))
-      val votes: Seq[Column] = (0 until 64).map { j =>
+      val toks = Tables.spread(s, unigrams(Tables(s, dir, "documents")))
+        .withColumn("th", expr(
+          "cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint)"))
+      val votes: Seq[Column] = (0 until 60).map { j =>
         sum(when(shiftright(col("th"), j).bitwiseAND(lit(1L)) === 1L, 1)
           .otherwise(-1)).as(s"b$j")
       }
       val agg = toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
-      val sim = (0 until 64).map { j =>
+      val sim = (0 until 60).map { j =>
         when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
       }.reduce((a, b) => a.bitwiseOR(b))
       agg.select(col("doc_id"), sim.as("simhash"))
-        .withColumn("bucket16", shiftright(col("simhash"), 48))
+        .withColumn("bucket16", shiftright(col("simhash"), 44))
         .orderBy("doc_id")
-    })
+    },
+    """WITH tk AS (SELECT DISTINCT doc_id, wd FROM (
+      |            SELECT doc_id, unnest(string_split(text, ' ')) AS wd
+      |            FROM documents)),
+      |th AS (SELECT doc_id,
+      |         CAST(('0x' || substr(md5(wd), 1, 15)) AS BIGINT) AS h
+      |       FROM tk),
+      |sv AS (SELECT doc_id, j,
+      |         CASE WHEN sum(CASE WHEN (h >> j) & 1 = 1
+      |                       THEN 1 ELSE -1 END) > 0
+      |           THEN (CAST(1 AS BIGINT) << j) ELSE 0 END AS bit
+      |       FROM th, UNNEST(generate_series(0, 59)) t(j)
+      |       GROUP BY doc_id, j)
+      |SELECT doc_id, CAST(sum(bit) AS BIGINT) AS simhash,
+      |       CAST(sum(bit) AS BIGINT) >> 44 AS bucket16
+      |FROM sv GROUP BY doc_id ORDER BY doc_id""")
 
   /** Embedding-cosine near-duplicate detection — the exact all-pairs
     * ORACLE BASELINE for the semantic-dedup family (q55 is the production

@@ -190,12 +190,17 @@ object Incremental {
       |ORDER BY doc_id""")
 
   /** Two-batch TextNearDupIndex admission (MinHash band keys + stored-
-    * signature verification ≥ 15/16). The signature is xxhash64-based —
-    * not DuckDB-expressible (q32's limitation) — so this entry is
-    * GOLDEN-PINNED (GoldenSpec, both sfs) rather than oracle-checked;
-    * the registry row still puts the text-incremental path under the
-    * driver's rows-only check and the bench clock. */
-  private val q88TextIndexAdmit = QueryDef.noOracle(
+    * signature verification ≥ 15/16), under the FULL oracle gate: the
+    * signature hash is the engine-portable md5-slice BIGINT (see
+    * TextNearDupIndex.signatures), so DuckDB recomputes the identical
+    * 16-value signatures. The oracle needs NO banding: with 2 bands of
+    * 8 rows, agreement ≥ 15/16 leaves at most one mismatched position,
+    * so one band always matches fully — band collision is implied by
+    * the verification bar, making the band probe purely a performance
+    * mechanism (prefiltering candidates) with zero effect on
+    * admissions. The pair-match table joins on (i, mh) — an inverted
+    * index over hash values, never an all-pairs product. */
+  private val q88TextIndexAdmit = QueryDef(
     (s, dir) => {
       val docs = Tables(s, dir, "documents")
       val idx = java.nio.file.Files.createTempDirectory("graft-q88-idx")
@@ -209,7 +214,35 @@ object Incremental {
       val admB = TextNearDupIndex.admit(s, idx, batchB)
         .select(col("doc_id"), lit(1).as("batch"))
       admA.unionByName(admB).orderBy("doc_id")
-    })
+    },
+    """WITH w AS (SELECT DISTINCT doc_id, wd FROM (
+      |             SELECT doc_id, unnest(string_split(text, ' ')) AS wd
+      |             FROM documents)),
+      |hv AS (SELECT doc_id, i,
+      |         min(CAST(('0x' || substr(md5(i || ':' || wd), 1, 15))
+      |           AS BIGINT)) AS mh
+      |       FROM w, UNNEST(generate_series(0, 15)) t(i)
+      |       GROUP BY doc_id, i),
+      |pm AS (SELECT a.doc_id AS da, b.doc_id AS db
+      |       FROM hv a JOIN hv b ON a.i = b.i AND a.mh = b.mh
+      |       WHERE a.doc_id < b.doc_id
+      |       GROUP BY 1, 2 HAVING count(*) >= 15),
+      |ca AS (SELECT doc_id FROM documents v
+      |       WHERE doc_id % 2 = 0
+      |         AND NOT EXISTS (SELECT 1 FROM pm
+      |                         WHERE db = v.doc_id AND da % 2 = 0)),
+      |cb AS (SELECT doc_id FROM documents v
+      |       WHERE doc_id % 2 = 1
+      |         AND NOT EXISTS (
+      |           SELECT 1 FROM pm JOIN ca
+      |             ON (pm.da = ca.doc_id AND pm.db = v.doc_id)
+      |             OR (pm.db = ca.doc_id AND pm.da = v.doc_id))
+      |         AND NOT EXISTS (SELECT 1 FROM pm
+      |                         WHERE db = v.doc_id AND da % 2 = 1))
+      |SELECT doc_id, 0 AS batch FROM ca
+      |UNION ALL
+      |SELECT doc_id, 1 AS batch FROM cb
+      |ORDER BY doc_id""")
 
   val defs: Map[String, QueryDef] = Map(
     "q84_neardup_index_admit" -> q84NeardupIndexAdmit,

@@ -40,17 +40,27 @@ object TextNearDupIndex {
     StructField("band", IntegerType),
     StructField("band_key", StringType)))
 
-  /** (doc_id, sig) — 16 deterministic xxhash64 minhashes over distinct
-    * unigrams, ordered by hash index (q32's signature, guard-free).
-    * Computed as ONE per-row codegen expression: the minhash is a pure
-    * function of the document's own token set, so there is nothing to
-    * shuffle — the explode→groupBy→groupBy formulation cost two
-    * exchanges and a 16× row blow-up for the identical array. */
+  /** (doc_id, sig) — 16 deterministic minhashes over distinct unigrams,
+    * ordered by hash index (q32's signature, guard-free). Computed as
+    * ONE per-row codegen expression: the minhash is a pure function of
+    * the document's own token set, so there is nothing to shuffle — the
+    * explode→groupBy→groupBy formulation cost two exchanges and a 16×
+    * row blow-up for the identical array.
+    *
+    * Hash = the leading 60 bits of md5("i:word") (15 hex digits via
+    * conv base-16) — an ENGINE-PORTABLE hash: DuckDB computes the same
+    * BIGINT with a 0x cast, which is what puts the whole incremental
+    * admission sequence (q88) under the driver's hash-exact oracle gate
+    * instead of a golden pin. A throughput-critical deployment would
+    * swap xxhash64 back in (~3× faster per hash) — the signature
+    * algebra (min over the token set, per index i) is hash-agnostic. */
   private def signatures(batch: DataFrame): DataFrame =
     batch.select(col("doc_id"), expr(
       """transform(sequence(0, 15), i ->
         |  array_min(transform(array_distinct(split(text, ' ')),
-        |    w -> xxhash64(i, w))))""".stripMargin).as("sig"))
+        |    w -> cast(conv(substring(
+        |           md5(concat(cast(i as string), ':', w)), 1, 15),
+        |         16, 10) as bigint))))""".stripMargin).as("sig"))
 
   /** Explode a signature into its (band, band_key) rows: 2 bands x 8
     * rows, key = comma-joined minhash values of the band. */
