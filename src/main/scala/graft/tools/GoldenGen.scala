@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev-only generator for the golden files backing the four rows-only
+/** Dev-only generator for the golden files backing the two rows-only
   * (no-SQL-oracle) queries. Run once, review the output, commit it under
   * src/test/resources/golden/<sf>/ — GoldenSpec then pins those queries
   * to byte-identical results forever, closing the "no_oracle" gap with a
