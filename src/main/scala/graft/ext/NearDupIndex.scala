@@ -132,9 +132,11 @@ object NearDupIndex {
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dirPath)) return
     val idx = readIndex(spark, indexDir).localCheckpoint(true)
-    val buckets = idx.select("bucket").distinct().count()
-    val writeTasks = math.max(1, math.min(buckets,
-      spark.sparkContext.defaultParallelism.toLong).toInt)
+    // plain defaultParallelism, no distinct-bucket count job: hash
+    // clustering still lands each bucket in exactly one task (a task
+    // owning no bucket writes nothing), so the one-file-per-bucket
+    // outcome is identical and the sizing job is saved
+    val writeTasks = spark.sparkContext.defaultParallelism
     val tmp = new org.apache.hadoop.fs.Path(indexDir + "__compacting")
     val old = new org.apache.hadoop.fs.Path(indexDir + "__old")
     fs.delete(tmp, true); fs.delete(old, true)
