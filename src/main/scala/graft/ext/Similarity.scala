@@ -444,7 +444,15 @@ object Similarity {
   /** The trained (vec_id, cell, d2) assignment after two Lloyd rounds —
     * shared by q81 (the training verdict table) and q82 (the trained-IVF
     * probe). See q81's Scaladoc for the integer-exact discipline. */
-  private def trainedAssignment(s: SparkSession, dir: String): DataFrame = {
+  private def trainedAssignment(s: SparkSession, dir: String): DataFrame =
+    trainedModel(s, dir)._1
+
+  /** The full trained coarse model: the (vec_id, cell, d2) assignment
+    * frame, the trained centroid table (bounded k·d driver state, for
+    * residual computation in q93's IVF-PQ), and the checkpointed
+    * (vec_id, qa) grid frame the training ran over. */
+  private def trainedModel(s: SparkSession, dir: String)
+      : (DataFrame, Seq[(Int, Seq[Long])], DataFrame) = {
     // Lloyd's loop in its canonical Spark shape (the one MLlib KMeans
     // uses): the k·d centroid table is BOUNDED driver state (8×64 grid
     // longs here), so each round collects it and re-plants it as a
@@ -499,9 +507,10 @@ object Similarity {
       .map(r => r.getInt(0) -> r.getSeq[Long](1).toSeq)
       .toSeq.sortBy(_._1)
     val trained = updateRound(updateRound(seed))
-    withBest(trained)
+    val assign = withBest(trained)
       .select(col("vec_id"), col("best.cell").as("cell"),
         col("best.d2").as("d2"))
+    (assign, trained, eg)
   }
 
   /** The q81 oracle's training rounds as shared CTE text (pts → final
@@ -809,6 +818,15 @@ object Similarity {
         .as("qa"))
       .repartition(np)
       .localCheckpoint(true)
+    pqTrainOn(eg)
+  }
+
+  /** PQ training over an arbitrary checkpointed (vec_id, qa) grid frame
+    * — factored out so q93 can train sub-codebooks on coarse-cell
+    * RESIDUALS (which stay on the integer grid: both the point and the
+    * trained centroid are grid longs) with the identical math. */
+  private def pqTrainOn(eg: DataFrame)
+      : (DataFrame, Seq[(Int, Int, Seq[Long])]) = {
     // per-row, per-subspace argmin over the planted codebook; filter by
     // sub because empty cells drop out of an update (no positional
     // indexing into the literal is safe)
@@ -977,9 +995,139 @@ object Similarity {
       |         ORDER BY adist, n_id) AS rk
       |FROM adc QUALIFY rk <= 5 ORDER BY q_id, rk""")
 
+  /** IVF-PQ end-to-end — the production vector index (FAISS's IVFPQ):
+    * q81's trained coarse codebook partitions the corpus into cells;
+    * each vector's RESIDUAL (vector − its cell centroid) is compressed
+    * with q89's product quantizer; and the serve path probes the query's
+    * own cell (nprobe=1), ranking candidates by the ADC sum over the
+    * query's residual lookup table. Residuals stay on the integer grid
+    * (both the point and the trained centroid are grid longs), so the
+    * ENTIRE composition — coarse training → residuals → sub-codebook
+    * training → code assignment → ADC ranking with tie-breaks — is
+    * oracle-exact. This is why residual-PQ works at all here: subtraction
+    * closes over the grid, where a float pipeline would have to re-round.
+    *
+    * Scale shape: coarse+PQ training are bounded-driver-state Lloyd
+    * loops (one map-side-combinable shuffle per round); the serve scans
+    * the M-int code table, joins the broadcast M·K residual lookup
+    * table, and partial-aggs the per-sub terms before one
+    * (q_id, n_id) exchange — candidates ∝ the probed cell, cost ∝
+    * codes, never raw vectors. */
+  private val q93IvfPqTopk = QueryDef(
+    (s, dir) => {
+      val (af, coarse, eg) = trainedModel(s, dir)
+      // residual = qa − coarse centroid of the assigned cell, per dim
+      val resid = eg.join(af.select(col("vec_id"), col("cell")), Seq("vec_id"))
+        .withColumn("__cc", typedLit(coarse))
+        .select(col("vec_id"), col("cell"), expr(
+          "zip_with(qa, filter(__cc, c -> c._1 = cell)[0]._2, (a, b) -> a - b)")
+          .as("qa"))
+        .localCheckpoint(true)
+      val (codes, subcents) = pqTrainOn(resid.select("vec_id", "qa"))
+      val cand = codes.select(col("vec_id").as("n_id"), col("sub"), col("code"))
+        .join(af.select(col("vec_id").as("n_id"), col("cell").as("n_cell")),
+          Seq("n_id"))
+      // query-side ADC lookup table over the query's own residual
+      val qd = resid.filter(col("vec_id") < 10)
+        .withColumn("__pc", typedLit(subcents))
+        .select(col("vec_id").as("q_id"), col("cell").as("q_cell"),
+          explode(expr(
+            s"""transform(__pc, c -> named_struct(
+              |  'sub', c._1, 'code', c._2,
+              |  'd2q', aggregate(zip_with(
+              |           slice(qa, c._1 * $PQ_SUBDIM + 1, $PQ_SUBDIM),
+              |           c._3, (a, b) -> (a - b) * (a - b)),
+              |         cast(0 as bigint), (acc, x) -> acc + x)))"""
+              .stripMargin)).as("t"))
+        .select(col("q_id"), col("q_cell"), col("t.sub").as("sub"),
+          col("t.code").as("code"), col("t.d2q").as("d2q"))
+      val wTop = Window.partitionBy("q_id").orderBy(asc("adist"), asc("n_id"))
+      cand.join(broadcast(qd), Seq("sub", "code"))
+        .filter(col("n_cell") === col("q_cell") &&
+          col("n_id") =!= col("q_id"))
+        .groupBy("q_id", "n_id")
+        .agg(sum("d2q").as("adist"))
+        .withColumn("rk", row_number().over(wTop))
+        .filter(col("rk") <= 5)
+        .select(col("q_id"), col("n_id"), col("adist"),
+          col("rk").cast("long").as("rk"))
+        .orderBy("q_id", "rk")
+    },
+    s"""WITH $trainedAssignmentSql,
+      |rp AS (SELECT p.vec_id, CAST(p.dim // 16 AS INTEGER) AS sub,
+      |         p.dim, p.q - c.c AS q
+      |       FROM pts p
+      |       JOIN af a ON p.vec_id = a.vec_id
+      |       JOIN c2 c ON c.cell = a.cell AND c.dim = p.dim),
+      |pc0 AS (SELECT sub, CAST(vec_id AS INTEGER) AS cell, dim, q AS c
+      |        FROM rp WHERE vec_id < 4),
+      |pd1 AS (SELECT p.vec_id, c.sub, c.cell,
+      |          CAST(sum((p.q - c.c) * (p.q - c.c)) AS BIGINT) AS d2
+      |        FROM rp p JOIN pc0 c ON p.dim = c.dim
+      |        GROUP BY 1, 2, 3),
+      |pa1 AS (SELECT vec_id, sub, cell FROM (
+      |         SELECT vec_id, sub, cell,
+      |           row_number() OVER (PARTITION BY vec_id, sub
+      |             ORDER BY d2, cell) AS rn
+      |         FROM pd1) WHERE rn = 1),
+      |pc1 AS (SELECT sub, cell, dim,
+      |          (2*s + n - ((((2*s + n) % (2*n)) + 2*n) % (2*n))) // (2*n)
+      |            AS c
+      |        FROM (SELECT a.sub, a.cell, p.dim,
+      |                CAST(sum(p.q) AS BIGINT) AS s,
+      |                CAST(count(*) AS BIGINT) AS n
+      |              FROM rp p
+      |              JOIN pa1 a ON p.vec_id = a.vec_id AND p.sub = a.sub
+      |              GROUP BY 1, 2, 3)),
+      |pd2 AS (SELECT p.vec_id, c.sub, c.cell,
+      |          CAST(sum((p.q - c.c) * (p.q - c.c)) AS BIGINT) AS d2
+      |        FROM rp p JOIN pc1 c ON p.dim = c.dim
+      |        GROUP BY 1, 2, 3),
+      |pa2 AS (SELECT vec_id, sub, cell FROM (
+      |         SELECT vec_id, sub, cell,
+      |           row_number() OVER (PARTITION BY vec_id, sub
+      |             ORDER BY d2, cell) AS rn
+      |         FROM pd2) WHERE rn = 1),
+      |pc2 AS (SELECT sub, cell, dim,
+      |          (2*s + n - ((((2*s + n) % (2*n)) + 2*n) % (2*n))) // (2*n)
+      |            AS c
+      |        FROM (SELECT a.sub, a.cell, p.dim,
+      |                CAST(sum(p.q) AS BIGINT) AS s,
+      |                CAST(count(*) AS BIGINT) AS n
+      |              FROM rp p
+      |              JOIN pa2 a ON p.vec_id = a.vec_id AND p.sub = a.sub
+      |              GROUP BY 1, 2, 3)),
+      |pdf AS (SELECT p.vec_id, c.sub, c.cell,
+      |          CAST(sum((p.q - c.c) * (p.q - c.c)) AS BIGINT) AS d2
+      |        FROM rp p JOIN pc2 c ON p.dim = c.dim
+      |        GROUP BY 1, 2, 3),
+      |paf AS (SELECT vec_id, sub, cell FROM (
+      |         SELECT vec_id, sub, cell,
+      |           row_number() OVER (PARTITION BY vec_id, sub
+      |             ORDER BY d2, cell) AS rn
+      |         FROM pdf) WHERE rn = 1),
+      |qd AS (SELECT p.vec_id AS q_id, c.sub, c.cell AS code,
+      |         CAST(sum((p.q - c.c) * (p.q - c.c)) AS BIGINT) AS d2q
+      |       FROM rp p JOIN pc2 c ON p.dim = c.dim
+      |       WHERE p.vec_id < 10
+      |       GROUP BY 1, 2, 3),
+      |adc AS (SELECT qd.q_id, pf.vec_id AS n_id,
+      |          CAST(sum(qd.d2q) AS BIGINT) AS adist
+      |        FROM paf pf
+      |        JOIN qd ON pf.sub = qd.sub AND pf.cell = qd.code
+      |        JOIN af an ON an.vec_id = pf.vec_id
+      |        JOIN af aq ON aq.vec_id = qd.q_id AND aq.cell = an.cell
+      |        WHERE pf.vec_id <> qd.q_id
+      |        GROUP BY 1, 2)
+      |SELECT q_id, n_id, adist,
+      |       row_number() OVER (PARTITION BY q_id
+      |         ORDER BY adist, n_id) AS rk
+      |FROM adc QUALIFY rk <= 5 ORDER BY q_id, rk""")
+
   val defs: Map[String, QueryDef] = Map(
     "q89_pq_codebook" -> q89PqCodebook,
     "q90_pq_adc_topk" -> q90PqAdcTopk,
+    "q93_ivfpq_topk" -> q93IvfPqTopk,
     "q34_knn_cosine" -> q34KnnBrute,
     "q35_knn_lsh" -> q35KnnLsh,
     "q59_knn_ivf" -> q59KnnIvf,

@@ -174,4 +174,30 @@ class SimilaritySpec extends SparkSpec {
       }
     }
   }
+
+  test("q93: IVF-PQ serve stays inside the query's coarse cell and " +
+      "ranks by monotone BIGINT ADC sums") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.SparkEntry.queries("q93_ivfpq_topk")(spark, dir)
+      .collect()
+    assert(out.nonEmpty)
+    val cells = graft.SparkEntry.queries("q81_kmeans_codebook")(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
+    out.groupBy(_.getAs[Long]("q_id")).foreach { case (q, g) =>
+      // nprobe=1: every returned candidate lives in the query's own cell
+      g.foreach { r =>
+        assert(cells(r.getAs[Long]("n_id")) == cells(q),
+          s"q$q candidate ${r.getAs[Long]("n_id")} outside the probed cell")
+      }
+      // contiguous ranks from 1, adist non-decreasing, self excluded
+      val sorted = g.sortBy(_.getAs[Long]("rk"))
+      assert(sorted.map(_.getAs[Long]("rk")).toSeq ==
+        (1L to sorted.length))
+      assert(sorted.map(_.getAs[Long]("adist")).toSeq ==
+        sorted.map(_.getAs[Long]("adist")).sorted.toSeq)
+      assert(!g.exists(_.getAs[Long]("n_id") == q))
+      g.foreach(r => assert(r.getAs[Long]("adist") >= 0L))
+    }
+  }
 }
