@@ -1124,10 +1124,205 @@ object Similarity {
       |         ORDER BY adist, n_id) AS rk
       |FROM adc QUALIFY rk <= 5 ORDER BY q_id, rk""")
 
+  /** IVF-PQ ACCEPTANCE row — q87's discipline applied to q93: before a
+    * pipeline swaps raw-vector serving for PQ codes it needs the recall
+    * cost of each approximation STAGE, separately. One row compares,
+    * against the exact grid-L2 top-5 ground truth: (a) IVF-flat —
+    * exact distances inside the probed cell (loss = cell pruning only)
+    * and (b) IVF-PQ — ADC distances inside the same cell (loss = cell
+    * pruning + quantization). hits_ivf − hits_pq is the price of 64×
+    * compression; both serves share one candidate-cost column because
+    * they probe identical cells. Every distance, hit count and
+    * tie-break is BIGINT, so the full two-trainer instrument is
+    * oracle-exact. */
+  private val q94IvfPqRecall = QueryDef(
+    (s, dir) => {
+      val (af, coarse, eg) = trainedModel(s, dir)
+      val resid = eg.join(af.select(col("vec_id"), col("cell")), Seq("vec_id"))
+        .withColumn("__cc", typedLit(coarse))
+        .select(col("vec_id"), col("cell"), expr(
+          "zip_with(qa, filter(__cc, c -> c._1 = cell)[0]._2, (a, b) -> a - b)")
+          .as("qa"))
+        .localCheckpoint(true)
+      val (codes, subcents) = pqTrainOn(resid.select("vec_id", "qa"))
+      // ONE tagged frame (q87's shape): exact grid-L2 within the cell
+      // for src=f, ADC over codes for src=p
+      val egc = eg.join(af.select(col("vec_id"), col("cell")), Seq("vec_id"))
+        .localCheckpoint(true)
+      val q = egc.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("qa").as("q_qa"),
+          col("cell").as("q_cell"))
+      val d2 = expr(
+        """aggregate(zip_with(qa, q_qa, (a, b) -> (a - b) * (a - b)),
+          |  cast(0 as bigint), (acc, x) -> acc + x)""".stripMargin)
+      val wTop = Window.partitionBy("src", "q_id")
+        .orderBy(asc("adist"), asc("n_id"))
+      val flat = egc.select(col("vec_id").as("n_id"), col("qa"), col("cell"))
+        .join(broadcast(q), col("cell") === col("q_cell") &&
+          col("n_id") =!= col("q_id"))
+        .select(lit("f").as("src"), col("q_id"), col("n_id"), d2.as("adist"))
+      val qd = resid.filter(col("vec_id") < 10)
+        .withColumn("__pc", typedLit(subcents))
+        .select(col("vec_id").as("q_id"), col("cell").as("q_cell"),
+          explode(expr(
+            s"""transform(__pc, c -> named_struct(
+              |  'sub', c._1, 'code', c._2,
+              |  'd2q', aggregate(zip_with(
+              |           slice(qa, c._1 * $PQ_SUBDIM + 1, $PQ_SUBDIM),
+              |           c._3, (a, b) -> (a - b) * (a - b)),
+              |         cast(0 as bigint), (acc, x) -> acc + x)))"""
+              .stripMargin)).as("t"))
+        .select(col("q_id"), col("q_cell"), col("t.sub").as("sub"),
+          col("t.code").as("code"), col("t.d2q").as("d2q"))
+      val pq = codes.select(col("vec_id").as("n_id"), col("sub"), col("code"))
+        .join(af.select(col("vec_id").as("n_id"), col("cell").as("n_cell")),
+          Seq("n_id"))
+        .join(broadcast(qd), Seq("sub", "code"))
+        .filter(col("n_cell") === col("q_cell") &&
+          col("n_id") =!= col("q_id"))
+        .groupBy("q_id", "n_id")
+        .agg(sum("d2q").as("adist"))
+        .select(lit("p").as("src"), col("q_id"), col("n_id"), col("adist"))
+      val serve = flat.unionByName(pq)
+        .withColumn("rk", row_number().over(wTop))
+        .filter(col("rk") <= 5)
+        .select(col("src"), col("q_id"), col("n_id"))
+      val exact = egc.select(col("vec_id").as("n_id"), col("qa"))
+        .join(broadcast(q), col("n_id") =!= col("q_id"))
+        .select(col("q_id"), col("n_id"), d2.as("adist"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("q_id").orderBy(asc("adist"), asc("n_id"))))
+        .filter(col("rk") <= 5)
+        .select(col("q_id"), col("n_id"))
+      val hits = serve.join(exact, Seq("q_id", "n_id"), "left_semi")
+        .groupBy().agg(
+          coalesce(sum(when(col("src") === "f", 1L).otherwise(0L)), lit(0L))
+            .as("hits_ivf"),
+          coalesce(sum(when(col("src") === "p", 1L).otherwise(0L)), lit(0L))
+            .as("hits_pq"))
+      val sz = egc.groupBy("cell").agg(count(lit(1)).as("__n"))
+      val cost = egc.filter(col("vec_id") < 10)
+        .join(broadcast(sz), Seq("cell"))
+        .agg(sum(col("__n") - 1).as("cand_cells"))
+      val nQ = q.agg(count(lit(1)).as("n_queries"))
+      nQ.crossJoin(broadcast(hits)).crossJoin(broadcast(cost))
+        .select(col("n_queries"), col("hits_ivf"), col("hits_pq"),
+          col("cand_cells"),
+          (col("hits_ivf").cast("double") / (col("n_queries") * 5))
+            .as("recall_ivf"),
+          (col("hits_pq").cast("double") / (col("n_queries") * 5))
+            .as("recall_pq"))
+    },
+    s"""WITH $trainedAssignmentSql,
+      |rp AS (SELECT p.vec_id, CAST(p.dim // 16 AS INTEGER) AS sub,
+      |         p.dim, p.q - c.c AS q
+      |       FROM pts p
+      |       JOIN af a ON p.vec_id = a.vec_id
+      |       JOIN c2 c ON c.cell = a.cell AND c.dim = p.dim),
+      |pc0 AS (SELECT sub, CAST(vec_id AS INTEGER) AS cell, dim, q AS c
+      |        FROM rp WHERE vec_id < 4),
+      |pd1 AS (SELECT p.vec_id, c.sub, c.cell,
+      |          CAST(sum((p.q - c.c) * (p.q - c.c)) AS BIGINT) AS d2
+      |        FROM rp p JOIN pc0 c ON p.dim = c.dim
+      |        GROUP BY 1, 2, 3),
+      |pa1 AS (SELECT vec_id, sub, cell FROM (
+      |         SELECT vec_id, sub, cell,
+      |           row_number() OVER (PARTITION BY vec_id, sub
+      |             ORDER BY d2, cell) AS rn
+      |         FROM pd1) WHERE rn = 1),
+      |pc1 AS (SELECT sub, cell, dim,
+      |          (2*s + n - ((((2*s + n) % (2*n)) + 2*n) % (2*n))) // (2*n)
+      |            AS c
+      |        FROM (SELECT a.sub, a.cell, p.dim,
+      |                CAST(sum(p.q) AS BIGINT) AS s,
+      |                CAST(count(*) AS BIGINT) AS n
+      |              FROM rp p
+      |              JOIN pa1 a ON p.vec_id = a.vec_id AND p.sub = a.sub
+      |              GROUP BY 1, 2, 3)),
+      |pd2 AS (SELECT p.vec_id, c.sub, c.cell,
+      |          CAST(sum((p.q - c.c) * (p.q - c.c)) AS BIGINT) AS d2
+      |        FROM rp p JOIN pc1 c ON p.dim = c.dim
+      |        GROUP BY 1, 2, 3),
+      |pa2 AS (SELECT vec_id, sub, cell FROM (
+      |         SELECT vec_id, sub, cell,
+      |           row_number() OVER (PARTITION BY vec_id, sub
+      |             ORDER BY d2, cell) AS rn
+      |         FROM pd2) WHERE rn = 1),
+      |pc2 AS (SELECT sub, cell, dim,
+      |          (2*s + n - ((((2*s + n) % (2*n)) + 2*n) % (2*n))) // (2*n)
+      |            AS c
+      |        FROM (SELECT a.sub, a.cell, p.dim,
+      |                CAST(sum(p.q) AS BIGINT) AS s,
+      |                CAST(count(*) AS BIGINT) AS n
+      |              FROM rp p
+      |              JOIN pa2 a ON p.vec_id = a.vec_id AND p.sub = a.sub
+      |              GROUP BY 1, 2, 3)),
+      |pdf AS (SELECT p.vec_id, c.sub, c.cell,
+      |          CAST(sum((p.q - c.c) * (p.q - c.c)) AS BIGINT) AS d2
+      |        FROM rp p JOIN pc2 c ON p.dim = c.dim
+      |        GROUP BY 1, 2, 3),
+      |paf AS (SELECT vec_id, sub, cell FROM (
+      |         SELECT vec_id, sub, cell,
+      |           row_number() OVER (PARTITION BY vec_id, sub
+      |             ORDER BY d2, cell) AS rn
+      |         FROM pdf) WHERE rn = 1),
+      |qd AS (SELECT p.vec_id AS q_id, c.sub, c.cell AS code,
+      |         CAST(sum((p.q - c.c) * (p.q - c.c)) AS BIGINT) AS d2q
+      |       FROM rp p JOIN pc2 c ON p.dim = c.dim
+      |       WHERE p.vec_id < 10
+      |       GROUP BY 1, 2, 3),
+      |gd AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+      |         CAST(sum((b.q - a.q) * (b.q - a.q)) AS BIGINT) AS adist
+      |       FROM pts a JOIN pts b ON a.dim = b.dim
+      |       WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id
+      |       GROUP BY 1, 2),
+      |ex AS (SELECT q_id, n_id FROM (
+      |        SELECT q_id, n_id,
+      |          row_number() OVER (PARTITION BY q_id
+      |            ORDER BY adist, n_id) AS rk
+      |        FROM gd) WHERE rk <= 5),
+      |fl AS (SELECT q_id, n_id FROM (
+      |        SELECT g.q_id, g.n_id,
+      |          row_number() OVER (PARTITION BY g.q_id
+      |            ORDER BY g.adist, g.n_id) AS rk
+      |        FROM gd g
+      |        JOIN af an ON an.vec_id = g.n_id
+      |        JOIN af aq ON aq.vec_id = g.q_id AND aq.cell = an.cell)
+      |       WHERE rk <= 5),
+      |pqs AS (SELECT q_id, n_id FROM (
+      |         SELECT qd.q_id, pf.vec_id AS n_id,
+      |           row_number() OVER (PARTITION BY qd.q_id
+      |             ORDER BY CAST(sum(qd.d2q) AS BIGINT), pf.vec_id) AS rk
+      |         FROM paf pf
+      |         JOIN qd ON pf.sub = qd.sub AND pf.cell = qd.code
+      |         JOIN af an ON an.vec_id = pf.vec_id
+      |         JOIN af aq ON aq.vec_id = qd.q_id AND aq.cell = an.cell
+      |         WHERE pf.vec_id <> qd.q_id
+      |         GROUP BY qd.q_id, pf.vec_id) WHERE rk <= 5)
+      |SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id < 10)
+      |         AS BIGINT) AS n_queries,
+      |       CAST((SELECT count(*) FROM ex JOIN fl USING (q_id, n_id))
+      |         AS BIGINT) AS hits_ivf,
+      |       CAST((SELECT count(*) FROM ex JOIN pqs USING (q_id, n_id))
+      |         AS BIGINT) AS hits_pq,
+      |       CAST((SELECT sum(n - 1) FROM af
+      |             JOIN (SELECT cell, count(*) AS n FROM af GROUP BY cell)
+      |               USING (cell)
+      |             WHERE vec_id < 10) AS BIGINT) AS cand_cells,
+      |       CAST((SELECT count(*) FROM ex JOIN fl USING (q_id, n_id))
+      |         AS DOUBLE) /
+      |         ((SELECT count(*) FROM embeddings WHERE vec_id < 10) * 5)
+      |         AS recall_ivf,
+      |       CAST((SELECT count(*) FROM ex JOIN pqs USING (q_id, n_id))
+      |         AS DOUBLE) /
+      |         ((SELECT count(*) FROM embeddings WHERE vec_id < 10) * 5)
+      |         AS recall_pq""")
+
   val defs: Map[String, QueryDef] = Map(
     "q89_pq_codebook" -> q89PqCodebook,
     "q90_pq_adc_topk" -> q90PqAdcTopk,
     "q93_ivfpq_topk" -> q93IvfPqTopk,
+    "q94_ivfpq_recall" -> q94IvfPqRecall,
     "q34_knn_cosine" -> q34KnnBrute,
     "q35_knn_lsh" -> q35KnnLsh,
     "q59_knn_ivf" -> q59KnnIvf,

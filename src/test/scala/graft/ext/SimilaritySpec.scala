@@ -200,4 +200,25 @@ class SimilaritySpec extends SparkSpec {
       g.foreach(r => assert(r.getAs[Long]("adist") >= 0L))
     }
   }
+
+  test("q94: IVF-flat dominates IVF-PQ on the same cells (provable), " +
+      "and the acceptance row's accounting is consistent") {
+    val dir = "/root/testdata/sf0.001"
+    val r = graft.SparkEntry.queries("q94_ivfpq_recall")(spark, dir)
+      .collect()(0)
+    val n = r.getAs[Long]("n_queries")
+    val hi = r.getAs[Long]("hits_ivf")
+    val hp = r.getAs[Long]("hits_pq")
+    assert(n > 0)
+    // dominance: every global-top-5 member inside a query's cell is
+    // necessarily in the cell's TRUE-distance top-5 (anything that
+    // outranks it in-cell outranks it globally too), so IVF-flat
+    // captures ALL in-cell ground-truth hits — PQ's re-ranking can only
+    // lose some of them, never find more
+    assert(hp <= hi, s"PQ hits $hp exceed flat hits $hi")
+    assert(hi <= 5 * n && hp >= 0)
+    assert(r.getAs[Double]("recall_ivf") == hi.toDouble / (5 * n))
+    assert(r.getAs[Double]("recall_pq") == hp.toDouble / (5 * n))
+    assert(r.getAs[Long]("cand_cells") >= 0L)
+  }
 }
