@@ -28,18 +28,12 @@ import graft.core.{QueryDef, Tables}
   */
 object Incremental {
 
-  /** Two-batch NearDupIndex admission (embedding near-dup, multi-probe
-    * Hamming ≤ 1 + exact-cosine verification at bar 0.4 — the q51/q79
-    * threshold, where the fixtures actually contain cross-batch
-    * near-dups, so the gate exercises real rejections). `planes` derives
-    * from the FULL corpus size (the index's catalog entry, q55's rule);
-    * verification parity with DuckDB holds because collision is pure
-    * BIGINT signature xor and the cosine is the proven bit-exact form. */
-  /** The shared two-batch NearDupIndex admission CTEs (np/d/ca/cb):
-    * planes from the full corpus, integer hyperplane buckets, batch A
-    * admissions, batch B admissions against A's index — the text both
-    * q84 (admission sequence) and q92 (post-compaction contents) build
-    * their oracles from. */
+  /** The NearDupIndex bucket CTEs (np/d): planes from the full corpus
+    * (the index's catalog entry, q55's rule), integer hyperplane buckets
+    * per vector — shared by the q84 admission oracle and q92's
+    * post-compaction contents oracle. Verification parity with DuckDB
+    * holds because collision is pure BIGINT signature xor and the
+    * cosine is the proven bit-exact form. */
   private val neardupBucketCtes = """np AS (
       |  SELECT 4 + length(bin(greatest(count(*) // 500, 1))) - 1 AS planes
       |  FROM embeddings),
@@ -52,6 +46,9 @@ object Incremental {
       |     FROM generate_series(0, 62) t(p), np WHERE p < planes) AS bucket
       |  FROM embeddings)""".stripMargin
 
+  /** The full two-batch admission CTEs (np/d/ca/cb): batch A admits
+    * against its own smaller ids, batch B against admitted-A (the
+    * persisted index) plus its own smaller ids — q84's oracle text. */
   private val neardupAdmitCtes = s"""$neardupBucketCtes,
       |ca AS (
       |  SELECT v.vec_id FROM d v
@@ -89,6 +86,10 @@ object Incremental {
       |             sqrt(list_sum(list_transform(u.embedding,
       |               x -> CAST(x AS DOUBLE) * x)))) >= 0.4))""".stripMargin
 
+  /** Run the deterministic two-batch admission against a fresh
+    * throwaway index (batch = vec_id parity split, bar 0.4 — the
+    * q51/q79 threshold where the fixtures contain real cross-batch
+    * near-dups, so the gate exercises real rejections). */
   private def neardupTwoBatchAdmit(s: SparkSession, dir: String)
       : (String, DataFrame, DataFrame) = {
     val e = Tables(s, dir, "embeddings")
