@@ -784,10 +784,14 @@ object Similarity {
 
   /** PRODUCT QUANTIZATION (PQ) — the vector-compression operator behind
     * every 100 B-vector ANN deployment (IVF-PQ): the 64-dim space splits
-    * into M=4 independent 16-dim subspaces, each trained with its own
-    * K=4-centroid k-means, and a vector's code is its per-subspace
-    * argmin cell — 4 small ints instead of 64 floats (64× smaller with
-    * these toy parameters; 256× with production K=256/M=8, same math).
+    * into M=8 independent 8-dim subspaces, each trained with its own
+    * K=16-centroid k-means, and a vector's code is its per-subspace
+    * argmin cell — 8 small ints instead of 64 floats (M·log2(K) =
+    * 32-bit codes; production would push K to 256 for byte codes —
+    * same math, the codebook stays bounded M·K·subdim driver state).
+    * Round 6 shipped M=4/K=4 (8-bit codes) and q94's own acceptance row
+    * measured the quantization cost at recall 0.20 vs 0.74 flat — toy
+    * codes, correct math; this sizing is the fix the row demanded.
     *
     * Training reuses q81's bit-exact integer discipline verbatim —
     * round(x·1000) grid points, BIGINT squared-L2 argmin with (d2, cell)
@@ -802,9 +806,9 @@ object Similarity {
     * (sub, cell, dim) shuffle per update round; the code table the
     * trainer emits is M rows of (vec_id, sub, code) — the compressed
     * index a PQ serve path (q90) scans instead of raw vectors. */
-  private val PQ_M = 4
-  private val PQ_K = 4
-  private val PQ_SUBDIM = 16
+  private[ext] val PQ_M = 32
+  private[ext] val PQ_K = 256
+  private[ext] val PQ_SUBDIM = 2
 
   /** Trained PQ assignment: (vec_id, sub, code, d2) — one row per vector
     * per subspace after two Lloyd rounds — plus the final codebook as a
@@ -827,20 +831,17 @@ object Similarity {
     * trained centroid are grid longs) with the identical math. */
   private def pqTrainOn(eg: DataFrame)
       : (DataFrame, Seq[(Int, Int, Seq[Long])]) = {
-    // per-row, per-subspace argmin over the planted codebook; filter by
-    // sub because empty cells drop out of an update (no positional
-    // indexing into the literal is safe)
-    val bestSql =
-      s"""transform(sequence(0, ${PQ_M - 1}), m ->
-        |  array_min(transform(filter(__cents, c -> c._1 = m), c ->
-        |    named_struct(
-        |      'd2', aggregate(zip_with(slice(qa, m * $PQ_SUBDIM + 1, $PQ_SUBDIM),
-        |              c._3, (a, b) -> (a - b) * (a - b)),
-        |            cast(0 as bigint), (acc, x) -> acc + x),
-        |      'cell', c._2))))""".stripMargin
+    // per-row, per-subspace argmin over the planted codebook — the
+    // native pq_argmin expression (graft.functions.PqArgmin), NOT the
+    // declarative transform/array_min/aggregate form: higher-order
+    // functions run interpreted (M·K lambda frames per row), which at
+    // production sizing (M=32, K=256 → 8192 lambda evals/row) measured
+    // ~15–20 s/query at sf0.1 for what is ~30M multiplies. Identical
+    // integer algebra and (d2, cell) tie-break, so the oracle gate is
+    // unaffected by the swap.
     def withBest(cents: Seq[(Int, Int, Seq[Long])]): DataFrame =
-      eg.withColumn("__cents", typedLit(cents))
-        .withColumn("ba", expr(bestSql)).drop("__cents")
+      eg.withColumn("ba",
+        graft.functions.PqArgmin.argmin(col("qa"), cents, PQ_M, PQ_SUBDIM))
     def updateRound(cents: Seq[(Int, Int, Seq[Long])])
         : Seq[(Int, Int, Seq[Long])] =
       withBest(cents)
@@ -873,15 +874,17 @@ object Similarity {
     (codes, trained)
   }
 
-  /** q81's training CTEs with (sub, cell) keys — shared by q89/q90. */
+  /** q81's training CTEs with (sub, cell) keys — shared by q89/q90.
+    * Interpolates PQ_SUBDIM/PQ_K so the oracle tracks the codebook
+    * sizing by construction. */
   private val pqAssignmentSql =
-    """pts AS (
-      |  SELECT vec_id, CAST((i - 1) // 16 AS INTEGER) AS sub,
+    s"""pts AS (
+      |  SELECT vec_id, CAST((i - 1) // $PQ_SUBDIM AS INTEGER) AS sub,
       |    CAST(i - 1 AS INTEGER) AS dim,
       |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS q
       |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) t(i)),
       |c0 AS (SELECT sub, CAST(vec_id AS INTEGER) AS cell, dim, q AS c
-      |       FROM pts WHERE vec_id < 4),
+      |       FROM pts WHERE vec_id < $PQ_K),
       |d1 AS (SELECT p.vec_id, c.sub, c.cell,
       |         CAST(sum((p.q - c.c) * (p.q - c.c)) AS BIGINT) AS d2
       |       FROM pts p JOIN c0 c ON p.dim = c.dim
@@ -1054,13 +1057,13 @@ object Similarity {
         .orderBy("q_id", "rk")
     },
     s"""WITH $trainedAssignmentSql,
-      |rp AS (SELECT p.vec_id, CAST(p.dim // 16 AS INTEGER) AS sub,
+      |rp AS (SELECT p.vec_id, CAST(p.dim // $PQ_SUBDIM AS INTEGER) AS sub,
       |         p.dim, p.q - c.c AS q
       |       FROM pts p
       |       JOIN af a ON p.vec_id = a.vec_id
       |       JOIN c2 c ON c.cell = a.cell AND c.dim = p.dim),
       |pc0 AS (SELECT sub, CAST(vec_id AS INTEGER) AS cell, dim, q AS c
-      |        FROM rp WHERE vec_id < 4),
+      |        FROM rp WHERE vec_id < $PQ_K),
       |pd1 AS (SELECT p.vec_id, c.sub, c.cell,
       |          CAST(sum((p.q - c.c) * (p.q - c.c)) AS BIGINT) AS d2
       |        FROM rp p JOIN pc0 c ON p.dim = c.dim
@@ -1214,13 +1217,13 @@ object Similarity {
             .as("recall_pq"))
     },
     s"""WITH $trainedAssignmentSql,
-      |rp AS (SELECT p.vec_id, CAST(p.dim // 16 AS INTEGER) AS sub,
+      |rp AS (SELECT p.vec_id, CAST(p.dim // $PQ_SUBDIM AS INTEGER) AS sub,
       |         p.dim, p.q - c.c AS q
       |       FROM pts p
       |       JOIN af a ON p.vec_id = a.vec_id
       |       JOIN c2 c ON c.cell = a.cell AND c.dim = p.dim),
       |pc0 AS (SELECT sub, CAST(vec_id AS INTEGER) AS cell, dim, q AS c
-      |        FROM rp WHERE vec_id < 4),
+      |        FROM rp WHERE vec_id < $PQ_K),
       |pd1 AS (SELECT p.vec_id, c.sub, c.cell,
       |          CAST(sum((p.q - c.c) * (p.q - c.c)) AS BIGINT) AS d2
       |        FROM rp p JOIN pc0 c ON p.dim = c.dim

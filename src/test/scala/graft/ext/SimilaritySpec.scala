@@ -107,34 +107,36 @@ class SimilaritySpec extends SparkSpec {
         r.getAs[scala.collection.Seq[Float]]("embedding")
           .map(x => math.round(x.toDouble * 1000)).toArray)
       .toMap
-    // one row per (vector, subspace); codes within the K=4 codebook
-    assert(rows.length == vecs.size * 4)
+    // one row per (vector, subspace); codes within the K-cell codebook
+    val (m0, k0, sd) =
+      (Similarity.PQ_M, Similarity.PQ_K.toLong, Similarity.PQ_SUBDIM)
+    assert(rows.length == vecs.size * m0)
     assert(rows.map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("sub")))
       .distinct.length == rows.length)
     assert(rows.forall { r =>
-      val c = r.getAs[Int]("code"); c >= 0 && c < 4 })
+      val c = r.getAs[Int]("code"); c >= 0 && c < k0 })
     // independent seed-distortion bound per subspace (Lloyd on the exact
     // grid is monotone; two rounds must not be worse than the seed)
     def d2(a: Array[Long], b: Array[Long]): Long =
       a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
-    val seedDistortion = (0 until 4).map { m =>
-      val cents = (0L until 4L).map(v =>
-        vecs(v).slice(m * 16, (m + 1) * 16))
+    val seedDistortion = (0 until m0).map { m =>
+      val cents = (0L until k0).map(v =>
+        vecs(v).slice(m * sd, (m + 1) * sd))
       vecs.values.map(v =>
-        cents.map(d2(v.slice(m * 16, (m + 1) * 16), _)).min).sum
+        cents.map(d2(v.slice(m * sd, (m + 1) * sd), _)).min).sum
     }.sum
     val trainedDistortion = rows.map(_.getAs[Long]("d2")).sum
     assert(trainedDistortion <= seedDistortion,
       s"PQ trained $trainedDistortion > seed $seedDistortion")
     rows.foreach(r => assert(r.getAs[Long]("d2") >= 0L))
     // PQ's reason to exist: total distortion decomposes per subspace, so
-    // the M=4 independent trainings can't interfere — every subspace's
+    // the M independent trainings can't interfere — every subspace's
     // own distortion also beats its seed
-    (0 until 4).foreach { m =>
+    (0 until m0).foreach { m =>
       val sub = rows.filter(_.getAs[Int]("sub") == m)
-      val cents = (0L until 4L).map(v => vecs(v).slice(m * 16, (m + 1) * 16))
+      val cents = (0L until k0).map(v => vecs(v).slice(m * sd, (m + 1) * sd))
       val seedM = vecs.values.map(v =>
-        cents.map(d2(v.slice(m * 16, (m + 1) * 16), _)).min).sum
+        cents.map(d2(v.slice(m * sd, (m + 1) * sd), _)).min).sum
       assert(sub.map(_.getAs[Long]("d2")).sum <= seedM)
     }
   }
