@@ -874,6 +874,70 @@ object Similarity {
     (codes, trained)
   }
 
+  /** The residual-PQ training CTEs over the coarse model (expects
+    * $trainedAssignmentSql's pts/af/c2 in scope): residuals `rp`, two
+    * Lloyd rounds pc0→pc2, final code table `paf` — shared verbatim by
+    * q93/q94/q96. Interpolates PQ_SUBDIM/PQ_K so the oracle tracks the
+    * codebook sizing by construction. */
+  private lazy val pqResidualTrainSql =
+    s"""rp AS (SELECT p.vec_id, CAST(p.dim // $PQ_SUBDIM AS INTEGER) AS sub,
+      |         p.dim, p.q - c.c AS q
+      |       FROM pts p
+      |       JOIN af a ON p.vec_id = a.vec_id
+      |       JOIN c2 c ON c.cell = a.cell AND c.dim = p.dim),
+      |pc0 AS (SELECT sub, CAST(vec_id AS INTEGER) AS cell, dim, q AS c
+      |        FROM rp WHERE vec_id < $PQ_K),
+      |pd1 AS (SELECT p.vec_id, c.sub, c.cell,
+      |          CAST(sum((p.q - c.c) * (p.q - c.c)) AS BIGINT) AS d2
+      |        FROM rp p JOIN pc0 c ON p.dim = c.dim
+      |        GROUP BY 1, 2, 3),
+      |pa1 AS (SELECT vec_id, sub, cell FROM (
+      |         SELECT vec_id, sub, cell,
+      |           row_number() OVER (PARTITION BY vec_id, sub
+      |             ORDER BY d2, cell) AS rn
+      |         FROM pd1) WHERE rn = 1),
+      |pc1 AS (SELECT sub, cell, dim,
+      |          (2*s + n - ((((2*s + n) % (2*n)) + 2*n) % (2*n))) // (2*n)
+      |            AS c
+      |        FROM (SELECT a.sub, a.cell, p.dim,
+      |                CAST(sum(p.q) AS BIGINT) AS s,
+      |                CAST(count(*) AS BIGINT) AS n
+      |              FROM rp p
+      |              JOIN pa1 a ON p.vec_id = a.vec_id AND p.sub = a.sub
+      |              GROUP BY 1, 2, 3)),
+      |pd2 AS (SELECT p.vec_id, c.sub, c.cell,
+      |          CAST(sum((p.q - c.c) * (p.q - c.c)) AS BIGINT) AS d2
+      |        FROM rp p JOIN pc1 c ON p.dim = c.dim
+      |        GROUP BY 1, 2, 3),
+      |pa2 AS (SELECT vec_id, sub, cell FROM (
+      |         SELECT vec_id, sub, cell,
+      |           row_number() OVER (PARTITION BY vec_id, sub
+      |             ORDER BY d2, cell) AS rn
+      |         FROM pd2) WHERE rn = 1),
+      |pc2 AS (SELECT sub, cell, dim,
+      |          (2*s + n - ((((2*s + n) % (2*n)) + 2*n) % (2*n))) // (2*n)
+      |            AS c
+      |        FROM (SELECT a.sub, a.cell, p.dim,
+      |                CAST(sum(p.q) AS BIGINT) AS s,
+      |                CAST(count(*) AS BIGINT) AS n
+      |              FROM rp p
+      |              JOIN pa2 a ON p.vec_id = a.vec_id AND p.sub = a.sub
+      |              GROUP BY 1, 2, 3)),
+      |pdf AS (SELECT p.vec_id, c.sub, c.cell,
+      |          CAST(sum((p.q - c.c) * (p.q - c.c)) AS BIGINT) AS d2
+      |        FROM rp p JOIN pc2 c ON p.dim = c.dim
+      |        GROUP BY 1, 2, 3),
+      |paf AS (SELECT vec_id, sub, cell FROM (
+      |         SELECT vec_id, sub, cell,
+      |           row_number() OVER (PARTITION BY vec_id, sub
+      |             ORDER BY d2, cell) AS rn
+      |         FROM pdf) WHERE rn = 1),
+      |qd AS (SELECT p.vec_id AS q_id, c.sub, c.cell AS code,
+      |         CAST(sum((p.q - c.c) * (p.q - c.c)) AS BIGINT) AS d2q
+      |       FROM rp p JOIN pc2 c ON p.dim = c.dim
+      |       WHERE p.vec_id < 10
+      |       GROUP BY 1, 2, 3)""".stripMargin
+
   /** q81's training CTEs with (sub, cell) keys — shared by q89/q90.
     * Interpolates PQ_SUBDIM/PQ_K so the oracle tracks the codebook
     * sizing by construction. */
@@ -958,17 +1022,10 @@ object Similarity {
         .select(col("vec_id").as("q_id"), expr(
           "transform(embedding, x -> cast(round(cast(x as double) * 1000, 0) as bigint))")
           .as("qa"))
-        .withColumn("__cents", typedLit(cents))
-        .select(col("q_id"), explode(expr(
-          s"""transform(__cents, c -> named_struct(
-            |  'sub', c._1, 'cell', c._2,
-            |  'd2q', aggregate(zip_with(
-            |           slice(qa, c._1 * $PQ_SUBDIM + 1, $PQ_SUBDIM), c._3,
-            |           (a, b) -> (a - b) * (a - b)),
-            |         cast(0 as bigint), (acc, x) -> acc + x)))""".stripMargin))
-          .as("t"))
+        .withColumn("__pc", typedLit(cents))
+        .select(col("q_id"), explode(expr(adcLutSql)).as("t"))
         .select(col("q_id"), col("t.sub").as("sub"),
-          col("t.cell").as("code"), col("t.d2q").as("d2q"))
+          col("t.code").as("code"), col("t.d2q").as("d2q"))
       val wTop = Window.partitionBy("q_id").orderBy(asc("adist"), asc("n_id"))
       codes.select(col("vec_id").as("n_id"), col("sub"), col("code"))
         .join(broadcast(qd), Seq("sub", "code"))
@@ -1016,16 +1073,68 @@ object Similarity {
     * table, and partial-aggs the per-sub terms before one
     * (q_id, n_id) exchange — candidates ∝ the probed cell, cost ∝
     * codes, never raw vectors. */
+  /** The (vec_id, cell, qa=residual) frame over the coarse model — each
+    * vector minus its own trained cell centroid, closed over the integer
+    * grid; checkpointed because the PQ trainer and the serve paths both
+    * consume it. Shared by q93/q94/q96. */
+  private def residualFrame(af: DataFrame, coarse: Seq[(Int, Seq[Long])],
+      eg: DataFrame): DataFrame =
+    eg.join(af.select(col("vec_id"), col("cell")), Seq("vec_id"))
+      .withColumn("__cc", typedLit(coarse))
+      .select(col("vec_id"), col("cell"), expr(
+        "zip_with(qa, filter(__cc, c -> c._1 = cell)[0]._2, (a, b) -> a - b)")
+        .as("qa"))
+      .localCheckpoint(true)
+
+  /** Query-side ADC lookup-table entries over a residual/grid column
+    * `qa` and a planted sub-codebook `__pc`: one (sub, code, d2q) struct
+    * per centroid. Interpreted HOF evaluation is fine HERE — it only
+    * ever runs on the ≤10-row query side; the scan side touches codes
+    * through the native pq_argmin path. */
+  private lazy val adcLutSql =
+    s"""transform(__pc, c -> named_struct(
+      |  'sub', c._1, 'code', c._2,
+      |  'd2q', aggregate(zip_with(
+      |           slice(qa, c._1 * $PQ_SUBDIM + 1, $PQ_SUBDIM),
+      |           c._3, (a, b) -> (a - b) * (a - b)),
+      |         cast(0 as bigint), (acc, x) -> acc + x)))""".stripMargin
+
+  /** The nprobe-cell ADC lookup table (the FAISS multi-probe query
+    * side): for each query, its `nprobe` nearest coarse cells by grid
+    * d2 (ties on cell id), and for each probed cell the M·K LUT over
+    * the query's residual W.R.T. THAT CELL's centroid — candidates are
+    * residual-encoded against their own cell, so the query must
+    * re-residualize per probe. Output: (q_id, p_cell, p_rank, sub,
+    * code, d2q); ≤ 10 · nprobe · M·K rows, always broadcast. */
+  private def probeLut(eg: DataFrame, coarse: Seq[(Int, Seq[Long])],
+      subcents: Seq[(Int, Int, Seq[Long])], nprobe: Int): DataFrame = {
+    val probes = eg.filter(col("vec_id") < 10)
+      .withColumn("__cc", typedLit(coarse))
+      .select(col("vec_id").as("q_id"),
+        explode(expr(
+          """transform(__cc, c -> named_struct(
+            |  'p_cell', c._1,
+            |  'pd2', aggregate(zip_with(qa, c._2, (a, b) -> (a - b) * (a - b)),
+            |         cast(0 as bigint), (acc, x) -> acc + x),
+            |  'qa', zip_with(qa, c._2, (a, b) -> a - b)))""".stripMargin))
+          .as("t"))
+      .select(col("q_id"), col("t.p_cell").as("p_cell"),
+        col("t.pd2").as("pd2"), col("t.qa").as("qa"))
+      .withColumn("p_rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(asc("pd2"), asc("p_cell"))))
+      .filter(col("p_rank") <= nprobe)
+    probes.withColumn("__pc", typedLit(subcents))
+      .select(col("q_id"), col("p_cell"), col("p_rank"),
+        explode(expr(adcLutSql)).as("t"))
+      .select(col("q_id"), col("p_cell"), col("p_rank"),
+        col("t.sub").as("sub"), col("t.code").as("code"),
+        col("t.d2q").as("d2q"))
+  }
+
   private val q93IvfPqTopk = QueryDef(
     (s, dir) => {
       val (af, coarse, eg) = trainedModel(s, dir)
-      // residual = qa − coarse centroid of the assigned cell, per dim
-      val resid = eg.join(af.select(col("vec_id"), col("cell")), Seq("vec_id"))
-        .withColumn("__cc", typedLit(coarse))
-        .select(col("vec_id"), col("cell"), expr(
-          "zip_with(qa, filter(__cc, c -> c._1 = cell)[0]._2, (a, b) -> a - b)")
-          .as("qa"))
-        .localCheckpoint(true)
+      val resid = residualFrame(af, coarse, eg)
       val (codes, subcents) = pqTrainOn(resid.select("vec_id", "qa"))
       val cand = codes.select(col("vec_id").as("n_id"), col("sub"), col("code"))
         .join(af.select(col("vec_id").as("n_id"), col("cell").as("n_cell")),
@@ -1034,14 +1143,7 @@ object Similarity {
       val qd = resid.filter(col("vec_id") < 10)
         .withColumn("__pc", typedLit(subcents))
         .select(col("vec_id").as("q_id"), col("cell").as("q_cell"),
-          explode(expr(
-            s"""transform(__pc, c -> named_struct(
-              |  'sub', c._1, 'code', c._2,
-              |  'd2q', aggregate(zip_with(
-              |           slice(qa, c._1 * $PQ_SUBDIM + 1, $PQ_SUBDIM),
-              |           c._3, (a, b) -> (a - b) * (a - b)),
-              |         cast(0 as bigint), (acc, x) -> acc + x)))"""
-              .stripMargin)).as("t"))
+          explode(expr(adcLutSql)).as("t"))
         .select(col("q_id"), col("q_cell"), col("t.sub").as("sub"),
           col("t.code").as("code"), col("t.d2q").as("d2q"))
       val wTop = Window.partitionBy("q_id").orderBy(asc("adist"), asc("n_id"))
@@ -1057,63 +1159,7 @@ object Similarity {
         .orderBy("q_id", "rk")
     },
     s"""WITH $trainedAssignmentSql,
-      |rp AS (SELECT p.vec_id, CAST(p.dim // $PQ_SUBDIM AS INTEGER) AS sub,
-      |         p.dim, p.q - c.c AS q
-      |       FROM pts p
-      |       JOIN af a ON p.vec_id = a.vec_id
-      |       JOIN c2 c ON c.cell = a.cell AND c.dim = p.dim),
-      |pc0 AS (SELECT sub, CAST(vec_id AS INTEGER) AS cell, dim, q AS c
-      |        FROM rp WHERE vec_id < $PQ_K),
-      |pd1 AS (SELECT p.vec_id, c.sub, c.cell,
-      |          CAST(sum((p.q - c.c) * (p.q - c.c)) AS BIGINT) AS d2
-      |        FROM rp p JOIN pc0 c ON p.dim = c.dim
-      |        GROUP BY 1, 2, 3),
-      |pa1 AS (SELECT vec_id, sub, cell FROM (
-      |         SELECT vec_id, sub, cell,
-      |           row_number() OVER (PARTITION BY vec_id, sub
-      |             ORDER BY d2, cell) AS rn
-      |         FROM pd1) WHERE rn = 1),
-      |pc1 AS (SELECT sub, cell, dim,
-      |          (2*s + n - ((((2*s + n) % (2*n)) + 2*n) % (2*n))) // (2*n)
-      |            AS c
-      |        FROM (SELECT a.sub, a.cell, p.dim,
-      |                CAST(sum(p.q) AS BIGINT) AS s,
-      |                CAST(count(*) AS BIGINT) AS n
-      |              FROM rp p
-      |              JOIN pa1 a ON p.vec_id = a.vec_id AND p.sub = a.sub
-      |              GROUP BY 1, 2, 3)),
-      |pd2 AS (SELECT p.vec_id, c.sub, c.cell,
-      |          CAST(sum((p.q - c.c) * (p.q - c.c)) AS BIGINT) AS d2
-      |        FROM rp p JOIN pc1 c ON p.dim = c.dim
-      |        GROUP BY 1, 2, 3),
-      |pa2 AS (SELECT vec_id, sub, cell FROM (
-      |         SELECT vec_id, sub, cell,
-      |           row_number() OVER (PARTITION BY vec_id, sub
-      |             ORDER BY d2, cell) AS rn
-      |         FROM pd2) WHERE rn = 1),
-      |pc2 AS (SELECT sub, cell, dim,
-      |          (2*s + n - ((((2*s + n) % (2*n)) + 2*n) % (2*n))) // (2*n)
-      |            AS c
-      |        FROM (SELECT a.sub, a.cell, p.dim,
-      |                CAST(sum(p.q) AS BIGINT) AS s,
-      |                CAST(count(*) AS BIGINT) AS n
-      |              FROM rp p
-      |              JOIN pa2 a ON p.vec_id = a.vec_id AND p.sub = a.sub
-      |              GROUP BY 1, 2, 3)),
-      |pdf AS (SELECT p.vec_id, c.sub, c.cell,
-      |          CAST(sum((p.q - c.c) * (p.q - c.c)) AS BIGINT) AS d2
-      |        FROM rp p JOIN pc2 c ON p.dim = c.dim
-      |        GROUP BY 1, 2, 3),
-      |paf AS (SELECT vec_id, sub, cell FROM (
-      |         SELECT vec_id, sub, cell,
-      |           row_number() OVER (PARTITION BY vec_id, sub
-      |             ORDER BY d2, cell) AS rn
-      |         FROM pdf) WHERE rn = 1),
-      |qd AS (SELECT p.vec_id AS q_id, c.sub, c.cell AS code,
-      |         CAST(sum((p.q - c.c) * (p.q - c.c)) AS BIGINT) AS d2q
-      |       FROM rp p JOIN pc2 c ON p.dim = c.dim
-      |       WHERE p.vec_id < 10
-      |       GROUP BY 1, 2, 3),
+      |$pqResidualTrainSql,
       |adc AS (SELECT qd.q_id, pf.vec_id AS n_id,
       |          CAST(sum(qd.d2q) AS BIGINT) AS adist
       |        FROM paf pf
@@ -1217,63 +1263,7 @@ object Similarity {
             .as("recall_pq"))
     },
     s"""WITH $trainedAssignmentSql,
-      |rp AS (SELECT p.vec_id, CAST(p.dim // $PQ_SUBDIM AS INTEGER) AS sub,
-      |         p.dim, p.q - c.c AS q
-      |       FROM pts p
-      |       JOIN af a ON p.vec_id = a.vec_id
-      |       JOIN c2 c ON c.cell = a.cell AND c.dim = p.dim),
-      |pc0 AS (SELECT sub, CAST(vec_id AS INTEGER) AS cell, dim, q AS c
-      |        FROM rp WHERE vec_id < $PQ_K),
-      |pd1 AS (SELECT p.vec_id, c.sub, c.cell,
-      |          CAST(sum((p.q - c.c) * (p.q - c.c)) AS BIGINT) AS d2
-      |        FROM rp p JOIN pc0 c ON p.dim = c.dim
-      |        GROUP BY 1, 2, 3),
-      |pa1 AS (SELECT vec_id, sub, cell FROM (
-      |         SELECT vec_id, sub, cell,
-      |           row_number() OVER (PARTITION BY vec_id, sub
-      |             ORDER BY d2, cell) AS rn
-      |         FROM pd1) WHERE rn = 1),
-      |pc1 AS (SELECT sub, cell, dim,
-      |          (2*s + n - ((((2*s + n) % (2*n)) + 2*n) % (2*n))) // (2*n)
-      |            AS c
-      |        FROM (SELECT a.sub, a.cell, p.dim,
-      |                CAST(sum(p.q) AS BIGINT) AS s,
-      |                CAST(count(*) AS BIGINT) AS n
-      |              FROM rp p
-      |              JOIN pa1 a ON p.vec_id = a.vec_id AND p.sub = a.sub
-      |              GROUP BY 1, 2, 3)),
-      |pd2 AS (SELECT p.vec_id, c.sub, c.cell,
-      |          CAST(sum((p.q - c.c) * (p.q - c.c)) AS BIGINT) AS d2
-      |        FROM rp p JOIN pc1 c ON p.dim = c.dim
-      |        GROUP BY 1, 2, 3),
-      |pa2 AS (SELECT vec_id, sub, cell FROM (
-      |         SELECT vec_id, sub, cell,
-      |           row_number() OVER (PARTITION BY vec_id, sub
-      |             ORDER BY d2, cell) AS rn
-      |         FROM pd2) WHERE rn = 1),
-      |pc2 AS (SELECT sub, cell, dim,
-      |          (2*s + n - ((((2*s + n) % (2*n)) + 2*n) % (2*n))) // (2*n)
-      |            AS c
-      |        FROM (SELECT a.sub, a.cell, p.dim,
-      |                CAST(sum(p.q) AS BIGINT) AS s,
-      |                CAST(count(*) AS BIGINT) AS n
-      |              FROM rp p
-      |              JOIN pa2 a ON p.vec_id = a.vec_id AND p.sub = a.sub
-      |              GROUP BY 1, 2, 3)),
-      |pdf AS (SELECT p.vec_id, c.sub, c.cell,
-      |          CAST(sum((p.q - c.c) * (p.q - c.c)) AS BIGINT) AS d2
-      |        FROM rp p JOIN pc2 c ON p.dim = c.dim
-      |        GROUP BY 1, 2, 3),
-      |paf AS (SELECT vec_id, sub, cell FROM (
-      |         SELECT vec_id, sub, cell,
-      |           row_number() OVER (PARTITION BY vec_id, sub
-      |             ORDER BY d2, cell) AS rn
-      |         FROM pdf) WHERE rn = 1),
-      |qd AS (SELECT p.vec_id AS q_id, c.sub, c.cell AS code,
-      |         CAST(sum((p.q - c.c) * (p.q - c.c)) AS BIGINT) AS d2q
-      |       FROM rp p JOIN pc2 c ON p.dim = c.dim
-      |       WHERE p.vec_id < 10
-      |       GROUP BY 1, 2, 3),
+      |$pqResidualTrainSql,
       |gd AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
       |         CAST(sum((b.q - a.q) * (b.q - a.q)) AS BIGINT) AS adist
       |       FROM pts a JOIN pts b ON a.dim = b.dim
