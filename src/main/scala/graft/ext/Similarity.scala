@@ -784,14 +784,15 @@ object Similarity {
 
   /** PRODUCT QUANTIZATION (PQ) — the vector-compression operator behind
     * every 100 B-vector ANN deployment (IVF-PQ): the 64-dim space splits
-    * into M=8 independent 8-dim subspaces, each trained with its own
-    * K=16-centroid k-means, and a vector's code is its per-subspace
-    * argmin cell — 8 small ints instead of 64 floats (M·log2(K) =
-    * 32-bit codes; production would push K to 256 for byte codes —
-    * same math, the codebook stays bounded M·K·subdim driver state).
-    * Round 6 shipped M=4/K=4 (8-bit codes) and q94's own acceptance row
-    * measured the quantization cost at recall 0.20 vs 0.74 flat — toy
-    * codes, correct math; this sizing is the fix the row demanded.
+    * into M=32 independent 2-dim subspaces, each trained with its own
+    * K=256-centroid k-means, and a vector's code is its per-subspace
+    * argmin cell — 32 byte codes instead of 64 floats (M·log2(K) =
+    * 256-bit codes, 8× smaller than f32; the codebook stays bounded
+    * M·K·subdim = 16,384 grid longs of driver state). The sizing sweep
+    * that fixed it: M=4/K=4 (round 6's toy) → recall 0.20, M=8/K=16 →
+    * 0.28, M=8/K=256 → 0.38, M=32/K=256 → 0.72 vs 0.74 IVF-flat on
+    * identical probed cells (q94's acceptance row) — byte codes with
+    * fine subspaces are where residual PQ becomes servable.
     *
     * Training reuses q81's bit-exact integer discipline verbatim —
     * round(x·1000) grid points, BIGINT squared-L2 argmin with (d2, cell)
@@ -1099,16 +1100,17 @@ object Similarity {
       |           c._3, (a, b) -> (a - b) * (a - b)),
       |         cast(0 as bigint), (acc, x) -> acc + x)))""".stripMargin
 
-  /** The nprobe-cell ADC lookup table (the FAISS multi-probe query
-    * side): for each query, its `nprobe` nearest coarse cells by grid
-    * d2 (ties on cell id), and for each probed cell the M·K LUT over
-    * the query's residual W.R.T. THAT CELL's centroid — candidates are
-    * residual-encoded against their own cell, so the query must
-    * re-residualize per probe. Output: (q_id, p_cell, p_rank, sub,
-    * code, d2q); ≤ 10 · nprobe · M·K rows, always broadcast. */
-  private def probeLut(eg: DataFrame, coarse: Seq[(Int, Seq[Long])],
-      subcents: Seq[(Int, Int, Seq[Long])], nprobe: Int): DataFrame = {
-    val probes = eg.filter(col("vec_id") < 10)
+  /** Each query's `nprobe` nearest coarse cells by grid d2 (ties on
+    * cell id), with the query's residual re-residualized against THAT
+    * cell's centroid — the FAISS multi-probe query side: candidates are
+    * residual-encoded against their own cell, so a query probing a
+    * foreign cell must subtract that cell's centroid, not its own.
+    * Output: (q_id, p_cell, p_rank, qa); ≤ 10 · nprobe rows, always
+    * broadcast. p_rank=1 is the query's own coarse cell (the probe
+    * ranking is the same (d2, cell) argmin as the assignment). */
+  private def probeCells(eg: DataFrame, coarse: Seq[(Int, Seq[Long])],
+      nprobe: Int): DataFrame =
+    eg.filter(col("vec_id") < 10)
       .withColumn("__cc", typedLit(coarse))
       .select(col("vec_id").as("q_id"),
         explode(expr(
@@ -1123,13 +1125,24 @@ object Similarity {
       .withColumn("p_rank", row_number().over(
         Window.partitionBy("q_id").orderBy(asc("pd2"), asc("p_cell"))))
       .filter(col("p_rank") <= nprobe)
-    probes.withColumn("__pc", typedLit(subcents))
+      .drop("pd2")
+
+  /** The nprobe-cell ADC lookup table: for each (query, probed cell),
+    * the M·K LUT over the query's per-probe residual. Output: (q_id,
+    * p_cell, p_rank, sub, code, d2q); ≤ 10 · nprobe · M·K rows, always
+    * broadcast. The serve joins it on (sub, code) and keeps only
+    * candidates whose OWN cell is the probed one (p_cell = n_cell), so
+    * each candidate's ADC sum uses exactly the LUT of the cell it was
+    * encoded against. */
+  private def probeLut(eg: DataFrame, coarse: Seq[(Int, Seq[Long])],
+      subcents: Seq[(Int, Int, Seq[Long])], nprobe: Int): DataFrame =
+    probeCells(eg, coarse, nprobe)
+      .withColumn("__pc", typedLit(subcents))
       .select(col("q_id"), col("p_cell"), col("p_rank"),
         explode(expr(adcLutSql)).as("t"))
       .select(col("q_id"), col("p_cell"), col("p_rank"),
         col("t.sub").as("sub"), col("t.code").as("code"),
         col("t.d2q").as("d2q"))
-  }
 
   private val q93IvfPqTopk = QueryDef(
     (s, dir) => {
@@ -1173,29 +1186,111 @@ object Similarity {
       |         ORDER BY adist, n_id) AS rk
       |FROM adc QUALIFY rk <= 5 ORDER BY q_id, rk""")
 
+  /** The nprobe=2 multi-probe serve CTEs over the coarse + residual-PQ
+    * model (expects $trainedAssignmentSql's pts/c2/af and
+    * $pqResidualTrainSql's pc2/paf in scope): probe set `qc` (each
+    * query's top-2 coarse cells by grid d2, ties on cell id — p_rank=1
+    * is the query's own cell, the same (d2, cell) argmin as the
+    * assignment), per-probe residuals `rq` (the query re-residualized
+    * against the PROBED cell's centroid, since candidates are encoded
+    * against their own cell), per-probe ADC LUTs `qlut`, and the
+    * multi-probe ADC sums `madc` (each candidate scored through the LUT
+    * of the cell it lives in). Shared by the q96 serve and q94's
+    * nprobe=2 acceptance columns. */
+  private lazy val pqMultiProbeSql =
+    s"""qc AS (SELECT vec_id AS q_id, cell AS p_cell, p_rank FROM (
+      |        SELECT p.vec_id, c.cell,
+      |          row_number() OVER (PARTITION BY p.vec_id
+      |            ORDER BY sum((p.q - c.c) * (p.q - c.c)), c.cell)
+      |            AS p_rank
+      |        FROM pts p JOIN c2 c ON p.dim = c.dim
+      |        WHERE p.vec_id < 10
+      |        GROUP BY p.vec_id, c.cell) WHERE p_rank <= 2),
+      |rq AS (SELECT pc.q_id, pc.p_cell, p.dim, p.q - c.c AS q
+      |       FROM qc pc
+      |       JOIN pts p ON p.vec_id = pc.q_id
+      |       JOIN c2 c ON c.cell = pc.p_cell AND c.dim = p.dim),
+      |qlut AS (SELECT r.q_id, r.p_cell, c.sub, c.cell AS code,
+      |           CAST(sum((r.q - c.c) * (r.q - c.c)) AS BIGINT) AS d2q
+      |         FROM rq r JOIN pc2 c ON r.dim = c.dim
+      |         GROUP BY 1, 2, 3, 4),
+      |madc AS (SELECT qd.q_id, pf.vec_id AS n_id,
+      |           CAST(sum(qd.d2q) AS BIGINT) AS adist
+      |         FROM paf pf
+      |         JOIN af an ON an.vec_id = pf.vec_id
+      |         JOIN qlut qd ON pf.sub = qd.sub AND pf.cell = qd.code
+      |           AND qd.p_cell = an.cell
+      |         WHERE pf.vec_id <> qd.q_id
+      |         GROUP BY 1, 2)""".stripMargin
+
+  /** IVF-PQ MULTI-PROBE serve — q93 at nprobe=2, the recall lever q94's
+    * acceptance row priced: at nprobe=1 the serve loses 0.26 recall to
+    * cell pruning ALONE (recall_ivf 0.74 — exact distances, same probed
+    * cells), so widening the probe set, not a bigger codebook, is the
+    * next quality knob (q70 measured the same lever on plain IVF:
+    * 0.78→0.80 at nprobe 1→2). Each query probes its TWO nearest coarse
+    * cells by grid d2, re-residualizes against each probed centroid
+    * (candidates are residual-encoded against their OWN cell — see
+    * [[probeCells]]), and ranks the union of both cells' candidates by
+    * the ADC sum through the matching per-probe LUT. A candidate lives
+    * in exactly one cell, so the probe union is disjoint and the
+    * (q_id, n_id) exchange shape is identical to q93's — candidate cost
+    * simply doubles with the second cell (q94's cand_cells2 column
+    * measures it).
+    *
+    * Scale shape: the LUT is ≤ queries · nprobe · M·K rows, broadcast;
+    * the scan side still touches only M-int codes, partial-aggs the
+    * per-sub terms map-side, and exchanges one (q_id, n_id) pair per
+    * candidate — cost ∝ probed-cell sizes, never raw vectors. */
+  private val q96IvfPqMultiprobe = QueryDef(
+    (s, dir) => {
+      val (af, coarse, eg) = trainedModel(s, dir)
+      val resid = residualFrame(af, coarse, eg)
+      val (codes, subcents) = pqTrainOn(resid.select("vec_id", "qa"))
+      val lut = probeLut(eg, coarse, subcents, nprobe = 2)
+      val cand = codes.select(col("vec_id").as("n_id"), col("sub"), col("code"))
+        .join(af.select(col("vec_id").as("n_id"), col("cell").as("n_cell")),
+          Seq("n_id"))
+      val wTop = Window.partitionBy("q_id").orderBy(asc("adist"), asc("n_id"))
+      cand.join(broadcast(lut), Seq("sub", "code"))
+        .filter(col("n_cell") === col("p_cell") &&
+          col("n_id") =!= col("q_id"))
+        .groupBy("q_id", "n_id")
+        .agg(sum("d2q").as("adist"))
+        .withColumn("rk", row_number().over(wTop))
+        .filter(col("rk") <= 5)
+        .select(col("q_id"), col("n_id"), col("adist"),
+          col("rk").cast("long").as("rk"))
+        .orderBy("q_id", "rk")
+    },
+    s"""WITH $trainedAssignmentSql,
+      |$pqResidualTrainSql,
+      |$pqMultiProbeSql
+      |SELECT q_id, n_id, adist,
+      |       row_number() OVER (PARTITION BY q_id
+      |         ORDER BY adist, n_id) AS rk
+      |FROM madc QUALIFY rk <= 5 ORDER BY q_id, rk""")
+
   /** IVF-PQ ACCEPTANCE row — q87's discipline applied to q93: before a
     * pipeline swaps raw-vector serving for PQ codes it needs the recall
     * cost of each approximation STAGE, separately. One row compares,
     * against the exact grid-L2 top-5 ground truth: (a) IVF-flat —
-    * exact distances inside the probed cell (loss = cell pruning only)
-    * and (b) IVF-PQ — ADC distances inside the same cell (loss = cell
-    * pruning + quantization). hits_ivf − hits_pq is the price of 64×
-    * compression; both serves share one candidate-cost column because
-    * they probe identical cells. Every distance, hit count and
-    * tie-break is BIGINT, so the full two-trainer instrument is
-    * oracle-exact. */
+    * exact distances inside the probed cell (loss = cell pruning only),
+    * (b) IVF-PQ at nprobe=1 — ADC distances inside the same cell (loss
+    * = cell pruning + quantization), and (c) IVF-PQ at nprobe=2 — ADC
+    * over the two nearest cells (q96's serve; quantization loss at half
+    * the pruning loss). hits_ivf − hits_pq is the price of 8×
+    * compression; hits_pq2 − hits_pq is what the second probe buys, and
+    * cand_cells2 − cand_cells is what it costs. Every distance, hit
+    * count and tie-break is BIGINT, so the full two-trainer instrument
+    * is oracle-exact. */
   private val q94IvfPqRecall = QueryDef(
     (s, dir) => {
       val (af, coarse, eg) = trainedModel(s, dir)
-      val resid = eg.join(af.select(col("vec_id"), col("cell")), Seq("vec_id"))
-        .withColumn("__cc", typedLit(coarse))
-        .select(col("vec_id"), col("cell"), expr(
-          "zip_with(qa, filter(__cc, c -> c._1 = cell)[0]._2, (a, b) -> a - b)")
-          .as("qa"))
-        .localCheckpoint(true)
+      val resid = residualFrame(af, coarse, eg)
       val (codes, subcents) = pqTrainOn(resid.select("vec_id", "qa"))
       // ONE tagged frame (q87's shape): exact grid-L2 within the cell
-      // for src=f, ADC over codes for src=p
+      // for src=f, own-cell ADC for src=p, two-cell ADC for src=m.
       val egc = eg.join(af.select(col("vec_id"), col("cell")), Seq("vec_id"))
         .localCheckpoint(true)
       val q = egc.filter(col("vec_id") < 10)
@@ -1210,29 +1305,23 @@ object Similarity {
         .join(broadcast(q), col("cell") === col("q_cell") &&
           col("n_id") =!= col("q_id"))
         .select(lit("f").as("src"), col("q_id"), col("n_id"), d2.as("adist"))
-      val qd = resid.filter(col("vec_id") < 10)
-        .withColumn("__pc", typedLit(subcents))
-        .select(col("vec_id").as("q_id"), col("cell").as("q_cell"),
-          explode(expr(
-            s"""transform(__pc, c -> named_struct(
-              |  'sub', c._1, 'code', c._2,
-              |  'd2q', aggregate(zip_with(
-              |           slice(qa, c._1 * $PQ_SUBDIM + 1, $PQ_SUBDIM),
-              |           c._3, (a, b) -> (a - b) * (a - b)),
-              |         cast(0 as bigint), (acc, x) -> acc + x)))"""
-              .stripMargin)).as("t"))
-        .select(col("q_id"), col("q_cell"), col("t.sub").as("sub"),
-          col("t.code").as("code"), col("t.d2q").as("d2q"))
-      val pq = codes.select(col("vec_id").as("n_id"), col("sub"), col("code"))
+      // ONE nprobe=2 LUT serves both PQ rows: its p_rank=1 slice IS the
+      // own-cell (nprobe=1) LUT — the probe ranking is the assignment's
+      // own (d2, cell) argmin, so the two serves can't drift apart.
+      val lut = probeLut(eg, coarse, subcents, nprobe = 2)
+      val cand = codes.select(col("vec_id").as("n_id"), col("sub"), col("code"))
         .join(af.select(col("vec_id").as("n_id"), col("cell").as("n_cell")),
           Seq("n_id"))
-        .join(broadcast(qd), Seq("sub", "code"))
-        .filter(col("n_cell") === col("q_cell") &&
-          col("n_id") =!= col("q_id"))
-        .groupBy("q_id", "n_id")
-        .agg(sum("d2q").as("adist"))
-        .select(lit("p").as("src"), col("q_id"), col("n_id"), col("adist"))
-      val serve = flat.unionByName(pq)
+      def adcServe(np: Int, srcTag: String): DataFrame =
+        cand.join(broadcast(lut.filter(col("p_rank") <= np)),
+            Seq("sub", "code"))
+          .filter(col("n_cell") === col("p_cell") &&
+            col("n_id") =!= col("q_id"))
+          .groupBy("q_id", "n_id")
+          .agg(sum("d2q").as("adist"))
+          .select(lit(srcTag).as("src"), col("q_id"), col("n_id"),
+            col("adist"))
+      val serve = flat.unionByName(adcServe(1, "p")).unionByName(adcServe(2, "m"))
         .withColumn("rk", row_number().over(wTop))
         .filter(col("rk") <= 5)
         .select(col("src"), col("q_id"), col("n_id"))
@@ -1248,22 +1337,36 @@ object Similarity {
           coalesce(sum(when(col("src") === "f", 1L).otherwise(0L)), lit(0L))
             .as("hits_ivf"),
           coalesce(sum(when(col("src") === "p", 1L).otherwise(0L)), lit(0L))
-            .as("hits_pq"))
+            .as("hits_pq"),
+          coalesce(sum(when(col("src") === "m", 1L).otherwise(0L)), lit(0L))
+            .as("hits_pq2"))
       val sz = egc.groupBy("cell").agg(count(lit(1)).as("__n"))
       val cost = egc.filter(col("vec_id") < 10)
         .join(broadcast(sz), Seq("cell"))
         .agg(sum(col("__n") - 1).as("cand_cells"))
+      // nprobe=2 candidate cost: every (query, candidate) pair across
+      // both probed cells, self excluded — what the second probe costs.
+      val cost2 = af.select(col("vec_id").as("n_id"), col("cell"))
+        .join(broadcast(probeCells(eg, coarse, nprobe = 2)
+            .select(col("q_id"), col("p_cell"))),
+          col("cell") === col("p_cell"))
+        .filter(col("n_id") =!= col("q_id"))
+        .agg(count(lit(1)).as("cand_cells2"))
       val nQ = q.agg(count(lit(1)).as("n_queries"))
       nQ.crossJoin(broadcast(hits)).crossJoin(broadcast(cost))
+        .crossJoin(broadcast(cost2))
         .select(col("n_queries"), col("hits_ivf"), col("hits_pq"),
-          col("cand_cells"),
+          col("hits_pq2"), col("cand_cells"), col("cand_cells2"),
           (col("hits_ivf").cast("double") / (col("n_queries") * 5))
             .as("recall_ivf"),
           (col("hits_pq").cast("double") / (col("n_queries") * 5))
-            .as("recall_pq"))
+            .as("recall_pq"),
+          (col("hits_pq2").cast("double") / (col("n_queries") * 5))
+            .as("recall_pq2"))
     },
     s"""WITH $trainedAssignmentSql,
       |$pqResidualTrainSql,
+      |$pqMultiProbeSql,
       |gd AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
       |         CAST(sum((b.q - a.q) * (b.q - a.q)) AS BIGINT) AS adist
       |       FROM pts a JOIN pts b ON a.dim = b.dim
@@ -1291,17 +1394,27 @@ object Similarity {
       |         JOIN af an ON an.vec_id = pf.vec_id
       |         JOIN af aq ON aq.vec_id = qd.q_id AND aq.cell = an.cell
       |         WHERE pf.vec_id <> qd.q_id
-      |         GROUP BY qd.q_id, pf.vec_id) WHERE rk <= 5)
+      |         GROUP BY qd.q_id, pf.vec_id) WHERE rk <= 5),
+      |mps AS (SELECT q_id, n_id FROM (
+      |         SELECT q_id, n_id,
+      |           row_number() OVER (PARTITION BY q_id
+      |             ORDER BY adist, n_id) AS rk
+      |         FROM madc) WHERE rk <= 5)
       |SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id < 10)
       |         AS BIGINT) AS n_queries,
       |       CAST((SELECT count(*) FROM ex JOIN fl USING (q_id, n_id))
       |         AS BIGINT) AS hits_ivf,
       |       CAST((SELECT count(*) FROM ex JOIN pqs USING (q_id, n_id))
       |         AS BIGINT) AS hits_pq,
+      |       CAST((SELECT count(*) FROM ex JOIN mps USING (q_id, n_id))
+      |         AS BIGINT) AS hits_pq2,
       |       CAST((SELECT sum(n - 1) FROM af
       |             JOIN (SELECT cell, count(*) AS n FROM af GROUP BY cell)
       |               USING (cell)
       |             WHERE vec_id < 10) AS BIGINT) AS cand_cells,
+      |       CAST((SELECT count(*) FROM af an JOIN qc
+      |               ON an.cell = qc.p_cell
+      |             WHERE an.vec_id <> qc.q_id) AS BIGINT) AS cand_cells2,
       |       CAST((SELECT count(*) FROM ex JOIN fl USING (q_id, n_id))
       |         AS DOUBLE) /
       |         ((SELECT count(*) FROM embeddings WHERE vec_id < 10) * 5)
@@ -1309,13 +1422,18 @@ object Similarity {
       |       CAST((SELECT count(*) FROM ex JOIN pqs USING (q_id, n_id))
       |         AS DOUBLE) /
       |         ((SELECT count(*) FROM embeddings WHERE vec_id < 10) * 5)
-      |         AS recall_pq""")
+      |         AS recall_pq,
+      |       CAST((SELECT count(*) FROM ex JOIN mps USING (q_id, n_id))
+      |         AS DOUBLE) /
+      |         ((SELECT count(*) FROM embeddings WHERE vec_id < 10) * 5)
+      |         AS recall_pq2""")
 
   val defs: Map[String, QueryDef] = Map(
     "q89_pq_codebook" -> q89PqCodebook,
     "q90_pq_adc_topk" -> q90PqAdcTopk,
     "q93_ivfpq_topk" -> q93IvfPqTopk,
     "q94_ivfpq_recall" -> q94IvfPqRecall,
+    "q96_ivfpq_multiprobe" -> q96IvfPqMultiprobe,
     "q34_knn_cosine" -> q34KnnBrute,
     "q35_knn_lsh" -> q35KnnLsh,
     "q59_knn_ivf" -> q59KnnIvf,

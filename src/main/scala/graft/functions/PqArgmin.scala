@@ -33,6 +33,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType,
   * tie-break), which is what keeps the PQ operators under the DuckDB
   * oracle gate with either implementation.
   *
+  * PRECONDITIONS (bit-identity holds only inside them): the child array
+  * must be non-null-ELEMENT (a null element NPEs `toLongArray`, where
+  * the declarative form would propagate null through the arithmetic),
+  * and every subspace must retain at least one live cell (an empty
+  * `cells(s)` emits a (Long.MaxValue, Int.MaxValue) sentinel where
+  * `array_min` over an empty array yields NULL). Both are guaranteed by
+  * the trainer that owns this expression: `qa` is built from round()
+  * over non-null embeddings, and a Lloyd update only ever DROPS empty
+  * cells from a seed of K live ones, never all K. A new caller must
+  * establish the same or accept undefined edges.
+  *
   * @param child   array<bigint> grid vector (round(x·1000) longs)
   * @param cells   per-sub live cell ids (empty cells dropped by a Lloyd
   *                update round simply don't appear)

@@ -211,6 +211,7 @@ class SimilaritySpec extends SparkSpec {
     val n = r.getAs[Long]("n_queries")
     val hi = r.getAs[Long]("hits_ivf")
     val hp = r.getAs[Long]("hits_pq")
+    val hp2 = r.getAs[Long]("hits_pq2")
     assert(n > 0)
     // dominance: every global-top-5 member inside a query's cell is
     // necessarily in the cell's TRUE-distance top-5 (anything that
@@ -219,8 +220,59 @@ class SimilaritySpec extends SparkSpec {
     // lose some of them, never find more
     assert(hp <= hi, s"PQ hits $hp exceed flat hits $hi")
     assert(hi <= 5 * n && hp >= 0)
+    assert(hp2 >= 0 && hp2 <= 5 * n)
     assert(r.getAs[Double]("recall_ivf") == hi.toDouble / (5 * n))
     assert(r.getAs[Double]("recall_pq") == hp.toDouble / (5 * n))
-    assert(r.getAs[Long]("cand_cells") >= 0L)
+    assert(r.getAs[Double]("recall_pq2") == hp2.toDouble / (5 * n))
+    // the second probe can only ADD candidates, so its accounted cost
+    // dominates the nprobe=1 cost (cand_cells counts the own-cell
+    // pairs; cand_cells2 those plus the second cell's)
+    val c1 = r.getAs[Long]("cand_cells")
+    val c2 = r.getAs[Long]("cand_cells2")
+    assert(c1 >= 0L && c2 >= c1,
+      s"nprobe=2 candidate cost $c2 below nprobe=1 cost $c1")
+  }
+
+  test("q96: nprobe=2 serve is consistent with q93 — shared pairs keep " +
+      "identical ADC distances, per-rank distances only improve, and " +
+      "candidates span at most the two probed cells") {
+    val dir = "/root/testdata/sf0.001"
+    val multi = graft.SparkEntry.queries("q96_ivfpq_multiprobe")(spark, dir)
+      .collect()
+    val single = graft.SparkEntry.queries("q93_ivfpq_topk")(spark, dir)
+      .collect()
+    val cells = graft.SparkEntry.queries("q81_kmeans_codebook")(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
+    assert(multi.nonEmpty)
+    val singleByQ = single.groupBy(_.getAs[Long]("q_id"))
+    multi.groupBy(_.getAs[Long]("q_id")).foreach { case (q, g) =>
+      // contiguous ranks, monotone non-negative ADC sums, self excluded
+      val sorted = g.sortBy(_.getAs[Long]("rk"))
+      assert(sorted.map(_.getAs[Long]("rk")).toSeq == (1L to sorted.length))
+      assert(sorted.map(_.getAs[Long]("adist")).toSeq ==
+        sorted.map(_.getAs[Long]("adist")).sorted.toSeq)
+      assert(!g.exists(_.getAs[Long]("n_id") == q))
+      g.foreach(r => assert(r.getAs[Long]("adist") >= 0L))
+      // nprobe=2: candidates come from at most two coarse cells
+      assert(g.map(r => cells(r.getAs[Long]("n_id"))).distinct.length <= 2,
+        s"q$q candidates span more than the two probed cells")
+      // a candidate's ADC distance is probe-set-independent (it is
+      // encoded against its own cell either way): any (q, n) pair both
+      // serves return must carry the identical BIGINT adist
+      val d1 = singleByQ.getOrElse(q, Array.empty)
+        .map(r => r.getAs[Long]("n_id") -> r.getAs[Long]("adist")).toMap
+      g.foreach { r =>
+        d1.get(r.getAs[Long]("n_id"))
+          .foreach(a1 => assert(r.getAs[Long]("adist") == a1))
+      }
+      // the nprobe=2 candidate pool is a superset of nprobe=1's, so the
+      // rank-k ADC distance can only improve (or tie) with the 2nd probe
+      val d1Ranked = singleByQ.getOrElse(q, Array.empty)
+        .sortBy(_.getAs[Long]("rk")).map(_.getAs[Long]("adist"))
+      d1Ranked.zip(sorted.map(_.getAs[Long]("adist")))
+        .foreach { case (a1, a2) => assert(a2 <= a1,
+          s"q$q rank-k adist worsened with the second probe") }
+    }
   }
 }
