@@ -50,6 +50,79 @@ object DedupIndex {
     admitted
   }
 
+  /** COMPACT the index: rewrite the append-only fingerprint table into
+    * defaultParallelism files. Each admit appends up to one file per
+    * task, so an hourly-cron index accumulates files ∝ runs — the same
+    * small-file decay NearDupIndex documents, minus the bucket factor
+    * (this table is flat; at real scale it would be BUCKETED by fp so
+    * the probe join co-locates, and compaction would rewrite per
+    * bucket). Content is INVARIANT — q95 holds the compacted index's
+    * rows to the same DuckDB oracle as the admissions that built it;
+    * retry-duplicated rows (documented harmless) are preserved, not
+    * cleaned, because compaction changes layout, never content. The
+    * rewrite streams through the cluster (no driver/executor
+    * materialization) — the swap only happens after the write job
+    * completes, and the single-writer cron model means nobody reads
+    * the in-between state. */
+  def compact(spark: SparkSession, indexDir: String): Unit =
+    rewriteAndSwap(spark, indexDir) { tmp =>
+      readIndex(spark, indexDir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(tmp)
+    }
+
+  /** Shared rewrite-and-swap compaction dataflow (used by all three
+    * index compacts): write the compacted layout to `<dir>__compacting`,
+    * carry the `_graft_meta` contract file if one exists, move the live
+    * dir to `<dir>__old`, move the rewrite in, drop the old. A missing
+    * index dir is a no-op. Single-writer assumption (the reference's
+    * hourly-cron model): the swap is two renames, not atomic — a
+    * concurrent admit could observe the in-between state; a
+    * multi-writer deployment would point a catalog/manifest entry at
+    * the new directory instead, with the same rewrite dataflow. */
+  private[ext] def rewriteAndSwap(spark: SparkSession, indexDir: String)(
+      write: String => Unit): Unit = {
+    val dirPath = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dirPath)) return
+    val tmp = new org.apache.hadoop.fs.Path(indexDir + "__compacting")
+    val old = new org.apache.hadoop.fs.Path(indexDir + "__old")
+    fs.delete(tmp, true); fs.delete(old, true)
+    write(tmp.toString)
+    // carry the meta contract (e.g. NearDupIndex's planes) into the
+    // rewritten index
+    val meta = new org.apache.hadoop.fs.Path(indexDir, "_graft_meta")
+    if (fs.exists(meta))
+      org.apache.hadoop.fs.FileUtil.copy(fs, meta, fs,
+        new org.apache.hadoop.fs.Path(tmp, "_graft_meta"), false,
+        spark.sparkContext.hadoopConfiguration)
+    if (!fs.rename(dirPath, old))
+      throw new java.io.IOException(s"compact: cannot move $dirPath aside")
+    if (!fs.rename(tmp, dirPath)) {
+      fs.rename(old, dirPath) // roll back
+      throw new java.io.IOException(s"compact: cannot move $tmp into place")
+    }
+    fs.delete(old, true)
+  }
+
+  /** Count the DATA files of a persisted index (recursively; `_meta`,
+    * `_SUCCESS` and dot-files excluded) — the signal the streaming
+    * twins' auto-compaction policy thresholds on. Pure file-listing,
+    * no Spark job. */
+  private[graft] def dataFileCount(spark: SparkSession,
+      indexDir: String): Int = {
+    val dirPath = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dirPath)) return 0
+    val it = fs.listFiles(dirPath, true)
+    var n = 0
+    while (it.hasNext) {
+      val name = it.next().getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) n += 1
+    }
+    n
+  }
+
   private val indexSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("fp",
       org.apache.spark.sql.types.StringType),

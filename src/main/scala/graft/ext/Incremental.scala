@@ -152,10 +152,30 @@ object Incremental {
       |SELECT vec_id, CAST(bucket AS INTEGER) AS bucket
       |FROM d ORDER BY vec_id""")
 
-  /** Two-batch DedupIndex admission (exact md5 fingerprints): batch A's
-    * in-batch dedup collapses same-text docs to the min doc_id; batch B
-    * additionally anti-joins A's persisted fingerprints. The oracle
-    * restates both runs with windows + NOT EXISTS over the same md5. */
+  /** The two-batch exact-fingerprint admission CTEs (a/b/ca/cb):
+    * batch A's in-batch dedup collapses same-text docs to the min
+    * doc_id via a window; batch B additionally anti-joins A's
+    * persisted fingerprints via NOT EXISTS over the same md5 — shared
+    * by the q85 admission oracle and q95's post-compaction contents
+    * oracle. */
+  private val dedupAdmitCtes =
+    """a AS (SELECT doc_id, md5(text) AS fp FROM documents
+      |      WHERE doc_id % 2 = 0),
+      |b AS (SELECT doc_id, md5(text) AS fp FROM documents
+      |      WHERE doc_id % 2 = 1),
+      |ca AS (SELECT doc_id, fp FROM (
+      |         SELECT doc_id, fp,
+      |           row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      |         FROM a) WHERE rn = 1),
+      |cb AS (SELECT doc_id, fp FROM (
+      |         SELECT doc_id, fp,
+      |           row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      |         FROM b) t
+      |       WHERE rn = 1
+      |         AND NOT EXISTS (SELECT 1 FROM a WHERE a.fp = t.fp))""".stripMargin
+
+  /** Two-batch DedupIndex admission (exact md5 fingerprints) under the
+    * full oracle gate — see [[dedupAdmitCtes]] for the restatement. */
   private val q85DedupIndexAdmit = QueryDef(
     (s, dir) => {
       val docs = Tables(s, dir, "documents")
@@ -171,24 +191,42 @@ object Incremental {
         .select(col("doc_id"), col("fp"), lit(1).as("batch"))
       admA.unionByName(admB).orderBy("doc_id")
     },
-    """WITH a AS (SELECT doc_id, md5(text) AS fp FROM documents
-      |           WHERE doc_id % 2 = 0),
-      |b AS (SELECT doc_id, md5(text) AS fp FROM documents
-      |      WHERE doc_id % 2 = 1),
-      |ca AS (SELECT doc_id, fp FROM (
-      |         SELECT doc_id, fp,
-      |           row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
-      |         FROM a) WHERE rn = 1),
-      |cb AS (SELECT doc_id, fp FROM (
-      |         SELECT doc_id, fp,
-      |           row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
-      |         FROM b) t
-      |       WHERE rn = 1
-      |         AND NOT EXISTS (SELECT 1 FROM a WHERE a.fp = t.fp))
+    s"""WITH $dedupAdmitCtes
       |SELECT doc_id, fp, 0 AS batch FROM ca
       |UNION ALL
       |SELECT doc_id, fp, 1 AS batch FROM cb
       |ORDER BY doc_id""")
+
+  /** Post-COMPACTION DedupIndex contents — q92's maintenance-op gate
+    * applied to the flat fingerprint table: run the REAL two-batch
+    * admission sequence (q85's — so the index holds exactly the
+    * admitted fingerprints), decay-compact it with
+    * `DedupIndex.compact`, and hold the compacted index's
+    * (fp, canonical_id) rows to the same DuckDB admission oracle.
+    * Compaction must change layout, never content — a lost or
+    * duplicated fingerprint here would silently re-admit (or
+    * over-reject) every future batch, which is why the contents, not
+    * just the row count, sit under the hash gate. */
+  private val q95DedupIndexCompaction = QueryDef(
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val idx = java.nio.file.Files.createTempDirectory("graft-q95-idx")
+        .resolve("index").toString
+      val batchA = docs.filter(col("doc_id") % 2 === 0)
+        .select("doc_id", "text")
+      val batchB = docs.filter(col("doc_id") % 2 === 1)
+        .select("doc_id", "text")
+      DedupIndex.admit(s, idx, batchA)
+      DedupIndex.admit(s, idx, batchB)
+      DedupIndex.compact(s, idx)
+      DedupIndex.readIndex(s, idx).orderBy("canonical_id")
+    },
+    s"""WITH $dedupAdmitCtes
+      |SELECT fp, canonical_id FROM (
+      |  SELECT fp, doc_id AS canonical_id FROM ca
+      |  UNION ALL
+      |  SELECT fp, doc_id FROM cb)
+      |ORDER BY canonical_id""")
 
   /** Two-batch TextNearDupIndex admission (MinHash band keys + stored-
     * signature verification ≥ 15/16), under the FULL oracle gate: the
@@ -250,5 +288,6 @@ object Incremental {
     "q85_dedup_index_admit" -> q85DedupIndexAdmit,
     "q88_text_index_admit" -> q88TextIndexAdmit,
     "q92_index_compaction" -> q92IndexCompaction,
+    "q95_dedup_index_compaction" -> q95DedupIndexCompaction,
   )
 }

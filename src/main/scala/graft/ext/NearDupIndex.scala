@@ -115,47 +115,23 @@ object NearDupIndex {
     * long-lived index accumulates files ∝ runs × buckets — the classic
     * small-file decay of any append-only table. Compaction reads the
     * index once, re-clusters by bucket (same explicit-count discipline
-    * as the admit write), and swaps directories: write to a sibling tmp
-    * dir, move the old dir aside, move tmp in, drop the old. The
-    * `_graft_meta` planes contract travels with the rewrite. ADMISSIONS
-    * ARE INVARIANT — compaction changes layout, never content (q92
-    * holds the compacted index's contents to the same DuckDB oracle as
-    * the admissions that built it).
-    *
-    * Single-writer assumption (the reference's hourly-cron model): the
-    * swap is two renames, not atomic — a concurrent admit during
-    * compaction could observe the in-between state. A multi-writer
-    * deployment would point a catalog/manifest entry at the new
-    * directory instead; the rewrite-and-swap dataflow is the same. */
-  def compact(spark: SparkSession, indexDir: String): Unit = {
-    val dirPath = new org.apache.hadoop.fs.Path(indexDir)
-    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(dirPath)) return
-    val idx = readIndex(spark, indexDir).localCheckpoint(true)
-    // plain defaultParallelism, no distinct-bucket count job: hash
-    // clustering still lands each bucket in exactly one task (a task
-    // owning no bucket writes nothing), so the one-file-per-bucket
-    // outcome is identical and the sizing job is saved
-    val writeTasks = spark.sparkContext.defaultParallelism
-    val tmp = new org.apache.hadoop.fs.Path(indexDir + "__compacting")
-    val old = new org.apache.hadoop.fs.Path(indexDir + "__old")
-    fs.delete(tmp, true); fs.delete(old, true)
-    idx.repartition(writeTasks, col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(tmp.toString)
-    // carry the planes contract into the rewritten index
-    val meta = new org.apache.hadoop.fs.Path(indexDir, "_graft_meta")
-    if (fs.exists(meta))
-      org.apache.hadoop.fs.FileUtil.copy(fs, meta, fs,
-        new org.apache.hadoop.fs.Path(tmp, "_graft_meta"), false,
-        spark.sparkContext.hadoopConfiguration)
-    if (!fs.rename(dirPath, old))
-      throw new java.io.IOException(s"compact: cannot move $dirPath aside")
-    if (!fs.rename(tmp, dirPath)) {
-      fs.rename(old, dirPath) // roll back
-      throw new java.io.IOException(s"compact: cannot move $tmp into place")
+    * as the admit write), and swaps directories via the shared
+    * rewrite-and-swap dataflow (DedupIndex.rewriteAndSwap — the
+    * `_graft_meta` planes contract travels with the rewrite, and the
+    * single-writer caveat is documented there). ADMISSIONS ARE
+    * INVARIANT — compaction changes layout, never content (q92 holds
+    * the compacted index's contents to the same DuckDB oracle as the
+    * admissions that built it). */
+  def compact(spark: SparkSession, indexDir: String): Unit =
+    DedupIndex.rewriteAndSwap(spark, indexDir) { tmp =>
+      // plain defaultParallelism, no distinct-bucket count job: hash
+      // clustering still lands each bucket in exactly one task (a task
+      // owning no bucket writes nothing), so the one-file-per-bucket
+      // outcome is identical and the sizing job is saved
+      readIndex(spark, indexDir)
+        .repartition(spark.sparkContext.defaultParallelism, col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
     }
-    fs.delete(old, true)
-  }
 
   /** Enforce the planes-stability contract: on the index's FIRST admit,
     * persist `planes` to `indexDir/_graft_meta`; on every later admit,

@@ -118,6 +118,25 @@ object TextNearDupIndex {
     admitted.select(col("doc_id"), col("sig")).distinct()
   }
 
+  /** COMPACT the index: rewrite the append-only signature table into
+    * defaultParallelism files via the shared rewrite-and-swap dataflow
+    * (DedupIndex.rewriteAndSwap — single-writer caveat documented
+    * there). Each admit appends up to one file per task, so the
+    * hourly-cron model decays this table exactly like DedupIndex's
+    * (files ∝ runs; no bucket factor — the table is flat, and at real
+    * scale it would be BUCKETED by band_key so the probe equi-join
+    * co-locates, with compaction rewriting per bucket). Content is
+    * INVARIANT: admissions derive from the persisted signature rows,
+    * and those rows survive the rewrite as an exact multiset
+    * (TextNearDupIndexSpec proves it, plus that admissions after a
+    * compact are unchanged). */
+  def compact(spark: SparkSession, indexDir: String): Unit =
+    DedupIndex.rewriteAndSwap(spark, indexDir) { tmp =>
+      readIndex(spark, indexDir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(tmp)
+    }
+
   /** The current index (empty relation when no run has committed yet);
     * detection through Spark's own reader (DedupIndex.readOrEmpty). */
   def readIndex(spark: SparkSession, indexDir: String): DataFrame =

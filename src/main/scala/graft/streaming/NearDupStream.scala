@@ -28,9 +28,22 @@ object NearDupStream {
   /** AvailableNow drain: admit each micro-batch of (vec_id, embedding)
     * rows against the index at `indexDir`, writing admitted vectors to
     * `out` in batch-keyed parquet. `planes` is the index's fixed bucket
-    * width (see NearDupIndex — part of the index identity). */
+    * width (see NearDupIndex — part of the index identity).
+    *
+    * AUTO-COMPACTION: each admit appends one file per touched bucket,
+    * so an unbounded stream decays the index at files ∝ batches ×
+    * buckets. When the index's data-file count exceeds
+    * `maxIndexFiles`, the micro-batch ends with a
+    * `NearDupIndex.compact` (one file per bucket partition) —
+    * single-writer safe by construction, because foreachBatch bodies
+    * of one query never overlap and the index's only writer IS this
+    * query. Replay safe: compaction is content-invariant, so a batch
+    * replayed after a kill mid-compact re-derives the same admissions
+    * against the compacted rows and the idempotent sink overwrites
+    * byte-identically. `maxIndexFiles <= 0` disables the policy. */
   def start(vecs: DataFrame, indexDir: String, out: String,
-      checkpoint: String, planes: Int, bar: Double = 0.9): StreamingQuery =
+      checkpoint: String, planes: Int, bar: Double = 0.9,
+      maxIndexFiles: Int = 256): StreamingQuery =
     vecs.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -38,6 +51,9 @@ object NearDupStream {
           batch.sparkSession, indexDir, batch, planes, bar)
         EventsStream.writeBatchIdempotent(out)(
           admitted.select("vec_id", "embedding"), batchId)
+        if (maxIndexFiles > 0 && graft.ext.DedupIndex.dataFileCount(
+            batch.sparkSession, indexDir) > maxIndexFiles)
+          graft.ext.NearDupIndex.compact(batch.sparkSession, indexDir)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())

@@ -26,15 +26,29 @@ object TextNearDupStream {
 
   /** AvailableNow drain: admit each micro-batch of (doc_id, text) rows
     * against the signature index at `indexDir`, writing admitted
-    * (doc_id, sig) rows to `out` in batch-keyed parquet. */
+    * (doc_id, sig) rows to `out` in batch-keyed parquet.
+    *
+    * AUTO-COMPACTION: each admit appends up to one file per task, so
+    * an unbounded stream decays the flat signature table at files ∝
+    * batches × tasks. When the index's data-file count exceeds
+    * `maxIndexFiles`, the micro-batch ends with a
+    * `TextNearDupIndex.compact` (defaultParallelism files total) —
+    * single-writer and replay safe for the same reasons as
+    * [[NearDupStream]]'s policy (foreachBatch bodies never overlap;
+    * compaction is content-invariant). `maxIndexFiles <= 0` disables
+    * the policy. */
   def start(docs: DataFrame, indexDir: String, out: String,
-      checkpoint: String, minMatches: Int = 15): StreamingQuery =
+      checkpoint: String, minMatches: Int = 15,
+      maxIndexFiles: Int = 256): StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val admitted = graft.ext.TextNearDupIndex.admit(
           batch.sparkSession, indexDir, batch, minMatches)
         EventsStream.writeBatchIdempotent(out)(admitted, batchId)
+        if (maxIndexFiles > 0 && graft.ext.DedupIndex.dataFileCount(
+            batch.sparkSession, indexDir) > maxIndexFiles)
+          graft.ext.TextNearDupIndex.compact(batch.sparkSession, indexDir)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())

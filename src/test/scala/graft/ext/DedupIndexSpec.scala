@@ -53,4 +53,39 @@ class DedupIndexSpec extends SparkSpec {
     assert(r.count() == 1)
     assert(DedupIndex.readIndex(spark, idx).count() == 1)
   }
+
+  test("compact: content invariant (exact multiset), file count bounded, " +
+      "post-compact admissions unchanged") {
+    import spark.implicits._
+    val idx = Files.createTempDirectory("dedup-idx4").toString
+    // decay the index the way an hourly cron does: three appends
+    DedupIndex.admit(spark, idx,
+      Seq(doc(1, "one"), doc(2, "two")).toDF("doc_id", "text"))
+    DedupIndex.admit(spark, idx,
+      Seq(doc(3, "three"), doc(4, "four")).toDF("doc_id", "text"))
+    DedupIndex.admit(spark, idx,
+      Seq(doc(5, "five")).toDF("doc_id", "text"))
+    val before = DedupIndex.readIndex(spark, idx).collect()
+      .map(r => (r.getAs[String]("fp"), r.getAs[Long]("canonical_id")))
+      .sorted.toSeq
+    val filesBefore = DedupIndex.dataFileCount(spark, idx)
+    DedupIndex.compact(spark, idx)
+    val after = DedupIndex.readIndex(spark, idx).collect()
+      .map(r => (r.getAs[String]("fp"), r.getAs[Long]("canonical_id")))
+      .sorted.toSeq
+    assert(after == before, "compaction changed index CONTENT")
+    val filesAfter = DedupIndex.dataFileCount(spark, idx)
+    assert(filesAfter <= spark.sparkContext.defaultParallelism,
+      s"compaction left $filesAfter files")
+    assert(filesAfter <= filesBefore)
+    // the compacted index still rejects known content and admits new
+    val r = DedupIndex.admit(spark, idx,
+      Seq(doc(10, "one"), doc(11, "brand new")).toDF("doc_id", "text"))
+    assert(r.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(11L))
+  }
+
+  test("compact on a missing index dir is a no-op") {
+    DedupIndex.compact(spark,
+      s"/tmp/graft-missing-idx-${System.nanoTime()}")
+  }
 }

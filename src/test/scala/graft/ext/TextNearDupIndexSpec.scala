@@ -62,4 +62,31 @@ class TextNearDupIndexSpec extends SparkSpec {
       df(20L -> baseText), minMatches = 17)
     assert(all.count() == 1)
   }
+
+  test("compact: signature rows survive as an exact multiset, file count " +
+      "bounded, and the compacted index still rejects a re-crawl") {
+    val idx = Files.createTempDirectory("textdup-idx5").toString
+    // decay: three admits of unrelated docs (distinct token alphabets)
+    TextNearDupIndex.admit(spark, idx, df(1L -> baseText))
+    TextNearDupIndex.admit(spark, idx, df(2L -> farText))
+    TextNearDupIndex.admit(spark, idx,
+      df(3L -> (1 to 24).map(i => s"u$i").mkString(" ")))
+    def rows() = TextNearDupIndex.readIndex(spark, idx).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("band"),
+        r.getAs[String]("band_key"),
+        r.getAs[scala.collection.Seq[Long]]("sig").mkString(",")))
+      .sorted.toSeq
+    val before = rows()
+    val filesBefore = DedupIndex.dataFileCount(spark, idx)
+    TextNearDupIndex.compact(spark, idx)
+    val after = rows()
+    assert(after == before, "compaction changed index CONTENT")
+    val filesAfter = DedupIndex.dataFileCount(spark, idx)
+    assert(filesAfter <= spark.sparkContext.defaultParallelism,
+      s"compaction left $filesAfter files")
+    assert(filesAfter <= filesBefore)
+    // post-compact: near-dup of an admitted doc still rejected
+    val r = TextNearDupIndex.admit(spark, idx, df(30L -> nearText))
+    assert(r.isEmpty, "compacted index lost a rejection")
+  }
 }

@@ -49,6 +49,34 @@ class NearDupStreamSpec extends SparkSpec {
       Set(1L, 2L, 11L))
   }
 
+  test("auto-compaction: a multi-batch stream run ends with a bounded " +
+      "file count and unchanged admissions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val idx = Files.createTempDirectory("neardup-compact-idx").toString
+    val out = Files.createTempDirectory("neardup-compact-out").toString
+    val ckpt = Files.createTempDirectory("neardup-compact-ckpt").toString
+    val input = MemoryStream[VecRec]
+    // three restarts = three micro-batches; threshold 1 forces the
+    // policy to fire at the end of every batch
+    (0 until 3).foreach { k =>
+      input.addData(VecRec(k * 10, base(k + 20)),
+        VecRec(k * 10 + 1, base(k + 40)))
+      NearDupStream.start(input.toDF(), idx, out, ckpt, planes,
+        maxIndexFiles = 1).awaitTermination()
+    }
+    // compacted layout: at most one file per bucket partition
+    val files = graft.ext.DedupIndex.dataFileCount(spark, idx)
+    assert(files <= (1 << planes),
+      s"auto-compaction left $files files for ${1 << planes} buckets")
+    // admissions unaffected: all six distinct vectors admitted, and a
+    // later re-crawl of an early vector is still rejected
+    assert(spark.read.parquet(out + "/batch=*").count() == 6)
+    val rej = graft.ext.NearDupIndex.admit(spark, idx,
+      Seq((99L, near(base(20)))).toDF("vec_id", "embedding"), planes)
+    assert(rej.isEmpty, "compacted index lost a rejection")
+  }
+
   test("replayed batch re-derives identical admissions (self-matches " +
       "ignored): the foreachBatch retry path is idempotent") {
     import spark.implicits._

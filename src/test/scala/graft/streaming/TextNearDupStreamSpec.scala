@@ -60,6 +60,32 @@ class TextNearDupStreamSpec extends SparkSpec {
       Set(1L, 2L, 11L))
   }
 
+  test("auto-compaction: a multi-batch stream run ends with a bounded " +
+      "file count and the index still rejects re-crawls") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val idx = Files.createTempDirectory("textdup-compact-idx").toString
+    val out = Files.createTempDirectory("textdup-compact-out").toString
+    val ckpt = Files.createTempDirectory("textdup-compact-ckpt").toString
+    val input = MemoryStream[DocRec]
+    // three restarts = three micro-batches; threshold 1 forces the
+    // policy to fire at the end of every batch
+    val texts = Seq(docA, docB, docC)
+    texts.zipWithIndex.foreach { case (t, k) =>
+      input.addData(DocRec(k + 1, t))
+      TextNearDupStream.start(input.toDF(), idx, out, ckpt,
+        maxIndexFiles = 1).awaitTermination()
+    }
+    val files = graft.ext.DedupIndex.dataFileCount(spark, idx)
+    assert(files <= spark.sparkContext.defaultParallelism,
+      s"auto-compaction left $files files")
+    assert(spark.read.parquet(out + "/batch=*").count() == 3)
+    // the compacted signature rows still reject a boilerplate re-render
+    val rej = graft.ext.TextNearDupIndex.admit(spark, idx,
+      Seq((99L, reRender(docA))).toDF("doc_id", "text"))
+    assert(rej.isEmpty, "compacted index lost a rejection")
+  }
+
   test("replayed batch re-derives identical admissions: the foreachBatch " +
       "retry path is idempotent for the text index too") {
     import spark.implicits._
