@@ -61,27 +61,29 @@ object Similarity {
       |         ORDER BY dot/(nq*nn) DESC, n_id) AS rk
       |FROM p QUALIFY rk <= 5 ORDER BY q_id, rk""")
 
-  /** Random-hyperplane LSH ANN: 4 fixed hyperplanes (seeded, deterministic)
-    * give every vector a 4-bit sign bucket; queries only score vectors in
-    * their own bucket. Candidate scoring is ~1/2^4 of brute force in
-    * expectation — the IVF-style scale path. Bucket assignment is
-    * hash-like (no SQL oracle); exact cosine math is oracle-covered by
-    * q34. */
-  private val q35KnnLsh = QueryDef.noOracle(
+  /** Random-hyperplane LSH ANN: 4 fixed hyperplanes give every vector a
+    * 4-bit sign bucket; queries only score vectors in their own bucket.
+    * Candidate scoring is ~1/2^4 of brute force in expectation — the
+    * IVF-style scale path (q74 is this operator's multi-probe recall
+    * lever). The planes are the INTEGER-EXACT codegen hyperplanes
+    * (graft.functions.HyperplaneBucket, q55/q74's discipline: grid
+    * points × small deterministic ±3 coefficients, sign in BIGINT) —
+    * originally float Gaussians seeded from Scala's Random, which no
+    * SQL engine could restate, keeping this query golden-pinned for
+    * seven rounds; re-seeding onto the integer grid put the whole
+    * operator, bucket assignment included, under the DuckDB hash gate
+    * with zero change to its candidate-pruning shape. */
+  private val q35KnnLsh = QueryDef(
     (s, dir) => {
-      val rnd = new scala.util.Random(42)
-      val planes: Seq[Column] = Seq.fill(4)(
-        typedlit(Array.fill(64)(rnd.nextGaussian())))
-      def bucket(v: Column): Column =
-        planes.zipWithIndex.map { case (p, i) =>
-          when(dot(v, p) > 0, lit(1 << i)).otherwise(lit(0))
-        }.reduce(_ + _)
-      val e = Tables(s, dir, "embeddings")
+      val e0 = Tables(s, dir, "embeddings")
+      val e = e0.select(col("vec_id"), col("embedding"),
+        graft.functions.HyperplaneBucket.bucket(col("embedding"), 4)
+          .as("bucket"))
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-          bucket(col("embedding")).as("q_bucket"))
+          col("bucket").as("q_bucket"))
       val c = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
-        bucket(col("embedding")).as("n_bucket"))
+        col("bucket").as("n_bucket"))
       val scored = c.join(broadcast(q),
           col("n_bucket") === col("q_bucket") && col("n_id") =!= col("q_id"))
         .withColumn("cos_raw", cosine(col("q_emb"), col("n_emb")))
@@ -92,7 +94,29 @@ object Similarity {
           round(col("cos_raw"), 6).as("cosine"),
           col("rk").cast("long").as("rk"))
         .orderBy("q_id", "rk")
-    })
+    },
+    """WITH d AS (
+      |  SELECT vec_id, embedding,
+      |    (SELECT sum(CASE WHEN list_sum(list_transform(embedding, (x,i) ->
+      |       CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+      |       * ((((i-1) * 31 + p * 17) % 7) - 3))) > 0
+      |     THEN 1 << p ELSE 0 END)
+      |     FROM generate_series(0, 3) t(p)) AS bucket
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket AS qb
+      |      FROM d WHERE vec_id < 10),
+      |c AS (SELECT q_id, d.vec_id AS n_id,
+      |        list_sum(list_transform(q_emb,
+      |          (x,i) -> CAST(x AS DOUBLE) * CAST(d.embedding[i] AS DOUBLE))) /
+      |        (sqrt(list_sum(list_transform(q_emb,
+      |           x -> CAST(x AS DOUBLE) * x))) *
+      |         sqrt(list_sum(list_transform(d.embedding,
+      |           x -> CAST(x AS DOUBLE) * x)))) AS cos_raw
+      |      FROM d JOIN q ON d.bucket = q.qb AND d.vec_id <> q.q_id)
+      |SELECT q_id, n_id, round(cos_raw, 6) AS cosine,
+      |       row_number() OVER (PARTITION BY q_id
+      |         ORDER BY cos_raw DESC, n_id) AS rk
+      |FROM c QUALIFY rk <= 5 ORDER BY q_id, rk""")
 
   /** IVF-style ANN — the codebook-partitioned scale path: every vector is
     * assigned to its nearest of k coarse centroids (one broadcast of the
@@ -314,8 +338,8 @@ object Similarity {
     * near neighbor to land in), so candidate cost is (planes+1)/2^planes
     * of the corpus instead of 1/2^planes, and boundary-crossing neighbors
     * stop being missed. Buckets come from the integer-exact codegen
-    * `hyperplane_bucket` (q55's discipline), so — unlike q35's
-    * float-Gaussian planes — the whole operator, probe set included, is
+    * `hyperplane_bucket` (q55's discipline, and since round 8 q35's
+    * too), so the whole operator, probe set included, is
     * oracle-exact in DuckDB via BIGINT xor. The probe set is tiny
     * (10 queries × planes+1 buckets) and broadcasts; candidates arrive
     * through a bucket equi-join, never a cross product. */

@@ -2,15 +2,14 @@ package graft
 
 import scala.io.Source
 
-/** Hard deterministic checks for the four queries the driver can only
-  * rows-check (hash/sketch ops with no DuckDB-expressible oracle):
-  * q20 (HLL sketch), q32 (minhash+LSH), q33 (simhash), q35 (LSH ANN).
-  * Expected outputs were generated once by graft.tools.GoldenGen at
-  * sf0.001 AND sf0.1 (the bench scale — hash/banding drift that only
-  * manifests on the larger corpus must also fail hard), reviewed, and
-  * committed — any drift in hash functions, banding, hyperplanes, or
-  * ordering fails here even though the oracle gate records them as
-  * rows-only. */
+/** Hard deterministic check for the one query the driver can only
+  * rows-check (no DuckDB-expressible oracle): q20, whose HLL sketch
+  * register layout is engine-private. Expected outputs were generated
+  * once by graft.tools.GoldenGen at sf0.001 AND sf0.1 (the bench
+  * scale — sketch drift that only manifests on the larger corpus must
+  * also fail hard), reviewed, and committed — any drift in sketch
+  * contents or ordering fails here even though the oracle gate records
+  * the query as rows-only. */
 class GoldenSpec extends SparkSpec {
 
   private def golden(sfName: String, name: String): Seq[String] = {
