@@ -383,7 +383,38 @@ object TextAnalytics {
     * sizing (measured: at m/n ≈ 8, 161 of 162 flagged fixture docs
     * were pure false positives; an undersized FIXED width saturates
     * outright). 32 bits/shingle is still ~200× smaller than the
-    * broadcast hash set it replaces. */
+    * broadcast hash set it replaces.
+    *
+    * CEILING of this representation: the filter is a LITERAL long
+    * array planted in the plan (m/8 bytes riding every task closure /
+    * codegen constant pool), which is comfortable to ~10⁷ eval
+    * shingles (m = 2^29 bits, 64 MB) and tolerable to a few 10⁷; past
+    * [[BloomMaxBits]] (2^31 bits = 256 MB) the derivation THROWS
+    * rather than silently shipping a multi-GB literal. Beyond the cap
+    * the same math scales two ways without changing the probe
+    * expression: chunk the eval corpus into c independent filters of
+    * ≤ cap bits each (test against each, OR the verdicts — FPR adds,
+    * so re-derive m per chunk), or build the words as a DataFrame
+    * aggregate and feed Spark's own `bloom_filter_agg`/`might_contain`
+    * pair, which broadcasts the filter as exchange data instead of a
+    * plan literal. */
+  private[ext] val BloomMaxBits: Long = 1L << 31
+
+  /** Filter width for `nEval` distinct eval shingles: the smallest
+    * power of two ≥ 32·nEval (floor 4096 bits). Pure integer function
+    * shared with the DuckDB oracle's `mm` CTE; throws past
+    * [[BloomMaxBits]] — see the ceiling paragraph above. */
+  private[ext] def bloomWidth(nEval: Long): Long = {
+    var m = 4096L
+    while (m < 32L * nEval) m <<= 1
+    require(m <= BloomMaxBits,
+      s"bloom width $m bits for $nEval eval shingles exceeds the " +
+        s"$BloomMaxBits-bit literal-array ceiling; chunk the eval corpus " +
+        "into independent filters or switch to bloom_filter_agg " +
+        "(see q91's Scaladoc)")
+    m
+  }
+
   private val q91BloomDecontamination = QueryDef(
     (s, dir) => {
       val words = Tables.spread(s, Tables(s, dir, "documents"))
@@ -395,8 +426,7 @@ object TextAnalytics {
         .withColumn("h", md5(col("sh")))
       val nEval = shingles.filter(col("doc_id") % 50 === 7)
         .select("sh").distinct().count()
-      var m = 4096L
-      while (m < 32L * nEval) m <<= 1
+      val m = bloomWidth(nEval)
       // k=4 positions per shingle from disjoint md5 slices
       val posArr =
         s"""transform(sequence(0, 3), i ->

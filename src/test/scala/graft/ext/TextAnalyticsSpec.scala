@@ -101,4 +101,27 @@ class TextAnalyticsSpec extends SparkSpec {
       s"$fpShingles FP shingles of $trainShingles train shingles " +
         "(>1%): bloom sizing regressed")
   }
+
+  test("bloom width derivation: power-of-two m/n >= 32 sizing with a " +
+      "4096-bit floor, and a hard throw past the literal-array ceiling") {
+    // floor and power-of-two growth
+    assert(TextAnalytics.bloomWidth(0L) == 4096L)
+    assert(TextAnalytics.bloomWidth(128L) == 4096L)   // 32*128 = 4096
+    assert(TextAnalytics.bloomWidth(129L) == 8192L)   // next power of two
+    (1L to 20L).foreach { n =>
+      val m = TextAnalytics.bloomWidth(n * 1000)
+      assert((m & (m - 1)) == 0L, s"width $m not a power of two")
+      assert(m >= 32L * n * 1000, s"width $m under the m/n=32 rule")
+    }
+    // the largest admissible corpus sits just under the cap...
+    assert(TextAnalytics.bloomWidth(TextAnalytics.BloomMaxBits / 32) ==
+      TextAnalytics.BloomMaxBits)
+    // ...and one shingle more must throw, not ship a multi-GB literal
+    intercept[IllegalArgumentException] {
+      TextAnalytics.bloomWidth(TextAnalytics.BloomMaxBits / 32 + 1)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalytics.bloomWidth(100_000_000L) // ~1e8 eval shingles
+    }
+  }
 }
