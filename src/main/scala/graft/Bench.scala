@@ -24,10 +24,13 @@ import org.apache.spark.sql.SparkSession
   *
   * The stdout line carries the driver-contract fields
   * (metric/value/unit/queries[/errors]/sf) plus ONE `noise` scalar —
-  * the worst/best ratio across nine fixed-sentinel (q01) runs placed at
-  * the start/middle/end of each measured pass, so a judge can separate
-  * host co-tenant noise (sentinel drifts with the totals) from a real
-  * regression (sentinel quiet, one query moved) without re-running.
+  * the worst/best ratio of the PER-PASS MINIMA of a fixed sentinel
+  * (q01, run at the start/middle/end of every measured pass). Matched
+  * to the min-of-passes methodology: a reported number only moves if a
+  * whole pass inflated, which is what this ratio detects — so a judge
+  * can separate host co-tenant noise (sentinel floors drift, steal
+  * nonzero) from a real regression (sentinel quiet, one query moved)
+  * without re-running.
   * Full noise data — per-pass sentinel triples and /proc/stat
   * steal/idle fractions over each pass — rides the PASSES sibling
   * file, never stdout: round 4 proved that growing the stdout line (a
@@ -141,12 +144,19 @@ object Bench {
       System.gc()
       r
     }
-    // one scalar for the stdout contract line: worst/best sentinel ratio
-    // across the whole run — 1.0 = quiet host, >1.2 = the measured swing
-    // exceeded the regression threshold the verdicts use
-    val allSent = passMeta.flatMap(_._1)
+    // one scalar for the stdout contract line, matched to the bench's own
+    // min-of-passes methodology: the ratio of worst to best PER-PASS
+    // SENTINEL MINIMUM. A reported per-query number only moves between
+    // rounds if the host was loud for an entire pass (all three minima
+    // inflate), which is exactly what this ratio measures; raw max/min
+    // over all nine readings would instead be dominated by pass-1 JIT
+    // warm-in and sub-second scheduler jitter (measured 1.86 on a
+    // provably quiet host — steal 0.0003 — vs 1.16 for this definition).
+    // 1.0 = quiet; >1.2 = per-pass floors drifted past the regression
+    // threshold the round verdicts use, distrust cross-round deltas.
+    val passMins = passMeta.map(_._1).filter(_.nonEmpty).map(_.min)
     val noise =
-      if (allSent.nonEmpty && allSent.min > 0) allSent.max / allSent.min
+      if (passMins.nonEmpty && passMins.min > 0) passMins.max / passMins.min
       else 1.0
     // steady-state = per-query min across measured passes
     val results = queries.indices.map { i =>
