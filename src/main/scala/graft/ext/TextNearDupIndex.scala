@@ -41,11 +41,15 @@ object TextNearDupIndex {
     StructField("band_key", StringType)))
 
   /** (doc_id, sig) — 16 deterministic minhashes over distinct unigrams,
-    * ordered by hash index (q32's signature, guard-free). Computed as
-    * ONE per-row codegen expression: the minhash is a pure function of
-    * the document's own token set, so there is nothing to shuffle — the
-    * explode→groupBy→groupBy formulation cost two exchanges and a 16×
-    * row blow-up for the identical array.
+    * ordered by hash index (q32's signature, guard-free). Computed by
+    * the native `minhash_sig` expression (graft.functions.MinHashSig):
+    * the minhash is a pure function of the document's own token set, so
+    * there is nothing to shuffle, and the former declarative HOF form
+    * re-tokenized the document inside each of its 16 INTERPRETED outer
+    * lambda frames (higher-order functions never codegen) — the native
+    * loop tokenizes once, hashes straight off the digest bytes, and
+    * stays inside WholeStageCodegen. MinHashSigSpec pins it
+    * bit-identical to the HOF form under both eval modes.
     *
     * Hash = the leading 60 bits of md5("i:word") (15 hex digits via
     * conv base-16) — an ENGINE-PORTABLE hash: DuckDB computes the same
@@ -55,12 +59,8 @@ object TextNearDupIndex {
     * swap xxhash64 back in (~3× faster per hash) — the signature
     * algebra (min over the token set, per index i) is hash-agnostic. */
   private def signatures(batch: DataFrame): DataFrame =
-    batch.select(col("doc_id"), expr(
-      """transform(sequence(0, 15), i ->
-        |  array_min(transform(array_distinct(split(text, ' ')),
-        |    w -> cast(conv(substring(
-        |           md5(concat(cast(i as string), ':', w)), 1, 15),
-        |         16, 10) as bigint))))""".stripMargin).as("sig"))
+    batch.select(col("doc_id"),
+      graft.functions.MinHashSig.sig(col("text")).as("sig"))
 
   /** Explode a signature into its (band, band_key) rows: 2 bands x 8
     * rows, key = comma-joined minhash values of the band. */
