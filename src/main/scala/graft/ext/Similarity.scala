@@ -13,10 +13,6 @@ import graft.core.{QueryDef, Tables}
   */
 object Similarity {
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
-
   /** Cosine via the native codegen expression
     * (graft.functions.CosineSimilarity) — one fused loop inside
     * WholeStageCodegen; the higher-order-function formulation is
