@@ -146,15 +146,15 @@ object Dedup {
       val toks = withoutHotShingles(unigrams(docs), Seq("w"), 200L)
       // 16 (hash-index, md5-slice) pairs per token; spread first — the
       // 16 md5s/token are the CPU-dense stage and the guarded token
-      // table inherits the scan's single split
+      // table inherits the scan's single split. A single token is a
+      // singleton token set, so the native minhash_sig expression
+      // (MinHashSigSpec pins it bit-identical to the HOF md5-slice)
+      // yields exactly the 16 per-index hash values, position = hash
+      // index — replacing 16 interpreted lambda frames per token row
+      // with one fused codegen loop
       val hashed = Tables.spread(s, toks).select(col("doc_id"),
-        explode(expr(
-          """transform(sequence(0, 15), i -> struct(i AS h,
-            |  cast(conv(substring(
-            |    md5(concat(cast(i as string), ':', w)), 1, 15),
-            |  16, 10) as bigint) AS v))""".stripMargin))
-          .as("hv"))
-        .select(col("doc_id"), col("hv.h").as("h"), col("hv.v").as("v"))
+        posexplode(graft.functions.MinHashSig.sig(col("w")))
+          .as(Seq("h", "v")))
       val sig = hashed.groupBy("doc_id", "h").agg(min("v").as("mh"))
       val bands = sig
         .withColumn("band", (col("h") / 8).cast("int"))
