@@ -467,49 +467,50 @@ object Similarity {
   private def trainedAssignment(s: SparkSession, dir: String): DataFrame =
     trainedModel(s, dir)._1
 
-  /** The full trained coarse model: the (vec_id, cell, d2) assignment
-    * frame, the trained centroid table (bounded k·d driver state, for
-    * residual computation in q93's IVF-PQ), and the checkpointed
-    * (vec_id, qa) grid frame the training ran over. */
-  private def trainedModel(s: SparkSession, dir: String)
-      : (DataFrame, Seq[(Int, Seq[Long])], DataFrame) = {
-    // Lloyd's loop in its canonical Spark shape (the one MLlib KMeans
-    // uses): the k·d centroid table is BOUNDED driver state (8×64 grid
-    // longs here), so each round collects it and re-plants it as a
-    // LITERAL in a per-row argmin expression — assignment costs zero
-    // joins/windows, and the update is ONE map-side-combinable
-    // (cell, dim) shuffle per round. The fully-declarative unrolled form
-    // this replaces spent ~12 tiny stages on the same 512 numbers.
-    // All arithmetic is the same integer grid / BIGINT d2 / floordiv
-    // round-half-up as the oracle — relocating it per-row cannot change
-    // a bit. argmin tie-break: struct(d2, cell) natural (lexicographic)
-    // MIN = smallest d2 then smallest cell, the oracle's ORDER BY.
-    // grid-transform once, spread the (typically single) input split
-    // across the cluster, and materialize: seed, both update rounds and
-    // the final assignment all read this cached 2-column frame instead
-    // of re-scanning + re-transforming the parquet per round
-    val e = Tables(s, dir, "embeddings")
-    val np = s.sparkContext.defaultParallelism
-    val eg = e.select(col("vec_id"), expr(
+  /** The checkpointed (vec_id, qa) grid frame over a (vec_id,
+    * embedding) relation: round(x·1000) longs, spread across the
+    * cluster and materialized once — seed, every update round and the
+    * final assignment all read this 2-column frame instead of
+    * re-scanning + re-transforming the parquet per round. */
+  private[ext] def gridFrame(s: SparkSession, vecs: DataFrame): DataFrame =
+    vecs.select(col("vec_id"), expr(
         "transform(embedding, x -> cast(round(cast(x as double) * 1000, 0) as bigint))")
         .as("qa"))
-      .repartition(np)
+      .repartition(s.sparkContext.defaultParallelism)
       .localCheckpoint(true)
-    // SQL text because aliases inside lambda bodies are stripped by the
-    // analyzer — named_struct is the only way to keep the field names
-    val bestSql =
-      """array_min(transform(__cents, c -> named_struct(
-        |  'd2', aggregate(zip_with(qa, c._2, (a, b) -> (a - b) * (a - b)),
-        |        cast(0 as bigint), (acc, x) -> acc + x),
-        |  'cell', c._1)))""".stripMargin
-    def withBest(cents: Seq[(Int, Seq[Long])]): DataFrame =
-      eg.withColumn("__cents", typedLit(cents))
-        .withColumn("best", expr(bestSql)).drop("__cents")
-    // one Lloyd update: assign per-row, then the exact grid
-    // round-half-up c' = floordiv(2s+n, 2n) over member sums; empty
-    // cells drop out (no member rows), matching the oracle's group-by
+
+  // SQL text because aliases inside lambda bodies are stripped by the
+  // analyzer — named_struct is the only way to keep the field names
+  private val bestSql =
+    """array_min(transform(__cents, c -> named_struct(
+      |  'd2', aggregate(zip_with(qa, c._2, (a, b) -> (a - b) * (a - b)),
+      |        cast(0 as bigint), (acc, x) -> acc + x),
+      |  'cell', c._1)))""".stripMargin
+
+  /** `eg` plus a `best` struct(d2, cell): the per-row argmin against a
+    * literal-planted coarse codebook. Tie-break: struct(d2, cell)
+    * natural (lexicographic) MIN = smallest d2 then smallest cell, the
+    * oracle's ORDER BY. */
+  private[ext] def coarseWithBest(eg: DataFrame,
+      cents: Seq[(Int, Seq[Long])]): DataFrame =
+    eg.withColumn("__cents", typedLit(cents))
+      .withColumn("best", expr(bestSql)).drop("__cents")
+
+  /** Two coarse Lloyd rounds from an explicit seed codebook — the loop
+    * in its canonical Spark shape (the one MLlib KMeans uses): the k·d
+    * centroid table is BOUNDED driver state (8×64 grid longs here), so
+    * each round collects it and re-plants it as a LITERAL in the
+    * per-row argmin — assignment costs zero joins/windows, and the
+    * update is ONE map-side-combinable (cell, dim) shuffle per round.
+    * All arithmetic is the same integer grid / BIGINT d2 / floordiv
+    * round-half-up as the oracle — relocating it per-row cannot change
+    * a bit. One exact grid round-half-up per update:
+    * c' = floordiv(2s+n, 2n) over member sums; empty cells drop out
+    * (no member rows), matching the oracle's group-by. */
+  private[ext] def coarseLloyd(eg: DataFrame,
+      seed: Seq[(Int, Seq[Long])]): Seq[(Int, Seq[Long])] = {
     def updateRound(cents: Seq[(Int, Seq[Long])]): Seq[(Int, Seq[Long])] =
-      withBest(cents)
+      coarseWithBest(eg, cents)
         .select(col("best.cell").as("cell"),
           posexplode(col("qa")).as(Seq("dim", "q")))
         .groupBy("cell", "dim")
@@ -521,13 +522,24 @@ object Similarity {
         .map { case (cell, rows) =>
           cell -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
         .toSeq.sortBy(_._1)
+    updateRound(updateRound(seed))
+  }
+
+  /** The full trained coarse model: the (vec_id, cell, d2) assignment
+    * frame, the trained centroid table (bounded k·d driver state, for
+    * residual computation in q93's IVF-PQ), and the checkpointed
+    * (vec_id, qa) grid frame the training ran over. Seed = the first 8
+    * vectors, cell id = vec_id (the q81 oracle's c0). */
+  private def trainedModel(s: SparkSession, dir: String)
+      : (DataFrame, Seq[(Int, Seq[Long])], DataFrame) = {
+    val eg = gridFrame(s, Tables(s, dir, "embeddings"))
     val seed = eg.filter(col("vec_id") < 8)
       .select(col("vec_id").cast("int").as("cell"), col("qa"))
       .collect()
       .map(r => r.getInt(0) -> r.getSeq[Long](1).toSeq)
       .toSeq.sortBy(_._1)
-    val trained = updateRound(updateRound(seed))
-    val assign = withBest(trained)
+    val trained = coarseLloyd(eg, seed)
+    val assign = coarseWithBest(eg, trained)
       .select(col("vec_id"), col("best.cell").as("cell"),
         col("best.d2").as("d2"))
     (assign, trained, eg)
@@ -846,26 +858,29 @@ object Similarity {
     pqTrainOn(eg)
   }
 
-  /** PQ training over an arbitrary checkpointed (vec_id, qa) grid frame
-    * — factored out so q93 can train sub-codebooks on coarse-cell
-    * RESIDUALS (which stay on the integer grid: both the point and the
-    * trained centroid are grid longs) with the identical math. */
-  private def pqTrainOn(eg: DataFrame)
-      : (DataFrame, Seq[(Int, Int, Seq[Long])]) = {
-    // per-row, per-subspace argmin over the planted codebook — the
-    // native pq_argmin expression (graft.functions.PqArgmin), NOT the
-    // declarative transform/array_min/aggregate form: higher-order
-    // functions run interpreted (M·K lambda frames per row), which at
-    // production sizing (M=32, K=256 → 8192 lambda evals/row) measured
-    // ~15–20 s/query at sf0.1 for what is ~30M multiplies. Identical
-    // integer algebra and (d2, cell) tie-break, so the oracle gate is
-    // unaffected by the swap.
-    def withBest(cents: Seq[(Int, Int, Seq[Long])]): DataFrame =
-      eg.withColumn("ba",
-        graft.functions.PqArgmin.argmin(col("qa"), cents, PQ_M, PQ_SUBDIM))
+  /** `eg` plus a `ba` array of per-subspace struct(d2, cell) — the
+    * per-row, per-subspace argmin over the planted sub-codebook, via
+    * the native pq_argmin expression (graft.functions.PqArgmin), NOT
+    * the declarative transform/array_min/aggregate form: higher-order
+    * functions run interpreted (M·K lambda frames per row), which at
+    * production sizing (M=32, K=256 → 8192 lambda evals/row) measured
+    * ~15–20 s/query at sf0.1 for what is ~30M multiplies. Identical
+    * integer algebra and (d2, cell) tie-break, so the oracle gate is
+    * unaffected by the swap. */
+  private[ext] def pqWithBest(eg: DataFrame,
+      cents: Seq[(Int, Int, Seq[Long])]): DataFrame =
+    eg.withColumn("ba",
+      graft.functions.PqArgmin.argmin(col("qa"), cents, PQ_M, PQ_SUBDIM))
+
+  /** Two PQ Lloyd rounds from an explicit per-(sub, cell) seed —
+    * coarseLloyd's loop with (sub, cell, sdim) keys: one map-side-
+    * combinable shuffle per round over bounded M·K·subdim driver
+    * state. */
+  private[ext] def pqLloyd(eg: DataFrame,
+      seed: Seq[(Int, Int, Seq[Long])]): Seq[(Int, Int, Seq[Long])] = {
     def updateRound(cents: Seq[(Int, Int, Seq[Long])])
         : Seq[(Int, Int, Seq[Long])] =
-      withBest(cents)
+      pqWithBest(eg, cents)
         .select(col("qa"), posexplode(col("ba")).as(Seq("sub", "bc")))
         .select(col("sub"), col("bc.cell").as("cell"),
           posexplode(slice(col("qa"), col("sub") * PQ_SUBDIM + 1,
@@ -879,6 +894,26 @@ object Similarity {
         .map { case ((sub, cell), rows) =>
           (sub, cell, rows.sortBy(_.getInt(2)).map(_.getLong(3)).toSeq) }
         .toSeq.sortBy(t => (t._1, t._2))
+    updateRound(updateRound(seed))
+  }
+
+  /** (vec_id, sub, code, d2) — one row per vector per subspace, the
+    * trained-codebook encoding of `eg`. */
+  private[ext] def pqEncode(eg: DataFrame,
+      cents: Seq[(Int, Int, Seq[Long])]): DataFrame =
+    pqWithBest(eg, cents)
+      .select(col("vec_id"), posexplode(col("ba")).as(Seq("sub", "bc")))
+      .select(col("vec_id"), col("sub"),
+        col("bc.cell").as("code"), col("bc.d2").as("d2"))
+
+  /** PQ training over an arbitrary checkpointed (vec_id, qa) grid frame
+    * — factored out so q93 can train sub-codebooks on coarse-cell
+    * RESIDUALS (which stay on the integer grid: both the point and the
+    * trained centroid are grid longs) with the identical math. Seed =
+    * the first PQ_K vectors, cell id = vec_id (the pc0/c0 oracle
+    * CTEs). */
+  private def pqTrainOn(eg: DataFrame)
+      : (DataFrame, Seq[(Int, Int, Seq[Long])]) = {
     val seed = eg.filter(col("vec_id") < PQ_K)
       .select(col("vec_id").cast("int").as("cell"), col("qa"))
       .collect()
@@ -887,12 +922,8 @@ object Similarity {
         (0 until PQ_M).map(m =>
           (m, cell, qa.slice(m * PQ_SUBDIM, (m + 1) * PQ_SUBDIM).toSeq))
       }.toSeq.sortBy(t => (t._1, t._2))
-    val trained = updateRound(updateRound(seed))
-    val codes = withBest(trained)
-      .select(col("vec_id"), posexplode(col("ba")).as(Seq("sub", "bc")))
-      .select(col("vec_id"), col("sub"),
-        col("bc.cell").as("code"), col("bc.d2").as("d2"))
-    (codes, trained)
+    val trained = pqLloyd(eg, seed)
+    (pqEncode(eg, trained), trained)
   }
 
   /** The residual-PQ training CTEs over the coarse model (expects
@@ -1098,7 +1129,7 @@ object Similarity {
     * vector minus its own trained cell centroid, closed over the integer
     * grid; checkpointed because the PQ trainer and the serve paths both
     * consume it. Shared by q93/q94/q96. */
-  private def residualFrame(af: DataFrame, coarse: Seq[(Int, Seq[Long])],
+  private[ext] def residualFrame(af: DataFrame, coarse: Seq[(Int, Seq[Long])],
       eg: DataFrame): DataFrame =
     eg.join(af.select(col("vec_id"), col("cell")), Seq("vec_id"))
       .withColumn("__cc", typedLit(coarse))
@@ -1125,13 +1156,13 @@ object Similarity {
     * cell's centroid — the FAISS multi-probe query side: candidates are
     * residual-encoded against their own cell, so a query probing a
     * foreign cell must subtract that cell's centroid, not its own.
-    * Output: (q_id, p_cell, p_rank, qa); ≤ 10 · nprobe rows, always
-    * broadcast. p_rank=1 is the query's own coarse cell (the probe
-    * ranking is the same (d2, cell) argmin as the assignment). */
-  private def probeCells(eg: DataFrame, coarse: Seq[(Int, Seq[Long])],
+    * Takes the (vec_id, qa) QUERY frame (callers pre-filter their query
+    * set). Output: (q_id, p_cell, p_rank, qa); ≤ queries · nprobe rows,
+    * always broadcast. p_rank=1 is the query's own coarse cell (the
+    * probe ranking is the same (d2, cell) argmin as the assignment). */
+  private[ext] def probeCells(q: DataFrame, coarse: Seq[(Int, Seq[Long])],
       nprobe: Int): DataFrame =
-    eg.filter(col("vec_id") < 10)
-      .withColumn("__cc", typedLit(coarse))
+    q.withColumn("__cc", typedLit(coarse))
       .select(col("vec_id").as("q_id"),
         explode(expr(
           """transform(__cc, c -> named_struct(
@@ -1154,9 +1185,9 @@ object Similarity {
     * candidates whose OWN cell is the probed one (p_cell = n_cell), so
     * each candidate's ADC sum uses exactly the LUT of the cell it was
     * encoded against. */
-  private def probeLut(eg: DataFrame, coarse: Seq[(Int, Seq[Long])],
+  private[ext] def probeLut(q: DataFrame, coarse: Seq[(Int, Seq[Long])],
       subcents: Seq[(Int, Int, Seq[Long])], nprobe: Int): DataFrame =
-    probeCells(eg, coarse, nprobe)
+    probeCells(q, coarse, nprobe)
       .withColumn("__pc", typedLit(subcents))
       .select(col("q_id"), col("p_cell"), col("p_rank"),
         explode(expr(adcLutSql)).as("t"))
@@ -1267,7 +1298,8 @@ object Similarity {
       val (af, coarse, eg) = trainedModel(s, dir)
       val resid = residualFrame(af, coarse, eg)
       val (codes, subcents) = pqTrainOn(resid.select("vec_id", "qa"))
-      val lut = probeLut(eg, coarse, subcents, nprobe = 2)
+      val lut = probeLut(eg.filter(col("vec_id") < 10), coarse, subcents,
+        nprobe = 2)
       val cand = codes.select(col("vec_id").as("n_id"), col("sub"), col("code"))
         .join(af.select(col("vec_id").as("n_id"), col("cell").as("n_cell")),
           Seq("n_id"))
@@ -1328,7 +1360,8 @@ object Similarity {
       // ONE nprobe=2 LUT serves both PQ rows: its p_rank=1 slice IS the
       // own-cell (nprobe=1) LUT — the probe ranking is the assignment's
       // own (d2, cell) argmin, so the two serves can't drift apart.
-      val lut = probeLut(eg, coarse, subcents, nprobe = 2)
+      val lut = probeLut(eg.filter(col("vec_id") < 10), coarse, subcents,
+        nprobe = 2)
       val cand = codes.select(col("vec_id").as("n_id"), col("sub"), col("code"))
         .join(af.select(col("vec_id").as("n_id"), col("cell").as("n_cell")),
           Seq("n_id"))
@@ -1367,8 +1400,8 @@ object Similarity {
       // nprobe=2 candidate cost: every (query, candidate) pair across
       // both probed cells, self excluded — what the second probe costs.
       val cost2 = af.select(col("vec_id").as("n_id"), col("cell"))
-        .join(broadcast(probeCells(eg, coarse, nprobe = 2)
-            .select(col("q_id"), col("p_cell"))),
+        .join(broadcast(probeCells(eg.filter(col("vec_id") < 10), coarse,
+            nprobe = 2).select(col("q_id"), col("p_cell"))),
           col("cell") === col("p_cell"))
         .filter(col("n_id") =!= col("q_id"))
         .agg(count(lit(1)).as("cand_cells2"))
