@@ -24,7 +24,8 @@ object SparkEntry {
       graft.ext.Multimodal.defs ++
       graft.ext.Sampling.defs ++
       graft.ext.Assembly.defs ++
-      graft.ext.Incremental.defs
+      graft.ext.Incremental.defs ++
+      graft.ext.IvfPqIndex.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,399 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType,
+  StructField, StructType}
+import graft.core.{QueryDef, Tables}
+
+/** PERSISTED IVF-PQ index — the production lifecycle of q93/q96's
+  * end-to-end query (which retrains per invocation): codebooks are
+  * trained ONCE on a sample, frozen on disk, and every later batch is
+  * encoded against them without retraining — FAISS's
+  * `train` / `add` / `search` split (Jégou et al., "Product
+  * Quantization for Nearest Neighbor Search", TPAMI 2011 — the IVFADC
+  * system). This is the missing production property of the q84/q85/q88
+  * incremental family applied to ANN serving: an hourly crawl cannot
+  * re-run two Lloyd trainers over a 100 TB corpus per batch, and it
+  * must not, because re-trained codebooks would re-encode (and
+  * invalidate) every previously admitted code.
+  *
+  *  - [[create]] trains the coarse codebook (k=8 cells, two Lloyd
+  *    rounds, q81's integer-grid discipline) and the residual PQ
+  *    sub-codebooks (M=32 × K=256, q89's) on the TRAINING frame only,
+  *    and persists both to `indexDir/_graft_meta` — bounded driver
+  *    state (k·d + M·K·subdim grid longs), invisible to the parquet
+  *    reader. Codebooks are IMMUTABLE: a second create throws (retrain
+  *    = new index, exactly FAISS's contract).
+  *  - [[add]] encodes a batch with the FROZEN codebooks — coarse cell
+  *    by per-row argmin, residual on the integer grid, PQ codes via the
+  *    native pq_argmin — and appends (vec_id, codes) PARTITIONED BY
+  *    cell. Encoding never looks at previously indexed vectors, so adds
+  *    are embarrassingly batch-parallel and a retry re-derives
+  *    identical rows.
+  *  - [[search]] is q96's multi-probe ADC serve against the persisted
+  *    code table: per-query nprobe-cell LUT (broadcast), candidates
+  *    joined on (sub, code, cell) — the cell equi-key lines up with the
+  *    index's PARTITION column, so a real cluster dynamically prunes
+  *    the scan to probed cells; cost ∝ probed-cell sizes, over M-int
+  *    codes, never raw vectors.
+  *  - [[compact]] is the q92/q95 maintenance op: one file per cell
+  *    partition, content-invariant, codebook meta carried by the
+  *    shared rewrite-and-swap.
+  *
+  * The whole lifecycle stays on the integer grid (residuals close over
+  * it; both trainers and both argmins are BIGINT), so create→add→add→
+  * search is oracle-exact end to end: q97 holds the persisted index's
+  * CONTENTS (every vector's cell + 32 codes, after a two-batch add and
+  * a compact) to a DuckDB restatement that trains only on batch A, and
+  * q98 holds the nprobe=2 search results from the persisted index.
+  */
+object IvfPqIndex {
+
+  /** Coarse cell count — q81's k (seed = the 8 smallest training
+    * vec_ids, cell id = the seed's vec_id). */
+  private[ext] val COARSE_K = 8
+
+  private val indexSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("codes", ArrayType(IntegerType)),
+    StructField("cell", IntegerType)))
+
+  /** Train both codebooks on `train` (vec_id, embedding) and persist
+    * them. THROWS if the index already has codebooks — they are frozen
+    * at create time because every admitted code is encoded against
+    * them; retraining means building a new index. */
+  def create(spark: SparkSession, indexDir: String,
+      train: DataFrame): Unit = {
+    val eg = Similarity.gridFrame(spark, train)
+    val cSeed = eg.orderBy("vec_id").limit(COARSE_K)
+      .select(col("vec_id").cast("int").as("cell"), col("qa"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1).toSeq)
+      .toSeq.sortBy(_._1)
+    val coarse = Similarity.coarseLloyd(eg, cSeed)
+    val af = Similarity.coarseWithBest(eg, coarse)
+      .select(col("vec_id"), col("best.cell").as("cell"))
+    val resid = Similarity.residualFrame(af, coarse, eg)
+    val pSeed = resid.orderBy("vec_id").limit(Similarity.PQ_K)
+      .select(col("vec_id").cast("int").as("cell"), col("qa"))
+      .collect().flatMap { r =>
+        val cell = r.getInt(0)
+        val qa = r.getSeq[Long](1)
+        (0 until Similarity.PQ_M).map(m => (m, cell,
+          qa.slice(m * Similarity.PQ_SUBDIM,
+            (m + 1) * Similarity.PQ_SUBDIM).toSeq))
+      }.toSeq.sortBy(t => (t._1, t._2))
+    val subcents = Similarity.pqLloyd(resid.select("vec_id", "qa"), pSeed)
+    writeMeta(spark, indexDir, coarse, subcents)
+  }
+
+  /** Encode `batch` (vec_id, embedding) with the persisted codebooks
+    * and append it to the index; returns the appended
+    * (vec_id, codes, cell) rows. Throws if [[create]] never ran. */
+  def add(spark: SparkSession, indexDir: String,
+      batch: DataFrame): DataFrame = {
+    val (coarse, subcents) = readMeta(spark, indexDir)
+    val eg = Similarity.gridFrame(spark, batch)
+    val af = Similarity.coarseWithBest(eg, coarse)
+      .select(col("vec_id"), col("best.cell").as("cell"))
+    // residual + PQ codes, all frozen-codebook per-row argmins; codes
+    // pack to one M-int array per vector (the FAISS code layout —
+    // serve storage ∝ M ints, never the raw embedding)
+    val coded = Similarity.pqWithBest(
+        Similarity.residualFrame(af, coarse, eg), subcents)
+      .select(col("vec_id"),
+        expr("transform(ba, b -> b.cell)").as("codes"), col("cell"))
+      // the index append and the caller must agree; materialize once
+      .localCheckpoint(true)
+    // cluster by cell before the dynamic-partition write (NearDupIndex's
+    // one-file-per-partition discipline, same explicit-count rationale)
+    val writeTasks = math.min(COARSE_K,
+      spark.sparkContext.defaultParallelism)
+    coded.repartition(writeTasks, col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(indexDir)
+    coded
+  }
+
+  /** Top-`k` ADC search of `queries` (vec_id, embedding) against the
+    * persisted index at `nprobe` coarse cells per query — q96's serve
+    * shape over frozen codebooks. Output (q_id, n_id, adist, rk),
+    * ordered. The (sub, code, p_cell) equi-join keys the broadcast LUT
+    * against the index's PARTITION column, so the scan prunes to probed
+    * cells (dynamic partition pruning on a real cluster). */
+  def search(spark: SparkSession, indexDir: String, queries: DataFrame,
+      k: Int = 5, nprobe: Int = 2): DataFrame = {
+    val (coarse, subcents) = readMeta(spark, indexDir)
+    // query-side grid, inline (≤ a handful of rows — no corpus spread)
+    val qg = queries.select(col("vec_id"),
+      expr(Similarity.gridSql).as("qa"))
+    val lut = Similarity.probeLut(qg, coarse, subcents, nprobe)
+    val cand = readIndex(spark, indexDir)
+      .select(col("vec_id").as("n_id"), col("cell").as("p_cell"),
+        posexplode(col("codes")).as(Seq("sub", "code")))
+    val wTop = Window.partitionBy("q_id").orderBy(asc("adist"), asc("n_id"))
+    cand.join(broadcast(lut), Seq("sub", "code", "p_cell"))
+      .filter(col("n_id") =!= col("q_id"))
+      .groupBy("q_id", "n_id")
+      .agg(sum("d2q").as("adist"))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("n_id"), col("adist"),
+        col("rk").cast("long").as("rk"))
+      .orderBy("q_id", "rk")
+  }
+
+  /** COMPACT the code table: one file per cell partition, content
+    * invariant, codebook meta carried by the shared rewrite-and-swap
+    * (single-writer caveat documented at DedupIndex.rewriteAndSwap). */
+  def compact(spark: SparkSession, indexDir: String): Unit =
+    DedupIndex.rewriteAndSwap(spark, indexDir) { tmp =>
+      readIndex(spark, indexDir)
+        .repartition(math.min(COARSE_K,
+          spark.sparkContext.defaultParallelism), col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    }
+
+  /** The persisted code table (empty relation before the first add). */
+  def readIndex(spark: SparkSession, indexDir: String): DataFrame =
+    DedupIndex.readOrEmpty(spark, indexDir, indexSchema)
+
+  // ---- codebook persistence -------------------------------------------
+
+  /** Persist both codebooks as `indexDir/_graft_meta` (text lines:
+    * `C cell v,..` per coarse centroid, `P sub cell v,..` per
+    * sub-centroid — ~k·d + M·K·subdim grid longs, bounded). A one-shot
+    * exclusive create: an existing meta file (codebooks already
+    * trained) throws. */
+  private def writeMeta(spark: SparkSession, indexDir: String,
+      coarse: Seq[(Int, Seq[Long])],
+      subcents: Seq[(Int, Int, Seq[Long])]): Unit = {
+    val path = new org.apache.hadoop.fs.Path(indexDir, "_graft_meta")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path))
+      throw new IllegalStateException(
+        s"IvfPqIndex at $indexDir already has trained codebooks; they are " +
+          "frozen at create (admitted codes are encoded against them) — " +
+          "retraining means building a new index")
+    fs.mkdirs(path.getParent)
+    val sb = new StringBuilder
+    coarse.foreach { case (cell, c) =>
+      sb.append("C ").append(cell).append(' ')
+        .append(c.mkString(",")).append('\n')
+    }
+    subcents.foreach { case (sub, cell, c) =>
+      sb.append("P ").append(sub).append(' ').append(cell).append(' ')
+        .append(c.mkString(",")).append('\n')
+    }
+    val out = fs.create(path, false)
+    try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readMeta(spark: SparkSession, indexDir: String)
+      : (Seq[(Int, Seq[Long])], Seq[(Int, Int, Seq[Long])]) = {
+    val path = new org.apache.hadoop.fs.Path(indexDir, "_graft_meta")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path))
+      throw new IllegalStateException(
+        s"IvfPqIndex at $indexDir has no trained codebooks; call create() " +
+          "with a training frame before add/search")
+    val in = fs.open(path)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+      finally in.close()
+    val coarse = lines.filter(_.startsWith("C ")).map { l =>
+      val Array(_, cell, vs) = l.split(" ", 3)
+      cell.toInt -> vs.split(",").map(_.toLong).toSeq
+    }
+    val subcents = lines.filter(_.startsWith("P ")).map { l =>
+      val Array(_, sub, cell, vs) = l.split(" ", 4)
+      (sub.toInt, cell.toInt, vs.split(",").map(_.toLong).toSeq)
+    }
+    (coarse, subcents)
+  }
+
+  // ---- registry -------------------------------------------------------
+
+  /** Build the deterministic two-batch index: codebooks trained on
+    * batch A ONLY (even vec_ids), then A and B (odd) admitted against
+    * the frozen codebooks — so B is encoded by codebooks that never saw
+    * it, the property that distinguishes this index from q93's
+    * retrain-per-query composition. Fresh temp dir per invocation. */
+  private def twoBatchIndex(s: SparkSession, dir: String): String = {
+    val e = Tables(s, dir, "embeddings")
+    val idx = java.nio.file.Files.createTempDirectory("graft-q97-idx")
+      .resolve("index").toString
+    val batchA = e.filter(col("vec_id") % 2 === 0)
+      .select("vec_id", "embedding")
+    val batchB = e.filter(col("vec_id") % 2 === 1)
+      .select("vec_id", "embedding")
+    create(s, idx, batchA)
+    add(s, idx, batchA)
+    add(s, idx, batchB)
+    idx
+  }
+
+  /** The split-training oracle CTEs: q81's coarse rounds and q93's
+    * residual-PQ rounds, with every TRAINING aggregate restricted to
+    * batch A (`vec_id % 2 = 0`) and the seeds taken as the smallest
+    * training ids — while the final assignments `af` (coarse cells) and
+    * `paf` (PQ codes) run over ALL vectors, mirroring add()'s
+    * frozen-codebook encoding of both batches. Defines the same
+    * pts/c2/af/rp/pc2/paf names as Similarity's full-corpus CTEs so
+    * [[Similarity.pqMultiProbeSql]] composes unchanged on top. */
+  private lazy val splitTrainSql =
+    s"""pts AS (
+      |  SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,
+      |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS q
+      |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) t(i)),
+      |cs AS (SELECT vec_id FROM embeddings WHERE vec_id % 2 = 0
+      |       ORDER BY vec_id LIMIT $COARSE_K),
+      |c0 AS (SELECT CAST(p.vec_id AS INTEGER) AS cell, p.dim, p.q AS c
+      |       FROM pts p JOIN cs ON p.vec_id = cs.vec_id),
+      |d1 AS (SELECT p.vec_id, c.cell,
+      |         CAST(sum((p.q - c.c) * (p.q - c.c)) AS BIGINT) AS d2
+      |       FROM pts p JOIN c0 c ON p.dim = c.dim
+      |       WHERE p.vec_id % 2 = 0
+      |       GROUP BY 1, 2),
+      |a1 AS (SELECT vec_id, cell FROM (
+      |        SELECT vec_id, cell,
+      |          row_number() OVER (PARTITION BY vec_id
+      |            ORDER BY d2, cell) AS rn
+      |        FROM d1) WHERE rn = 1),
+      |c1 AS (SELECT cell, dim,
+      |         (2*s + n - ((((2*s + n) % (2*n)) + 2*n) % (2*n))) // (2*n)
+      |           AS c
+      |       FROM (SELECT a.cell, p.dim, CAST(sum(p.q) AS BIGINT) AS s,
+      |               CAST(count(*) AS BIGINT) AS n
+      |             FROM pts p JOIN a1 a ON p.vec_id = a.vec_id
+      |             GROUP BY 1, 2)),
+      |d2r AS (SELECT p.vec_id, c.cell,
+      |          CAST(sum((p.q - c.c) * (p.q - c.c)) AS BIGINT) AS d2
+      |        FROM pts p JOIN c1 c ON p.dim = c.dim
+      |        WHERE p.vec_id % 2 = 0
+      |        GROUP BY 1, 2),
+      |a2 AS (SELECT vec_id, cell FROM (
+      |        SELECT vec_id, cell,
+      |          row_number() OVER (PARTITION BY vec_id
+      |            ORDER BY d2, cell) AS rn
+      |        FROM d2r) WHERE rn = 1),
+      |c2 AS (SELECT cell, dim,
+      |         (2*s + n - ((((2*s + n) % (2*n)) + 2*n) % (2*n))) // (2*n)
+      |           AS c
+      |       FROM (SELECT a.cell, p.dim, CAST(sum(p.q) AS BIGINT) AS s,
+      |               CAST(count(*) AS BIGINT) AS n
+      |             FROM pts p JOIN a2 a ON p.vec_id = a.vec_id
+      |             GROUP BY 1, 2)),
+      |df AS (SELECT p.vec_id, c.cell,
+      |         CAST(sum((p.q - c.c) * (p.q - c.c)) AS BIGINT) AS d2
+      |       FROM pts p JOIN c2 c ON p.dim = c.dim
+      |       GROUP BY 1, 2),
+      |af AS (SELECT vec_id, cell FROM (
+      |        SELECT vec_id, cell,
+      |          row_number() OVER (PARTITION BY vec_id
+      |            ORDER BY d2, cell) AS rn
+      |        FROM df) WHERE rn = 1),
+      |rp AS (SELECT p.vec_id,
+      |         CAST(p.dim // ${Similarity.PQ_SUBDIM} AS INTEGER) AS sub,
+      |         p.dim, p.q - c.c AS q
+      |       FROM pts p
+      |       JOIN af a ON p.vec_id = a.vec_id
+      |       JOIN c2 c ON c.cell = a.cell AND c.dim = p.dim),
+      |ps AS (SELECT vec_id FROM embeddings WHERE vec_id % 2 = 0
+      |       ORDER BY vec_id LIMIT ${Similarity.PQ_K}),
+      |pc0 AS (SELECT r.sub, CAST(r.vec_id AS INTEGER) AS cell, r.dim,
+      |          r.q AS c
+      |        FROM rp r JOIN ps ON r.vec_id = ps.vec_id),
+      |pd1 AS (SELECT p.vec_id, c.sub, c.cell,
+      |          CAST(sum((p.q - c.c) * (p.q - c.c)) AS BIGINT) AS d2
+      |        FROM rp p JOIN pc0 c ON p.dim = c.dim
+      |        WHERE p.vec_id % 2 = 0
+      |        GROUP BY 1, 2, 3),
+      |pa1 AS (SELECT vec_id, sub, cell FROM (
+      |         SELECT vec_id, sub, cell,
+      |           row_number() OVER (PARTITION BY vec_id, sub
+      |             ORDER BY d2, cell) AS rn
+      |         FROM pd1) WHERE rn = 1),
+      |pc1 AS (SELECT sub, cell, dim,
+      |          (2*s + n - ((((2*s + n) % (2*n)) + 2*n) % (2*n))) // (2*n)
+      |            AS c
+      |        FROM (SELECT a.sub, a.cell, p.dim,
+      |                CAST(sum(p.q) AS BIGINT) AS s,
+      |                CAST(count(*) AS BIGINT) AS n
+      |              FROM rp p
+      |              JOIN pa1 a ON p.vec_id = a.vec_id AND p.sub = a.sub
+      |              GROUP BY 1, 2, 3)),
+      |pd2 AS (SELECT p.vec_id, c.sub, c.cell,
+      |          CAST(sum((p.q - c.c) * (p.q - c.c)) AS BIGINT) AS d2
+      |        FROM rp p JOIN pc1 c ON p.dim = c.dim
+      |        WHERE p.vec_id % 2 = 0
+      |        GROUP BY 1, 2, 3),
+      |pa2 AS (SELECT vec_id, sub, cell FROM (
+      |         SELECT vec_id, sub, cell,
+      |           row_number() OVER (PARTITION BY vec_id, sub
+      |             ORDER BY d2, cell) AS rn
+      |         FROM pd2) WHERE rn = 1),
+      |pc2 AS (SELECT sub, cell, dim,
+      |          (2*s + n - ((((2*s + n) % (2*n)) + 2*n) % (2*n))) // (2*n)
+      |            AS c
+      |        FROM (SELECT a.sub, a.cell, p.dim,
+      |                CAST(sum(p.q) AS BIGINT) AS s,
+      |                CAST(count(*) AS BIGINT) AS n
+      |              FROM rp p
+      |              JOIN pa2 a ON p.vec_id = a.vec_id AND p.sub = a.sub
+      |              GROUP BY 1, 2, 3)),
+      |pdf AS (SELECT p.vec_id, c.sub, c.cell,
+      |          CAST(sum((p.q - c.c) * (p.q - c.c)) AS BIGINT) AS d2
+      |        FROM rp p JOIN pc2 c ON p.dim = c.dim
+      |        GROUP BY 1, 2, 3),
+      |paf AS (SELECT vec_id, sub, cell FROM (
+      |         SELECT vec_id, sub, cell,
+      |           row_number() OVER (PARTITION BY vec_id, sub
+      |             ORDER BY d2, cell) AS rn
+      |         FROM pdf) WHERE rn = 1)""".stripMargin
+
+  /** Persisted-index CONTENTS under the full oracle gate: create on
+    * batch A, add both batches, COMPACT (layout change must be
+    * content-invariant, q92's discipline), then hold every vector's
+    * coarse cell and all 32 PQ codes to the split-training oracle. A
+    * single drifted code anywhere in the table breaks the hash. */
+  private val q97IvfPqIndex = QueryDef(
+    (s, dir) => {
+      val idx = twoBatchIndex(s, dir)
+      compact(s, idx)
+      readIndex(s, idx)
+        .select(col("vec_id"), col("cell"),
+          posexplode(col("codes")).as(Seq("sub", "code")))
+        .orderBy("vec_id", "sub")
+    },
+    s"""WITH $splitTrainSql
+      |SELECT f.vec_id, a.cell, f.sub, f.cell AS code
+      |FROM paf f JOIN af a ON f.vec_id = a.vec_id
+      |ORDER BY f.vec_id, f.sub""")
+
+  /** Persisted-index SEARCH under the full oracle gate: q96's nprobe=2
+    * multi-probe ADC serve, but from the frozen on-disk codebooks and
+    * code table (batch B scored by codebooks that never saw it). The
+    * oracle composes Similarity.pqMultiProbeSql unchanged over the
+    * split-training CTEs — same serve algebra, different training
+    * population. */
+  private val q98IvfPqIndexSearch = QueryDef(
+    (s, dir) => {
+      val idx = twoBatchIndex(s, dir)
+      val queries = Tables(s, dir, "embeddings")
+        .filter(col("vec_id") < 10)
+        .select("vec_id", "embedding")
+      search(s, idx, queries, k = 5, nprobe = 2)
+    },
+    s"""WITH $splitTrainSql,
+      |${Similarity.pqMultiProbeSql}
+      |SELECT q_id, n_id, adist,
+      |       row_number() OVER (PARTITION BY q_id
+      |         ORDER BY adist, n_id) AS rk
+      |FROM madc QUALIFY rk <= 5 ORDER BY q_id, rk""")
+
+  val defs: Map[String, QueryDef] = Map(
+    "q97_ivfpq_index" -> q97IvfPqIndex,
+    "q98_ivfpq_index_search" -> q98IvfPqIndexSearch,
+  )
+}

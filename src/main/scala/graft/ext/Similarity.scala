@@ -472,10 +472,16 @@ object Similarity {
     * cluster and materialized once — seed, every update round and the
     * final assignment all read this 2-column frame instead of
     * re-scanning + re-transforming the parquet per round. */
+  /** The float→integer-grid transform (round(x·1000) longs) every
+    * trained operator quantizes through — kept as one SQL string so the
+    * grid definition cannot drift between the corpus-side [[gridFrame]]
+    * and query-side callers (IvfPqIndex.search grids its query frame
+    * inline, without the corpus spread/checkpoint). */
+  private[ext] val gridSql =
+    "transform(embedding, x -> cast(round(cast(x as double) * 1000, 0) as bigint))"
+
   private[ext] def gridFrame(s: SparkSession, vecs: DataFrame): DataFrame =
-    vecs.select(col("vec_id"), expr(
-        "transform(embedding, x -> cast(round(cast(x as double) * 1000, 0) as bigint))")
-        .as("qa"))
+    vecs.select(col("vec_id"), expr(gridSql).as("qa"))
       .repartition(s.sparkContext.defaultParallelism)
       .localCheckpoint(true)
 
@@ -1248,7 +1254,7 @@ object Similarity {
     * multi-probe ADC sums `madc` (each candidate scored through the LUT
     * of the cell it lives in). Shared by the q96 serve and q94's
     * nprobe=2 acceptance columns. */
-  private lazy val pqMultiProbeSql =
+  private[ext] lazy val pqMultiProbeSql =
     s"""qc AS (SELECT vec_id AS q_id, cell AS p_cell, p_rank FROM (
       |        SELECT p.vec_id, c.cell,
       |          row_number() OVER (PARTITION BY p.vec_id
