@@ -26,21 +26,29 @@ import graft.core.{QueryDef, Tables}
   *    state (k·d + M·K·subdim grid longs), invisible to the parquet
   *    reader. Codebooks are IMMUTABLE: a second create throws (retrain
   *    = new index, exactly FAISS's contract).
-  *  - [[add]] encodes a batch with the FROZEN codebooks — coarse cell
-  *    by per-row argmin, residual on the integer grid, PQ codes via the
-  *    native pq_argmin — and appends (vec_id, codes) PARTITIONED BY
-  *    cell. Encoding never looks at previously indexed vectors, so adds
-  *    are embarrassingly batch-parallel and a retry re-derives
-  *    identical rows.
+  *  - [[add]] encodes a run's batch with the FROZEN codebooks — coarse
+  *    cell by per-row argmin, residual on the integer grid, PQ codes
+  *    via the native pq_argmin — and OVERWRITES
+  *    `indexDir/batch=<runId>/cell=<c>/`. Encoding never looks at
+  *    previously indexed vectors, and the per-run overwrite makes adds
+  *    IDEMPOTENT: a replayed run rewrites its own partition
+  *    byte-identically instead of appending duplicates. That matters
+  *    here more than in the other indexes: a duplicated code row would
+  *    not just waste probe space, it would double-count that vector's
+  *    ADC sub-terms and corrupt its serve distance.
   *  - [[search]] is q96's multi-probe ADC serve against the persisted
   *    code table: per-query nprobe-cell LUT (broadcast), candidates
   *    joined on (sub, code, cell) — the cell equi-key lines up with the
   *    index's PARTITION column, so a real cluster dynamically prunes
   *    the scan to probed cells; cost ∝ probed-cell sizes, over M-int
   *    codes, never raw vectors.
-  *  - [[compact]] is the q92/q95 maintenance op: one file per cell
-  *    partition, content-invariant, codebook meta carried by the
-  *    shared rewrite-and-swap.
+  *  - [[compact]] is the q92/q95 maintenance op: committed runs
+  *    collapse into the reserved `batch=-1` epoch at one file per cell,
+  *    content-invariant, codebook meta carried by the shared
+  *    rewrite-and-swap. The streaming twin compacts at the START of a
+  *    micro-batch with the in-flight runId EXCLUDED, so an uncommitted
+  *    (replayable) run is never merged into the epoch — the replay
+  *    simply rewrites its own partition.
   *
   * The whole lifecycle stays on the integer grid (residuals close over
   * it; both trainers and both argmins are BIGINT), so create→add→add→
@@ -55,9 +63,13 @@ object IvfPqIndex {
     * vec_ids, cell id = the seed's vec_id). */
   private[ext] val COARSE_K = 8
 
+  /** `batch` and `cell` are PARTITION columns (directory levels, in
+    * that order); `batch` is the admitting run's id, with -1 reserved
+    * for the compacted epoch. */
   private val indexSchema = StructType(Seq(
     StructField("vec_id", LongType),
     StructField("codes", ArrayType(IntegerType)),
+    StructField("batch", LongType),
     StructField("cell", IntegerType)))
 
   /** Train both codebooks on `train` (vec_id, embedding) and persist
@@ -88,11 +100,15 @@ object IvfPqIndex {
     writeMeta(spark, indexDir, coarse, subcents)
   }
 
-  /** Encode `batch` (vec_id, embedding) with the persisted codebooks
-    * and append it to the index; returns the appended
-    * (vec_id, codes, cell) rows. Throws if [[create]] never ran. */
-  def add(spark: SparkSession, indexDir: String,
-      batch: DataFrame): DataFrame = {
+  /** Encode run `runId`'s `batch` (vec_id, embedding) with the
+    * persisted codebooks and OVERWRITE the run's index partition
+    * `indexDir/batch=<runId>/` — idempotent per run id, so a replay
+    * rewrites the same rows instead of appending duplicates. Returns
+    * the written (vec_id, codes, cell) rows. Throws if [[create]]
+    * never ran, or on the reserved runId -1 (the compacted epoch). */
+  def add(spark: SparkSession, indexDir: String, batch: DataFrame,
+      runId: Long): DataFrame = {
+    require(runId >= 0, "runId -1 is reserved for the compacted epoch")
     val (coarse, subcents) = readMeta(spark, indexDir)
     val eg = Similarity.gridFrame(spark, batch)
     val af = Similarity.coarseWithBest(eg, coarse)
@@ -104,14 +120,15 @@ object IvfPqIndex {
         Similarity.residualFrame(af, coarse, eg), subcents)
       .select(col("vec_id"),
         expr("transform(ba, b -> b.cell)").as("codes"), col("cell"))
-      // the index append and the caller must agree; materialize once
+      // the index write and the caller must agree; materialize once
       .localCheckpoint(true)
     // cluster by cell before the dynamic-partition write (NearDupIndex's
     // one-file-per-partition discipline, same explicit-count rationale)
     val writeTasks = math.min(COARSE_K,
       spark.sparkContext.defaultParallelism)
     coded.repartition(writeTasks, col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(indexDir)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexDir/batch=$runId")
     coded
   }
 
@@ -143,18 +160,33 @@ object IvfPqIndex {
       .orderBy("q_id", "rk")
   }
 
-  /** COMPACT the code table: one file per cell partition, content
-    * invariant, codebook meta carried by the shared rewrite-and-swap
-    * (single-writer caveat documented at DedupIndex.rewriteAndSwap). */
-  def compact(spark: SparkSession, indexDir: String): Unit =
+  /** COMPACT the code table: collapse all run partitions into the
+    * reserved `batch=-1` epoch at one file per cell — content invariant
+    * (modulo the batch bookkeeping column), codebook meta carried by
+    * the shared rewrite-and-swap (single-writer caveat documented at
+    * DedupIndex.rewriteAndSwap). `excludeBatch` leaves one run OUT of
+    * the rewrite entirely (its rows are dropped, its directory is not
+    * carried): the streaming twin passes its IN-FLIGHT runId here,
+    * compacting only committed runs at the start of the micro-batch —
+    * an uncommitted run is replayable, and its replay rewrites the
+    * whole partition anyway, so merging (or keeping) a half-written
+    * attempt would double its rows after the replay. */
+  def compact(spark: SparkSession, indexDir: String,
+      excludeBatch: Option[Long] = None): Unit =
     DedupIndex.rewriteAndSwap(spark, indexDir) { tmp =>
-      readIndex(spark, indexDir)
+      val live = excludeBatch.foldLeft(readIndex(spark, indexDir)) {
+        (df, b) => df.filter(col("batch") =!= b)
+      }
+      live.drop("batch").withColumn("batch", lit(-1L))
         .repartition(math.min(COARSE_K,
           spark.sparkContext.defaultParallelism), col("cell"))
-        .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+        .write.mode("overwrite").partitionBy("batch", "cell").parquet(tmp)
     }
 
-  /** The persisted code table (empty relation before the first add). */
+  /** The persisted code table (empty relation before the first add).
+    * Partition discovery resolves the `batch=<run>/cell=<c>` levels
+    * against the explicit schema, so flat-empty, single-run and
+    * compacted layouts all read uniformly. */
   def readIndex(spark: SparkSession, indexDir: String): DataFrame =
     DedupIndex.readOrEmpty(spark, indexDir, indexSchema)
 
@@ -228,8 +260,8 @@ object IvfPqIndex {
     val batchB = e.filter(col("vec_id") % 2 === 1)
       .select("vec_id", "embedding")
     create(s, idx, batchA)
-    add(s, idx, batchA)
-    add(s, idx, batchB)
+    add(s, idx, batchA, runId = 0L)
+    add(s, idx, batchB, runId = 1L)
     idx
   }
 

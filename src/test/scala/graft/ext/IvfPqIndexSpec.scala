@@ -27,8 +27,9 @@ class IvfPqIndexSpec extends SparkSpec {
     val all = corpus(40)
     val train = all.filter(col("vec_id") % 2 === 0)
     IvfPqIndex.create(spark, idx, train)
-    IvfPqIndex.add(spark, idx, train)
-    IvfPqIndex.add(spark, idx, all.filter(col("vec_id") % 2 === 1))
+    IvfPqIndex.add(spark, idx, train, runId = 0L)
+    IvfPqIndex.add(spark, idx, all.filter(col("vec_id") % 2 === 1),
+      runId = 1L)
     val rows = IvfPqIndex.readIndex(spark, idx)
       .select(col("vec_id"), size(col("codes")).as("m"), col("cell"))
       .collect()
@@ -55,18 +56,39 @@ class IvfPqIndexSpec extends SparkSpec {
     // batch added to either index (the frozen-encoding contract)
     IvfPqIndex.create(spark, idx2, train)
     val batch = all.filter(col("vec_id") >= 20)
-    def codesOf(idx: String) = IvfPqIndex.add(spark, idx, batch)
+    def codesOf(idx: String) = IvfPqIndex.add(spark, idx, batch, runId = 7L)
       .select("vec_id", "codes", "cell").collect()
       .map(r => (r.getLong(0), r.getSeq[Int](1).toSeq, r.getInt(2)))
       .sortBy(_._1).toSeq
     assert(codesOf(idx1) == codesOf(idx2))
   }
 
+  test("add is idempotent per runId: a replayed run overwrites its own " +
+      "partition instead of appending duplicate code rows") {
+    val idx = Files.createTempDirectory("ivfpq-idx6").toString + "/index"
+    val all = corpus(20)
+    IvfPqIndex.create(spark, idx, all)
+    IvfPqIndex.add(spark, idx, all, runId = 0L)
+    val once = IvfPqIndex.readIndex(spark, idx)
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toSeq))
+      .sortBy(_._1).toSeq
+    // the kill-mid-batch replay path: same runId, same batch
+    IvfPqIndex.add(spark, idx, all, runId = 0L)
+    val twice = IvfPqIndex.readIndex(spark, idx)
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toSeq))
+      .sortBy(_._1).toSeq
+    assert(twice == once, "replayed add changed the index contents")
+    // the reserved epoch id is rejected
+    intercept[IllegalArgumentException] {
+      IvfPqIndex.add(spark, idx, all, runId = -1L)
+    }
+  }
+
   test("add/search before create throw the no-codebooks contract") {
     val idx = Files.createTempDirectory("ivfpq-idx3").toString + "/index"
     val b = corpus(5)
     val exAdd = intercept[IllegalStateException] {
-      IvfPqIndex.add(spark, idx, b)
+      IvfPqIndex.add(spark, idx, b, runId = 0L)
     }
     assert(exAdd.getMessage.contains("no trained codebooks"))
     intercept[IllegalStateException] {
@@ -79,10 +101,10 @@ class IvfPqIndexSpec extends SparkSpec {
     val idx = Files.createTempDirectory("ivfpq-idx4").toString + "/index"
     val all = corpus(40)
     IvfPqIndex.create(spark, idx, all)
-    IvfPqIndex.add(spark, idx, all)
+    IvfPqIndex.add(spark, idx, all, runId = 0L)
     // vec 100 duplicates vec 3's embedding exactly: identical grid →
     // identical cell and codes → minimal possible ADC distance
-    IvfPqIndex.add(spark, idx, df(100L -> vec(4)))
+    IvfPqIndex.add(spark, idx, df(100L -> vec(4)), runId = 1L)
     val q = df(3L -> vec(4))
     val res = IvfPqIndex.search(spark, idx, q, k = 5, nprobe = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
@@ -91,32 +113,40 @@ class IvfPqIndexSpec extends SparkSpec {
     assert(res.exists(_._2 == 100L), "exact duplicate missing from top-5")
   }
 
-  test("compact: one file per cell partition, contents invariant, and " +
-      "the codebook meta survives so search still serves") {
+  test("compact: runs collapse into the batch=-1 epoch at one file per " +
+      "cell, contents invariant, and the codebook meta survives") {
     val idx = Files.createTempDirectory("ivfpq-idx5").toString + "/index"
     val all = corpus(30)
     IvfPqIndex.create(spark, idx, all)
-    // three appends decay the layout
+    // three runs decay the layout
     (0 until 3).foreach { k =>
-      IvfPqIndex.add(spark, idx, all.filter(col("vec_id") % 3 === k))
+      IvfPqIndex.add(spark, idx, all.filter(col("vec_id") % 3 === k),
+        runId = k.toLong)
     }
-    val before = IvfPqIndex.readIndex(spark, idx)
+    def contents = IvfPqIndex.readIndex(spark, idx)
+      .select("vec_id", "codes", "cell")
       .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toSeq, r.getInt(2)))
       .sortBy(_._1).toSeq
+    val before = contents
     IvfPqIndex.compact(spark, idx)
-    def filesPerCell = new java.io.File(idx).listFiles()
+    // layout: exactly one batch=-1 epoch dir, one parquet file per cell
+    val batchDirs = new java.io.File(idx).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+    assert(batchDirs.map(_.getName).toSeq == Seq("batch=-1"))
+    val filesPerCell = batchDirs.head.listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("cell="))
       .map(d => d.getName ->
         d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
-    val after = filesPerCell
-    assert(after.nonEmpty && after.values.forall(_ == 1),
-      s"compaction left multi-file cells: $after")
-    val afterRows = IvfPqIndex.readIndex(spark, idx)
-      .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toSeq, r.getInt(2)))
-      .sortBy(_._1).toSeq
-    assert(afterRows == before)
+    assert(filesPerCell.nonEmpty && filesPerCell.values.forall(_ == 1),
+      s"compaction left multi-file cells: $filesPerCell")
+    assert(contents == before)
     // meta carried: search (needs codebooks) still runs post-swap
     assert(IvfPqIndex.search(spark, idx, df(0L -> vec(1)), k = 3)
       .count() == 3)
+    // excludeBatch drops the in-flight run from the rewrite: its rows
+    // disappear (the replay re-derives them), committed rows remain
+    IvfPqIndex.add(spark, idx, df(200L -> vec(77)), runId = 9L)
+    IvfPqIndex.compact(spark, idx, excludeBatch = Some(9L))
+    assert(contents == before, "excluded run leaked into the epoch")
   }
 }
