@@ -1206,8 +1206,13 @@ object Similarity {
       val (af, coarse, eg) = trainedModel(s, dir)
       val resid = residualFrame(af, coarse, eg)
       val (codes, subcents) = pqTrainOn(resid.select("vec_id", "qa"))
+      // candidate cell aliased to the LUT's q_cell so the cell sits IN
+      // the broadcast-hash-join KEY: a candidate's lookup hits only the
+      // queries probing ITS cell, instead of every query sharing a
+      // (sub, code) and a post-join cell filter — map-side work stays
+      // bounded by cell membership as the query batch grows
       val cand = codes.select(col("vec_id").as("n_id"), col("sub"), col("code"))
-        .join(af.select(col("vec_id").as("n_id"), col("cell").as("n_cell")),
+        .join(af.select(col("vec_id").as("n_id"), col("cell").as("q_cell")),
           Seq("n_id"))
       // query-side ADC lookup table over the query's own residual
       val qd = resid.filter(col("vec_id") < 10)
@@ -1217,9 +1222,8 @@ object Similarity {
         .select(col("q_id"), col("q_cell"), col("t.sub").as("sub"),
           col("t.code").as("code"), col("t.d2q").as("d2q"))
       val wTop = Window.partitionBy("q_id").orderBy(asc("adist"), asc("n_id"))
-      cand.join(broadcast(qd), Seq("sub", "code"))
-        .filter(col("n_cell") === col("q_cell") &&
-          col("n_id") =!= col("q_id"))
+      cand.join(broadcast(qd), Seq("sub", "code", "q_cell"))
+        .filter(col("n_id") =!= col("q_id"))
         .groupBy("q_id", "n_id")
         .agg(sum("d2q").as("adist"))
         .withColumn("rk", row_number().over(wTop))
@@ -1306,13 +1310,14 @@ object Similarity {
       val (codes, subcents) = pqTrainOn(resid.select("vec_id", "qa"))
       val lut = probeLut(eg.filter(col("vec_id") < 10), coarse, subcents,
         nprobe = 2)
+      // cell in the join KEY (q93's discipline): lookups bounded by the
+      // queries probing the candidate's own cell
       val cand = codes.select(col("vec_id").as("n_id"), col("sub"), col("code"))
-        .join(af.select(col("vec_id").as("n_id"), col("cell").as("n_cell")),
+        .join(af.select(col("vec_id").as("n_id"), col("cell").as("p_cell")),
           Seq("n_id"))
       val wTop = Window.partitionBy("q_id").orderBy(asc("adist"), asc("n_id"))
-      cand.join(broadcast(lut), Seq("sub", "code"))
-        .filter(col("n_cell") === col("p_cell") &&
-          col("n_id") =!= col("q_id"))
+      cand.join(broadcast(lut), Seq("sub", "code", "p_cell"))
+        .filter(col("n_id") =!= col("q_id"))
         .groupBy("q_id", "n_id")
         .agg(sum("d2q").as("adist"))
         .withColumn("rk", row_number().over(wTop))
@@ -1368,14 +1373,15 @@ object Similarity {
       // own (d2, cell) argmin, so the two serves can't drift apart.
       val lut = probeLut(eg.filter(col("vec_id") < 10), coarse, subcents,
         nprobe = 2)
+      // cell in the join KEY (q93's discipline): lookups bounded by the
+      // queries probing the candidate's own cell
       val cand = codes.select(col("vec_id").as("n_id"), col("sub"), col("code"))
-        .join(af.select(col("vec_id").as("n_id"), col("cell").as("n_cell")),
+        .join(af.select(col("vec_id").as("n_id"), col("cell").as("p_cell")),
           Seq("n_id"))
       def adcServe(np: Int, srcTag: String): DataFrame =
         cand.join(broadcast(lut.filter(col("p_rank") <= np)),
-            Seq("sub", "code"))
-          .filter(col("n_cell") === col("p_cell") &&
-            col("n_id") =!= col("q_id"))
+            Seq("sub", "code", "p_cell"))
+          .filter(col("n_id") =!= col("q_id"))
           .groupBy("q_id", "n_id")
           .agg(sum("d2q").as("adist"))
           .select(lit(srcTag).as("src"), col("q_id"), col("n_id"),
