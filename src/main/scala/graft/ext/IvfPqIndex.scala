@@ -424,8 +424,74 @@ object IvfPqIndex {
       |         ORDER BY adist, n_id) AS rk
       |FROM madc QUALIFY rk <= 5 ORDER BY q_id, rk""")
 
+  /** SPLIT-TRAINING acceptance row — the number a team reads before
+    * adopting train-once/add-forever: q94 prices quantization and
+    * probing with codebooks trained on the FULL corpus (recall_pq2),
+    * but a persisted index trains on whatever sample existed at create
+    * time. This row serves the two-batch index (codebooks from batch A
+    * alone) at nprobe=2 against the exact grid-L2 top-5 ground truth —
+    * recall_split vs q94's recall_pq2 IS the sample-training cost,
+    * measured, not assumed. Same BIGINT/tie-break discipline as q94;
+    * the ground-truth broadcast NLJ and one-row combine are the
+    * PlanGuard-allowlisted instrument shapes. */
+  private val q99IvfPqSplitRecall = QueryDef(
+    (s, dir) => {
+      val idx = twoBatchIndex(s, dir)
+      val e = Tables(s, dir, "embeddings")
+      val served = search(s, idx,
+          e.filter(col("vec_id") < 10).select("vec_id", "embedding"),
+          k = 5, nprobe = 2)
+        .select("q_id", "n_id")
+      val eg = Similarity.gridFrame(s, e)
+      val q = eg.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("qa").as("q_qa"))
+      val d2 = expr(
+        """aggregate(zip_with(qa, q_qa, (a, b) -> (a - b) * (a - b)),
+          |  cast(0 as bigint), (acc, x) -> acc + x)""".stripMargin)
+      val exact = eg.select(col("vec_id").as("n_id"), col("qa"))
+        .join(broadcast(q), col("n_id") =!= col("q_id"))
+        .select(col("q_id"), col("n_id"), d2.as("adist"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("q_id").orderBy(asc("adist"), asc("n_id"))))
+        .filter(col("rk") <= 5)
+        .select("q_id", "n_id")
+      val hits = served.join(exact, Seq("q_id", "n_id"), "left_semi")
+        .agg(count(lit(1)).as("hits_split"))
+      q.agg(count(lit(1)).as("n_queries"))
+        .crossJoin(broadcast(hits))
+        .select(col("n_queries"), col("hits_split"),
+          (col("hits_split").cast("double") / (col("n_queries") * 5))
+            .as("recall_split"))
+    },
+    s"""WITH $splitTrainSql,
+      |${Similarity.pqMultiProbeSql},
+      |gd AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+      |         CAST(sum((b.q - a.q) * (b.q - a.q)) AS BIGINT) AS adist
+      |       FROM pts a JOIN pts b ON a.dim = b.dim
+      |       WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id
+      |       GROUP BY 1, 2),
+      |ex AS (SELECT q_id, n_id FROM (
+      |        SELECT q_id, n_id,
+      |          row_number() OVER (PARTITION BY q_id
+      |            ORDER BY adist, n_id) AS rk
+      |        FROM gd) WHERE rk <= 5),
+      |mps AS (SELECT q_id, n_id FROM (
+      |         SELECT q_id, n_id,
+      |           row_number() OVER (PARTITION BY q_id
+      |             ORDER BY adist, n_id) AS rk
+      |         FROM madc) WHERE rk <= 5)
+      |SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id < 10)
+      |         AS BIGINT) AS n_queries,
+      |       CAST((SELECT count(*) FROM ex JOIN mps USING (q_id, n_id))
+      |         AS BIGINT) AS hits_split,
+      |       CAST((SELECT count(*) FROM ex JOIN mps USING (q_id, n_id))
+      |           AS DOUBLE) /
+      |         ((SELECT count(*) FROM embeddings WHERE vec_id < 10) * 5)
+      |         AS recall_split""")
+
   val defs: Map[String, QueryDef] = Map(
     "q97_ivfpq_index" -> q97IvfPqIndex,
     "q98_ivfpq_index_search" -> q98IvfPqIndexSearch,
+    "q99_ivfpq_split_recall" -> q99IvfPqSplitRecall,
   )
 }
