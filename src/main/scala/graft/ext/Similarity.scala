@@ -1334,6 +1334,74 @@ object Similarity {
       |         ORDER BY adist, n_id) AS rk
       |FROM madc QUALIFY rk <= 5 ORDER BY q_id, rk""")
 
+  /** IVF-PQ serve with EXACT RE-RANKING — the "refine" stage every
+    * production ADC deployment bolts on (FAISS's IVFPQR shape, Jégou et
+    * al. TPAMI 2011 §V): the quantized serve is cheap but its top-5
+    * ORDER carries quantization error, so the serve widens to an ADC
+    * top-20 SHORTLIST and re-ranks just those candidates by exact
+    * grid-L2 over the raw vectors, fetched BY ID. Recall is bounded by
+    * the shortlist (re-ranking recovers ordering errors, not pruned
+    * candidates), which is why the shortlist is 4× the final k. Output
+    * carries BOTH distances — adist (what the index believed) and d2
+    * (the truth it was refined with) — so the gap per rank is readable
+    * off the row.
+    *
+    * Scale shape: identical to q96 up to the shortlist (cell-keyed
+    * broadcast LUT join, one (q_id, n_id) exchange), then the ≤
+    * queries·20-row shortlist BROADCASTS against the corpus for the
+    * id-equi fetch — exact-distance work ∝ shortlist, never corpus. */
+  private val q100IvfPqRerank = QueryDef(
+    (s, dir) => {
+      val (af, coarse, eg) = trainedModel(s, dir)
+      val resid = residualFrame(af, coarse, eg)
+      val (codes, subcents) = pqTrainOn(resid.select("vec_id", "qa"))
+      val lut = probeLut(eg.filter(col("vec_id") < 10), coarse, subcents,
+        nprobe = 2)
+      val cand = codes.select(col("vec_id").as("n_id"), col("sub"), col("code"))
+        .join(af.select(col("vec_id").as("n_id"), col("cell").as("p_cell")),
+          Seq("n_id"))
+      val wAdc = Window.partitionBy("q_id").orderBy(asc("adist"), asc("n_id"))
+      val shortlist = cand.join(broadcast(lut), Seq("sub", "code", "p_cell"))
+        .filter(col("n_id") =!= col("q_id"))
+        .groupBy("q_id", "n_id")
+        .agg(sum("d2q").as("adist"))
+        .withColumn("ark", row_number().over(wAdc))
+        .filter(col("ark") <= 20)
+        .select("q_id", "n_id", "adist")
+      val q = eg.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("qa").as("q_qa"))
+      val wEx = Window.partitionBy("q_id").orderBy(asc("d2"), asc("n_id"))
+      eg.select(col("vec_id").as("n_id"), col("qa"))
+        .join(broadcast(shortlist), Seq("n_id"))
+        .join(broadcast(q), Seq("q_id"))
+        .withColumn("d2", expr(
+          """aggregate(zip_with(qa, q_qa, (a, b) -> (a - b) * (a - b)),
+            |  cast(0 as bigint), (acc, x) -> acc + x)""".stripMargin))
+        .withColumn("rk", row_number().over(wEx))
+        .filter(col("rk") <= 5)
+        .select(col("q_id"), col("n_id"), col("adist"), col("d2"),
+          col("rk").cast("long").as("rk"))
+        .orderBy("q_id", "rk")
+    },
+    s"""WITH $trainedAssignmentSql,
+      |$pqResidualTrainSql,
+      |$pqMultiProbeSql,
+      |sl AS (SELECT q_id, n_id, adist FROM (
+      |        SELECT q_id, n_id, adist,
+      |          row_number() OVER (PARTITION BY q_id
+      |            ORDER BY adist, n_id) AS ark
+      |        FROM madc) WHERE ark <= 20),
+      |rr AS (SELECT sl.q_id, sl.n_id, sl.adist,
+      |         CAST(sum((b.q - a.q) * (b.q - a.q)) AS BIGINT) AS d2
+      |       FROM sl
+      |       JOIN pts a ON a.vec_id = sl.q_id
+      |       JOIN pts b ON b.vec_id = sl.n_id AND b.dim = a.dim
+      |       GROUP BY 1, 2, 3)
+      |SELECT q_id, n_id, adist, d2,
+      |       row_number() OVER (PARTITION BY q_id
+      |         ORDER BY d2, n_id) AS rk
+      |FROM rr QUALIFY rk <= 5 ORDER BY q_id, rk""")
+
   /** IVF-PQ ACCEPTANCE row — q87's discipline applied to q93: before a
     * pipeline swaps raw-vector serving for PQ codes it needs the recall
     * cost of each approximation STAGE, separately. One row compares,
@@ -1499,6 +1567,7 @@ object Similarity {
     "q93_ivfpq_topk" -> q93IvfPqTopk,
     "q94_ivfpq_recall" -> q94IvfPqRecall,
     "q96_ivfpq_multiprobe" -> q96IvfPqMultiprobe,
+    "q100_ivfpq_rerank" -> q100IvfPqRerank,
     "q34_knn_cosine" -> q34KnnBrute,
     "q35_knn_lsh" -> q35KnnLsh,
     "q59_knn_ivf" -> q59KnnIvf,

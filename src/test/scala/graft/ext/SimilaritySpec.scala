@@ -275,4 +275,56 @@ class SimilaritySpec extends SparkSpec {
           s"q$q rank-k adist worsened with the second probe") }
     }
   }
+
+  test("q100: exact re-rank of the ADC shortlist — d2 is the true grid " +
+      "distance, shared pairs keep q96's adist, and per-query recall " +
+      "can only improve on the un-ranked serve") {
+    val dir = "/root/testdata/sf0.001"
+    val rr = graft.SparkEntry.queries("q100_ivfpq_rerank")(spark, dir)
+      .collect()
+    val adc = graft.SparkEntry.queries("q96_ivfpq_multiprobe")(spark, dir)
+      .collect()
+    assert(rr.nonEmpty)
+    // exact grid-L2 ground truth, computed independently driver-side
+    val grid = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.round(x.toDouble * 1000)).toArray)
+      .toMap
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val exactTop5 = grid.keys.filter(_ < 10).map { q =>
+      q -> grid.keys.filter(_ != q).toSeq
+        .sortBy(n => (d2(grid(q), grid(n)), n)).take(5).toSet
+    }.toMap
+    val adcByQ = adc.groupBy(_.getAs[Long]("q_id"))
+    rr.groupBy(_.getAs[Long]("q_id")).foreach { case (q, g) =>
+      val sorted = g.sortBy(_.getAs[Long]("rk"))
+      assert(sorted.map(_.getAs[Long]("rk")).toSeq == (1L to sorted.length))
+      assert(!g.exists(_.getAs[Long]("n_id") == q))
+      // d2 IS the exact grid distance, and the ranking follows it
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("d2") ==
+          d2(grid(q), grid(r.getAs[Long]("n_id"))))
+      }
+      assert(sorted.map(_.getAs[Long]("d2")).toSeq ==
+        sorted.map(_.getAs[Long]("d2")).sorted.toSeq)
+      // a pair in both top-5s carries the identical ADC distance (the
+      // shortlist is the same serve, just cut at 20 instead of 5)
+      val adcD = adcByQ.getOrElse(q, Array.empty)
+        .map(r => r.getAs[Long]("n_id") -> r.getAs[Long]("adist")).toMap
+      g.foreach { r =>
+        adcD.get(r.getAs[Long]("n_id"))
+          .foreach(a => assert(r.getAs[Long]("adist") == a))
+      }
+      // dominance: an exact-top-5 member in the shortlist always ranks
+      // into the re-ranked top-5 (it beats everything on exact d2), and
+      // the ADC top-5 is a shortlist subset — so hits can only improve
+      val hitsRr = g.map(_.getAs[Long]("n_id")).count(exactTop5(q))
+      val hitsAdc = adcByQ.getOrElse(q, Array.empty)
+        .map(_.getAs[Long]("n_id")).count(exactTop5(q))
+      assert(hitsRr >= hitsAdc,
+        s"q$q re-ranking lost recall: $hitsRr < $hitsAdc")
+    }
+  }
 }
