@@ -361,7 +361,125 @@ object Assembly {
       |SELECT doc_id, lang, n_tokens, quality, split
       |FROM gated ORDER BY doc_id""")
 
+  /** HYBRID retrieval with reciprocal-rank fusion — the standard
+    * two-arm setup every retrieval-based curation stack runs (lexical
+    * index + vector index, fused per query): for each query doc
+    * (doc_id < 10; the fixtures align `embeddings.vec_id` with
+    * `documents.doc_id` — vec k IS doc k's embedding), rank candidates
+    *
+    *  - LEXICALLY by rare-term-weighted overlap: sum of (N − df) over
+    *    the DISTINCT terms shared with the query doc — an idf-weighted
+    *    coordination match kept in BIGINT deliberately, because a
+    *    variable-length float sum (full BM25 per query term) is
+    *    summation-ORDER-sensitive and can't cross the hash gate (q66
+    *    carries the real BM25 algebra over a fixed term set);
+    *  - by VECTOR cosine (the q34-proven exact form);
+    *
+    * cut both arms at top-20, and fuse with RRF at k=60:
+    * `1/(60+r_lex) + 1/(60+r_vec)`, a missing arm contributing 0 — the
+    * fixed two-term sum keeps the double bit-identical cross-engine.
+    * Output carries both arm ranks, so "why did this doc surface" is
+    * readable off the row.
+    *
+    * Scale shape: the lexical arm is an inverted-index probe — the
+    * ≤ 10-query term set BROADCASTS against the (doc, term) postings
+    * (term-keyed equi-join, never all-pairs text), df joins on the
+    * same term key, one (q_id, doc_id) exchange; the vector arm is
+    * q34's broadcast-query scan; fusion is a full outer join of two
+    * ≤ queries·20-row frames. */
+  private val q101HybridRrf = QueryDef(
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val e = Tables(s, dir, "embeddings")
+      val posts = docs.select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("term"))
+        .localCheckpoint(true) // postings feed qt, df and the probe
+      val dft = posts.groupBy("term").agg(count(lit(1)).as("df"))
+      val nD = docs.agg(count(lit(1)).as("n"))
+      val qt = posts.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("q_id"), col("term"))
+      val wLex = Window.partitionBy("q_id")
+        .orderBy(desc("lex_score"), asc("doc_id"))
+      val lex = posts.join(broadcast(qt), Seq("term"))
+        .filter(col("doc_id") =!= col("q_id"))
+        .join(dft, Seq("term"))
+        .crossJoin(broadcast(nD))
+        .groupBy("q_id", "doc_id")
+        .agg(sum(col("n") - col("df")).as("lex_score"))
+        .withColumn("r_lex", row_number().over(wLex))
+        .filter(col("r_lex") <= 20)
+        .select("q_id", "doc_id", "r_lex")
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val wVec = Window.partitionBy("q_id")
+        .orderBy(desc("cos"), asc("doc_id"))
+      val vec = e.select(col("vec_id").as("doc_id"), col("embedding"))
+        .join(broadcast(q), col("doc_id") =!= col("q_id"))
+        .withColumn("cos", graft.functions.CosineSimilarity.cosineSim(
+          col("q_emb"), col("embedding")))
+        .withColumn("r_vec", row_number().over(wVec))
+        .filter(col("r_vec") <= 20)
+        .select("q_id", "doc_id", "r_vec")
+      val wR = Window.partitionBy("q_id").orderBy(desc("rrf"), asc("doc_id"))
+      lex.join(vec, Seq("q_id", "doc_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("r_vec")), lit(0.0)))
+        .withColumn("rk", row_number().over(wR))
+        .filter(col("rk") <= 5)
+        .select(col("q_id"), col("doc_id"),
+          col("r_lex").cast("long").as("r_lex"),
+          col("r_vec").cast("long").as("r_vec"),
+          col("rrf"), col("rk").cast("long").as("rk"))
+        .orderBy("q_id", "rk")
+    },
+    """WITH posts AS (SELECT doc_id,
+      |    unnest(list_distinct(string_split(text, ' '))) AS term
+      |  FROM documents),
+      |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+      |        FROM posts GROUP BY term),
+      |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+      |qt AS (SELECT doc_id AS q_id, term FROM posts WHERE doc_id < 10),
+      |ls AS (SELECT q.q_id, p.doc_id,
+      |         CAST(sum(nd.n - d.df) AS BIGINT) AS lex_score
+      |       FROM qt q
+      |       JOIN posts p ON p.term = q.term AND p.doc_id <> q.q_id
+      |       JOIN dft d ON d.term = q.term
+      |       CROSS JOIN nd
+      |       GROUP BY 1, 2),
+      |lex AS (SELECT q_id, doc_id, r_lex FROM (
+      |         SELECT q_id, doc_id,
+      |           row_number() OVER (PARTITION BY q_id
+      |             ORDER BY lex_score DESC, doc_id) AS r_lex
+      |         FROM ls) WHERE r_lex <= 20),
+      |vs AS (SELECT q.vec_id AS q_id, e.vec_id AS doc_id,
+      |         list_sum(list_transform(q.embedding,
+      |           (x,i) -> CAST(x AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+      |           / (sqrt(list_sum(list_transform(q.embedding,
+      |                x -> CAST(x AS DOUBLE) * x))) *
+      |              sqrt(list_sum(list_transform(e.embedding,
+      |                x -> CAST(x AS DOUBLE) * x)))) AS cos
+      |       FROM embeddings e, embeddings q
+      |       WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id),
+      |vec AS (SELECT q_id, doc_id, r_vec FROM (
+      |         SELECT q_id, doc_id,
+      |           row_number() OVER (PARTITION BY q_id
+      |             ORDER BY cos DESC, doc_id) AS r_vec
+      |         FROM vs) WHERE r_vec <= 20),
+      |f AS (SELECT COALESCE(l.q_id, v.q_id) AS q_id,
+      |        COALESCE(l.doc_id, v.doc_id) AS doc_id,
+      |        l.r_lex, v.r_vec,
+      |        COALESCE(1e0 / (60 + l.r_lex), 0e0) +
+      |          COALESCE(1e0 / (60 + v.r_vec), 0e0) AS rrf
+      |      FROM lex l
+      |      FULL JOIN vec v ON l.q_id = v.q_id AND l.doc_id = v.doc_id)
+      |SELECT q_id, doc_id, r_lex, r_vec, rrf,
+      |       row_number() OVER (PARTITION BY q_id
+      |         ORDER BY rrf DESC, doc_id) AS rk
+      |FROM f QUALIFY rk <= 5 ORDER BY q_id, rk""")
+
   val defs: Map[String, QueryDef] = Map(
+    "q101_hybrid_rrf" -> q101HybridRrf,
     "q63_sequence_packing" -> q63SequencePacking,
     "q64_pii_redaction" -> q64PiiRedaction,
     "q65_corpus_shard" -> q65CorpusShard,

@@ -84,4 +84,30 @@ class AssemblySpec extends SparkSpec {
         assert(row.getAs[Double]("score") == 0.0)
     }
   }
+
+  test("q101: RRF fusion is exactly 1/(60+r_lex) + 1/(60+r_vec) with a " +
+      "missing arm contributing 0, ranked by it, self excluded") {
+    val rows = graft.SparkEntry.queries("q101_hybrid_rrf")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("q_id")).foreach { case (q, g) =>
+      val sorted = g.sortBy(_.getAs[Long]("rk"))
+      assert(sorted.map(_.getAs[Long]("rk")).toSeq == (1L to sorted.length))
+      assert(!g.exists(_.getAs[Long]("doc_id") == q))
+      def arm(r: org.apache.spark.sql.Row, c: String): Double =
+        if (r.isNullAt(r.fieldIndex(c))) 0.0
+        else 1.0 / (60 + r.getAs[Long](c))
+      sorted.foreach { r =>
+        assert(r.getAs[Double]("rrf") == arm(r, "r_lex") + arm(r, "r_vec"))
+      }
+      // ranked by rrf desc (doc_id breaks exact double ties)
+      val scores = sorted.map(_.getAs[Double]("rrf"))
+      assert(scores.toSeq == scores.sortBy(-_).toSeq)
+      // both-arm docs beat the best possible single-arm score when both
+      // ranks are <= 20: 2/(60+20) > 1/61
+      sorted.filter(r => !r.isNullAt(r.fieldIndex("r_lex")) &&
+          !r.isNullAt(r.fieldIndex("r_vec")))
+        .foreach(r => assert(r.getAs[Double]("rrf") > 1.0 / 61))
+    }
+  }
 }
