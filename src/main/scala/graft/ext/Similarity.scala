@@ -25,6 +25,62 @@ object Similarity {
   /** Exact brute-force cosine top-5 for each query vector (vec_id < 10):
     * broadcast the query set, score every vector with the fused codegen
     * cosine, take the per-query top-k with a window over the scan. */
+  /** Metadata-FILTERED exact KNN — vector search constrained by a
+    * document predicate (here lang = 'en'; the fixtures align
+    * embeddings.vec_id with documents.doc_id), the query every
+    * retrieval product exposes as "vector search + filters". The
+    * predicate applies as a PRE-filter — a semi-join of the candidate
+    * scan against the filtered metadata ids BEFORE any distance work —
+    * which is the correct semantic: post-filtering an unfiltered top-k
+    * silently returns fewer than k rows whenever out-of-filter docs
+    * dominate the neighborhood, and recomputing with a bigger k is a
+    * retry loop, not an operator. Top-5 per query among qualifying
+    * candidates only, q34's proven cosine + tie-breaks.
+    *
+    * Scale shape: the metadata predicate pushes to the documents
+    * parquet scan (PushedFilters), the id semi-join prunes candidates
+    * before the broadcast-query cosine scan, and the top-k window is
+    * q34's — distance work ∝ qualifying candidates, never corpus. */
+  private val q102FilteredKnn = QueryDef(
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val keep = Tables(s, dir, "documents")
+        .filter(col("lang") === "en")
+        .select(col("doc_id").as("vec_id"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val cand = e.join(keep, Seq("vec_id"), "left_semi")
+        .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+      val w = Window.partitionBy("q_id").orderBy(desc("cos_raw"), asc("n_id"))
+      cand.join(broadcast(q), col("n_id") =!= col("q_id"))
+        .withColumn("cos_raw", cosine(col("q_emb"), col("n_emb")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("q_id"), col("n_id"),
+          round(col("cos_raw"), 6).as("cosine"),
+          col("rk").cast("long").as("rk"))
+        .orderBy("q_id", "rk")
+    },
+    """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+      |           FROM embeddings WHERE vec_id < 10),
+      |c AS (SELECT e.vec_id AS n_id, e.embedding AS n_emb
+      |      FROM embeddings e
+      |      WHERE EXISTS (SELECT 1 FROM documents d
+      |                    WHERE d.doc_id = e.vec_id AND d.lang = 'en')),
+      |p AS (SELECT q_id, n_id,
+      |        list_sum(list_transform(q_emb,
+      |          (x,i) -> CAST(x AS DOUBLE) * CAST(n_emb[i] AS DOUBLE)))
+      |          AS dot,
+      |        sqrt(list_sum(list_transform(q_emb,
+      |          x -> CAST(x AS DOUBLE) * x))) AS nq,
+      |        sqrt(list_sum(list_transform(n_emb,
+      |          x -> CAST(x AS DOUBLE) * x))) AS nn
+      |      FROM c, q WHERE n_id <> q_id)
+      |SELECT q_id, n_id, round(dot/(nq*nn), 6) AS cosine,
+      |       row_number() OVER (PARTITION BY q_id
+      |         ORDER BY dot/(nq*nn) DESC, n_id) AS rk
+      |FROM p QUALIFY rk <= 5 ORDER BY q_id, rk""")
+
   private val q34KnnBrute = QueryDef(
     (s, dir) => {
       val e = Tables(s, dir, "embeddings")
@@ -1569,6 +1625,7 @@ object Similarity {
     "q96_ivfpq_multiprobe" -> q96IvfPqMultiprobe,
     "q100_ivfpq_rerank" -> q100IvfPqRerank,
     "q34_knn_cosine" -> q34KnnBrute,
+    "q102_filtered_knn" -> q102FilteredKnn,
     "q35_knn_lsh" -> q35KnnLsh,
     "q59_knn_ivf" -> q59KnnIvf,
     "q70_ann_recall" -> q70AnnRecall,
