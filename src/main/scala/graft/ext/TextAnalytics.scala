@@ -502,7 +502,47 @@ object TextAnalytics {
       |FROM nb LEFT JOIN ne ON nb.doc_id = ne.doc_id
       |ORDER BY nb.doc_id""")
 
+  /** Sliding-window document CHUNKING — the step between curation and
+    * embedding in every RAG / pretraining pipeline: split each doc into
+    * windows of 50 tokens at stride 40 (10-token overlap, so no
+    * boundary-straddling span is lost to both neighbors), one row per
+    * chunk with its token count and an md5 fingerprint of the re-joined
+    * chunk text — the fingerprint feeds q30's exact-dedup discipline at
+    * CHUNK granularity (boilerplate that q72's paragraph split misses
+    * when paragraph boundaries drift). The last window keeps its
+    * partial tail (a trailing remnant shorter than the stride still
+    * carries tokens a trainer wants).
+    *
+    * Scale shape: pure per-row generate-and-slice (explode of a
+    * bounded offset sequence, no shuffle at all until a downstream
+    * consumer groups by fp); chunk count per doc = ceil(n_tokens /
+    * stride), output size ∝ corpus tokens × (window / stride). */
+  private val q103Chunking = QueryDef(
+    (s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), toks.as("tk"))
+        .select(col("doc_id"), col("tk"),
+          explode(expr("sequence(0, size(tk) - 1, 40)")).as("start"))
+        .select(col("doc_id"),
+          expr("cast(start div 40 as bigint)").as("chunk_id"),
+          expr("slice(tk, start + 1, 50)").as("ck"))
+        .select(col("doc_id"), col("chunk_id"),
+          size(col("ck")).cast("long").as("chunk_tokens"),
+          md5(array_join(col("ck"), " ")).as("fp"))
+        .orderBy("doc_id", "chunk_id")
+    },
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+      |           FROM documents),
+      |c AS (SELECT doc_id, CAST(s // 40 AS BIGINT) AS chunk_id,
+      |        list_slice(tk, s + 1, s + 50) AS ck
+      |      FROM t, UNNEST(generate_series(0, len(tk) - 1, 40)) u(s))
+      |SELECT doc_id, chunk_id,
+      |       CAST(len(ck) AS BIGINT) AS chunk_tokens,
+      |       md5(array_to_string(ck, ' ')) AS fp
+      |FROM c ORDER BY doc_id, chunk_id""")
+
   val defs: Map[String, QueryDef] = Map(
+    "q103_chunking" -> q103Chunking,
     "q36_lang_id" -> q36LangId,
     "q37_quality_score" -> q37Quality,
     "q38_token_topk" -> q38TokenTopk,
