@@ -1502,12 +1502,18 @@ object Similarity {
       val cand = codes.select(col("vec_id").as("n_id"), col("sub"), col("code"))
         .join(af.select(col("vec_id").as("n_id"), col("cell").as("p_cell")),
           Seq("n_id"))
+      // ONE joined+aggregated frame yields BOTH PQ serves: a candidate
+      // matches the LUT only through its OWN cell, so each (q_id, n_id)
+      // group carries exactly one p_rank — the nprobe=1 serve is the
+      // p_rank=1 slice of the nprobe=2 aggregation, with identical
+      // adist (same single-cell LUT rows), not a second scan+join+agg.
+      val adc2 = cand.join(broadcast(lut), Seq("sub", "code", "p_cell"))
+        .filter(col("n_id") =!= col("q_id"))
+        .groupBy("q_id", "n_id")
+        .agg(sum("d2q").as("adist"), min("p_rank").as("p_rank"))
+        .localCheckpoint(true) // both slices + the window read this
       def adcServe(np: Int, srcTag: String): DataFrame =
-        cand.join(broadcast(lut.filter(col("p_rank") <= np)),
-            Seq("sub", "code", "p_cell"))
-          .filter(col("n_id") =!= col("q_id"))
-          .groupBy("q_id", "n_id")
-          .agg(sum("d2q").as("adist"))
+        adc2.filter(col("p_rank") <= np)
           .select(lit(srcTag).as("src"), col("q_id"), col("n_id"),
             col("adist"))
       val serve = flat.unionByName(adcServe(1, "p")).unionByName(adcServe(2, "m"))
