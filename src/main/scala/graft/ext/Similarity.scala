@@ -1190,7 +1190,7 @@ object Similarity {
   /** The (vec_id, cell, qa=residual) frame over the coarse model — each
     * vector minus its own trained cell centroid, closed over the integer
     * grid; checkpointed because the PQ trainer and the serve paths both
-    * consume it. Shared by q93/q94/q96. */
+    * consume it. Shared by q93/q94/q96/q100 and IvfPqIndex. */
   private[ext] def residualFrame(af: DataFrame, coarse: Seq[(Int, Seq[Long])],
       eg: DataFrame): DataFrame =
     eg.join(af.select(col("vec_id"), col("cell")), Seq("vec_id"))
@@ -1312,8 +1312,9 @@ object Similarity {
     * against the PROBED cell's centroid, since candidates are encoded
     * against their own cell), per-probe ADC LUTs `qlut`, and the
     * multi-probe ADC sums `madc` (each candidate scored through the LUT
-    * of the cell it lives in). Shared by the q96 serve and q94's
-    * nprobe=2 acceptance columns. */
+    * of the cell it lives in). Shared by the q96 serve, q94's nprobe=2
+    * acceptance columns, q100's shortlist, and (composed over the
+    * split-training CTEs) the q98/q99 IvfPqIndex oracles. */
   private[ext] lazy val pqMultiProbeSql =
     s"""qc AS (SELECT vec_id AS q_id, cell AS p_cell, p_rank FROM (
       |        SELECT p.vec_id, c.cell,
