@@ -50,6 +50,13 @@ import graft.core.{QueryDef, Tables}
   *    (replayable) run is never merged into the epoch — the replay
   *    simply rewrites its own partition.
   *
+  * PRECONDITION: distinct runs carry DISJOINT vec_ids (the reference's
+  * cron model — each run admits only new records, and upstream that is
+  * exactly what DedupIndex/NearDupIndex.admit enforce). A vector
+  * re-added under a DIFFERENT runId is not a replay but a caller bug:
+  * its duplicate code rows would double its ADC sub-terms in every
+  * serve. Replays of the SAME runId are safe by the overwrite layout.
+  *
   * The whole lifecycle stays on the integer grid (residuals close over
   * it; both trainers and both argmins are BIGINT), so create→add→add→
   * search is oracle-exact end to end: q97 holds the persisted index's
