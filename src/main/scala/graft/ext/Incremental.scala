@@ -9,7 +9,9 @@ import graft.core.{QueryDef, Tables}
   * micro-batches, SURVEY §2.3: the cron only ever sees new records and
   * must reject re-crawls against everything admitted before). The index
   * operators themselves live in [[DedupIndex]], [[NearDupIndex]], and
-  * [[TextNearDupIndex]]; these registry entries run a DETERMINISTIC
+  * [[TextNearDupIndex]] (the fourth, serve-side family — the persisted
+  * ANN index — lives in [[IvfPqIndex]] with its own q97–q99/q104
+  * gates); these registry entries run a DETERMINISTIC
   * two-batch admission sequence against a fresh throwaway index — batch
   * A bootstraps, batch B is admitted against A's persisted state — so
   * the whole incremental path (bucket/fingerprint persistence, probe

@@ -496,9 +496,63 @@ object IvfPqIndex {
       |         ((SELECT count(*) FROM embeddings WHERE vec_id < 10) * 5)
       |         AS recall_split""")
 
+  /** The COMPLETE production serve: persisted-index ADC shortlist +
+    * exact refine fetched from the SOURCE table. The index stores only
+    * M-int codes (that is its point), so q100's re-rank stage cannot
+    * read raw vectors from it — a deployed serve keeps the embedding
+    * table as the source of truth and fetches the ≤ queries·20
+    * shortlist rows BY ID at refine time (broadcast id-equi join, raw
+    * vector traffic ∝ shortlist, never corpus). This is the
+    * q98-then-q100 composition a user actually runs: cheap quantized
+    * candidate generation from disk, exact ordering for the rows that
+    * matter. Output carries adist (the index's belief) and d2 (the
+    * refined truth). */
+  private val q104IvfPqIndexRerank = QueryDef(
+    (s, dir) => {
+      val idx = twoBatchIndex(s, dir)
+      val e = Tables(s, dir, "embeddings")
+      val shortlist = search(s, idx,
+          e.filter(col("vec_id") < 10).select("vec_id", "embedding"),
+          k = 20, nprobe = 2)
+        .select("q_id", "n_id", "adist")
+      val eg = Similarity.gridFrame(s, e)
+      val q = eg.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("qa").as("q_qa"))
+      val wEx = Window.partitionBy("q_id").orderBy(asc("d2"), asc("n_id"))
+      eg.select(col("vec_id").as("n_id"), col("qa"))
+        .join(broadcast(shortlist), Seq("n_id"))
+        .join(broadcast(q), Seq("q_id"))
+        .withColumn("d2", expr(
+          """aggregate(zip_with(qa, q_qa, (a, b) -> (a - b) * (a - b)),
+            |  cast(0 as bigint), (acc, x) -> acc + x)""".stripMargin))
+        .withColumn("rk", row_number().over(wEx))
+        .filter(col("rk") <= 5)
+        .select(col("q_id"), col("n_id"), col("adist"), col("d2"),
+          col("rk").cast("long").as("rk"))
+        .orderBy("q_id", "rk")
+    },
+    s"""WITH $splitTrainSql,
+      |${Similarity.pqMultiProbeSql},
+      |sl AS (SELECT q_id, n_id, adist FROM (
+      |        SELECT q_id, n_id, adist,
+      |          row_number() OVER (PARTITION BY q_id
+      |            ORDER BY adist, n_id) AS ark
+      |        FROM madc) WHERE ark <= 20),
+      |rr AS (SELECT sl.q_id, sl.n_id, sl.adist,
+      |         CAST(sum((b.q - a.q) * (b.q - a.q)) AS BIGINT) AS d2
+      |       FROM sl
+      |       JOIN pts a ON a.vec_id = sl.q_id
+      |       JOIN pts b ON b.vec_id = sl.n_id AND b.dim = a.dim
+      |       GROUP BY 1, 2, 3)
+      |SELECT q_id, n_id, adist, d2,
+      |       row_number() OVER (PARTITION BY q_id
+      |         ORDER BY d2, n_id) AS rk
+      |FROM rr QUALIFY rk <= 5 ORDER BY q_id, rk""")
+
   val defs: Map[String, QueryDef] = Map(
     "q97_ivfpq_index" -> q97IvfPqIndex,
     "q98_ivfpq_index_search" -> q98IvfPqIndexSearch,
     "q99_ivfpq_split_recall" -> q99IvfPqSplitRecall,
+    "q104_ivfpq_index_rerank" -> q104IvfPqIndexRerank,
   )
 }
