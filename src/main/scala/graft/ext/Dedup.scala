@@ -644,6 +644,130 @@ object Dedup {
       |         / count(*) * 1000000) / 1000000 AS dup_ratio
       |FROM d GROUP BY doc_id ORDER BY doc_id""")
 
+  /** Corpus boilerplate REMOVAL — the transform q72 only measures: the
+    * CCNet/RefinedWeb cleaning step that strips segments repeated across
+    * the corpus (headers, footers, navigation chrome) and emits the
+    * cleaned document, not just a ratio. A segment is boilerplate when it
+    * appears in >= 3 DISTINCT documents (document frequency, not raw
+    * occurrence count — a segment a single doc repeats internally is
+    * repetition, q106's signal, not boilerplate). Each doc reports its
+    * segment counts and the md5 fingerprint of the order-preserving
+    * reconstruction from surviving segments — the fingerprint downstream
+    * exact-dedup (q30) runs on, so cleaning and dedup compose.
+    *
+    * Scale shape: segments explode per-row (q72's fixed-width 3-word
+    * split — the fixture carries no newlines); document frequency is ONE
+    * map-side-combinable groupBy on the 128-bit digest (count(DISTINCT
+    * doc_id) — two-phase, never text); the df table joins back on the
+    * digest (shuffle hash join — df table size ∝ distinct segments, NOT
+    * broadcastable at corpus scale); reconstruction is a per-doc rollup
+    * (collect_list of (idx, seg) structs, null-dropped by the boilerplate
+    * flag, array_sort restores document order). Nothing ∝ N² anywhere. */
+  private val q105BoilerplateRemoval = QueryDef(
+    (s, dir) => {
+      val segs = Tables(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, cast(ceil(size(w) / 3.0) as int) - 1), " +
+            "i -> array_join(slice(w, i * 3 + 1, 3), ' '))"))
+          .as(Seq("idx", "seg")))
+        .withColumn("fp", md5(col("seg")))
+      val docFreq = segs.groupBy("fp")
+        .agg(countDistinct(col("doc_id")).as("df"))
+      segs.join(docFreq, Seq("fp"))
+        .withColumn("boiler", col("df") >= 3)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_segments"),
+          sum(when(col("boiler"), 1L).otherwise(0L)).as("n_removed"),
+          array_sort(collect_list(
+            when(!col("boiler"), struct(col("idx"), col("seg")))))
+            .as("kept"))
+        .select(col("doc_id"), col("n_segments"), col("n_removed"),
+          md5(array_join(expr("transform(kept, x -> x.seg)"), " "))
+            .as("cleaned_fp"),
+          trunc6((col("n_segments") - col("n_removed")).cast("double")
+            / col("n_segments")).as("kept_ratio"))
+        .orderBy("doc_id")
+    },
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS l
+      |           FROM documents),
+      |seg AS (SELECT doc_id, i AS idx,
+      |          array_to_string(l[(i-1)*3+1:(i-1)*3+3], ' ') AS seg
+      |        FROM w, UNNEST(generate_series(1,
+      |          CAST(ceil(len(l) / 3.0) AS BIGINT))) t(i)),
+      |sf AS (SELECT doc_id, idx, seg, md5(seg) AS fp FROM seg),
+      |dfq AS (SELECT fp, count(DISTINCT doc_id) AS df FROM sf GROUP BY fp),
+      |j AS (SELECT s.doc_id, s.idx, s.seg, d.df >= 3 AS boiler
+      |      FROM sf s JOIN dfq d ON s.fp = d.fp)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+      |       CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_removed,
+      |       md5(coalesce(array_to_string(
+      |         list(seg ORDER BY idx) FILTER (WHERE NOT boiler), ' '), ''))
+      |         AS cleaned_fp,
+      |       floor(CAST(count(*) - sum(CASE WHEN boiler THEN 1 ELSE 0 END)
+      |           AS DOUBLE) / count(*) * 1000000) / 1000000 AS kept_ratio
+      |FROM j GROUP BY doc_id ORDER BY doc_id""")
+
+  /** Quality-aware canonical selection — the representative-choosing
+    * policy q67/q80 deliberately left at min-id: production dedup keeps
+    * the BEST member of each near-dup cluster, not an arbitrary one
+    * (keep-longest is the standard heuristic — truncated scrapes lose to
+    * their complete twins; a richer pipeline plugs q37's composite score
+    * into the same ORDER BY). Over q67's verified components, each
+    * cluster elects the member with the most characters (doc_id breaks
+    * ties deterministically) and every member row carries its cluster's
+    * verdict — the table a curation DAG joins to swap keep-decisions
+    * without re-running connectivity.
+    *
+    * Scale shape: q67's component labels (one equi-join shuffle per
+    * hop), one doc_id equi-join to fetch n_chars, a per-component
+    * row_number window for the election, and the winners — ONE row per
+    * component — broadcast back against the membership. */
+  private val q110QualityCanonical = QueryDef(
+    (s, dir) => {
+      val comp = connectedComponents(scoredPairs(s, dir)
+        .select("doc_a", "doc_b"))
+      val j = comp.join(
+        Tables(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        Seq("doc_id"))
+      val w = Window.partitionBy("component_id")
+        .orderBy(desc("n_chars"), asc("doc_id"))
+      val winners = j.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("component_id"), col("doc_id").as("canonical_id"))
+      j.join(broadcast(winners), Seq("component_id"))
+        .withColumn("component_size",
+          count(lit(1)).over(Window.partitionBy("component_id"))
+            .cast("long"))
+        .select(col("doc_id"), col("component_id"), col("component_size"),
+          col("canonical_id"),
+          (col("doc_id") === col("canonical_id")).as("is_canonical"))
+        .orderBy("component_id", "doc_id")
+    },
+    s"""WITH RECURSIVE $pairCtes,
+      |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+      |      UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT a, a FROM e
+      |  UNION
+      |  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a),
+      |comp AS (SELECT src AS doc_id, min(dst) AS component_id
+      |         FROM reach GROUP BY src),
+      |j AS (SELECT c.doc_id, c.component_id, d.n_chars
+      |      FROM comp c JOIN documents d USING (doc_id)),
+      |wn AS (SELECT component_id, doc_id AS canonical_id FROM (
+      |         SELECT component_id, doc_id,
+      |           row_number() OVER (PARTITION BY component_id
+      |             ORDER BY n_chars DESC, doc_id) AS rk FROM j)
+      |       WHERE rk = 1)
+      |SELECT j.doc_id, j.component_id,
+      |       CAST(count(*) OVER (PARTITION BY j.component_id) AS BIGINT)
+      |         AS component_size,
+      |       w.canonical_id, j.doc_id = w.canonical_id AS is_canonical
+      |FROM j JOIN wn w ON j.component_id = w.component_id
+      |ORDER BY j.component_id, j.doc_id""")
+
   /** Reusable connected-components core (hash-min label propagation) over
     * an undirected pair list `(doc_a, doc_b)`: each vertex starts labeled
     * with itself and iteratively takes the min label over its
@@ -793,6 +917,8 @@ object Dedup {
     "q31_ngram_jaccard" -> q31NgramJaccard,
     "q67_dedup_components" -> q67DedupComponents,
     "q72_paragraph_dedup" -> q72ParagraphDedup,
+    "q105_boilerplate_removal" -> q105BoilerplateRemoval,
+    "q110_quality_canonical" -> q110QualityCanonical,
     "q78_neardup_pair_recall" -> q78NeardupPairRecall,
     "q79_neardup_multiprobe" -> q79NeardupMultiprobe,
     "q80_semantic_dedup" -> q80SemanticDedup,

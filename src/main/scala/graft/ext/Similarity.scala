@@ -492,6 +492,137 @@ object Similarity {
       |FROM embeddings, UNNEST(generate_series(1, len(embedding))) t(i)
       |ORDER BY vec_id, dim""")
 
+  /** Shared-scale symmetric int8 codes for the SQ8 serve (q108/q109):
+    * one corpus-wide max|x| pre-pass (a single collected scalar — the
+    * same bounded-driver-state discipline as the Lloyd codebooks) fixes
+    * the affine map code = round(x·127/max|x|), so the integer dot of
+    * two code vectors is monotone in the quantized inner product.
+    * q62's PER-VECTOR affine codes compress better but cannot serve
+    * this way: with per-vector scales the code dot mixes units and the
+    * correction terms reintroduce variable-length float sums. */
+  private def sq8Codes(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.spread(s, Tables(s, dir, "embeddings"))
+    val maxabs = e.select(max(expr(
+      "array_max(transform(embedding, x -> abs(cast(x as double))))")))
+      .first().getDouble(0)
+    e.select(col("vec_id"), expr(
+      s"transform(embedding, x -> cast(round(" +
+        s"cast(x as double) * 127 / $maxabs, 0) as bigint))").as("c"))
+  }
+
+  /** The q108 serve core — SQ8 top-5 by BIGINT code dot, shared with
+    * q109's acceptance row. */
+  private def sq8Top5(s: SparkSession, dir: String): DataFrame = {
+    val cd = sq8Codes(s, dir)
+    val q = cd.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("c").as("qc"))
+    val scored = cd.select(col("vec_id").as("n_id"), col("c").as("nc"))
+      .join(broadcast(q), col("n_id") =!= col("q_id"))
+      .withColumn("qdot", expr(
+        "aggregate(zip_with(qc, nc, (a, b) -> a * b), 0L, " +
+          "(acc, x) -> acc + x)"))
+    val w = Window.partitionBy("q_id").orderBy(desc("qdot"), asc("n_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+  }
+
+  /** The SQ8 serve's oracle CTEs: shared-scale codes + code-dot top-5
+    * (shared by q108/q109). */
+  private val sq8Ctes =
+    """ma AS (SELECT max(list_max(list_transform(embedding,
+      |          x -> abs(CAST(x AS DOUBLE))))) AS maxabs
+      |        FROM embeddings),
+      |cd AS (SELECT vec_id, list_transform(embedding,
+      |         x -> CAST(round(CAST(x AS DOUBLE) * 127 / maxabs, 0)
+      |           AS BIGINT)) AS c
+      |       FROM embeddings, ma),
+      |qs AS (SELECT vec_id AS q_id, c AS qc FROM cd WHERE vec_id < 10),
+      |sq AS (SELECT q_id, n_id, qdot, rk FROM (
+      |         SELECT q_id, vec_id AS n_id,
+      |           list_sum(list_transform(qc, (x,i) -> x * c[i])) AS qdot,
+      |           row_number() OVER (PARTITION BY q_id ORDER BY
+      |             list_sum(list_transform(qc, (x,i) -> x * c[i])) DESC,
+      |             vec_id) AS rk
+      |         FROM cd, qs WHERE vec_id <> q_id)
+      |       WHERE rk <= 5)""".stripMargin
+
+  /** SQ8 (scalar-quantization) ANN serve — the third compression family
+    * next to the grid (q81/q93, 64-bit lanes) and PQ (q89/q90, 8-bit
+    * codes per 2-dim subspace): every vector stores 64 int8 codes on ONE
+    * shared symmetric scale, and the serve ranks by the BIGINT dot of
+    * the code vectors — max-inner-product search over 8×-compressed
+    * codes, no codebook at all. This is FAISS's `SQ8` flat index: better
+    * recall than PQ at the same 8 bits/dim (no subspace structure
+    * assumed), but no sublinear candidate pruning — the natural
+    * RE-RANKING tier: IVF-PQ prunes, SQ8 refines, exact floats only
+    * ever touch a top-20 shortlist (q100's ladder with one more rung).
+    *
+    * Scale shape: one max|x| pre-pass (collected scalar, broadcast back
+    * as a literal); the serve scans only the code column (8× smaller
+    * I/O than f32 vectors), queries broadcast, the integer dot fuses
+    * into codegen — no shuffle at all until the per-query top-5 window,
+    * which TakeOrderedAndProject-sizes to queries×5. */
+  private val q108Sq8Serve = QueryDef(
+    (s, dir) =>
+      sq8Top5(s, dir)
+        .select(col("q_id"), col("n_id"), col("qdot"),
+          col("rk").cast("long").as("rk"))
+        .orderBy("q_id", "rk"),
+    s"""WITH $sq8Ctes
+      |SELECT q_id, n_id, CAST(qdot AS BIGINT) AS qdot,
+      |       CAST(rk AS BIGINT) AS rk
+      |FROM sq ORDER BY q_id, rk""".stripMargin)
+
+  /** SQ8 acceptance row — q94's discipline for the SQ8 family: the
+    * serve's top-5 against the exact integer-grid inner-product top-5
+    * (round(x·1000) longs — the engine's established exact ground
+    * truth), one BIGINT-exact row. Measures what 8 bits on a shared
+    * scale cost vs the 11-bit grid BEFORE swapping SQ8 into a serving
+    * tier; the left-join rollup keeps the comparison a single
+    * aggregation (no scalar cross-joins anywhere near a plan guard). */
+  private val q109Sq8Acceptance = QueryDef(
+    (s, dir) => {
+      val g = gridFrame(s, Tables(s, dir, "embeddings"))
+      val gq = g.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("qa").as("qqa"))
+      val w = Window.partitionBy("q_id").orderBy(desc("gdot"), asc("n_id"))
+      val truth = g.select(col("vec_id").as("n_id"), col("qa").as("na"))
+        .join(broadcast(gq), col("n_id") =!= col("q_id"))
+        .withColumn("gdot", expr(
+          "aggregate(zip_with(qqa, na, (a, b) -> a * b), 0L, " +
+            "(acc, x) -> acc + x)"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+        .select("q_id", "n_id")
+      val sq8 = sq8Top5(s, dir)
+        .select(col("q_id"), col("n_id"), lit(true).as("hit"))
+      truth.join(sq8, Seq("q_id", "n_id"), "left")
+        .agg(count(lit(1)).as("n_truth"),
+          sum(when(col("hit"), 1L).otherwise(0L)).as("hits_sq8"))
+        .withColumn("recall_sq8", floor(
+          col("hits_sq8").cast("double") / col("n_truth") * lit(1e6))
+          / lit(1e6))
+    },
+    s"""WITH $sq8Ctes,
+      |g AS (SELECT vec_id, list_transform(embedding,
+      |        x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))
+      |          AS qa
+      |      FROM embeddings),
+      |gq AS (SELECT vec_id AS q_id, qa AS qqa FROM g WHERE vec_id < 10),
+      |tr AS (SELECT q_id, n_id FROM (
+      |         SELECT q_id, g.vec_id AS n_id,
+      |           row_number() OVER (PARTITION BY q_id ORDER BY
+      |             list_sum(list_transform(qqa, (x,i) -> x * qa[i])) DESC,
+      |             g.vec_id) AS rk
+      |         FROM g, gq WHERE g.vec_id <> q_id)
+      |       WHERE rk <= 5)
+      |SELECT CAST(count(*) AS BIGINT) AS n_truth,
+      |       CAST(sum(CASE WHEN s.n_id IS NOT NULL THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS hits_sq8,
+      |       floor(CAST(sum(CASE WHEN s.n_id IS NOT NULL THEN 1 ELSE 0
+      |         END) AS DOUBLE) / count(*) * 1000000) / 1000000
+      |         AS recall_sq8
+      |FROM tr LEFT JOIN sq s ON tr.q_id = s.q_id AND tr.n_id = s.n_id"""
+      .stripMargin)
+
   /** k-means codebook TRAINING — the piece q59's IVF deliberately faked
     * (its codebook is the first 8 vectors): two Lloyd iterations that
     * both engines compute BIT-IDENTICALLY, so even an iterative
@@ -1641,5 +1772,7 @@ object Similarity {
     "q82_knn_ivf_trained" -> q82KnnIvfTrained,
     "q87_ivf_trained_recall" -> q87IvfTrainedRecall,
     "q62_embedding_quantize" -> q62Quantize,
+    "q108_sq8_serve" -> q108Sq8Serve,
+    "q109_sq8_acceptance" -> q109Sq8Acceptance,
   )
 }

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.core.{QueryDef, Tables}
 
@@ -308,6 +308,71 @@ object TextAnalytics {
       |         / 1000000 AS tokens_per_word
       |FROM documents ORDER BY doc_id""")
 
+  /** Within-document repetition signals — the Gopher-rules quality
+    * family that q37's length/stopword ratios do not cover: natural text
+    * rarely repeats itself, while boilerplate-generated and degenerate
+    * (looping) text does. Per document: the fraction of bigram
+    * occurrences claimed by the single most frequent bigram
+    * (`top_bigram_frac` — Gopher thresholds ~0.2) and the fraction of
+    * trigram occurrences whose trigram repeats within the doc
+    * (`dup_trigram_frac`). Complements q72/q105, which measure CROSS-doc
+    * duplication: a doc can be corpus-unique yet internally degenerate,
+    * and only this signal catches it. Docs shorter than one trigram
+    * carry no signal and are excluded.
+    *
+    * Scale shape: grams explode per-row; counting is a map-side-
+    * combinable groupBy on (doc_id, gram) — the gram string never
+    * travels beyond its combiner-reduced (doc_id, gram, count) row —
+    * then one per-doc rollup; the bigram and trigram rollups co-key on
+    * doc_id for the final join. Nothing corpus-global anywhere. */
+  private val q106Repetition = QueryDef(
+    (s, dir) => {
+      val base = Tables(s, dir, "documents")
+        .select(col("doc_id"), toks.as("w"))
+        .filter(size(col("w")) >= 3)
+      def grams(n: Int) = base.select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(w) - ${n - 1}), " +
+          s"i -> array_join(slice(w, i, $n), ' '))")).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      val bi = grams(2).groupBy("doc_id")
+        .agg(sum("c").as("n_bigrams"), max("c").as("top_bigram_n"))
+        .withColumn("top_bigram_frac",
+          trunc6(col("top_bigram_n").cast("double") / col("n_bigrams")))
+      val tri = grams(3).groupBy("doc_id")
+        .agg(sum("c").as("n_trigrams"),
+          sum(when(col("c") >= 2, col("c")).otherwise(0L))
+            .as("dup_trigram_n"))
+        .withColumn("dup_trigram_frac",
+          trunc6(col("dup_trigram_n").cast("double") / col("n_trigrams")))
+      bi.join(tri, Seq("doc_id")).orderBy("doc_id")
+    },
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS l
+      |           FROM documents
+      |           WHERE len(string_split(text, ' ')) >= 3),
+      |bg AS (SELECT doc_id, array_to_string(l[i:i+1], ' ') AS g,
+      |         count(*) AS c
+      |       FROM w, UNNEST(generate_series(1, len(l) - 1)) t(i)
+      |       GROUP BY 1, 2),
+      |tg AS (SELECT doc_id, array_to_string(l[i:i+2], ' ') AS g,
+      |         count(*) AS c
+      |       FROM w, UNNEST(generate_series(1, len(l) - 2)) t(i)
+      |       GROUP BY 1, 2),
+      |b AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+      |        CAST(max(c) AS BIGINT) AS top_bigram_n
+      |      FROM bg GROUP BY 1),
+      |t3 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_trigrams,
+      |         CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+      |           AS dup_trigram_n
+      |       FROM tg GROUP BY 1)
+      |SELECT b.doc_id, n_bigrams, top_bigram_n,
+      |       floor(CAST(top_bigram_n AS DOUBLE) / n_bigrams * 1000000)
+      |         / 1000000 AS top_bigram_frac,
+      |       n_trigrams, dup_trigram_n,
+      |       floor(CAST(dup_trigram_n AS DOUBLE) / n_trigrams * 1000000)
+      |         / 1000000 AS dup_trigram_frac
+      |FROM b JOIN t3 ON b.doc_id = t3.doc_id
+      |ORDER BY b.doc_id""")
+
   /** Two-corpus decontamination — the production form of q58: an eval
     * BENCHMARK corpus (here a deterministic `doc_id % 50 = 7` slice of
     * `documents`, standing in for a held-out benchmark table) is shielded
@@ -356,6 +421,96 @@ object TextAnalytics {
       |FROM sh s JOIN ev ON s.sh = ev.sh
       |WHERE s.doc_id % 50 <> 7
       |GROUP BY s.doc_id ORDER BY doc_id""")
+
+  /** CHUNK-level decontamination — the surgical composition of q103's
+    * sliding-window chunking with q69's two-corpus shielding: doc-level
+    * decontamination (q69) throws away an entire training document when
+    * one paragraph overlaps the eval benchmark, which at corpus scale
+    * discards real signal. Here the eval corpus' verbatim-8-gram shield
+    * is applied PER CHUNK (50 tokens, stride 40), and the verdict keeps
+    * every clean chunk of a contaminated doc: per doc, the chunk counts
+    * and the surviving clean-chunk token mass a trainer still gets.
+    * Output rows only for docs with at least one contaminated chunk
+    * (clean docs pass untouched — output ∝ contamination, q69's
+    * discipline).
+    *
+    * Scale shape: the eval shingle-hash set broadcasts (benchmarks are
+    * MBs); training chunks probe it map-side, so clean chunks never
+    * reach an exchange; the contaminated (doc_id, chunk_id) set — ∝
+    * contamination, not corpus — broadcasts back against the chunk
+    * table; one per-doc rollup. 8-byte xxhash64 keys cross the join,
+    * never shingle text (q58's discipline). */
+  /** The q107 dataflow over any (doc_id, text) relation — factored out
+    * so TextAnalyticsSpec can drive the clean-chunks-survive case the
+    * fixture's short contaminated docs never reach (their only chunk is
+    * the contaminated one, so clean_tokens is 0 corpus-wide). Eval
+    * split rule is q69's doc_id % 50 = 7. */
+  private[ext] def chunkDecon(docs: DataFrame): DataFrame = {
+      val chunks = docs
+        .select(col("doc_id"), toks.as("tk"))
+        .select(col("doc_id"), col("tk"),
+          explode(expr("sequence(0, size(tk) - 1, 40)")).as("start"))
+        .select(col("doc_id"),
+          expr("cast(start div 40 as bigint)").as("chunk_id"),
+          expr("slice(tk, start + 1, 50)").as("ck"))
+      val evalSh = docs
+        .filter(col("doc_id") % 50 === 7)
+        .select(col("doc_id"), toks.as("w"))
+        .filter(size(col("w")) >= 8)
+        .select(explode(expr(
+          "array_distinct(transform(sequence(1, size(w) - 7), " +
+            "i -> xxhash64(array_join(slice(w, i, 8), ' '))))")).as("h"))
+        .distinct()
+      val bad = chunks.filter(col("doc_id") % 50 =!= 7)
+        .filter(size(col("ck")) >= 8)
+        .select(col("doc_id"), col("chunk_id"), explode(expr(
+          "transform(sequence(1, size(ck) - 7), " +
+            "i -> xxhash64(array_join(slice(ck, i, 8), ' ')))")).as("h"))
+        .join(broadcast(evalSh), Seq("h"))
+        .select("doc_id", "chunk_id").distinct()
+        .withColumn("bad", lit(true))
+      chunks.filter(col("doc_id") % 50 =!= 7)
+        .select(col("doc_id"), col("chunk_id"),
+          size(col("ck")).cast("long").as("chunk_tokens"))
+        .join(broadcast(bad), Seq("doc_id", "chunk_id"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("bad"), 1L).otherwise(0L)).as("n_bad_chunks"),
+          sum(when(col("bad").isNull, col("chunk_tokens")).otherwise(0L))
+            .as("clean_tokens"))
+        .filter(col("n_bad_chunks") >= 1)
+        .orderBy("doc_id")
+  }
+
+  private val q107ChunkDecontamination = QueryDef(
+    (s, dir) => chunkDecon(Tables(s, dir, "documents")),
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+      |           FROM documents),
+      |c AS (SELECT doc_id, CAST(s // 40 AS BIGINT) AS chunk_id,
+      |        list_slice(tk, s + 1, s + 50) AS ck
+      |      FROM t, UNNEST(generate_series(0, len(tk) - 1, 40)) u(s)),
+      |ev AS (SELECT DISTINCT array_to_string(l[i:i+7], ' ') AS sh
+      |       FROM (SELECT string_split(text, ' ') AS l FROM documents
+      |             WHERE doc_id % 50 = 7
+      |               AND len(string_split(text, ' ')) >= 8) w,
+      |            UNNEST(generate_series(1, len(l) - 7)) t(i)),
+      |ts AS (SELECT doc_id, chunk_id,
+      |         array_to_string(ck[i:i+7], ' ') AS sh
+      |       FROM c, UNNEST(generate_series(1, len(ck) - 7)) t(i)
+      |       WHERE doc_id % 50 <> 7),
+      |bad AS (SELECT DISTINCT doc_id, chunk_id
+      |        FROM ts JOIN ev USING (sh)),
+      |agg AS (SELECT c.doc_id,
+      |          CAST(count(*) AS BIGINT) AS n_chunks,
+      |          CAST(sum(CASE WHEN b.chunk_id IS NOT NULL
+      |            THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_chunks,
+      |          CAST(sum(CASE WHEN b.chunk_id IS NULL
+      |            THEN len(c.ck) ELSE 0 END) AS BIGINT) AS clean_tokens
+      |        FROM c LEFT JOIN bad b
+      |          ON c.doc_id = b.doc_id AND c.chunk_id = b.chunk_id
+      |        WHERE c.doc_id % 50 <> 7 GROUP BY 1)
+      |SELECT doc_id, n_chunks, n_bad_chunks, clean_tokens
+      |FROM agg WHERE n_bad_chunks >= 1 ORDER BY doc_id""")
 
   /** BLOOM-FILTER decontamination — q69's scale escape hatch: when the
     * eval corpus outgrows an exact broadcast hash set (a 10 B-shingle
@@ -552,5 +707,7 @@ object TextAnalytics {
     "q69_decontamination" -> q69Decontamination,
     "q71_vocab_tokens" -> q71VocabTokens,
     "q91_bloom_decontamination" -> q91BloomDecontamination,
+    "q106_repetition_signals" -> q106Repetition,
+    "q107_chunk_decontamination" -> q107ChunkDecontamination,
   )
 }

@@ -228,4 +228,64 @@ class DedupSpec extends SparkSpec {
     assert(got == want,
       s"probe-join pairs (${got.size}) != brute-force (${want.size})")
   }
+
+  test("q105: docs with nothing removed keep their exact text fingerprint, " +
+      "and removal is bounded by q72's duplication count") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.SparkEntry.queries("q105_boilerplate_removal")(spark, dir)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), md5(col("text")).as("orig_fp"))
+    val q72 = graft.SparkEntry.queries("q72_paragraph_dedup")(spark, dir)
+      .select(col("doc_id"), col("n_paragraphs"), col("n_dup_paragraphs"))
+    val j = out.join(docs, Seq("doc_id")).join(q72, Seq("doc_id")).collect()
+    assert(j.length == 500)
+    j.foreach { r =>
+      val nSeg = r.getAs[Long]("n_segments")
+      val nRem = r.getAs[Long]("n_removed")
+      assert(nRem <= nSeg)
+      // identical segmentation: q105 and q72 count the same segments
+      assert(nSeg == r.getAs[Long]("n_paragraphs"))
+      // a segment in >=3 distinct docs necessarily has >=2 occurrences,
+      // so boilerplate is a subset of q72's duplicated segments
+      assert(nRem <= r.getAs[Long]("n_dup_paragraphs"))
+      // the 3-word segmentation joined back with ' ' IS the original
+      // text, so an untouched doc's cleaned fingerprint must round-trip
+      if (nRem == 0L)
+        assert(r.getAs[String]("cleaned_fp") == r.getAs[String]("orig_fp"))
+      else
+        assert(r.getAs[String]("cleaned_fp") != r.getAs[String]("orig_fp"))
+    }
+    // both populations exist on the fixture, or the test proves nothing
+    assert(j.exists(_.getAs[Long]("n_removed") > 0L))
+    assert(j.exists(_.getAs[Long]("n_removed") == 0L))
+  }
+
+  test("q110: every cluster elects its longest member exactly once, on " +
+      "q67's exact component structure") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.SparkEntry.queries("q110_quality_canonical")(spark, dir)
+      .collect()
+    val q67 = graft.SparkEntry.queries("q67_dedup_components")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("component_id")).toMap
+    val chars = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_chars")).toMap
+    // same membership and labels as the verified component query
+    assert(out.map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[Long]("component_id")).toMap == q67)
+    out.groupBy(_.getAs[Long]("component_id")).foreach {
+      case (_, members) =>
+        val canonicals = members.filter(_.getAs[Boolean]("is_canonical"))
+        assert(canonicals.length == 1)
+        val ids = members.map(_.getAs[Long]("doc_id"))
+        val canonical = canonicals.head.getAs[Long]("doc_id")
+        // every member row agrees on the winner, and the winner is the
+        // member with max n_chars (min doc_id on ties)
+        assert(members.forall(_.getAs[Long]("canonical_id") == canonical))
+        val best = ids.maxBy(id => (chars(id), -id))
+        assert(canonical == best)
+        assert(members.forall(_.getAs[Long]("component_size") == ids.length))
+    }
+  }
 }

@@ -327,4 +327,53 @@ class SimilaritySpec extends SparkSpec {
         s"q$q re-ranking lost recall: $hitsRr < $hitsAdc")
     }
   }
+
+  test("q108: SQ8 serve ranks by an exactly-recomputable shared-scale " +
+      "code dot — 5 contiguous ranks per query, ordered with ties on n_id") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.SparkEntry.queries("q108_sq8_serve")(spark, dir)
+      .collect()
+    val byQ = out.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.size == 10)
+    byQ.foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("rk"))
+      assert(sorted.map(_.getAs[Long]("rk")).toSeq == (1L to 5L))
+      sorted.sliding(2).foreach { case Array(a, b) =>
+        val (da, db) = (a.getAs[Long]("qdot"), b.getAs[Long]("qdot"))
+        assert(da > db ||
+          (da == db && a.getAs[Long]("n_id") < b.getAs[Long]("n_id")))
+      }
+      assert(rows.forall(_.getAs[Long]("n_id") != q)) // self-excluded
+    }
+    // recompute the winner's dot from raw floats through the same
+    // shared-scale map — the serve's integer arithmetic is the spec'd one
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray).toMap
+    val maxabs = vecs.values.flatten.map(x => math.abs(x.toDouble)).max
+    // Spark's round() is HALF_UP away from zero; math.round is
+    // half-toward-positive-infinity — they differ on negative .5s
+    def code(v: Array[Float]): Array[Long] =
+      v.map(x => java.math.BigDecimal.valueOf(x.toDouble * 127 / maxabs)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue)
+    out.filter(_.getAs[Long]("rk") == 1L).foreach { r =>
+      val (q, n) = (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))
+      val want = code(vecs(q)).zip(code(vecs(n))).map {
+        case (a, b) => a * b }.sum
+      assert(r.getAs[Long]("qdot") == want)
+    }
+  }
+
+  test("q109: SQ8 acceptance — 8 bits on a shared scale track the 11-bit " +
+      "grid ground truth (recall floor 0.9 at sf0.001)") {
+    val dir = "/root/testdata/sf0.001"
+    val r = graft.SparkEntry.queries("q109_sq8_acceptance")(spark, dir)
+      .collect()(0)
+    val (n, hits) = (r.getAs[Long]("n_truth"), r.getAs[Long]("hits_sq8"))
+    assert(n == 50L)
+    assert(hits <= n)
+    assert(hits >= 45L, s"SQ8 recall collapsed: $hits/50")
+    assert(r.getAs[Double]("recall_sq8") ==
+      math.floor(hits.toDouble / n * 1e6) / 1e6)
+  }
 }

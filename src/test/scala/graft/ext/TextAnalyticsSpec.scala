@@ -124,4 +124,77 @@ class TextAnalyticsSpec extends SparkSpec {
       TextAnalytics.bloomWidth(100_000_000L) // ~1e8 eval shingles
     }
   }
+
+  test("q106: repetition signals match a direct in-memory recount") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.SparkEntry.queries("q106_repetition_signals")(spark, dir)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("top_bigram_n") >= 1L)
+      assert(r.getAs[Long]("top_bigram_n") <= r.getAs[Long]("n_bigrams"))
+      assert(r.getAs[Long]("dup_trigram_n") <= r.getAs[Long]("n_trigrams"))
+      // duplicated trigram occurrences come in groups of >= 2
+      assert(r.getAs[Long]("dup_trigram_n") != 1L)
+    }
+    // exact recount for the first 20 docs, straight off the text
+    val texts = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") < 20).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    texts.foreach { case (id, text) =>
+      val w = text.split(" ")
+      if (w.length >= 3) {
+        val bi = w.sliding(2).map(_.mkString(" ")).toSeq
+        val tri = w.sliding(3).map(_.mkString(" ")).toSeq
+        val r = byId(id)
+        assert(r.getAs[Long]("n_bigrams") == bi.length)
+        assert(r.getAs[Long]("top_bigram_n") ==
+          bi.groupBy(identity).values.map(_.length).max)
+        assert(r.getAs[Long]("n_trigrams") == tri.length)
+        assert(r.getAs[Long]("dup_trigram_n") ==
+          tri.groupBy(identity).values.map(_.length)
+            .filter(_ >= 2).sum)
+      } else assert(!byId.contains(id))
+    }
+  }
+
+  test("q107: flags exactly q69's docs — the 10-token window overlap " +
+      "covers every 8-gram, so chunk granularity loses no detection") {
+    val dir = "/root/testdata/sf0.001"
+    val q107 = graft.SparkEntry.queries("q107_chunk_decontamination")(
+      spark, dir).collect()
+    val q69Docs = graft.SparkEntry.queries("q69_decontamination")(spark, dir)
+      .select("doc_id").collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(q107.map(_.getAs[Long]("doc_id")).toSet == q69Docs)
+    q107.foreach { r =>
+      assert(r.getAs[Long]("n_bad_chunks") >= 1L)
+      assert(r.getAs[Long]("n_bad_chunks") <= r.getAs[Long]("n_chunks"))
+    }
+  }
+
+  test("q107: clean chunks of a contaminated doc survive with their " +
+      "token mass (the surgical case the fixture's short docs never hit)") {
+    import spark.implicits._
+    val evalText = (1 to 10).map(i => s"ev$i").mkString(" ")
+    // train doc: 100 clean tokens, then the contaminated 10, then 20 more
+    val trainToks = (1 to 100).map(i => s"c$i") ++
+      (1 to 10).map(i => s"ev$i") ++ (1 to 20).map(i => s"t$i")
+    val docs = Seq(
+      (7L, evalText),                    // doc_id % 50 = 7 -> eval corpus
+      (1L, trainToks.mkString(" ")),     // contaminated train doc
+      (2L, (1 to 60).map(i => s"z$i").mkString(" ")) // clean train doc
+    ).toDF("doc_id", "text")
+    val out = TextAnalytics.chunkDecon(docs).collect()
+    // only the contaminated doc is reported
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L))
+    val r = out.head
+    // 130 tokens -> chunks at 0/40/80/120: 4 chunks; the eval 10-gram
+    // spans tokens 101-110, inside chunks starting at 80 (81-130) and
+    // NOT 40 (41-90) or 120 (121-130) -> exactly one bad chunk
+    assert(r.getAs[Long]("n_chunks") == 4L)
+    assert(r.getAs[Long]("n_bad_chunks") == 1L)
+    // surviving mass: chunks 1-50, 41-90, 121-130 = 50 + 50 + 10
+    assert(r.getAs[Long]("clean_tokens") == 110L)
+  }
 }
