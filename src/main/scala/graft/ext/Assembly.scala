@@ -478,7 +478,56 @@ object Assembly {
       |         ORDER BY rrf DESC, doc_id) AS rk
       |FROM f QUALIFY rk <= 5 ORDER BY q_id, rk""")
 
+  /** Corpus data card — the per-(source, lang) report a pipeline
+    * publishes with a training corpus (and reads before mixing it):
+    * document and token mass, length extremes, and how much of the slice
+    * is exact-duplicated corpus-wide. The duplicate measure reuses q30's
+    * md5 content fingerprint, counted over the WHOLE corpus (a copy in
+    * another source still makes both rows duplicates — per-slice
+    * counting would hide exactly the cross-source duplication a mixer
+    * cares about).
+    *
+    * Scale shape: one per-doc projection, one corpus-wide window on the
+    * 128-bit digest (q72's exchange), one tiny (source, lang) rollup —
+    * the report is bounded by the source×lang cardinality, never the
+    * corpus. */
+  private val q111DataCard = QueryDef(
+    (s, dir) => {
+      val perDoc = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("lang"),
+          col("n_chars"),
+          size(split(col("text"), " ")).cast("long").as("tokens"),
+          md5(col("text")).as("fp"))
+        .withColumn("dup",
+          count(lit(1)).over(Window.partitionBy("fp")) >= 2)
+      perDoc.groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("dup"), 1L).otherwise(0L)).as("n_exact_dup_docs"),
+          sum("tokens").as("total_tokens"),
+          sum("n_chars").as("total_chars"),
+          min("tokens").as("min_tokens"),
+          max("tokens").as("max_tokens"))
+        .withColumn("mean_tokens",
+          trunc6(col("total_tokens").cast("double") / col("n_docs")))
+        .orderBy("source", "lang")
+    },
+    """WITH d AS (SELECT doc_id, source, lang, n_chars,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+      |    count(*) OVER (PARTITION BY md5(text)) >= 2 AS dup
+      |  FROM documents)
+      |SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_exact_dup_docs,
+      |       CAST(sum(tokens) AS BIGINT) AS total_tokens,
+      |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |       CAST(min(tokens) AS BIGINT) AS min_tokens,
+      |       CAST(max(tokens) AS BIGINT) AS max_tokens,
+      |       floor(CAST(sum(tokens) AS DOUBLE) / count(*) * 1000000)
+      |         / 1000000 AS mean_tokens
+      |FROM d GROUP BY 1, 2 ORDER BY 1, 2""")
+
   val defs: Map[String, QueryDef] = Map(
+    "q111_data_card" -> q111DataCard,
     "q101_hybrid_rrf" -> q101HybridRrf,
     "q63_sequence_packing" -> q63SequencePacking,
     "q64_pii_redaction" -> q64PiiRedaction,

@@ -768,6 +768,55 @@ object Dedup {
       |FROM j JOIN wn w ON j.component_id = w.component_id
       |ORDER BY j.component_id, j.doc_id""")
 
+  /** Leakage-safe train/val/test split — the near-dup-aware form of
+    * q56: bucketing docs by their OWN id lets a near-duplicate pair
+    * straddle train and test, and the eval set then scores the model on
+    * near-copies of its training data (the quiet leak dedup papers warn
+    * about). Here the q56 hash-bucket discipline (first md5 hex char:
+    * <'c' train 12/16, <'e' val 2/16, else test) is applied to the
+    * COMPONENT id from q67's verified near-dup clusters, so every
+    * cluster moves between splits atomically; docs in no cluster are
+    * their own singleton component and split exactly as q56 would split
+    * them. DedupSpec proves no verified near-dup pair ever straddles.
+    *
+    * Scale shape: q67's label propagation (one equi-join shuffle per
+    * hop, cluster membership only — the overwhelming singleton majority
+    * never enters it), one left join back to the corpus, and the split
+    * is a pure per-row expression on the label. */
+  private val q112LeakageSafeSplit = QueryDef(
+    (s, dir) => {
+      val comp = connectedComponents(scoredPairs(s, dir)
+        .select("doc_a", "doc_b"))
+      val labeled = Tables(s, dir, "documents").select(col("doc_id"))
+        .join(comp.select("doc_id", "component_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component_id"), col("doc_id")).as("component_id"))
+      val h = substring(md5(col("component_id").cast("string")), 1, 1)
+      labeled
+        .withColumn("split", when(h < "c", "train")
+          .when(h < "e", "val").otherwise("test"))
+        .orderBy("doc_id")
+    },
+    s"""WITH RECURSIVE $pairCtes,
+      |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+      |      UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT a, a FROM e
+      |  UNION
+      |  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a),
+      |comp AS (SELECT src AS doc_id, min(dst) AS component_id
+      |         FROM reach GROUP BY src),
+      |lab AS (SELECT d.doc_id,
+      |          coalesce(c.component_id, d.doc_id) AS component_id
+      |        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+      |SELECT doc_id, component_id,
+      |  CASE WHEN substr(md5(CAST(component_id AS VARCHAR)), 1, 1) < 'c'
+      |         THEN 'train'
+      |       WHEN substr(md5(CAST(component_id AS VARCHAR)), 1, 1) < 'e'
+      |         THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM lab ORDER BY doc_id""")
+
   /** Reusable connected-components core (hash-min label propagation) over
     * an undirected pair list `(doc_a, doc_b)`: each vertex starts labeled
     * with itself and iteratively takes the min label over its
@@ -919,6 +968,7 @@ object Dedup {
     "q72_paragraph_dedup" -> q72ParagraphDedup,
     "q105_boilerplate_removal" -> q105BoilerplateRemoval,
     "q110_quality_canonical" -> q110QualityCanonical,
+    "q112_leakage_safe_split" -> q112LeakageSafeSplit,
     "q78_neardup_pair_recall" -> q78NeardupPairRecall,
     "q79_neardup_multiprobe" -> q79NeardupMultiprobe,
     "q80_semantic_dedup" -> q80SemanticDedup,

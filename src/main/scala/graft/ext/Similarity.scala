@@ -525,16 +525,20 @@ object Similarity {
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
   }
 
-  /** The SQ8 serve's oracle CTEs: shared-scale codes + code-dot top-5
-    * (shared by q108/q109). */
-  private val sq8Ctes =
+  /** The SQ8 code table as oracle CTEs (shared by q108/q109/q113). */
+  private val sq8CodeCtes =
     """ma AS (SELECT max(list_max(list_transform(embedding,
       |          x -> abs(CAST(x AS DOUBLE))))) AS maxabs
       |        FROM embeddings),
       |cd AS (SELECT vec_id, list_transform(embedding,
       |         x -> CAST(round(CAST(x AS DOUBLE) * 127 / maxabs, 0)
       |           AS BIGINT)) AS c
-      |       FROM embeddings, ma),
+      |       FROM embeddings, ma)""".stripMargin
+
+  /** The SQ8 serve's oracle CTEs: shared-scale codes + code-dot top-5
+    * (shared by q108/q109). */
+  private val sq8Ctes =
+    s"""$sq8CodeCtes,
       |qs AS (SELECT vec_id AS q_id, c AS qc FROM cd WHERE vec_id < 10),
       |sq AS (SELECT q_id, n_id, qdot, rk FROM (
       |         SELECT q_id, vec_id AS n_id,
@@ -554,7 +558,7 @@ object Similarity {
     * recall than PQ at the same 8 bits/dim (no subspace structure
     * assumed), but no sublinear candidate pruning — the natural
     * RE-RANKING tier: IVF-PQ prunes, SQ8 refines, exact floats only
-    * ever touch a top-20 shortlist (q100's ladder with one more rung).
+    * ever touch a top-20 shortlist (q113 runs that full ladder).
     *
     * Scale shape: one max|x| pre-pass (collected scalar, broadcast back
     * as a literal); the serve scans only the code column (8× smaller
@@ -1590,6 +1594,98 @@ object Similarity {
       |         ORDER BY d2, n_id) AS rk
       |FROM rr QUALIFY rk <= 5 ORDER BY q_id, rk""")
 
+  /** TIERED serve — the full refine ladder a production vector store
+    * runs, as one declarative query: the IVF-PQ ADC serve (256-bit
+    * residual codes, q96) widens to a top-50 shortlist; the SQ8 tier
+    * (512-bit shared-scale codes, q108's family) re-ranks it by integer
+    * squared-L2 down to 20; the exact grid (full-width vectors) refines
+    * the survivors to the final top-5. Fidelity strictly increases down
+    * the ladder — 256-bit ADC → 512-bit SQ8 → 704-bit exact — while the
+    * candidate count strictly shrinks (all → 50 → 20 → 5), which is the
+    * whole economics of tiered retrieval: each tier's cost is the
+    * previous tier's output size, and only the 256-bit codes are ever
+    * scanned corpus-wide. Rows carry all three beliefs (adist, d2sq8,
+    * d2) so the instrument shows what each tier corrected.
+    *
+    * Scale shape: tier 1 is q96's serve unchanged (cell-keyed LUT join);
+    * tiers 2 and 3 fetch by id against broadcast shortlists (≤ 50·q and
+    * ≤ 20·q rows) — code and vector traffic ∝ shortlist, never corpus. */
+  private val q113TieredServe = QueryDef(
+    (s, dir) => {
+      val (af, coarse, eg) = trainedModel(s, dir)
+      val resid = residualFrame(af, coarse, eg)
+      val (codes, subcents) = pqTrainOn(resid.select("vec_id", "qa"))
+      val lut = probeLut(eg.filter(col("vec_id") < 10), coarse, subcents,
+        nprobe = 2)
+      val cand = codes.select(col("vec_id").as("n_id"), col("sub"),
+          col("code"))
+        .join(af.select(col("vec_id").as("n_id"), col("cell").as("p_cell")),
+          Seq("n_id"))
+      val wAdc = Window.partitionBy("q_id").orderBy(asc("adist"), asc("n_id"))
+      val shortlist = cand.join(broadcast(lut), Seq("sub", "code", "p_cell"))
+        .filter(col("n_id") =!= col("q_id"))
+        .groupBy("q_id", "n_id")
+        .agg(sum("d2q").as("adist"))
+        .withColumn("ark", row_number().over(wAdc))
+        .filter(col("ark") <= 50)
+        .select("q_id", "n_id", "adist")
+      val cd = sq8Codes(s, dir)
+      val q8 = cd.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("c").as("qc8"))
+      val w8 = Window.partitionBy("q_id").orderBy(asc("d2sq8"), asc("n_id"))
+      val mid = cd.select(col("vec_id").as("n_id"), col("c").as("nc8"))
+        .join(broadcast(shortlist), Seq("n_id"))
+        .join(broadcast(q8), Seq("q_id"))
+        .withColumn("d2sq8", expr(
+          """aggregate(zip_with(qc8, nc8, (a, b) -> (a - b) * (a - b)),
+            |  cast(0 as bigint), (acc, x) -> acc + x)""".stripMargin))
+        .withColumn("srk", row_number().over(w8))
+        .filter(col("srk") <= 20)
+        .select("q_id", "n_id", "adist", "d2sq8")
+      val q = eg.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("qa").as("q_qa"))
+      val wEx = Window.partitionBy("q_id").orderBy(asc("d2"), asc("n_id"))
+      eg.select(col("vec_id").as("n_id"), col("qa"))
+        .join(broadcast(mid), Seq("n_id"))
+        .join(broadcast(q), Seq("q_id"))
+        .withColumn("d2", expr(
+          """aggregate(zip_with(qa, q_qa, (a, b) -> (a - b) * (a - b)),
+            |  cast(0 as bigint), (acc, x) -> acc + x)""".stripMargin))
+        .withColumn("rk", row_number().over(wEx))
+        .filter(col("rk") <= 5)
+        .select(col("q_id"), col("n_id"), col("adist"), col("d2sq8"),
+          col("d2"), col("rk").cast("long").as("rk"))
+        .orderBy("q_id", "rk")
+    },
+    s"""WITH $trainedAssignmentSql,
+      |$pqResidualTrainSql,
+      |$pqMultiProbeSql,
+      |$sq8CodeCtes,
+      |sl AS (SELECT q_id, n_id, adist FROM (
+      |        SELECT q_id, n_id, adist,
+      |          row_number() OVER (PARTITION BY q_id
+      |            ORDER BY adist, n_id) AS ark
+      |        FROM madc) WHERE ark <= 50),
+      |r8 AS (SELECT sl.q_id, sl.n_id, sl.adist,
+      |         CAST(list_sum(list_transform(qcd.c,
+      |           (x,i) -> (x - ncd.c[i]) * (x - ncd.c[i]))) AS BIGINT)
+      |           AS d2sq8
+      |       FROM sl JOIN cd qcd ON qcd.vec_id = sl.q_id
+      |       JOIN cd ncd ON ncd.vec_id = sl.n_id),
+      |m20 AS (SELECT q_id, n_id, adist, d2sq8 FROM (
+      |         SELECT r8.*, row_number() OVER (PARTITION BY q_id
+      |           ORDER BY d2sq8, n_id) AS srk FROM r8)
+      |        WHERE srk <= 20),
+      |rr AS (SELECT m.q_id, m.n_id, m.adist, m.d2sq8,
+      |         CAST(sum((b.q - a.q) * (b.q - a.q)) AS BIGINT) AS d2
+      |       FROM m20 m JOIN pts a ON a.vec_id = m.q_id
+      |       JOIN pts b ON b.vec_id = m.n_id AND b.dim = a.dim
+      |       GROUP BY 1, 2, 3, 4)
+      |SELECT q_id, n_id, adist, d2sq8, d2,
+      |       row_number() OVER (PARTITION BY q_id
+      |         ORDER BY d2, n_id) AS rk
+      |FROM rr QUALIFY rk <= 5 ORDER BY q_id, rk""")
+
   /** IVF-PQ ACCEPTANCE row — q87's discipline applied to q93: before a
     * pipeline swaps raw-vector serving for PQ codes it needs the recall
     * cost of each approximation STAGE, separately. One row compares,
@@ -1774,5 +1870,6 @@ object Similarity {
     "q62_embedding_quantize" -> q62Quantize,
     "q108_sq8_serve" -> q108Sq8Serve,
     "q109_sq8_acceptance" -> q109Sq8Acceptance,
+    "q113_tiered_serve" -> q113TieredServe,
   )
 }

@@ -110,4 +110,36 @@ class AssemblySpec extends SparkSpec {
         .foreach(r => assert(r.getAs[Double]("rrf") > 1.0 / 61))
     }
   }
+
+  test("q111: data card matches an in-memory recount, dup counts are " +
+      "corpus-wide") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.SparkEntry.queries("q111_data_card")(spark, dir)
+      .collect()
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "source", "lang", "n_chars", "text").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("lang"),
+        r.getAs[Long]("n_chars"), r.getAs[String]("text")))
+    val fpCount = docs.groupBy(d => md5hex(d._4)).map {
+      case (fp, ds) => fp -> ds.length
+    }
+    val byGroup = docs.groupBy(d => (d._1, d._2))
+    assert(out.length == byGroup.size)
+    out.foreach { r =>
+      val ds = byGroup((r.getAs[String]("source"), r.getAs[String]("lang")))
+      val toks = ds.map(_._4.split(" ").length.toLong)
+      assert(r.getAs[Long]("n_docs") == ds.length)
+      assert(r.getAs[Long]("n_exact_dup_docs") ==
+        ds.count(d => fpCount(md5hex(d._4)) >= 2))
+      assert(r.getAs[Long]("total_tokens") == toks.sum)
+      assert(r.getAs[Long]("total_chars") == ds.map(_._3).sum)
+      assert(r.getAs[Long]("min_tokens") == toks.min)
+      assert(r.getAs[Long]("max_tokens") == toks.max)
+      assert(r.getAs[Double]("mean_tokens") ==
+        math.floor(toks.sum.toDouble / ds.length * 1e6) / 1e6)
+    }
+  }
 }

@@ -288,4 +288,38 @@ class DedupSpec extends SparkSpec {
         assert(members.forall(_.getAs[Long]("component_size") == ids.length))
     }
   }
+
+  test("q112: near-dup pairs never straddle a split, singletons split as " +
+      "q56 would, and the bucket rule is exactly recomputable") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("q112_leakage_safe_split")(
+      spark, dir).collect()
+    val split = rows.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("component_id"), r.getAs[String]("split"))).toMap
+    assert(split.size == 500)
+    val pairs = graft.SparkEntry.queries("q31_ngram_jaccard")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(split(a)._2 == split(b)._2,
+        s"near-dup pair ($a, $b) straddles ${split(a)._2}/${split(b)._2}")
+    }
+    // every doc splits by the first md5 hex char of its component id —
+    // for cluster members that is the shared label, for everyone else
+    // their own id (exactly q56's bucket of the doc id)
+    val clustered = graft.SparkEntry.queries("q67_dedup_components")(
+      spark, dir).collect().map(_.getAs[Long]("doc_id")).toSet
+    def md5hex1(s: String): Char =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.head
+    split.foreach { case (id, (comp, sp)) =>
+      if (!clustered.contains(id)) assert(comp == id)
+      val h = md5hex1(comp.toString)
+      val want = if (h < 'c') "train" else if (h < 'e') "val" else "test"
+      assert(sp == want)
+    }
+    // all three splits are populated on the fixture
+    assert(rows.map(_.getAs[String]("split")).toSet ==
+      Set("train", "val", "test"))
+  }
 }

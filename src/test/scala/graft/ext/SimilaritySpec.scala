@@ -364,6 +364,41 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q113: tiered serve — both refine tiers' distances are exactly " +
+      "recomputable from raw floats, ranks ordered by the exact tier") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.SparkEntry.queries("q113_tiered_serve")(spark, dir)
+      .collect()
+    val byQ = out.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.size == 10)
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray).toMap
+    val maxabs = vecs.values.flatten.map(x => math.abs(x.toDouble)).max
+    def half(x: Double): Long = java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    def sq8(v: Array[Float]) = v.map(x => half(x.toDouble * 127 / maxabs))
+    def grid(v: Array[Float]) = v.map(x => half(x.toDouble * 1000))
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    byQ.foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("rk"))
+      assert(sorted.map(_.getAs[Long]("rk")).toSeq == (1L to 5L))
+      // the final tier's order is the exact-grid order, ties on n_id
+      sorted.sliding(2).foreach { case Array(a, b) =>
+        val (da, db) = (a.getAs[Long]("d2"), b.getAs[Long]("d2"))
+        assert(da < db ||
+          (da == db && a.getAs[Long]("n_id") < b.getAs[Long]("n_id")))
+      }
+      sorted.foreach { r =>
+        val n = r.getAs[Long]("n_id")
+        assert(n != q)
+        assert(r.getAs[Long]("d2sq8") == d2(sq8(vecs(q)), sq8(vecs(n))))
+        assert(r.getAs[Long]("d2") == d2(grid(vecs(q)), grid(vecs(n))))
+      }
+    }
+  }
+
   test("q109: SQ8 acceptance — 8 bits on a shared scale track the 11-bit " +
       "grid ground truth (recall floor 0.9 at sf0.001)") {
     val dir = "/root/testdata/sf0.001"
