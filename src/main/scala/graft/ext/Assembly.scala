@@ -526,8 +526,126 @@ object Assembly {
       |         / 1000000 AS mean_tokens
       |FROM d GROUP BY 1, 2 ORDER BY 1, 2""")
 
+  /** Curation pipeline v2 — the round-8 operator families composed the
+    * way a modern corpus builder actually chains them, one declarative
+    * query: q105's boilerplate CLEANING runs first, exact dedup then
+    * keys on the CLEANED fingerprint — two docs differing only in
+    * stripped chrome collapse, which q68/q75's raw-md5 dedup provably
+    * misses — q106's repetition gate drops internally-degenerate
+    * survivors (top-bigram fraction >= 0.1), and the shared
+    * [[curationGates]] chain (lang-ID, quality, length, split) gates
+    * what remains ON THE CLEANED TEXT. Output rows carry the cleaning
+    * and repetition evidence (n_removed, top_bigram_frac) next to the
+    * gate verdicts, so every kept doc explains its own journey.
+    *
+    * Scale shape: q105's two digest-keyed exchanges, one cleaned-digest
+    * dedup window, one (doc_id, gram) combinable count, then pure
+    * per-row gates — the same exchange inventory as its pieces; nothing
+    * new is corpus-global. */
+  private val q115CleanedCuration = QueryDef(
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val segs = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, cast(ceil(size(w) / 3.0) as int) - 1), " +
+            "i -> array_join(slice(w, i * 3 + 1, 3), ' '))"))
+          .as(Seq("idx", "seg")))
+        .withColumn("fp", md5(col("seg")))
+      val docFreq = segs.groupBy("fp")
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val cleaned = segs.join(docFreq, Seq("fp"))
+        .withColumn("boiler", col("df") >= 3)
+        .groupBy("doc_id")
+        .agg(sum(when(col("boiler"), 1L).otherwise(0L)).as("n_removed"),
+          array_sort(collect_list(
+            when(!col("boiler"), struct(col("idx"), col("seg")))))
+            .as("kept"))
+        .select(col("doc_id"), col("n_removed"),
+          array_join(expr("transform(kept, x -> x.seg)"), " ").as("text"))
+        .filter(length(col("text")) > 0)
+      val wD = Window.partitionBy(md5(col("text"))).orderBy("doc_id")
+      val canon = cleaned.withColumn("rn", row_number().over(wD))
+        .filter(col("rn") === 1)
+      val rep = canon
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(w) - 1), " +
+            "i -> array_join(slice(w, i, 2), ' '))")).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_bigrams"), max("c").as("top_bigram_n"))
+        .withColumn("top_bigram_frac",
+          trunc6(col("top_bigram_n").cast("double") / col("n_bigrams")))
+        .select("doc_id", "top_bigram_frac")
+      val keep = canon.join(rep, Seq("doc_id"))
+        .filter(col("top_bigram_frac") < 0.1)
+      curationGates(keep.select(col("doc_id"), col("text"))
+          .join(docs.select("doc_id", "lang"), Seq("doc_id")))
+        .join(keep.select("doc_id", "n_removed", "top_bigram_frac"),
+          Seq("doc_id"))
+        .orderBy("doc_id")
+    },
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS l
+      |           FROM documents),
+      |seg AS (SELECT doc_id, i AS idx,
+      |          array_to_string(l[(i-1)*3+1:(i-1)*3+3], ' ') AS seg
+      |        FROM w, UNNEST(generate_series(1,
+      |          CAST(ceil(len(l) / 3.0) AS BIGINT))) t(i)),
+      |sf AS (SELECT doc_id, idx, seg, md5(seg) AS fp FROM seg),
+      |dfq AS (SELECT fp, count(DISTINCT doc_id) AS df FROM sf GROUP BY fp),
+      |cl AS (SELECT s.doc_id,
+      |         CAST(sum(CASE WHEN d.df >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS n_removed,
+      |         coalesce(array_to_string(
+      |           list(s.seg ORDER BY s.idx) FILTER (WHERE d.df < 3), ' '),
+      |           '') AS text
+      |       FROM sf s JOIN dfq d ON s.fp = d.fp GROUP BY s.doc_id),
+      |ne AS (SELECT * FROM cl WHERE len(text) > 0),
+      |canon AS (SELECT *, row_number() OVER (PARTITION BY md5(text)
+      |            ORDER BY doc_id) AS rn FROM ne),
+      |cn AS (SELECT doc_id, n_removed, text FROM canon WHERE rn = 1),
+      |bg AS (SELECT doc_id, array_to_string(tw[i:i+1], ' ') AS g,
+      |         count(*) AS c
+      |       FROM (SELECT doc_id, string_split(text, ' ') AS tw FROM cn
+      |             WHERE len(string_split(text, ' ')) >= 2) b,
+      |            UNNEST(generate_series(1, len(tw) - 1)) t(i)
+      |       GROUP BY 1, 2),
+      |rep AS (SELECT doc_id,
+      |          floor(CAST(max(c) AS DOUBLE) / sum(c) * 1000000) / 1000000
+      |            AS top_bigram_frac
+      |        FROM bg GROUP BY doc_id),
+      |keep AS (SELECT cn.doc_id, cn.n_removed, cn.text, r.top_bigram_frac
+      |         FROM cn JOIN rep r ON cn.doc_id = r.doc_id
+      |         WHERE r.top_bigram_frac < 0.1e0),
+      |feat AS (SELECT k.doc_id, d.lang, string_split(k.text, ' ') AS tw,
+      |           k.n_removed, k.top_bigram_frac
+      |         FROM keep k JOIN documents d ON d.doc_id = k.doc_id),
+      |scored AS (SELECT doc_id, lang,
+      |    CAST(len(tw) AS BIGINT) AS n_tokens,
+      |    CASE WHEN len(list_filter(list_distinct(tw),
+      |           x -> x IN ${TextAnalytics.sqlIn(TextAnalytics.stopEn)})) > 0
+      |         THEN 'en' ELSE 'und' END AS predicted,
+      |    floor((0.5e0 * (CAST(len(list_distinct(tw)) AS DOUBLE) / len(tw)) +
+      |           0.5e0 * (1.0e0 -
+      |             CAST(len(list_filter(tw,
+      |               x -> x IN ${TextAnalytics.sqlIn(TextAnalytics.stopEn)}))
+      |               AS DOUBLE) / len(tw))) * 1000000) / 1000000 AS quality,
+      |    n_removed, top_bigram_frac
+      |  FROM feat),
+      |gated AS (
+      |  SELECT *, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+      |                 THEN 'train' ELSE 'heldout' END AS split
+      |  FROM scored
+      |  WHERE predicted = 'en' AND quality >= 0.5e0
+      |    AND n_tokens BETWEEN 10 AND 200)
+      |SELECT doc_id, lang, n_tokens, quality, split, n_removed,
+      |       top_bigram_frac
+      |FROM gated ORDER BY doc_id""")
+
   val defs: Map[String, QueryDef] = Map(
     "q111_data_card" -> q111DataCard,
+    "q115_cleaned_curation" -> q115CleanedCuration,
     "q101_hybrid_rrf" -> q101HybridRrf,
     "q63_sequence_packing" -> q63SequencePacking,
     "q64_pii_redaction" -> q64PiiRedaction,

@@ -817,6 +817,73 @@ object Dedup {
       |       ELSE 'test' END AS split
       |FROM lab ORDER BY doc_id""")
 
+  /** Split-leakage AUDIT row — the acceptance instrument for q112
+    * (q94's discipline applied to splitting): over the verified near-dup
+    * pairs, count how many straddle a split boundary under (a) q56's
+    * per-doc hash bucketing and (b) q112's per-component bucketing. The
+    * component count is structurally zero — a pair's endpoints share a
+    * component BY CONSTRUCTION, so they share a bucket — and the row
+    * proves it through the oracle rather than by assertion; the doc-id
+    * count is the leak a pipeline silently ships without q112: every
+    * straddling pair puts a near-copy of a training doc into eval. One
+    * pair-table aggregation, no corpus scan at all. */
+  private val q114SplitLeakageAudit = QueryDef(
+    (s, dir) => {
+      val pairs = scoredPairs(s, dir).select("doc_a", "doc_b")
+      val comp = connectedComponents(pairs)
+      def bucket(c: Column): Column = {
+        val h = substring(md5(c.cast("string")), 1, 1)
+        when(h < "c", "train").when(h < "e", "val").otherwise("test")
+      }
+      val withComp = pairs
+        .join(comp.select(col("doc_id").as("doc_a"),
+          col("component_id").as("comp_a")), Seq("doc_a"))
+        .join(comp.select(col("doc_id").as("doc_b"),
+          col("component_id").as("comp_b")), Seq("doc_b"))
+      withComp.agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(bucket(col("doc_a")) =!= bucket(col("doc_b")), 1L)
+          .otherwise(0L)).as("leaky_docid_split"),
+        sum(when(bucket(col("comp_a")) =!= bucket(col("comp_b")), 1L)
+          .otherwise(0L)).as("leaky_component_split"))
+    },
+    s"""WITH RECURSIVE $pairCtes,
+      |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+      |      UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT a, a FROM e
+      |  UNION
+      |  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a),
+      |comp AS (SELECT src AS doc_id, min(dst) AS component_id
+      |         FROM reach GROUP BY src),
+      |sp AS (SELECT p.doc_a, p.doc_b,
+      |         ca.component_id AS comp_a, cb.component_id AS comp_b
+      |       FROM pairs p
+      |       JOIN comp ca ON ca.doc_id = p.doc_a
+      |       JOIN comp cb ON cb.doc_id = p.doc_b)
+      |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+      |  CAST(sum(CASE WHEN
+      |    (CASE WHEN substr(md5(CAST(doc_a AS VARCHAR)), 1, 1) < 'c'
+      |            THEN 'train'
+      |          WHEN substr(md5(CAST(doc_a AS VARCHAR)), 1, 1) < 'e'
+      |            THEN 'val' ELSE 'test' END) <>
+      |    (CASE WHEN substr(md5(CAST(doc_b AS VARCHAR)), 1, 1) < 'c'
+      |            THEN 'train'
+      |          WHEN substr(md5(CAST(doc_b AS VARCHAR)), 1, 1) < 'e'
+      |            THEN 'val' ELSE 'test' END)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS leaky_docid_split,
+      |  CAST(sum(CASE WHEN
+      |    (CASE WHEN substr(md5(CAST(comp_a AS VARCHAR)), 1, 1) < 'c'
+      |            THEN 'train'
+      |          WHEN substr(md5(CAST(comp_a AS VARCHAR)), 1, 1) < 'e'
+      |            THEN 'val' ELSE 'test' END) <>
+      |    (CASE WHEN substr(md5(CAST(comp_b AS VARCHAR)), 1, 1) < 'c'
+      |            THEN 'train'
+      |          WHEN substr(md5(CAST(comp_b AS VARCHAR)), 1, 1) < 'e'
+      |            THEN 'val' ELSE 'test' END)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS leaky_component_split
+      |FROM sp""")
+
   /** Reusable connected-components core (hash-min label propagation) over
     * an undirected pair list `(doc_a, doc_b)`: each vertex starts labeled
     * with itself and iteratively takes the min label over its
@@ -969,6 +1036,7 @@ object Dedup {
     "q105_boilerplate_removal" -> q105BoilerplateRemoval,
     "q110_quality_canonical" -> q110QualityCanonical,
     "q112_leakage_safe_split" -> q112LeakageSafeSplit,
+    "q114_split_leakage_audit" -> q114SplitLeakageAudit,
     "q78_neardup_pair_recall" -> q78NeardupPairRecall,
     "q79_neardup_multiprobe" -> q79NeardupMultiprobe,
     "q80_semantic_dedup" -> q80SemanticDedup,

@@ -142,4 +142,41 @@ class AssemblySpec extends SparkSpec {
         math.floor(toks.sum.toDouble / ds.length * 1e6) / 1e6)
     }
   }
+
+  test("q115: cleaning-then-dedup collapses boilerplate variants raw " +
+      "dedup misses, and every survivor passes all gates") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.SparkEntry.queries("q115_cleaned_curation")(spark, dir)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Double]("quality") >= 0.5)
+      val t = r.getAs[Long]("n_tokens")
+      assert(t >= 10 && t <= 200)
+      assert(Set("train", "heldout")(r.getAs[String]("split")))
+      assert(r.getAs[Double]("top_bigram_frac") < 0.1)
+    }
+    // recompute the cleaning stage in memory: 3-word segments, a segment
+    // is boilerplate when >= 3 distinct docs carry it
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    def segsOf(t: String): Seq[String] =
+      t.split(" ").grouped(3).map(_.mkString(" ")).toSeq
+    val segDf = docs.flatMap { case (id, t) => segsOf(t).distinct
+        .map(_ -> id) }
+      .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).distinct.size }
+    val cleaned = docs.map { case (id, t) =>
+      id -> segsOf(t).filter(s => segDf(s) < 3).mkString(" ")
+    }.filter(_._2.nonEmpty)
+    // the RAW corpus has no exact duplicates to find...
+    assert(docs.map(_._2).distinct.length == docs.length)
+    // ...the CLEANED corpus does — the collapse only the v2 order catches
+    val groups = cleaned.groupBy(_._2).values
+    assert(groups.exists(_.size >= 2))
+    // and only each cleaned group's canonical (min doc_id) may surface
+    val nonCanonical = groups.filter(_.size >= 2)
+      .flatMap(g => g.map(_._1).sorted.drop(1)).toSet
+    assert(out.forall(r => !nonCanonical(r.getAs[Long]("doc_id"))))
+  }
 }

@@ -322,4 +322,25 @@ class DedupSpec extends SparkSpec {
     assert(rows.map(_.getAs[String]("split")).toSet ==
       Set("train", "val", "test"))
   }
+
+  test("q114: the leakage audit recounts exactly — component bucketing " +
+      "leaks zero pairs, doc-id bucketing leaks the recomputable count") {
+    val dir = "/root/testdata/sf0.001"
+    val r = graft.SparkEntry.queries("q114_split_leakage_audit")(
+      spark, dir).collect()(0)
+    val pairs = graft.SparkEntry.queries("q31_ngram_jaccard")(spark, dir)
+      .collect().map(p => (p.getAs[Long]("doc_a"), p.getAs[Long]("doc_b")))
+    def md5hex1(s: String): Char =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.head
+    def split(id: Long): String = {
+      val h = md5hex1(id.toString)
+      if (h < 'c') "train" else if (h < 'e') "val" else "test"
+    }
+    assert(r.getAs[Long]("n_pairs") == pairs.length && pairs.nonEmpty)
+    assert(r.getAs[Long]("leaky_docid_split") ==
+      pairs.count { case (a, b) => split(a) != split(b) })
+    // endpoints of a pair share a component, hence a bucket — zero leaks
+    assert(r.getAs[Long]("leaky_component_split") == 0L)
+  }
 }
