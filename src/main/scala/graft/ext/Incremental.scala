@@ -285,7 +285,68 @@ object Incremental {
       |SELECT doc_id, 1 AS batch FROM cb
       |ORDER BY doc_id""")
 
+  /** Two-run BoilerplateIndex lifecycle under the full oracle gate: run A
+    * (even docs) commits its df delta and cleans against it; run B (odd
+    * docs) commits, the index COMPACTS into the batch=-1 epoch, and B
+    * cleans from the compacted state — so one query gates the delta
+    * write, the cumulative sum, detection lag (A's verdicts see only A's
+    * frequencies; B's see A+B), and compaction's read-invariance. A's
+    * result is eagerly materialized before B commits: the verdict a run
+    * shipped must not change when later runs move the df state (the
+    * same frozen-state discipline as the other index admissions). */
+  private val q116BoilerplateIndexAdmit = QueryDef(
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents").select("doc_id", "text")
+      val idx = java.nio.file.Files.createTempDirectory("graft-q116-idx")
+        .resolve("index").toString
+      val a = docs.filter(col("doc_id") % 2 === 0)
+      val b = docs.filter(col("doc_id") % 2 === 1)
+      BoilerplateIndex.add(s, idx, a, 0L)
+      val cleanA = BoilerplateIndex.clean(s, idx, a)
+        .withColumn("run", lit(0L))
+        .localCheckpoint(true)
+      BoilerplateIndex.add(s, idx, b, 1L)
+      BoilerplateIndex.compact(s, idx)
+      val cleanB = BoilerplateIndex.clean(s, idx, b)
+        .withColumn("run", lit(1L))
+      cleanA.unionByName(cleanB).orderBy("doc_id")
+    },
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS l
+      |           FROM documents),
+      |seg AS (SELECT doc_id, i AS idx,
+      |          array_to_string(l[(i-1)*3+1:(i-1)*3+3], ' ') AS seg
+      |        FROM w, UNNEST(generate_series(1,
+      |          CAST(ceil(len(l) / 3.0) AS BIGINT))) t(i)),
+      |sf AS (SELECT doc_id, idx, seg, md5(seg) AS fp FROM seg),
+      |dfa AS (SELECT fp, count(DISTINCT doc_id) AS df FROM sf
+      |        WHERE doc_id % 2 = 0 GROUP BY fp),
+      |dfab AS (SELECT fp, count(DISTINCT doc_id) AS df FROM sf
+      |         GROUP BY fp),
+      |ca AS (SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+      |         CAST(sum(CASE WHEN d.df >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS n_removed,
+      |         md5(coalesce(array_to_string(
+      |           list(s.seg ORDER BY s.idx) FILTER (WHERE d.df < 3), ' '),
+      |           '')) AS cleaned_fp
+      |       FROM sf s JOIN dfa d ON s.fp = d.fp
+      |       WHERE s.doc_id % 2 = 0 GROUP BY s.doc_id),
+      |cb AS (SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+      |         CAST(sum(CASE WHEN d.df >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS n_removed,
+      |         md5(coalesce(array_to_string(
+      |           list(s.seg ORDER BY s.idx) FILTER (WHERE d.df < 3), ' '),
+      |           '')) AS cleaned_fp
+      |       FROM sf s JOIN dfab d ON s.fp = d.fp
+      |       WHERE s.doc_id % 2 = 1 GROUP BY s.doc_id)
+      |SELECT doc_id, CAST(0 AS BIGINT) AS run, n_segments, n_removed,
+      |       cleaned_fp FROM ca
+      |UNION ALL
+      |SELECT doc_id, CAST(1 AS BIGINT) AS run, n_segments, n_removed,
+      |       cleaned_fp FROM cb
+      |ORDER BY doc_id""")
+
   val defs: Map[String, QueryDef] = Map(
+    "q116_boilerplate_index_admit" -> q116BoilerplateIndexAdmit,
     "q84_neardup_index_admit" -> q84NeardupIndexAdmit,
     "q85_dedup_index_admit" -> q85DedupIndexAdmit,
     "q88_text_index_admit" -> q88TextIndexAdmit,
