@@ -96,7 +96,68 @@ object TimeWindows {
       |FROM sessions GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""")
 
+  /** Click→purchase ATTRIBUTION — the event-correlation op behind every
+    * conversion metric: each purchase attributes to the user's MOST
+    * RECENT click no older than 3 days. Implemented as the house as-of
+    * shape (union + window over one user-keyed shuffle, README's rule)
+    * rather than an interval join: `last(click, ignoreNulls)` over the
+    * rows-preceding frame picks the nearest click strictly earlier in
+    * (ts, event_id) composite order — deterministic even on equal
+    * microsecond timestamps — and the 3-day bound filters after the
+    * pick (any older click is further away, so the most-recent is the
+    * only candidate). An interval join fans out per (purchase × click-
+    * in-window) pair before deduplicating; the window form touches each
+    * event once. The streaming twin (`EventsStream.attributionPairs`)
+    * is the real watermarked stream-stream interval join — bounded
+    * state is the thing batch cannot show, candidate pairs are the
+    * thing streaming append mode cannot prune. */
+  private val q117Attribution = QueryDef(
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .select("event_id", "ts", "user_id", "event_type")
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val isClick = col("event_type") === "click"
+      ev
+        .withColumn("click_id",
+          last(when(isClick, col("event_id")), ignoreNulls = true).over(w))
+        .withColumn("click_ts",
+          last(when(isClick, col("ts")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase" &&
+          col("click_ts").isNotNull)
+        .withColumn("gap_us",
+          unix_micros(col("ts")) - unix_micros(col("click_ts")))
+        .filter(col("gap_us") <= 259200000000L) // 3 days in microseconds
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("purchase_ts"), col("click_id"), col("click_ts"),
+          col("gap_us"))
+        .orderBy("purchase_id")
+    },
+    """WITH e AS (SELECT event_id, ts, user_id, event_type FROM events
+      |           WHERE event_type IN ('click', 'purchase')),
+      |p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+      |      FROM e WHERE event_type = 'purchase'),
+      |c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+      |      FROM e WHERE event_type = 'click'),
+      |j AS (SELECT p.purchase_id, p.user_id, p.purchase_ts,
+      |        c.click_id, c.click_ts,
+      |        row_number() OVER (PARTITION BY p.purchase_id
+      |          ORDER BY c.click_ts DESC, c.click_id DESC) AS rn
+      |      FROM p JOIN c ON p.user_id = c.user_id
+      |        AND (c.click_ts < p.purchase_ts OR
+      |             (c.click_ts = p.purchase_ts AND
+      |              c.click_id < p.purchase_id))
+      |        AND epoch_us(p.purchase_ts) - epoch_us(c.click_ts)
+      |              <= 259200000000)
+      |SELECT purchase_id, user_id, purchase_ts, click_id, click_ts,
+      |       CAST(epoch_us(purchase_ts) - epoch_us(click_ts) AS BIGINT)
+      |         AS gap_us
+      |FROM j WHERE rn = 1 ORDER BY purchase_id""")
+
   val defs: Map[String, QueryDef] = Map(
+    "q117_attribution" -> q117Attribution,
     "q27_tumbling_window" -> q27Tumbling,
     "q28_sliding_window" -> q28Sliding,
     "q29_session_window" -> q29Session,

@@ -54,6 +54,40 @@ object EventsStream {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("total"))
 
+  /** Watermarked STREAM-STREAM interval join — the correlation surface
+    * none of the other twins exercise: clicks and purchases are two
+    * watermarked views of the event stream, and each purchase joins
+    * every click by the same user in its trailing 3-day window. State
+    * is BOUNDED by construction: a buffered click can only match
+    * purchases up to 3 days later, so once the purchase watermark
+    * passes click_ts + 3 days the engine evicts it — the
+    * watermark + interval bound is what makes an unbounded stream
+    * joinable at all. Emits the candidate PAIR stream (append mode
+    * cannot also pick "most recent" — that per-purchase argmax is
+    * q117's batch window, or a downstream micro-batch rollup); pair
+    * semantics match q117's join exactly, strict (ts, event_id)
+    * composite order included, so the spec can hold the streamed pairs
+    * to the batch query's candidate set. */
+  def attributionPairs(events: DataFrame,
+      watermark: String = "10 minutes"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("ts").as("click_ts"),
+        col("user_id").as("click_user"))
+      .withWatermark("click_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("user_id"))
+      .withWatermark("purchase_ts", watermark)
+    purchases.join(clicks,
+      col("click_user") === col("user_id") &&
+        (col("click_ts") < col("purchase_ts") ||
+          (col("click_ts") === col("purchase_ts") &&
+            col("click_id") < col("purchase_id"))) &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 3 DAYS"))
+      .select("purchase_id", "user_id", "purchase_ts", "click_id",
+        "click_ts")
+  }
+
   /** Custom state: per-user running totals via mapGroupsWithState — the
     * engine's generic stateful-operator surface (cursor-like state the
     * reference keeps in last_repo_id generalizes to arbitrary per-key

@@ -157,4 +157,80 @@ class EventsStreamSpec extends SparkSpec {
     val dirs = new java.io.File(out).listFiles().map(_.getName)
     assert(dirs.exists(_.startsWith("batch=")))
   }
+
+  test("stream-stream interval join: clicks buffered in state match " +
+      "purchases from LATER micro-batches, within the 3-day window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventsStream.attributionPairs(input.toDF())
+      .writeStream.format("memory").queryName("attribution")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 0: user 1 clicks twice; user 2 clicks once
+      input.addData(
+        ev(1, 0, user = 1, typ = "click"),
+        ev(2, 5, user = 1, typ = "click"),
+        ev(3, 0, user = 2, typ = "click"))
+      q.processAllAvailable()
+      // batch 1: purchases arrive later — the join must reach BACK into
+      // buffered click state across the micro-batch boundary
+      input.addData(
+        ev(10, 30, user = 1, typ = "purchase"),
+        ev(11, 30, user = 3, typ = "purchase"), // no clicks: no pair
+        ev(12, 4330, user = 2, typ = "purchase")) // 4330 min > 3 days
+      q.processAllAvailable()
+      val pairs = spark.table("attribution")
+        .select("purchase_id", "click_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // user 1's purchase pairs with BOTH its clicks (append mode emits
+      // the candidate pair stream; most-recent is q117's batch window);
+      // user 2's purchase is outside the 3-day interval; user 3 has none
+      assert(pairs == Set((10L, 1L), (10L, 2L)))
+    } finally q.stop()
+  }
+
+  test("stream-stream join pairs match q117's batch join semantics on " +
+      "identical data (the differential-twin check)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      ev(1, 0, user = 1, typ = "click"),
+      ev(2, 5, user = 1, typ = "click"),
+      ev(3, 10, user = 1, typ = "purchase"),
+      ev(4, 10, user = 2, typ = "click"),
+      ev(5, 10, user = 2, typ = "purchase"), // same-ts: id 4 < 5 pairs
+      ev(6, 20, user = 2, typ = "purchase"),
+      ev(7, 9999, user = 1, typ = "purchase")) // > 3 days from clicks
+    val input = MemoryStream[Event]
+    input.addData(events: _*)
+    val q = EventsStream.attributionPairs(input.toDF())
+      .writeStream.format("memory").queryName("attribution_diff")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("attribution_diff")
+        .select("purchase_id", "click_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // batch restatement of the same join predicate
+      val df = events.toDF()
+      val c = df.filter($"event_type" === "click")
+        .select($"event_id".as("click_id"), $"ts".as("click_ts"),
+          $"user_id".as("cu"))
+      val want = df.filter($"event_type" === "purchase")
+        .select($"event_id".as("purchase_id"), $"ts".as("purchase_ts"),
+          $"user_id")
+        .join(c, $"cu" === $"user_id" &&
+          ($"click_ts" < $"purchase_ts" ||
+            ($"click_ts" === $"purchase_ts" &&
+              $"click_id" < $"purchase_id")) &&
+          $"click_ts" >= $"purchase_ts" - org.apache.spark.sql.functions
+            .expr("INTERVAL 3 DAYS"))
+        .select("purchase_id", "click_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == want && want.nonEmpty)
+      assert(want.contains((5L, 4L))) // same-ts tie resolves by event_id
+      assert(want.contains((6L, 4L))) // ordinary trailing-window pair
+    } finally q.stop()
+  }
 }
