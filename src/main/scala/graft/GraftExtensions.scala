@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CosineSimilarity, HyperplaneBucket}
+import graft.functions.{CosineSimilarity, HyperplaneBucket, LongVecDot, LongVecL2}
 
 /** Session-extension entry point: registers the engine's native
   * expressions into every session built with
@@ -22,6 +22,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         CosineSimilarity(exprs.head, exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("long_vec_dot"),
+      new ExpressionInfo(classOf[LongVecDot].getName, "long_vec_dot"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        LongVecDot(exprs.head, exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("long_vec_l2"),
+      new ExpressionInfo(classOf[LongVecL2].getName, "long_vec_l2"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        LongVecL2(exprs.head, exprs(1))))
     e.injectFunction((
       new FunctionIdentifier("hyperplane_bucket"),
       new ExpressionInfo(classOf[HyperplaneBucket].getName, "hyperplane_bucket"),

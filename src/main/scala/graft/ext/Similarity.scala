@@ -518,9 +518,11 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("c").as("qc"))
     val scored = cd.select(col("vec_id").as("n_id"), col("c").as("nc"))
       .join(broadcast(q), col("n_id") =!= col("q_id"))
-      .withColumn("qdot", expr(
-        "aggregate(zip_with(qc, nc, (a, b) -> a * b), 0L, " +
-          "(acc, x) -> acc + x)"))
+      // native codegen kernel: the corpus-wide code scan must not pay
+      // interpreted HOF lambda frames (LongVecSpec pins bit-equality
+      // with the declarative aggregate(zip_with(...)) form)
+      .withColumn("qdot",
+        graft.functions.LongVec.dot(col("qc"), col("nc")))
     val w = Window.partitionBy("q_id").orderBy(desc("qdot"), asc("n_id"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
   }
@@ -591,9 +593,8 @@ object Similarity {
       val w = Window.partitionBy("q_id").orderBy(desc("gdot"), asc("n_id"))
       val truth = g.select(col("vec_id").as("n_id"), col("qa").as("na"))
         .join(broadcast(gq), col("n_id") =!= col("q_id"))
-        .withColumn("gdot", expr(
-          "aggregate(zip_with(qqa, na, (a, b) -> a * b), 0L, " +
-            "(acc, x) -> acc + x)"))
+        .withColumn("gdot",
+          graft.functions.LongVec.dot(col("qqa"), col("na")))
         .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
         .select("q_id", "n_id")
       val sq8 = sq8Top5(s, dir)
@@ -1636,9 +1637,8 @@ object Similarity {
       val mid = cd.select(col("vec_id").as("n_id"), col("c").as("nc8"))
         .join(broadcast(shortlist), Seq("n_id"))
         .join(broadcast(q8), Seq("q_id"))
-        .withColumn("d2sq8", expr(
-          """aggregate(zip_with(qc8, nc8, (a, b) -> (a - b) * (a - b)),
-            |  cast(0 as bigint), (acc, x) -> acc + x)""".stripMargin))
+        .withColumn("d2sq8",
+          graft.functions.LongVec.l2(col("qc8"), col("nc8")))
         .withColumn("srk", row_number().over(w8))
         .filter(col("srk") <= 20)
         .select("q_id", "n_id", "adist", "d2sq8")
@@ -1648,9 +1648,8 @@ object Similarity {
       eg.select(col("vec_id").as("n_id"), col("qa"))
         .join(broadcast(mid), Seq("n_id"))
         .join(broadcast(q), Seq("q_id"))
-        .withColumn("d2", expr(
-          """aggregate(zip_with(qa, q_qa, (a, b) -> (a - b) * (a - b)),
-            |  cast(0 as bigint), (acc, x) -> acc + x)""".stripMargin))
+        .withColumn("d2",
+          graft.functions.LongVec.l2(col("qa"), col("q_qa")))
         .withColumn("rk", row_number().over(wEx))
         .filter(col("rk") <= 5)
         .select(col("q_id"), col("n_id"), col("adist"), col("d2sq8"),
