@@ -452,9 +452,9 @@ object IvfPqIndex {
       val eg = Similarity.gridFrame(s, e)
       val q = eg.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("qa").as("q_qa"))
-      val d2 = expr(
-        """aggregate(zip_with(qa, q_qa, (a, b) -> (a - b) * (a - b)),
-          |  cast(0 as bigint), (acc, x) -> acc + x)""".stripMargin)
+      // native kernel: the exact ground truth is a full corpus x queries
+      // scan — the hottest site in this file
+      val d2 = graft.functions.LongVec.l2(col("qa"), col("q_qa"))
       val exact = eg.select(col("vec_id").as("n_id"), col("qa"))
         .join(broadcast(q), col("n_id") =!= col("q_id"))
         .select(col("q_id"), col("n_id"), d2.as("adist"))
@@ -522,9 +522,8 @@ object IvfPqIndex {
       eg.select(col("vec_id").as("n_id"), col("qa"))
         .join(broadcast(shortlist), Seq("n_id"))
         .join(broadcast(q), Seq("q_id"))
-        .withColumn("d2", expr(
-          """aggregate(zip_with(qa, q_qa, (a, b) -> (a - b) * (a - b)),
-            |  cast(0 as bigint), (acc, x) -> acc + x)""".stripMargin))
+        .withColumn("d2",
+          graft.functions.LongVec.l2(col("qa"), col("q_qa")))
         .withColumn("rk", row_number().over(wEx))
         .filter(col("rk") <= 5)
         .select(col("q_id"), col("n_id"), col("adist"), col("d2"),

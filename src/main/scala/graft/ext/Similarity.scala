@@ -1567,9 +1567,8 @@ object Similarity {
       eg.select(col("vec_id").as("n_id"), col("qa"))
         .join(broadcast(shortlist), Seq("n_id"))
         .join(broadcast(q), Seq("q_id"))
-        .withColumn("d2", expr(
-          """aggregate(zip_with(qa, q_qa, (a, b) -> (a - b) * (a - b)),
-            |  cast(0 as bigint), (acc, x) -> acc + x)""".stripMargin))
+        .withColumn("d2",
+          graft.functions.LongVec.l2(col("qa"), col("q_qa")))
         .withColumn("rk", row_number().over(wEx))
         .filter(col("rk") <= 5)
         .select(col("q_id"), col("n_id"), col("adist"), col("d2"),
@@ -1710,9 +1709,9 @@ object Similarity {
       val q = egc.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("qa").as("q_qa"),
           col("cell").as("q_cell"))
-      val d2 = expr(
-        """aggregate(zip_with(qa, q_qa, (a, b) -> (a - b) * (a - b)),
-          |  cast(0 as bigint), (acc, x) -> acc + x)""".stripMargin)
+      // native kernel: the flat arm scans every same-cell (corpus row,
+      // query) pair — corpus-hot, not query-side
+      val d2 = graft.functions.LongVec.l2(col("qa"), col("q_qa"))
       val wTop = Window.partitionBy("src", "q_id")
         .orderBy(asc("adist"), asc("n_id"))
       val flat = egc.select(col("vec_id").as("n_id"), col("qa"), col("cell"))
