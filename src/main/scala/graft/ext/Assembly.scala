@@ -643,7 +643,78 @@ object Assembly {
       |       top_bigram_frac
       |FROM gated ORDER BY doc_id""")
 
+  /** Hard-negative mining for retrieval training — the assembly step
+    * that turns the engine's similarity + dedup machinery into
+    * contrastive training data: for each query, the top-5 most-similar
+    * corpus vectors that are NOT near-duplicates of it. Positives
+    * (q80's semantic-dedup components — the transitive closure of the
+    * multi-probe near-dup verdicts) are excluded by COMPONENT, not by
+    * pairwise verdict: A's near-dup B may itself have a near-dup C
+    * that never passed the pairwise bar against A, and serving C as a
+    * "hard negative" would teach the ranker to push away a positive.
+    * The remaining ranking is the exact integer-grid dot (the engine's
+    * established ground-truth metric, q109's discipline).
+    *
+    * Scale shape: components arrive through q79's bucket equi-join +
+    * q67's O(diameter) closure (never a theta join); the corpus scan
+    * is queries-broadcast with the native `long_vec_dot` kernel (q34's
+    * BNLJ allowlist shape — the component-inequality predicate is the
+    * self-exclusion, since q's own component equals itself); output is
+    * queries × 5 rows. At 100 TB the scan arm would swap to the
+    * IVF-PQ serve (q113's ladder) with the same component filter. */
+  private val q118HardNegatives = QueryDef(
+    (s, dir) => {
+      val pairs = Dedup.multiProbePairs(s, dir)
+        .select(col("a_id").as("doc_a"), col("b_id").as("doc_b"))
+      val comp = Dedup.connectedComponents(pairs)
+        .withColumnRenamed("doc_id", "vec_id")
+      val g = Similarity.gridFrame(s, Tables(s, dir, "embeddings"))
+        .join(comp, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("qa"),
+          coalesce(col("component_id"), col("vec_id")).as("comp"))
+      val q = g.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("qa").as("q_qa"),
+          col("comp").as("q_comp"))
+      val w = Window.partitionBy("q_id").orderBy(desc("gdot"), asc("n_id"))
+      g.select(col("vec_id").as("n_id"), col("qa"), col("comp").as("n_comp"))
+        .join(broadcast(q), col("n_comp") =!= col("q_comp"))
+        .withColumn("gdot",
+          graft.functions.LongVec.dot(col("qa"), col("q_qa")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("q_id"), col("n_id"), col("gdot"),
+          col("rk").cast("long").as("rk"))
+        .orderBy("q_id", "rk")
+    },
+    s"""WITH RECURSIVE ${Dedup.multiProbePairSql},
+      |pairs AS (SELECT a_id AS doc_a, b_id AS doc_b
+      |          FROM mp WHERE c >= 0.4),
+      |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+      |      UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT a, a FROM e
+      |  UNION
+      |  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a),
+      |comp AS (SELECT src AS vec_id, min(dst) AS component_id
+      |         FROM reach GROUP BY src),
+      |g AS (SELECT emb.vec_id,
+      |        list_transform(embedding, x ->
+      |          CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS qa,
+      |        coalesce(c.component_id, emb.vec_id) AS comp
+      |      FROM embeddings emb LEFT JOIN comp c ON emb.vec_id = c.vec_id),
+      |gq AS (SELECT vec_id AS q_id, qa AS q_qa, comp AS q_comp
+      |       FROM g WHERE vec_id < 10),
+      |sc AS (SELECT q_id, g.vec_id AS n_id,
+      |         list_sum(list_transform(q_qa, (x,i) -> x * qa[i])) AS gdot,
+      |         row_number() OVER (PARTITION BY q_id ORDER BY
+      |           list_sum(list_transform(q_qa, (x,i) -> x * qa[i])) DESC,
+      |           g.vec_id) AS rk
+      |       FROM g, gq WHERE g.comp <> q_comp)
+      |SELECT q_id, n_id, gdot, CAST(rk AS BIGINT) AS rk
+      |FROM sc WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
+    "q118_hard_negatives" -> q118HardNegatives,
     "q111_data_card" -> q111DataCard,
     "q115_cleaned_curation" -> q115CleanedCuration,
     "q101_hybrid_rrf" -> q101HybridRrf,

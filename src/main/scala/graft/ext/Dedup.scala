@@ -432,7 +432,7 @@ object Dedup {
       .select(col("a_id"), col("b_id"), round(col("c"), 6).as("cosine"))
   }
 
-  private val multiProbePairSql =
+  private[ext] val multiProbePairSql =
     """np AS (
       |  SELECT 4 + length(bin(greatest(count(*) // 500, 1))) - 1 AS planes
       |  FROM embeddings),

@@ -181,7 +181,57 @@ object Sampling {
       |SELECT doc_id, source, tok, CAST(cum AS BIGINT) AS cum
       |FROM c WHERE cum - tok < 800 ORDER BY doc_id""")
 
+  /** Cluster-balanced coreset sampling — the semdedup-style diversity
+    * subset: q81's trained k-means assignment partitions the corpus
+    * into semantic cells, each cell gets a budget share PROPORTIONAL to
+    * its size (quota = max(1, ⌊B·cell_size/N⌋), B = 100 — the floor
+    * keeps tail clusters represented, the proportionality keeps the
+    * subset's cluster mix equal to the corpus's), and the quota is
+    * filled with the cell's PROTOTYPES — its minimal-distortion (d2)
+    * members, the vectors closest to the trained centroid. A uniform
+    * sample at the same size over-draws from dense clusters and misses
+    * small ones entirely; this subset covers every semantic mode with
+    * its most-central exemplars.
+    *
+    * Scale shape: the assignment is q81's bounded-state trainer (k·d
+    * centroid driver state, map-side-combinable shuffles); N collapses
+    * to a collected scalar (the sq8 max|x| discipline); the per-cell
+    * window shuffles on cell — the natural partitioning, no skew
+    * beyond cluster imbalance itself, which the quota formula is
+    * measuring in the first place. Everything after training is
+    * integer-exact (BIGINT floor division), so the oracle restates the
+    * full train→quota→select DAG. */
+  private val q119ClusterCoreset = QueryDef(
+    (s, dir) => {
+      val n = Tables(s, dir, "embeddings").count()
+      val wc = Window.partitionBy("cell")
+      val w = Window.partitionBy("cell").orderBy(asc("d2"), asc("vec_id"))
+      Similarity.trainedAssignment(s, dir)
+        .withColumn("cell_size", count(lit(1)).over(wc).cast("long"))
+        .withColumn("quota",
+          greatest(lit(1L), expr(s"(100 * cell_size) div $n")))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= col("quota"))
+        .select("vec_id", "cell", "d2", "cell_size", "quota", "rk")
+        .orderBy("cell", "rk")
+    },
+    s"""WITH ${Similarity.trainedAssignmentSql},
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+      |sz AS (SELECT vec_id, cell, d2,
+      |         CAST(count(*) OVER (PARTITION BY cell) AS BIGINT)
+      |           AS cell_size,
+      |         row_number() OVER (PARTITION BY cell
+      |           ORDER BY d2, vec_id) AS rk
+      |       FROM af),
+      |qt AS (SELECT vec_id, cell, d2, cell_size,
+      |         greatest(1, (100 * cell_size) // n) AS quota,
+      |         CAST(rk AS BIGINT) AS rk
+      |       FROM sz, n)
+      |SELECT vec_id, cell, d2, cell_size, quota, rk
+      |FROM qt WHERE rk <= quota ORDER BY cell, rk""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
+    "q119_cluster_coreset" -> q119ClusterCoreset,
     "q56_stratified_split" -> q56StratifiedSplit,
     "q57_dataset_mix" -> q57DatasetMix,
     "q61_balanced_subset" -> q61BalancedSubset,

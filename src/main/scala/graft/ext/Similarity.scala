@@ -656,7 +656,7 @@ object Similarity {
   /** The trained (vec_id, cell, d2) assignment after two Lloyd rounds —
     * shared by q81 (the training verdict table) and q82 (the trained-IVF
     * probe). See q81's Scaladoc for the integer-exact discipline. */
-  private def trainedAssignment(s: SparkSession, dir: String): DataFrame =
+  private[ext] def trainedAssignment(s: SparkSession, dir: String): DataFrame =
     trainedModel(s, dir)._1
 
   /** The checkpointed (vec_id, qa) grid frame over a (vec_id,
@@ -745,7 +745,7 @@ object Similarity {
 
   /** The q81 oracle's training rounds as shared CTE text (pts → final
     * assignment `af`), reused verbatim by q82's oracle. */
-  private val trainedAssignmentSql =
+  private[ext] val trainedAssignmentSql =
     """pts AS (
       |  SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,
       |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS q

@@ -179,4 +179,38 @@ class AssemblySpec extends SparkSpec {
       .flatMap(g => g.map(_._1).sorted.drop(1)).toSet
     assert(out.forall(r => !nonCanonical(r.getAs[Long]("doc_id"))))
   }
+
+  test("q118: no hard negative is a positive — every served (q, n) is " +
+      "cross-component AND absent from the near-dup pair table; ranks " +
+      "are dense top-5 by non-increasing dot") {
+    val out = run("q118_hard_negatives").collect()
+    assert(out.nonEmpty)
+    // served pairs never appear among the pairwise near-dup verdicts
+    // (either orientation) — the weaker, direct check...
+    val verdicts = Dedup.multiProbePairs(spark, dir)
+      .select("a_id", "b_id").collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)),
+        (r.getLong(1), r.getLong(0)))).toSet
+    out.foreach { r =>
+      val p = (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))
+      assert(!verdicts(p), s"served pairwise near-dup $p")
+    }
+    // ...and never share a TRANSITIVE component (the property that
+    // motivates component-level exclusion over pairwise)
+    val comp = graft.SparkEntry.queries("q80_semantic_dedup")(spark, dir)
+      .select("vec_id", "component_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      val q = r.getAs[Long]("q_id"); val n = r.getAs[Long]("n_id")
+      assert(comp(q) != comp(n), s"served same-component pair ($q, $n)")
+    }
+    // rank discipline: dense 1..5 per query, dot non-increasing
+    out.groupBy(_.getAs[Long]("q_id")).values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Long]("rk"))
+      assert(sorted.map(_.getAs[Long]("rk")).toSeq ==
+        (1L to sorted.length).toSeq)
+      val dots = sorted.map(_.getAs[Long]("gdot")).toSeq
+      assert(dots == dots.sorted.reverse)
+    }
+  }
 }

@@ -411,4 +411,29 @@ class SimilaritySpec extends SparkSpec {
     assert(r.getAs[Double]("recall_sq8") ==
       math.floor(hits.toDouble / n * 1e6) / 1e6)
   }
+
+  test("q119: coreset quotas are proportional with a floor of 1, every " +
+      "cell is covered, and the picks are the cell's minimal-d2 members") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.SparkEntry.queries("q119_cluster_coreset")(spark, dir)
+      .collect()
+    assert(out.nonEmpty)
+    val full = Similarity.trainedAssignment(spark, dir).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cell"),
+        r.getAs[Long]("d2")))
+    val n = full.length.toLong
+    val bySize = full.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    // every trained cell appears in the coreset (the floor guarantees it)
+    assert(out.map(_.getAs[Int]("cell")).toSet == bySize.keySet)
+    out.groupBy(_.getAs[Int]("cell")).foreach { case (cell, rows) =>
+      val quota = math.max(1L, 100L * bySize(cell) / n)
+      assert(rows.forall(_.getAs[Long]("quota") == quota))
+      // quota filled exactly (never exceeds the cell's population)
+      assert(rows.length.toLong == math.min(quota, bySize(cell)))
+      // the picks ARE the cell's minimal-d2 prototypes (ties by vec_id)
+      val want = full.filter(_._2 == cell).sortBy(t => (t._3, t._1))
+        .take(rows.length).map(_._1).toSet
+      assert(rows.map(_.getAs[Long]("vec_id")).toSet == want)
+    }
+  }
 }
