@@ -3,9 +3,9 @@ package graft.functions
 import org.apache.spark.sql.functions._
 import graft.SparkSpec
 
-/** RANDOMIZED differential coverage for the two hot native expressions
-  * — the fixture-based specs (PqArgminSpec / MinHashSigSpec) pin the
-  * known edge shapes; this suite drives seeded-random inputs through
+/** RANDOMIZED differential coverage for the hot native expressions
+  * — the fixture-based specs (PqArgminSpec / MinHashSigSpec /
+  * LongVecSpec) pin the known edge shapes; this suite drives seeded-random inputs through
   * wide value ranges so a latent divergence between the fused loops and
   * their declarative oracles (overflow handling, tie-breaks on
   * coincidentally equal distances, tokenizer corner cases the fixtures
@@ -120,6 +120,47 @@ class NativeExprRandomSpec extends SparkSpec {
         |  array_min(transform(array_distinct(split(text, ' ')), w ->
         |    cast(conv(substring(md5(concat(cast(i as string), ':', w)),
         |      1, 15), 16, 10) as bigint))))""".stripMargin).as("sig"))
+
+  // ---- long_vec_dot / long_vec_l2 ------------------------------------
+
+  /** Random signed long pairs at grid magnitude (±10^6, same headroom
+    * argument as randVecs) across varying dimensionalities, including
+    * dim-1 and dim-0 (empty arrays: both reductions are 0, not null). */
+  private def randPairs(seed: Int, n: Int) = {
+    import spark.implicits._
+    val r = new scala.util.Random(seed)
+    (0L until n.toLong).map { id =>
+      val d = if (id % 19 == 0) 0 else 1 + r.nextInt(96)
+      (id, Seq.fill(d)(r.nextLong() % 1000000L),
+        Seq.fill(d)(r.nextLong() % 1000000L))
+    }.toDF("id", "a", "b")
+  }
+
+  test("long_vec_dot / long_vec_l2 match the declarative forms on " +
+      "random signed vectors across dimensionalities, both eval modes") {
+    (1 to 3).foreach { trial =>
+      val df = randPairs(seed = 1300 + trial, n = 200)
+      val native = df.select(col("id"),
+        LongVec.dot(col("a"), col("b")).as("dot"),
+        LongVec.l2(col("a"), col("b")).as("l2"))
+      val decl = df.select(col("id"),
+        expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0L, " +
+          "(acc, v) -> acc + v)").as("dot"),
+        expr("aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), " +
+          "cast(0 as bigint), (acc, v) -> acc + v)").as("l2"))
+      val a = native.orderBy("id").collect()
+      val b = decl.orderBy("id").collect()
+      assert(a.length == 200)
+      a.zip(b).foreach { case (x, y) =>
+        assert(x == y, s"trial $trial: $x != $y") }
+      withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+          "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+        val interp = native.orderBy("id").collect()
+        a.zip(interp).foreach { case (x, y) =>
+          assert(x == y, s"trial $trial interpreted: $x != $y") }
+      }
+    }
+  }
 
   test("minhash_sig matches the declarative form on random hostile " +
       "documents, under both eval modes") {
