@@ -1028,7 +1028,66 @@ object Dedup {
       |FROM embeddings emb LEFT JOIN comp c ON emb.vec_id = c.vec_id
       |ORDER BY emb.vec_id""")
 
+  /** Duplication-aware loss weighting — SOFT dedup: instead of dropping
+    * near-duplicates (q67/q110's hard policy), every document stays in
+    * the corpus carrying weight 1/component_size, so each near-dup
+    * cluster contributes ONE document's worth of loss mass in
+    * expectation while preserving the cluster's internal variation
+    * (hard dedup keeps an arbitrary canonical and discards the
+    * variants' phrasing diversity). `eff_tokens` = n_tokens/size is the
+    * per-doc effective token mass the weighted corpus budget sums over
+    * — the number a mixing stage (q77) would meter against instead of
+    * raw tokens. Singletons weigh 1.0 via the left join (q80's rule).
+    * Both divisions truncate at 1e-6 with the SAME expression shape in
+    * both engines (q109's discipline), keeping the row hash-exact.
+    *
+    * Scale shape: q67's closure (one equi-join shuffle per hop) + one
+    * doc_id join for token counts + one component-keyed count window —
+    * nothing new beyond the component machinery it reuses. */
+  private val q120DupWeights = QueryDef(
+    (s, dir) => {
+      val comp = connectedComponents(scoredPairs(s, dir)
+        .select("doc_a", "doc_b"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("component_id"), col("doc_id")).as("component_id"))
+        .withColumn("component_size",
+          count(lit(1)).over(Window.partitionBy("component_id"))
+            .cast("long"))
+        .withColumn("weight",
+          floor(lit(1e6) / col("component_size")) / lit(1e6))
+        .withColumn("eff_tokens",
+          floor(col("n_tokens") * lit(1e6) / col("component_size"))
+            / lit(1e6))
+        .orderBy("doc_id")
+    },
+    s"""WITH RECURSIVE $pairCtes,
+      |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+      |      UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT a, a FROM e
+      |  UNION
+      |  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a),
+      |comp AS (SELECT src AS doc_id, min(dst) AS component_id
+      |         FROM reach GROUP BY src),
+      |j AS (SELECT d.doc_id,
+      |        CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+      |        coalesce(c.component_id, d.doc_id) AS component_id
+      |      FROM documents d LEFT JOIN comp c USING (doc_id)),
+      |sz AS (SELECT doc_id, n_tokens, component_id,
+      |         CAST(count(*) OVER (PARTITION BY component_id) AS BIGINT)
+      |           AS component_size
+      |       FROM j)
+      |SELECT doc_id, n_tokens, component_id, component_size,
+      |       floor(1e6 / component_size) / 1e6 AS weight,
+      |       floor(n_tokens * 1e6 / component_size) / 1e6 AS eff_tokens
+      |FROM sz ORDER BY doc_id""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
+    "q120_dup_weights" -> q120DupWeights,
     "q30_dedup_exact" -> q30ExactDedup,
     "q31_ngram_jaccard" -> q31NgramJaccard,
     "q67_dedup_components" -> q67DedupComponents,

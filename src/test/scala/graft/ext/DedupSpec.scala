@@ -343,4 +343,32 @@ class DedupSpec extends SparkSpec {
     // endpoints of a pair share a component, hence a bucket — zero leaks
     assert(r.getAs[Long]("leaky_component_split") == 0L)
   }
+
+  test("q120: soft-dedup weights — every doc kept, each component's " +
+      "weight mass is one doc's worth (up to the 1e-6 floor), and " +
+      "eff_tokens is the truncated per-doc share") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.SparkEntry.queries("q120_dup_weights")(spark, dir)
+      .collect()
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    // soft dedup drops NOTHING — one weighted row per document
+    assert(out.length.toLong == nDocs)
+    out.groupBy(_.getAs[Long]("component_id")).foreach { case (_, rows) =>
+      val size = rows.head.getAs[Long]("component_size")
+      assert(rows.length.toLong == size)
+      rows.foreach { r =>
+        assert(r.getAs[Long]("component_size") == size)
+        val w = r.getAs[Double]("weight")
+        assert(w == math.floor(1e6 / size) / 1e6)
+        assert(r.getAs[Double]("eff_tokens") ==
+          math.floor(r.getAs[Long]("n_tokens") * 1e6 / size) / 1e6)
+      }
+      // the component's total loss mass ≈ 1.0, truncation-only low
+      val mass = rows.map(_.getAs[Double]("weight")).sum
+      assert(mass <= 1.0 + 1e-9 && mass >= 1.0 - size * 1e-6)
+    }
+    // singletons (the common case) weigh exactly 1.0
+    assert(out.exists(r => r.getAs[Long]("component_size") == 1L &&
+      r.getAs[Double]("weight") == 1.0))
+  }
 }
