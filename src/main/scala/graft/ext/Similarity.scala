@@ -1594,6 +1594,107 @@ object Similarity {
       |         ORDER BY d2, n_id) AS rk
       |FROM rr QUALIFY rk <= 5 ORDER BY q_id, rk""")
 
+  /** Hard-negative mining AT SERVING COST — the scale path q118's
+    * Scaladoc promises: the same component-level positive exclusion
+    * (q80's transitive near-dup closure), but the candidate arm is
+    * q100's IVF-PQ ADC serve + exact re-rank instead of the exact
+    * corpus scan — the shape that survives when the corpus is 100 TB
+    * and a per-query full scan is off the table. The component filter
+    * applies to the ADC SHORTLIST before the top-20 window (the
+    * cheapest place: positives are pruned before any exact-distance
+    * work, and the window refills their slots with true negatives); it
+    * also subsumes the self-exclusion, since a query shares its own
+    * component. Like q100, recall is bounded by the shortlist — a
+    * positive-heavy neighborhood costs candidates, which is exactly
+    * the trade a production miner accepts.
+    *
+    * Scale shape: q100's serve (cell-keyed broadcast LUT join, one
+    * (q_id, n_id) exchange) + one vec_id-keyed label join; component
+    * labels arrive through q79's bucket equi-join + q67's closure,
+    * never a theta join. */
+  private val q121ServedHardNegatives = QueryDef(
+    (s, dir) => {
+      val (af, coarse, eg) = trainedModel(s, dir)
+      val resid = residualFrame(af, coarse, eg)
+      val (codes, subcents) = pqTrainOn(resid.select("vec_id", "qa"))
+      val lut = probeLut(eg.filter(col("vec_id") < 10), coarse, subcents,
+        nprobe = 2)
+      val comp = Dedup.connectedComponents(Dedup.multiProbePairs(s, dir)
+          .select(col("a_id").as("doc_a"), col("b_id").as("doc_b")))
+        .withColumnRenamed("doc_id", "vec_id")
+      val lbl = eg.select(col("vec_id"))
+        .join(comp.select("vec_id", "component_id"), Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("component_id"), col("vec_id")).as("comp"))
+      val qlbl = lbl.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("comp").as("q_comp"))
+      val cand = codes.select(col("vec_id").as("n_id"), col("sub"),
+          col("code"))
+        .join(af.select(col("vec_id").as("n_id"), col("cell").as("p_cell")),
+          Seq("n_id"))
+      val wAdc = Window.partitionBy("q_id").orderBy(asc("adist"), asc("n_id"))
+      val shortlist = cand.join(broadcast(lut), Seq("sub", "code", "p_cell"))
+        .groupBy("q_id", "n_id")
+        .agg(sum("d2q").as("adist"))
+        .join(lbl.select(col("vec_id").as("n_id"), col("comp").as("n_comp")),
+          Seq("n_id"))
+        .join(broadcast(qlbl), Seq("q_id"))
+        .filter(col("n_comp") =!= col("q_comp"))
+        .withColumn("ark", row_number().over(wAdc))
+        .filter(col("ark") <= 20)
+        .select("q_id", "n_id", "adist")
+      val q = eg.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("qa").as("q_qa"))
+      val wEx = Window.partitionBy("q_id").orderBy(asc("d2"), asc("n_id"))
+      eg.select(col("vec_id").as("n_id"), col("qa"))
+        .join(broadcast(shortlist), Seq("n_id"))
+        .join(broadcast(q), Seq("q_id"))
+        .withColumn("d2",
+          graft.functions.LongVec.l2(col("qa"), col("q_qa")))
+        .withColumn("rk", row_number().over(wEx))
+        .filter(col("rk") <= 5)
+        .select(col("q_id"), col("n_id"), col("adist"), col("d2"),
+          col("rk").cast("long").as("rk"))
+        .orderBy("q_id", "rk")
+    },
+    s"""WITH RECURSIVE $trainedAssignmentSql,
+      |$pqResidualTrainSql,
+      |$pqMultiProbeSql,
+      |${Dedup.multiProbePairSql},
+      |prs AS (SELECT a_id AS doc_a, b_id AS doc_b
+      |        FROM mp WHERE c >= 0.4),
+      |ed AS (SELECT doc_a AS a, doc_b AS b FROM prs
+      |       UNION ALL SELECT doc_b, doc_a FROM prs),
+      |reach(src, dst) AS (
+      |  SELECT a, a FROM ed
+      |  UNION
+      |  SELECT r.src, ed.b FROM reach r JOIN ed ON r.dst = ed.a),
+      |cmp AS (SELECT src AS vec_id, min(dst) AS component_id
+      |        FROM reach GROUP BY src),
+      |cl AS (SELECT emb.vec_id,
+      |         coalesce(c.component_id, emb.vec_id) AS comp
+      |       FROM embeddings emb LEFT JOIN cmp c ON emb.vec_id = c.vec_id),
+      |slf AS (SELECT m.q_id, m.n_id, m.adist
+      |        FROM madc m
+      |        JOIN cl a ON a.vec_id = m.n_id
+      |        JOIN cl b ON b.vec_id = m.q_id
+      |        WHERE a.comp <> b.comp),
+      |sl AS (SELECT q_id, n_id, adist FROM (
+      |        SELECT q_id, n_id, adist,
+      |          row_number() OVER (PARTITION BY q_id
+      |            ORDER BY adist, n_id) AS ark
+      |        FROM slf) WHERE ark <= 20),
+      |rr AS (SELECT sl.q_id, sl.n_id, sl.adist,
+      |         CAST(sum((b.q - a.q) * (b.q - a.q)) AS BIGINT) AS d2
+      |       FROM sl
+      |       JOIN pts a ON a.vec_id = sl.q_id
+      |       JOIN pts b ON b.vec_id = sl.n_id AND b.dim = a.dim
+      |       GROUP BY 1, 2, 3)
+      |SELECT q_id, n_id, adist, d2,
+      |       row_number() OVER (PARTITION BY q_id
+      |         ORDER BY d2, n_id) AS rk
+      |FROM rr QUALIFY rk <= 5 ORDER BY q_id, rk""")
+
   /** TIERED serve — the full refine ladder a production vector store
     * runs, as one declarative query: the IVF-PQ ADC serve (256-bit
     * residual codes, q96) widens to a top-50 shortlist; the SQ8 tier
@@ -1856,6 +1957,7 @@ object Similarity {
     "q94_ivfpq_recall" -> q94IvfPqRecall,
     "q96_ivfpq_multiprobe" -> q96IvfPqMultiprobe,
     "q100_ivfpq_rerank" -> q100IvfPqRerank,
+    "q121_served_hard_negatives" -> q121ServedHardNegatives,
     "q34_knn_cosine" -> q34KnnBrute,
     "q102_filtered_knn" -> q102FilteredKnn,
     "q35_knn_lsh" -> q35KnnLsh,

@@ -436,4 +436,27 @@ class SimilaritySpec extends SparkSpec {
       assert(rows.map(_.getAs[Long]("vec_id")).toSet == want)
     }
   }
+
+  test("q121: served hard negatives are cross-component (q118's " +
+      "exclusion holds at serving cost) with exact-d2 rank discipline") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.SparkEntry.queries("q121_served_hard_negatives")(
+      spark, dir).collect()
+    assert(out.nonEmpty)
+    val comp = graft.SparkEntry.queries("q80_semantic_dedup")(spark, dir)
+      .select("vec_id", "component_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      val q = r.getAs[Long]("q_id"); val n = r.getAs[Long]("n_id")
+      assert(comp(q) != comp(n), s"served same-component pair ($q, $n)")
+      assert(q != n)
+    }
+    out.groupBy(_.getAs[Long]("q_id")).values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Long]("rk"))
+      assert(sorted.map(_.getAs[Long]("rk")).toSeq ==
+        (1L to sorted.length).toSeq)
+      val d2s = sorted.map(_.getAs[Long]("d2")).toSeq
+      assert(d2s == d2s.sorted)
+    }
+  }
 }
