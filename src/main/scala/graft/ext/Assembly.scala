@@ -660,8 +660,8 @@ object Assembly {
     * is queries-broadcast with the native `long_vec_dot` kernel (q34's
     * BNLJ allowlist shape — the component-inequality predicate is the
     * self-exclusion, since q's own component equals itself); output is
-    * queries × 5 rows. At 100 TB the scan arm would swap to the
-    * IVF-PQ serve (q113's ladder) with the same component filter. */
+    * queries × 5 rows. At 100 TB the scan arm swaps to the IVF-PQ
+    * serve with the same component filter — q121 ships exactly that. */
   private val q118HardNegatives = QueryDef(
     (s, dir) => {
       val pairs = Dedup.multiProbePairs(s, dir)
