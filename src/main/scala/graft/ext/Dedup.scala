@@ -1086,7 +1086,80 @@ object Dedup {
       |       floor(n_tokens * 1e6 / component_size) / 1e6 AS eff_tokens
       |FROM sz ORDER BY doc_id""".stripMargin)
 
+  /** Per-source duplication-inflation data card — what q120's soft
+    * weights buy at the corpus ledger: for every source, the raw token
+    * count vs the EFFECTIVE token count (each doc contributing
+    * n_tokens/component_size), and their ratio — the number that says
+    * "source X's volume is 1.4× its information" and re-prices a
+    * mixing decision (q57/q77 meter raw tokens; a dup-heavy source
+    * earns a smaller share than its raw mass suggests).
+    *
+    * Hash-exactness discipline: per-doc effective mass is kept as an
+    * INTEGER micro-token count (floor(n_tokens·1e6/size) BIGINT), so
+    * the per-source sum is exact BIGINT arithmetic — summing truncated
+    * DOUBLES would be addition-order-dependent and hash-unstable. The
+    * single double division happens once per output row, with the same
+    * expression shape in both engines.
+    *
+    * Scale shape: q120's closure + one source-keyed aggregation —
+    * map-side combinable, output bounded by source cardinality. */
+  private val q122DupInflation = QueryDef(
+    (s, dir) => {
+      val comp = connectedComponents(scoredPairs(s, dir)
+        .select("doc_a", "doc_b"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          coalesce(col("component_id"), col("doc_id")).as("component_id"))
+        .withColumn("component_size",
+          count(lit(1)).over(Window.partitionBy("component_id"))
+            .cast("long"))
+        .withColumn("eff_micro",
+          floor(col("n_tokens") * lit(1e6) / col("component_size"))
+            .cast("long"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("raw_tokens"),
+          sum("eff_micro").as("eff_micro"))
+        .withColumn("inflation",
+          floor(col("raw_tokens") * lit(1e6) / (col("eff_micro") / lit(1e6)))
+            / lit(1e6))
+        .orderBy("source")
+    },
+    s"""WITH RECURSIVE $pairCtes,
+      |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+      |      UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT a, a FROM e
+      |  UNION
+      |  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a),
+      |comp AS (SELECT src AS doc_id, min(dst) AS component_id
+      |         FROM reach GROUP BY src),
+      |j AS (SELECT d.doc_id, d.source,
+      |        CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+      |        coalesce(c.component_id, d.doc_id) AS component_id
+      |      FROM documents d LEFT JOIN comp c USING (doc_id)),
+      |sz AS (SELECT doc_id, source, n_tokens,
+      |         CAST(count(*) OVER (PARTITION BY component_id) AS BIGINT)
+      |           AS component_size
+      |       FROM j),
+      |em AS (SELECT source, n_tokens,
+      |         CAST(floor(n_tokens * 1e6 / component_size) AS BIGINT)
+      |           AS eff_micro
+      |       FROM sz),
+      |ag AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |         CAST(sum(n_tokens) AS BIGINT) AS raw_tokens,
+      |         CAST(sum(eff_micro) AS BIGINT) AS eff_micro
+      |       FROM em GROUP BY source)
+      |SELECT source, n_docs, raw_tokens, eff_micro,
+      |       floor(raw_tokens * 1e6 / (eff_micro / 1e6)) / 1e6
+      |         AS inflation
+      |FROM ag ORDER BY source""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
+    "q122_dup_inflation" -> q122DupInflation,
     "q120_dup_weights" -> q120DupWeights,
     "q30_dedup_exact" -> q30ExactDedup,
     "q31_ngram_jaccard" -> q31NgramJaccard,

@@ -371,4 +371,27 @@ class DedupSpec extends SparkSpec {
     assert(out.exists(r => r.getAs[Long]("component_size") == 1L &&
       r.getAs[Double]("weight") == 1.0))
   }
+
+  test("q122: the per-source ledger is consistent with q120 — raw " +
+      "tokens total the corpus, effective micro-tokens total q120's " +
+      "weighted mass exactly, and inflation is never below 1") {
+    val dir = "/root/testdata/sf0.001"
+    val card = graft.SparkEntry.queries("q122_dup_inflation")(spark, dir)
+      .collect()
+    val perDoc = graft.SparkEntry.queries("q120_dup_weights")(spark, dir)
+      .collect()
+    assert(card.nonEmpty)
+    assert(card.map(_.getAs[Long]("raw_tokens")).sum ==
+      perDoc.map(_.getAs[Long]("n_tokens")).sum)
+    // q120's eff_tokens is eff_micro/1e6 exactly, so the micro ledgers
+    // must agree to the integer
+    assert(card.map(_.getAs[Long]("eff_micro")).sum ==
+      perDoc.map(r => math.round(r.getAs[Double]("eff_tokens") * 1e6)).sum)
+    card.foreach { r =>
+      assert(r.getAs[Double]("inflation") >= 1.0 - 1e-6,
+        s"deflation at ${r.getAs[String]("source")}")
+      assert(r.getAs[Long]("eff_micro") <=
+        r.getAs[Long]("raw_tokens") * 1000000L)
+    }
+  }
 }
