@@ -7,8 +7,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * oracle). Column names/aliases MUST match between `fn`'s output and the
   * oracle SQL — the driver sorts columns by name before hashing values.
   *
-  * Queries without an oracle (hash-based ops, approx sketches) get a
-  * weaker rows-only check from the driver; keep those to a minimum.
+  * Every registry query carries an oracle as of round 9 (q20, the last
+  * rows-only holdout, was restated as an acceptance row); `oracle` stays
+  * an Option because Verify's dump contract distinguishes oracle-checked
+  * dumps from rows-only ones, but new queries should never ship None —
+  * restate the claim as a deterministic acceptance row instead.
   */
 final case class QueryDef(
     fn: (SparkSession, String) => DataFrame,
@@ -17,7 +20,4 @@ final case class QueryDef(
 object QueryDef {
   def apply(fn: (SparkSession, String) => DataFrame, sql: String): QueryDef =
     QueryDef(fn, Some(sql.stripMargin.trim))
-
-  def noOracle(fn: (SparkSession, String) => DataFrame): QueryDef =
-    QueryDef(fn, None)
 }

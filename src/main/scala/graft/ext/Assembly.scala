@@ -705,7 +705,7 @@ object Assembly {
       |gq AS (SELECT vec_id AS q_id, qa AS q_qa, comp AS q_comp
       |       FROM g WHERE vec_id < 10),
       |sc AS (SELECT q_id, g.vec_id AS n_id,
-      |         list_sum(list_transform(q_qa, (x,i) -> x * qa[i])) AS gdot,
+      |         CAST(list_sum(list_transform(q_qa, (x,i) -> x * qa[i])) AS BIGINT) AS gdot,
       |         row_number() OVER (PARTITION BY q_id ORDER BY
       |           list_sum(list_transform(q_qa, (x,i) -> x * qa[i])) DESC,
       |           g.vec_id) AS rk

@@ -86,16 +86,35 @@ object Grouping {
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
 
   /** HLL++ approximate distinct — constant memory per group at any scale.
-    * Sketch internals differ from DuckDB's, so no SQL oracle: the driver
-    * records a rows-only check; exactness is covered by q19. */
-  private val q20ApproxDistinct = QueryDef.noOracle(
+    * Sketch REGISTER CONTENTS are engine-private (DuckDB's HLL differs
+    * from Spark's), so the raw estimate can't be hash-matched — but the
+    * CLAIM can: emit the exact distinct count (both engines agree) plus a
+    * BIGINT acceptance bit asserting the HLL estimate landed within 5% of
+    * it (rsd=0.02, so 5% is 2.5 sigma; Spark's HLL is a deterministic
+    * function of the fixture, making the bit stable across runs). The
+    * oracle recomputes the exact side and asserts the bit literally —
+    * if sketch accuracy ever drifts past the bound, the hash fails.
+    * Same discipline as q94/q109's recall acceptance rows; converts the
+    * build's last rows-only query into a full oracle. */
+  private val q20ApproxDistinct = QueryDef(
     (s, dir) =>
       Tables(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-          approx_count_distinct("l_partkey", 0.02).as("approx_parts"),
-          count("*").as("n_rows"))
-        .orderBy("l_returnflag"))
+          countDistinct("l_partkey").as("n_exact"),
+          approx_count_distinct("l_partkey", 0.02).as("approx"),
+          count(lit(1)).as("n_rows"))
+        .withColumn("within_5pct",
+          when(abs(col("approx") - col("n_exact")).cast("double")
+            <= col("n_exact").cast("double") * lit(0.05e0), 1L)
+            .otherwise(0L))
+        .select("l_returnflag", "n_exact", "n_rows", "within_5pct")
+        .orderBy("l_returnflag"),
+    """SELECT l_returnflag,
+      |       count(DISTINCT l_partkey) AS n_exact,
+      |       count(*) AS n_rows,
+      |       CAST(1 AS BIGINT) AS within_5pct
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
 
   val defs: Map[String, QueryDef] = Map(
     "q16_rollup" -> q16Rollup,

@@ -17,6 +17,12 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# (query name -> column names) allowed to diverge in arrow type between the
+# DuckDB oracle and the Spark dump. Empty on purpose: the driver's hash is
+# type-sensitive, so every opt-out here is a bet that the driver normalizes
+# that divergence. Justify any addition in a comment beside it.
+TYPE_OPT_OUT = {}
+
 
 def canon(rows, cols):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
@@ -74,7 +80,15 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: columns duck={sorted(dcols)} spark={sorted(scols)}")
             n_fail += 1
             continue
-        # arrow-level type parity (warn only; driver may or may not be strict)
+        # Arrow-level type parity. The driver's hash is TYPE-SENSITIVE:
+        # round 8's q118 passed values cell-for-cell but failed the driver
+        # on an un-cast HUGEINT, after this gate printed only a WARN. Any
+        # type divergence is now a FAIL, except:
+        #  - int32 vs int64 and timestamp-unit differences, which the
+        #    driver has normalized away across 8 rounds of green runs;
+        #  - (query, column) pairs in TYPE_OPT_OUT (currently empty) —
+        #    add an entry ONLY with a written justification beside it.
+        type_fail = None
         try:
             import pyarrow.parquet as _pq
             import glob as _glob
@@ -83,11 +97,24 @@ def main(sf_dir, out_dir):
             st = {f.name: str(f.type) for f in _pq.read_schema(sfile)}
             for c in dt:
                 a, b = dt[c], st.get(c, "?")
-                if a != b and {a, b} not in ({"int64", "int32"},):
-                    if not (a.startswith("timestamp") and b.startswith("timestamp")):
-                        print(f"  WARN {name}.{c}: duck={a} spark={b}")
+                if a == b or {a, b} == {"int64", "int32"}:
+                    continue
+                if a.startswith("timestamp") and b.startswith("timestamp"):
+                    continue
+                if c in TYPE_OPT_OUT.get(name, ()):
+                    print(f"  OPTOUT {name}.{c}: duck={a} spark={b}")
+                    continue
+                type_fail = (c, a, b)
+                break
         except Exception as e:
-            print(f"  WARN {name}: type check skipped: {e}")
+            print(f"FAIL {name}: type check failed to run: {e}")
+            n_fail += 1
+            continue
+        if type_fail:
+            c, a, b = type_fail
+            print(f"FAIL {name}: column type col {c}: duck={a} spark={b}")
+            n_fail += 1
+            continue
         da, cols = canon(drows, dcols)
         sa, _ = canon(srows, scols)
         if len(da) != len(sa):
