@@ -215,6 +215,9 @@ object Bench {
       if (errsShort.isEmpty) "" else errsShort.mkString(""","errors":{""", ",", "}")
     val total = results.map(_._2).sum
     val sfBase = Paths.get(sfDir).getFileName.toString
+    // the "noise" key is a non-contract extra, but round 8's driver run
+    // proved the parser tolerates it (BENCH_r08.json parsed non-null
+    // with it present); it also rides the PASSES sibling in full
     val stdoutLine =
       f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs$errShortJson,"noise":$noise%.2f,"sf":"$sfBase"}"""
     // the file channel keeps full names, 4-decimal precision, full path

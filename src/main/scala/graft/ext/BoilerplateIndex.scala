@@ -104,7 +104,7 @@ object BoilerplateIndex {
     * holds to the oracle. Single-writer cron model (DedupIndex's
     * documented swap semantics). */
   def compact(spark: SparkSession, indexDir: String,
-      excludeBatch: Option[Long] = None): Unit = {
+      excludeBatch: Option[Long] = None): DedupIndex.CompactionStats = {
     val raw = DedupIndex.readOrEmpty(spark, indexDir, deltaSchema)
     val live = excludeBatch.foldLeft(raw) {
       (df, b) => df.filter(col("batch") =!= b)

@@ -901,7 +901,15 @@ object Dedup {
     * `maxIters` quad-hop rounds (diameter > 4·maxIters, e.g. a
     * pathological chain corpus), this THROWS rather than returning
     * silently-wrong labels — an oracle mismatch must never be a masked
-    * convergence failure. DedupSpec proves detection on a >40-hop path
+    * convergence failure. Sizing: label propagation needs one hop per
+    * unit of component diameter, so set maxIters ≥ ceil(diameter / 4);
+    * the default 10 (40 hops) covers every real near-dup graph (near-
+    * clique, diameter 2-4) with a wide margin, and trips only on
+    * chain-like shapes — e.g. a template corpus where each revision
+    * pairs only with its neighbor, giving diameter ≈ revision count.
+    * Cost of raising it is one job + localCheckpoint per extra round,
+    * paid ONLY by graphs that actually need the hops (the fixpoint
+    * check exits early). DedupSpec proves detection on a >40-hop path
     * graph and convergence of the same graph under a raised cap. */
   private[ext] def connectedComponents(pairs: DataFrame,
       maxIters: Int = 10): DataFrame = {
@@ -1123,9 +1131,14 @@ object Dedup {
         .agg(count(lit(1)).as("n_docs"),
           sum("n_tokens").as("raw_tokens"),
           sum("eff_micro").as("eff_micro"))
+        // eff_micro sums to 0 when a source's docs are so short and so
+        // duplicated that every floor(n_tokens*1e6/size) truncates to 0
+        // (possible at production scale: components > 1e6 members) —
+        // guard the division so the ledger reads NULL, not Infinity
         .withColumn("inflation",
-          floor(col("raw_tokens") * lit(1e6) / (col("eff_micro") / lit(1e6)))
-            / lit(1e6))
+          when(col("eff_micro") > 0,
+            floor(col("raw_tokens") * lit(1e6) / (col("eff_micro") / lit(1e6)))
+              / lit(1e6)))
         .orderBy("source")
     },
     s"""WITH RECURSIVE $pairCtes,
@@ -1154,8 +1167,9 @@ object Dedup {
       |         CAST(sum(eff_micro) AS BIGINT) AS eff_micro
       |       FROM em GROUP BY source)
       |SELECT source, n_docs, raw_tokens, eff_micro,
-      |       floor(raw_tokens * 1e6 / (eff_micro / 1e6)) / 1e6
-      |         AS inflation
+      |       CASE WHEN eff_micro > 0 THEN
+      |         floor(raw_tokens * 1e6 / (eff_micro / 1e6)) / 1e6
+      |       END AS inflation
       |FROM ag ORDER BY source""".stripMargin)
 
   val defs: Map[String, QueryDef] = Map(

@@ -26,6 +26,19 @@ import org.apache.spark.sql.functions._
   */
 object DedupIndex {
 
+  /** What one compaction cost: every live data file is read and the
+    * rewrite produces `filesWritten` (≤ parallelism, or bucket count)
+    * — so compaction is a FULL REWRITE priced at the current index
+    * size. That cost model is what an operator sizes `maxIndexFiles`
+    * from: with per-batch appends of b files over a compacted base of
+    * w files, compaction fires every ceil((maxIndexFiles − w) / b)
+    * batches and rewrites ~maxIndexFiles files, so the amortized
+    * rewrite amplification per admitted file is
+    * maxIndexFiles / (maxIndexFiles − w) — raise the threshold until
+    * that ratio (≥ 1) is acceptable against probe-side small-file
+    * cost. CompactionCostSpec measures the model on a live stream. */
+  final case class CompactionStats(filesRead: Int, filesWritten: Int)
+
   /** Admit the not-seen-before documents of `batch` against the index at
     * `indexDir`, append their fingerprints, and return the admitted rows
     * (with their `fp`). Duplicate texts WITHIN the batch collapse to the
@@ -64,7 +77,7 @@ object DedupIndex {
     * materialization) — the swap only happens after the write job
     * completes, and the single-writer cron model means nobody reads
     * the in-between state. */
-  def compact(spark: SparkSession, indexDir: String): Unit =
+  def compact(spark: SparkSession, indexDir: String): CompactionStats =
     rewriteAndSwap(spark, indexDir) { tmp =>
       readIndex(spark, indexDir)
         .repartition(spark.sparkContext.defaultParallelism)
@@ -81,14 +94,19 @@ object DedupIndex {
     * multi-writer deployment would point a catalog/manifest entry at
     * the new directory instead, with the same rewrite dataflow. */
   private[ext] def rewriteAndSwap(spark: SparkSession, indexDir: String)(
-      write: String => Unit): Unit = {
+      write: String => Unit): CompactionStats = {
+    // Path(indexDir) normalizes trailing slashes; derive the siblings
+    // from the NORMALIZED name — naive string concat on "dir/" would put
+    // tmp INSIDE the live index, so the rename-aside carries it along
     val dirPath = new org.apache.hadoop.fs.Path(indexDir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(dirPath)) return
-    val tmp = new org.apache.hadoop.fs.Path(indexDir + "__compacting")
-    val old = new org.apache.hadoop.fs.Path(indexDir + "__old")
+    if (!fs.exists(dirPath)) return CompactionStats(0, 0)
+    val tmp = dirPath.suffix("__compacting")
+    val old = dirPath.suffix("__old")
     fs.delete(tmp, true); fs.delete(old, true)
+    val filesRead = dataFileCount(spark, indexDir)
     write(tmp.toString)
+    val filesWritten = dataFileCount(spark, tmp.toString)
     // carry the meta contract (e.g. NearDupIndex's planes) into the
     // rewritten index
     val meta = new org.apache.hadoop.fs.Path(indexDir, "_graft_meta")
@@ -103,6 +121,7 @@ object DedupIndex {
       throw new java.io.IOException(s"compact: cannot move $tmp into place")
     }
     fs.delete(old, true)
+    CompactionStats(filesRead, filesWritten)
   }
 
   /** Count the DATA files of a persisted index (recursively; `_meta`,

@@ -179,7 +179,7 @@ object IvfPqIndex {
     * whole partition anyway, so merging (or keeping) a half-written
     * attempt would double its rows after the replay. */
   def compact(spark: SparkSession, indexDir: String,
-      excludeBatch: Option[Long] = None): Unit =
+      excludeBatch: Option[Long] = None): DedupIndex.CompactionStats =
     DedupIndex.rewriteAndSwap(spark, indexDir) { tmp =>
       val live = excludeBatch.foldLeft(readIndex(spark, indexDir)) {
         (df, b) => df.filter(col("batch") =!= b)

@@ -122,7 +122,8 @@ object NearDupIndex {
     * INVARIANT — compaction changes layout, never content (q92 holds
     * the compacted index's contents to the same DuckDB oracle as the
     * admissions that built it). */
-  def compact(spark: SparkSession, indexDir: String): Unit =
+  def compact(spark: SparkSession, indexDir: String)
+      : DedupIndex.CompactionStats =
     DedupIndex.rewriteAndSwap(spark, indexDir) { tmp =>
       // plain defaultParallelism, no distinct-bucket count job: hash
       // clustering still lands each bucket in exactly one task (a task

@@ -130,7 +130,8 @@ object TextNearDupIndex {
     * and those rows survive the rewrite as an exact multiset
     * (TextNearDupIndexSpec proves it, plus that admissions after a
     * compact are unchanged). */
-  def compact(spark: SparkSession, indexDir: String): Unit =
+  def compact(spark: SparkSession, indexDir: String)
+      : DedupIndex.CompactionStats =
     DedupIndex.rewriteAndSwap(spark, indexDir) { tmp =>
       readIndex(spark, indexDir)
         .repartition(spark.sparkContext.defaultParallelism)

@@ -39,9 +39,12 @@ object BoilerplateStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
         if (maxIndexFiles > 0 &&
-            graft.ext.DedupIndex.dataFileCount(s, indexDir) > maxIndexFiles)
-          graft.ext.BoilerplateIndex.compact(s, indexDir,
+            graft.ext.DedupIndex.dataFileCount(s, indexDir) > maxIndexFiles) {
+          val cs = graft.ext.BoilerplateIndex.compact(s, indexDir,
             excludeBatch = Some(batchId))
+          System.err.println(s"[graft] auto-compact batch=$batchId " +
+            s"read=${cs.filesRead} wrote=${cs.filesWritten}")
+        }
         graft.ext.BoilerplateIndex.add(s, indexDir, batch, batchId)
         val cleaned = graft.ext.BoilerplateIndex.clean(s, indexDir, batch)
         EventsStream.writeBatchIdempotent(out)(cleaned, batchId)

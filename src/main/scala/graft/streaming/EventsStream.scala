@@ -58,11 +58,13 @@ object EventsStream {
     * none of the other twins exercise: clicks and purchases are two
     * watermarked views of the event stream, and each purchase joins
     * every click by the same user in its trailing 3-day window. State
-    * is BOUNDED by construction: a buffered click can only match
-    * purchases up to 3 days later, so once the purchase watermark
-    * passes click_ts + 3 days the engine evicts it — the
-    * watermark + interval bound is what makes an unbounded stream
-    * joinable at all. Emits the candidate PAIR stream (append mode
+    * is BOUNDED on both sides: a buffered click only matches purchases
+    * up to 3 days later (evicted once the purchase watermark passes
+    * click_ts + 3 days), and a buffered purchase only matches clicks at
+    * or before its own timestamp (evicted once the click watermark
+    * passes purchase_ts) — both bounds live in TOP-LEVEL conjuncts so
+    * the engine can extract them; the watermark + interval bound is
+    * what makes an unbounded stream joinable at all. Emits the candidate PAIR stream (append mode
     * cannot also pick "most recent" — that per-purchase argmax is
     * q117's batch window, or a downstream micro-batch rollup); pair
     * semantics match q117's join exactly, strict (ts, event_id)
@@ -78,8 +80,15 @@ object EventsStream {
       .select(col("event_id").as("purchase_id"),
         col("ts").as("purchase_ts"), col("user_id"))
       .withWatermark("purchase_ts", watermark)
+    // The redundant top-level click_ts <= purchase_ts conjunct matters:
+    // the strict ordering lives inside an OR (tie-break on event_id), and
+    // Spark only extracts watermark range bounds from TOP-LEVEL
+    // conjuncts — without it the purchase side has no upper bound and
+    // its buffered state is never evicted on a long-running stream.
+    // (<= not <: the OR admits click_ts == purchase_ts pairs.)
     purchases.join(clicks,
       col("click_user") === col("user_id") &&
+        col("click_ts") <= col("purchase_ts") &&
         (col("click_ts") < col("purchase_ts") ||
           (col("click_ts") === col("purchase_ts") &&
             col("click_id") < col("purchase_id"))) &&

@@ -43,9 +43,12 @@ object IvfPqStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
         if (maxIndexFiles > 0 &&
-            graft.ext.DedupIndex.dataFileCount(s, indexDir) > maxIndexFiles)
-          graft.ext.IvfPqIndex.compact(s, indexDir,
+            graft.ext.DedupIndex.dataFileCount(s, indexDir) > maxIndexFiles) {
+          val cs = graft.ext.IvfPqIndex.compact(s, indexDir,
             excludeBatch = Some(batchId))
+          System.err.println(s"[graft] auto-compact batch=$batchId " +
+            s"read=${cs.filesRead} wrote=${cs.filesWritten}")
+        }
         val added = graft.ext.IvfPqIndex.add(s, indexDir, batch, batchId)
         EventsStream.writeBatchIdempotent(out)(
           added.select("vec_id", "cell"), batchId)

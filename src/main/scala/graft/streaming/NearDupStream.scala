@@ -52,8 +52,11 @@ object NearDupStream {
         EventsStream.writeBatchIdempotent(out)(
           admitted.select("vec_id", "embedding"), batchId)
         if (maxIndexFiles > 0 && graft.ext.DedupIndex.dataFileCount(
-            batch.sparkSession, indexDir) > maxIndexFiles)
-          graft.ext.NearDupIndex.compact(batch.sparkSession, indexDir)
+            batch.sparkSession, indexDir) > maxIndexFiles) {
+          val cs = graft.ext.NearDupIndex.compact(batch.sparkSession, indexDir)
+          System.err.println(s"[graft] auto-compact batch=$batchId " +
+            s"read=${cs.filesRead} wrote=${cs.filesWritten}")
+        }
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())

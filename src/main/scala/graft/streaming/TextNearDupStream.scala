@@ -47,8 +47,12 @@ object TextNearDupStream {
           batch.sparkSession, indexDir, batch, minMatches)
         EventsStream.writeBatchIdempotent(out)(admitted, batchId)
         if (maxIndexFiles > 0 && graft.ext.DedupIndex.dataFileCount(
-            batch.sparkSession, indexDir) > maxIndexFiles)
-          graft.ext.TextNearDupIndex.compact(batch.sparkSession, indexDir)
+            batch.sparkSession, indexDir) > maxIndexFiles) {
+          val cs = graft.ext.TextNearDupIndex.compact(
+            batch.sparkSession, indexDir)
+          System.err.println(s"[graft] auto-compact batch=$batchId " +
+            s"read=${cs.filesRead} wrote=${cs.filesWritten}")
+        }
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())

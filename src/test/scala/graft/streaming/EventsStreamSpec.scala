@@ -233,4 +233,42 @@ class EventsStreamSpec extends SparkSpec {
       assert(want.contains((6L, 4L))) // ordinary trailing-window pair
     } finally q.stop()
   }
+
+  test("stream-stream join evicts BOTH sides' state once the watermark " +
+      "passes their bounds (purchase side needs the top-level conjunct)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventsStream.attributionPairs(input.toDF())
+      .writeStream.format("memory").queryName("attribution_evict")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 0: one click + one matching purchase buffered (2 state rows)
+      input.addData(
+        ev(1, 0, user = 1, typ = "click"),
+        ev(2, 10, user = 1, typ = "purchase"))
+      q.processAllAvailable()
+      // batch 1: jump event time far ahead (~7 days); watermark is
+      // computed from this batch's max AFTER it runs
+      input.addData(
+        ev(3, 10000, user = 9, typ = "click"),
+        ev(4, 10005, user = 9, typ = "purchase"))
+      q.processAllAvailable()
+      // batch 2 runs WITH the advanced watermark (~9995 min): the click
+      // at t=0 is past click_ts + 3 days, the purchase at t=10 is past
+      // the click watermark — both must be evicted. Without an
+      // extractable purchase-side bound (the top-level
+      // click_ts <= purchase_ts conjunct) the purchase would sit in
+      // state forever and the final count below would read 4, not 3.
+      input.addData(ev(5, 10010, user = 7, typ = "click"))
+      q.processAllAvailable()
+      val removed = q.recentProgress.flatMap(_.stateOperators)
+        .map(_.numRowsRemoved).sum
+      val lastTotal = q.recentProgress.flatMap(_.stateOperators)
+        .lastOption.map(_.numRowsTotal).getOrElse(-1L)
+      assert(removed >= 2L, s"expected both stale rows evicted, removed=$removed")
+      // survivors: click t=10000, purchase t=10005, click t=10010
+      assert(lastTotal == 3L, s"state rows after eviction: $lastTotal")
+    } finally q.stop()
+  }
 }
