@@ -2,30 +2,68 @@ package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated star schema (see /root/repo/TESTDATA.md,
   * FIXTURES.md §B). One parquet file per table under the sf dir.
   *
-  * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark 4 refuses
-  * to read natively. We flip `spark.sql.legacy.parquet.nanosAsLong` (a
-  * dynamic SQL conf) so the column arrives as raw nanos-since-epoch, then
-  * rebuild a proper TimestampType by flooring to microseconds — the same
-  * truncation DuckDB applies when it reads TIMESTAMP_NS, so oracle
-  * comparisons stay exact.
+  * The fixture's `events.ts` physical type has changed between driver
+  * regenerations, so the loader normalizes EVERY timestamp regime it has
+  * ever been handed to one canonical type — `TimestampType` (UTC instant;
+  * the session timezone is pinned to UTC in Verify/Bench and the specs):
+  *
+  *   - parquet TIMESTAMP(NANOS) (rounds 1-8): Spark 4 refuses to read it
+  *     natively, so we flip `spark.sql.legacy.parquet.nanosAsLong` (a
+  *     dynamic SQL conf) and the column arrives as raw nanos-since-epoch
+  *     LongType; we rebuild a TimestampType by flooring to microseconds —
+  *     the same truncation DuckDB applies reading TIMESTAMP_NS, so oracle
+  *     comparisons stay exact.
+  *   - parquet timestamp[us] with no timezone (round 9+): Spark 4 reads it
+  *     as TIMESTAMP_NTZ (`spark.sql.parquet.inferTimestampNTZ.enabled`
+  *     defaults true). Under a UTC session, `cast(TimestampType)` is
+  *     value-identical (the wall-clock field values ARE the UTC instant),
+  *     and DuckDB's naive timestamps already compare as UTC instants.
+  *   - parquet timestamp[us/ms] WITH timezone: already TimestampType;
+  *     passes through untouched.
+  *
+  * After normalization the contract is ASSERTED: a future fixture
+  * regeneration that introduces a regime this loader cannot normalize
+  * fails at the first `Tables` call with a named error, instead of
+  * surfacing as red driver artifacts three steps downstream.
   */
 object Tables {
   val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    df.schema.fields.foldLeft(df) {
+  /** Normalize a `ts` column (any fixture regime — nanos-as-long, NTZ,
+    * or tz'd timestamp) to canonical TimestampType. Shared by the batch
+    * loader and the streaming twins so a parquet-fed stream survives the
+    * same fixture-format changes the batch path does. Frames without a
+    * `ts` column pass through untouched. */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    val out = df.schema.fields.foldLeft(df) {
       case (d, f) if f.name == "ts" && f.dataType == LongType =>
+        // raw nanos-since-epoch (legacy nanosAsLong read of TIMESTAMP(NANOS))
         d.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case (d, f) if f.name == "ts" && f.dataType == TimestampNTZType =>
+        // naive timestamp[us]; session tz is UTC so this is value-identical
+        d.withColumn("ts", col("ts").cast(TimestampType))
       case (d, _) => d
     }
+    out.schema.fields.find(_.name == "ts").foreach { f =>
+      require(f.dataType == TimestampType,
+        s"fixture contract violation: `ts` normalized to ${f.dataType} " +
+          s"(expected TimestampType). The driver has regenerated the fixture " +
+          s"with a parquet timestamp regime Tables.normalizeTs does not " +
+          s"handle — original type in this frame's scan: check " +
+          s"`spark.read.parquet(...).schema`.")
+    }
+    out
+  }
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
   }
 
   /** Spread a frame across the cluster before CPU-dense per-row work

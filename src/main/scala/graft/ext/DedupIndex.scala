@@ -77,10 +77,12 @@ object DedupIndex {
     * materialization) — the swap only happens after the write job
     * completes, and the single-writer cron model means nobody reads
     * the in-between state. */
-  def compact(spark: SparkSession, indexDir: String): CompactionStats =
+  def compact(spark: SparkSession, indexDir: String,
+      targetFiles: Option[Int] = None): CompactionStats =
     rewriteAndSwap(spark, indexDir) { tmp =>
       readIndex(spark, indexDir)
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(targetFiles.getOrElse(
+          spark.sparkContext.defaultParallelism))
         .write.mode("overwrite").parquet(tmp)
     }
 

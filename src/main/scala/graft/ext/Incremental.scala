@@ -345,7 +345,66 @@ object Incremental {
       |       cleaned_fp FROM cb
       |ORDER BY doc_id""")
 
+  /** COMPACTION PRICING as a queryable instrument — the measured side of
+    * the cost model CompactionCostSpec pins (DedupIndex.scala:29-40):
+    * stage the fingerprint index as 8 SINGLE-FILE appends (one per
+    * doc_id%8 batch, each `repartition(1)` — the hourly-cron decay
+    * shape with a known file count), compact to an explicit
+    * `targetFiles = 4` base, and emit what the maintenance op COST:
+    *
+    *   files_read   — every live file is rewritten; must equal the 8
+    *                  staged appends or compaction read the wrong set;
+    *   files_written — must equal the requested base (4) or the rewrite
+    *                  fan-out is broken;
+    *   amplification_micro — the Scaladoc formula at this threshold,
+    *                  maxIndexFiles/(maxIndexFiles − w) = 8/(8−4),
+    *                  fixed-point ×1e6 (the q109 discipline: floats
+    *                  leave the engine as floored integers);
+    *   index_rows   — content cardinality carried through the rewrite
+    *                  (full content invariance is q95's gate; the
+    *                  pricing row carries the count so a row-dropping
+    *                  compaction cannot price as cheap).
+    *
+    * The DuckDB restatement derives files_read from the SAME batching
+    * rule (count of non-empty doc_id%8 classes) and index_rows from the
+    * staged cardinality, so a fixture change moves both engines
+    * together; the driver's hash gate then prices the compaction
+    * exactly. One row, all BIGINT. */
+  private val q123CompactionCost = QueryDef(
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val idx = java.nio.file.Files.createTempDirectory("graft-q123-idx")
+        .resolve("index").toString
+      (0 until 8).foreach { k =>
+        docs.filter(col("doc_id") % 8 === k)
+          .select(md5(col("text")).as("fp"), col("doc_id").as("canonical_id"))
+          .repartition(1)
+          .write.mode("append").parquet(idx)
+      }
+      val stats = DedupIndex.compact(s, idx, targetFiles = Some(4))
+      require(stats.filesRead > stats.filesWritten,
+        s"q123 staging invariant broken: read=${stats.filesRead} " +
+          s"written=${stats.filesWritten}")
+      val rows = DedupIndex.readIndex(s, idx).count()
+      val amplificationMicro = math.floor(stats.filesRead.toDouble /
+        (stats.filesRead - stats.filesWritten) * 1e6).toLong
+      Seq((stats.filesRead.toLong, stats.filesWritten.toLong,
+        amplificationMicro, rows))
+        .toDF("files_read", "files_written", "amplification_micro",
+          "index_rows")
+    },
+    """WITH batches AS (SELECT DISTINCT doc_id % 8 AS b FROM documents)
+      |SELECT CAST(count(*) AS BIGINT) AS files_read,
+      |       CAST(4 AS BIGINT) AS files_written,
+      |       CAST(floor(CAST(count(*) AS DOUBLE) / (count(*) - 4)
+      |         * 1000000) AS BIGINT) AS amplification_micro,
+      |       (SELECT CAST(count(*) AS BIGINT) FROM documents)
+      |         AS index_rows
+      |FROM batches""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
+    "q123_compaction_cost" -> q123CompactionCost,
     "q116_boilerplate_index_admit" -> q116BoilerplateIndexAdmit,
     "q84_neardup_index_admit" -> q84NeardupIndexAdmit,
     "q85_dedup_index_admit" -> q85DedupIndexAdmit,

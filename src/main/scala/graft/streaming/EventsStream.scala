@@ -24,11 +24,20 @@ case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
   */
 object EventsStream {
 
+  /** Every ts-consuming twin normalizes its input through the SAME helper
+    * the batch loader uses (graft.core.Tables.normalizeTs): a twin wired
+    * to a parquet `readStream` of the fixture would otherwise hit the
+    * identical TIMESTAMP_NTZ wall the round-9 regeneration hit on the
+    * batch path. MemoryStream-fed specs pass through untouched (already
+    * TimestampType). */
+  private def norm(events: DataFrame): DataFrame =
+    graft.core.Tables.normalizeTs(events)
+
   /** Tumbling-window counts with a watermark: late rows beyond the
     * watermark are dropped from state — bounded memory at any scale. */
-  def tumblingCounts(events: DataFrame, window: String = "10 minutes",
+  def tumblingCounts(rawEvents: DataFrame, window: String = "10 minutes",
       watermark: String = "5 minutes"): DataFrame =
-    events
+    norm(rawEvents)
       .withWatermark("ts", watermark)
       .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
         col("event_type"))
@@ -39,14 +48,14 @@ object EventsStream {
   /** Streaming exact dedup on event_id within the watermark horizon —
     * the PRIMARY-KEY enforcement the reference's Snowflake DDL implies
     * but never enforces (reference README.md:268). */
-  def dedup(events: DataFrame, watermark: String = "5 minutes"): DataFrame =
-    events.withWatermark("ts", watermark)
+  def dedup(rawEvents: DataFrame, watermark: String = "5 minutes"): DataFrame =
+    norm(rawEvents).withWatermark("ts", watermark)
       .dropDuplicates("event_id", "ts")
 
   /** Session windows (gap-based) per user. */
-  def sessions(events: DataFrame, gap: String = "30 minutes",
+  def sessions(rawEvents: DataFrame, gap: String = "30 minutes",
       watermark: String = "5 minutes"): DataFrame =
-    events
+    norm(rawEvents)
       .withWatermark("ts", watermark)
       .groupBy(session_window(col("ts"), gap), col("user_id"))
       .agg(count("*").as("n_events"), round(sum("value"), 2).as("total"))
@@ -70,8 +79,9 @@ object EventsStream {
     * semantics match q117's join exactly, strict (ts, event_id)
     * composite order included, so the spec can hold the streamed pairs
     * to the batch query's candidate set. */
-  def attributionPairs(events: DataFrame,
+  def attributionPairs(rawEvents: DataFrame,
       watermark: String = "10 minutes"): DataFrame = {
+    val events = norm(rawEvents)
     val clicks = events.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("ts").as("click_ts"),
         col("user_id").as("click_user"))

@@ -271,4 +271,40 @@ class EventsStreamSpec extends SparkSpec {
       assert(lastTotal == 3L, s"state rows after eviction: $lastTotal")
     } finally q.stop()
   }
+
+  test("a TIMESTAMP_NTZ-typed stream normalizes through the shared helper " +
+      "and aggregates identically to the TIMESTAMP-typed stream") {
+    // The round-9 fixture regeneration regressed `ts` to naive
+    // timestamp[us]; a parquet-fed twin would receive TIMESTAMP_NTZ.
+    // The twins route through Tables.normalizeTs, so an NTZ input must
+    // produce the same windows as the Timestamp input above.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[NtzEvent]
+    def nev(id: Long, minute: Int): NtzEvent =
+      NtzEvent(id, java.time.LocalDateTime.of(2024, 1, 1, 0, 0)
+        .plusMinutes(minute.toLong), 1L, "click", 1.0)
+    val stream = EventsStream.tumblingCounts(input.toDF(), "10 minutes",
+      "5 minutes")
+    assert(stream.schema("window_start").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    val q = stream.writeStream.format("memory").queryName("ntz_tumbling")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(nev(1, 0), nev(2, 3), nev(3, 11))
+      q.processAllAvailable()
+      input.addData(nev(4, 40)) // advance watermark; finalize early windows
+      q.processAllAvailable()
+      val rows = spark.table("ntz_tumbling")
+        .select("window_start", "n_events").collect()
+        .map(r => (r.getTimestamp(0).toInstant.toString, r.getLong(1))).toMap
+      assert(rows("2024-01-01T00:00:00Z") == 2)
+      assert(rows("2024-01-01T00:10:00Z") == 1)
+    } finally q.stop()
+  }
 }
+
+/** events-table shape with a NAIVE timestamp — encodes as TIMESTAMP_NTZ,
+  * the type the round-9+ parquet fixture hands Spark. */
+case class NtzEvent(event_id: Long, ts: java.time.LocalDateTime,
+    user_id: Long, event_type: String, value: Double)
