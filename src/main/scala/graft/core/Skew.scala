@@ -58,6 +58,77 @@ object Skew {
     * instead of `salts` × |build|; the result is EXACTLY the plain join
     * (the two probe slices partition the probe rows, and each joins the
     * full set of its keys' build rows). */
+  /** CHUNKED (time-salted) SESSIONIZATION — the skew mitigation for the
+    * one shape random salting cannot touch: sessionization's lag/cumsum
+    * window is ORDER-DEPENDENT per user, so a hot user (a bot account
+    * with 10^8 events in a 100 TB log) funnels its whole timeline into
+    * one window task and [[saltedSumCount]]'s hash salt would sever the
+    * consecutive-event pairs the gap test needs. The only salt that
+    * preserves the order dependency is a TIME RANGE: partition each
+    * user's timeline into fixed chunks (`chunkSec`), sessionize every
+    * (user, chunk) independently — the heavy per-event lag/cumsum now
+    * spreads across users × chunks tasks — then run the SAME
+    * sessionization once more over the per-chunk session summaries
+    * (start, end, partial aggregates): a session crossing a chunk
+    * boundary appears as a trailing summary in chunk i and a leading
+    * summary in chunk i+1 whose gap is ≤ the threshold, and the
+    * level-2 cumsum merges the run. Level 2 is still per-user ordered,
+    * but over ~sessions-per-user rows, not events-per-user — bounded
+    * driver-of-skew reduced by the chunk factor.
+    *
+    * Equivalence (q124's oracle is the PLAIN q29 SQL): chunk assignment
+    * is monotone in ts, so (chunk, ts, event_id) order = global
+    * (ts, event_id) order; within a chunk the gap test is untouched;
+    * at a boundary, level 2 compares chunk i+1's first-session start
+    * against chunk i's last-session end — exactly the consecutive-event
+    * gap q29 tests (session start/end ARE those events' truncated
+    * seconds); two same-chunk sessions are > gap apart by level-1
+    * construction, so level 2 never falsely merges them. Aggregates
+    * compose: count/min/max/sum all re-aggregate losslessly.
+    *
+    * Takes the events-table shape (user_id, ts, event_id, value);
+    * emits q29's exact output schema. */
+  def chunkedSessionize(events: DataFrame, gapSec: Long,
+      chunkSec: Long): DataFrame = {
+    val byChunk = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "chunk").orderBy("ts", "event_id")
+    val runChunk = byChunk.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    // level 1: per-(user, chunk) sessionization — q29's lag/cumsum shape
+    // keyed on the chunk too, so a hot user's events spread over
+    // (timeline / chunkSec) parallel window tasks
+    val chunkSessions = events
+      .withColumn("sec", col("ts").cast("long"))
+      .withColumn("chunk", expr(s"CAST(ts AS LONG) div $chunkSec"))
+      .withColumn("new_s",
+        when(lag(col("sec"), 1).over(byChunk).isNull, 1)
+          .when(col("sec") - lag(col("sec"), 1).over(byChunk) > gapSec, 1)
+          .otherwise(0))
+      .withColumn("ls", sum("new_s").over(runChunk))
+      .groupBy("user_id", "chunk", "ls")
+      .agg(count(lit(1)).as("pn"), min("sec").as("start_s"),
+        max("sec").as("end_s"), sum("value").as("pv"))
+    // level 2: sessionize the chunk-session summaries per user — same
+    // gap test between a summary's start and the previous summary's end
+    // (ends are monotone: the summaries are disjoint ordered intervals)
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("start_s", "chunk")
+    val runUser = byUser.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    chunkSessions
+      .withColumn("new_s2",
+        when(lag(col("end_s"), 1).over(byUser).isNull, 1)
+          .when(col("start_s") - lag(col("end_s"), 1).over(byUser) > gapSec, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum("new_s2").over(runUser))
+      .groupBy("user_id", "session_id")
+      .agg(sum("pn").as("n_events"), min("start_s").as("session_start"),
+        max("end_s").as("session_end"),
+        round(sum("pv"), 2).as("session_value"))
+  }
+
   def hybridSaltedJoin(probe: DataFrame, build: DataFrame, key: String,
       saltSource: Column, salts: Int, hotThreshold: Long): DataFrame = {
     val hot = probe.groupBy(col(key)).agg(count(lit(1)).as("__n"))

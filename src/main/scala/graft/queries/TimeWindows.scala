@@ -77,6 +77,14 @@ object TimeWindows {
           round(sum("value"), 2).as("session_value"))
         .orderBy("user_id", "session_id")
     },
+    sessionOracleSql)
+
+  /** The plain-sessionization DuckDB restatement — shared by q29 and
+    * q124: the chunked rewrite's whole contract is that it equals the
+    * PLAIN sessionization (the q49/q83 salting discipline — the
+    * mitigation must be result-invisible, so the oracle IS the
+    * unrewritten form). */
+  private def sessionOracleSql =
     """WITH flagged AS (
       |  SELECT user_id, ts, event_id, value,
       |         CASE WHEN lag(ts) OVER w IS NULL THEN 1
@@ -94,7 +102,26 @@ object TimeWindows {
       |       CAST(floor(epoch(max(ts))) AS BIGINT) AS session_end,
       |       round(sum(value), 2) AS session_value
       |FROM sessions GROUP BY user_id, session_id
-      |ORDER BY user_id, session_id""")
+      |ORDER BY user_id, session_id""".stripMargin
+
+  /** CHUNKED sessionization (graft.core.Skew.chunkedSessionize) — the
+    * hot-user mitigation q29's single per-user window cannot offer: a
+    * 100 TB event log's heaviest user runs their whole timeline through
+    * ONE window task in q29; the chunked form sessionizes per
+    * (user, 1-hour chunk) in parallel and merges boundary-crossing
+    * sessions with a second, summary-sized pass. The oracle is the
+    * PLAIN q29 SQL — the rewrite must be result-identical (same
+    * discipline as q49/q83/q86: the oracle is the unrewritten form);
+    * with a 30-min gap and 1-hour chunks the fixture forces real
+    * boundary merges, and SkewSpec proves row-level equality against
+    * q29's own output plus the multi-chunk-span cascade on synthetic
+    * hot-user data. */
+  private val q124ChunkedSession = QueryDef(
+    (s, dir) =>
+      graft.core.Skew.chunkedSessionize(
+          Tables(s, dir, "events"), gapSec = 1800L, chunkSec = 3600L)
+        .orderBy("user_id", "session_id"),
+    sessionOracleSql)
 
   /** Click→purchase ATTRIBUTION — the event-correlation op behind every
     * conversion metric: each purchase attributes to the user's MOST
@@ -161,5 +188,6 @@ object TimeWindows {
     "q27_tumbling_window" -> q27Tumbling,
     "q28_sliding_window" -> q28Sliding,
     "q29_session_window" -> q29Session,
+    "q124_chunked_session" -> q124ChunkedSession,
   )
 }

@@ -86,4 +86,56 @@ class SkewSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(salted == plain)
   }
+
+  test("chunkedSessionize equals plain sessionization on a hot-user " +
+      "timeline, including sessions cascading across MANY chunks") {
+    import spark.implicits._
+    // Hot user 1: 600 events at a steady 10-min cadence — ONE session
+    // spanning ~100 one-hour chunks (the cascade case: every level-2
+    // merge step must fire). Hot user 2: bursts of 5 events (1 min
+    // apart) every 2 hours — many sessions, some straddling a chunk
+    // boundary. Cold users 3-12: one event each. Epochs chosen so
+    // chunk boundaries (multiples of 3600) fall inside sessions.
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val rows =
+      (0 until 600).map(i => (1L, t(1000L + i * 600L), i.toLong, 1.0)) ++
+      (0 until 40).flatMap(b => (0 until 5).map(i =>
+        (2L, t(3500L + b * 7200L + i * 60L), 10000L + b * 10 + i, 0.5))) ++
+      (3L to 12L).map(u => (u, t(u * 5000L), 20000L + u, 2.0))
+    val events = rows.toDF("user_id", "ts", "event_id", "value")
+
+    // the plain q29 shape, inlined as the ground truth
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val run = byUser.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    val plain = events
+      .withColumn("new_session",
+        when(col("ts").cast("long") -
+          lag(col("ts"), 1).over(byUser).cast("long") > 1800, 1)
+          .when(lag(col("ts"), 1).over(byUser).isNull, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum("new_session").over(run))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts").cast("long")).as("session_start"),
+        max(col("ts").cast("long")).as("session_end"),
+        round(sum("value"), 2).as("session_value"))
+      .collect().map(_.toSeq).toSet
+
+    val chunked = Skew.chunkedSessionize(events, 1800L, 3600L)
+      .collect().map(_.toSeq).toSet
+    assert(chunked == plain, "chunked sessionization changed the result")
+
+    // the mitigation itself: the hot user's 600 events spread across
+    // >1 level-1 partition key (user, chunk) — and the 100-hour session
+    // really did cascade through level 2 as one merged run
+    val hotChunks = events.filter(col("user_id") === 1L)
+      .select(expr("CAST(ts AS LONG) div 3600")).distinct().count()
+    assert(hotChunks > 50, s"hot user only touched $hotChunks chunks")
+    val hotSessions = chunked.count(_.head == 1L)
+    assert(hotSessions == 1, s"hot user should merge to 1 session, " +
+      s"got $hotSessions")
+  }
 }
