@@ -35,6 +35,30 @@ object Tables {
   val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** The column-name contract per fixture table (FIXTURES.md §B). Checked
+    * on every load: a driver regeneration that renames/drops/reorders a
+    * column fails at the first `Tables` call with a named diff, not as
+    * red driver artifacts downstream. Names only — physical types are
+    * allowed to drift (that's what [[normalizeTs]] absorbs); a type
+    * drift a query can't tolerate still fails loudly in analysis. */
+  private val expectedColumns: Map[String, Seq[String]] = Map(
+    "region" -> Seq("r_regionkey", "r_name"),
+    "nation" -> Seq("n_nationkey", "n_name", "n_regionkey"),
+    "customer" -> Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+      "c_mktsegment"),
+    "supplier" -> Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+    "part" -> Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+      "p_retailprice"),
+    "orders" -> Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey",
+      "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+      "l_tax", "l_returnflag", "l_linestatus", "l_shipdate"),
+    "events" -> Seq("event_id", "ts", "user_id", "event_type", "value",
+      "props"),
+    "documents" -> Seq("doc_id", "text", "lang", "source", "n_chars"),
+    "embeddings" -> Seq("vec_id", "embedding", "label"))
+
   /** Normalize a `ts` column (any fixture regime — nanos-as-long, NTZ,
     * or tz'd timestamp) to canonical TimestampType. Shared by the batch
     * loader and the streaming twins so a parquet-fed stream survives the
@@ -63,7 +87,16 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
+    val df = normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
+    expectedColumns.get(name).foreach { want =>
+      val got = df.schema.fieldNames.toSeq
+      require(got == want,
+        s"fixture contract violation: table `$name` columns $got != " +
+          s"expected $want (FIXTURES.md §B). The driver regenerated the " +
+          s"fixture with a different schema — update Tables.expectedColumns " +
+          s"and audit the queries touching the changed columns.")
+    }
+    df
   }
 
   /** Spread a frame across the cluster before CPU-dense per-row work

@@ -129,17 +129,28 @@ object DedupIndex {
   /** Count the DATA files of a persisted index (recursively; `_meta`,
     * `_SUCCESS` and dot-files excluded) — the signal the streaming
     * twins' auto-compaction policy thresholds on. Pure file-listing,
-    * no Spark job. */
+    * no Spark job.
+    *
+    * Deliberately a manual `listStatus` walk, NOT `fs.listFiles(dir,
+    * recursive=true)`: listFiles returns LocatedFileStatus — it fetches
+    * BLOCK LOCATIONS for every file, an extra per-file round trip that
+    * cost ~0.75 s per call on a bucketed index with thousands of
+    * `bucket=` partition dirs (measured on q92 at sf0.1 — it doubled
+    * the whole compaction). A count needs names, never locations. */
   private[graft] def dataFileCount(spark: SparkSession,
       indexDir: String): Int = {
     val dirPath = new org.apache.hadoop.fs.Path(indexDir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dirPath)) return 0
-    val it = fs.listFiles(dirPath, true)
     var n = 0
-    while (it.hasNext) {
-      val name = it.next().getPath.getName
-      if (!name.startsWith("_") && !name.startsWith(".")) n += 1
+    val stack = scala.collection.mutable.Stack(dirPath)
+    while (stack.nonEmpty) {
+      fs.listStatus(stack.pop()).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory) {
+          if (!name.startsWith("_") && !name.startsWith(".")) stack.push(st.getPath)
+        } else if (!name.startsWith("_") && !name.startsWith(".")) n += 1
+      }
     }
     n
   }

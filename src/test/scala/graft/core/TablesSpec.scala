@@ -84,4 +84,20 @@ class TablesSpec extends SparkSpec {
     assert(ev.schema("ts").dataType == TimestampType)
     assert(ev.limit(1).count() == 1L)
   }
+
+  test("every fixture table satisfies its column-name contract") {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    Tables.all.foreach { t => Tables(spark, dir, t) } // require() inside
+  }
+
+  test("a renamed column fails with a named contract error") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-badcol")
+    import spark.implicits._
+    Seq((1L, "x")).toDF("r_regionkey", "r_label") // r_name renamed
+      .write.parquet(dir.toString + "/region.parquet")
+    val e = intercept[IllegalArgumentException](
+      Tables(spark, dir.toString, "region"))
+    assert(e.getMessage.contains("fixture contract violation"))
+    assert(e.getMessage.contains("region"))
+  }
 }
