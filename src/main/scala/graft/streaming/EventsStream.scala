@@ -12,6 +12,16 @@ case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
 /** Per-user running aggregate maintained by the stateful operator. */
 case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
 
+/** The latest click a user has produced — the O(1) per-user state of
+  * [[EventsStream.attributionLatest]] (micros since epoch + event id,
+  * the same composite order q117's batch window ranks by). */
+case class ClickRef(ts_us: Long, id: Long)
+
+/** A FINAL per-purchase attribution (q117's output shape, streamed). */
+case class Attribution(purchase_id: Long, user_id: Long,
+    purchase_ts: java.sql.Timestamp, click_id: Long,
+    click_ts: java.sql.Timestamp, gap_us: Long)
+
 /** Structured-Streaming twin of the incremental ingestion job (SURVEY.md
   * §2.3): the same windowed/sessionized aggregations as
   * graft.queries.TimeWindows, but incremental — state lives in the
@@ -105,6 +115,65 @@ object EventsStream {
         col("click_ts") >= col("purchase_ts") - expr("INTERVAL 3 DAYS"))
       .select("purchase_id", "user_id", "purchase_ts", "click_id",
         "click_ts")
+  }
+
+  /** One FINAL attribution row per purchase (streaming argmax) — the
+    * half of q117 [[attributionPairs]] provably cannot deliver: an
+    * append-mode stream-stream join emits candidate pairs (every click
+    * in the window), because "most recent" over an unbounded stream is
+    * a per-purchase argmax that append mode cannot retract. This
+    * operator keeps the argmax itself as state instead: ONE ValueState
+    * per user holding the latest click seen — O(1) per user, unlike
+    * the pair join's O(clicks-in-window) buffered rows — and each
+    * purchase emits exactly once, reading that state. Batch rows are
+    * processed in (ts, event_id) composite order, so the emitted
+    * attribution equals q117's batch argmax whenever events arrive in
+    * event-time order across batches (the differential spec's
+    * contract); a click arriving AFTER its purchase's batch cannot
+    * retro-attribute — the documented as-of-processing semantics every
+    * streaming attribution system carries. */
+  final class LatestClickAttributor
+      extends StatefulProcessor[Long, Event, Attribution] {
+    @transient private var latest: ValueState[ClickRef] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      latest = getHandle.getValueState[ClickRef]("latest_click",
+        Encoders.product[ClickRef], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[Attribution] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Attribution]
+      // (ts, event_id) composite order inside the batch: a same-batch
+      // click is visible to a later purchase, exactly like q117's
+      // strictly-earlier-in-composite-order window frame
+      rows.toSeq.sortBy(e => (e.ts.getTime * 1000L, e.event_id))
+        .foreach { e =>
+          val tsUs = e.ts.getTime * 1000L
+          e.event_type match {
+            case "click" =>
+              val cur = if (latest.exists()) Option(latest.get()) else None
+              if (cur.forall(c => c.ts_us < tsUs ||
+                  (c.ts_us == tsUs && c.id < e.event_id)))
+                latest.update(ClickRef(tsUs, e.event_id))
+            case "purchase" if latest.exists() =>
+              val c = latest.get()
+              val gap = tsUs - c.ts_us
+              if (gap >= 0 && gap <= 3L * 24 * 3600 * 1000000L)
+                out += Attribution(e.event_id, key, e.ts, c.id,
+                  new java.sql.Timestamp(c.ts_us / 1000L), gap)
+            case _ => ()
+          }
+        }
+      out.iterator
+    }
+  }
+
+  def attributionLatest(events: Dataset[Event]): Dataset[Attribution] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new LatestClickAttributor,
+        TimeMode.None(), OutputMode.Append())
   }
 
   /** Custom state: per-user running totals via mapGroupsWithState — the

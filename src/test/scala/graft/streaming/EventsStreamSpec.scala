@@ -272,6 +272,61 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("attributionLatest emits ONE FINAL attribution per purchase — the " +
+      "argmax the append-mode pair join cannot produce — equal to q117's " +
+      "batch semantics on event-time-ordered batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[Event]
+    val q = EventsStream.attributionLatest(input.toDS())
+      .writeStream.format("memory").queryName("attr_latest")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 0: user 1 clicks twice (t=0, t=5), then purchases at t=10
+      // within the same batch -> attribution must pick the LATER click
+      // (t=5), proving same-batch composite-order visibility
+      input.addData(
+        ev(1, 0, user = 1, typ = "click"),
+        ev(2, 5, user = 1, typ = "click"),
+        ev(3, 10, user = 1, typ = "purchase"))
+      q.processAllAvailable()
+      // batch 1: a purchase in a LATER batch attributes to state carried
+      // from batch 0 (click t=5 still the latest); user 2's purchase
+      // with no click ever emits nothing
+      input.addData(
+        ev(4, 20, user = 1, typ = "purchase"),
+        ev(5, 21, user = 2, typ = "purchase"))
+      q.processAllAvailable()
+      // batch 2: click then purchase at the SAME timestamp — q117's
+      // tie-break admits the click only because click_id < purchase_id
+      input.addData(
+        ev(6, 30, user = 3, typ = "click"),
+        ev(7, 30, user = 3, typ = "purchase"))
+      q.processAllAvailable()
+      // batch 3: a click older than 3 days cannot attribute
+      input.addData(
+        ev(8, 50, user = 4, typ = "click"),
+        ev(9, 50 + 3 * 24 * 60 + 1, user = 4, typ = "purchase"))
+      q.processAllAvailable()
+      val rows = spark.table("attr_latest")
+        .select("purchase_id", "click_id", "gap_us").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+      assert(rows.keySet == Set(3L, 4L, 7L),
+        s"purchases attributed: ${rows.keySet}")
+      assert(rows(3L) == (2L, 5L * 60 * 1000000L)) // later click wins
+      assert(rows(4L) == (2L, 15L * 60 * 1000000L)) // state across batches
+      assert(rows(7L) == (6L, 0L)) // equal-ts tie-break by event_id
+    } finally {
+      q.stop()
+      prevProvider.fold(spark.conf.unset(providerKey))(
+        spark.conf.set(providerKey, _))
+    }
+  }
+
   test("a TIMESTAMP_NTZ-typed stream normalizes through the shared helper " +
       "and aggregates identically to the TIMESTAMP-typed stream") {
     // The round-9 fixture regeneration regressed `ts` to naive
