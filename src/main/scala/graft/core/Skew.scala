@@ -58,6 +58,32 @@ object Skew {
     * instead of `salts` × |build|; the result is EXACTLY the plain join
     * (the two probe slices partition the probe rows, and each joins the
     * full set of its keys' build rows). */
+  /** Plain per-user sessionization — q29's lag/cumsum shape factored to
+    * one definition (the ground truth [[chunkedSessionize]] and
+    * [[hybridChunkedSessionize]] must equal): flag gap-starts with lag()
+    * over one user-keyed window, running-sum the flags into session ids,
+    * aggregate. ONE shuffle on user_id; the hot-user hazard is that the
+    * whole timeline of a user runs through one window task — which is
+    * exactly what the chunked/hybrid forms mitigate. */
+  def sessionize(events: DataFrame, gapSec: Long): DataFrame = {
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val run = byUser.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    events
+      .withColumn("sec", col("ts").cast("long"))
+      .withColumn("new_session",
+        when(lag(col("sec"), 1).over(byUser).isNull, 1)
+          .when(col("sec") - lag(col("sec"), 1).over(byUser) > gapSec, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum("new_session").over(run))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"), min("sec").as("session_start"),
+        max("sec").as("session_end"),
+        round(sum("value"), 2).as("session_value"))
+  }
+
   /** CHUNKED (time-salted) SESSIONIZATION — the skew mitigation for the
     * one shape random salting cannot touch: sessionization's lag/cumsum
     * window is ORDER-DEPENDENT per user, so a hot user (a bot account
@@ -127,6 +153,29 @@ object Skew {
       .agg(sum("pn").as("n_events"), min("start_s").as("session_start"),
         max("end_s").as("session_end"),
         round(sum("pv"), 2).as("session_value"))
+  }
+
+  /** HYBRID chunked sessionization — [[hybridSaltedJoin]]'s discipline
+    * applied to [[chunkedSessionize]]: on uniform data the chunked form
+    * pays two window passes where one suffices (measured ~2× q29's time
+    * at sf0.1), so only ACTUALLY-HOT users should pay it. A per-user
+    * count histogram (one map-side-combinable aggregation) picks the hot
+    * users (> hotThreshold events); their rows take the chunked path,
+    * everyone else takes the plain single-window sessionization, and the
+    * union is EXACTLY [[sessionize]] (session numbering is per-user, so
+    * the split is result-invisible — the q49/q83/q86 contract). The hot
+    * list is bounded at |events|/hotThreshold users and broadcasts into
+    * both semi/anti joins without an extra shuffle. */
+  def hybridChunkedSessionize(events: DataFrame, gapSec: Long,
+      chunkSec: Long, hotThreshold: Long): DataFrame = {
+    val hot = events.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > hotThreshold)
+      .select(col("user_id"))
+    val hotEvents = events.join(broadcast(hot), Seq("user_id"), "left_semi")
+    val coldEvents = events.join(broadcast(hot), Seq("user_id"), "left_anti")
+    chunkedSessionize(hotEvents, gapSec, chunkSec)
+      .unionByName(sessionize(coldEvents, gapSec))
   }
 
   def hybridSaltedJoin(probe: DataFrame, build: DataFrame, key: String,

@@ -60,23 +60,9 @@ object TimeWindows {
     * session ids, aggregate. One shuffle on user_id; no driver loops. The
     * streaming twin is session_window()/flatMapGroupsWithState. */
   private val q29Session = QueryDef(
-    (s, dir) => {
-      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables(s, dir, "events")
-        .withColumn("new_session",
-          when(col("ts").cast("long") -
-            lag(col("ts"), 1).over(byUser).cast("long") > 1800, 1)
-            .when(lag(col("ts"), 1).over(byUser).isNull, 1)
-            .otherwise(0))
-        .withColumn("session_id", sum("new_session").over(run))
-        .groupBy("user_id", "session_id")
-        .agg(count("*").as("n_events"),
-          unix_timestamp(min("ts")).as("session_start"),
-          unix_timestamp(max("ts")).as("session_end"),
-          round(sum("value"), 2).as("session_value"))
-        .orderBy("user_id", "session_id")
-    },
+    (s, dir) =>
+      graft.core.Skew.sessionize(Tables(s, dir, "events"), gapSec = 1800L)
+        .orderBy("user_id", "session_id"),
     sessionOracleSql)
 
   /** The plain-sessionization DuckDB restatement — shared by q29 and
@@ -121,6 +107,27 @@ object TimeWindows {
       graft.core.Skew.chunkedSessionize(
           Tables(s, dir, "events"), gapSec = 1800L, chunkSec = 3600L)
         .orderBy("user_id", "session_id"),
+    sessionOracleSql)
+
+  /** HYBRID chunked sessionization (Skew.hybridChunkedSessionize) —
+    * q124's production refinement, the q86 discipline applied to
+    * sessionization: a per-user histogram picks the actually-hot users
+    * (above the MEAN events-per-user, data-derived so both paths carry
+    * real rows at every scale factor); only they pay the two-pass
+    * chunked route, the cold majority takes q29's single window, and
+    * the union must be RESULT-IDENTICAL — the oracle is again the plain
+    * q29 SQL. The threshold scan is one map-side-combinable count
+    * aggregation collected as a single driver row. */
+  private val q125HybridSession = QueryDef(
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val r = ev.agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("u")).first()
+      val meanPerUser = r.getLong(0) / math.max(r.getLong(1), 1L)
+      graft.core.Skew.hybridChunkedSessionize(ev, gapSec = 1800L,
+          chunkSec = 3600L, hotThreshold = meanPerUser)
+        .orderBy("user_id", "session_id")
+    },
     sessionOracleSql)
 
   /** Click→purchase ATTRIBUTION — the event-correlation op behind every
@@ -189,5 +196,6 @@ object TimeWindows {
     "q28_sliding_window" -> q28Sliding,
     "q29_session_window" -> q29Session,
     "q124_chunked_session" -> q124ChunkedSession,
+    "q125_hybrid_session" -> q125HybridSession,
   )
 }

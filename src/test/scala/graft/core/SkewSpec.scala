@@ -137,5 +137,23 @@ class SkewSpec extends SparkSpec {
     val hotSessions = chunked.count(_.head == 1L)
     assert(hotSessions == 1, s"hot user should merge to 1 session, " +
       s"got $hotSessions")
+
+    // the hybrid form must ALSO equal the plain result, with both paths
+    // carrying real rows at a threshold between the cold singletons and
+    // the two hot users (600 and 200 events)
+    val hybrid = Skew.hybridChunkedSessionize(events, 1800L, 3600L,
+        hotThreshold = 100L)
+      .collect().map(_.toSeq).toSet
+    assert(hybrid == plain, "hybrid chunked sessionization changed the result")
+    val nHot = events.groupBy("user_id").count()
+      .filter(col("count") > 100L).count()
+    assert(nHot == 2 && nHot < 12,
+      s"threshold must split the users into live hot AND cold paths ($nHot hot)")
+
+    // and Skew.sessionize (the factored plain form q29 runs) is itself
+    // the ground truth used above
+    val viaHelper = Skew.sessionize(events, 1800L)
+      .collect().map(_.toSeq).toSet
+    assert(viaHelper == plain)
   }
 }
