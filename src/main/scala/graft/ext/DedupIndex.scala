@@ -86,6 +86,35 @@ object DedupIndex {
         .write.mode("overwrite").parquet(tmp)
     }
 
+  /** FORGET (tombstone) — the right-to-be-forgotten maintenance op a
+    * production corpus index needs and compaction deliberately isn't:
+    * remove every fingerprint whose canonical document is tombstoned, so
+    * (a) the index stops referencing the deleted document and (b) a
+    * re-crawl of identical content RE-ADMITS under a fresh canonical —
+    * the only content-CHANGING rewrite in the index family, which is why
+    * it rides the same rewrite-and-swap dataflow as compact (priced the
+    * same way) but is documented apart: compaction must never change
+    * content; forget exists to. Rows whose canonical_id is NOT
+    * tombstoned are untouched — previously-rejected duplicates of a
+    * surviving canonical stay rejected.
+    *
+    * Scale shape: one left-anti hash join (tombstones are the small
+    * side — broadcast) + a full rewrite; at 100 TB an operator batches
+    * tombstones and folds the rewrite into the scheduled compaction
+    * window rather than paying it per deletion request. */
+  def forget(spark: SparkSession, indexDir: String,
+      tombstones: DataFrame): CompactionStats = {
+    val ids = tombstones.select(col(tombstones.columns.head)
+      .cast("long").as("canonical_id"))
+    rewriteAndSwap(spark, indexDir) { tmp =>
+      readIndex(spark, indexDir)
+        .join(broadcast(ids), Seq("canonical_id"), "left_anti")
+        .select("fp", "canonical_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(tmp)
+    }
+  }
+
   /** Shared rewrite-and-swap compaction dataflow (used by all three
     * index compacts): write the compacted layout to `<dir>__compacting`,
     * carry the `_graft_meta` contract file if one exists, move the live

@@ -403,7 +403,55 @@ object Incremental {
       |         AS index_rows
       |FROM batches""".stripMargin)
 
+  /** TOMBSTONE FORGET under the oracle gate — the right-to-be-forgotten
+    * lifecycle across a real admission sequence: admit batch A, forget
+    * every admitted doc with doc_id%10==0 (all multiples of 10 are even,
+    * so the tombstone set is non-empty inside batch A at every scale
+    * factor), then admit batch B against the FORGOTTEN index. The final
+    * contents prove all three contracts at once: tombstoned fingerprints
+    * are gone; surviving fingerprints still reject their B duplicates
+    * (cb anti-joins ka, not ca); and B content identical to a FORGOTTEN
+    * A document RE-ADMITS under a fresh canonical — the semantic point
+    * of forget, and the row the q95 compaction gate could never show
+    * because compaction must be content-invariant. */
+  private val q126IndexForget = QueryDef(
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val idx = java.nio.file.Files.createTempDirectory("graft-q126-idx")
+        .resolve("index").toString
+      val batchA = docs.filter(col("doc_id") % 2 === 0)
+        .select("doc_id", "text")
+      val batchB = docs.filter(col("doc_id") % 2 === 1)
+        .select("doc_id", "text")
+      val admA = DedupIndex.admit(s, idx, batchA)
+      DedupIndex.forget(s, idx,
+        admA.filter(col("doc_id") % 10 === 0).select("doc_id"))
+      DedupIndex.admit(s, idx, batchB)
+      DedupIndex.readIndex(s, idx).orderBy("canonical_id")
+    },
+    """WITH a AS (SELECT doc_id, md5(text) AS fp FROM documents
+      |      WHERE doc_id % 2 = 0),
+      |b AS (SELECT doc_id, md5(text) AS fp FROM documents
+      |      WHERE doc_id % 2 = 1),
+      |ca AS (SELECT doc_id, fp FROM (
+      |         SELECT doc_id, fp,
+      |           row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      |         FROM a) WHERE rn = 1),
+      |ka AS (SELECT doc_id, fp FROM ca WHERE doc_id % 10 <> 0),
+      |cb AS (SELECT doc_id, fp FROM (
+      |         SELECT doc_id, fp,
+      |           row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      |         FROM b) t
+      |       WHERE rn = 1
+      |         AND NOT EXISTS (SELECT 1 FROM ka WHERE ka.fp = t.fp))
+      |SELECT fp, canonical_id FROM (
+      |  SELECT fp, doc_id AS canonical_id FROM ka
+      |  UNION ALL
+      |  SELECT fp, doc_id FROM cb)
+      |ORDER BY canonical_id""")
+
   val defs: Map[String, QueryDef] = Map(
+    "q126_index_forget" -> q126IndexForget,
     "q123_compaction_cost" -> q123CompactionCost,
     "q116_boilerplate_index_admit" -> q116BoilerplateIndexAdmit,
     "q84_neardup_index_admit" -> q84NeardupIndexAdmit,

@@ -88,4 +88,27 @@ class DedupIndexSpec extends SparkSpec {
     DedupIndex.compact(spark,
       s"/tmp/graft-missing-idx-${System.nanoTime()}")
   }
+
+  test("forget removes ONLY tombstoned fingerprints, keeps rejecting " +
+      "survivors' duplicates, and lets forgotten content re-admit fresh") {
+    import spark.implicits._
+    val idx = Files.createTempDirectory("dedup-idx-forget").toString
+    DedupIndex.admit(spark, idx, Seq(
+      doc(1, "keep me"), doc(2, "forget me"), doc(3, "also keep"))
+      .toDF("doc_id", "text"))
+    DedupIndex.forget(spark, idx, Seq(2L).toDF("doc_id"))
+
+    val after = DedupIndex.readIndex(spark, idx).collect()
+      .map(_.getAs[Long]("canonical_id")).toSet
+    assert(after == Set(1L, 3L), s"index after forget: $after")
+
+    // a surviving canonical still rejects its re-crawl; the forgotten
+    // text re-admits under a NEW canonical id
+    val r = DedupIndex.admit(spark, idx, Seq(
+      doc(10, "keep me"), doc(11, "forget me")).toDF("doc_id", "text"))
+    assert(r.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(11L))
+    val finalIds = DedupIndex.readIndex(spark, idx).collect()
+      .map(_.getAs[Long]("canonical_id")).toSet
+    assert(finalIds == Set(1L, 3L, 11L))
+  }
 }
