@@ -152,7 +152,11 @@ object IvfPqIndex {
     val qg = queries.select(col("vec_id"),
       expr(Similarity.gridSql).as("qa"))
     val lut = Similarity.probeLut(qg, coarse, subcents, nprobe)
+    // lazily-forgotten ids vanish from the serve before any ranking
+    // work — the tombstone set is bounded (ids only) and broadcasts
     val cand = readIndex(spark, indexDir)
+      .join(broadcast(readTombstones(spark, indexDir)),
+        Seq("vec_id"), "left_anti")
       .select(col("vec_id").as("n_id"), col("cell").as("p_cell"),
         posexplode(col("codes")).as(Seq("sub", "code")))
     val wTop = Window.partitionBy("q_id").orderBy(asc("adist"), asc("n_id"))
@@ -166,6 +170,34 @@ object IvfPqIndex {
         col("rk").cast("long").as("rk"))
       .orderBy("q_id", "rk")
   }
+
+  /** FORGET (tombstone) vectors from the persisted index — the FAISS
+    * `remove_ids` analog, with the LAZY-delete discipline a 100 TB code
+    * table forces: unlike `DedupIndex.forget` (a flat fingerprint table,
+    * cheap to rewrite eagerly), rewriting the whole code table per
+    * deletion request would price every forget at a full compaction. So
+    * forget only APPENDS the ids to a `_tombstones/` side table
+    * (underscore-prefixed: invisible to the code-table scan's partition
+    * discovery AND to dataFileCount); [[search]] anti-joins the
+    * broadcast tombstone set before any ranking work; the next
+    * [[compact]] drops the rows physically and the swap retires the
+    * side table with the old directory. Contract: vec_ids are stable
+    * identities — re-`add`ing a forgotten id stays suppressed until a
+    * compaction clears the tombstone (lazy-delete semantics; an
+    * id-reuse deployment must compact between forget and re-add). */
+  def forget(spark: SparkSession, indexDir: String,
+      tombstones: DataFrame): Unit =
+    tombstones.select(col(tombstones.columns.head).cast("long")
+        .as("vec_id"))
+      .repartition(1)
+      .write.mode("append").parquet(s"$indexDir/_tombstones")
+
+  private val tombSchema = StructType(Seq(
+    StructField("vec_id", LongType)))
+
+  private def readTombstones(spark: SparkSession,
+      indexDir: String): DataFrame =
+    DedupIndex.readOrEmpty(spark, s"$indexDir/_tombstones", tombSchema)
 
   /** COMPACT the code table: collapse all run partitions into the
     * reserved `batch=-1` epoch at one file per cell — content invariant
@@ -181,7 +213,14 @@ object IvfPqIndex {
   def compact(spark: SparkSession, indexDir: String,
       excludeBatch: Option[Long] = None): DedupIndex.CompactionStats =
     DedupIndex.rewriteAndSwap(spark, indexDir) { tmp =>
-      val live = excludeBatch.foldLeft(readIndex(spark, indexDir)) {
+      // physical retirement of lazy tombstones: drop their rows from the
+      // rewrite; the directory swap discards the `_tombstones` side
+      // table along with the old layout, so the next serve needs no
+      // anti-join work for them
+      val live = excludeBatch.foldLeft(
+          readIndex(spark, indexDir)
+            .join(broadcast(readTombstones(spark, indexDir)),
+              Seq("vec_id"), "left_anti")) {
         (df, b) => df.filter(col("batch") =!= b)
       }
       live.drop("batch").withColumn("batch", lit(-1L))
@@ -548,10 +587,49 @@ object IvfPqIndex {
       |         ORDER BY d2, n_id) AS rk
       |FROM rr QUALIFY rk <= 5 ORDER BY q_id, rk""")
 
+  /** TOMBSTONE FORGET on the persisted ANN index, both delete states
+    * under one gate: build the two-batch index, forget every vec_id%7==0,
+    * then serve the SAME queries twice — phase 0 against the LAZY state
+    * (tombstones suppress at serve via the anti-join) and phase 1 after
+    * a compaction (rows physically gone, side table retired). Both
+    * phases must hash-equal the oracle's exclusion serve — q98's full
+    * serve algebra with the tombstoned candidates removed BEFORE the
+    * per-query ranking window (a forgotten near-neighbor must PROMOTE
+    * the next candidate into the top-5, not leave a hole). The
+    * lazy-serve frame is localCheckpoint-ed before compact mutates the
+    * directory, the q116 evaluation-order discipline. */
+  private val q127IndexForgetServe = QueryDef(
+    (s, dir) => {
+      val idx = twoBatchIndex(s, dir)
+      val e = Tables(s, dir, "embeddings")
+      forget(s, idx, e.filter(col("vec_id") % 7 === 0).select("vec_id"))
+      val queries = e.filter(col("vec_id") < 10)
+        .select("vec_id", "embedding")
+      val lazyServe = search(s, idx, queries, k = 5, nprobe = 2)
+        .withColumn("phase", lit(0L))
+        .localCheckpoint(true)
+      compact(s, idx)
+      val physServe = search(s, idx, queries, k = 5, nprobe = 2)
+        .withColumn("phase", lit(1L))
+      lazyServe.unionByName(physServe).orderBy("phase", "q_id", "rk")
+    },
+    s"""WITH $splitTrainSql,
+      |${Similarity.pqMultiProbeSql},
+      |serve AS (
+      |  SELECT q_id, n_id, adist,
+      |         row_number() OVER (PARTITION BY q_id
+      |           ORDER BY adist, n_id) AS rk
+      |  FROM madc WHERE n_id % 7 <> 0 QUALIFY rk <= 5)
+      |SELECT q_id, n_id, adist, rk, CAST(0 AS BIGINT) AS phase FROM serve
+      |UNION ALL
+      |SELECT q_id, n_id, adist, rk, CAST(1 AS BIGINT) AS phase FROM serve
+      |ORDER BY phase, q_id, rk""")
+
   val defs: Map[String, QueryDef] = Map(
     "q97_ivfpq_index" -> q97IvfPqIndex,
     "q98_ivfpq_index_search" -> q98IvfPqIndexSearch,
     "q99_ivfpq_split_recall" -> q99IvfPqSplitRecall,
     "q104_ivfpq_index_rerank" -> q104IvfPqIndexRerank,
+    "q127_index_forget_serve" -> q127IndexForgetServe,
   )
 }

@@ -149,4 +149,40 @@ class IvfPqIndexSpec extends SparkSpec {
     IvfPqIndex.compact(spark, idx, excludeBatch = Some(9L))
     assert(contents == before, "excluded run leaked into the epoch")
   }
+
+  test("forget: tombstoned ids vanish from serve lazily, compact drops " +
+      "them physically and retires the side table") {
+    val idx = Files.createTempDirectory("ivfpq-forget")
+      .resolve("index").toString
+    val c = corpus(40)
+    IvfPqIndex.create(spark, idx, c)
+    IvfPqIndex.add(spark, idx, c, runId = 0L)
+    // query with an exact duplicate of indexed vector 5 (q99 discipline:
+    // its nearest neighbor is vec 5 itself at adist floor)
+    val q = df(1000L -> vec(6)) // vec(6) == corpus row 5's embedding
+    val top = IvfPqIndex.search(spark, idx, q, k = 3)
+      .select("n_id").collect().map(_.getLong(0))
+    assert(top.contains(5L), s"sanity: 5 should serve, got ${top.toSeq}")
+
+    import spark.implicits._
+    IvfPqIndex.forget(spark, idx, Seq(5L).toDF("vec_id"))
+    // LAZY state: rows still on disk, but the serve suppresses them
+    val lazyTop = IvfPqIndex.search(spark, idx, q, k = 3)
+      .select("n_id").collect().map(_.getLong(0))
+    assert(!lazyTop.contains(5L), s"forgotten id served: ${lazyTop.toSeq}")
+    assert(lazyTop.length == 3, "forget must promote, not leave a hole")
+    assert(IvfPqIndex.readIndex(spark, idx)
+      .filter(col("vec_id") === 5L).count() == 1L)
+
+    // PHYSICAL state: compact drops the row and the _tombstones dir
+    IvfPqIndex.compact(spark, idx)
+    assert(IvfPqIndex.readIndex(spark, idx)
+      .filter(col("vec_id") === 5L).count() == 0L)
+    assert(!new java.io.File(s"$idx/_tombstones").exists(),
+      "side table must retire with the swap")
+    val physTop = IvfPqIndex.search(spark, idx, q, k = 3)
+      .select("n_id").collect().map(_.getLong(0))
+    assert(physTop.toSeq == lazyTop.toSeq,
+      "serve must be identical across lazy and physical states")
+  }
 }
