@@ -134,6 +134,27 @@ object NearDupIndex {
         .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
     }
 
+  /** FORGET (tombstone) admitted vectors — DedupIndex.forget's eager
+    * discipline for the embedding index (the signature table is the
+    * admitted-canonical subset, so a full rewrite per tombstone batch is
+    * the fingerprint-table price, not the ANN code-table one — contrast
+    * IvfPqIndex.forget's lazy side table): anti-join the broadcast
+    * tombstone ids, rewrite in the bucket layout (planes meta carried by
+    * the swap). A later near-dup of a FORGOTTEN vector admits — the
+    * semantic point; near-dups of survivors stay rejected. */
+  def forget(spark: SparkSession, indexDir: String,
+      tombstones: DataFrame): DedupIndex.CompactionStats = {
+    val ids = tombstones.select(col(tombstones.columns.head)
+      .cast("long").as("vec_id"))
+    DedupIndex.rewriteAndSwap(spark, indexDir) { tmp =>
+      readIndex(spark, indexDir)
+        .join(broadcast(ids), Seq("vec_id"), "left_anti")
+        .select("vec_id", "embedding", "bucket")
+        .repartition(spark.sparkContext.defaultParallelism, col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    }
+  }
+
   /** Enforce the planes-stability contract: on the index's FIRST admit,
     * persist `planes` to `indexDir/_graft_meta`; on every later admit,
     * require the caller's `planes` to equal the persisted one. Goes

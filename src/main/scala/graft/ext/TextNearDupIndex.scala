@@ -138,6 +138,24 @@ object TextNearDupIndex {
         .write.mode("overwrite").parquet(tmp)
     }
 
+  /** FORGET (tombstone) admitted documents — the eager rewrite
+    * discipline (see NearDupIndex.forget for the family rationale):
+    * drop every band-key row of the tombstoned doc_ids so a later
+    * near-dup of forgotten text re-admits, while survivors' band keys
+    * keep rejecting theirs. */
+  def forget(spark: SparkSession, indexDir: String,
+      tombstones: DataFrame): DedupIndex.CompactionStats = {
+    val ids = tombstones.select(col(tombstones.columns.head)
+      .cast("long").as("doc_id"))
+    DedupIndex.rewriteAndSwap(spark, indexDir) { tmp =>
+      readIndex(spark, indexDir)
+        .join(broadcast(ids), Seq("doc_id"), "left_anti")
+        .select("doc_id", "sig", "band", "band_key")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(tmp)
+    }
+  }
+
   /** The current index (empty relation when no run has committed yet);
     * detection through Spark's own reader (DedupIndex.readOrEmpty). */
   def readIndex(spark: SparkSession, indexDir: String): DataFrame =

@@ -155,4 +155,27 @@ class NearDupIndexSpec extends SparkSpec {
     assert(NearDupIndex.admit(spark, idx, df(10L -> base(99)), planes)
       .count() == 1)
   }
+
+  test("forget: a near-dup of a FORGOTTEN vector re-admits; near-dups " +
+      "of survivors stay rejected") {
+    import spark.implicits._
+    val idx = Files.createTempDirectory("neardup-idx-forget").toString
+    val v1 = base(1); val v2 = base(2)
+    NearDupIndex.admit(spark, idx, df(1L -> v1, 2L -> v2), planes)
+    // sanity: both re-crawls rejected pre-forget
+    assert(NearDupIndex.admit(spark, idx,
+      df(10L -> near(v1), 11L -> near(v2)), planes).isEmpty)
+
+    NearDupIndex.forget(spark, idx, Seq(1L).toDF("vec_id"))
+    assert(NearDupIndex.readIndex(spark, idx).select("vec_id")
+      .collect().map(_.getLong(0)).toSet == Set(2L))
+
+    // v1's near-dup now admits (fresh canonical); v2's stays rejected
+    val r = NearDupIndex.admit(spark, idx,
+      df(20L -> near(v1), 21L -> near(v2)), planes)
+    assert(r.select("vec_id").collect().map(_.getLong(0)).toSeq == Seq(20L))
+    // the planes meta survived the forget rewrite (admit above would
+    // have thrown on mismatch) and the layout is still bucketed
+    assert(NearDupIndex.readIndex(spark, idx).columns.contains("bucket"))
+  }
 }

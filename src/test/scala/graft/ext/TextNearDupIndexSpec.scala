@@ -89,4 +89,22 @@ class TextNearDupIndexSpec extends SparkSpec {
     val r = TextNearDupIndex.admit(spark, idx, df(30L -> nearText))
     assert(r.isEmpty, "compacted index lost a rejection")
   }
+
+  test("forget: a near-dup of FORGOTTEN text re-admits; survivors' " +
+      "near-dups stay rejected") {
+    import spark.implicits._
+    val idx = Files.createTempDirectory("textdup-idx-forget").toString
+    TextNearDupIndex.admit(spark, idx, df(1L -> baseText, 2L -> farText))
+    assert(TextNearDupIndex.admit(spark, idx, df(10L -> nearText)).isEmpty)
+
+    TextNearDupIndex.forget(spark, idx, Seq(1L).toDF("doc_id"))
+    assert(TextNearDupIndex.readIndex(spark, idx)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+      == Set(2L))
+
+    val r = TextNearDupIndex.admit(spark, idx,
+      df(20L -> nearText, 21L -> (farText + " plus")))
+    // nearText (forgotten base) admits; farText's near-dup is rejected
+    assert(r.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(20L))
+  }
 }
