@@ -146,17 +146,41 @@ object IvfPqIndex {
     * against the index's PARTITION column, so the scan prunes to probed
     * cells (dynamic partition pruning on a real cluster). */
   def search(spark: SparkSession, indexDir: String, queries: DataFrame,
-      k: Int = 5, nprobe: Int = 2): DataFrame = {
+      k: Int = 5, nprobe: Int = 2): DataFrame =
+    serve(spark, indexDir, queries, k, nprobe, allowed = None)
+
+  /** FILTERED serve — the FAISS `IDSelector` analog, with q102's
+    * PRE-filter semantics on the persisted index: the allowed-id set
+    * restricts the CANDIDATE side before any ranking work, so the serve
+    * never under-returns k when enough allowed neighbors exist (a
+    * post-filter of an unfiltered top-k would). `allowed` carries ids
+    * only; like the tombstone set it broadcasts into a semi-join
+    * against the code scan — at 100 TB the metadata predicate resolves
+    * on the (small) metadata table and ships ids, never payloads. */
+  def searchFiltered(spark: SparkSession, indexDir: String,
+      queries: DataFrame, allowedIds: DataFrame,
+      k: Int = 5, nprobe: Int = 2): DataFrame =
+    serve(spark, indexDir, queries, k, nprobe,
+      allowed = Some(allowedIds.select(col(allowedIds.columns.head)
+        .cast("long").as("vec_id"))))
+
+  private def serve(spark: SparkSession, indexDir: String,
+      queries: DataFrame, k: Int, nprobe: Int,
+      allowed: Option[DataFrame]): DataFrame = {
     val (coarse, subcents) = readMeta(spark, indexDir)
     // query-side grid, inline (≤ a handful of rows — no corpus spread)
     val qg = queries.select(col("vec_id"),
       expr(Similarity.gridSql).as("qa"))
     val lut = Similarity.probeLut(qg, coarse, subcents, nprobe)
     // lazily-forgotten ids vanish from the serve before any ranking
-    // work — the tombstone set is bounded (ids only) and broadcasts
-    val cand = readIndex(spark, indexDir)
-      .join(broadcast(readTombstones(spark, indexDir)),
-        Seq("vec_id"), "left_anti")
+    // work — the tombstone set is bounded (ids only) and broadcasts;
+    // an allowed-id filter composes the same way on the positive side
+    val cand = allowed.foldLeft(
+        readIndex(spark, indexDir)
+          .join(broadcast(readTombstones(spark, indexDir)),
+            Seq("vec_id"), "left_anti")) {
+        (df, ids) => df.join(broadcast(ids), Seq("vec_id"), "left_semi")
+      }
       .select(col("vec_id").as("n_id"), col("cell").as("p_cell"),
         posexplode(col("codes")).as(Seq("sub", "code")))
     val wTop = Window.partitionBy("q_id").orderBy(asc("adist"), asc("n_id"))
@@ -625,11 +649,41 @@ object IvfPqIndex {
       |SELECT q_id, n_id, adist, rk, CAST(1 AS BIGINT) AS phase FROM serve
       |ORDER BY phase, q_id, rk""")
 
+  /** METADATA-FILTERED persisted-index serve under the full oracle
+    * gate — q102's pre-filter discipline (filter, THEN rank: never
+    * under-return k) applied to the ANN index instead of the exact
+    * scan: serve the q98 queries with candidates restricted to
+    * label < 5 (~half the corpus, both labels live at every scale
+    * factor). The oracle restricts madc's candidates by the SAME
+    * metadata subquery before the ranking window, so a filtered-out
+    * near neighbor must PROMOTE the next allowed candidate into the
+    * top-5 — the property a post-filtered unfiltered top-k gets
+    * wrong. */
+  private val q128IvfPqFilteredSearch = QueryDef(
+    (s, dir) => {
+      val idx = twoBatchIndex(s, dir)
+      val e = Tables(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 10)
+        .select("vec_id", "embedding")
+      searchFiltered(s, idx, queries,
+        allowedIds = e.filter(col("label") < 5).select("vec_id"),
+        k = 5, nprobe = 2)
+    },
+    s"""WITH $splitTrainSql,
+      |${Similarity.pqMultiProbeSql}
+      |SELECT q_id, n_id, adist,
+      |       row_number() OVER (PARTITION BY q_id
+      |         ORDER BY adist, n_id) AS rk
+      |FROM madc
+      |WHERE n_id IN (SELECT vec_id FROM embeddings WHERE label < 5)
+      |QUALIFY rk <= 5 ORDER BY q_id, rk""")
+
   val defs: Map[String, QueryDef] = Map(
     "q97_ivfpq_index" -> q97IvfPqIndex,
     "q98_ivfpq_index_search" -> q98IvfPqIndexSearch,
     "q99_ivfpq_split_recall" -> q99IvfPqSplitRecall,
     "q104_ivfpq_index_rerank" -> q104IvfPqIndexRerank,
     "q127_index_forget_serve" -> q127IndexForgetServe,
+    "q128_ivfpq_filtered_search" -> q128IvfPqFilteredSearch,
   )
 }

@@ -155,5 +155,22 @@ class SkewSpec extends SparkSpec {
     val viaHelper = Skew.sessionize(events, 1800L)
       .collect().map(_.toSeq).toSet
     assert(viaHelper == plain)
+
+    // QUANTIFY the mitigation (deterministically — no wall-clock): the
+    // plain form's window partitions on user_id alone, so its most
+    // loaded key carries the hot user's ENTIRE timeline; the chunked
+    // form partitions level 1 on (user_id, chunk), bounding every key's
+    // load by the chunk occupancy. The straggler shrinks by the chunk
+    // factor — 600 rows on one key vs ≤ 7 (one 1-hour chunk holds at
+    // most ceil(3600/600s cadence)+1 = 7 of the hot user's events).
+    val plainMaxKey = events.groupBy("user_id").count()
+      .agg(max("count")).collect().head.getLong(0)
+    val chunkedMaxKey = events
+      .withColumn("chunk", expr("CAST(ts AS LONG) div 3600"))
+      .groupBy("user_id", "chunk").count()
+      .agg(max("count")).collect().head.getLong(0)
+    assert(plainMaxKey == 600L)
+    assert(chunkedMaxKey <= 7L,
+      s"chunked max key load $chunkedMaxKey — mitigation not effective")
   }
 }

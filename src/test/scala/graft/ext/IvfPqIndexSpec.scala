@@ -185,4 +185,35 @@ class IvfPqIndexSpec extends SparkSpec {
     assert(physTop.toSeq == lazyTop.toSeq,
       "serve must be identical across lazy and physical states")
   }
+
+  test("searchFiltered pre-filters: an excluded near neighbor promotes " +
+      "the next allowed candidate, and the filter composes with forget") {
+    import spark.implicits._
+    val idx = Files.createTempDirectory("ivfpq-filter")
+      .resolve("index").toString
+    val c = corpus(40)
+    IvfPqIndex.create(spark, idx, c)
+    IvfPqIndex.add(spark, idx, c, runId = 0L)
+    val q = df(1000L -> vec(6)) // exact duplicate of corpus vector 5
+
+    val unfiltered = IvfPqIndex.search(spark, idx, q, k = 3)
+      .select("n_id").collect().map(_.getLong(0))
+    assert(unfiltered.contains(5L))
+
+    // allow only even ids: vector 5 is excluded; k results must STILL
+    // come back (pre-filter promotes, post-filter would leave 2)
+    val evens = (0L until 40L by 2).toDF("vec_id")
+    val filtered = IvfPqIndex.searchFiltered(spark, idx, q, evens, k = 3)
+      .select("n_id").collect().map(_.getLong(0))
+    assert(filtered.length == 3, s"under-returned: ${filtered.toSeq}")
+    assert(filtered.forall(_ % 2 == 0), s"filter leaked: ${filtered.toSeq}")
+
+    // forget composes: tombstone the filtered top-1; it vanishes, the
+    // serve still returns k allowed candidates
+    IvfPqIndex.forget(spark, idx, Seq(filtered.head).toDF("vec_id"))
+    val both = IvfPqIndex.searchFiltered(spark, idx, q, evens, k = 3)
+      .select("n_id").collect().map(_.getLong(0))
+    assert(both.length == 3 && !both.contains(filtered.head) &&
+      both.forall(_ % 2 == 0), s"forget+filter compose broke: ${both.toSeq}")
+  }
 }
