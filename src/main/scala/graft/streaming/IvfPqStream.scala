@@ -56,4 +56,27 @@ object IvfPqStream {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** DELETION twin: drain a stream of tombstoned vec_ids into the
+    * index's lazy `_tombstones` side table
+    * ([[graft.ext.IvfPqIndex.forget]]) — the deletion-request feed a
+    * production vector store consumes next to its ingest feed.
+    * Duplicate-TOLERANT rather than exactly-once: a replayed batch
+    * re-appends the same ids, and a duplicate tombstone is semantically
+    * idempotent (the serve anti-join and the compaction drop key by id)
+    * — the fingerprint indexes' harmless-retry-row contract, which is
+    * why this sink needs no batch-keyed layout. The add stream's
+    * auto-compaction physically retires whatever tombstones have
+    * accumulated, so the side table stays bounded by the deletion rate
+    * between compactions. */
+  def startForgets(tombstones: DataFrame, indexDir: String,
+      checkpoint: String): StreamingQuery =
+    tombstones.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ext.IvfPqIndex.forget(batch.sparkSession, indexDir, batch)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
 }

@@ -76,4 +76,42 @@ class IvfPqStreamSpec extends SparkSpec {
     assert(batchDirs.length <= 2, s"uncompacted runs piled up: ${
       batchDirs.mkString(",")}")
   }
+
+  test("the deletion stream drains tombstones into the index; the add " +
+      "stream's auto-compaction retires them physically") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val idx = Files.createTempDirectory("ivfpq-forget-idx").toString + "/i"
+    val out = Files.createTempDirectory("ivfpq-forget-out").toString
+    val ckptA = Files.createTempDirectory("ivfpq-forget-ckA").toString
+    val ckptD = Files.createTempDirectory("ivfpq-forget-ckD").toString
+    graft.ext.IvfPqIndex.create(spark, idx, corpus(0 until 20))
+    val adds = MemoryStream[VecRec]
+    adds.addData((0 until 20).map(i => VecRec(i.toLong, vec(i + 1))): _*)
+    IvfPqStream.start(adds.toDF(), idx, out, ckptA).awaitTermination()
+
+    // deletion feed: tombstone vectors 3 and 7 (delivered twice — the
+    // duplicate-tolerance contract: re-appended ids are idempotent)
+    val dels = MemoryStream[Long]
+    dels.addData(3L, 7L, 3L)
+    IvfPqStream.startForgets(dels.toDS().toDF("vec_id"), idx, ckptD)
+      .awaitTermination()
+    val q = corpus(3 to 3).withColumn("vec_id",
+      org.apache.spark.sql.functions.lit(1000L))
+    val served = graft.ext.IvfPqIndex.search(spark, idx, q, k = 5)
+      .select("n_id").collect().map(_.getLong(0)).toSet
+    assert(!served.contains(3L) && !served.contains(7L),
+      s"tombstoned ids served: $served")
+
+    // next add batch fires auto-compaction (threshold 1): tombstoned
+    // rows physically gone, side table retired
+    adds.addData(VecRec(100L, vec(101)))
+    IvfPqStream.start(adds.toDF(), idx, out, ckptA, maxIndexFiles = 1)
+      .awaitTermination()
+    val ids = graft.ext.IvfPqIndex.readIndex(spark, idx)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(3L) && !ids.contains(7L) && ids.contains(100L),
+      s"post-compaction ids wrong: $ids")
+    assert(!new java.io.File(s"$idx/_tombstones").exists())
+  }
 }
