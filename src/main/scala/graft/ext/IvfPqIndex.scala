@@ -678,6 +678,95 @@ object IvfPqIndex {
       |WHERE n_id IN (SELECT vec_id FROM embeddings WHERE label < 5)
       |QUALIFY rk <= 5 ORDER BY q_id, rk""")
 
+  /** FILTERED-serve acceptance row (q94/q99's discipline for q128):
+    * one BIGINT-exact row pricing the pre-filter serve against the
+    * EXACT filtered ground truth (grid-L2 top-5 among allowed ids) —
+    * recall_filtered is what index pruning + quantization cost under
+    * the predicate — AND against the post-filter strawman:
+    * post_returned counts how many results filtering the UNFILTERED
+    * top-5 after the fact would have kept. pre_returned == 5·queries
+    * while post_returned falls short — the under-return q128's
+    * pre-filter semantics exist to prevent, measured instead of
+    * asserted. Same instrument shapes as q99 (broadcast ground-truth
+    * NLJ, one-row combine). */
+  private val q129FilteredRecall = QueryDef(
+    (s, dir) => {
+      val idx = twoBatchIndex(s, dir)
+      val e = Tables(s, dir, "embeddings")
+      val allowed = e.filter(col("label") < 5).select("vec_id")
+      val queries = e.filter(col("vec_id") < 10)
+        .select("vec_id", "embedding")
+      val servedF = searchFiltered(s, idx, queries, allowed, k = 5,
+        nprobe = 2).select("q_id", "n_id")
+      val servedU = search(s, idx, queries, k = 5, nprobe = 2)
+        .select("q_id", "n_id")
+      val eg = Similarity.gridFrame(s, e)
+      val q = eg.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("qa").as("q_qa"))
+      val d2 = graft.functions.LongVec.l2(col("qa"), col("q_qa"))
+      val exactF = eg.select(col("vec_id").as("n_id"), col("qa"))
+        .join(broadcast(allowed.withColumnRenamed("vec_id", "n_id")),
+          Seq("n_id"), "left_semi")
+        .join(broadcast(q), col("n_id") =!= col("q_id"))
+        .select(col("q_id"), col("n_id"), d2.as("adist"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("q_id").orderBy(asc("adist"), asc("n_id"))))
+        .filter(col("rk") <= 5)
+        .select("q_id", "n_id")
+      val hits = servedF.join(exactF, Seq("q_id", "n_id"), "left_semi")
+        .agg(count(lit(1)).as("hits_filtered"))
+      val pre = servedF.agg(count(lit(1)).as("pre_returned"))
+      val post = servedU
+        .join(broadcast(allowed.withColumnRenamed("vec_id", "n_id")),
+          Seq("n_id"), "left_semi")
+        .agg(count(lit(1)).as("post_returned"))
+      q.agg(count(lit(1)).as("n_queries"))
+        .crossJoin(broadcast(hits))
+        .crossJoin(broadcast(pre))
+        .crossJoin(broadcast(post))
+        .select(col("n_queries"), col("hits_filtered"),
+          col("pre_returned"), col("post_returned"),
+          (col("hits_filtered").cast("double") / (col("n_queries") * 5))
+            .as("recall_filtered"))
+    },
+    s"""WITH $splitTrainSql,
+      |${Similarity.pqMultiProbeSql},
+      |alw AS (SELECT vec_id FROM embeddings WHERE label < 5),
+      |mf AS (SELECT q_id, n_id FROM (
+      |        SELECT q_id, n_id,
+      |          row_number() OVER (PARTITION BY q_id
+      |            ORDER BY adist, n_id) AS rk
+      |        FROM madc WHERE n_id IN (SELECT vec_id FROM alw))
+      |       WHERE rk <= 5),
+      |mu AS (SELECT q_id, n_id FROM (
+      |        SELECT q_id, n_id,
+      |          row_number() OVER (PARTITION BY q_id
+      |            ORDER BY adist, n_id) AS rk
+      |        FROM madc) WHERE rk <= 5),
+      |gdf AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+      |          CAST(sum((b.q - a.q) * (b.q - a.q)) AS BIGINT) AS adist
+      |        FROM pts a JOIN pts b ON a.dim = b.dim
+      |        WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id
+      |          AND b.vec_id IN (SELECT vec_id FROM alw)
+      |        GROUP BY 1, 2),
+      |exf AS (SELECT q_id, n_id FROM (
+      |         SELECT q_id, n_id,
+      |           row_number() OVER (PARTITION BY q_id
+      |             ORDER BY adist, n_id) AS rk
+      |         FROM gdf) WHERE rk <= 5)
+      |SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id < 10)
+      |         AS BIGINT) AS n_queries,
+      |       CAST((SELECT count(*) FROM exf JOIN mf USING (q_id, n_id))
+      |         AS BIGINT) AS hits_filtered,
+      |       CAST((SELECT count(*) FROM mf) AS BIGINT) AS pre_returned,
+      |       CAST((SELECT count(*) FROM mu
+      |             WHERE n_id IN (SELECT vec_id FROM alw))
+      |         AS BIGINT) AS post_returned,
+      |       CAST((SELECT count(*) FROM exf JOIN mf USING (q_id, n_id))
+      |           AS DOUBLE) /
+      |         ((SELECT count(*) FROM embeddings WHERE vec_id < 10) * 5)
+      |         AS recall_filtered""")
+
   val defs: Map[String, QueryDef] = Map(
     "q97_ivfpq_index" -> q97IvfPqIndex,
     "q98_ivfpq_index_search" -> q98IvfPqIndexSearch,
@@ -685,5 +774,6 @@ object IvfPqIndex {
     "q104_ivfpq_index_rerank" -> q104IvfPqIndexRerank,
     "q127_index_forget_serve" -> q127IndexForgetServe,
     "q128_ivfpq_filtered_search" -> q128IvfPqFilteredSearch,
+    "q129_filtered_recall" -> q129FilteredRecall,
   )
 }
