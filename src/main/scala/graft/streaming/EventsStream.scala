@@ -132,6 +132,25 @@ object EventsStream {
     * contract); a click arriving AFTER its purchase's batch cannot
     * retro-attribute — the documented as-of-processing semantics every
     * streaming attribution system carries. */
+  /** True microseconds since the epoch from a [[java.sql.Timestamp]].
+    * `getTime` alone is MILLIS — the events fixture is physical
+    * timestamp[us], and `getTime * 1000` would manufacture zeros where
+    * the fixture carries real sub-millisecond digits (wrong tie-breaks,
+    * wrong `gap_us` low digits, and an accept/reject flip at the 3-day
+    * boundary vs q117's `unix_micros`). `getNanos` holds the FULL
+    * fractional second, so rebuild: whole seconds from `getTime`
+    * (floorDiv for pre-epoch correctness), micros from `getNanos`. */
+  private[streaming] def timestampMicros(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  /** Inverse of [[timestampMicros]] — reconstructs the Timestamp at full
+    * µs precision (the constructor-from-millis would truncate). */
+  private[streaming] def microsTimestamp(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
   final class LatestClickAttributor
       extends StatefulProcessor[Long, Event, Attribution] {
     @transient private var latest: ValueState[ClickRef] = _
@@ -146,9 +165,9 @@ object EventsStream {
       // (ts, event_id) composite order inside the batch: a same-batch
       // click is visible to a later purchase, exactly like q117's
       // strictly-earlier-in-composite-order window frame
-      rows.toSeq.sortBy(e => (e.ts.getTime * 1000L, e.event_id))
+      rows.toSeq.sortBy(e => (timestampMicros(e.ts), e.event_id))
         .foreach { e =>
-          val tsUs = e.ts.getTime * 1000L
+          val tsUs = timestampMicros(e.ts)
           e.event_type match {
             case "click" =>
               val cur = if (latest.exists()) Option(latest.get()) else None
@@ -160,7 +179,7 @@ object EventsStream {
               val gap = tsUs - c.ts_us
               if (gap >= 0 && gap <= 3L * 24 * 3600 * 1000000L)
                 out += Attribution(e.event_id, key, e.ts, c.id,
-                  new java.sql.Timestamp(c.ts_us / 1000L), gap)
+                  microsTimestamp(c.ts_us), gap)
             case _ => ()
           }
         }

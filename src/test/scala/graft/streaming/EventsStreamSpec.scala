@@ -327,6 +327,82 @@ class EventsStreamSpec extends SparkSpec {
     }
   }
 
+  test("attributionLatest resolves SUB-MILLISECOND event order, gap_us " +
+      "low digits, and the 3-day boundary exactly as q117's unix_micros " +
+      "batch argmax (Timestamp.getTime alone would truncate all three)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, last, lit, unix_micros, when}
+    implicit val sqlCtx = spark.sqlContext
+    def tsU(us: Long): Timestamp =
+      Timestamp.from(java.time.Instant.parse("2024-01-01T00:00:00Z")
+        .plus(us, java.time.temporal.ChronoUnit.MICROS))
+    def evU(id: Long, us: Long, user: Long, typ: String): Event =
+      Event(id, tsU(us), user, typ, 1.0)
+    val threeDaysUs = 259200000000L
+    val events = Seq(
+      // user 1: two clicks INSIDE the same millisecond — true µs order
+      // (id 10 @1000µs, then id 5 @1500µs) must win over the event_id
+      // tie-break a ms-truncated ts_us would fall back to (id 10)
+      evU(10, 1000L, user = 1, typ = "click"),
+      evU(5, 1500L, user = 1, typ = "click"),
+      evU(20, 5000L, user = 1, typ = "purchase"),
+      // user 2: true gap = 3 days + 800µs (REJECT); truncated to millis
+      // the gap reads exactly 3 days and is wrongly accepted
+      evU(30, 100L, user = 2, typ = "click"),
+      evU(40, threeDaysUs + 900L, user = 2, typ = "purchase"),
+      // user 3: true gap = 3 days - 800µs (ACCEPT) — and the emitted
+      // gap_us must carry the real low digits, not a ×1000 multiple
+      evU(50, 900L, user = 3, typ = "click"),
+      evU(60, threeDaysUs + 100L, user = 3, typ = "purchase"))
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[Event]
+    input.addData(events: _*)
+    val q = EventsStream.attributionLatest(input.toDS())
+      .writeStream.format("memory").queryName("attr_latest_us")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("attr_latest_us")
+        .select("purchase_id", "click_id", "gap_us", "click_ts").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+          r.getTimestamp(3))).toMap
+      // batch restatement = q117's exact shape (TimeWindows.scala): window
+      // argmax in (ts, event_id) composite order, gap via unix_micros
+      val df = events.toDF()
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val isClick = col("event_type") === "click"
+      val batch = df
+        .withColumn("click_id",
+          last(when(isClick, col("event_id")), ignoreNulls = true).over(w))
+        .withColumn("click_ts",
+          last(when(isClick, col("ts")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase" && col("click_ts").isNotNull)
+        .withColumn("gap_us",
+          unix_micros(col("ts")) - unix_micros(col("click_ts")))
+        .filter(col("gap_us") <= lit(threeDaysUs))
+        .select("event_id", "click_id", "gap_us", "click_ts").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+          r.getTimestamp(3))).toMap
+      assert(streamed == batch,
+        s"stream/batch argmax diverge: streamed=$streamed batch=$batch")
+      assert(streamed.keySet == Set(20L, 60L)) // purchase 40 over-boundary
+      assert(streamed(20L)._1 == 5L) // µs order beats the id tie-break
+      assert(streamed(20L)._2 == 3500L) // true sub-ms gap
+      assert(streamed(20L)._3 == tsU(1500L)) // click_ts rebuilt at full µs
+      assert(streamed(60L)._2 == threeDaysUs - 800L) // exact low digits
+    } finally {
+      q.stop()
+      prevProvider.fold(spark.conf.unset(providerKey))(
+        spark.conf.set(providerKey, _))
+    }
+  }
+
   test("a TIMESTAMP_NTZ-typed stream normalizes through the shared helper " +
       "and aggregates identically to the TIMESTAMP-typed stream") {
     // The round-9 fixture regeneration regressed `ts` to naive
