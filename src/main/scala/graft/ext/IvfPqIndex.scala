@@ -154,45 +154,146 @@ object IvfPqIndex {
     * restricts the CANDIDATE side before any ranking work, so the serve
     * never under-returns k when enough allowed neighbors exist (a
     * post-filter of an unfiltered top-k would). `allowed` carries ids
-    * only; like the tombstone set it broadcasts into a semi-join
-    * against the code scan — at 100 TB the metadata predicate resolves
-    * on the (small) metadata table and ships ids, never payloads. */
+    * only — at 100 TB the metadata predicate resolves on the (small)
+    * metadata table and ships ids, never payloads — and the join plan
+    * is SELECTIVITY-ADAPTIVE ([[idFilter]]): a selective predicate's id
+    * set broadcasts into the semi-join; above the size cutoff (a
+    * low-selectivity predicate keeping half a 10^10-row corpus would be
+    * tens of GB — a forced broadcast is a driver/executor OOM) it
+    * degrades to a shuffled hash semi-join, the same exchange the code
+    * scan already pays for ranking. One count job prices the set. */
   def searchFiltered(spark: SparkSession, indexDir: String,
       queries: DataFrame, allowedIds: DataFrame,
-      k: Int = 5, nprobe: Int = 2): DataFrame =
+      k: Int = 5, nprobe: Int = 2): DataFrame = {
+    val ids = idFrame(allowedIds)
     serve(spark, indexDir, queries, k, nprobe,
-      allowed = Some(allowedIds.select(col(allowedIds.columns.head)
-        .cast("long").as("vec_id"))))
+      allowed = Some((ids, ids.count())))
+  }
+
+  /** [[searchFiltered]] with predicate-aware probe OVER-FETCH — the
+    * recall side of the pre-filter contract: at selectivity s, the
+    * nprobe cells nearest the query hold ~s× the usual allowed
+    * candidates, so a fixed probe width starves the shortlist (q129
+    * measured recall_filtered 0.56 at s≈0.5, nprobe=2). Escalate the
+    * probe width by inverse selectivity — nprobe′ = min(COARSE_K,
+    * nprobe·⌈1/s⌉), s measured as |allowed| / |indexed| (two count
+    * jobs; allowed ⊆ indexed is the caller contract, same as
+    * [[searchFiltered]]) — so the expected ALLOWED candidate pool is
+    * held roughly constant as selectivity drops. The escalation is
+    * priced, not free: q129's acceptance row carries the recovered
+    * recall AND the extra scored-candidate cost side by side.
+    *
+    * Measured at sf0.01 (s≈0.5): recall_filtered 0.56 → 0.64 at
+    * nprobe′=4 for 2× the scored candidates (613→1250); the FULL probe
+    * (nprobe=8, 2534 candidates) reaches only 0.68, so the escalation
+    * recovers two-thirds of the recoverable probing loss at half the
+    * full-scan cost — the remainder is ADC quantization error, which no
+    * probe width can buy back; compose with the q104 by-id exact
+    * re-rank when that last tier matters. */
+  def searchFilteredAdaptive(spark: SparkSession, indexDir: String,
+      queries: DataFrame, allowedIds: DataFrame,
+      k: Int = 5, nprobe: Int = 2): DataFrame = {
+    val ids = idFrame(allowedIds)
+    val nAllowed = ids.count()
+    val corpus = readIndex(spark, indexDir).count()
+    serve(spark, indexDir, queries, k,
+      adaptiveNprobe(nprobe, nAllowed, corpus),
+      allowed = Some((ids, nAllowed)))
+  }
+
+  /** The probe-escalation policy, factored for spec + oracle parity:
+    * nprobe′ = min(COARSE_K, nprobe · ⌈corpus/allowed⌉). q129's oracle
+    * restates this exact arithmetic in SQL over the same counts. */
+  private[ext] def adaptiveNprobe(nprobe: Int, nAllowed: Long,
+      corpus: Long): Int =
+    if (nAllowed <= 0 || corpus <= 0) nprobe
+    else math.min(COARSE_K.toLong,
+      nprobe * math.ceil(corpus.toDouble / nAllowed).toLong).toInt
+
+  private def idFrame(ids: DataFrame): DataFrame =
+    ids.select(col(ids.columns.head).cast("long").as("vec_id"))
+
+  /** Rows below which an ids-only side (8-byte key, ~16 B/row with
+    * overhead) may be broadcast: autoBroadcastJoinThreshold / 16 —
+    * honoring the session's broadcast budget instead of bypassing it
+    * with an unconditional hint. Threshold ≤ 0 (broadcast disabled)
+    * means never. */
+  private def idRowCutoff(spark: SparkSession): Long = {
+    val s = spark.conf
+      .get("spark.sql.autoBroadcastJoinThreshold", "10MB").trim
+    val bytes =
+      if (s.startsWith("-")) -1L
+      else org.apache.spark.network.util.JavaUtils.byteStringAsBytes(s)
+    if (bytes <= 0) 0L else bytes / 16L
+  }
+
+  /** Size-gated id semi/anti join: broadcast below the cutoff (the
+    * right plan for selective predicates and routine tombstone loads),
+    * shuffled hash join above it (the plan that survives a
+    * low-selectivity allowed set or a delete-heavy, rarely-compacted
+    * tombstone table at 100 TB — neither side is ever collected or
+    * force-broadcast). */
+  private def idFilter(df: DataFrame, ids: DataFrame, nIds: Long,
+      joinType: String, cutoff: Long): DataFrame =
+    if (nIds <= cutoff) df.join(broadcast(ids), Seq("vec_id"), joinType)
+    else df.join(ids.hint("shuffle_hash"), Seq("vec_id"), joinType)
 
   private def serve(spark: SparkSession, indexDir: String,
       queries: DataFrame, k: Int, nprobe: Int,
-      allowed: Option[DataFrame]): DataFrame = {
-    val (coarse, subcents) = readMeta(spark, indexDir)
-    // query-side grid, inline (≤ a handful of rows — no corpus spread)
-    val qg = queries.select(col("vec_id"),
-      expr(Similarity.gridSql).as("qa"))
-    val lut = Similarity.probeLut(qg, coarse, subcents, nprobe)
-    // lazily-forgotten ids vanish from the serve before any ranking
-    // work — the tombstone set is bounded (ids only) and broadcasts;
-    // an allowed-id filter composes the same way on the positive side
-    val cand = allowed.foldLeft(
-        readIndex(spark, indexDir)
-          .join(broadcast(readTombstones(spark, indexDir)),
-            Seq("vec_id"), "left_anti")) {
-        (df, ids) => df.join(broadcast(ids), Seq("vec_id"), "left_semi")
-      }
-      .select(col("vec_id").as("n_id"), col("cell").as("p_cell"),
-        posexplode(col("codes")).as(Seq("sub", "code")))
+      allowed: Option[(DataFrame, Long)]): DataFrame =
+    topK(scoredCandidates(spark, indexDir, queries, nprobe, allowed), k)
+
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
     val wTop = Window.partitionBy("q_id").orderBy(asc("adist"), asc("n_id"))
-    cand.join(broadcast(lut), Seq("sub", "code", "p_cell"))
-      .filter(col("n_id") =!= col("q_id"))
-      .groupBy("q_id", "n_id")
-      .agg(sum("d2q").as("adist"))
+    scored
       .withColumn("rk", row_number().over(wTop))
       .filter(col("rk") <= k)
       .select(col("q_id"), col("n_id"), col("adist"),
         col("rk").cast("long").as("rk"))
       .orderBy("q_id", "rk")
+  }
+
+  /** The ADC scoring stage shared by every serve flavor: (q_id, n_id,
+    * adist) for every candidate in a probed cell — exposed to q129 so
+    * the acceptance row can price candidate cost (rows scored) without
+    * re-deriving the serve algebra. `allowed` carries the id frame AND
+    * its counted size for [[idFilter]]'s gate. */
+  private[ext] def scoredCandidates(spark: SparkSession, indexDir: String,
+      queries: DataFrame, nprobe: Int,
+      allowed: Option[(DataFrame, Long)]): DataFrame = {
+    val (coarse, subcents) = readMeta(spark, indexDir)
+    // query-side grid, inline (≤ a handful of rows — no corpus spread)
+    val qg = queries.select(col("vec_id"),
+      expr(Similarity.gridSql).as("qa"))
+    val lut = Similarity.probeLut(qg, coarse, subcents, nprobe)
+    // STATIC partition pruning on the cell= layout: the probed-cell set
+    // is known BEFORE the scan (≤ queries·nprobe rows, ≤ COARSE_K
+    // distinct — bounded driver state) and the LUT join would drop
+    // unprobed-cell rows anyway, so put the IN-set where the file index
+    // can act on it: the scan lists only probed `cell=` directories
+    // instead of reading the whole code table and discarding at the
+    // join. Deterministic — unlike runtime DPP, which this composes
+    // with but does not depend on. ScanPruningSpec asserts the
+    // PartitionFilters line.
+    val probedCells = Similarity.probeCells(qg, coarse, nprobe)
+      .select("p_cell").distinct().collect().map(_.getInt(0)).toSeq
+    val cutoff = idRowCutoff(spark)
+    // lazily-forgotten ids vanish from the serve before any ranking
+    // work; both the tombstone anti-join and the allowed-id semi-join
+    // go through the size gate — ids only, broadcast only when small
+    val tombs = readTombstones(spark, indexDir)
+    val cand = allowed.foldLeft(
+        idFilter(readIndex(spark, indexDir)
+            .filter(col("cell").isin(probedCells: _*)),
+          tombs, tombs.count(), "left_anti", cutoff)) {
+        case (df, (ids, n)) => idFilter(df, ids, n, "left_semi", cutoff)
+      }
+      .select(col("vec_id").as("n_id"), col("cell").as("p_cell"),
+        posexplode(col("codes")).as(Seq("sub", "code")))
+    cand.join(broadcast(lut), Seq("sub", "code", "p_cell"))
+      .filter(col("n_id") =!= col("q_id"))
+      .groupBy("q_id", "n_id")
+      .agg(sum("d2q").as("adist"))
   }
 
   /** FORGET (tombstone) vectors from the persisted index — the FAISS
@@ -241,10 +342,10 @@ object IvfPqIndex {
       // rewrite; the directory swap discards the `_tombstones` side
       // table along with the old layout, so the next serve needs no
       // anti-join work for them
+      val tombs = readTombstones(spark, indexDir)
       val live = excludeBatch.foldLeft(
-          readIndex(spark, indexDir)
-            .join(broadcast(readTombstones(spark, indexDir)),
-              Seq("vec_id"), "left_anti")) {
+          idFilter(readIndex(spark, indexDir), tombs, tombs.count(),
+            "left_anti", idRowCutoff(spark))) {
         (df, b) => df.filter(col("batch") =!= b)
       }
       live.drop("batch").withColumn("batch", lit(-1L))
@@ -687,17 +788,35 @@ object IvfPqIndex {
     * top-5 after the fact would have kept. pre_returned == 5·queries
     * while post_returned falls short — the under-return q128's
     * pre-filter semantics exist to prevent, measured instead of
-    * asserted. Same instrument shapes as q99 (broadcast ground-truth
-    * NLJ, one-row combine). */
+    * asserted.
+    *
+    * The row ALSO prices the [[searchFilteredAdaptive]] over-fetch:
+    * nprobe_adaptive is the escalated width the inverse-selectivity
+    * policy picks (the oracle re-derives it in SQL from the same
+    * counts, proving policy parity), recall_adaptive is what the
+    * escalation buys back over recall_filtered, and cand_filtered vs
+    * cand_adaptive is what it costs — ADC-scored candidate rows at
+    * each width. Recall recovered AND paid for in one row. Same
+    * instrument shapes as q99 (broadcast ground-truth NLJ, one-row
+    * combine). */
   private val q129FilteredRecall = QueryDef(
     (s, dir) => {
       val idx = twoBatchIndex(s, dir)
       val e = Tables(s, dir, "embeddings")
       val allowed = e.filter(col("label") < 5).select("vec_id")
+      val nAllowed = allowed.count()
+      val np = adaptiveNprobe(2, nAllowed, readIndex(s, idx).count())
       val queries = e.filter(col("vec_id") < 10)
         .select("vec_id", "embedding")
-      val servedF = searchFiltered(s, idx, queries, allowed, k = 5,
-        nprobe = 2).select("q_id", "n_id")
+      // one scoring pass per probe width feeds BOTH the candidate-cost
+      // count and the top-5 set (materialized once, q116's
+      // evaluation-order discipline)
+      val scoredF = scoredCandidates(s, idx, queries, 2,
+        Some((allowed, nAllowed))).localCheckpoint(true)
+      val scoredA = scoredCandidates(s, idx, queries, np,
+        Some((allowed, nAllowed))).localCheckpoint(true)
+      val servedF = topK(scoredF, 5).select("q_id", "n_id")
+      val servedA = topK(scoredA, 5).select("q_id", "n_id")
       val servedU = search(s, idx, queries, k = 5, nprobe = 2)
         .select("q_id", "n_id")
       val eg = Similarity.gridFrame(s, e)
@@ -715,29 +834,50 @@ object IvfPqIndex {
         .select("q_id", "n_id")
       val hits = servedF.join(exactF, Seq("q_id", "n_id"), "left_semi")
         .agg(count(lit(1)).as("hits_filtered"))
+      val hitsA = servedA.join(exactF, Seq("q_id", "n_id"), "left_semi")
+        .agg(count(lit(1)).as("hits_adaptive"))
       val pre = servedF.agg(count(lit(1)).as("pre_returned"))
       val post = servedU
         .join(broadcast(allowed.withColumnRenamed("vec_id", "n_id")),
           Seq("n_id"), "left_semi")
         .agg(count(lit(1)).as("post_returned"))
+      val candF = scoredF.agg(count(lit(1)).as("cand_filtered"))
+      val candA = scoredA.agg(count(lit(1)).as("cand_adaptive"))
       q.agg(count(lit(1)).as("n_queries"))
         .crossJoin(broadcast(hits))
         .crossJoin(broadcast(pre))
         .crossJoin(broadcast(post))
+        .crossJoin(broadcast(candF))
+        .crossJoin(broadcast(hitsA))
+        .crossJoin(broadcast(candA))
         .select(col("n_queries"), col("hits_filtered"),
           col("pre_returned"), col("post_returned"),
           (col("hits_filtered").cast("double") / (col("n_queries") * 5))
-            .as("recall_filtered"))
+            .as("recall_filtered"),
+          col("cand_filtered"), lit(np.toLong).as("nprobe_adaptive"),
+          col("cand_adaptive"), col("hits_adaptive"),
+          (col("hits_adaptive").cast("double") / (col("n_queries") * 5))
+            .as("recall_adaptive"))
     },
     s"""WITH $splitTrainSql,
       |${Similarity.pqMultiProbeSql},
       |alw AS (SELECT vec_id FROM embeddings WHERE label < 5),
+      |sel AS (SELECT LEAST($COARSE_K, 2 * CAST(ceil(
+      |          CAST((SELECT count(*) FROM embeddings) AS DOUBLE)
+      |            / (SELECT count(*) FROM alw)) AS INTEGER)) AS np),
+      |${Similarity.pqMultiProbeSqlAt("(SELECT np FROM sel)", "4")},
       |mf AS (SELECT q_id, n_id FROM (
       |        SELECT q_id, n_id,
       |          row_number() OVER (PARTITION BY q_id
       |            ORDER BY adist, n_id) AS rk
       |        FROM madc WHERE n_id IN (SELECT vec_id FROM alw))
       |       WHERE rk <= 5),
+      |mf4 AS (SELECT q_id, n_id FROM (
+      |         SELECT q_id, n_id,
+      |           row_number() OVER (PARTITION BY q_id
+      |             ORDER BY adist, n_id) AS rk
+      |         FROM madc4 WHERE n_id IN (SELECT vec_id FROM alw))
+      |        WHERE rk <= 5),
       |mu AS (SELECT q_id, n_id FROM (
       |        SELECT q_id, n_id,
       |          row_number() OVER (PARTITION BY q_id
@@ -765,7 +905,20 @@ object IvfPqIndex {
       |       CAST((SELECT count(*) FROM exf JOIN mf USING (q_id, n_id))
       |           AS DOUBLE) /
       |         ((SELECT count(*) FROM embeddings WHERE vec_id < 10) * 5)
-      |         AS recall_filtered""")
+      |         AS recall_filtered,
+      |       CAST((SELECT count(*) FROM madc
+      |             WHERE n_id IN (SELECT vec_id FROM alw))
+      |         AS BIGINT) AS cand_filtered,
+      |       CAST((SELECT np FROM sel) AS BIGINT) AS nprobe_adaptive,
+      |       CAST((SELECT count(*) FROM madc4
+      |             WHERE n_id IN (SELECT vec_id FROM alw))
+      |         AS BIGINT) AS cand_adaptive,
+      |       CAST((SELECT count(*) FROM exf JOIN mf4 USING (q_id, n_id))
+      |         AS BIGINT) AS hits_adaptive,
+      |       CAST((SELECT count(*) FROM exf JOIN mf4 USING (q_id, n_id))
+      |           AS DOUBLE) /
+      |         ((SELECT count(*) FROM embeddings WHERE vec_id < 10) * 5)
+      |         AS recall_adaptive""")
 
   val defs: Map[String, QueryDef] = Map(
     "q97_ivfpq_index" -> q97IvfPqIndex,

@@ -1451,28 +1451,36 @@ object Similarity {
     * of the cell it lives in). Shared by the q96 serve, q94's nprobe=2
     * acceptance columns, q100's shortlist, and (composed over the
     * split-training CTEs) the q98/q99 IvfPqIndex oracles. */
-  private[ext] lazy val pqMultiProbeSql =
-    s"""qc AS (SELECT vec_id AS q_id, cell AS p_cell, p_rank FROM (
+  private[ext] lazy val pqMultiProbeSql = pqMultiProbeSqlAt("2")
+
+  /** [[pqMultiProbeSql]] generalized over the probe width: `nprobeExpr`
+    * is any scalar SQL expression (a literal, or a scalar subquery over
+    * an EARLIER CTE — how q129's oracle derives the adaptive width from
+    * measured selectivity), and `sfx` suffixes every CTE name so two
+    * widths can coexist in one WITH chain (madc vs madc4). */
+  private[ext] def pqMultiProbeSqlAt(nprobeExpr: String,
+      sfx: String = ""): String =
+    s"""qc$sfx AS (SELECT vec_id AS q_id, cell AS p_cell, p_rank FROM (
       |        SELECT p.vec_id, c.cell,
       |          row_number() OVER (PARTITION BY p.vec_id
       |            ORDER BY sum((p.q - c.c) * (p.q - c.c)), c.cell)
       |            AS p_rank
       |        FROM pts p JOIN c2 c ON p.dim = c.dim
       |        WHERE p.vec_id < 10
-      |        GROUP BY p.vec_id, c.cell) WHERE p_rank <= 2),
-      |rq AS (SELECT pc.q_id, pc.p_cell, p.dim, p.q - c.c AS q
-      |       FROM qc pc
+      |        GROUP BY p.vec_id, c.cell) WHERE p_rank <= $nprobeExpr),
+      |rq$sfx AS (SELECT pc.q_id, pc.p_cell, p.dim, p.q - c.c AS q
+      |       FROM qc$sfx pc
       |       JOIN pts p ON p.vec_id = pc.q_id
       |       JOIN c2 c ON c.cell = pc.p_cell AND c.dim = p.dim),
-      |qlut AS (SELECT r.q_id, r.p_cell, c.sub, c.cell AS code,
+      |qlut$sfx AS (SELECT r.q_id, r.p_cell, c.sub, c.cell AS code,
       |           CAST(sum((r.q - c.c) * (r.q - c.c)) AS BIGINT) AS d2q
-      |         FROM rq r JOIN pc2 c ON r.dim = c.dim
+      |         FROM rq$sfx r JOIN pc2 c ON r.dim = c.dim
       |         GROUP BY 1, 2, 3, 4),
-      |madc AS (SELECT qd.q_id, pf.vec_id AS n_id,
+      |madc$sfx AS (SELECT qd.q_id, pf.vec_id AS n_id,
       |           CAST(sum(qd.d2q) AS BIGINT) AS adist
       |         FROM paf pf
       |         JOIN af an ON an.vec_id = pf.vec_id
-      |         JOIN qlut qd ON pf.sub = qd.sub AND pf.cell = qd.code
+      |         JOIN qlut$sfx qd ON pf.sub = qd.sub AND pf.cell = qd.code
       |           AND qd.p_cell = an.cell
       |         WHERE pf.vec_id <> qd.q_id
       |         GROUP BY 1, 2)""".stripMargin

@@ -216,4 +216,84 @@ class IvfPqIndexSpec extends SparkSpec {
     assert(both.length == 3 && !both.contains(filtered.head) &&
       both.forall(_ % 2 == 0), s"forget+filter compose broke: ${both.toSeq}")
   }
+
+  test("searchFiltered is selectivity-adaptive in PLAN: the id set " +
+      "broadcasts below the size cutoff, degrades to a shuffled hash " +
+      "semi-join above it — results identical in both regimes") {
+    import spark.implicits._
+    val idx = Files.createTempDirectory("ivfpq-adaptive-plan")
+      .resolve("index").toString
+    val c = corpus(40)
+    IvfPqIndex.create(spark, idx, c)
+    IvfPqIndex.add(spark, idx, c, runId = 0L)
+    // 6 tombstones: above the 64b-regime cutoff (4 rows), so BOTH the
+    // anti (tombstones) and semi (allowed) sides cross the gate together
+    IvfPqIndex.forget(spark, idx,
+      Seq(1L, 3L, 7L, 9L, 11L, 13L).toDF("vec_id"))
+    val q = df(1000L -> vec(6))
+    val evens = (0L until 40L by 2).toDF("vec_id")
+    def semiAntiLines(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.executedPlan.toString.linesIterator
+        .filter(l => l.contains("LeftSemi") || l.contains("LeftAnti"))
+        .toSeq
+    // HIGH-selectivity regime (default 10MB threshold): ids broadcast
+    val small = IvfPqIndex.searchFiltered(spark, idx, q, evens, k = 3)
+    val smallLines = semiAntiLines(small)
+    assert(smallLines.nonEmpty && smallLines.forall(_.contains("Broadcast")),
+      s"small id set should broadcast:\n${smallLines.mkString("\n")}")
+    val smallRes = small.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3))).toSeq
+    // LOW-selectivity regime: drop the session broadcast budget so the
+    // same 20-row set is over-cutoff — the plan the 10^10-row case needs
+    val thrKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(thrKey)
+    spark.conf.set(thrKey, "64b")
+    try {
+      val big = IvfPqIndex.searchFiltered(spark, idx, q, evens, k = 3)
+      val bigLines = semiAntiLines(big)
+      assert(bigLines.nonEmpty && bigLines.forall(l =>
+          !l.contains("Broadcast") && l.contains("ShuffledHashJoin")),
+        s"over-cutoff id set must not broadcast:\n${bigLines.mkString("\n")}")
+      val bigRes = big.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3))).toSeq
+      assert(bigRes == smallRes,
+        "join-regime switch changed serve results")
+    } finally spark.conf.set(thrKey, prev)
+  }
+
+  test("adaptiveNprobe escalates by inverse selectivity, caps at " +
+      "COARSE_K, and leaves full selectivity untouched") {
+    assert(IvfPqIndex.adaptiveNprobe(2, 500, 500) == 2) // s=1: no change
+    assert(IvfPqIndex.adaptiveNprobe(2, 250, 500) == 4) // s=.5: double
+    assert(IvfPqIndex.adaptiveNprobe(2, 150, 500) == 8) // ceil(10/3)=4 → 8
+    assert(IvfPqIndex.adaptiveNprobe(2, 10, 500) == 8) // capped at K
+    assert(IvfPqIndex.adaptiveNprobe(2, 0, 500) == 2) // degenerate: keep
+  }
+
+  test("searchFilteredAdaptive widens the probe set under a selective " +
+      "filter and never returns below-k or disallowed rows") {
+    import spark.implicits._
+    val idx = Files.createTempDirectory("ivfpq-adaptive")
+      .resolve("index").toString
+    val c = corpus(40)
+    IvfPqIndex.create(spark, idx, c)
+    IvfPqIndex.add(spark, idx, c, runId = 0L)
+    val q = df(1000L -> vec(6))
+    val evens = (0L until 40L by 2).toDF("vec_id")
+    // s=0.5 → nprobe'=4: the adaptive serve's candidate pool must cover
+    // at least the fixed-width serve's (monotone in nprobe), so every
+    // fixed-width hit stays reachable and k rows come back allowed
+    val adaptive = IvfPqIndex.searchFilteredAdaptive(spark, idx, q, evens,
+      k = 3, nprobe = 2).select("n_id").collect().map(_.getLong(0))
+    assert(adaptive.length == 3 && adaptive.forall(_ % 2 == 0),
+      s"adaptive serve broke the filter contract: ${adaptive.toSeq}")
+    // at full selectivity the policy is a no-op: identical to search's
+    // plain top-k restricted to the (complete) allowed set
+    val all = (0L until 40L).toDF("vec_id")
+    val adaptiveAll = IvfPqIndex.searchFilteredAdaptive(spark, idx, q, all,
+      k = 3, nprobe = 2).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val plain = IvfPqIndex.search(spark, idx, q, k = 3, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(adaptiveAll.toSeq == plain.toSeq)
+  }
 }
