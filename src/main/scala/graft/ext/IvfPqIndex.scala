@@ -920,6 +920,52 @@ object IvfPqIndex {
       |         ((SELECT count(*) FROM embeddings WHERE vec_id < 10) * 5)
       |         AS recall_adaptive""")
 
+  /** Per-JVM memo of the two-batch index, keyed by fixture dir — the
+    * lifecycle/serve split q130 exists to measure: every other ANN
+    * bench cell deliberately pays create+add+add inside the timed
+    * region (the lifecycle IS those queries' subject), so the headline
+    * number conflates build cost with the latency a deployed serve
+    * actually exhibits. q130 builds here ONCE per JVM (Bench's warmup
+    * pass pays it; Verify pays it once) and its measured passes then
+    * time nothing but steady-state serves. */
+  private val steadyIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def steadyIndex(s: SparkSession, dir: String): String =
+    steadyIdxCache.computeIfAbsent(dir, _ => twoBatchIndex(s, dir))
+
+  /** STEADY-STATE serve row — what a 100×-deployment operator waits
+    * on: five repeated q98 serves against the memoized index, each
+    * FORCED eagerly (localCheckpoint) so every round pays the full
+    * scan→LUT-join→rank pipeline as its own job — exchange reuse
+    * cannot collapse the rounds into one, and the bench cell divided
+    * by five IS the per-serve latency (min-of-passes never sees the
+    * build, which the warmup's cache miss absorbed). Output is the
+    * q98 result × 5 rounds — fully deterministic, full oracle gate. */
+  private val q130ServeSteady = QueryDef(
+    (s, dir) => {
+      val idx = steadyIndex(s, dir)
+      val queries = Tables(s, dir, "embeddings")
+        .filter(col("vec_id") < 10)
+        .select("vec_id", "embedding")
+      (0 until 5).map { r =>
+        search(s, idx, queries, k = 5, nprobe = 2)
+          .withColumn("serve_round", lit(r.toLong))
+          .localCheckpoint(true)
+      }.reduce(_.unionByName(_)).orderBy("serve_round", "q_id", "rk")
+    },
+    s"""WITH $splitTrainSql,
+      |${Similarity.pqMultiProbeSql},
+      |serve AS (
+      |  SELECT q_id, n_id, adist,
+      |         row_number() OVER (PARTITION BY q_id
+      |           ORDER BY adist, n_id) AS rk
+      |  FROM madc QUALIFY rk <= 5)
+      |SELECT s.q_id, s.n_id, s.adist, s.rk,
+      |       CAST(r.serve_round AS BIGINT) AS serve_round
+      |FROM serve s
+      |CROSS JOIN (SELECT UNNEST(generate_series(0, 4)) AS serve_round) r
+      |ORDER BY serve_round, q_id, rk""")
+
   val defs: Map[String, QueryDef] = Map(
     "q97_ivfpq_index" -> q97IvfPqIndex,
     "q98_ivfpq_index_search" -> q98IvfPqIndexSearch,
@@ -928,5 +974,6 @@ object IvfPqIndex {
     "q127_index_forget_serve" -> q127IndexForgetServe,
     "q128_ivfpq_filtered_search" -> q128IvfPqFilteredSearch,
     "q129_filtered_recall" -> q129FilteredRecall,
+    "q130_serve_steady" -> q130ServeSteady,
   )
 }
