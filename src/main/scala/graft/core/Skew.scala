@@ -163,14 +163,27 @@ object Skew {
     * users (> hotThreshold events); their rows take the chunked path,
     * everyone else takes the plain single-window sessionization, and the
     * union is EXACTLY [[sessionize]] (session numbering is per-user, so
-    * the split is result-invisible — the q49/q83/q86 contract). The hot
-    * list is bounded at |events|/hotThreshold users and broadcasts into
-    * both semi/anti joins without an extra shuffle. */
+    * the split is result-invisible — the q49/q83/q86 contract).
+    *
+    * The hot list broadcasts into both semi/anti joins without an extra
+    * shuffle, and its size is bounded STRUCTURALLY, not just by the
+    * caller picking a good threshold: the histogram is capped at the
+    * `maxHotKeys` HOTTEST users (global top-N — TakeOrderedAndProject,
+    * so the driver holds at most maxHotKeys ids). A caller-supplied
+    * threshold near the mean would otherwise admit up to every distinct
+    * user (|events|/mean = |users|), turning the "bounded broadcast"
+    * into an unbounded one at 100 TB; with the cap, a user past the
+    * top-N simply takes the cold path — result-identical either way,
+    * since ANY split of users between the two paths is. Ties at the
+    * cap boundary break on user_id so the selection is deterministic. */
   def hybridChunkedSessionize(events: DataFrame, gapSec: Long,
-      chunkSec: Long, hotThreshold: Long): DataFrame = {
+      chunkSec: Long, hotThreshold: Long,
+      maxHotKeys: Int = 1 << 20): DataFrame = {
     val hot = events.groupBy(col("user_id"))
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") > hotThreshold)
+      .orderBy(col("__n").desc, col("user_id"))
+      .limit(maxHotKeys)
       .select(col("user_id"))
     val hotEvents = events.join(broadcast(hot), Seq("user_id"), "left_semi")
     val coldEvents = events.join(broadcast(hot), Seq("user_id"), "left_anti")
@@ -179,12 +192,18 @@ object Skew {
   }
 
   def hybridSaltedJoin(probe: DataFrame, build: DataFrame, key: String,
-      saltSource: Column, salts: Int, hotThreshold: Long): DataFrame = {
+      saltSource: Column, salts: Int, hotThreshold: Long,
+      maxHotKeys: Int = 1 << 20): DataFrame = {
     val hot = probe.groupBy(col(key)).agg(count(lit(1)).as("__n"))
       .filter(col("__n") > hotThreshold)
+      .orderBy(col("__n").desc, col(key))
+      .limit(maxHotKeys)
       .select(col(key))
-    // the hot list is bounded at |probe|/hotThreshold keys — broadcast it
-    // to split both sides without an extra shuffle
+    // the hot list broadcasts to split both sides without an extra
+    // shuffle; the top-N cap (not just the threshold) bounds it — see
+    // hybridChunkedSessionize's Scaladoc for why a threshold alone is
+    // not a bound. Keys past the cap fall to the plain path, which is
+    // result-identical for any split
     val hotProbe = probe.join(broadcast(hot), Seq(key), "left_semi")
     val coldProbe = probe.join(broadcast(hot), Seq(key), "left_anti")
     val hotBuild = build.join(broadcast(hot), Seq(key), "left_semi")

@@ -222,7 +222,11 @@ object Extra {
     * slice, while the cold majority takes the plain equi-join. The
     * oracle is again the PLAIN join — the hybrid split must be
     * result-invisible. SkewSpec proves both paths are non-empty and the
-    * row-level result equals the plain join. */
+    * row-level result equals the plain join. The >5-lineitems threshold
+    * admits a constant FRACTION of orderkeys (not a constant count), so
+    * the broadcast bound comes from the explicit top-N cap: only the
+    * heaviest 4096 keys are salted, the rest take the plain join —
+    * result-identical for any split. */
   private val q86HybridSaltedJoin = QueryDef(
     (s, dir) =>
       graft.core.Skew.hybridSaltedJoin(
@@ -230,7 +234,8 @@ object Extra {
             .withColumnRenamed("l_orderkey", "o_orderkey"),
           Tables(s, dir, "orders"),
           key = "o_orderkey",
-          saltSource = col("l_linenumber"), salts = 8, hotThreshold = 5L)
+          saltSource = col("l_linenumber"), salts = 8, hotThreshold = 5L,
+          maxHotKeys = 4096)
         .groupBy("o_orderstatus")
         .agg(round(sum("l_quantity"), 2).as("sum_qty"),
           count(lit(1)).as("n"))

@@ -117,7 +117,15 @@ object TimeWindows {
     * chunked route, the cold majority takes q29's single window, and
     * the union must be RESULT-IDENTICAL — the oracle is again the plain
     * q29 SQL. The threshold scan is one map-side-combinable count
-    * aggregation collected as a single driver row. */
+    * aggregation collected as a single driver row.
+    *
+    * A mean-derived threshold is NOT a broadcast bound (up to every
+    * distinct user can sit above the mean), so the broadcast hot list
+    * is bounded by the explicit top-N cap instead: at most maxHotKeys
+    * of the HOTTEST users take the chunked path, everyone else falls to
+    * the cold path — result-identical for any split, and the 100 TB
+    * bot-account scenario this query exists for is precisely the one
+    * where the heaviest handful of users is what matters. */
   private val q125HybridSession = QueryDef(
     (s, dir) => {
       val ev = Tables(s, dir, "events")
@@ -125,7 +133,8 @@ object TimeWindows {
         countDistinct(col("user_id")).as("u")).first()
       val meanPerUser = r.getLong(0) / math.max(r.getLong(1), 1L)
       graft.core.Skew.hybridChunkedSessionize(ev, gapSec = 1800L,
-          chunkSec = 3600L, hotThreshold = meanPerUser)
+          chunkSec = 3600L, hotThreshold = meanPerUser,
+          maxHotKeys = 4096)
         .orderBy("user_id", "session_id")
     },
     sessionOracleSql)

@@ -61,6 +61,15 @@ class SkewSpec extends SparkSpec {
         saltSource = col("row_id"), salts = 8, hotThreshold = 10000L)
       .select("k", "row_id", "label").collect().map(_.toSeq).toSet
     assert(allCold == plain)
+
+    // the top-N cap demotes past-cap keys to the plain path without
+    // moving the result: threshold 0 qualifies all 6 keys, cap 2 keeps
+    // only the heaviest two salted
+    val cappedHot = Skew.hybridSaltedJoin(probe, build, "k",
+        saltSource = col("row_id"), salts = 8, hotThreshold = 0L,
+        maxHotKeys = 2)
+      .select("k", "row_id", "label").collect().map(_.toSeq).toSet
+    assert(cappedHot == plain, "hot-list cap changed the join result")
   }
 
   test("q86 exercises BOTH hybrid paths on the fixture: some orderkeys " +
@@ -149,6 +158,21 @@ class SkewSpec extends SparkSpec {
       .filter(col("count") > 100L).count()
     assert(nHot == 2 && nHot < 12,
       s"threshold must split the users into live hot AND cold paths ($nHot hot)")
+
+    // the top-N cap is the STRUCTURAL broadcast bound (a threshold near
+    // the mean admits arbitrarily many users): capping below the
+    // qualifying count demotes the excess to the cold path and the
+    // result must not move — here cap=1 keeps only the 600-event user
+    // chunked while the 200-event user re-joins the single-window path
+    val capped = Skew.hybridChunkedSessionize(events, 1800L, 3600L,
+        hotThreshold = 100L, maxHotKeys = 1)
+      .collect().map(_.toSeq).toSet
+    assert(capped == plain, "hot-list cap changed the result")
+    // cap=0 degenerates to the all-cold plain path
+    val capZero = Skew.hybridChunkedSessionize(events, 1800L, 3600L,
+        hotThreshold = 100L, maxHotKeys = 0)
+      .collect().map(_.toSeq).toSet
+    assert(capZero == plain)
 
     // and Skew.sessionize (the factored plain form q29 runs) is itself
     // the ground truth used above
