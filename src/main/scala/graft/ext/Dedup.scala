@@ -303,8 +303,11 @@ object Dedup {
     * in both engines: embeddings are quantized to round(x*1000) (exact —
     * f32→f64 widening then one half-away-from-zero round in both Spark and
     * DuckDB) and dotted with small integer pseudo-hyperplanes
-    * w(i,p) = ((i*31 + p*17) % 7) - 3, so the bucket decision is pure
-    * BIGINT arithmetic with no float-sign ambiguity.
+    * w(i,p) = (((i*31 + p*17 + i*p*13) % 97) % 7) - 3, so the bucket
+    * decision is pure BIGINT arithmetic with no float-sign ambiguity.
+    * (The cross-term + two-modulus reduction keeps planes DISTINCT past
+    * p = 7 — see HyperplaneBucket's Scaladoc for the period argument and
+    * the measured quadratic blowup the original mod-7-only family hit.)
     *
     * This HOF composition is the REFERENCE form: q55 runs the fused
     * codegen twin (graft.functions.HyperplaneBucket — HOFs are
@@ -314,7 +317,7 @@ object Dedup {
     aggregate(
       transform(emb, (x, i) =>
         round(x.cast("double") * 1000, 0).cast("long") *
-          ((i * 31 + p * 17) % 7 - 3).cast("long")),
+          ((i * 31 + p * 17 + i * (p * 13)) % 97 % 7 - 3).cast("long")),
       lit(0L), (acc, x) => acc + x)
 
   /** Scale-adaptive hyperplane count: 4 planes at the 500-vector base,
@@ -360,7 +363,7 @@ object Dedup {
       |  SELECT vec_id, embedding,
       |    (SELECT sum(CASE WHEN list_sum(list_transform(embedding, (x,i) ->
       |       CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
-      |       * ((((i-1) * 31 + p * 17) % 7) - 3))) > 0
+      |       * (((((i-1) * 31 + p * 17 + (i-1) * p * 13) % 97) % 7) - 3))) > 0
       |     THEN 1 << p ELSE 0 END)
       |     FROM generate_series(0, 62) t(p), np WHERE p < planes) AS bucket
       |  FROM embeddings),
@@ -406,9 +409,19 @@ object Dedup {
     * embeddings re-join BY ID afterwards — each embedding crosses an
     * exchange at most twice (once per pair side), independent of planes,
     * so exchange bytes are ∝ ids + candidates, not ∝ payload × fan-out. */
-  private[ext] def multiProbePairs(s: SparkSession, dir: String): DataFrame = {
-    val planes = lshPlanes(Tables(s, dir, "embeddings").count())
-    val sigs = Tables(s, dir, "embeddings")
+  private[ext] def multiProbePairs(s: SparkSession, dir: String): DataFrame =
+    multiProbePairsOf(Tables(s, dir, "embeddings"))
+
+  /** The Hamming≤1 CANDIDATE pair stage of [[multiProbePairsOf]] —
+    * factored out so the scale probe (tools.ScaleProbe) can count
+    * candidates with the exact production construction. The adaptive
+    * plane count is the linearity mechanism: +1 plane per corpus
+    * doubling halves expected bucket occupancy, so candidate pairs
+    * (∝ n · occupancy · probes) stay ~linear in n instead of the
+    * fixed-plane quadratic. */
+  private[graft] def multiProbeCandidatesOf(emb: DataFrame): DataFrame = {
+    val planes = lshPlanes(emb.count())
+    val sigs = emb
       .select(col("vec_id"),
         graft.functions.HyperplaneBucket.bucket(col("embedding"), planes)
           .as("bucket"))
@@ -417,10 +430,12 @@ object Dedup {
     val a = sigs.select(col("vec_id").as("a_id"),
       explode(array(probeCols: _*)).as("pb"))
     val b = sigs.select(col("vec_id").as("b_id"), col("bucket").as("bucket_b"))
-    val cand = a
-      .join(b, col("pb") === col("bucket_b") && col("a_id") < col("b_id"))
+    a.join(b, col("pb") === col("bucket_b") && col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"))
-    val emb = Tables(s, dir, "embeddings")
+  }
+
+  private[graft] def multiProbePairsOf(emb: DataFrame): DataFrame = {
+    val cand = multiProbeCandidatesOf(emb)
     cand
       .join(emb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb")),
         Seq("a_id"))
@@ -440,7 +455,7 @@ object Dedup {
       |  SELECT vec_id, embedding,
       |    (SELECT sum(CASE WHEN list_sum(list_transform(embedding, (x,i) ->
       |       CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
-      |       * ((((i-1) * 31 + p * 17) % 7) - 3))) > 0
+      |       * (((((i-1) * 31 + p * 17 + (i-1) * p * 13) % 97) % 7) - 3))) > 0
       |     THEN 1 << p ELSE 0 END)
       |     FROM generate_series(0, 62) t(p), np WHERE p < planes) AS bucket
       |  FROM embeddings),
@@ -529,7 +544,7 @@ object Dedup {
       |  SELECT vec_id, embedding,
       |    (SELECT sum(CASE WHEN list_sum(list_transform(embedding, (x,i) ->
       |       CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
-      |       * ((((i-1) * 31 + p * 17) % 7) - 3))) > 0
+      |       * (((((i-1) * 31 + p * 17 + (i-1) * p * 13) % 97) % 7) - 3))) > 0
       |     THEN 1 << p ELSE 0 END)
       |     FROM generate_series(0, 62) t(p), np WHERE p < planes) AS b
       |  FROM s),

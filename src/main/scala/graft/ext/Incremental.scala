@@ -43,7 +43,7 @@ object Incremental {
       |  SELECT vec_id, embedding,
       |    (SELECT sum(CASE WHEN list_sum(list_transform(embedding, (x,i) ->
       |       CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
-      |       * ((((i-1) * 31 + p * 17) % 7) - 3))) > 0
+      |       * (((((i-1) * 31 + p * 17 + (i-1) * p * 13) % 97) % 7) - 3))) > 0
       |     THEN 1 << p ELSE 0 END)
       |     FROM generate_series(0, 62) t(p), np WHERE p < planes) AS bucket
       |  FROM embeddings)""".stripMargin

@@ -257,8 +257,10 @@ object IvfPqIndex {
     * adist) for every candidate in a probed cell — exposed to q129 so
     * the acceptance row can price candidate cost (rows scored) without
     * re-deriving the serve algebra. `allowed` carries the id frame AND
-    * its counted size for [[idFilter]]'s gate. */
-  private[ext] def scoredCandidates(spark: SparkSession, indexDir: String,
+    * its counted size for [[idFilter]]'s gate. graft-private (not just
+    * ext) so tools.ScaleProbe can count candidates per query with the
+    * production construction. */
+  private[graft] def scoredCandidates(spark: SparkSession, indexDir: String,
       queries: DataFrame, nprobe: Int,
       allowed: Option[(DataFrame, Long)]): DataFrame = {
     val (coarse, subcents) = readMeta(spark, indexDir)

@@ -15,7 +15,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
   * Semantics are EXACTLY the composed form it replaces (and the DuckDB
   * oracle mirrors): per plane p < planes,
   *
-  *   dot_p = Σ_i round(x_i · 1000) · (((i·31 + p·17) % 7) − 3)
+  *   dot_p = Σ_i round(x_i · 1000) · ((((i·31 + p·17 + i·p·13) % 97) % 7) − 3)
+  *
+  * The i·p·13 cross-term and the two-modulus reduction matter: a family
+  * that is any polynomial of (i, p) reduced straight mod 7 has period 7
+  * in p (adding 7 to p shifts every term by a multiple of 7), so planes
+  * 7+ would DUPLICATE planes 0+ — lshPlanes' one-plane-per-corpus-
+  * doubling stops cutting bucket occupancy exactly when the corpus gets
+  * large, and the near-dup candidate join turns quadratic (measured by
+  * tools.ScaleProbe before this family replaced the original mod-7-only
+  * one: candidate pairs grew at exponent 1.7, matching a ceiling of 7
+  * effective planes). Routing through mod 97 first gives the family
+  * period 97·7 in p — far past the 30-plane cap — at ≤7% residue bias.
   *
   * with `round` half-away-from-zero to a long (Spark's round(_, 0) —
   * BigDecimal HALF_UP — and DuckDB's round agree there), and
@@ -58,7 +69,7 @@ case class HyperplaneBucket(child: Expression, planes: Int)
       var i = 0
       while (i < n) {
         dot += q(x.getFloat(i).toDouble * 1000d) *
-          ((i * 31 + p * 17) % 7 - 3).toLong
+          ((i * 31 + p * 17 + i * p * 13) % 97 % 7 - 3).toLong
         i += 1
       }
       if (dot > 0L) bucket |= 1 << p
@@ -84,7 +95,7 @@ case class HyperplaneBucket(child: Expression, planes: Int)
          |    final double $d = ((double) $x.getFloat($i)) * 1000d;
          |    $dot += (long) ($d >= 0 ? Math.floor($d + 0.5d)
          |                            : Math.ceil($d - 0.5d))
-         |            * (long) (($i * 31 + $p * 17) % 7 - 3);
+         |            * (long) (($i * 31 + $p * 17 + $i * $p * 13) % 97 % 7 - 3);
          |  }
          |  if ($dot > 0L) $bucket |= 1 << $p;
          |}

@@ -1,0 +1,123 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev-only 10× scale probe for the two hottest extension paths — the
+  * persisted IVF-PQ serve (q98 shape) and the near-dup multi-probe pair
+  * scan (q79 shape). Every 100 TB argument so far is a plan-SHAPE
+  * argument (pruned scans, equi-joins, bounded broadcasts); this tool
+  * turns the two load-bearing ones into MEASURED scaling exponents:
+  * run the production code paths over deterministic synthetic corpora
+  * at 1×/3×/10× the sf0.1 vector count and fit
+  * slope = log(m_10x / m_1x) / log(10) for each metric. The claims
+  * under test, with the mechanism that should produce them:
+  *
+  *  - ANN candidates/query ~ n (exponent ≈ 1): nprobe/COARSE_K of the
+  *    corpus per query, by cell partition pruning — never more.
+  *  - near-dup candidate pairs ~ n (exponent ≈ 1, NOT the fixed-plane
+  *    quadratic): lshPlanes adds one hyperplane per corpus doubling, so
+  *    bucket occupancy stays ~flat and the bucket equi-join's output
+  *    (∝ n · occupancy · probes) tracks n. Occupancy halving is
+  *    stepwise, so per-step exponents wobble around 1 (a doubling just
+  *    before a plane increment runs ~2× occupancy); the 1×→10× fit
+  *    spans three increments and averages the steps out.
+  *  - wall time follows the candidate counts once per-job fixed cost
+  *    (~0.1-0.3 s of scheduling at local[32]) is subtracted — at these
+  *    corpus sizes fixed cost dominates, so the TIME exponents are
+  *    reported but the candidate-count exponents are the scale signal.
+  *
+  * Results are recorded in docs/PLANS.md (§ scale probe); any exponent
+  * materially above 1 is a named bug, not a shrug. Not part of the
+  * engine surface; nothing here runs in Verify/Bench.
+  *
+  * Usage: runMain graft.tools.ScaleProbe [baseN] — baseN defaults to
+  * 2000, the sf0.1 embeddings row count. */
+object ScaleProbe {
+
+  /** Deterministic synthetic corpus in the embeddings-table shape:
+    * 64-dim float vectors from Murmur3 of (id, dim) — same distribution
+    * family at every scale, no RNG state, executor-parallel. */
+  private def synth(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 63), " +
+        "j -> cast((hash(id, j) % 1000) / 1000.0 as float))")
+        .as("embedding"))
+
+  private def timeMinOf(reps: Int)(f: => Unit): Double = {
+    f // warmup: JIT + codegen + parquet footer caches, Bench discipline
+    (1 to reps).map { _ =>
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }.min
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseN = args.headOption.map(_.toLong).getOrElse(2000L)
+    val scales = Seq(1, 3, 10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors()).toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-scaleprobe")
+      .toString
+
+    case class Cell(scale: Int, n: Long, buildS: Double, serveS: Double,
+      candPerQuery: Double, pairS: Double, candPairs: Long, planes: Int)
+
+    val cells = scales.map { sc =>
+      val n = baseN * sc
+      // materialize generation outside every timed region
+      val corpus = synth(spark, n).localCheckpoint(true)
+
+      // --- ANN: q98 shape. Train on a CONSTANT-size sample (the
+      // train-once/add-forever production discipline — q99 prices its
+      // recall cost), add the full corpus, serve 10 queries at k=5
+      // nprobe=2. Build is reported but untimed in the serve metric.
+      val idxDir = s"$tmp/ann_s$sc"
+      val tb = System.nanoTime()
+      graft.ext.IvfPqIndex.create(spark, idxDir,
+        corpus.filter(col("vec_id") < baseN))
+      graft.ext.IvfPqIndex.add(spark, idxDir, corpus, 0L)
+      val buildS = (System.nanoTime() - tb) / 1e9
+      val queries = corpus.filter(col("vec_id") < 10)
+        .select("vec_id", "embedding").localCheckpoint(true)
+      val serveS = timeMinOf(3) {
+        graft.ext.IvfPqIndex.search(spark, idxDir, queries,
+          k = 5, nprobe = 2).count()
+      }
+      val candPerQuery = graft.ext.IvfPqIndex.scoredCandidates(
+        spark, idxDir, queries, 2, None).count() / 10.0
+
+      // --- near-dup: q79 shape over the same corpus
+      val pairS = timeMinOf(3) {
+        graft.ext.Dedup.multiProbePairsOf(corpus).count()
+      }
+      val candPairs = graft.ext.Dedup.multiProbeCandidatesOf(corpus).count()
+      val planes = graft.ext.Dedup.lshPlanes(n)
+
+      val cell = Cell(sc, n, buildS, serveS, candPerQuery, pairS,
+        candPairs, planes)
+      println(f"[scaleprobe] scale=${sc}x n=$n build=${buildS}%.2fs " +
+        f"serve=${serveS}%.2fs cand/q=${candPerQuery}%.1f " +
+        f"pairscan=${pairS}%.2fs candpairs=$candPairs planes=$planes")
+      cell
+    }
+
+    def expo(m: Cell => Double): Double = {
+      val (a, b) = (cells.head, cells.last)
+      math.log(m(b) / m(a)) / math.log(b.n.toDouble / a.n)
+    }
+    println(f"[scaleprobe] EXPONENTS (1x -> ${scales.last}x): " +
+      f"ann_candidates=${expo(_.candPerQuery)}%.2f " +
+      f"ann_serve_time=${expo(_.serveS)}%.2f " +
+      f"neardup_cand_pairs=${expo(_.candPairs.toDouble)}%.2f " +
+      f"neardup_scan_time=${expo(_.pairS)}%.2f")
+    spark.stop()
+  }
+}

@@ -12,7 +12,7 @@ class HyperplaneBucketSpec extends SparkSpec {
       when(aggregate(
         transform(v, (x, i) =>
           round(x.cast("double") * 1000, 0).cast("long") *
-            ((i * 31 + p * 17) % 7 - 3).cast("long")),
+            ((i * 31 + p * 17 + i * (p * 13)) % 97 % 7 - 3).cast("long")),
         lit(0L), (acc, x) => acc + x) > 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
 
@@ -59,6 +59,32 @@ class HyperplaneBucketSpec extends SparkSpec {
       spark.sql("SELECT hyperplane_bucket(embedding, CAST(vec_id AS INT)) FROM hb_in")
         .collect()
     }
+  }
+
+  test("the plane family has no effective-plane ceiling: every plane " +
+      "past 7 still discriminates (the period-7 regression ScaleProbe " +
+      "caught: a mod-7-only family duplicates planes 7+, bucket count " +
+      "saturates ~126, and the near-dup candidate join turns quadratic)") {
+    // pairwise-distinct coefficient vectors over the real 64-dim width,
+    // up to twice the plane count a 100 TB corpus needs
+    def coefs(p: Int): Seq[Int] =
+      (0 until 64).map(i => (i * 31 + p * 17 + i * p * 13) % 97 % 7 - 3)
+    val fam = (0 until 24).map(coefs)
+    assert(fam.distinct.size == 24,
+      "duplicate hyperplanes in the first 24 planes")
+    // ...and the duplication is OBSERVABLE as bucket-count saturation,
+    // so guard the measured quantity too: deterministic synthetic
+    // vectors (the ScaleProbe generator) at planes=12 must spread far
+    // past the 2^7=128-bucket ceiling the periodic family capped at
+    val n = 5000L
+    val buckets = spark.range(n).select(
+        expr("transform(sequence(0, 63), " +
+          "j -> cast((hash(id, j) % 1000) / 1000.0 as float))").as("v"))
+      .select(HyperplaneBucket.bucket(col("v"), 12).as("b"))
+      .distinct().count()
+    assert(buckets > 1000,
+      s"only $buckets distinct buckets at planes=12 over $n vectors — " +
+        "planes beyond 7 are not discriminating")
   }
 
   test("stays inside WholeStageCodegen (the reason it exists)") {
