@@ -382,11 +382,11 @@ object Dedup {
   /** Multi-probe near-dup pair join — q74's Hamming-1 probe ball applied
     * to q55's PAIR join, the recall lever q78 proved necessary: at the
     * 0.4 cosine bar single-bucket LSH co-buckets only ~16% of true pairs
-    * ((1−θ/π)^planes theory, measured 0.15–0.17), because a planes-bit
+    * ((1−θ/π)^planes theory, measured 0.17–0.22), because a planes-bit
     * sign signature splits similar-but-not-identical vectors across
     * adjacent buckets. Probing each vector's home bucket PLUS every
     * one-bit flip admits any pair whose signatures differ by ≤ 1
-    * hyperplane — measured pair recall rises ~3.8× (0.58 at sf0.01) for
+    * hyperplane — measured pair recall rises 2.6–3.4× (0.58 at sf0.01) for
     * (planes+1)× candidate cost, still a vanishing corpus fraction
     * ((planes+1)/2^planes, shrinking as planes grow with N).
     *
@@ -495,13 +495,15 @@ object Dedup {
     * experiment's corpus), integer-exact in both engines.
     *
     * The measurement is physically meaningful: at the 0.4 threshold the
-    * observed single-bucket recall (~0.15–0.17 on the fixtures) matches
-    * the random-hyperplane theory value (1 − θ/π)^planes ≈ 0.16 for
-    * cos θ = 0.4, planes = 4, and the multi-probe recall (~0.58)
-    * matches r^k + k·r^(k−1)(1−r) ≈ 0.53 at the boundary (higher in
-    * aggregate because true pairs sit above the bar) — a measured ~3.8×
-    * recall lift for (planes+1)× candidate cost. DedupSpec pins the
-    * ≥ 3× lift; single-bucket remains fine at the ≥0.9 dedup bar. */
+    * observed single-bucket recall (0.17 at sf0.001, 0.22 at sf0.01,
+    * under the round-11 two-modulus plane family) matches the
+    * random-hyperplane theory value (1 − θ/π)^planes ≈ 0.16 for
+    * cos θ = 0.4, planes = 4 (higher in aggregate because true pairs
+    * sit above the bar), and the multi-probe recall (~0.56–0.58)
+    * matches r^k + k·r^(k−1)(1−r) ≈ 0.53 at the boundary — a measured
+    * 2.6–3.4× recall lift for (planes+1)× candidate cost. DedupSpec
+    * pins the ≥ 3× lift at sf0.001; single-bucket remains fine at the
+    * ≥0.9 dedup bar. */
   private val q78NeardupPairRecall = QueryDef(
     (s, dir) => {
       val e = Tables(s, dir, "embeddings")

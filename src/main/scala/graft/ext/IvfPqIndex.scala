@@ -922,6 +922,177 @@ object IvfPqIndex {
       |         ((SELECT count(*) FROM embeddings WHERE vec_id < 10) * 5)
       |         AS recall_adaptive""")
 
+  /** FILTERED serve, EXACT-RERANK tier — the top of the filtered
+    * quality ladder q129 prices: [[searchFilteredAdaptive]] over-fetches
+    * a 20-candidate ADC shortlist under the predicate (inverse-
+    * selectivity probe escalation), then the q104 by-id exact tier
+    * re-ranks it against the SOURCE embedding table and keeps the top
+    * 5 by true grid-L2. This recovers the quantization loss no probe
+    * width can buy back (q129: adaptive probing plateaus at the 0.68
+    * full-probe ceiling; the rest of the gap to exact is ADC error) —
+    * at a raw-vector fetch cost of ≤ 20·queries rows by id, never a
+    * corpus scan. The oracle composes the adaptive-width CTEs (policy
+    * re-derived in SQL from the same counts), the allowed filter, and
+    * q104's re-rank restatement — the full composition hash-gated, not
+    * just its pieces. q132 prices what this tier buys. */
+  private val q131FilteredRerank = QueryDef(
+    (s, dir) => {
+      val idx = twoBatchIndex(s, dir)
+      val e = Tables(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 10)
+        .select("vec_id", "embedding")
+      val allowed = e.filter(col("label") < 5).select("vec_id")
+      val shortlist = searchFilteredAdaptive(s, idx, queries, allowed,
+          k = 20, nprobe = 2)
+        .select("q_id", "n_id", "adist")
+      val eg = Similarity.gridFrame(s, e)
+      val q = eg.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("qa").as("q_qa"))
+      val wEx = Window.partitionBy("q_id").orderBy(asc("d2"), asc("n_id"))
+      eg.select(col("vec_id").as("n_id"), col("qa"))
+        .join(broadcast(shortlist), Seq("n_id"))
+        .join(broadcast(q), Seq("q_id"))
+        .withColumn("d2",
+          graft.functions.LongVec.l2(col("qa"), col("q_qa")))
+        .withColumn("rk", row_number().over(wEx))
+        .filter(col("rk") <= 5)
+        .select(col("q_id"), col("n_id"), col("adist"), col("d2"),
+          col("rk").cast("long").as("rk"))
+        .orderBy("q_id", "rk")
+    },
+    s"""WITH $splitTrainSql,
+      |alw AS (SELECT vec_id FROM embeddings WHERE label < 5),
+      |sel AS (SELECT LEAST($COARSE_K, 2 * CAST(ceil(
+      |          CAST((SELECT count(*) FROM embeddings) AS DOUBLE)
+      |            / (SELECT count(*) FROM alw)) AS INTEGER)) AS np),
+      |${Similarity.pqMultiProbeSqlAt("(SELECT np FROM sel)", "4")},
+      |sl AS (SELECT q_id, n_id, adist FROM (
+      |        SELECT q_id, n_id, adist,
+      |          row_number() OVER (PARTITION BY q_id
+      |            ORDER BY adist, n_id) AS ark
+      |        FROM madc4 WHERE n_id IN (SELECT vec_id FROM alw))
+      |       WHERE ark <= 20),
+      |rr AS (SELECT sl.q_id, sl.n_id, sl.adist,
+      |         CAST(sum((b.q - a.q) * (b.q - a.q)) AS BIGINT) AS d2
+      |       FROM sl
+      |       JOIN pts a ON a.vec_id = sl.q_id
+      |       JOIN pts b ON b.vec_id = sl.n_id AND b.dim = a.dim
+      |       GROUP BY 1, 2, 3)
+      |SELECT q_id, n_id, adist, d2,
+      |       row_number() OVER (PARTITION BY q_id
+      |         ORDER BY d2, n_id) AS rk
+      |FROM rr QUALIFY rk <= 5 ORDER BY q_id, rk""")
+
+  /** The acceptance row for [[q131FilteredRerank]] — completes the
+    * filtered recall ladder q129 opened, every rung priced in the same
+    * BIGINT discipline: recall_filtered 0.56 (fixed nprobe=2) →
+    * recall_adaptive 0.64 (escalated probing, 2× candidates) →
+    * recall_rerank 0.86 at sf0.01 (this row: exact re-rank of the
+    * adaptive 20-deep shortlist — past the 0.68 full-probe ADC
+    * ceiling, i.e. the quantization loss bought back), with the two
+    * costs that bought it side by side —
+    * cand_adaptive ADC-scored rows and shortlist_fetched raw vectors
+    * fetched by id (≤ 20·queries — the by-id tier's whole bill; a
+    * post-hoc exact pass over the corpus would be |corpus|·queries).
+    * One scoring pass feeds the candidate count, the shortlist, and
+    * the serve (localCheckpoint, q116's evaluation-order discipline);
+    * ground truth is q129's exact filtered grid-L2 top-5. */
+  private val q132FilteredRerankRecall = QueryDef(
+    (s, dir) => {
+      val idx = twoBatchIndex(s, dir)
+      val e = Tables(s, dir, "embeddings")
+      val allowed = e.filter(col("label") < 5).select("vec_id")
+      val nAllowed = allowed.count()
+      val np = adaptiveNprobe(2, nAllowed, readIndex(s, idx).count())
+      val queries = e.filter(col("vec_id") < 10)
+        .select("vec_id", "embedding")
+      val scoredA = scoredCandidates(s, idx, queries, np,
+        Some((allowed, nAllowed))).localCheckpoint(true)
+      val shortlist = topK(scoredA, 20).select("q_id", "n_id")
+      val eg = Similarity.gridFrame(s, e)
+      val q = eg.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("qa").as("q_qa"))
+      val d2 = graft.functions.LongVec.l2(col("qa"), col("q_qa"))
+      val served = eg.select(col("vec_id").as("n_id"), col("qa"))
+        .join(broadcast(shortlist), Seq("n_id"))
+        .join(broadcast(q), Seq("q_id"))
+        .withColumn("d2v", d2)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("q_id").orderBy(asc("d2v"), asc("n_id"))))
+        .filter(col("rk") <= 5)
+        .select("q_id", "n_id")
+      val exactF = eg.select(col("vec_id").as("n_id"), col("qa"))
+        .join(broadcast(allowed.withColumnRenamed("vec_id", "n_id")),
+          Seq("n_id"), "left_semi")
+        .join(broadcast(q), col("n_id") =!= col("q_id"))
+        .select(col("q_id"), col("n_id"), d2.as("adist"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("q_id").orderBy(asc("adist"), asc("n_id"))))
+        .filter(col("rk") <= 5)
+        .select("q_id", "n_id")
+      val hits = served.join(exactF, Seq("q_id", "n_id"), "left_semi")
+        .agg(count(lit(1)).as("hits_rerank"))
+      val candA = scoredA.agg(count(lit(1)).as("cand_adaptive"))
+      val fetched = shortlist.agg(count(lit(1)).as("shortlist_fetched"))
+      q.agg(count(lit(1)).as("n_queries"))
+        .crossJoin(broadcast(hits))
+        .crossJoin(broadcast(candA))
+        .crossJoin(broadcast(fetched))
+        .select(col("n_queries"), lit(np.toLong).as("nprobe_adaptive"),
+          col("cand_adaptive"), col("shortlist_fetched"),
+          col("hits_rerank"),
+          (col("hits_rerank").cast("double") / (col("n_queries") * 5))
+            .as("recall_rerank"))
+    },
+    s"""WITH $splitTrainSql,
+      |alw AS (SELECT vec_id FROM embeddings WHERE label < 5),
+      |sel AS (SELECT LEAST($COARSE_K, 2 * CAST(ceil(
+      |          CAST((SELECT count(*) FROM embeddings) AS DOUBLE)
+      |            / (SELECT count(*) FROM alw)) AS INTEGER)) AS np),
+      |${Similarity.pqMultiProbeSqlAt("(SELECT np FROM sel)", "4")},
+      |sl AS (SELECT q_id, n_id FROM (
+      |        SELECT q_id, n_id,
+      |          row_number() OVER (PARTITION BY q_id
+      |            ORDER BY adist, n_id) AS ark
+      |        FROM madc4 WHERE n_id IN (SELECT vec_id FROM alw))
+      |       WHERE ark <= 20),
+      |rr AS (SELECT sl.q_id, sl.n_id,
+      |         CAST(sum((b.q - a.q) * (b.q - a.q)) AS BIGINT) AS d2
+      |       FROM sl
+      |       JOIN pts a ON a.vec_id = sl.q_id
+      |       JOIN pts b ON b.vec_id = sl.n_id AND b.dim = a.dim
+      |       GROUP BY 1, 2),
+      |rr5 AS (SELECT q_id, n_id FROM (
+      |         SELECT q_id, n_id,
+      |           row_number() OVER (PARTITION BY q_id
+      |             ORDER BY d2, n_id) AS rk
+      |         FROM rr) WHERE rk <= 5),
+      |gdf AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+      |          CAST(sum((b.q - a.q) * (b.q - a.q)) AS BIGINT) AS adist
+      |        FROM pts a JOIN pts b ON a.dim = b.dim
+      |        WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id
+      |          AND b.vec_id IN (SELECT vec_id FROM alw)
+      |        GROUP BY 1, 2),
+      |exf AS (SELECT q_id, n_id FROM (
+      |         SELECT q_id, n_id,
+      |           row_number() OVER (PARTITION BY q_id
+      |             ORDER BY adist, n_id) AS rk
+      |         FROM gdf) WHERE rk <= 5)
+      |SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id < 10)
+      |         AS BIGINT) AS n_queries,
+      |       CAST((SELECT np FROM sel) AS BIGINT) AS nprobe_adaptive,
+      |       CAST((SELECT count(*) FROM madc4
+      |             WHERE n_id IN (SELECT vec_id FROM alw))
+      |         AS BIGINT) AS cand_adaptive,
+      |       CAST((SELECT count(*) FROM sl) AS BIGINT)
+      |         AS shortlist_fetched,
+      |       CAST((SELECT count(*) FROM exf JOIN rr5 USING (q_id, n_id))
+      |         AS BIGINT) AS hits_rerank,
+      |       CAST((SELECT count(*) FROM exf JOIN rr5 USING (q_id, n_id))
+      |           AS DOUBLE) /
+      |         ((SELECT count(*) FROM embeddings WHERE vec_id < 10) * 5)
+      |         AS recall_rerank""")
+
   /** Per-JVM memo of the two-batch index, keyed by fixture dir — the
     * lifecycle/serve split q130 exists to measure: every other ANN
     * bench cell deliberately pays create+add+add inside the timed
@@ -977,5 +1148,7 @@ object IvfPqIndex {
     "q128_ivfpq_filtered_search" -> q128IvfPqFilteredSearch,
     "q129_filtered_recall" -> q129FilteredRecall,
     "q130_serve_steady" -> q130ServeSteady,
+    "q131_filtered_rerank" -> q131FilteredRerank,
+    "q132_filtered_rerank_recall" -> q132FilteredRerankRecall,
   )
 }

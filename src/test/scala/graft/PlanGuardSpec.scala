@@ -50,7 +50,8 @@ class PlanGuardSpec extends SparkSpec {
     "q108_sq8_serve" -> "SQ8 MIPS serve: 10-row broadcast query set over 8x-compressed codes; the only non-equi condition is n_id != q_id self-exclusion (q34's shape)",
     "q109_sq8_acceptance" -> "acceptance instrument: q108's serve plus the exact grid-dot ground truth, both 10-row broadcast query sets with n_id != q_id self-exclusion",
     "q118_hard_negatives" -> "hard-negative mining: exact grid-dot scan over the 10-row broadcast query set; the only non-equi condition is the component-inequality positive exclusion (subsumes n_id != q_id)",
-    "q129_filtered_recall" -> "acceptance instrument (q99's shapes): exact filtered grid-L2 ground truth over the broadcast 10-query set + three one-row broadcast combines")
+    "q129_filtered_recall" -> "acceptance instrument (q99's shapes): exact filtered grid-L2 ground truth over the broadcast 10-query set + three one-row broadcast combines",
+    "q132_filtered_rerank_recall" -> "acceptance instrument (q129's shapes): exact filtered grid-L2 ground truth over the broadcast 10-query set + three one-row broadcast combines")
 
   for (name <- SparkEntry.queries.keys.toSeq.sorted)
     test(s"$name plan has no scale-killer joins") {
