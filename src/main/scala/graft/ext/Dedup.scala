@@ -928,7 +928,7 @@ object Dedup {
     * paid ONLY by graphs that actually need the hops (the fixpoint
     * check exits early). DedupSpec proves detection on a >40-hop path
     * graph and convergence of the same graph under a raised cap. */
-  private[ext] def connectedComponents(pairs: DataFrame,
+  private[graft] def connectedComponents(pairs: DataFrame,
       maxIters: Int = 10): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))

@@ -1093,6 +1093,45 @@ object IvfPqIndex {
       |         ((SELECT count(*) FROM embeddings WHERE vec_id < 10) * 5)
       |         AS recall_rerank""")
 
+  /** CELL-BALANCE instrument for the persisted index — the operational
+    * number behind every serve-cost claim: candidates/query ≈
+    * nprobe/COARSE_K · corpus (measured at exponent 1.00 by
+    * tools.ScaleProbe) holds only as well as the coarse quantizer
+    * balances its cells, and a degenerate training sample (all-dup
+    * batch, adversarial skew) silently concentrates the corpus into
+    * few cells — every serve probing a hot cell then scans a multiple
+    * of the expected candidates, the ANN analog of a skewed shuffle
+    * key. One BIGINT row from one group-by over the code table:
+    * occupancy extremes plus skew_micro = max_cell · n_cells · 10^6 /
+    * total (fixed-point max/mean ratio; 10^6 = perfectly balanced). An
+    * operator reads it after create/compact the way q123 prices
+    * compaction — a regression here says retrain, before the serve
+    * tail says it expensively. sf0.01 measures skew_micro 1248000
+    * (max cell 78 of 500 over 8 cells, 1.25× the balanced mean):
+    * Lloyd holding a real corpus near-balanced — and the row is what
+    * says so, instead of an assumption. */
+  private val q133CellBalance = QueryDef(
+    (s, dir) => {
+      val idx = twoBatchIndex(s, dir)
+      readIndex(s, idx)
+        .groupBy("cell").agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_cells"), sum("n").as("total_rows"),
+          max("n").as("max_cell"), min("n").as("min_cell"))
+        .select(col("n_cells"), col("total_rows"), col("max_cell"),
+          col("min_cell"),
+          expr("max_cell * n_cells * 1000000L div total_rows")
+            .as("skew_micro"))
+    },
+    s"""WITH $splitTrainSql,
+      |occ AS (SELECT cell, count(*) AS n FROM af GROUP BY 1)
+      |SELECT CAST(count(*) AS BIGINT) AS n_cells,
+      |       CAST(sum(n) AS BIGINT) AS total_rows,
+      |       CAST(max(n) AS BIGINT) AS max_cell,
+      |       CAST(min(n) AS BIGINT) AS min_cell,
+      |       CAST(max(n) * count(*) * 1000000 // sum(n) AS BIGINT)
+      |         AS skew_micro
+      |FROM occ""")
+
   /** Per-JVM memo of the two-batch index, keyed by fixture dir — the
     * lifecycle/serve split q130 exists to measure: every other ANN
     * bench cell deliberately pays create+add+add inside the timed
@@ -1150,5 +1189,6 @@ object IvfPqIndex {
     "q130_serve_steady" -> q130ServeSteady,
     "q131_filtered_rerank" -> q131FilteredRerank,
     "q132_filtered_rerank_recall" -> q132FilteredRerankRecall,
+    "q133_cell_balance" -> q133CellBalance,
   )
 }

@@ -3,9 +3,10 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Dev-only 10× scale probe for the two hottest extension paths — the
-  * persisted IVF-PQ serve (q98 shape) and the near-dup multi-probe pair
-  * scan (q79 shape). Every 100 TB argument so far is a plan-SHAPE
+/** Dev-only 10× scale probe for the three hottest extension paths — the
+  * persisted IVF-PQ serve (q98 shape), the near-dup multi-probe pair
+  * scan (q79 shape), and the dedup component closure (q80 shape, over a
+  * planted-cluster corpus with structural ground truth). Every 100 TB argument so far is a plan-SHAPE
   * argument (pruned scans, equi-joins, bounded broadcasts); this tool
   * turns the two load-bearing ones into MEASURED scaling exponents:
   * run the production code paths over deterministic synthetic corpora
@@ -68,7 +69,8 @@ object ScaleProbe {
       .toString
 
     case class Cell(scale: Int, n: Long, buildS: Double, serveS: Double,
-      candPerQuery: Double, pairS: Double, candPairs: Long, planes: Int)
+      candPerQuery: Double, pairS: Double, candPairs: Long, planes: Int,
+      closureS: Double, nComponents: Long)
 
     val cells = scales.map { sc =>
       val n = baseN * sc
@@ -101,11 +103,42 @@ object ScaleProbe {
       val candPairs = graft.ext.Dedup.multiProbeCandidatesOf(corpus).count()
       val planes = graft.ext.Dedup.lshPlanes(n)
 
+      // --- closure: q80 shape (pair scan -> connected components) over
+      // a PLANTED-cluster corpus: groups of 5 near-identical vectors
+      // (shared hash-seeded base + sub-0.1% perturbation, so in-group
+      // cosine ≈ 1 and cross-group ≈ 0). Ground truth is structural —
+      // components must track the n/5 planted groups — and the closure
+      // must converge in O(diameter)=O(1) rounds at every scale or
+      // connectedComponents THROWS, so a super-constant round count
+      // cannot pass silently.
+      val planted = spark.range(n).select(col("id").as("vec_id"),
+          expr("transform(sequence(0, 63), " +
+            "j -> cast((hash(id div 5, j) % 1000) / 1000.0 " +
+            "   + (hash(id, j) % 9) / 10000.0 as float))").as("embedding"))
+        .localCheckpoint(true)
+      var nComp = 0L
+      val closureS = timeMinOf(2) {
+        val pairs = graft.ext.Dedup.multiProbePairsOf(planted)
+          .select(col("a_id").as("doc_a"), col("b_id").as("doc_b"))
+        nComp = graft.ext.Dedup.connectedComponents(pairs)
+          .select("component_id").distinct().count()
+      }
+      // components ≤ groups: merges are REAL — as the corpus densifies,
+      // independent random 64-dim bases land within cosine 0.4 of each
+      // other (P≈1.4e-3/pair) and the closure correctly chains them;
+      // measured merge fraction ~4% at 1x → ~11% at 10x. The bound
+      // below catches a broken closure (components collapsing toward 1
+      // or exploding past the planted count), not that physics.
+      val groups = n / 5
+      require(nComp <= groups && nComp >= (groups * 3) / 4,
+        s"closure found $nComp components for $groups planted groups")
+
       val cell = Cell(sc, n, buildS, serveS, candPerQuery, pairS,
-        candPairs, planes)
+        candPairs, planes, closureS, nComp)
       println(f"[scaleprobe] scale=${sc}x n=$n build=${buildS}%.2fs " +
         f"serve=${serveS}%.2fs cand/q=${candPerQuery}%.1f " +
-        f"pairscan=${pairS}%.2fs candpairs=$candPairs planes=$planes")
+        f"pairscan=${pairS}%.2fs candpairs=$candPairs planes=$planes " +
+        f"closure=${closureS}%.2fs components=$nComp/$groups")
       cell
     }
 
@@ -117,7 +150,9 @@ object ScaleProbe {
       f"ann_candidates=${expo(_.candPerQuery)}%.2f " +
       f"ann_serve_time=${expo(_.serveS)}%.2f " +
       f"neardup_cand_pairs=${expo(_.candPairs.toDouble)}%.2f " +
-      f"neardup_scan_time=${expo(_.pairS)}%.2f")
+      f"neardup_scan_time=${expo(_.pairS)}%.2f " +
+      f"closure_time=${expo(_.closureS)}%.2f " +
+      f"closure_components=${expo(_.nComponents.toDouble)}%.2f")
     spark.stop()
   }
 }
