@@ -803,7 +803,7 @@ object IvfPqIndex {
     * combine). */
   private val q129FilteredRecall = QueryDef(
     (s, dir) => {
-      val idx = twoBatchIndex(s, dir)
+      val idx = steadyIndex(s, dir)
       val e = Tables(s, dir, "embeddings")
       val allowed = e.filter(col("label") < 5).select("vec_id")
       val nAllowed = allowed.count()
@@ -937,7 +937,7 @@ object IvfPqIndex {
     * just its pieces. q132 prices what this tier buys. */
   private val q131FilteredRerank = QueryDef(
     (s, dir) => {
-      val idx = twoBatchIndex(s, dir)
+      val idx = steadyIndex(s, dir)
       val e = Tables(s, dir, "embeddings")
       val queries = e.filter(col("vec_id") < 10)
         .select("vec_id", "embedding")
@@ -999,7 +999,7 @@ object IvfPqIndex {
     * ground truth is q129's exact filtered grid-L2 top-5. */
   private val q132FilteredRerankRecall = QueryDef(
     (s, dir) => {
-      val idx = twoBatchIndex(s, dir)
+      val idx = steadyIndex(s, dir)
       val e = Tables(s, dir, "embeddings")
       val allowed = e.filter(col("label") < 5).select("vec_id")
       val nAllowed = allowed.count()
@@ -1112,7 +1112,7 @@ object IvfPqIndex {
     * says so, instead of an assumption. */
   private val q133CellBalance = QueryDef(
     (s, dir) => {
-      val idx = twoBatchIndex(s, dir)
+      val idx = steadyIndex(s, dir)
       readIndex(s, idx)
         .groupBy("cell").agg(count(lit(1)).as("n"))
         .agg(count(lit(1)).as("n_cells"), sum("n").as("total_rows"),
@@ -1139,7 +1139,14 @@ object IvfPqIndex {
     * number conflates build cost with the latency a deployed serve
     * actually exhibits. q130 builds here ONCE per JVM (Bench's warmup
     * pass pays it; Verify pays it once) and its measured passes then
-    * time nothing but steady-state serves. */
+    * time nothing but steady-state serves. The READ-ONLY acceptance
+    * instruments (q129/q131/q132/q133) share the memo for the same
+    * reason — their subject is recall/cost/balance, and a rebuild per
+    * invocation would re-conflate exactly what q130 separated; the
+    * lifecycle queries (q97/q98/q99/q104/q127/q128) keep paying their
+    * own fresh build, because the lifecycle IS their subject — and
+    * q127 MUTATES its index (forget/compact), which a shared memo must
+    * never see. */
   private val steadyIdxCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def steadyIndex(s: SparkSession, dir: String): String =
