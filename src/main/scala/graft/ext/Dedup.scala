@@ -1189,7 +1189,111 @@ object Dedup {
       |       END AS inflation
       |FROM ag ORDER BY source""".stripMargin)
 
+  /** EXACT repeated-substring EXCISION — the suffix-array dedup of
+    * "Deduplicating Training Data Makes Language Models Better" (Lee et
+    * al., ACL 2022, public) re-expressed as Spark dataflow: any ≥8-token
+    * run that appears VERBATIM in more than one document is cut out of
+    * every document mid-paragraph, and maximal overlapping repeats merge
+    * into single excised spans. This is the sub-segment-granularity op
+    * the rest of the family cannot express: q105 tiles FIXED 3-word
+    * segments (a repeat offset by one word straddles two tiles and
+    * survives), q107 flags chunks, q58/q69 flag docs — none excises at
+    * token positions.
+    *
+    * Dataflow (suffix arrays don't distribute; overlapping shingles +
+    * interval algebra do, same observation as the paper's own MinHash
+    * fallback): (1) every token position opens an 8-token shingle,
+    * md5-fingerprinted; (2) one fp-keyed shuffle computes cross-doc
+    * document frequency, df ≥ 2 marks the shingle start duplicated
+    * (left_semi back — flags travel as (doc, position) pairs, never
+    * text); (3) a position is COVERED iff some duplicated shingle
+    * starting in the previous 8 positions spans it — a windowed
+    * running max over the per-doc position order; (4) covered runs
+    * merge into maximal spans by the lag-boundary trick (q29's
+    * sessionization shape on token positions); (5) per doc: counts,
+    * span count, removed ratio, and the md5 of the CLEANED text
+    * (surviving tokens rejoined in order — the q105 reconstruction
+    * discipline, so the oracle proves the excision itself, not just
+    * its bookkeeping). Two shuffles total (fp-keyed df, doc-keyed
+    * window+agg), both linear in corpus tokens at 100 TB; per-doc
+    * window state is bounded by document length. */
+  private val q134SubstringDedup = QueryDef(
+    (s, dir) => {
+      val k = 8
+      val w = Tables(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("l"))
+      val toks = w.select(col("doc_id"),
+          posexplode(col("l")).as(Seq("t0", "word")))
+        .select(col("doc_id"), (col("t0") + 1).as("t"), col("word"))
+      val starts = w.select(col("doc_id"), posexplode(expr(
+          s"case when size(l) >= $k then " +
+            s"transform(sequence(1, size(l) - ${k - 1}), " +
+            s"i -> md5(array_join(slice(l, i, $k), ' '))) " +
+            "else array() end")).as(Seq("s0", "fp")))
+        .select(col("doc_id"), (col("s0") + 1).as("s"), col("fp"))
+      val dupFps = starts.groupBy("fp")
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") >= 2).select("fp")
+      val dupStarts = starts.join(dupFps, Seq("fp"), "left_semi")
+        .select(col("doc_id").as("sdoc"), col("s"), lit(1).as("d"))
+      val wCov = Window.partitionBy("doc_id").orderBy("t")
+        .rowsBetween(-(k - 1), 0)
+      val wLag = Window.partitionBy("doc_id").orderBy("t")
+      toks.join(dupStarts,
+          col("doc_id") === col("sdoc") && col("t") === col("s"), "left")
+        .select(col("doc_id"), col("t"), col("word"),
+          coalesce(col("d"), lit(0)).as("d"))
+        .withColumn("covered", max(col("d")).over(wCov))
+        .withColumn("ss", when(col("covered") === 1 &&
+          coalesce(lag(col("covered"), 1).over(wLag), lit(0)) === 0, 1)
+          .otherwise(0))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum("covered").cast("long").as("dup_tokens"),
+          sum("ss").cast("long").as("n_spans"),
+          array_sort(collect_list(when(col("covered") === 0,
+            struct(col("t"), col("word"))))).as("kept"))
+        .select(col("doc_id"), col("n_tokens"), col("dup_tokens"),
+          col("n_spans"),
+          trunc6(col("dup_tokens").cast("double") / col("n_tokens"))
+            .as("removed_ratio"),
+          md5(array_join(expr("transform(kept, x -> x.word)"), " "))
+            .as("cleaned_fp"))
+        .orderBy("doc_id")
+    },
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS l
+      |           FROM documents),
+      |tok AS (SELECT doc_id, i AS t, l[i] AS word
+      |        FROM w, UNNEST(generate_series(1, length(l))) AS u(i)),
+      |sh AS (SELECT doc_id, i AS s,
+      |         md5(array_to_string(l[i:i+7], ' ')) AS fp
+      |       FROM w, UNNEST(generate_series(1, length(l) - 7)) AS u(i)),
+      |dup AS (SELECT fp FROM sh GROUP BY fp
+      |        HAVING count(DISTINCT doc_id) >= 2),
+      |st AS (SELECT doc_id, s, 1 AS d FROM sh
+      |       WHERE fp IN (SELECT fp FROM dup)),
+      |cv AS (SELECT t.doc_id, t.t, t.word,
+      |         max(coalesce(st.d, 0)) OVER (PARTITION BY t.doc_id
+      |           ORDER BY t.t ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+      |           AS covered
+      |       FROM tok t LEFT JOIN st
+      |         ON st.doc_id = t.doc_id AND st.s = t.t),
+      |rn AS (SELECT doc_id, t, word, covered,
+      |         CASE WHEN covered = 1 AND coalesce(lag(covered) OVER
+      |           (PARTITION BY doc_id ORDER BY t), 0) = 0
+      |         THEN 1 ELSE 0 END AS ss
+      |       FROM cv)
+      |SELECT doc_id,
+      |       CAST(count(*) AS BIGINT) AS n_tokens,
+      |       CAST(sum(covered) AS BIGINT) AS dup_tokens,
+      |       CAST(sum(ss) AS BIGINT) AS n_spans,
+      |       floor(sum(covered) / count(*) * 1e6) / 1e6 AS removed_ratio,
+      |       md5(coalesce(string_agg(word, ' ' ORDER BY t)
+      |         FILTER (WHERE covered = 0), '')) AS cleaned_fp
+      |FROM rn GROUP BY doc_id ORDER BY doc_id""")
+
   val defs: Map[String, QueryDef] = Map(
+    "q134_substring_dedup" -> q134SubstringDedup,
     "q122_dup_inflation" -> q122DupInflation,
     "q120_dup_weights" -> q120DupWeights,
     "q30_dedup_exact" -> q30ExactDedup,
