@@ -1217,11 +1217,11 @@ object Dedup {
     * its bookkeeping). Two shuffles total (fp-keyed df, doc-keyed
     * window+agg), both linear in corpus tokens at 100 TB; per-doc
     * window state is bounded by document length. */
-  private val q134SubstringDedup = QueryDef(
-    (s, dir) => {
-      val k = 8
-      val w = Tables(s, dir, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("l"))
+  /** The q134 dataflow over any (doc_id, text) frame — factored so
+    * DedupSpec can plant exact shared runs at arbitrary offsets and
+    * hold the excision to token-level expectations. */
+  private[graft] def substringExcise(docs: DataFrame, k: Int): DataFrame = {
+      val w = docs.select(col("doc_id"), split(col("text"), " ").as("l"))
       val toks = w.select(col("doc_id"),
           posexplode(col("l")).as(Seq("t0", "word")))
         .select(col("doc_id"), (col("t0") + 1).as("t"), col("word"))
@@ -1260,7 +1260,10 @@ object Dedup {
           md5(array_join(expr("transform(kept, x -> x.word)"), " "))
             .as("cleaned_fp"))
         .orderBy("doc_id")
-    },
+  }
+
+  private val q134SubstringDedup = QueryDef(
+    (s, dir) => substringExcise(Tables(s, dir, "documents"), k = 8),
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS l
       |           FROM documents),
       |tok AS (SELECT doc_id, i AS t, l[i] AS word

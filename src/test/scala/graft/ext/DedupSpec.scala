@@ -394,4 +394,60 @@ class DedupSpec extends SparkSpec {
         r.getAs[Long]("raw_tokens") * 1000000L)
     }
   }
+
+  test("q134 substring excision: exact shared runs are cut at TOKEN " +
+      "positions regardless of offset alignment, maximal overlapping " +
+      "repeats merge, short docs and unique text survive untouched") {
+    import spark.implicits._
+    def words(prefix: String, n: Int): Seq[String] =
+      (0 until n).map(i => s"$prefix$i")
+    val run = words("dup", 10)            // the 10-token shared run
+    val run2 = words("other", 8)          // a second, 8-token shared run
+    // doc 1 carries the run at offset 2; doc 2 carries it at offset 5
+    // (different alignments — a fixed 3-word tiling would disagree);
+    // doc 2 also carries run2 separated by a unique gap (two spans);
+    // doc 3 is unique; doc 4 is shorter than k
+    val d1 = (words("a", 2) ++ run ++ words("b", 6)).mkString(" ")
+    val d2 = (words("c", 5) ++ run ++ words("d", 4) ++ run2 ++
+      words("e", 3)).mkString(" ")
+    val d3 = words("f", 20).mkString(" ")
+    val d4 = (words("g", 4) ++ run2.take(3)).mkString(" ")
+    val d5 = (words("h", 1) ++ run2 ++ words("i", 2)).mkString(" ")
+    val docs = Seq(1L -> d1, 2L -> d2, 3L -> d3, 4L -> d4, 5L -> d5)
+      .toDF("doc_id", "text")
+    val out = Dedup.substringExcise(docs, k = 8)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+
+    // doc 1: exactly the 10 run tokens cut, one span, cleaned = rest
+    assert(out(1L).getAs[Long]("dup_tokens") == 10)
+    assert(out(1L).getAs[Long]("n_spans") == 1)
+    val cleaned1 = (words("a", 2) ++ words("b", 6)).mkString(" ")
+    assert(out(1L).getAs[String]("cleaned_fp") ==
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(cleaned1))
+    // doc 2: both runs cut as TWO spans (the unique 4-token gap is
+    // shorter than k so no shingle inside it is duplicated, but it
+    // still separates the covered runs)
+    assert(out(2L).getAs[Long]("dup_tokens") == 18)
+    assert(out(2L).getAs[Long]("n_spans") == 2)
+    // doc 5: run2 cut from its third carrier too (df counts distinct
+    // docs, so a 3-way repeat still marks every carrier)
+    assert(out(5L).getAs[Long]("dup_tokens") == 8)
+    assert(out(5L).getAs[Long]("n_spans") == 1)
+    // doc 3 unique, doc 4 shorter than any duplicated shingle: untouched
+    assert(out(3L).getAs[Long]("dup_tokens") == 0)
+    assert(out(4L).getAs[Long]("dup_tokens") == 0)
+    assert(out(3L).getAs[Double]("removed_ratio") == 0.0)
+
+    // overlap-merge: doc 6/7 share run ++ run2 ADJACENT — shingles
+    // straddle the junction, so the whole 18 tokens merge into ONE span
+    val d6 = (words("j", 3) ++ run ++ run2 ++ words("k", 2)).mkString(" ")
+    val d7 = (run ++ run2).mkString(" ")
+    val out2 = Dedup.substringExcise(
+        Seq(6L -> d6, 7L -> d7).toDF("doc_id", "text"), k = 8)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out2(6L).getAs[Long]("dup_tokens") == 18)
+    assert(out2(6L).getAs[Long]("n_spans") == 1,
+      "adjacent shared runs must merge into one maximal span")
+    assert(out2(7L).getAs[Long]("dup_tokens") == 18)
+  }
 }
