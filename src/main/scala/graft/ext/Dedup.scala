@@ -1217,24 +1217,48 @@ object Dedup {
     * its bookkeeping). Two shuffles total (fp-keyed df, doc-keyed
     * window+agg), both linear in corpus tokens at 100 TB; per-doc
     * window state is bounded by document length. */
+  /** (doc_id, t, word) token positions (1-based) of a (doc_id, text)
+    * frame — the q134 family's row shape. */
+  private[graft] def docTokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("l"))
+      .select(col("doc_id"), posexplode(col("l")).as(Seq("t0", "word")))
+      .select(col("doc_id"), (col("t0") + 1).as("t"), col("word"))
+
+  /** (doc_id, s, fp) — every token position s (1-based) opens a k-token
+    * shingle, md5-fingerprinted; docs shorter than k contribute none
+    * (the CASE guards Spark's descending sequence(1, 0)). */
+  private[graft] def shingleStarts(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("l"))
+      .select(col("doc_id"), posexplode(expr(
+        s"case when size(l) >= $k then " +
+          s"transform(sequence(1, size(l) - ${k - 1}), " +
+          s"i -> md5(array_join(slice(l, i, $k), ' '))) " +
+          "else array() end")).as(Seq("s0", "fp")))
+      .select(col("doc_id"), (col("s0") + 1).as("s"), col("fp"))
+
   /** The q134 dataflow over any (doc_id, text) frame — factored so
     * DedupSpec can plant exact shared runs at arbitrary offsets and
-    * hold the excision to token-level expectations. */
+    * hold the excision to token-level expectations, and so
+    * [[SubstringDfIndex]] can re-run the same interval algebra with a
+    * document frequency that spans the PERSISTED corpus, not just the
+    * batch. */
   private[graft] def substringExcise(docs: DataFrame, k: Int): DataFrame = {
-      val w = docs.select(col("doc_id"), split(col("text"), " ").as("l"))
-      val toks = w.select(col("doc_id"),
-          posexplode(col("l")).as(Seq("t0", "word")))
-        .select(col("doc_id"), (col("t0") + 1).as("t"), col("word"))
-      val starts = w.select(col("doc_id"), posexplode(expr(
-          s"case when size(l) >= $k then " +
-            s"transform(sequence(1, size(l) - ${k - 1}), " +
-            s"i -> md5(array_join(slice(l, i, $k), ' '))) " +
-            "else array() end")).as(Seq("s0", "fp")))
-        .select(col("doc_id"), (col("s0") + 1).as("s"), col("fp"))
-      val dupFps = starts.groupBy("fp")
-        .agg(countDistinct(col("doc_id")).as("df"))
-        .filter(col("df") >= 2).select("fp")
-      val dupStarts = starts.join(dupFps, Seq("fp"), "left_semi")
+    val starts = shingleStarts(docs, k)
+    val dupFps = starts.groupBy("fp")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2).select("fp")
+    exciseCovered(docTokens(docs),
+      starts.join(dupFps, Seq("fp"), "left_semi").select("doc_id", "s"), k)
+  }
+
+  /** The interval-algebra half of the excision: given the token rows
+    * and the DUPLICATED shingle starts (doc_id, s) — however their df
+    * was established — cover [s, s+k-1] per start via the windowed
+    * running max, merge covered runs into maximal spans, and emit the
+    * per-doc q134 row (counts, ratio, cleaned reconstruction). */
+  private[graft] def exciseCovered(toks: DataFrame, starts: DataFrame,
+      k: Int): DataFrame = {
+      val dupStarts = starts
         .select(col("doc_id").as("sdoc"), col("s"), lit(1).as("d"))
       val wCov = Window.partitionBy("doc_id").orderBy("t")
         .rowsBetween(-(k - 1), 0)
@@ -1295,8 +1319,68 @@ object Dedup {
       |         FILTER (WHERE covered = 0), '')) AS cleaned_fp
       |FROM rn GROUP BY doc_id ORDER BY doc_id""")
 
+  /** INCREMENTAL substring excision — q134 through the persisted
+    * [[SubstringDfIndex]], both admission phases under ONE oracle that
+    * restates the forward-only contract: batch A (even doc_ids) admits
+    * first and is cleaned against itself alone (df within A); batch B
+    * (odd) is cleaned against the PERSISTED corpus plus itself (df over
+    * A ∪ B). The asymmetry is the point and the fixture exercises it:
+    * a duplicate pair straddling the parity split keeps its even doc
+    * intact (df was 1 when it admitted) while the odd doc arrives at
+    * df 2 and is excised — exactly what a streaming curation pipeline
+    * does, and exactly what the batch q134 does NOT do (it excises both
+    * sides). phase = admission run of the row. */
+  private val q135SubstringIndex = QueryDef(
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft-q135-idx").resolve("index").toString
+      val outA = SubstringDfIndex.admit(s, idx,
+        docs.filter(col("doc_id") % 2 === 0), runId = 0L)
+      val outB = SubstringDfIndex.admit(s, idx,
+        docs.filter(col("doc_id") % 2 === 1), runId = 1L)
+      outA.withColumn("phase", lit(0L))
+        .unionByName(outB.withColumn("phase", lit(1L)))
+        .orderBy("doc_id")
+    },
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS l
+      |           FROM documents),
+      |tok AS (SELECT doc_id, i AS t, l[i] AS word
+      |        FROM w, UNNEST(generate_series(1, length(l))) AS u(i)),
+      |sh AS (SELECT doc_id, i AS s,
+      |         md5(array_to_string(l[i:i+7], ' ')) AS fp
+      |       FROM w, UNNEST(generate_series(1, length(l) - 7)) AS u(i)),
+      |dfa AS (SELECT fp FROM sh WHERE doc_id % 2 = 0
+      |        GROUP BY fp HAVING count(DISTINCT doc_id) >= 2),
+      |dfall AS (SELECT fp FROM sh
+      |          GROUP BY fp HAVING count(DISTINCT doc_id) >= 2),
+      |st AS (SELECT doc_id, s, 1 AS d FROM sh
+      |       WHERE (doc_id % 2 = 0 AND fp IN (SELECT fp FROM dfa))
+      |          OR (doc_id % 2 = 1 AND fp IN (SELECT fp FROM dfall))),
+      |cv AS (SELECT t.doc_id, t.t, t.word,
+      |         max(coalesce(st.d, 0)) OVER (PARTITION BY t.doc_id
+      |           ORDER BY t.t ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+      |           AS covered
+      |       FROM tok t LEFT JOIN st
+      |         ON st.doc_id = t.doc_id AND st.s = t.t),
+      |rn AS (SELECT doc_id, t, word, covered,
+      |         CASE WHEN covered = 1 AND coalesce(lag(covered) OVER
+      |           (PARTITION BY doc_id ORDER BY t), 0) = 0
+      |         THEN 1 ELSE 0 END AS ss
+      |       FROM cv)
+      |SELECT doc_id,
+      |       CAST(count(*) AS BIGINT) AS n_tokens,
+      |       CAST(sum(covered) AS BIGINT) AS dup_tokens,
+      |       CAST(sum(ss) AS BIGINT) AS n_spans,
+      |       floor(sum(covered) / count(*) * 1e6) / 1e6 AS removed_ratio,
+      |       md5(coalesce(string_agg(word, ' ' ORDER BY t)
+      |         FILTER (WHERE covered = 0), '')) AS cleaned_fp,
+      |       CAST(doc_id % 2 AS BIGINT) AS phase
+      |FROM rn GROUP BY doc_id ORDER BY doc_id""")
+
   val defs: Map[String, QueryDef] = Map(
     "q134_substring_dedup" -> q134SubstringDedup,
+    "q135_substring_index" -> q135SubstringIndex,
     "q122_dup_inflation" -> q122DupInflation,
     "q120_dup_weights" -> q120DupWeights,
     "q30_dedup_exact" -> q30ExactDedup,
