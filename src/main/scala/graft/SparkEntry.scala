@@ -25,7 +25,9 @@ object SparkEntry {
       graft.ext.Sampling.defs ++
       graft.ext.Assembly.defs ++
       graft.ext.Incremental.defs ++
-      graft.ext.IvfPqIndex.defs
+      graft.ext.IvfPqIndex.defs ++
+      graft.ext.Layout.defs ++
+      graft.ext.Rollup.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

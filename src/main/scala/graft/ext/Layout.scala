@@ -1,0 +1,310 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{QueryDef, Tables}
+
+/** Data LAYOUT for scan pruning — multi-dimensional clustering (z-order)
+  * so that min/max file statistics skip files on EITHER of two predicate
+  * columns, not just the one the data happens to be sorted by.
+  *
+  * Why this is a first-class 100 TB operator: every immutable-file store
+  * (parquet footers, Iceberg/Delta manifests) prunes scans with per-file
+  * min/max stats, and stats only skip when the layout CLUSTERS values.
+  * A linear sort clusters exactly one column — a predicate on any other
+  * column degenerates to a full-file-list scan. Interleaving the bit
+  * representations of two rank-quantized columns (the Morton / z-order
+  * curve, Orenstein & Merrett 1984 — the same layout behind Delta
+  * OPTIMIZE ZORDER and Iceberg's sort-order curves) bounds BOTH
+  * dimensions inside each curve range, so a 64-file table answers an
+  * either-column range predicate from O(sqrt(files)) files instead of
+  * all of them. The price, measured honestly by q137 below: single-
+  * column pruning on the formerly-sorted column gets WORSE than the
+  * linear layout (the curve trades its perfection on one axis for
+  * usefulness on both), which is why a layout choice is a workload
+  * decision, not a default.
+  *
+  * Scale shape: [[zOrderWrite]] is ONE distributed range exchange
+  * (`repartitionByRange` on the curve key: sampled bounds, no global
+  * single-partition sort) + a within-partition sort — the exact cost
+  * profile of a table OPTIMIZE job. Serving needs nothing custom:
+  * parquet row-group stats + any manifest-level min/max index do the
+  * skipping; [[fileStats]]/[[prunedFiles]] make that reader-side
+  * arithmetic explicit and spec-checkable. The q137 instrument models
+  * file assignment as contiguous rank blocks — semantically what
+  * `repartitionByRange` + sort produces over a unique sort key — so the
+  * whole claim is DuckDB-oracle-checkable; LayoutSpec then performs the
+  * REAL write and asserts the physical per-file stats skip the same way.
+  *
+  * Curve arithmetic (shared verbatim with the DuckDB oracle, rendered
+  * from one generator so the two engines cannot drift): each dimension
+  * is equi-width-quantized to 8 bits over its observed [min, max] span,
+  * and the 16-bit z-value interleaves the bits, x in the even positions,
+  * y in the odd. 8 bits/dim is the file-skipping sweet spot: 2^16 curve
+  * cells >> any practical file count, while the quantization keeps the
+  * arithmetic in exact BIGINT range for any 64-bit key span.
+  */
+object Layout {
+
+  /** Files the acceptance instrument models; also the spec's write
+    * width. 64 keeps per-file row counts meaningful at sf0.01. */
+  val FILES = 64
+
+  private val BITS = 8
+
+  /** Equi-width 8-bit bucket of `c` over span [`mn`, `mx`] — exact
+    * BIGINT arithmetic (never a double divide: a 64-bit key times 256
+    * must not round). `divOp` renders the integer-division operator of
+    * the target dialect: Spark spells it `DIV`, DuckDB `//`. */
+  private def bucketSql(c: String, mn: String, mx: String,
+      divOp: String): String =
+    s"CAST((($c - $mn) * ${1 << BITS}) $divOp ($mx - $mn + 1) AS BIGINT)"
+
+  /** Bit interleave of two 8-bit buckets — x even bits, y odd. Rendered
+    * as shift/mask/multiply terms valid in BOTH dialects, so the oracle
+    * restates the identical expression. */
+  private def zSql(xb: String, yb: String): String =
+    (0 until BITS).flatMap { b =>
+      Seq(s"((($xb >> $b) & 1) * ${1L << (2 * b)})",
+        s"((($yb >> $b) & 1) * ${1L << (2 * b + 1)})")
+    }.mkString("(", " + ", ")")
+
+  private def sparkBucket(c: String, mn: String, mx: String): String =
+    bucketSql(c, mn, mx, "DIV")
+  private def duckBucket(c: String, mn: String, mx: String): String =
+    bucketSql(c, mn, mx, "//")
+
+  /** lineitem with bounds + 8-bit buckets + z-value attached — the
+    * shared front half of q136/q137. Bounds ride a one-row broadcast
+    * (an O(1) relation at any scale). */
+  private def curveFrame(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+    val bounds = li.agg(
+      min("l_partkey").as("mnx"), max("l_partkey").as("mxx"),
+      min("l_suppkey").as("mny"), max("l_suppkey").as("mxy"))
+    li.crossJoin(broadcast(bounds))
+      .withColumn("xb", expr(sparkBucket("l_partkey", "mnx", "mxx")))
+      .withColumn("yb", expr(sparkBucket("l_suppkey", "mny", "mxy")))
+      .withColumn("zval", expr(zSql("xb", "yb")))
+  }
+
+  private val curveCte =
+    s"""b AS (SELECT min(l_partkey) AS mnx, max(l_partkey) AS mxx,
+       |            min(l_suppkey) AS mny, max(l_suppkey) AS mxy
+       |     FROM lineitem),
+       |g AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       |             ${duckBucket("l_partkey", "mnx", "mxx")} AS xb,
+       |             ${duckBucket("l_suppkey", "mny", "mxy")} AS yb
+       |      FROM lineitem, b),
+       |z AS (SELECT *, ${zSql("xb", "yb")} AS zval FROM g)""".stripMargin
+
+  /** q136 — the curve itself, row by row: 8-bit quantization of
+    * (l_partkey, l_suppkey) and the interleaved 16-bit z-value for every
+    * lineitem row. Pins the generator-rendered arithmetic bit-for-bit
+    * against the oracle BEFORE any layout builds on it (the q31/q79
+    * lockstep-expression discipline: curve bugs must fail here, not as
+    * a mysterious skipping regression in q137). Pure projection over one
+    * broadcast bounds row — scales as a map stage. */
+  private val q136ZorderCurve = QueryDef(
+    (s, dir) =>
+      curveFrame(s, dir)
+        .select("l_orderkey", "l_linenumber", "xb", "yb", "zval")
+        .orderBy("l_orderkey", "l_linenumber"),
+    s"""WITH $curveCte
+       |SELECT l_orderkey, l_linenumber, xb, yb, zval
+       |FROM z ORDER BY l_orderkey, l_linenumber""")
+
+  /** q137 — the file-skipping ACCEPTANCE INSTRUMENT: one row pricing
+    * what a min/max-stats reader opens under three predicates (x-only
+    * range, y-only range, x AND y box — each spanning 1/16 of its
+    * dimension, centered) against two 64-file layouts of the same rows:
+    * LINEAR (sorted by l_partkey) and Z-ORDER (sorted by zval). File
+    * assignment is contiguous rank blocks over a deterministic total
+    * order (ties broken by primary key) — the semantics of
+    * `repartitionByRange` + within-partition sort, restated as window
+    * arithmetic so DuckDB verifies every count; LayoutSpec runs the
+    * physical twin. Expected physics, now pinned: linear reads ~1/16 of
+    * files for x but ALL files for y; z-order reads a few files for the
+    * box and O(sqrt) for either single dimension — better than linear's
+    * total loss on y, worse than linear's perfection on x.
+    *
+    * rows_box (the box's true selectivity) rides along so the file
+    * counts can be read as amplification: files opened per row matched.
+    */
+  private val q137ZorderSkipping = QueryDef(
+    (s, dir) => {
+      val cf = curveFrame(s, dir).localCheckpoint(true)
+      val n = cf.count()
+      val fids = cf.select(col("l_partkey"), col("l_suppkey"),
+        col("mnx"), col("mxx"), col("mny"), col("mxy"),
+        expr(s"CAST(((row_number() OVER (ORDER BY l_partkey, l_orderkey," +
+          s" l_linenumber)) - 1) * $FILES DIV $n AS BIGINT)").as("fid_lin"),
+        expr(s"CAST(((row_number() OVER (ORDER BY zval, l_orderkey," +
+          s" l_linenumber)) - 1) * $FILES DIV $n AS BIGINT)").as("fid_z"))
+      def boxed(c: DataFrame): DataFrame = c
+        .withColumn("x1", expr("mnx + ((mxx - mnx) * 7) DIV 16"))
+        .withColumn("x2", expr("mnx + ((mxx - mnx) * 8) DIV 16"))
+        .withColumn("y1", expr("mny + ((mxy - mny) * 7) DIV 16"))
+        .withColumn("y2", expr("mny + ((mxy - mny) * 8) DIV 16"))
+      def reads(c: DataFrame, fid: String, tag: String): DataFrame =
+        boxed(c.groupBy(col(fid).as("fid"), col("mnx"), col("mxx"),
+            col("mny"), col("mxy"))
+          .agg(min("l_partkey").as("fminx"), max("l_partkey").as("fmaxx"),
+            min("l_suppkey").as("fminy"), max("l_suppkey").as("fmaxy")))
+          .agg(count(lit(1)).as(s"files_$tag"),
+            sum(when(col("fminx") <= col("x2") && col("fmaxx") >= col("x1"),
+              1L).otherwise(0L)).as(s"read_x_$tag"),
+            sum(when(col("fminy") <= col("y2") && col("fmaxy") >= col("y1"),
+              1L).otherwise(0L)).as(s"read_y_$tag"),
+            sum(when(col("fminx") <= col("x2") && col("fmaxx") >= col("x1")
+              && col("fminy") <= col("y2") && col("fmaxy") >= col("y1"),
+              1L).otherwise(0L)).as(s"read_box_$tag"))
+      val rowsBox = boxed(fids)
+        .agg(sum(when(col("l_partkey").between(col("x1"), col("x2")) &&
+          col("l_suppkey").between(col("y1"), col("y2")), 1L)
+          .otherwise(0L)).as("rows_box"))
+      reads(fids, "fid_lin", "linear")
+        .crossJoin(reads(fids, "fid_z", "zorder"))
+        .crossJoin(rowsBox)
+        .select("files_linear", "read_x_linear", "read_y_linear",
+          "read_box_linear", "files_zorder", "read_x_zorder",
+          "read_y_zorder", "read_box_zorder", "rows_box")
+    },
+    s"""WITH $curveCte,
+       |n AS (SELECT count(*) AS n FROM z),
+       |f AS (SELECT l_partkey, l_suppkey, mnx, mxx, mny, mxy,
+       |        CAST(((row_number() OVER (ORDER BY l_partkey, l_orderkey,
+       |          l_linenumber)) - 1) * $FILES // n AS BIGINT) AS fid_lin,
+       |        CAST(((row_number() OVER (ORDER BY zval, l_orderkey,
+       |          l_linenumber)) - 1) * $FILES // n AS BIGINT) AS fid_z
+       |      FROM z, b, n),
+       |p AS (SELECT mnx + ((mxx - mnx) * 7) // 16 AS x1,
+       |             mnx + ((mxx - mnx) * 8) // 16 AS x2,
+       |             mny + ((mxy - mny) * 7) // 16 AS y1,
+       |             mny + ((mxy - mny) * 8) // 16 AS y2 FROM b),
+       |sl AS (SELECT fid_lin, min(l_partkey) AS fminx,
+       |              max(l_partkey) AS fmaxx, min(l_suppkey) AS fminy,
+       |              max(l_suppkey) AS fmaxy FROM f GROUP BY fid_lin),
+       |sz AS (SELECT fid_z, min(l_partkey) AS fminx,
+       |              max(l_partkey) AS fmaxx, min(l_suppkey) AS fminy,
+       |              max(l_suppkey) AS fmaxy FROM f GROUP BY fid_z),
+       |al AS (SELECT CAST(count(*) AS BIGINT) AS files_linear,
+       |         CAST(sum(CASE WHEN fminx <= x2 AND fmaxx >= x1
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS read_x_linear,
+       |         CAST(sum(CASE WHEN fminy <= y2 AND fmaxy >= y1
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS read_y_linear,
+       |         CAST(sum(CASE WHEN fminx <= x2 AND fmaxx >= x1
+       |           AND fminy <= y2 AND fmaxy >= y1
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS read_box_linear
+       |       FROM sl, p),
+       |az AS (SELECT CAST(count(*) AS BIGINT) AS files_zorder,
+       |         CAST(sum(CASE WHEN fminx <= x2 AND fmaxx >= x1
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS read_x_zorder,
+       |         CAST(sum(CASE WHEN fminy <= y2 AND fmaxy >= y1
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS read_y_zorder,
+       |         CAST(sum(CASE WHEN fminx <= x2 AND fmaxx >= x1
+       |           AND fminy <= y2 AND fmaxy >= y1
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS read_box_zorder
+       |       FROM sz, p),
+       |rb AS (SELECT CAST(sum(CASE WHEN l_partkey BETWEEN x1 AND x2
+       |           AND l_suppkey BETWEEN y1 AND y2 THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS rows_box FROM f, p)
+       |SELECT files_linear, read_x_linear, read_y_linear, read_box_linear,
+       |       files_zorder, read_x_zorder, read_y_zorder, read_box_zorder,
+       |       rows_box
+       |FROM al, az, rb""")
+
+  /** The PRODUCTION layout write: attach the z-value of (`xCol`, `yCol`)
+    * with data-derived bounds, range-exchange into `files` partitions on
+    * the curve key, sort within each, write parquet. One shuffle (range
+    * exchange with sampled bounds — never a global single-partition
+    * sort), one sorted write; the 100 TB OPTIMIZE-job cost profile. */
+  def zOrderWrite(df: DataFrame, xCol: String, yCol: String,
+      outDir: String, files: Int = FILES): Unit = {
+    val bounds = df.agg(
+      min(xCol).as("mnx"), max(xCol).as("mxx"),
+      min(yCol).as("mny"), max(yCol).as("mxy"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn("xb", expr(sparkBucket(xCol, "mnx", "mxx")))
+      .withColumn("yb", expr(sparkBucket(yCol, "mny", "mxy")))
+      .withColumn("zval", expr(zSql("xb", "yb")))
+      .drop("mnx", "mxx", "mny", "mxy", "xb", "yb")
+      .repartitionByRange(files, col("zval"))
+      .sortWithinPartitions("zval")
+      .drop("zval")
+      .write.mode("overwrite").parquet(outDir)
+  }
+
+  /** Reader-side stats index over a written layout: per-file min/max of
+    * the two predicate columns, from the files themselves (`_metadata`
+    * file path + one aggregation — at warehouse scale this relation IS
+    * the manifest/footers, maintained by the writer for free). */
+  def fileStats(spark: SparkSession, dir: String, xCol: String,
+      yCol: String): DataFrame =
+    spark.read.parquet(dir)
+      .select(col("_metadata.file_path").as("file"),
+        col(xCol).as("x"), col(yCol).as("y"))
+      .groupBy("file")
+      .agg(min("x").as("fminx"), max("x").as("fmaxx"),
+        min("y").as("fminy"), max("y").as("fmaxy"))
+
+  /** The same per-file stats read from the PARQUET FOOTERS alone — no
+    * data pages touched. This is the production reader path: at 100 TB
+    * the stats relation comes from metadata (footers, or the manifest a
+    * writer maintains from them), never from rescanning rows; the loop
+    * below is driver-side ON PURPOSE because it is manifest-sized
+    * (O(files) footer reads of a few KB — the same name-walk cost class
+    * as the q123 compaction pricer), not data-sized. LayoutSpec asserts
+    * it agrees exactly with the data-derived [[fileStats]]. */
+  def footerStats(spark: SparkSession, dir: String, xCol: String,
+      yCol: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    val rows = fs.listStatus(root).toSeq
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map { f =>
+        val rdr = ParquetFileReader.open(
+          HadoopInputFile.fromPath(f.getPath, conf))
+        try {
+          def bound(c: String): (Long, Long) = {
+            val perBlock = rdr.getFooter.getBlocks.asScala.toSeq.map { b =>
+              val st = b.getColumns.asScala
+                .find(_.getPath.toDotString == c)
+                .getOrElse(sys.error(s"no footer stats for $c"))
+                .getStatistics
+              (st.genericGetMin.asInstanceOf[Number].longValue,
+                st.genericGetMax.asInstanceOf[Number].longValue)
+            }
+            (perBlock.map(_._1).min, perBlock.map(_._2).max)
+          }
+          val (mnx, mxx) = bound(xCol)
+          val (mny, mxy) = bound(yCol)
+          (f.getPath.toString, mnx, mxx, mny, mxy)
+        } finally rdr.close()
+      }
+    spark.createDataFrame(rows)
+      .toDF("file", "fminx", "fmaxx", "fminy", "fmaxy")
+  }
+
+  /** Files a min/max-stats reader must open for a conjunctive range
+    * predicate (None = dimension unconstrained) — the manifest-pruning
+    * arithmetic made explicit. */
+  def prunedFiles(stats: DataFrame, xRange: Option[(Long, Long)],
+      yRange: Option[(Long, Long)]): DataFrame = {
+    val xOk = xRange.map { case (lo, hi) =>
+      col("fminx") <= hi && col("fmaxx") >= lo }.getOrElse(lit(true))
+    val yOk = yRange.map { case (lo, hi) =>
+      col("fminy") <= hi && col("fmaxy") >= lo }.getOrElse(lit(true))
+    stats.filter(xOk && yOk).select("file")
+  }
+
+  val defs: Map[String, QueryDef] = Map(
+    "q136_zorder_curve" -> q136ZorderCurve,
+    "q137_zorder_skipping" -> q137ZorderSkipping,
+  )
+}

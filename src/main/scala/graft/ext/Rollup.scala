@@ -1,0 +1,185 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{QueryDef, Tables}
+
+/** Pre-aggregation at rest — MERGEABLE partial aggregates maintained
+  * incrementally, so repeated rollup queries read summaries instead of
+  * rescanning the base table.
+  *
+  * At 100 TB the base-facts table is write-once/read-many and the same
+  * distinct-count or per-day rollup is asked thousands of times; the
+  * warehouse answer (Druid/ClickHouse materialized rollups, the
+  * summarizing-sketch design of Cormode et al.'s sketch surveys) is to
+  * maintain per-partition PARTIALS whose merge is a commutative monoid:
+  *  - exact counts/sums merge by +;
+  *  - COUNT DISTINCT does not decompose exactly, so persist an HLL
+  *    sketch per partition (DataSketches HLL via Spark's built-in
+  *    `hll_sketch_agg`/`hll_union_agg` — register-max merge is
+  *    order-independent, hence deterministic) and union at serve time.
+  * Either way a new day of data appends ONE partial row computed from
+  * that day alone — maintenance cost is O(new data), never a base
+  * rescan, and a serve over any day range reads O(days) summary rows.
+  *
+  * The monoid contract is what q139 proves the hard way: its two runs
+  * slice the SAME days by user parity, so serve-side correctness
+  * requires partials from different runs to merge by + into the exact
+  * answer — the property that makes the summary maintainable under
+  * arbitrary batch slicing (backfills, late partitions, reruns), not
+  * just clean day-at-a-time appends.
+  */
+object Rollup {
+
+  private val LG_K = 12
+
+  /** Append run `runId`'s per-day HLL user sketches to the summary at
+    * `dir` — one shuffle on the (tiny) day key; run-partition overwrite
+    * makes replays idempotent (the index family's discipline). Output
+    * is O(days) rows regardless of input size. */
+  def buildDistinctSketches(events: DataFrame, dir: String,
+      runId: Int): Unit =
+    events.select(to_date(col("ts")).as("day"), col("user_id"))
+      .groupBy("day")
+      .agg(hll_sketch_agg(col("user_id"), LG_K).as("sketch"),
+        count(lit(1)).as("n_rows"))
+      .repartition(1) // O(days) rows — a dimension-sized write
+      .write.mode("overwrite").parquet(s"$dir/run=$runId")
+
+  /** Serve: distinct users over [lo, hi] from the summary alone —
+    * union the day sketches, estimate. Reads O(days) rows; the base
+    * table is never touched. */
+  def mergedDistinct(spark: SparkSession, dir: String,
+      lo: java.sql.Date, hi: java.sql.Date): DataFrame =
+    spark.read.parquet(dir)
+      .filter(col("day").between(lit(lo), lit(hi)))
+      .agg(count(lit(1)).as("partial_rows"),
+        countDistinct(col("day")).as("days_merged"),
+        hll_sketch_estimate(hll_union_agg(col("sketch"), true))
+          .as("estimate"),
+        sum("n_rows").as("n_rows"))
+
+  /** q138 — the sketch-rollup ACCEPTANCE ROW. Build the summary in two
+    * incremental runs (days 1–15, then 16–30 — run 2 reads only its own
+    * rows), then serve a 15-day range that SPANS the run boundary from
+    * partials alone, and gate the estimate against the exact distinct
+    * count recomputed from base (the exact side exists only to grade
+    * the sketch — q94/q20's discipline; production serves never touch
+    * it). Sketch registers are engine-private, so the row carries the
+    * CLAIM, not the registers: days_merged, rows covered, the exact
+    * count, and a 5% acceptance bit (at lgK=12 the sketch is exact in
+    * sparse mode far past this fixture's cardinality, and HLL insertion
+    * is order-independent, so the bit is deterministic). */
+  private val q138SketchRollup = QueryDef(
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val out = java.nio.file.Files.createTempDirectory("graft-q138-mv")
+        .resolve("summary").toString
+      val bounds = ev.agg(min(to_date(col("ts"))).as("d0"))
+      val withDay = ev.crossJoin(broadcast(bounds))
+        .withColumn("day", to_date(col("ts")))
+      buildDistinctSketches(
+        withDay.filter(datediff(col("day"), col("d0")) < 15), out, 0)
+      buildDistinctSketches(
+        withDay.filter(datediff(col("day"), col("d0")) >= 15), out, 1)
+      val range = bounds
+        .select(date_add(col("d0"), 7).as("lo"), date_add(col("d0"), 21).as("hi"))
+      val served = s.read.parquet(out)
+        .crossJoin(broadcast(range))
+        .filter(col("day").between(col("lo"), col("hi")))
+        .agg(count(lit(1)).as("partial_rows"),
+          countDistinct(col("day")).as("days_merged"),
+          hll_sketch_estimate(hll_union_agg(col("sketch"), true))
+            .as("estimate"),
+          sum("n_rows").as("n_rows"))
+      val exact = withDay
+        .crossJoin(broadcast(range))
+        .filter(col("day").between(col("lo"), col("hi")))
+        .agg(countDistinct("user_id").as("n_exact"))
+      served.crossJoin(exact)
+        .select(col("partial_rows"), col("days_merged"), col("n_rows"),
+          col("n_exact"),
+          when(abs(col("estimate") - col("n_exact")).cast("double")
+            <= col("n_exact").cast("double") * lit(0.05e0), 1L)
+            .otherwise(0L).as("within_5pct"))
+    },
+    """WITH b AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+      |r AS (SELECT d0 + 7 AS lo, d0 + 21 AS hi FROM b),
+      |e AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+      |win AS (SELECT e.* FROM e, r WHERE day BETWEEN lo AND hi)
+      |SELECT CAST(count(DISTINCT day) AS BIGINT) AS partial_rows,
+      |       CAST(count(DISTINCT day) AS BIGINT) AS days_merged,
+      |       CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+      |       CAST(1 AS BIGINT) AS within_5pct
+      |FROM win""")
+
+  /** Collapse all run partitions into the reserved `run=-1` epoch — one
+    * merged sketch row per day (HLL union is associative, so serving
+    * before or after compaction returns the SAME estimate; RollupSpec
+    * pins that invariance). Same swap discipline as the index family
+    * ([[DedupIndex.rewriteAndSwap]]): read O(runs x days) summary rows,
+    * never the base table. */
+  def compact(spark: SparkSession, dir: String,
+      excludeRun: Option[Long] = None): DedupIndex.CompactionStats =
+    DedupIndex.rewriteAndSwap(spark, dir) { tmp =>
+      val all = spark.read.parquet(dir)
+      // a streaming caller excludes its IN-FLIGHT run: a half-written
+      // attempt from a failed prior try of the same batch must be
+      // dropped and replayed, never folded into the epoch (the
+      // IvfPqStream auto-compaction contract)
+      excludeRun.map(x => all.filter(col("run") =!= x)).getOrElse(all)
+        .groupBy("day")
+        .agg(hll_union_agg(col("sketch"), true).as("sketch"),
+          sum("n_rows").as("n_rows"))
+        .repartition(1)
+        .write.mode("overwrite").parquet(s"$tmp/run=-1")
+    }
+
+  /** Append run `runId`'s exact per-(day, event_type) partials: count
+    * and value in integer CENTS (row-level fixed-point before any sum,
+    * so partial-merge arithmetic is associative BIGINT — never a
+    * float re-sum whose last bits depend on grouping). */
+  def buildAggPartials(events: DataFrame, dir: String, runId: Int): Unit =
+    events.select(to_date(col("ts")).as("day"), col("event_type"),
+        col("value"))
+      .groupBy("day", "event_type")
+      .agg(count(lit(1)).as("cnt"),
+        sum(round(col("value") * 100, 0).cast("long")).as("value_cents"))
+      .repartition(1) // O(days x types) rows — a dimension-sized write
+      .write.mode("overwrite").parquet(s"$dir/run=$runId")
+
+  /** q139 — exact incremental rollup with OVERLAPPING runs: the two
+    * builds slice the same days by user parity, so nearly every
+    * (day, event_type) group holds a partial from BOTH runs and the
+    * serve must merge them by + to reproduce the direct aggregate.
+    * The oracle computes that direct aggregate straight from base —
+    * merge-correctness is hash-gated group by group — and restates
+    * n_runs as the distinct parities actually present. Serve cost:
+    * one aggregation over O(days x types x runs) summary rows. */
+  private val q139IncrementalRollup = QueryDef(
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val out = java.nio.file.Files.createTempDirectory("graft-q139-mv")
+        .resolve("summary").toString
+      buildAggPartials(ev.filter(col("user_id") % 2 === 0), out, 0)
+      buildAggPartials(ev.filter(col("user_id") % 2 === 1), out, 1)
+      s.read.parquet(out)
+        .groupBy("day", "event_type")
+        .agg(sum("cnt").as("n"), sum("value_cents").as("value_cents"),
+          count(lit(1)).as("n_runs"))
+        .orderBy("day", "event_type")
+    },
+    """SELECT CAST(ts AS DATE) AS day, event_type,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+      |         AS value_cents,
+      |       CAST(count(DISTINCT user_id % 2) AS BIGINT) AS n_runs
+      |FROM events
+      |GROUP BY 1, 2 ORDER BY 1, 2""")
+
+  val defs: Map[String, QueryDef] = Map(
+    "q138_sketch_rollup" -> q138SketchRollup,
+    "q139_incremental_rollup" -> q139IncrementalRollup,
+  )
+}

@@ -51,7 +51,10 @@ class PlanGuardSpec extends SparkSpec {
     "q109_sq8_acceptance" -> "acceptance instrument: q108's serve plus the exact grid-dot ground truth, both 10-row broadcast query sets with n_id != q_id self-exclusion",
     "q118_hard_negatives" -> "hard-negative mining: exact grid-dot scan over the 10-row broadcast query set; the only non-equi condition is the component-inequality positive exclusion (subsumes n_id != q_id)",
     "q129_filtered_recall" -> "acceptance instrument (q99's shapes): exact filtered grid-L2 ground truth over the broadcast 10-query set + three one-row broadcast combines",
-    "q132_filtered_rerank_recall" -> "acceptance instrument (q129's shapes): exact filtered grid-L2 ground truth over the broadcast 10-query set + three one-row broadcast combines")
+    "q132_filtered_rerank_recall" -> "acceptance instrument (q129's shapes): exact filtered grid-L2 ground truth over the broadcast 10-query set + three one-row broadcast combines",
+    "q136_zorder_curve" -> "one-row broadcast bounds relation feeding the curve quantization",
+    "q137_zorder_skipping" -> "acceptance instrument: one-row broadcast bounds relation + three one-row layout-count relations combined into the single acceptance row",
+    "q138_sketch_rollup" -> "one-row broadcast bounds/date-range relations + the one-row served x exact combine of the acceptance row")
 
   for (name <- SparkEntry.queries.keys.toSeq.sorted)
     test(s"$name plan has no scale-killer joins") {
