@@ -3,10 +3,11 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Dev-only 10× scale probe for the three hottest extension paths — the
+/** Dev-only 10× scale probe for the four hottest extension paths — the
   * persisted IVF-PQ serve (q98 shape), the near-dup multi-probe pair
-  * scan (q79 shape), and the dedup component closure (q80 shape, over a
-  * planted-cluster corpus with structural ground truth). Every 100 TB argument so far is a plan-SHAPE
+  * scan (q79 shape), the dedup component closure (q80 shape, over a
+  * planted-cluster corpus with structural ground truth), and the
+  * substring excision (q134 shape, hot planted shingle). Every 100 TB argument so far is a plan-SHAPE
   * argument (pruned scans, equi-joins, bounded broadcasts); this tool
   * turns the two load-bearing ones into MEASURED scaling exponents:
   * run the production code paths over deterministic synthetic corpora
@@ -70,7 +71,8 @@ object ScaleProbe {
 
     case class Cell(scale: Int, n: Long, buildS: Double, serveS: Double,
       candPerQuery: Double, pairS: Double, candPairs: Long, planes: Int,
-      closureS: Double, nComponents: Long)
+      closureS: Double, nComponents: Long, exciseS: Double,
+      dupTokens: Long)
 
     val cells = scales.map { sc =>
       val n = baseN * sc
@@ -133,12 +135,41 @@ object ScaleProbe {
       require(nComp <= groups && nComp >= (groups * 3) / 4,
         s"closure found $nComp components for $groups planted groups")
 
+      // --- substring excision: q134 shape over synthetic documents.
+      // 100 tokens/doc from a hashed vocabulary; every 10th doc carries
+      // the SAME 16-token run at positions 41–56, so the duplicated
+      // shingle is HOT (df = n/10 — the worst-case fp for the df
+      // shuffle, which must aggregate it, never pair-join it). Claims:
+      // the dataflow forms NO pairs, so dup_tokens is exactly
+      // 16 · n/10 (exponent 1 structurally) and wall time tracks corpus
+      // tokens linearly — there is no quadratic to fall into, unlike
+      // the LSH pair scan, and this leg proves the hot-fp path keeps it
+      // that way.
+      val docs = spark.range(n).select(col("id").as("doc_id"),
+          expr("array_join(transform(sequence(0, 99), j -> " +
+            "case when id % 10 = 0 and j >= 40 and j < 56 " +
+            "then concat('dup', j) " +
+            "else concat('w', abs(hash(id, j)) % 50000) end), ' ')")
+            .as("text"))
+        .localCheckpoint(true)
+      var dupToks = 0L
+      val exciseS = timeMinOf(2) {
+        dupToks = graft.ext.Dedup.substringExcise(docs, k = 8)
+          .agg(sum("dup_tokens")).collect().head.getLong(0)
+      }
+      // structural ground truth: 16 covered tokens in each of the n/10
+      // planted docs; hash-vocabulary collisions can only ADD coverage,
+      // and at 50k words they add none at these scales
+      require(dupToks >= 16 * (n / 10),
+        s"excision lost planted coverage: $dupToks < ${16 * (n / 10)}")
+
       val cell = Cell(sc, n, buildS, serveS, candPerQuery, pairS,
-        candPairs, planes, closureS, nComp)
+        candPairs, planes, closureS, nComp, exciseS, dupToks)
       println(f"[scaleprobe] scale=${sc}x n=$n build=${buildS}%.2fs " +
         f"serve=${serveS}%.2fs cand/q=${candPerQuery}%.1f " +
         f"pairscan=${pairS}%.2fs candpairs=$candPairs planes=$planes " +
-        f"closure=${closureS}%.2fs components=$nComp/$groups")
+        f"closure=${closureS}%.2fs components=$nComp/$groups " +
+        f"excise=${exciseS}%.2fs duptokens=$dupToks")
       cell
     }
 
@@ -152,7 +183,9 @@ object ScaleProbe {
       f"neardup_cand_pairs=${expo(_.candPairs.toDouble)}%.2f " +
       f"neardup_scan_time=${expo(_.pairS)}%.2f " +
       f"closure_time=${expo(_.closureS)}%.2f " +
-      f"closure_components=${expo(_.nComponents.toDouble)}%.2f")
+      f"closure_components=${expo(_.nComponents.toDouble)}%.2f " +
+      f"excise_time=${expo(_.exciseS)}%.2f " +
+      f"excise_dup_tokens=${expo(_.dupTokens.toDouble)}%.2f")
     spark.stop()
   }
 }
