@@ -27,7 +27,8 @@ object SparkEntry {
       graft.ext.Incremental.defs ++
       graft.ext.IvfPqIndex.defs ++
       graft.ext.Layout.defs ++
-      graft.ext.Rollup.defs
+      graft.ext.Rollup.defs ++
+      graft.ext.MergeTable.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
