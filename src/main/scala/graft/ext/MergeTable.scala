@@ -1,40 +1,59 @@
 package graft.ext
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{QueryDef, Tables}
 
-/** COPY-ON-WRITE keyed table — the UPSERT/DELETE (CDC-apply) write path
-  * the engine's read-side families assume someone else provides. The
-  * reference pipeline only ever appends (its cache never updates a
-  * changed repo in place — re-extraction rewrites everything); a 100 TB
-  * deployment applying a change stream cannot afford either, and the
-  * warehouse answer (Hudi's bucket-indexed copy-on-write, Delta/Iceberg
-  * MERGE) is file-granular rewrite:
+/** COPY-ON-WRITE keyed table with SNAPSHOT ISOLATION — the
+  * UPSERT/DELETE (CDC-apply) write path plus the manifest/time-travel
+  * read side a 100 TB deployment pairs it with. The reference pipeline
+  * only ever appends (its cache never updates a changed repo in place —
+  * re-extraction rewrites everything); the warehouse answer (Hudi's
+  * bucket-indexed copy-on-write; Iceberg/Delta's manifest-committed
+  * snapshots) is file-granular rewrite under an atomic metadata commit:
   *
   *  - the table is HASH-BUCKETED on its key into `bucket=<hex>`
   *    partitions (two md5 hex digits = 256 buckets by default), one
-  *    data file per bucket — the md5 prefix is the engine-shared hash
-  *    discipline (Sampling's split hash), so every bucket decision is
-  *    restatable in the DuckDB oracle, unlike Spark-private murmur3;
+  *    data file per bucket per writing version — the md5 prefix is the
+  *    engine-shared hash discipline (Sampling's split hash), so every
+  *    bucket decision is restatable in the DuckDB oracle, unlike
+  *    Spark-private murmur3;
   *  - an upsert batch touches only the buckets its keys hash into:
   *    read THOSE partitions (partition-pruned scan), anti-join the
   *    batch keys (old versions drop), union the batch (latest wins),
-  *    rewrite THOSE partitions via dynamic partition overwrite — every
-  *    untouched bucket's file is left byte-identical;
-  *  - write amplification is therefore |impacted buckets| files, not
-  *    |table| — the q141 acceptance row prices it, the q123 discipline.
+  *    write the rewritten buckets as NEW files under the next version's
+  *    epoch dir — no live file is ever modified or deleted by a write;
+  *  - the COMMIT is one atomic manifest creation (`_manifests/v<N>`,
+  *    create-no-overwrite): the new manifest lists untouched buckets'
+  *    existing files plus the rewritten buckets' new files. Readers
+  *    resolve a manifest (latest by default, any retained version on
+  *    request — TIME TRAVEL, the pinned-snapshot reproducibility a
+  *    training job needs while CDC keeps flowing) and scan exactly its
+  *    file list. A half-written epoch dir with no manifest is invisible
+  *    garbage, overwritten by the retry — the Iceberg commit model;
+  *    concurrent committers race on the manifest create and the loser
+  *    gets an explicit conflict, never a silent lost update (data-epoch
+  *    writes keep the index family's single-writer-per-table
+  *    assumption; a multi-writer deployment adds writer-unique epoch
+  *    attempt ids in front of the same manifest race);
+  *  - old versions cost exactly their rewritten files until [[vacuum]]
+  *    drops manifests past the retention and deletes newly-unreferenced
+  *    files — write amplification AND retention cost are both priced
+  *    (q141/q143), the q123 discipline.
   *
   * Replay safety: an upsert carries ABSOLUTE rows (state, not deltas),
-  * so re-applying the same batch rewrites the same partitions to the
-  * same bytes — idempotent by value, which is what lets the streaming
-  * twin re-run a batch after a mid-write kill. Bucket count is part of
-  * the table's identity (`_graft_meta`, the index family's contract):
-  * keys hash stably for the table's lifetime; re-bucketing is a
-  * full-rewrite migration, priced as such, never silent.
+  * so re-applying a batch lands the same per-key state (at worst one
+  * extra version with identical content when the crash fell between
+  * data write and manifest commit) — idempotent by value, which is what
+  * lets the streaming twin re-run a batch after a mid-write kill.
   *
-  * Driver state is bounded by the bucket count (the impacted-bucket
-  * list, ≤ 4096 two-hex... 256 entries here), never by data size. */
+  * Bucket count is part of the table's identity (`_graft_meta`, the
+  * index family's contract): keys hash stably for the table's lifetime;
+  * re-bucketing is a full-rewrite migration, priced as such, never
+  * silent. Driver state is bounded by the bucket count and the manifest
+  * size (file names, one per bucket per retained version — the
+  * manifest-sized cost class), never by data size. */
 object MergeTable {
 
   /** Hex digits of md5(key) used as the bucket id: 2 → 256 buckets.
@@ -42,8 +61,12 @@ object MergeTable {
     * file stays row-group-sized; the arithmetic is scale-free. */
   val HEX_DIGITS = 2
 
-  final case class CowStats(bucketsRewritten: Long, filesRead: Long,
-    filesWritten: Long, rowsMatched: Long, rowsInserted: Long)
+  final case class CowStats(version: Long, bucketsRewritten: Long,
+    filesRead: Long, filesWritten: Long, rowsMatched: Long,
+    rowsInserted: Long)
+
+  final case class VacuumStats(filesDeleted: Long, filesLive: Long,
+    versionsDropped: Long, versionsLive: Long)
 
   private def bucketCol(key: Column): Column =
     substring(md5(key.cast("string")), 1, HEX_DIGITS)
@@ -52,10 +75,13 @@ object MergeTable {
   private[ext] def bucketSql(key: String): String =
     s"substr(md5(CAST($key AS VARCHAR)), 1, $HEX_DIGITS)"
 
+  private def hadoopFs(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
   private def keyMeta(spark: SparkSession, dir: String,
       keyCol: Option[String]): String = {
-    val path = new org.apache.hadoop.fs.Path(dir, "_graft_meta")
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val path = new Path(dir, "_graft_meta")
+    val fs = hadoopFs(spark, dir)
     if (fs.exists(path)) {
       val in = fs.open(path)
       val stored =
@@ -75,112 +101,214 @@ object MergeTable {
     }
   }
 
-  private def writeBuckets(df: DataFrame, dir: String): Unit = {
+  // ---- manifests ---------------------------------------------------
+  // one text file per committed version under _manifests/, named
+  // v<zero-padded N> ; each line is a data-file path RELATIVE to
+  // <dir>/data (e.g. "v=2/bucket=a3/part-....parquet").
+
+  private def manifestDir(dir: String) = new Path(dir, "_manifests")
+
+  /** Committed versions at `dir`, ascending (empty → no table yet). */
+  def versions(spark: SparkSession, dir: String): Seq[Long] = {
+    val fs = hadoopFs(spark, dir)
+    val md = manifestDir(dir)
+    if (!fs.exists(md)) Seq.empty
+    else fs.listStatus(md).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("v")).map(_.drop(1).toLong).sorted
+  }
+
+  private def readManifest(spark: SparkSession, dir: String,
+      v: Long): Seq[String] = {
+    val fs = hadoopFs(spark, dir)
+    val p = new Path(manifestDir(dir), f"v$v%09d")
+    if (!fs.exists(p))
+      throw new IllegalArgumentException(
+        s"MergeTable at $dir has no version $v (vacuumed or never " +
+          s"committed); retained: ${versions(spark, dir).mkString(",")}")
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().map(_.trim).filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
+  /** ATOMIC COMMIT: create-no-overwrite of the version's manifest. A
+    * concurrent committer of the same version loses with an explicit
+    * conflict — the single metadata operation all snapshot stores
+    * reduce their race to. */
+  private[ext] def commitManifest(spark: SparkSession, dir: String,
+      v: Long, entries: Seq[String]): Unit = {
+    val fs = hadoopFs(spark, dir)
+    fs.mkdirs(manifestDir(dir))
+    val p = new Path(manifestDir(dir), f"v$v%09d")
+    val out =
+      try fs.create(p, false)
+      catch { case e: java.io.IOException =>
+        throw new java.io.IOException(
+          s"commit conflict: version $v at $dir was committed " +
+            "concurrently", e)
+      }
+    try out.write(entries.sorted.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def bucketOfEntry(e: String): String = {
+    val m = "bucket=([0-9a-f]+)".r.findFirstMatchIn(e)
+    m.map(_.group(1)).getOrElse(sys.error(s"manifest entry without bucket: $e"))
+  }
+
+  /** List the data files a just-written epoch produced, as manifest
+    * entries — a name-walk of O(buckets) dirs (the q92 listing
+    * discipline: names, never block locations). */
+  private def epochEntries(spark: SparkSession, dir: String,
+      v: Long): Seq[String] = {
+    val fs = hadoopFs(spark, dir)
+    val epoch = new Path(s"$dir/data/v=$v")
+    if (!fs.exists(epoch)) Seq.empty
+    else fs.listStatus(epoch).toSeq.filter(_.isDirectory).flatMap { d =>
+      fs.listStatus(d.getPath).toSeq.filter { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }.map(st => s"v=$v/${d.getPath.getName}/${st.getPath.getName}")
+    }
+  }
+
+  private def writeEpoch(df: DataFrame, dir: String, v: Long): Unit = {
     val tasks = math.min(1 << (4 * HEX_DIGITS),
       df.sparkSession.sparkContext.defaultParallelism)
     df.repartition(tasks, col("bucket"))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("bucket").parquet(dir)
+      .write.mode("overwrite") // replay overwrites the orphaned attempt
+      .partitionBy("bucket").parquet(s"$dir/data/v=$v")
+  }
+
+  /** The table at a version (default: latest) — resolves that
+    * version's manifest and scans exactly its files; `basePath` keeps
+    * the `bucket` partition column (the key a reader may prune on). */
+  def readTable(spark: SparkSession, dir: String,
+      version: Option[Long] = None): DataFrame = {
+    val v = version.getOrElse(versions(spark, dir).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"no MergeTable at $dir")))
+    val files = readManifest(spark, dir, v).map(e => s"$dir/data/$e")
+    spark.read.option("basePath", s"$dir/data").parquet(files: _*)
+      .drop("v")
   }
 
   /** Create the table at `dir` from `df`, keyed (and hash-bucketed) by
-    * `keyCol`. One shuffle on the bucket id; one file per non-empty
-    * bucket (a task owning several bucket values still writes one file
-    * per value under partitionBy). */
+    * `keyCol` — version 1. One shuffle on the bucket id; one file per
+    * non-empty bucket (a task owning several bucket values still
+    * writes one file per value under partitionBy). */
   def create(df: DataFrame, dir: String, keyCol: String): Unit = {
-    keyMeta(df.sparkSession, dir, Some(keyCol))
-    writeBuckets(df.withColumn("bucket", bucketCol(col(keyCol))), dir)
-  }
-
-  /** The table as the read side sees it (bucket column included — it is
-    * the partition key a reader may prune on). */
-  def readTable(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(dir)
-
-  private def dataFiles(spark: SparkSession, dir: String,
-      buckets: Seq[String]): Long = {
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    buckets.map { b =>
-      val p = new org.apache.hadoop.fs.Path(dir, s"bucket=$b")
-      if (!fs.exists(p)) 0L
-      else fs.listStatus(p).count { st =>
-        val n = st.getPath.getName
-        st.isFile && !n.startsWith("_") && !n.startsWith(".")
-      }.toLong
-    }.sum
+    val s = df.sparkSession
+    keyMeta(s, dir, Some(keyCol))
+    writeEpoch(df.withColumn("bucket", bucketCol(col(keyCol))), dir, 1L)
+    commitManifest(s, dir, 1L, epochEntries(s, dir, 1L))
   }
 
   /** UPSERT `updates` (absolute rows, same schema as the table, no
     * bucket column, AT MOST ONE ROW PER KEY — a batch with two rows for
     * one key has no defined latest; collapse upstream, e.g. by
     * max-timestamp, before applying) by the table's key: impacted
-    * buckets are computed
-    * from the batch keys (driver list bounded by the bucket count),
-    * ONLY those partitions are read (pruned scan), old versions of
-    * updated keys drop by anti-join, and only those partitions are
-    * rewritten. Cost: O(|batch| + |impacted buckets' rows|), never a
-    * table scan. */
+    * buckets are computed from the batch keys (driver list bounded by
+    * the bucket count), ONLY those partitions are read (pruned scan),
+    * old versions of updated keys drop by anti-join, the rewritten
+    * buckets land as new files under the next epoch, and the manifest
+    * commit publishes them atomically. Cost: O(|batch| + |impacted
+    * buckets' rows|) plus one manifest write — never a table scan, and
+    * never a mutation of a live file. */
   def upsert(spark: SparkSession, dir: String,
       updates: DataFrame): CowStats = {
     val key = keyMeta(spark, dir, None)
+    val cur = versions(spark, dir).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"no MergeTable at $dir"))
     val batch = updates.withColumn("bucket", bucketCol(col(key)))
       .localCheckpoint(true)
     val impacted = batch.select("bucket").distinct()
-      .collect().map(_.getString(0)).toSeq.sorted
-    val filesRead = dataFiles(spark, dir, impacted)
-    val existing = readTable(spark, dir)
-      .filter(col("bucket").isin(impacted: _*))
+      .collect().map(_.getString(0)).toSet
+    val manifest = readManifest(spark, dir, cur)
+    val (rewritten, kept) = manifest.partition(e =>
+      impacted.contains(bucketOfEntry(e)))
+    val existing = readTable(spark, dir, Some(cur))
+      .filter(col("bucket").isin(impacted.toSeq: _*))
     val matched = existing.join(batch.select(key), Seq(key), "left_semi")
       .count()
     val merged = existing
       .join(batch.select(key), Seq(key), "left_anti")
       .unionByName(batch)
-      // materialize BEFORE the overwrite: the merged frame reads the
-      // very partitions the write replaces (Spark rejects an overwrite
-      // of a path it is also reading), and at any scale the rewrite
-      // must not re-scan mid-commit state
-      .localCheckpoint(true)
-    writeBuckets(merged, dir)
-    CowStats(impacted.size.toLong, filesRead,
-      dataFiles(spark, dir, impacted), matched,
-      batch.count() - matched)
+      .localCheckpoint(true) // materialize before writing the epoch
+    val next = cur + 1
+    writeEpoch(merged, dir, next)
+    val fresh = epochEntries(spark, dir, next)
+    commitManifest(spark, dir, next, kept ++ fresh)
+    CowStats(next, impacted.size.toLong, rewritten.size.toLong,
+      fresh.size.toLong, matched, batch.count() - matched)
   }
 
   /** HARD-DELETE rows by key — the write-path complement of the index
-    * family's tombstone forget: same impacted-bucket copy-on-write, and
-    * a bucket whose rows ALL die has its partition directory dropped
-    * (dynamic overwrite only rewrites partitions present in the output,
-    * so fully-emptied buckets are removed explicitly). */
+    * family's tombstone forget: same impacted-bucket copy-on-write
+    * epoch + manifest commit; a bucket whose rows ALL die simply
+    * contributes no file to the new manifest. The rows remain readable
+    * at PRIOR versions until [[vacuum]] — deletion-for-compliance is
+    * complete only once retention passes, and q143 prices exactly
+    * that. */
   def deleteKeys(spark: SparkSession, dir: String,
       keys: DataFrame): CowStats = {
     val key = keyMeta(spark, dir, None)
+    val cur = versions(spark, dir).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"no MergeTable at $dir"))
     val ks = keys.select(col(keys.columns.head).as(key))
       .withColumn("bucket", bucketCol(col(key)))
       .localCheckpoint(true)
     val impacted = ks.select("bucket").distinct()
-      .collect().map(_.getString(0)).toSeq.sorted
-    val filesRead = dataFiles(spark, dir, impacted)
-    val existing = readTable(spark, dir)
-      .filter(col("bucket").isin(impacted: _*))
+      .collect().map(_.getString(0)).toSet
+    val manifest = readManifest(spark, dir, cur)
+    val (rewritten, kept) = manifest.partition(e =>
+      impacted.contains(bucketOfEntry(e)))
+    val existing = readTable(spark, dir, Some(cur))
+      .filter(col("bucket").isin(impacted.toSeq: _*))
     val matched = existing.join(ks.select(key), Seq(key), "left_semi")
       .count()
     val survivors = existing.join(ks.select(key), Seq(key), "left_anti")
       .localCheckpoint(true)
-    writeBuckets(survivors, dir)
-    val alive = survivors.select("bucket").distinct()
-      .collect().map(_.getString(0)).toSet
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    impacted.filterNot(alive).foreach { b =>
-      fs.delete(new org.apache.hadoop.fs.Path(dir, s"bucket=$b"), true)
-    }
-    CowStats(impacted.size.toLong, filesRead,
-      dataFiles(spark, dir, impacted), matched, 0L)
+    val next = cur + 1
+    writeEpoch(survivors, dir, next)
+    val fresh = epochEntries(spark, dir, next)
+    commitManifest(spark, dir, next, kept ++ fresh)
+    CowStats(next, impacted.size.toLong, rewritten.size.toLong,
+      fresh.size.toLong, matched, 0L)
   }
 
-  // ---- the q140/q141 lifecycle over orders -------------------------
+  /** Drop all but the last `retainVersions` manifests and delete every
+    * data file no retained manifest references — the retention job
+    * that bounds snapshot history's storage cost and completes hard
+    * deletes. Driver work is manifest-sized (file-name sets + an
+    * O(files) name-walk); data files are never read. */
+  def vacuum(spark: SparkSession, dir: String,
+      retainVersions: Int = 1): VacuumStats = {
+    require(retainVersions >= 1, "must retain at least the current version")
+    val fs = hadoopFs(spark, dir)
+    val vs = versions(spark, dir)
+    val (drop, keep) = vs.splitAt(math.max(0, vs.size - retainVersions))
+    val live = keep.flatMap(readManifest(spark, dir, _)).toSet
+    val dataRoot = new Path(s"$dir/data")
+    var deleted = 0L
+    if (fs.exists(dataRoot))
+      fs.listStatus(dataRoot).filter(_.isDirectory).foreach { epoch =>
+        fs.listStatus(epoch.getPath).filter(_.isDirectory).foreach { bd =>
+          fs.listStatus(bd.getPath).filter(_.isFile).foreach { f =>
+            val rel = s"${epoch.getPath.getName}/${bd.getPath.getName}/" +
+              f.getPath.getName
+            if (!live.contains(rel) && !f.getPath.getName.startsWith("_")) {
+              fs.delete(f.getPath, false); deleted += 1
+            }
+          }
+        }
+      }
+    drop.foreach(v =>
+      fs.delete(new Path(manifestDir(dir), f"v$v%09d"), false))
+    VacuumStats(deleted, live.size.toLong, drop.size.toLong,
+      keep.size.toLong)
+  }
+
+  // ---- the q140–q143 lifecycle over orders -------------------------
   // keys are o_orderkey; payload is (o_custkey, o_orderstatus) plus the
   // price in integer CENTS (fixed-point at creation, so updated rows
   // are exact BIGINT arithmetic the oracle restates, never re-rounded
@@ -199,8 +327,8 @@ object MergeTable {
     * the +1 keeps insert keys strictly negative and disjoint from every
     * existing key: the fixture CONTAINS o_orderkey = 0, and a bare -key
     * would collide an insert with its own update row, breaking the
-    * one-row-per-key batch contract below (found by the oracle gate,
-    * which counted the key-0 pair the collision destroyed). */
+    * one-row-per-key batch contract on [[upsert]] (found by the oracle
+    * gate, which counted the key-0 pair the collision destroyed). */
   private def batch1(base: DataFrame): DataFrame =
     base.filter(col("key") % 101 === 0)
       .withColumn("cents", col("cents") + 100)
@@ -215,8 +343,9 @@ object MergeTable {
     base.filter(col("key") % 202 === 0)
       .withColumn("cents", col("cents") + 300)
 
-  private def runLifecycle(s: SparkSession, dir: String): String = {
-    val out = java.nio.file.Files.createTempDirectory("graft-q140-cow")
+  private def runLifecycle(s: SparkSession, dir: String,
+      tag: String): String = {
+    val out = java.nio.file.Files.createTempDirectory(s"graft-$tag-cow")
       .resolve("table").toString
     val base = baseRows(s, dir).localCheckpoint(true)
     create(base, out, "key")
@@ -234,7 +363,7 @@ object MergeTable {
     * are all hash-gated row for row. */
   private val q140CowUpsert = QueryDef(
     (s, dir) => {
-      val out = runLifecycle(s, dir)
+      val out = runLifecycle(s, dir, "q140")
       readTable(s, out)
         .select("key", "cust", "status", "cents", "bucket")
         .orderBy("key")
@@ -257,12 +386,13 @@ object MergeTable {
        |FROM fin ORDER BY key""")
 
   /** q141 — WRITE-AMPLIFICATION acceptance row for the same lifecycle:
-    * buckets touched by each batch (= files read AND written, one file
-    * per bucket — CowSpec asserts the stats agree), matched/inserted
-    * row counts, and the final row count. The oracle re-derives every
-    * number from orders with the same md5 arithmetic: copy-on-write's
-    * contract — amplification ∝ DISTINCT BUCKETS OF THE BATCH, not
-    * table size — is hash-gated, not asserted. */
+    * buckets touched by each batch (= files written, one file per
+    * bucket — MergeTableSpec asserts the stats agree and that untouched
+    * files are untouched on disk), matched/inserted row counts, and the
+    * final row count. The oracle re-derives every number from orders
+    * with the same md5 arithmetic: copy-on-write's contract —
+    * amplification ∝ DISTINCT BUCKETS OF THE BATCH, not table size —
+    * is hash-gated, not asserted. */
   private val q141CowAmplification = QueryDef(
     (s, dir) => {
       val out = java.nio.file.Files.createTempDirectory("graft-q141-cow")
@@ -298,8 +428,98 @@ object MergeTable {
        |    + (SELECT CAST(count(*) AS BIGINT) FROM base
        |         WHERE key % 103 = 0) AS rows_final""")
 
+  /** q142 — TIME TRAVEL: after the same lifecycle, read ALL THREE
+    * versions and emit one exact signature row per version (rows, sum
+    * of cents, insert-key count) — the oracle recomputes each epoch's
+    * state arithmetic straight from orders, so snapshot isolation is
+    * hash-gated: version 1 must still show the pre-update sums AFTER
+    * two later commits, version 2 must show batch 1 applied but not
+    * batch 2. The read cost of any version is its manifest's file
+    * list — time travel is free at write time (old files simply
+    * persist until vacuum). */
+  private val q142TimeTravel = QueryDef(
+    (s, dir) => {
+      val out = runLifecycle(s, dir, "q142")
+      val sigs = versions(s, out).map { v =>
+        readTable(s, out, Some(v))
+          .agg(count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"),
+            sum(when(col("key") < 0, 1L).otherwise(0L)).as("n_inserted"))
+          .select(lit(v).as("version"), col("n_rows"), col("sum_cents"),
+            col("n_inserted"))
+      }
+      sigs.reduce(_ unionByName _).orderBy("version")
+    },
+    s"""WITH base AS (
+       |  SELECT o_orderkey AS key,
+       |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+       |  FROM orders),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |             CAST(sum(cents) AS BIGINT) AS c FROM base),
+       |u1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base
+       |       WHERE key % 101 = 0),
+       |i1 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |              CAST(coalesce(sum(cents), 0) AS BIGINT) AS c
+       |       FROM base WHERE key % 103 = 0),
+       |u2 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base
+       |       WHERE key % 202 = 0)
+       |SELECT CAST(1 AS BIGINT) AS version, n.n AS n_rows,
+       |       n.c AS sum_cents, CAST(0 AS BIGINT) AS n_inserted
+       |FROM n
+       |UNION ALL
+       |SELECT 2, n.n + i1.n, n.c + u1.n * 100 + i1.c, i1.n
+       |FROM n, u1, i1
+       |UNION ALL
+       |SELECT 3, n.n + i1.n, n.c + u1.n * 100 + u2.n * 200 + i1.c, i1.n
+       |FROM n, u1, i1, u2
+       |ORDER BY version""")
+
+  /** q143 — RETENTION (vacuum) acceptance row: run the lifecycle, keep
+    * only the current version, and price what retention costs and
+    * frees: files live before/after, files deleted, versions dropped,
+    * and the surviving state's row count. The oracle re-derives the
+    * file arithmetic from bucket sets alone — live = |B0 ∪ B1| (B2's
+    * buckets replace their B1 files, which vacuum deletes along with
+    * B1∩B0's originals): deleted = |B0 ∩ B1| + |B2|, total before =
+    * |B0| + |B1| + |B2| — pinning that snapshot history's storage cost
+    * is bucket-counting, never data-sized. */
+  private val q143VacuumCost = QueryDef(
+    (s, dir) => {
+      val out = runLifecycle(s, dir, "q143")
+      val before = versions(s, out).map(v =>
+        readManifest(s, out, v)).map(_.size.toLong)
+      val vs = vacuum(s, out, retainVersions = 1)
+      val after = readTable(s, out).count()
+      import s.implicits._
+      Seq((before.head, vs.filesDeleted, vs.filesLive,
+        vs.versionsDropped, vs.versionsLive, after))
+        .toDF("files_v1", "files_deleted", "files_live",
+          "versions_dropped", "versions_live", "rows_current")
+    },
+    s"""WITH base AS (SELECT o_orderkey AS key FROM orders),
+       |b0 AS (SELECT DISTINCT ${bucketSql("key")} AS b FROM base),
+       |b1 AS (SELECT DISTINCT ${bucketSql("key")} AS b FROM (
+       |         SELECT key FROM base WHERE key % 101 = 0
+       |         UNION ALL
+       |         SELECT -key - 1 FROM base WHERE key % 103 = 0)),
+       |b2 AS (SELECT DISTINCT ${bucketSql("key")} AS b FROM base
+       |       WHERE key % 202 = 0)
+       |SELECT
+       |  (SELECT CAST(count(*) AS BIGINT) FROM b0) AS files_v1,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM b0 WHERE b IN
+       |     (SELECT b FROM b1))
+       |    + (SELECT CAST(count(*) AS BIGINT) FROM b2) AS files_deleted,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM
+       |     (SELECT b FROM b0 UNION SELECT b FROM b1)) AS files_live,
+       |  CAST(2 AS BIGINT) AS versions_dropped,
+       |  CAST(1 AS BIGINT) AS versions_live,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM base)
+       |    + (SELECT CAST(count(*) AS BIGINT) FROM base
+       |         WHERE key % 103 = 0) AS rows_current""")
+
   val defs: Map[String, QueryDef] = Map(
     "q140_cow_upsert" -> q140CowUpsert,
     "q141_cow_amplification" -> q141CowAmplification,
+    "q142_time_travel" -> q142TimeTravel,
+    "q143_vacuum_cost" -> q143VacuumCost,
   )
 }
