@@ -308,6 +308,50 @@ object MergeTable {
       keep.size.toLong)
   }
 
+  /** CHANGEFEED (CDC OUT) — the row-level diff between two committed
+    * versions, classified insert/update/delete, WITHOUT scanning the
+    * table: the two manifests name their files, so any bucket whose
+    * file list is IDENTICAL in both versions provably holds identical
+    * rows and is skipped before a single byte is read — the diff scans
+    * only the buckets some intervening commit rewrote (manifest-pruned,
+    * the same trick Iceberg's incremental reads play on snapshot
+    * metadata). Changed buckets join full-outer on the key: only-new →
+    * insert, only-old → delete, both-but-payload-differs → update;
+    * payload-identical rows inside a rewritten bucket (the batch's
+    * collateral neighbors) drop out. Cost: O(changed buckets' rows) +
+    * two manifest reads — a changefeed over a quiet 100 TB table is
+    * near-free regardless of its size. */
+  /** Buckets whose manifest file lists differ between two versions —
+    * the set a version diff must scan; every other bucket is skipped
+    * unread. Factored for the spec to pin the pruning itself. */
+  private[ext] def changedBuckets(spark: SparkSession, dir: String,
+      fromV: Long, toV: Long): Seq[String] = {
+    val byB = (m: Seq[String]) => m.groupBy(bucketOfEntry).view
+      .mapValues(_.sorted).toMap
+    val bf = byB(readManifest(spark, dir, fromV))
+    val bt = byB(readManifest(spark, dir, toV))
+    (bf.keySet ++ bt.keySet).filter(b => bf.get(b) != bt.get(b))
+      .toSeq.sorted
+  }
+
+  def changes(spark: SparkSession, dir: String, fromV: Long,
+      toV: Long): DataFrame = {
+    val key = keyMeta(spark, dir, None)
+    val changed = changedBuckets(spark, dir, fromV, toV)
+    def side(v: Long, tag: String): DataFrame = {
+      val t = readTable(spark, dir, Some(v))
+        .filter(col("bucket").isin(changed: _*)).drop("bucket")
+      val payload = struct(t.columns.filter(_ != key).map(col): _*)
+      t.select(col(key), payload.as(s"${tag}_row"))
+    }
+    side(fromV, "old").join(side(toV, "new"), Seq(key), "full_outer")
+      .withColumn("change",
+        when(col("old_row").isNull, "insert")
+          .when(col("new_row").isNull, "delete")
+          .when(!(col("old_row") <=> col("new_row")), "update"))
+      .filter(col("change").isNotNull)
+  }
+
   // ---- the q140–q143 lifecycle over orders -------------------------
   // keys are o_orderkey; payload is (o_custkey, o_orderstatus) plus the
   // price in integer CENTS (fixed-point at creation, so updated rows
@@ -516,10 +560,47 @@ object MergeTable {
        |    + (SELECT CAST(count(*) AS BIGINT) FROM base
        |         WHERE key % 103 = 0) AS rows_current""")
 
+  /** q144 — CHANGEFEED acceptance: extend the lifecycle with a hard
+    * delete (key % 307), then read the row-level diff of v1 → v4
+    * through [[changes]] and hash-gate every classified row: inserts
+    * carry (null, new cents), updates carry (v1 cents, final cents —
+    * +300 where batch 2 moved the key again), deletes carry the v1
+    * value even when an intervening batch had updated it (the diff is
+    * between SNAPSHOTS, not a replay of intermediate commits — a key
+    * both updated and deleted shows once, as a delete). The oracle
+    * rebuilds the whole feed from orders with modulus arithmetic. */
+  private val q144Changefeed = QueryDef(
+    (s, dir) => {
+      val out = runLifecycle(s, dir, "q144")
+      val base = baseRows(s, dir)
+      deleteKeys(s, out, base.filter(col("key") % 307 === 0).select("key"))
+      changes(s, out, 1L, 4L)
+        .select(col("key"), col("change"),
+          col("old_row.cents").as("old_cents"),
+          col("new_row.cents").as("new_cents"))
+        .orderBy("key")
+    },
+    s"""WITH base AS (
+       |  SELECT o_orderkey AS key,
+       |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+       |  FROM orders)
+       |SELECT key, 'update' AS change, cents AS old_cents,
+       |       cents + CASE WHEN key % 202 = 0 THEN 300 ELSE 100 END
+       |         AS new_cents
+       |FROM base WHERE key % 101 = 0 AND key % 307 <> 0
+       |UNION ALL
+       |SELECT -key - 1, 'insert', CAST(NULL AS BIGINT), cents
+       |FROM base WHERE key % 103 = 0
+       |UNION ALL
+       |SELECT key, 'delete', cents, CAST(NULL AS BIGINT)
+       |FROM base WHERE key % 307 = 0
+       |ORDER BY key""")
+
   val defs: Map[String, QueryDef] = Map(
     "q140_cow_upsert" -> q140CowUpsert,
     "q141_cow_amplification" -> q141CowAmplification,
     "q142_time_travel" -> q142TimeTravel,
     "q143_vacuum_cost" -> q143VacuumCost,
+    "q144_changefeed" -> q144Changefeed,
   )
 }

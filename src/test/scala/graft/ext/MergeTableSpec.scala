@@ -157,6 +157,31 @@ class MergeTableSpec extends SparkSpec {
       "the emptied bucket's file survived vacuum")
   }
 
+  test("changefeed: the version diff scans only manifest-changed " +
+      "buckets and classifies insert/update/delete exactly") {
+    import spark.implicits._
+    val dir = mkTable(500)
+    // pick an update key whose bucket holds MORE than one row, so the
+    // diff must drop the rewritten bucket's untouched neighbors
+    val crowded = MergeTable.readTable(spark, dir)
+      .filter(col("key") =!= 3L) // key 3 is this test's delete target
+      .groupBy("bucket").agg(count(lit(1)).as("c"), min("key").as("k"))
+      .filter(col("c") >= 2).orderBy("bucket").collect().head
+    val upKey = crowded.getAs[Long]("k")
+    MergeTable.upsert(spark, dir, Seq((upKey, "UP"), (9001L, "INS"))
+      .toDF("key", "value"))
+    MergeTable.deleteKeys(spark, dir, Seq(3L).toDF("key"))
+    val changed = MergeTable.changedBuckets(spark, dir, 1L, 3L)
+    assert(changed.size <= 3L,
+      s"diff should scan at most the 3 touched buckets, got $changed")
+    val cf = MergeTable.changes(spark, dir, 1L, 3L)
+      .select(col("key"), col("change")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cf === Map(upKey -> "update", 9001L -> "insert",
+      3L -> "delete"),
+      s"changefeed misclassified: $cf")
+  }
+
   test("a mismatched key column on an existing table throws") {
     import spark.implicits._
     val dir = mkTable(10)
