@@ -178,8 +178,132 @@ object Rollup {
       |FROM events
       |GROUP BY 1, 2 ORDER BY 1, 2""")
 
+  // ---- mergeable QUANTILES: fixed-bin histogram partials -----------
+
+  /** Bins of the histogram summary. 64 gives error <= range/64 —
+    * the knob rises with the precision budget; partial size is O(BINS)
+    * per run regardless of data. */
+  val BINS = 64
+
+  /** Integer bin of `cents` over the summary's FIXED [lo, hi] domain,
+    * out-of-domain values clamped to the edge bins. Exact BIGINT
+    * arithmetic (the Layout.bucketSql discipline), rendered per
+    * dialect: `divOp` is `DIV` (Spark) or `//` (DuckDB). */
+  private[ext] def binSql(cents: String, lo: String, hi: String,
+      divOp: String): String =
+    s"least(greatest((($cents - $lo) * $BINS) $divOp ($hi - $lo + 1), 0), " +
+      s"${BINS - 1})"
+
+  /** Append run `runId`'s histogram partial: (bin, cnt) over the fixed
+    * domain — O(BINS) rows whatever the input size; bins merge by +.
+    * The DOMAIN IS THE SUMMARY'S IDENTITY (the index family's k/planes
+    * contract): it is fixed when the summary is created — mergeability
+    * requires bins that never move — and later runs clamp outliers to
+    * the edge bins, a bounded, PRICED distortion (q145 counts them). */
+  def buildHistogram(events: DataFrame, dir: String, runId: Int,
+      loCents: Long, hiCents: Long): Unit =
+    events.select(round(col("value") * 100, 0).cast("long").as("cents"))
+      .select(expr(binSql("cents", loCents.toString, hiCents.toString,
+        "DIV")).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("cnt"))
+      .repartition(1) // O(BINS) rows — a dimension-sized write
+      .write.mode("overwrite").parquet(s"$dir/run=$runId")
+
+  /** q145 — MERGEABLE QUANTILE acceptance row: histogram partials
+    * built in two day-split runs over a domain fixed from run 1's
+    * bounds (run 2's out-of-domain values clamp, and the row prices
+    * them), served by + -merging the bins and walking the cumulative
+    * to the p50/p90/p99 rank bins — all integer arithmetic the oracle
+    * restates exactly. The EXACT rank-element percentiles from base
+    * ride along (both engines pick the value at rank ceil(p·n/100) of
+    * the sorted multiset — well-defined under ties), so the row pins
+    * both that the summary serve is deterministic arithmetic AND how
+    * far a 64-bin answer sits from the truth. Serve cost: O(BINS)
+    * summary rows; maintenance O(new data); the base is touched only
+    * by the acceptance instrument's exact side. */
+  private val q145HistogramRollup = QueryDef(
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val out = java.nio.file.Files.createTempDirectory("graft-q145-mv")
+        .resolve("summary").toString
+      val withDay = ev
+        .crossJoin(broadcast(ev.agg(min(to_date(col("ts"))).as("d0"))))
+        .withColumn("day", to_date(col("ts")))
+        .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+        .localCheckpoint(true)
+      val run1 = withDay.filter(datediff(col("day"), col("d0")) < 15)
+      val run2 = withDay.filter(datediff(col("day"), col("d0")) >= 15)
+      val Array(lo, hi) = run1.agg(min("cents"), max("cents"))
+        .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+      buildHistogram(run1, out, 0, lo, hi)
+      buildHistogram(run2, out, 1, lo, hi)
+      val merged = s.read.parquet(out)
+        .groupBy("bin").agg(sum("cnt").as("cnt"))
+      val wCum = org.apache.spark.sql.expressions.Window
+        .orderBy("bin").rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val cum = merged.withColumn("cum", sum("cnt").over(wCum))
+        .crossJoin(broadcast(merged.agg(sum("cnt").as("n"))))
+        .localCheckpoint(true)
+      def pBin(p: Int) = cum
+        .filter(col("cum") >= expr(s"(n * $p + 99) DIV 100"))
+        .agg(min("bin").as(s"p${p}_bin"))
+      val wRank = org.apache.spark.sql.expressions.Window.orderBy("cents")
+      val ranked = withDay.select(col("cents"))
+        .withColumn("rk", row_number().over(wRank))
+        .crossJoin(broadcast(withDay.agg(count(lit(1)).as("n"))))
+        .localCheckpoint(true)
+      def pExact(p: Int) = ranked
+        .filter(col("rk") === expr(s"(n * $p + 99) DIV 100"))
+        .select(col("cents").as(s"p${p}_exact"))
+      val clamped = withDay
+        .agg(sum(when(col("cents") < lo || col("cents") > hi, 1L)
+          .otherwise(0L)).as("n_clamped"),
+          count(lit(1)).as("n_total"))
+      clamped
+        .select(col("n_total"), col("n_clamped"),
+          lit(lo).as("lo_cents"), lit(hi).as("hi_cents"))
+        .crossJoin(pBin(50)).crossJoin(pBin(90)).crossJoin(pBin(99))
+        .crossJoin(pExact(50)).crossJoin(pExact(90)).crossJoin(pExact(99))
+    },
+    s"""WITH b AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+       |e AS (SELECT CAST(ts AS DATE) AS day,
+       |             CAST(round(value * 100, 0) AS BIGINT) AS cents
+       |      FROM events),
+       |r1 AS (SELECT e.cents FROM e, b WHERE day - d0 < 15),
+       |dom AS (SELECT min(cents) AS lo, max(cents) AS hi FROM r1),
+       |hist AS (SELECT ${binSql("cents", "lo", "hi", "//")} AS bin,
+       |                count(*) AS cnt
+       |         FROM e, dom GROUP BY 1),
+       |cum AS (SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum,
+       |               sum(cnt) OVER () AS n
+       |        FROM hist),
+       |rk AS (SELECT cents,
+       |              row_number() OVER (ORDER BY cents) AS rk,
+       |              count(*) OVER () AS n
+       |       FROM e)
+       |SELECT
+       |  (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_total,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM e, dom
+       |     WHERE cents < lo OR cents > hi) AS n_clamped,
+       |  (SELECT lo FROM dom) AS lo_cents,
+       |  (SELECT hi FROM dom) AS hi_cents,
+       |  (SELECT CAST(min(bin) AS BIGINT) FROM cum
+       |     WHERE cum >= (n * 50 + 99) // 100) AS p50_bin,
+       |  (SELECT CAST(min(bin) AS BIGINT) FROM cum
+       |     WHERE cum >= (n * 90 + 99) // 100) AS p90_bin,
+       |  (SELECT CAST(min(bin) AS BIGINT) FROM cum
+       |     WHERE cum >= (n * 99 + 99) // 100) AS p99_bin,
+       |  (SELECT cents FROM rk WHERE rk = (n * 50 + 99) // 100)
+       |    AS p50_exact,
+       |  (SELECT cents FROM rk WHERE rk = (n * 90 + 99) // 100)
+       |    AS p90_exact,
+       |  (SELECT cents FROM rk WHERE rk = (n * 99 + 99) // 100)
+       |    AS p99_exact""")
+
   val defs: Map[String, QueryDef] = Map(
     "q138_sketch_rollup" -> q138SketchRollup,
     "q139_incremental_rollup" -> q139IncrementalRollup,
+    "q145_histogram_rollup" -> q145HistogramRollup,
   )
 }

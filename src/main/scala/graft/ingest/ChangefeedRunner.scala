@@ -1,0 +1,55 @@
+package graft.ingest
+
+import org.apache.spark.sql.SparkSession
+
+/** Incremental CHANGEFEED PUBLISHER — drains a
+  * [[graft.ext.MergeTable]]'s version history to a downstream sink,
+  * one cursor-tracked run at a time: the reference's cron-shaped
+  * incremental loop (cursor → new work → sink → commit), re-aimed at
+  * table versions instead of repo ids, with the same S5/S6 durability
+  * discipline ([[CursorStore]] atomic file commit; SINK-THEN-COMMIT
+  * ordering, so a crash between the two replays the batch into a
+  * byte-identical overwrite — at-least-once execution, exactly-once
+  * sink contents).
+  *
+  * Bootstrap contract: the FIRST run initializes the cursor to the
+  * table's current version and publishes nothing — a consumer
+  * bootstraps from a snapshot read at that version (readTable pins it)
+  * and the feed then carries increments; publishing "the diff since
+  * v1" instead would silently miss rows already present at v1, the
+  * classic CDC bootstrap bug.
+  *
+  * Each published batch lands at `sink/batch=<toVersion>` (overwrite —
+  * replay-idempotent by construction) carrying the classified diff
+  * (key, change, old_row, new_row). Per-run cost is the manifest diff:
+  * O(changed buckets), near-zero on a quiet table. Versions between
+  * two runs COALESCE into one batch (a snapshot diff, not a commit
+  * replay) — the consumer sees each key's net change, the same
+  * semantics q144 gates. */
+object ChangefeedRunner {
+
+  final case class RunResult(fromV: Long, toV: Long, rows: Long)
+
+  /** One incremental run: publish the diff from the cursor's version
+    * to the table's current version, then advance the cursor. None =
+    * nothing new (or first-run bootstrap, which only sets the
+    * cursor). */
+  def runOnce(spark: SparkSession, tableDir: String, sinkDir: String,
+      cursor: CursorStore): Option[RunResult] = {
+    val cur = graft.ext.MergeTable.versions(spark, tableDir).lastOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"no MergeTable at $tableDir"))
+    cursor.read() match {
+      case None =>
+        cursor.commit(cur) // bootstrap: pin the snapshot, publish nothing
+        None
+      case Some(from) if from >= cur => None
+      case Some(from) =>
+        val diff = graft.ext.MergeTable.changes(spark, tableDir, from, cur)
+        diff.write.mode("overwrite").parquet(s"$sinkDir/batch=$cur")
+        val rows = spark.read.parquet(s"$sinkDir/batch=$cur").count()
+        cursor.commit(cur) // only after the sink is fully written
+        Some(RunResult(from, cur, rows))
+    }
+  }
+}

@@ -54,7 +54,8 @@ class PlanGuardSpec extends SparkSpec {
     "q132_filtered_rerank_recall" -> "acceptance instrument (q129's shapes): exact filtered grid-L2 ground truth over the broadcast 10-query set + three one-row broadcast combines",
     "q136_zorder_curve" -> "one-row broadcast bounds relation feeding the curve quantization",
     "q137_zorder_skipping" -> "acceptance instrument: one-row broadcast bounds relation + three one-row layout-count relations combined into the single acceptance row",
-    "q138_sketch_rollup" -> "one-row broadcast bounds/date-range relations + the one-row served x exact combine of the acceptance row")
+    "q138_sketch_rollup" -> "one-row broadcast bounds/date-range relations + the one-row served x exact combine of the acceptance row",
+    "q145_histogram_rollup" -> "acceptance instrument: one-row broadcast bounds/count relations + six one-row rank-bin/exact-percentile combines into the single acceptance row")
 
   for (name <- SparkEntry.queries.keys.toSeq.sorted)
     test(s"$name plan has no scale-killer joins") {

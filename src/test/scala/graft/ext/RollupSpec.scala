@@ -45,6 +45,46 @@ class RollupSpec extends SparkSpec {
     assert(before === after, "replay duplicated partials")
   }
 
+  test("histogram rollup: partials merge by + (any slicing gives the " +
+      "same bins) and the rank bin brackets the exact percentile") {
+    import spark.implicits._
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val Array(lo, hi) = ev
+      .select(round(col("value") * 100, 0).cast("long").as("c"))
+      .agg(min("c"), max("c")).collect().head.toSeq
+      .map(_.asInstanceOf[Long]).toArray
+    def build(slices: Seq[org.apache.spark.sql.DataFrame]): Map[Long, Long] = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-hist")
+        .resolve("s").toString
+      slices.zipWithIndex.foreach { case (s, i) =>
+        Rollup.buildHistogram(s, dir, i, lo, hi) }
+      spark.read.parquet(dir).groupBy("bin").agg(sum("cnt").as("c"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val whole = build(Seq(ev))
+    val sliced = build(Seq(ev.filter(col("user_id") % 3 === 0),
+      ev.filter(col("user_id") % 3 === 1),
+      ev.filter(col("user_id") % 3 === 2)))
+    assert(whole === sliced, "bin counts depend on the batch slicing")
+    assert(whole.values.sum === ev.count())
+    // the served p90 bin must contain the exact rank element
+    val q = graft.SparkEntry.queries("q145_histogram_rollup")(spark, sf)
+      .collect().head
+    val binW = (q.getAs[Long]("hi_cents") - q.getAs[Long]("lo_cents") + 1)
+    val p90lo = q.getAs[Long]("lo_cents") +
+      q.getAs[Long]("p90_bin") * binW / Rollup.BINS
+    val p90hi = q.getAs[Long]("lo_cents") +
+      (q.getAs[Long]("p90_bin") + 1) * binW / Rollup.BINS
+    val exact = q.getAs[Long]("p90_exact")
+    if (exact >= q.getAs[Long]("lo_cents") &&
+        exact <= q.getAs[Long]("hi_cents"))
+      assert(exact >= p90lo - 1 && exact <= p90hi + 1,
+        s"exact p90 $exact outside its bin [$p90lo, $p90hi]")
+    else // out-of-domain element: must have clamped to an edge bin
+      assert(q.getAs[Long]("p90_bin") == 0L ||
+        q.getAs[Long]("p90_bin") == (Rollup.BINS - 1).toLong)
+  }
+
   test("exact rollup: overlapping parity runs merge by + into the " +
       "direct aggregate, group for group") {
     val ev = spark.read.parquet(s"$sf/events.parquet")

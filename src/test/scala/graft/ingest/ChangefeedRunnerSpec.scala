@@ -1,0 +1,47 @@
+package graft.ingest
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** ChangefeedRunner: bootstrap pins without publishing, increments
+  * coalesce per run, a crash between sink and commit replays into the
+  * same bytes, and a quiet table is a no-op. */
+class ChangefeedRunnerSpec extends SparkSpec {
+
+  test("bootstrap, incremental publish, crash replay, quiet no-op") {
+    import spark.implicits._
+    val table = java.nio.file.Files.createTempDirectory("cfr-table")
+      .resolve("t").toString
+    val sink = java.nio.file.Files.createTempDirectory("cfr-sink").toString
+    val state = java.nio.file.Files.createTempDirectory("cfr-state").toString
+    val cursor = new FileCursorStore(state)
+    graft.ext.MergeTable.create(
+      (1L to 100L).map(i => (i, s"v$i")).toDF("key", "value"), table, "key")
+
+    // bootstrap: cursor pinned to v1, nothing published
+    assert(ChangefeedRunner.runOnce(spark, table, sink, cursor).isEmpty)
+    assert(cursor.read() === Some(1L))
+
+    // two commits, ONE run: the diff coalesces
+    graft.ext.MergeTable.upsert(spark, table,
+      Seq((5L, "x"), (101L, "ins")).toDF("key", "value"))
+    graft.ext.MergeTable.deleteKeys(spark, table, Seq(9L).toDF("key"))
+    val r = ChangefeedRunner.runOnce(spark, table, sink, cursor).get
+    assert(r.fromV === 1L && r.toV === 3L && r.rows === 3L)
+    assert(cursor.read() === Some(3L))
+    val feed = spark.read.parquet(s"$sink/batch=3")
+      .select("key", "change").collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(feed === Map(5L -> "update", 101L -> "insert", 9L -> "delete"))
+
+    // crash between sink and commit: replay overwrites the same batch
+    cursor.commit(1L) // rewind = the not-yet-committed state
+    val r2 = ChangefeedRunner.runOnce(spark, table, sink, cursor).get
+    assert(r2 === r)
+    assert(spark.read.parquet(s"$sink/batch=3").count() === 3L)
+
+    // quiet table: no-op, cursor unchanged
+    assert(ChangefeedRunner.runOnce(spark, table, sink, cursor).isEmpty)
+    assert(cursor.read() === Some(3L))
+  }
+}
