@@ -188,7 +188,12 @@ object MergeTable {
     val v = version.getOrElse(versions(spark, dir).lastOption.getOrElse(
       throw new IllegalArgumentException(s"no MergeTable at $dir")))
     val files = readManifest(spark, dir, v).map(e => s"$dir/data/$e")
-    spark.read.option("basePath", s"$dir/data").parquet(files: _*)
+    // mergeSchema: snapshots may mix pre- and post-evolution files
+    // (upsert allows EXTEND-only schema changes); merging footers is
+    // manifest-sized work, and older files' rows read null for newer
+    // columns — the standard parquet evolution contract
+    spark.read.option("basePath", s"$dir/data")
+      .option("mergeSchema", "true").parquet(files: _*)
       .drop("v")
   }
 
@@ -230,9 +235,17 @@ object MergeTable {
       .filter(col("bucket").isin(impacted.toSeq: _*))
     val matched = existing.join(batch.select(key), Seq(key), "left_semi")
       .count()
+    // SCHEMA EVOLUTION, extend-only: the batch may ADD columns (old
+    // rows read null for them via mergeSchema) but must carry every
+    // existing column — a batch silently missing one would null it out
+    // for every key it touches, which is a bug, not an evolution
+    val dropped = existing.columns.toSet -- batch.columns.toSet
+    require(dropped.isEmpty,
+      s"upsert batch is missing table columns: ${dropped.mkString(",")}" +
+        " (schema changes are extend-only)")
     val merged = existing
       .join(batch.select(key), Seq(key), "left_anti")
-      .unionByName(batch)
+      .unionByName(batch, allowMissingColumns = true)
       .localCheckpoint(true) // materialize before writing the epoch
     val next = cur + 1
     writeEpoch(merged, dir, next)
@@ -274,6 +287,36 @@ object MergeTable {
     commitManifest(spark, dir, next, kept ++ fresh)
     CowStats(next, impacted.size.toLong, rewritten.size.toLong,
       fresh.size.toLong, matched, 0L)
+  }
+
+  /** OPTIMIZE — a contents-invariant, layout-changing version: rewrite
+    * every bucket with rows sorted by `sortCol` (so parquet row-group
+    * min/max stats prune scans on that column WITHIN each hash bucket —
+    * the Layout.zOrderWrite discipline applied inside the table format)
+    * and commit it as a normal snapshot. Readers at older versions are
+    * untouched; the rewrite is priced like any other epoch
+    * (filesWritten = non-empty buckets) and reclaimed by [[vacuum]].
+    * Contents-invariance is the q92/q124 contract: q146 holds the
+    * optimized table to the SAME oracle as the unoptimized q140
+    * state. */
+  def optimize(spark: SparkSession, dir: String,
+      sortCol: String): CowStats = {
+    keyMeta(spark, dir, None)
+    val cur = versions(spark, dir).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"no MergeTable at $dir"))
+    val filesBefore = readManifest(spark, dir, cur).size.toLong
+    val next = cur + 1
+    val all = readTable(spark, dir, Some(cur)).localCheckpoint(true)
+    val tasks = math.min(1 << (4 * HEX_DIGITS),
+      spark.sparkContext.defaultParallelism)
+    all.repartition(tasks, col("bucket"))
+      .sortWithinPartitions("bucket", sortCol)
+      .write.mode("overwrite")
+      .partitionBy("bucket").parquet(s"$dir/data/v=$next")
+    val fresh = epochEntries(spark, dir, next)
+    commitManifest(spark, dir, next, fresh)
+    CowStats(next, fresh.size.toLong, filesBefore, fresh.size.toLong,
+      0L, 0L)
   }
 
   /** Drop all but the last `retainVersions` manifests and delete every
@@ -324,7 +367,7 @@ object MergeTable {
   /** Buckets whose manifest file lists differ between two versions —
     * the set a version diff must scan; every other bucket is skipped
     * unread. Factored for the spec to pin the pruning itself. */
-  private[ext] def changedBuckets(spark: SparkSession, dir: String,
+  private[graft] def changedBuckets(spark: SparkSession, dir: String,
       fromV: Long, toV: Long): Seq[String] = {
     val byB = (m: Seq[String]) => m.groupBy(bucketOfEntry).view
       .mapValues(_.sorted).toMap
@@ -338,13 +381,22 @@ object MergeTable {
       toV: Long): DataFrame = {
     val key = keyMeta(spark, dir, None)
     val changed = changedBuckets(spark, dir, fromV, toV)
-    def side(v: Long, tag: String): DataFrame = {
-      val t = readTable(spark, dir, Some(v))
-        .filter(col("bucket").isin(changed: _*)).drop("bucket")
-      val payload = struct(t.columns.filter(_ != key).map(col): _*)
-      t.select(col(key), payload.as(s"${tag}_row"))
+    val tFrom = readTable(spark, dir, Some(fromV))
+      .filter(col("bucket").isin(changed: _*)).drop("bucket")
+    val tTo = readTable(spark, dir, Some(toV))
+      .filter(col("bucket").isin(changed: _*)).drop("bucket")
+    // align both sides on the UNION of their columns (a diff may
+    // straddle a schema evolution; the older side reads null for the
+    // newer columns, so an evolved value registers as an update)
+    val payloadCols = (tFrom.columns ++ tTo.columns).distinct
+      .filter(_ != key)
+    def side(t: DataFrame, tag: String): DataFrame = {
+      val aligned = payloadCols.foldLeft(t)((d, c) =>
+        if (d.columns.contains(c)) d else d.withColumn(c, lit(null)))
+      aligned.select(col(key),
+        struct(payloadCols.map(col): _*).as(tag + "_row"))
     }
-    side(fromV, "old").join(side(toV, "new"), Seq(key), "full_outer")
+    side(tFrom, "old").join(side(tTo, "new"), Seq(key), "full_outer")
       .withColumn("change",
         when(col("old_row").isNull, "insert")
           .when(col("new_row").isNull, "delete")
@@ -405,13 +457,11 @@ object MergeTable {
     * arithmetic + the insert union + the md5 bucket restatement —
     * latest-wins sequencing, insert placement, and bucket assignment
     * are all hash-gated row for row. */
-  private val q140CowUpsert = QueryDef(
-    (s, dir) => {
-      val out = runLifecycle(s, dir, "q140")
-      readTable(s, out)
-        .select("key", "cust", "status", "cents", "bucket")
-        .orderBy("key")
-    },
+  /** The lifecycle's final-state oracle, shared verbatim by q140 (the
+    * plain lifecycle) and q146 (lifecycle + OPTIMIZE) — the
+    * rewrite-proven-result-identical discipline of q92/q124: optimize
+    * must change layout, never content. */
+  private val lifecycleStateSql: String =
     s"""WITH base AS (
        |  SELECT o_orderkey AS key, o_custkey AS cust,
        |         o_orderstatus AS status,
@@ -427,7 +477,30 @@ object MergeTable {
        |  SELECT -key - 1, cust, 'N', cents FROM base WHERE key % 103 = 0)
        |SELECT key, cust, status, cents,
        |       ${bucketSql("key")} AS bucket
-       |FROM fin ORDER BY key""")
+       |FROM fin ORDER BY key""".stripMargin
+
+  private def lifecycleState(s: SparkSession, out: String) =
+    readTable(s, out)
+      .select("key", "cust", "status", "cents", "bucket")
+      .orderBy("key")
+
+  private val q140CowUpsert = QueryDef(
+    (s, dir) => lifecycleState(s, runLifecycle(s, dir, "q140")),
+    lifecycleStateSql)
+
+  /** q146 — OPTIMIZE invariance: the lifecycle table rewritten with
+    * rows sorted by cents inside every bucket (row-group min/max stats
+    * then prune cents-range scans within the hash layout), held to the
+    * IDENTICAL oracle as q140's unoptimized state — layout changed,
+    * content provably not; the spec checks the physical sortedness and
+    * that vacuum reclaims the pre-optimize files. */
+  private val q146OptimizeInvariance = QueryDef(
+    (s, dir) => {
+      val out = runLifecycle(s, dir, "q146")
+      optimize(s, out, "cents")
+      lifecycleState(s, out)
+    },
+    lifecycleStateSql)
 
   /** q141 — WRITE-AMPLIFICATION acceptance row for the same lifecycle:
     * buckets touched by each batch (= files written, one file per
@@ -602,5 +675,6 @@ object MergeTable {
     "q142_time_travel" -> q142TimeTravel,
     "q143_vacuum_cost" -> q143VacuumCost,
     "q144_changefeed" -> q144Changefeed,
+    "q146_optimize_invariance" -> q146OptimizeInvariance,
   )
 }

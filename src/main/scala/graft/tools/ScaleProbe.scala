@@ -3,11 +3,12 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Dev-only 10× scale probe for the four hottest extension paths — the
+/** Dev-only 10× scale probe for the hottest extension paths — the
   * persisted IVF-PQ serve (q98 shape), the near-dup multi-probe pair
   * scan (q79 shape), the dedup component closure (q80 shape, over a
-  * planted-cluster corpus with structural ground truth), and the
-  * substring excision (q134 shape, hot planted shingle). Every 100 TB argument so far is a plan-SHAPE
+  * planted-cluster corpus with structural ground truth), the substring
+  * excision (q134 shape, hot planted shingle), and the COW upsert
+  * (q140 shape, constant batch vs growing table). Every 100 TB argument so far is a plan-SHAPE
   * argument (pruned scans, equi-joins, bounded broadcasts); this tool
   * turns the two load-bearing ones into MEASURED scaling exponents:
   * run the production code paths over deterministic synthetic corpora
@@ -72,7 +73,7 @@ object ScaleProbe {
     case class Cell(scale: Int, n: Long, buildS: Double, serveS: Double,
       candPerQuery: Double, pairS: Double, candPairs: Long, planes: Int,
       closureS: Double, nComponents: Long, exciseS: Double,
-      dupTokens: Long)
+      dupTokens: Long, cowS: Double, cowFiles: Long, cowRows: Long)
 
     val cells = scales.map { sc =>
       val n = baseN * sc
@@ -163,13 +164,39 @@ object ScaleProbe {
       require(dupToks >= 16 * (n / 10),
         s"excision lost planted coverage: $dupToks < ${16 * (n / 10)}")
 
+      // --- COW upsert: q140 shape over a synthetic keyed table. A
+      // CONSTANT 40-key batch against a growing table; the claims:
+      // files written stays bounded by the batch's distinct buckets
+      // (amplification ∝ change stream, exponent ≈ 0), while rewritten
+      // ROWS grow with bucket SIZE (exponent ≈ 1 at fixed bucket
+      // count, slope |batch buckets|/256 — the measured collateral
+      // cost that says WHEN to raise HEX_DIGITS: production scales
+      // bucket count with the table precisely so this row-cost stays
+      // row-group-bounded).
+      val tbl = s"$tmp/cow_s$sc"
+      graft.ext.MergeTable.create(
+        spark.range(n).select(col("id").as("key"),
+          (col("id") % 97).as("payload")), tbl, "key")
+      val batch = spark.range(40).select((col("id") * 50).as("key"),
+        lit(-1L).as("payload"))
+      var cowFiles = 0L
+      val cowS = timeMinOf(1) {
+        cowFiles = graft.ext.MergeTable.upsert(spark, tbl, batch)
+          .filesWritten
+      }
+      val cowRows = graft.ext.MergeTable.readTable(spark, tbl)
+        .filter(col("bucket").isin(graft.ext.MergeTable
+          .changedBuckets(spark, tbl, 1L, 2L): _*)).count()
+
       val cell = Cell(sc, n, buildS, serveS, candPerQuery, pairS,
-        candPairs, planes, closureS, nComp, exciseS, dupToks)
+        candPairs, planes, closureS, nComp, exciseS, dupToks,
+        cowS, cowFiles, cowRows)
       println(f"[scaleprobe] scale=${sc}x n=$n build=${buildS}%.2fs " +
         f"serve=${serveS}%.2fs cand/q=${candPerQuery}%.1f " +
         f"pairscan=${pairS}%.2fs candpairs=$candPairs planes=$planes " +
         f"closure=${closureS}%.2fs components=$nComp/$groups " +
-        f"excise=${exciseS}%.2fs duptokens=$dupToks")
+        f"excise=${exciseS}%.2fs duptokens=$dupToks " +
+        f"cow=${cowS}%.2fs cowfiles=$cowFiles cowrows=$cowRows")
       cell
     }
 
@@ -185,7 +212,9 @@ object ScaleProbe {
       f"closure_time=${expo(_.closureS)}%.2f " +
       f"closure_components=${expo(_.nComponents.toDouble)}%.2f " +
       f"excise_time=${expo(_.exciseS)}%.2f " +
-      f"excise_dup_tokens=${expo(_.dupTokens.toDouble)}%.2f")
+      f"excise_dup_tokens=${expo(_.dupTokens.toDouble)}%.2f " +
+      f"cow_files_written=${expo(_.cowFiles.toDouble)}%.2f " +
+      f"cow_rows_rewritten=${expo(_.cowRows.toDouble)}%.2f")
     spark.stop()
   }
 }

@@ -182,6 +182,56 @@ class MergeTableSpec extends SparkSpec {
       s"changefeed misclassified: $cf")
   }
 
+  test("optimize: contents-invariant, physically sorted within every " +
+      "bucket file, reclaimed by vacuum") {
+    import spark.implicits._
+    val dir = mkTable(300)
+    val before = MergeTable.readTable(spark, dir)
+      .orderBy("key").collect().toSeq
+    val st = MergeTable.optimize(spark, dir, "value")
+    assert(st.version === 2L)
+    val after = MergeTable.readTable(spark, dir)
+      .orderBy("key").collect().toSeq
+    assert(before === after, "optimize changed table contents")
+    // physical within-file sortedness on the sort column
+    val files = fileIds(dir).keys.filter(_.startsWith("v=2/")).toSeq
+    assert(files.nonEmpty)
+    files.take(5).foreach { rel =>
+      val vals = spark.read.parquet(s"$dir/data/$rel")
+        .select("value").collect().map(_.getString(0)).toSeq
+      assert(vals === vals.sorted, s"file $rel not sorted by value")
+    }
+    val vac = MergeTable.vacuum(spark, dir, retainVersions = 1)
+    assert(vac.filesDeleted > 0)
+    assert(MergeTable.readTable(spark, dir)
+      .orderBy("key").collect().toSeq === after)
+  }
+
+  test("schema evolution: an extending batch adds a column (old rows " +
+      "read null), a dropping batch throws, the changefeed straddles " +
+      "the evolution") {
+    import spark.implicits._
+    val dir = mkTable(50)
+    val evolved = Seq((7L, "seven", 1L)).toDF("key", "value", "flag")
+    MergeTable.upsert(spark, dir, evolved)
+    val t = MergeTable.readTable(spark, dir)
+    assert(t.columns.contains("flag"))
+    assert(t.filter(col("key") === 7L).select("flag")
+      .collect().head.getLong(0) === 1L)
+    assert(t.filter(col("key") === 8L).select("flag")
+      .collect().head.isNullAt(0),
+      "pre-evolution rows must read null for the new column")
+    val err = intercept[IllegalArgumentException] {
+      MergeTable.upsert(spark, dir, Seq((9L, 2L)).toDF("key", "flag"))
+    }
+    assert(err.getMessage.contains("extend-only"))
+    // a diff straddling the evolution: key 7's change registers
+    val cf = MergeTable.changes(spark, dir, 1L, 2L)
+      .select("key", "change").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cf === Map(7L -> "update"))
+  }
+
   test("a mismatched key column on an existing table throws") {
     import spark.implicits._
     val dir = mkTable(10)
