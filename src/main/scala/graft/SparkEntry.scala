@@ -28,7 +28,8 @@ object SparkEntry {
       graft.ext.IvfPqIndex.defs ++
       graft.ext.Layout.defs ++
       graft.ext.Rollup.defs ++
-      graft.ext.MergeTable.defs
+      graft.ext.MergeTable.defs ++
+      graft.ext.Ivm.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
