@@ -1,0 +1,73 @@
+package graft.ext
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+import org.apache.spark.sql.functions._
+
+/** MODEL-BASED property test of the snapshot table: an arbitrary
+  * sequence of upsert/delete batches applied both to a MergeTable and
+  * to an in-memory Map model must agree on the FINAL state AND on
+  * every intermediate version via time travel — the history is the
+  * specification. The fixed MergeTableSpec scenarios pin the named
+  * behaviors (byte-identical untouched files, conflicts, vacuum); this
+  * property sweeps the interaction space those scenarios can't
+  * enumerate: a key inserted, deleted, and re-inserted with a new
+  * value; a batch that only touches absent keys; empty-bucket
+  * transitions; latest-wins across arbitrarily many versions. Kept to
+  * few-but-meaty cases because every operation pays real file I/O. */
+object MergeTableProperties extends Properties("MergeTable") {
+
+  private def spark = graft.SparkSpec.session
+
+  // small key domain on purpose: collisions (update/delete/re-insert
+  // of the SAME key across batches) are the interesting interactions
+  private val genOp: Gen[Either[Map[Long, String], Set[Long]]] = for {
+    isDelete <- Gen.frequency(2 -> false, 1 -> true)
+    // deletes never target key 1: a table whose every row died has an
+    // EMPTY manifest and no schema to read — a documented edge the
+    // sweep must not trip on incidentally
+    keys <- Gen.nonEmptyListOf(Gen.choose(if (isDelete) 2L else 1L, 12L))
+      .map(_.toSet)
+    tag <- Gen.choose(0, 1000)
+    op <- if (isDelete) Gen.const(Right(keys): Either[Map[Long, String], Set[Long]])
+      else Gen.const(Left(keys.map(k => k -> s"v$tag-$k").toMap))
+  } yield op
+
+  private val genOps = Gen.choose(1, 4).flatMap(n => Gen.listOfN(n, genOp))
+
+  // every case pays real file I/O (one epoch write per op), so the
+  // sweep runs few-but-deep cases rather than scalacheck's default 100
+  override def overrideParameters(p: org.scalacheck.Test.Parameters)
+      : org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(12)
+
+  property("any op sequence matches the Map model at every version") =
+    forAll(genOps) { ops =>
+      val s = spark
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("cow-prop")
+        .resolve("t").toString
+      val init = Map(1L -> "init1", 5L -> "init5", 9L -> "init9")
+      MergeTable.create(init.toSeq.toDF("key", "value"), dir, "key")
+      // replay the ops against both implementations, tracking history
+      var model = init
+      val history = scala.collection.mutable.ArrayBuffer(model)
+      ops.foreach {
+        case Left(up) =>
+          MergeTable.upsert(s, dir, up.toSeq.toDF("key", "value"))
+          model = model ++ up
+          history += model
+        case Right(del) =>
+          MergeTable.deleteKeys(s, dir, del.toSeq.toDF("key"))
+          model = model -- del
+          history += model
+      }
+      def stateAt(v: Long): Map[Long, String] =
+        MergeTable.readTable(s, dir, Some(v))
+          .select("key", "value").collect()
+          .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val versions = MergeTable.versions(s, dir)
+      versions.size == history.size &&
+        versions.zip(history).forall { case (v, m) => stateAt(v) == m }
+    }
+}
