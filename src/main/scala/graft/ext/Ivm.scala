@@ -15,8 +15,9 @@ import graft.core.{QueryDef, Tables}
   * migrates rows between statuses on purpose), and a delete is pure
   * subtraction. That is only sound when the view's aggregates form a
   * commutative GROUP (not just a monoid — counts and sums have
-  * inverses; min/max do NOT and would need the rollup family's
-  * rebuild-from-partials path instead). Deltas land as run partitions
+  * inverses; min/max do NOT, and neither do HLL distinct sketches —
+  * register-max cannot unsee an element — so those aggregates stay on
+  * the rollup family's rebuild-from-partials path under deletion). Deltas land as run partitions
   * (the Rollup discipline — replay-idempotent by run overwrite) and
   * the serve is one O(groups x runs) aggregation of the summary.
   *

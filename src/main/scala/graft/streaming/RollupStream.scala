@@ -42,4 +42,23 @@ object RollupStream {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** The EXACT-partials twin ([[graft.ext.Rollup.buildAggPartials]]):
+    * per-(day, event_type) count + fixed-point cents partials, one run
+    * partition per micro-batch — q139's +-monoid merge contract is
+    * precisely what makes per-batch slicing safe, so the serve just
+    * sums across however many batches a day arrived in. Exactly-once
+    * by the same run-overwrite argument (here the exactness of `cnt`
+    * and `value_cents` is the whole point, so the idempotent replay is
+    * load-bearing, not belt-and-braces). */
+  def startAgg(events: DataFrame, dir: String,
+      checkpoint: String): StreamingQuery =
+    events.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ext.Rollup.buildAggPartials(batch, dir, batchId.toInt)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
 }

@@ -57,4 +57,30 @@ class RollupStreamSpec extends SparkSpec {
     assert(spark.read.parquet(dir).select("run").distinct()
       .collect().map(_.getInt(0)).toSeq === Seq(-1))
   }
+
+  test("exact-partials twin: a day split across batches sums to the " +
+      "direct aggregate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("rollup-agg").toString + "/mv"
+    val ckpt = Files.createTempDirectory("rollup-agg-ckpt").toString
+    val input = MemoryStream[RollupAggEv]
+
+    input.addData(RollupAggEv(t(1, 9), "view", 1.25),
+      RollupAggEv(t(1, 10), "view", 2.50))
+    RollupStream.startAgg(input.toDF(), dir, ckpt).awaitTermination()
+    input.addData(RollupAggEv(t(1, 11), "view", 0.25),
+      RollupAggEv(t(1, 12), "click", 10.00))
+    RollupStream.startAgg(input.toDF(), dir, ckpt).awaitTermination()
+
+    val served = spark.read.parquet(dir)
+      .groupBy("day", "event_type")
+      .agg(sum("cnt").as("n"), sum("value_cents").as("cents"))
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(served === Set(("view", 3L, 400L), ("click", 1L, 1000L)))
+  }
 }
+
+case class RollupAggEv(ts: java.sql.Timestamp, event_type: String,
+  value: Double)
