@@ -8,8 +8,10 @@ import graft.core.{QueryDef, Tables}
 /** COPY-ON-WRITE keyed table with SNAPSHOT ISOLATION — the
   * UPSERT/DELETE (CDC-apply) write path plus the manifest/time-travel
   * read side a 100 TB deployment pairs it with. The reference pipeline
-  * only ever appends (its cache never updates a changed repo in place —
-  * re-extraction rewrites everything); the warehouse answer (Hudi's
+  * only ever appends (its per-repo cache files are written once and
+  * reused verbatim — src/extract_github_data.py:293-330
+  * `get_cache_filename`/`save_to_cache` — so a changed repo is only
+  * ever corrected by re-extraction); the warehouse answer (Hudi's
   * bucket-indexed copy-on-write; Iceberg/Delta's manifest-committed
   * snapshots) is file-granular rewrite under an atomic metadata commit:
   *

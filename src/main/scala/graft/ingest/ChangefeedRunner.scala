@@ -5,7 +5,9 @@ import org.apache.spark.sql.SparkSession
 /** Incremental CHANGEFEED PUBLISHER — drains a
   * [[graft.ext.MergeTable]]'s version history to a downstream sink,
   * one cursor-tracked run at a time: the reference's cron-shaped
-  * incremental loop (cursor → new work → sink → commit), re-aimed at
+  * incremental loop (cursor → new work → sink → commit;
+  * src/extract_github_data.py:164-235 `get_last_repo_id`, :238-290
+  * `save_last_repo_id`, :607-762 `extract_repositories`), re-aimed at
   * table versions instead of repo ids, with the same S5/S6 durability
   * discipline ([[CursorStore]] atomic file commit; SINK-THEN-COMMIT
   * ordering, so a crash between the two replays the batch into a
