@@ -44,7 +44,7 @@ object Ivm {
     * moves its weight between groups, and a net-zero group simply
     * cancels at serve time. `runId` keys the partition (replay
     * overwrites it — idempotent). */
-  def applyChanges(changefeed: DataFrame, dir: String, runId: Int): Unit = {
+  def applyChanges(changefeed: DataFrame, dir: String, runId: Long): Unit = {
     val retract = changefeed.filter(col("old_row").isNotNull)
       .select(col("old_row.status").as("status"), lit(-1L).as("w"),
         (-col("old_row.cents")).as("c"))

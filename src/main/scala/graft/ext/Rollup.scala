@@ -38,7 +38,7 @@ object Rollup {
     * makes replays idempotent (the index family's discipline). Output
     * is O(days) rows regardless of input size. */
   def buildDistinctSketches(events: DataFrame, dir: String,
-      runId: Int): Unit =
+      runId: Long): Unit =
     events.select(to_date(col("ts")).as("day"), col("user_id"))
       .groupBy("day")
       .agg(hll_sketch_agg(col("user_id"), LG_K).as("sketch"),
@@ -140,7 +140,7 @@ object Rollup {
     * and value in integer CENTS (row-level fixed-point before any sum,
     * so partial-merge arithmetic is associative BIGINT — never a
     * float re-sum whose last bits depend on grouping). */
-  def buildAggPartials(events: DataFrame, dir: String, runId: Int): Unit =
+  def buildAggPartials(events: DataFrame, dir: String, runId: Long): Unit =
     events.select(to_date(col("ts")).as("day"), col("event_type"),
         col("value"))
       .groupBy("day", "event_type")
@@ -200,7 +200,7 @@ object Rollup {
     * contract): it is fixed when the summary is created — mergeability
     * requires bins that never move — and later runs clamp outliers to
     * the edge bins, a bounded, PRICED distortion (q145 counts them). */
-  def buildHistogram(events: DataFrame, dir: String, runId: Int,
+  def buildHistogram(events: DataFrame, dir: String, runId: Long,
       loCents: Long, hiCents: Long): Unit =
     events.select(round(col("value") * 100, 0).cast("long").as("cents"))
       .select(expr(binSql("cents", loCents.toString, hiCents.toString,

@@ -37,7 +37,7 @@ object RollupStream {
           System.err.println(s"[graft] rollup auto-compact run=$batchId " +
             s"read=${cs.filesRead} wrote=${cs.filesWritten}")
         }
-        graft.ext.Rollup.buildDistinctSketches(batch, dir, batchId.toInt)
+        graft.ext.Rollup.buildDistinctSketches(batch, dir, batchId)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
@@ -56,7 +56,7 @@ object RollupStream {
     events.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.ext.Rollup.buildAggPartials(batch, dir, batchId.toInt)
+        graft.ext.Rollup.buildAggPartials(batch, dir, batchId)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
