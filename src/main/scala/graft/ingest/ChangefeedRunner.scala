@@ -21,6 +21,14 @@ import org.apache.spark.sql.SparkSession
   * v1" instead would silently miss rows already present at v1, the
   * classic CDC bootstrap bug.
   *
+  * RETENTION CONTRACT: the diff needs BOTH endpoint manifests, so
+  * [[graft.ext.MergeTable.vacuum]]'s retention must cover the
+  * publisher's worst-case lag — vacuuming past an unpublished cursor
+  * makes the next run fail LOUDLY with the missing-version error
+  * (spec-pinned), never silently skip changes; recovery is a fresh
+  * bootstrap (re-pin a snapshot, consumers reload). The same coupling
+  * every snapshot-store incremental reader documents.
+  *
   * Each published batch lands at `sink/batch=<toVersion>` (overwrite —
   * replay-idempotent by construction) carrying the classified diff
   * (key, change, old_row, new_row). Per-run cost is the manifest diff:

@@ -44,4 +44,28 @@ class ChangefeedRunnerSpec extends SparkSpec {
     assert(ChangefeedRunner.runOnce(spark, table, sink, cursor).isEmpty)
     assert(cursor.read() === Some(3L))
   }
+
+  test("vacuum past the cursor fails the next run loudly — retention " +
+      "must cover publisher lag, and the failure names the gap") {
+    import spark.implicits._
+    val table = java.nio.file.Files.createTempDirectory("cfr-vac")
+      .resolve("t").toString
+    val sink = java.nio.file.Files.createTempDirectory("cfr-vsink")
+      .toString
+    val state = java.nio.file.Files.createTempDirectory("cfr-vstate")
+      .toString
+    val cursor = new FileCursorStore(state)
+    graft.ext.MergeTable.create(
+      (1L to 10L).map(i => (i, s"v$i")).toDF("key", "value"), table, "key")
+    assert(ChangefeedRunner.runOnce(spark, table, sink, cursor).isEmpty)
+    graft.ext.MergeTable.upsert(spark, table,
+      Seq((2L, "x")).toDF("key", "value"))
+    // retention violates the publisher's lag: v1 (the cursor) drops
+    graft.ext.MergeTable.vacuum(spark, table, retainVersions = 1)
+    val err = intercept[IllegalArgumentException] {
+      ChangefeedRunner.runOnce(spark, table, sink, cursor)
+    }
+    assert(err.getMessage.contains("no version 1"))
+    assert(cursor.read() === Some(1L), "a failed run must not advance")
+  }
 }
