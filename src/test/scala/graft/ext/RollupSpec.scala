@@ -33,6 +33,22 @@ class RollupSpec extends SparkSpec {
       "disjoint-day runs must contribute one partial per day")
   }
 
+  test("the summary serve's day-range predicate reaches the parquet " +
+      "scan — a range serve reads O(range days), not the summary") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-mv-push")
+      .resolve("summary").toString
+    Rollup.buildDistinctSketches(ev, dir, 0)
+    val lo = java.sql.Date.valueOf("2024-01-05")
+    val hi = java.sql.Date.valueOf("2024-01-10")
+    val plan = Rollup.mergedDistinct(spark, dir, lo, hi)
+      .queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator
+      .find(_.contains("PushedFilters:")).getOrElse("")
+    assert(scanLine.contains("day"),
+      s"day range not pushed to the summary scan:\n$plan")
+  }
+
   test("sketch rollup: rebuilding a run overwrites its partition — " +
       "replays are idempotent") {
     val ev = spark.read.parquet(s"$sf/events.parquet")
