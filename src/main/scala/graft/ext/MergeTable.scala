@@ -441,9 +441,6 @@ object MergeTable {
     base.filter(col("key") % 202 === 0)
       .withColumn("cents", col("cents") + 300)
 
-  private def runLifecycle(s: SparkSession, dir: String,
-      tag: String): String = runLifecycleStats(s, dir, tag)._1
-
   private def runLifecycleStats(s: SparkSession, dir: String,
       tag: String): (String, CowStats, CowStats) = {
     val out = java.nio.file.Files.createTempDirectory(s"graft-$tag-cow")
@@ -469,6 +466,17 @@ object MergeTable {
       : (String, CowStats, CowStats) =
     lifecycleCache.computeIfAbsent(dir,
       _ => runLifecycleStats(s, dir, "memo"))
+
+  /** The MUTATING instruments (q143 vacuum, q144 changefeed+delete,
+    * q146 optimize) rebuild their own lifecycle per invocation rather
+    * than forking the memo by file copy: MEASURED at sf0.1, a
+    * driver-side copy of the ~800 small files is 2-4 s SLOWER than the
+    * 32-thread rebuild (8.5 -> 11.9 s on q144) — the same
+    * names-vs-locations lesson as the q92 listing fix: per-file
+    * driver round trips lose to parallel compute at small-file scale.
+    * q147 builds fresh regardless: its batches differ. */
+  private def runLifecycle(s: SparkSession, dir: String,
+      tag: String): String = runLifecycleStats(s, dir, tag)._1
 
   /** q140 — the COW upsert LIFECYCLE, gated on the full final table
     * state: create from orders, apply two overlapping absolute-row
