@@ -174,6 +174,41 @@ object MergeTable {
     }
   }
 
+  final case class FsckReport(referenced: Long, orphans: Long,
+    missing: Long)
+
+  /** FSCK — audit the data directory against the retained manifests:
+    * `referenced` = live manifest entries, `orphans` = files on disk no
+    * retained manifest references (crashed epoch attempts — the
+    * "invisible garbage" the commit model promises readers never see;
+    * this makes the promise measurable), `missing` = manifest entries
+    * with no file on disk (real corruption: a snapshot that can no
+    * longer be read — the caller should alarm, not vacuum). Pure
+    * metadata: manifest reads + the O(files) name-walk, no data pages.
+    * [[vacuum]] deletes orphans along with expired versions, so
+    * fsck-after-vacuum reporting zero orphans is the sweep's proof
+    * (q148 prices the whole story). */
+  def fsck(spark: SparkSession, dir: String): FsckReport = {
+    val fs = hadoopFs(spark, dir)
+    val referenced = versions(spark, dir)
+      .flatMap(readManifest(spark, dir, _)).toSet
+    val dataRoot = new Path(s"$dir/data")
+    val onDisk = scala.collection.mutable.Set.empty[String]
+    if (fs.exists(dataRoot))
+      fs.listStatus(dataRoot).filter(_.isDirectory).foreach { epoch =>
+        fs.listStatus(epoch.getPath).filter(_.isDirectory).foreach { bd =>
+          fs.listStatus(bd.getPath).filter(_.isFile)
+            .filterNot(_.getPath.getName.startsWith("_")).foreach { f =>
+              onDisk += s"${epoch.getPath.getName}/${bd.getPath.getName}/" +
+                f.getPath.getName
+            }
+        }
+      }
+    FsckReport(referenced.size.toLong,
+      (onDisk.toSet -- referenced).size.toLong,
+      (referenced -- onDisk).size.toLong)
+  }
+
   private def writeEpoch(df: DataFrame, dir: String, v: Long): Unit = {
     val tasks = math.min(1 << (4 * HEX_DIGITS),
       df.sparkSession.sparkContext.defaultParallelism)
@@ -692,7 +727,64 @@ object MergeTable {
        |FROM base WHERE key % 307 = 0
        |ORDER BY key""")
 
+  /** q148 — FSCK + sweep acceptance row: run the lifecycle, PLANT a
+    * crashed epoch attempt (a data file under an epoch dir that no
+    * manifest ever committed — exactly what a writer dying before its
+    * manifest create leaves behind), and price the audit: fsck sees
+    * every manifest entry present (missing = 0), exactly one orphan,
+    * and after a retain-1 vacuum the orphan is swept WITH the expired
+    * versions (files_deleted = |B0 ∩ B1| + |B2| + 1) while the live
+    * state still reads in full. The oracle re-derives the whole ledger
+    * from md5 bucket sets + the planted literal — the invisible-garbage
+    * contract and its cleanup, hash-gated. */
+  private val q148TableFsck = QueryDef(
+    (s, dir) => {
+      val out = runLifecycle(s, dir, "q148")
+      val fs = hadoopFs(s, out)
+      val crashed = new Path(
+        s"$out/data/v=999/bucket=00/part-crashed.c000.snappy.parquet")
+      fs.mkdirs(crashed.getParent)
+      val o = fs.create(crashed, true)
+      try o.write(Array.fill[Byte](64)(0)) finally o.close()
+      val before = fsck(s, out)
+      val vac = vacuum(s, out, retainVersions = 1)
+      val after = fsck(s, out)
+      val rows = readTable(s, out).count()
+      import s.implicits._
+      Seq((before.referenced, before.orphans, before.missing,
+        vac.filesDeleted, after.referenced, after.orphans, after.missing,
+        rows))
+        .toDF("referenced", "orphans", "missing", "files_deleted",
+          "live_files", "orphans_after", "missing_after", "rows_current")
+    },
+    s"""WITH base AS (SELECT o_orderkey AS key FROM orders),
+       |b0 AS (SELECT DISTINCT ${bucketSql("key")} AS b FROM base),
+       |b1 AS (SELECT DISTINCT ${bucketSql("key")} AS b FROM (
+       |         SELECT key FROM base WHERE key % 101 = 0
+       |         UNION ALL
+       |         SELECT -key - 1 FROM base WHERE key % 103 = 0)),
+       |b2 AS (SELECT DISTINCT ${bucketSql("key")} AS b FROM base
+       |       WHERE key % 202 = 0)
+       |SELECT
+       |  (SELECT CAST(count(*) AS BIGINT) FROM b0)
+       |    + (SELECT CAST(count(*) AS BIGINT) FROM b1)
+       |    + (SELECT CAST(count(*) AS BIGINT) FROM b2) AS referenced,
+       |  CAST(1 AS BIGINT) AS orphans,
+       |  CAST(0 AS BIGINT) AS missing,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM b0 WHERE b IN
+       |     (SELECT b FROM b1))
+       |    + (SELECT CAST(count(*) AS BIGINT) FROM b2)
+       |    + 1 AS files_deleted,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM
+       |     (SELECT b FROM b0 UNION SELECT b FROM b1)) AS live_files,
+       |  CAST(0 AS BIGINT) AS orphans_after,
+       |  CAST(0 AS BIGINT) AS missing_after,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM base)
+       |    + (SELECT CAST(count(*) AS BIGINT) FROM base
+       |         WHERE key % 103 = 0) AS rows_current""")
+
   val defs: Map[String, QueryDef] = Map(
+    "q148_table_fsck" -> q148TableFsck,
     "q140_cow_upsert" -> q140CowUpsert,
     "q141_cow_amplification" -> q141CowAmplification,
     "q142_time_travel" -> q142TimeTravel,
