@@ -50,15 +50,44 @@ object Layout {
     * width. 64 keeps per-file row counts meaningful at sf0.01. */
   val FILES = 64
 
+  /** Modeled row groups per file in the q137 instrument: parquet
+    * readers skip at ROW-GROUP granularity, so the acceptance row
+    * prices both "files opened" (manifest-level pruning) and
+    * "row groups opened" (what a reader actually pays) — 4 groups per
+    * file, assigned as contiguous rank sub-blocks, exactly how a
+    * sorted parquet write lays its groups out. */
+  val RG_PER_FILE = 4
+
   private val BITS = 8
 
   /** Equi-width 8-bit bucket of `c` over span [`mn`, `mx`] — exact
-    * BIGINT arithmetic (never a double divide: a 64-bit key times 256
-    * must not round). `divOp` renders the integer-division operator of
+    * BIGINT arithmetic (never a double divide: a 64-bit key's bucket
+    * must not round), in two span-conditional forms because each fails
+    * where the other is right:
+    *
+    *  - spans below 2^55: MULTIPLY-FIRST `(c - mn) * 256 / (span + 1)`,
+    *    which NORMALIZES any span to the full 0..255 range — load-
+    *    bearing for the interleave: a dimension left un-normalized
+    *    (say suppkey's 0..9 against partkey's 0..199) occupies only
+    *    the LOW bits of the z-value, the curve degenerates to a sort
+    *    on the wider dimension, and off-axis skipping vanishes
+    *    (measured: the divide-only form lost ALL y-file skipping on
+    *    the sf0.001 physical write);
+    *  - spans at or above 2^55: DIVIDE-FIRST `(c - mn) / ceil-width`,
+    *    because multiply-first silently wraps 64-bit arithmetic there
+    *    and yields wrong z-values on wide-domain keys — and at that
+    *    magnitude the quotient already lands on ~0..255, so the
+    *    normalization multiply-first existed for is free.
+    *
+    * CASE evaluates lazily in both dialects, so the untaken multiply
+    * never overflows. `divOp` renders the integer-division operator of
     * the target dialect: Spark spells it `DIV`, DuckDB `//`. */
-  private def bucketSql(c: String, mn: String, mx: String,
+  private[ext] def bucketSql(c: String, mn: String, mx: String,
       divOp: String): String =
-    s"CAST((($c - $mn) * ${1 << BITS}) $divOp ($mx - $mn + 1) AS BIGINT)"
+    s"CAST(CASE WHEN ($mx - $mn) < ${1L << 55} " +
+      s"THEN (($c - $mn) * ${1 << BITS}) $divOp ($mx - $mn + 1) " +
+      s"ELSE ($c - $mn) $divOp ((($mx - $mn) $divOp ${1 << BITS}) + 1) " +
+      "END AS BIGINT)"
 
   /** Bit interleave of two 8-bit buckets — x even bits, y odd. Rendered
     * as shift/mask/multiply terms valid in BOTH dialects, so the oracle
@@ -73,6 +102,29 @@ object Layout {
     bucketSql(c, mn, mx, "DIV")
   private def duckBucket(c: String, mn: String, mx: String): String =
     bucketSql(c, mn, mx, "//")
+
+  /** Spec accessors: evaluate the rendered Spark-dialect expressions
+    * over literal values (LayoutSpec pins the no-overflow claim on a
+    * full 64-bit span and bit-compatibility between the dialects). */
+  private[ext] def sparkBucketExpr(c: String, mn: String,
+      mx: String): String = sparkBucket(c, mn, mx)
+  private[ext] def zExpr(xb: String, yb: String): String = zSql(xb, yb)
+
+  /** Attach the z-value of (`xCol`, `yCol`) with data-derived bounds —
+    * the curve generator as a reusable projection (the bounds ride a
+    * one-row broadcast, an O(1) relation at any scale). Callers sort or
+    * range-exchange on `zval` and drop it before landing the data
+    * ([[zOrderWrite]]; [[MergeTable.optimizeZOrder]]). */
+  def withZVal(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val bounds = df.agg(
+      min(xCol).as("mnx"), max(xCol).as("mxx"),
+      min(yCol).as("mny"), max(yCol).as("mxy"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn("xb", expr(sparkBucket(xCol, "mnx", "mxx")))
+      .withColumn("yb", expr(sparkBucket(yCol, "mny", "mxy")))
+      .withColumn("zval", expr(zSql("xb", "yb")))
+      .drop("mnx", "mxx", "mny", "mxy", "xb", "yb")
+  }
 
   /** lineitem with bounds + 8-bit buckets + z-value attached — the
     * shared front half of q136/q137. Bounds ride a one-row broadcast
@@ -114,61 +166,84 @@ object Layout {
        |SELECT l_orderkey, l_linenumber, xb, yb, zval
        |FROM z ORDER BY l_orderkey, l_linenumber""")
 
-  /** q137 — the file-skipping ACCEPTANCE INSTRUMENT: one row pricing
-    * what a min/max-stats reader opens under three predicates (x-only
-    * range, y-only range, x AND y box — each spanning 1/16 of its
-    * dimension, centered) against two 64-file layouts of the same rows:
-    * LINEAR (sorted by l_partkey) and Z-ORDER (sorted by zval). File
-    * assignment is contiguous rank blocks over a deterministic total
-    * order (ties broken by primary key) — the semantics of
-    * `repartitionByRange` + within-partition sort, restated as window
-    * arithmetic so DuckDB verifies every count; LayoutSpec runs the
-    * physical twin. Expected physics, now pinned: linear reads ~1/16 of
-    * files for x but ALL files for y; z-order reads a few files for the
-    * box and O(sqrt) for either single dimension — better than linear's
-    * total loss on y, worse than linear's perfection on x.
+  /** q137 — the skipping ACCEPTANCE INSTRUMENT at BOTH granularities:
+    * one row pricing what a min/max-stats reader opens under three
+    * predicates (x-only range, y-only range, x AND y box — each
+    * spanning 1/16 of its dimension, centered) against two 64-file
+    * layouts of the same rows: LINEAR (sorted by l_partkey) and
+    * Z-ORDER (sorted by zval) — counted in FILES (manifest-level
+    * pruning) and in ROW GROUPS ($RG_PER_FILE contiguous rank
+    * sub-blocks per file — the granularity a parquet reader actually
+    * skips at, so the rg_* columns are the numbers a 100 TB scan
+    * pays). Assignment is contiguous rank blocks over a deterministic
+    * total order (ties broken by primary key) — the semantics of
+    * `repartitionByRange` + within-partition sort (and of parquet's
+    * in-order row-group flushes), restated as window arithmetic so
+    * DuckDB verifies every count; LayoutSpec runs the physical twin
+    * including block-level footer stats. Expected physics, now pinned:
+    * linear reads ~1/16 of units for x but ALL units for y; z-order
+    * reads a few units for the box and O(sqrt) for either single
+    * dimension — and row-group counts sharpen every ratio (4× the
+    * units at the same clustering).
     *
-    * rows_box (the box's true selectivity) rides along so the file
-    * counts can be read as amplification: files opened per row matched.
+    * rows_box (the box's true selectivity) rides along so the unit
+    * counts can be read as amplification: units opened per row matched.
     */
   private val q137ZorderSkipping = QueryDef(
     (s, dir) => {
       val cf = curveFrame(s, dir).localCheckpoint(true)
       val n = cf.count()
+      val nRg = FILES * RG_PER_FILE
       val fids = cf.select(col("l_partkey"), col("l_suppkey"),
         col("mnx"), col("mxx"), col("mny"), col("mxy"),
         expr(s"CAST(((row_number() OVER (ORDER BY l_partkey, l_orderkey," +
           s" l_linenumber)) - 1) * $FILES DIV $n AS BIGINT)").as("fid_lin"),
         expr(s"CAST(((row_number() OVER (ORDER BY zval, l_orderkey," +
-          s" l_linenumber)) - 1) * $FILES DIV $n AS BIGINT)").as("fid_z"))
+          s" l_linenumber)) - 1) * $FILES DIV $n AS BIGINT)").as("fid_z"),
+        expr(s"CAST(((row_number() OVER (ORDER BY l_partkey, l_orderkey," +
+          s" l_linenumber)) - 1) * $nRg DIV $n AS BIGINT)").as("rgid_lin"),
+        expr(s"CAST(((row_number() OVER (ORDER BY zval, l_orderkey," +
+          s" l_linenumber)) - 1) * $nRg DIV $n AS BIGINT)").as("rgid_z"))
       def boxed(c: DataFrame): DataFrame = c
         .withColumn("x1", expr("mnx + ((mxx - mnx) * 7) DIV 16"))
         .withColumn("x2", expr("mnx + ((mxx - mnx) * 8) DIV 16"))
         .withColumn("y1", expr("mny + ((mxy - mny) * 7) DIV 16"))
         .withColumn("y2", expr("mny + ((mxy - mny) * 8) DIV 16"))
-      def reads(c: DataFrame, fid: String, tag: String): DataFrame =
-        boxed(c.groupBy(col(fid).as("fid"), col("mnx"), col("mxx"),
-            col("mny"), col("mxy"))
+      // `unit` = files or modeled row groups: the same min/max pruning
+      // arithmetic at both granularities; `emitCount` keeps the file
+      // totals in the row without duplicating them for row groups
+      def reads(c: DataFrame, unit: String, px: String,
+          tag: String, emitCount: Boolean): DataFrame = {
+        val base = boxed(c.groupBy(col(unit).as("u"), col("mnx"),
+            col("mxx"), col("mny"), col("mxy"))
           .agg(min("l_partkey").as("fminx"), max("l_partkey").as("fmaxx"),
             min("l_suppkey").as("fminy"), max("l_suppkey").as("fmaxy")))
-          .agg(count(lit(1)).as(s"files_$tag"),
-            sum(when(col("fminx") <= col("x2") && col("fmaxx") >= col("x1"),
-              1L).otherwise(0L)).as(s"read_x_$tag"),
-            sum(when(col("fminy") <= col("y2") && col("fmaxy") >= col("y1"),
-              1L).otherwise(0L)).as(s"read_y_$tag"),
-            sum(when(col("fminx") <= col("x2") && col("fmaxx") >= col("x1")
-              && col("fminy") <= col("y2") && col("fmaxy") >= col("y1"),
-              1L).otherwise(0L)).as(s"read_box_$tag"))
+        val aggs = Seq(
+          sum(when(col("fminx") <= col("x2") && col("fmaxx") >= col("x1"),
+            1L).otherwise(0L)).as(s"${px}_x_$tag"),
+          sum(when(col("fminy") <= col("y2") && col("fmaxy") >= col("y1"),
+            1L).otherwise(0L)).as(s"${px}_y_$tag"),
+          sum(when(col("fminx") <= col("x2") && col("fmaxx") >= col("x1")
+            && col("fminy") <= col("y2") && col("fmaxy") >= col("y1"),
+            1L).otherwise(0L)).as(s"${px}_box_$tag"))
+        if (emitCount)
+          base.agg(count(lit(1)).as(s"files_$tag"), aggs: _*)
+        else base.agg(aggs.head, aggs.tail: _*)
+      }
       val rowsBox = boxed(fids)
         .agg(sum(when(col("l_partkey").between(col("x1"), col("x2")) &&
           col("l_suppkey").between(col("y1"), col("y2")), 1L)
           .otherwise(0L)).as("rows_box"))
-      reads(fids, "fid_lin", "linear")
-        .crossJoin(reads(fids, "fid_z", "zorder"))
+      reads(fids, "fid_lin", "read", "linear", emitCount = true)
+        .crossJoin(reads(fids, "fid_z", "read", "zorder", emitCount = true))
+        .crossJoin(reads(fids, "rgid_lin", "rg", "linear", emitCount = false))
+        .crossJoin(reads(fids, "rgid_z", "rg", "zorder", emitCount = false))
         .crossJoin(rowsBox)
         .select("files_linear", "read_x_linear", "read_y_linear",
           "read_box_linear", "files_zorder", "read_x_zorder",
-          "read_y_zorder", "read_box_zorder", "rows_box")
+          "read_y_zorder", "read_box_zorder",
+          "rg_x_linear", "rg_y_linear", "rg_box_linear",
+          "rg_x_zorder", "rg_y_zorder", "rg_box_zorder", "rows_box")
     },
     s"""WITH $curveCte,
        |n AS (SELECT count(*) AS n FROM z),
@@ -176,7 +251,13 @@ object Layout {
        |        CAST(((row_number() OVER (ORDER BY l_partkey, l_orderkey,
        |          l_linenumber)) - 1) * $FILES // n AS BIGINT) AS fid_lin,
        |        CAST(((row_number() OVER (ORDER BY zval, l_orderkey,
-       |          l_linenumber)) - 1) * $FILES // n AS BIGINT) AS fid_z
+       |          l_linenumber)) - 1) * $FILES // n AS BIGINT) AS fid_z,
+       |        CAST(((row_number() OVER (ORDER BY l_partkey, l_orderkey,
+       |          l_linenumber)) - 1) * ${FILES * RG_PER_FILE} // n
+       |          AS BIGINT) AS rgid_lin,
+       |        CAST(((row_number() OVER (ORDER BY zval, l_orderkey,
+       |          l_linenumber)) - 1) * ${FILES * RG_PER_FILE} // n
+       |          AS BIGINT) AS rgid_z
        |      FROM z, b, n),
        |p AS (SELECT mnx + ((mxx - mnx) * 7) // 16 AS x1,
        |             mnx + ((mxx - mnx) * 8) // 16 AS x2,
@@ -188,6 +269,12 @@ object Layout {
        |sz AS (SELECT fid_z, min(l_partkey) AS fminx,
        |              max(l_partkey) AS fmaxx, min(l_suppkey) AS fminy,
        |              max(l_suppkey) AS fmaxy FROM f GROUP BY fid_z),
+       |rl AS (SELECT rgid_lin, min(l_partkey) AS fminx,
+       |              max(l_partkey) AS fmaxx, min(l_suppkey) AS fminy,
+       |              max(l_suppkey) AS fmaxy FROM f GROUP BY rgid_lin),
+       |rz AS (SELECT rgid_z, min(l_partkey) AS fminx,
+       |              max(l_partkey) AS fmaxx, min(l_suppkey) AS fminy,
+       |              max(l_suppkey) AS fmaxy FROM f GROUP BY rgid_z),
        |al AS (SELECT CAST(count(*) AS BIGINT) AS files_linear,
        |         CAST(sum(CASE WHEN fminx <= x2 AND fmaxx >= x1
        |           THEN 1 ELSE 0 END) AS BIGINT) AS read_x_linear,
@@ -206,13 +293,32 @@ object Layout {
        |           AND fminy <= y2 AND fmaxy >= y1
        |           THEN 1 ELSE 0 END) AS BIGINT) AS read_box_zorder
        |       FROM sz, p),
+       |arl AS (SELECT
+       |         CAST(sum(CASE WHEN fminx <= x2 AND fmaxx >= x1
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS rg_x_linear,
+       |         CAST(sum(CASE WHEN fminy <= y2 AND fmaxy >= y1
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS rg_y_linear,
+       |         CAST(sum(CASE WHEN fminx <= x2 AND fmaxx >= x1
+       |           AND fminy <= y2 AND fmaxy >= y1
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS rg_box_linear
+       |       FROM rl, p),
+       |arz AS (SELECT
+       |         CAST(sum(CASE WHEN fminx <= x2 AND fmaxx >= x1
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS rg_x_zorder,
+       |         CAST(sum(CASE WHEN fminy <= y2 AND fmaxy >= y1
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS rg_y_zorder,
+       |         CAST(sum(CASE WHEN fminx <= x2 AND fmaxx >= x1
+       |           AND fminy <= y2 AND fmaxy >= y1
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS rg_box_zorder
+       |       FROM rz, p),
        |rb AS (SELECT CAST(sum(CASE WHEN l_partkey BETWEEN x1 AND x2
        |           AND l_suppkey BETWEEN y1 AND y2 THEN 1 ELSE 0 END)
        |         AS BIGINT) AS rows_box FROM f, p)
        |SELECT files_linear, read_x_linear, read_y_linear, read_box_linear,
        |       files_zorder, read_x_zorder, read_y_zorder, read_box_zorder,
-       |       rows_box
-       |FROM al, az, rb""")
+       |       rg_x_linear, rg_y_linear, rg_box_linear,
+       |       rg_x_zorder, rg_y_zorder, rg_box_zorder, rows_box
+       |FROM al, az, arl, arz, rb""")
 
   /** The PRODUCTION layout write: attach the z-value of (`xCol`, `yCol`)
     * with data-derived bounds, range-exchange into `files` partitions on
@@ -220,19 +326,15 @@ object Layout {
     * exchange with sampled bounds — never a global single-partition
     * sort), one sorted write; the 100 TB OPTIMIZE-job cost profile. */
   def zOrderWrite(df: DataFrame, xCol: String, yCol: String,
-      outDir: String, files: Int = FILES): Unit = {
-    val bounds = df.agg(
-      min(xCol).as("mnx"), max(xCol).as("mxx"),
-      min(yCol).as("mny"), max(yCol).as("mxy"))
-    df.crossJoin(broadcast(bounds))
-      .withColumn("xb", expr(sparkBucket(xCol, "mnx", "mxx")))
-      .withColumn("yb", expr(sparkBucket(yCol, "mny", "mxy")))
-      .withColumn("zval", expr(zSql("xb", "yb")))
-      .drop("mnx", "mxx", "mny", "mxy", "xb", "yb")
+      outDir: String, files: Int = FILES,
+      blockBytes: Option[Long] = None): Unit = {
+    val w = withZVal(df, xCol, yCol)
       .repartitionByRange(files, col("zval"))
       .sortWithinPartitions("zval")
       .drop("zval")
-      .write.mode("overwrite").parquet(outDir)
+      .write.mode("overwrite")
+    blockBytes.foreach(b => w.option("parquet.block.size", b.toString))
+    w.parquet(outDir)
   }
 
   /** Reader-side stats index over a written layout: per-file min/max of
@@ -257,38 +359,69 @@ object Layout {
     * as the q123 compaction pricer), not data-sized. LayoutSpec asserts
     * it agrees exactly with the data-derived [[fileStats]]. */
   def footerStats(spark: SparkSession, dir: String, xCol: String,
-      yCol: String): DataFrame = {
+      yCol: String): DataFrame =
+    footerBlockStats(spark, listParquet(spark, dir), xCol, yCol)
+      .groupBy("file")
+      .agg(min("fminx").as("fminx"), max("fmaxx").as("fmaxx"),
+        min("fminy").as("fminy"), max("fmaxy").as("fmaxy"))
+
+  private def listParquet(spark: SparkSession, dir: String): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(root).toSeq.map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).map(_.toString)
+  }
+
+  /** Per-ROW-GROUP min/max stats for `files`, straight from the parquet
+    * footers — the granularity a reader ACTUALLY pays at: parquet scans
+    * skip at the row-group level, so "files opened" under-reports the
+    * win whenever a file holds several groups (every file does at
+    * 100 TB). One row per (file, row group); same manifest-sized
+    * driver-loop cost class as [[footerStats]] (footers only, no data
+    * pages). [[prunedRowGroups]] applies the reader arithmetic;
+    * LayoutSpec asserts these stats against the physically-written
+    * blocks, and q151 gates box-predicate row-group skipping on a
+    * z-ordered [[MergeTable.optimizeZOrder]] table. */
+  def footerBlockStats(spark: SparkSession, files: Seq[String],
+      xCol: String, yCol: String): DataFrame = {
     import org.apache.hadoop.fs.Path
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import scala.jdk.CollectionConverters._
     val conf = spark.sessionState.newHadoopConf()
-    val root = new Path(dir)
-    val fs = root.getFileSystem(conf)
-    val rows = fs.listStatus(root).toSeq
-      .filter(_.getPath.getName.endsWith(".parquet"))
-      .map { f =>
-        val rdr = ParquetFileReader.open(
-          HadoopInputFile.fromPath(f.getPath, conf))
-        try {
+    val rows = files.flatMap { file =>
+      val rdr = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new Path(file), conf))
+      try rdr.getFooter.getBlocks.asScala.toSeq.zipWithIndex.map {
+        case (b, i) =>
           def bound(c: String): (Long, Long) = {
-            val perBlock = rdr.getFooter.getBlocks.asScala.toSeq.map { b =>
-              val st = b.getColumns.asScala
-                .find(_.getPath.toDotString == c)
-                .getOrElse(sys.error(s"no footer stats for $c"))
-                .getStatistics
-              (st.genericGetMin.asInstanceOf[Number].longValue,
-                st.genericGetMax.asInstanceOf[Number].longValue)
-            }
-            (perBlock.map(_._1).min, perBlock.map(_._2).max)
+            val st = b.getColumns.asScala
+              .find(_.getPath.toDotString == c)
+              .getOrElse(sys.error(s"no footer stats for $c"))
+              .getStatistics
+            (st.genericGetMin.asInstanceOf[Number].longValue,
+              st.genericGetMax.asInstanceOf[Number].longValue)
           }
           val (mnx, mxx) = bound(xCol)
           val (mny, mxy) = bound(yCol)
-          (f.getPath.toString, mnx, mxx, mny, mxy)
-        } finally rdr.close()
-      }
+          (file, i, b.getRowCount, mnx, mxx, mny, mxy)
+      } finally rdr.close()
+    }
     spark.createDataFrame(rows)
-      .toDF("file", "fminx", "fmaxx", "fminy", "fmaxy")
+      .toDF("file", "block", "n_rows", "fminx", "fmaxx", "fminy", "fmaxy")
+  }
+
+  /** Row groups a min/max-stats reader must OPEN for a conjunctive
+    * range predicate — [[prunedFiles]]'s arithmetic at the granularity
+    * parquet actually skips at. */
+  def prunedRowGroups(stats: DataFrame, xRange: Option[(Long, Long)],
+      yRange: Option[(Long, Long)]): DataFrame = {
+    val xOk = xRange.map { case (lo, hi) =>
+      col("fminx") <= hi && col("fmaxx") >= lo }.getOrElse(lit(true))
+    val yOk = yRange.map { case (lo, hi) =>
+      col("fminy") <= hi && col("fmaxy") >= lo }.getOrElse(lit(true))
+    stats.filter(xOk && yOk)
   }
 
   /** Files a min/max-stats reader must open for a conjunctive range

@@ -26,23 +26,39 @@ import graft.core.{QueryDef, Tables}
   *    batch keys (old versions drop), union the batch (latest wins),
   *    write the rewritten buckets as NEW files under the next version's
   *    epoch dir — no live file is ever modified or deleted by a write;
-  *  - the COMMIT is one atomic manifest creation (`_manifests/v<N>`,
-  *    create-no-overwrite): the new manifest lists untouched buckets'
-  *    existing files plus the rewritten buckets' new files. Readers
-  *    resolve a manifest (latest by default, any retained version on
-  *    request — TIME TRAVEL, the pinned-snapshot reproducibility a
-  *    training job needs while CDC keeps flowing) and scan exactly its
-  *    file list. A half-written epoch dir with no manifest is invisible
-  *    garbage, overwritten by the retry — the Iceberg commit model;
-  *    concurrent committers race on the manifest create and the loser
-  *    gets an explicit conflict, never a silent lost update (data-epoch
-  *    writes keep the index family's single-writer-per-table
-  *    assumption; a multi-writer deployment adds writer-unique epoch
-  *    attempt ids in front of the same manifest race);
+  *  - the COMMIT is one atomic manifest promotion: the manifest body is
+  *    written in full to a hidden temp name and then promoted to
+  *    `_manifests/v<N>` by an atomic create-no-overwrite operation (a
+  *    hard link on a local filesystem, an atomic fails-on-existing
+  *    rename on HDFS-shaped stores, a conditional put on object
+  *    stores) — so a version is either fully readable or invisible;
+  *    readers can never resolve a half-written manifest, and a writer
+  *    crash leaves only a hidden temp file [[vacuum]] sweeps (readers
+  *    additionally treat a zero-length `v<N>` as uncommitted garbage,
+  *    belt-and-braces for legacy torn writes). The new manifest lists
+  *    untouched buckets' existing files plus the rewritten buckets' new
+  *    files. Readers resolve a manifest (latest by default, any
+  *    retained version on request — TIME TRAVEL, the pinned-snapshot
+  *    reproducibility a training job needs while CDC keeps flowing)
+  *    and scan exactly its file list;
+  *  - MULTI-WRITER: every epoch write lands under a writer-unique
+  *    ATTEMPT dir (`v=<N>-<writerTag>`), so two committers racing to
+  *    version N never touch each other's files; the manifest promotion
+  *    is the single race, the loser gets an explicit
+  *    [[CommitConflictException]] and RETRIES against the winner's
+  *    snapshot (recomputing its merge — the winner may have rewritten
+  *    overlapping buckets), and the losing attempt dir is eagerly
+  *    deleted (a crash instead leaves an orphan [[fsck]] classifies
+  *    benign and [[vacuum]] sweeps). Final state equals sequential
+  *    application — the CDC-applier-racing-a-compactor deployment is
+  *    safe by construction, never by scheduling;
   *  - old versions cost exactly their rewritten files until [[vacuum]]
   *    drops manifests past the retention and deletes newly-unreferenced
   *    files — write amplification AND retention cost are both priced
-  *    (q141/q143), the q123 discipline.
+  *    (q141/q143), the q123 discipline. Vacuum drops the expired
+  *    MANIFESTS first and only then sweeps unreferenced files: a crash
+  *    between the two leaves benign orphans the next sweep re-collects,
+  *    never a still-listed version whose files are gone.
   *
   * Replay safety: an upsert carries ABSOLUTE rows (state, not deltas),
   * so re-applying a batch lands the same per-key state (at worst one
@@ -50,18 +66,27 @@ import graft.core.{QueryDef, Tables}
   * data write and manifest commit) — idempotent by value, which is what
   * lets the streaming twin re-run a batch after a mid-write kill.
   *
-  * Bucket count is part of the table's identity (`_graft_meta`, the
-  * index family's contract): keys hash stably for the table's lifetime;
-  * re-bucketing is a full-rewrite migration, priced as such, never
-  * silent. Driver state is bounded by the bucket count and the manifest
-  * size (file names, one per bucket per retained version — the
-  * manifest-sized cost class), never by data size. */
+  * Bucket count is part of the SNAPSHOT's identity: each manifest
+  * records its own bucket width (`#hex=<d>` header), every write path
+  * buckets against the CURRENT manifest's width, and [[rebucket]] is
+  * the explicit full-rewrite migration to a new width — priced like
+  * any other epoch (filesWritten = new bucket count), never silent,
+  * with time travel intact across the boundary because old manifests
+  * carry their own width. Driver state is bounded by the bucket count
+  * and the manifest size (file names, one per bucket per retained
+  * version — the manifest-sized cost class), never by data size. */
 object MergeTable {
 
-  /** Hex digits of md5(key) used as the bucket id: 2 → 256 buckets.
-    * At 100 TB the knob rises (4 hex = 65536 buckets) so a bucket's
-    * file stays row-group-sized; the arithmetic is scale-free. */
+  /** Default hex digits of md5(key) used as the bucket id for NEW
+    * tables: 2 → 256 buckets. At 100 TB the knob rises (4 hex = 65536
+    * buckets) so a bucket's file stays row-group-sized; the arithmetic
+    * is scale-free and [[rebucket]] migrates a live table. */
   val HEX_DIGITS = 2
+
+  /** A concurrent committer won the manifest race for this version; the
+    * caller's retry loop recomputes against the winner's snapshot. */
+  final class CommitConflictException(msg: String, cause: Throwable)
+    extends java.io.IOException(msg, cause)
 
   final case class CowStats(version: Long, bucketsRewritten: Long,
     filesRead: Long, filesWritten: Long, rowsMatched: Long,
@@ -70,12 +95,21 @@ object MergeTable {
   final case class VacuumStats(filesDeleted: Long, filesLive: Long,
     versionsDropped: Long, versionsLive: Long)
 
-  private def bucketCol(key: Column): Column =
-    substring(md5(key.cast("string")), 1, HEX_DIGITS)
+  private def bucketCol(key: Column, hexDigits: Int): Column =
+    substring(md5(key.cast("string")), 1, hexDigits)
 
   /** Oracle-side restatement of [[bucketCol]] (DuckDB dialect). */
-  private[ext] def bucketSql(key: String): String =
-    s"substr(md5(CAST($key AS VARCHAR)), 1, $HEX_DIGITS)"
+  private[ext] def bucketSql(key: String,
+      hexDigits: Int = HEX_DIGITS): String =
+    s"substr(md5(CAST($key AS VARCHAR)), 1, $hexDigits)"
+
+  /** Writer-unique attempt tag: pid + a JVM-global counter — unique
+    * across concurrent writers without coordination (two JVMs differ by
+    * pid, two threads by counter), which is all the attempt-dir
+    * protocol needs; the manifest promotion stays the only race. */
+  private val attemptCounter = new java.util.concurrent.atomic.AtomicLong()
+  private def attemptTag(): String =
+    s"${ProcessHandle.current().pid()}x${attemptCounter.incrementAndGet()}"
 
   private def hadoopFs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -105,52 +139,124 @@ object MergeTable {
 
   // ---- manifests ---------------------------------------------------
   // one text file per committed version under _manifests/, named
-  // v<zero-padded N> ; each line is a data-file path RELATIVE to
-  // <dir>/data (e.g. "v=2/bucket=a3/part-....parquet").
+  // v<zero-padded N>; line 1 is the "#hex=<d>" bucket-width header
+  // (absent in legacy manifests → HEX_DIGITS), every other line a
+  // data-file path RELATIVE to <dir>/data (e.g.
+  // "v=2-41x7/bucket=a3/part-....parquet"). Commits land via a hidden
+  // ".v<N>.<tag>.tmp" sibling promoted atomically, so a listed,
+  // non-empty v<N> is always a COMPLETE manifest.
 
   private def manifestDir(dir: String) = new Path(dir, "_manifests")
+  private def manifestPath(dir: String, v: Long) =
+    new Path(manifestDir(dir), f"v$v%09d")
 
-  /** Committed versions at `dir`, ascending (empty → no table yet). */
+  /** Committed versions at `dir`, ascending (empty → no table yet).
+    * Hidden temp names and zero-length files (a legacy torn write) are
+    * uncommitted garbage, never versions. */
   def versions(spark: SparkSession, dir: String): Seq[Long] = {
     val fs = hadoopFs(spark, dir)
     val md = manifestDir(dir)
     if (!fs.exists(md)) Seq.empty
-    else fs.listStatus(md).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith("v")).map(_.drop(1).toLong).sorted
+    else fs.listStatus(md).toSeq
+      .filter(st => st.getLen > 0 && {
+        val n = st.getPath.getName
+        n.startsWith("v") && n.length > 1 && n.drop(1).forall(_.isDigit)
+      })
+      .map(_.getPath.getName.drop(1).toLong).sorted
   }
 
-  private def readManifest(spark: SparkSession, dir: String,
-      v: Long): Seq[String] = {
+  private final case class ManifestData(hexDigits: Int,
+    entries: Seq[String])
+
+  private def readManifestFull(spark: SparkSession, dir: String,
+      v: Long): ManifestData = {
     val fs = hadoopFs(spark, dir)
-    val p = new Path(manifestDir(dir), f"v$v%09d")
-    if (!fs.exists(p))
+    val p = manifestPath(dir, v)
+    val committed =
+      try fs.getFileStatus(p).getLen > 0
+      catch { case _: java.io.FileNotFoundException => false }
+    if (!committed)
       throw new IllegalArgumentException(
         s"MergeTable at $dir has no version $v (vacuumed or never " +
           s"committed); retained: ${versions(spark, dir).mkString(",")}")
     val in = fs.open(p)
-    try scala.io.Source.fromInputStream(in, "UTF-8")
-      .getLines().map(_.trim).filter(_.nonEmpty).toList
-    finally in.close()
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().map(_.trim).filter(_.nonEmpty).toList
+      finally in.close()
+    val hex = lines.collectFirst {
+      case l if l.startsWith("#hex=") => l.drop(5).trim.toInt
+    }.getOrElse(HEX_DIGITS)
+    ManifestData(hex, lines.filterNot(_.startsWith("#")))
   }
 
-  /** ATOMIC COMMIT: create-no-overwrite of the version's manifest. A
-    * concurrent committer of the same version loses with an explicit
-    * conflict — the single metadata operation all snapshot stores
-    * reduce their race to. */
+  private def readManifest(spark: SparkSession, dir: String,
+      v: Long): Seq[String] = readManifestFull(spark, dir, v).entries
+
+  /** The key column an existing table at `dir` is keyed by. */
+  def keyOf(spark: SparkSession, dir: String): String =
+    keyMeta(spark, dir, None)
+
+  /** The bucket width (hex digits) of a version's snapshot (default:
+    * latest) — every write path buckets against this, and [[rebucket]]
+    * changes it under a normal manifest commit. */
+  def bucketWidth(spark: SparkSession, dir: String,
+      version: Option[Long] = None): Int = {
+    val v = version.getOrElse(versions(spark, dir).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"no MergeTable at $dir")))
+    readManifestFull(spark, dir, v).hexDigits
+  }
+
+  private def conflict(dir: String, v: Long,
+      cause: Throwable): Nothing =
+    throw new CommitConflictException(
+      s"commit conflict: version $v at $dir was committed concurrently",
+      cause)
+
+  /** ATOMIC COMMIT: the manifest body is fully written to a hidden temp
+    * sibling, then PROMOTED to `v<N>` by an atomic create-no-overwrite —
+    * a hard link where the store is a local filesystem (link(2) is
+    * atomic and fails with EEXIST, exactly the no-overwrite race all
+    * snapshot stores reduce their commit to), an atomic
+    * fails-on-existing rename otherwise (the HDFS contract; an object
+    * store substitutes its conditional put). A concurrent committer of
+    * the same version loses with an explicit conflict; a crash at any
+    * point leaves either a complete committed manifest or an invisible
+    * temp file [[vacuum]] sweeps — never a readable half-manifest. A
+    * pre-existing ZERO-LENGTH `v<N>` (legacy torn write) is uncommitted
+    * garbage: it is deleted and the promotion race decides the owner. */
   private[ext] def commitManifest(spark: SparkSession, dir: String,
-      v: Long, entries: Seq[String]): Unit = {
+      v: Long, entries: Seq[String],
+      hexDigits: Int = HEX_DIGITS): Unit = {
     val fs = hadoopFs(spark, dir)
     fs.mkdirs(manifestDir(dir))
-    val p = new Path(manifestDir(dir), f"v$v%09d")
-    val out =
-      try fs.create(p, false)
-      catch { case e: java.io.IOException =>
-        throw new java.io.IOException(
-          s"commit conflict: version $v at $dir was committed " +
-            "concurrently", e)
-      }
-    try out.write(entries.sorted.mkString("\n").getBytes("UTF-8"))
+    val p = manifestPath(dir, v)
+    try {
+      val st = fs.getFileStatus(p)
+      if (st.getLen > 0) conflict(dir, v, null)
+      fs.delete(p, false) // zero-length garbage: eligible for overwrite
+    } catch { case _: java.io.FileNotFoundException => }
+    val tmp = new Path(manifestDir(dir), f".v$v%09d.${attemptTag()}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write((s"#hex=$hexDigits" +: entries.sorted)
+      .mkString("\n").getBytes("UTF-8"))
     finally out.close()
+    val qualified = fs.makeQualified(p)
+    if (qualified.toUri.getScheme == "file") {
+      try java.nio.file.Files.createLink(
+        java.nio.file.Paths.get(qualified.toUri.getPath),
+        java.nio.file.Paths.get(
+          fs.makeQualified(tmp).toUri.getPath))
+      catch {
+        case e: java.nio.file.FileAlreadyExistsException =>
+          fs.delete(tmp, false); conflict(dir, v, e)
+      }
+      fs.delete(tmp, false)
+    } else {
+      // HDFS-shaped stores: rename is atomic and returns false when the
+      // destination exists — the same no-overwrite promotion
+      if (!fs.rename(tmp, p)) { fs.delete(tmp, false); conflict(dir, v, null) }
+    }
   }
 
   private def bucketOfEntry(e: String): String = {
@@ -158,19 +264,19 @@ object MergeTable {
     m.map(_.group(1)).getOrElse(sys.error(s"manifest entry without bucket: $e"))
   }
 
-  /** List the data files a just-written epoch produced, as manifest
-    * entries — a name-walk of O(buckets) dirs (the q92 listing
+  /** List the data files a just-written epoch attempt produced, as
+    * manifest entries — a name-walk of O(buckets) dirs (the q92 listing
     * discipline: names, never block locations). */
   private def epochEntries(spark: SparkSession, dir: String,
-      v: Long): Seq[String] = {
+      epochName: String): Seq[String] = {
     val fs = hadoopFs(spark, dir)
-    val epoch = new Path(s"$dir/data/v=$v")
+    val epoch = new Path(s"$dir/data/$epochName")
     if (!fs.exists(epoch)) Seq.empty
     else fs.listStatus(epoch).toSeq.filter(_.isDirectory).flatMap { d =>
       fs.listStatus(d.getPath).toSeq.filter { st =>
         val n = st.getPath.getName
         st.isFile && !n.startsWith("_") && !n.startsWith(".")
-      }.map(st => s"v=$v/${d.getPath.getName}/${st.getPath.getName}")
+      }.map(st => s"$epochName/${d.getPath.getName}/${st.getPath.getName}")
     }
   }
 
@@ -209,12 +315,66 @@ object MergeTable {
       (referenced -- onDisk).size.toLong)
   }
 
-  private def writeEpoch(df: DataFrame, dir: String, v: Long): Unit = {
-    val tasks = math.min(1 << (4 * HEX_DIGITS),
+  private def writeEpoch(df: DataFrame, dir: String, epochName: String,
+      hexDigits: Int, blockBytes: Option[Long] = None,
+      sortCols: Seq[String] = Nil, dropAfterSort: Seq[String] = Nil)
+      : Unit = {
+    val tasks = math.min(1 << (4 * hexDigits),
       df.sparkSession.sparkContext.defaultParallelism)
-    df.repartition(tasks, col("bucket"))
-      .write.mode("overwrite") // replay overwrites the orphaned attempt
-      .partitionBy("bucket").parquet(s"$dir/data/v=$v")
+    val shaped = df.repartition(tasks, col("bucket"))
+    val sorted =
+      if (sortCols.isEmpty) shaped
+      else shaped.sortWithinPartitions(("bucket" +: sortCols).map(col): _*)
+    // a projection after the sort preserves intra-partition order, so a
+    // clustering key (zval) can drive the layout without being stored
+    val w = dropAfterSort.foldLeft(sorted)(_ drop _)
+      .write.mode("overwrite") // attempt dirs are unique;
+      // a replayed attempt writes a NEW dir and the old one is an
+      // orphan fsck classifies benign and vacuum sweeps
+    blockBytes.foreach(b => w.option("parquet.block.size", b.toString))
+    w.partitionBy("bucket").parquet(s"$dir/data/$epochName")
+  }
+
+  /** Write `rows` as version `next`'s epoch under a writer-unique
+    * attempt dir and commit `kept ++ fresh` atomically; returns the
+    * fresh entries. On a lost race the attempt dir is eagerly deleted
+    * (a crash instead leaves an orphan for [[vacuum]]) and the conflict
+    * propagates to the caller's [[retryOnConflict]] loop. */
+  private def commitEpoch(spark: SparkSession, dir: String, next: Long,
+      rows: DataFrame, kept: Seq[String], hexDigits: Int,
+      beforeCommit: () => Unit, blockBytes: Option[Long] = None,
+      sortCols: Seq[String] = Nil, dropAfterSort: Seq[String] = Nil)
+      : Seq[String] = {
+    val epochName = s"v=$next-${attemptTag()}"
+    writeEpoch(rows, dir, epochName, hexDigits, blockBytes, sortCols,
+      dropAfterSort)
+    val fresh = epochEntries(spark, dir, epochName)
+    beforeCommit()
+    try { commitManifest(spark, dir, next, kept ++ fresh, hexDigits); fresh }
+    catch { case e: CommitConflictException =>
+      hadoopFs(spark, dir).delete(new Path(s"$dir/data/$epochName"), true)
+      throw e
+    }
+  }
+
+  /** Writer retry loop: `body` recomputes against the LATEST snapshot
+    * each attempt (the winner may have rewritten overlapping buckets or
+    * even changed the bucket width, so nothing computed against the
+    * stale snapshot survives a conflict), bounded so a livelocked
+    * deployment fails loudly instead of spinning. */
+  private def retryOnConflict[T](op: String, dir: String,
+      maxAttempts: Int = 5)(body: => T): T = {
+    var n = 0
+    while (true) {
+      try return body
+      catch { case e: CommitConflictException =>
+        n += 1
+        if (n >= maxAttempts)
+          throw new java.io.IOException(
+            s"$op lost the commit race $maxAttempts times at $dir", e)
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** The table at a version (default: latest) — resolves that
@@ -235,14 +395,18 @@ object MergeTable {
   }
 
   /** Create the table at `dir` from `df`, keyed (and hash-bucketed) by
-    * `keyCol` — version 1. One shuffle on the bucket id; one file per
-    * non-empty bucket (a task owning several bucket values still
-    * writes one file per value under partitionBy). */
-  def create(df: DataFrame, dir: String, keyCol: String): Unit = {
+    * `keyCol` — version 1 at bucket width `hexDigits` (recorded in the
+    * manifest header; later snapshots inherit it until [[rebucket]]).
+    * One shuffle on the bucket id; one file per non-empty bucket (a
+    * task owning several bucket values still writes one file per value
+    * under partitionBy). */
+  def create(df: DataFrame, dir: String, keyCol: String,
+      hexDigits: Int = HEX_DIGITS): Unit = {
     val s = df.sparkSession
     keyMeta(s, dir, Some(keyCol))
-    writeEpoch(df.withColumn("bucket", bucketCol(col(keyCol))), dir, 1L)
-    commitManifest(s, dir, 1L, epochEntries(s, dir, 1L))
+    commitEpoch(s, dir, 1L,
+      df.withColumn("bucket", bucketCol(col(keyCol), hexDigits)),
+      Seq.empty, hexDigits, () => ())
   }
 
   /** UPSERT `updates` (absolute rows, same schema as the table, no
@@ -257,40 +421,62 @@ object MergeTable {
     * buckets' rows|) plus one manifest write — never a table scan, and
     * never a mutation of a live file. */
   def upsert(spark: SparkSession, dir: String,
-      updates: DataFrame): CowStats = {
-    val key = keyMeta(spark, dir, None)
-    val cur = versions(spark, dir).lastOption.getOrElse(
-      throw new IllegalArgumentException(s"no MergeTable at $dir"))
-    val batch = updates.withColumn("bucket", bucketCol(col(key)))
-      .localCheckpoint(true)
-    val impacted = batch.select("bucket").distinct()
-      .collect().map(_.getString(0)).toSet
-    val manifest = readManifest(spark, dir, cur)
-    val (rewritten, kept) = manifest.partition(e =>
-      impacted.contains(bucketOfEntry(e)))
-    val existing = readTable(spark, dir, Some(cur))
-      .filter(col("bucket").isin(impacted.toSeq: _*))
-    val matched = existing.join(batch.select(key), Seq(key), "left_semi")
-      .count()
-    // SCHEMA EVOLUTION, extend-only: the batch may ADD columns (old
-    // rows read null for them via mergeSchema) but must carry every
-    // existing column — a batch silently missing one would null it out
-    // for every key it touches, which is a bug, not an evolution
-    val dropped = existing.columns.toSet -- batch.columns.toSet
-    require(dropped.isEmpty,
-      s"upsert batch is missing table columns: ${dropped.mkString(",")}" +
-        " (schema changes are extend-only)")
-    val merged = existing
-      .join(batch.select(key), Seq(key), "left_anti")
-      .unionByName(batch, allowMissingColumns = true)
-      .localCheckpoint(true) // materialize before writing the epoch
-    val next = cur + 1
-    writeEpoch(merged, dir, next)
-    val fresh = epochEntries(spark, dir, next)
-    commitManifest(spark, dir, next, kept ++ fresh)
-    CowStats(next, impacted.size.toLong, rewritten.size.toLong,
-      fresh.size.toLong, matched, batch.count() - matched)
-  }
+      updates: DataFrame): CowStats =
+    upsertWithHook(spark, dir, updates, () => ())
+
+  /** [[upsert]] with a spec-only injection point fired between the
+    * epoch write and the manifest promotion — the window a concurrent
+    * committer (or a crash) exploits; MergeTableSpec interleaves a
+    * competing upsert there to prove the retry protocol. */
+  private[graft] def upsertWithHook(spark: SparkSession, dir: String,
+      updates: DataFrame, beforeCommit: () => Unit): CowStats =
+    retryOnConflict("upsert", dir) {
+      val key = keyMeta(spark, dir, None)
+      val cur = versions(spark, dir).lastOption.getOrElse(
+        throw new IllegalArgumentException(s"no MergeTable at $dir"))
+      val man = readManifestFull(spark, dir, cur)
+      val batch = updates
+        .withColumn("bucket", bucketCol(col(key), man.hexDigits))
+        .localCheckpoint(true)
+      // AT MOST ONE ROW PER KEY, enforced (the documented contract): a
+      // CDC batch carrying two changes to one key has no defined latest
+      // here — both rows would survive the union as silent duplicate
+      // keys. Collapse upstream (MergeStream's latestBy does it by a
+      // sequence column); this gate turns the silent corruption into a
+      // loud error for the price of one aggregate over the small batch.
+      val cnts = batch.agg(count(lit(1)), count_distinct(col(key)))
+        .collect().head
+      val (nBatch, nKeys) = (cnts.getLong(0), cnts.getLong(1))
+      require(nBatch == nKeys,
+        s"upsert batch has $nBatch rows over $nKeys keys — at most one " +
+          "row per key (collapse to latest upstream, e.g. by a " +
+          "sequence/timestamp column)")
+      val impacted = batch.select("bucket").distinct()
+        .collect().map(_.getString(0)).toSet
+      val (rewritten, kept) = man.entries.partition(e =>
+        impacted.contains(bucketOfEntry(e)))
+      val existing = readTable(spark, dir, Some(cur))
+        .filter(col("bucket").isin(impacted.toSeq: _*))
+      val matched = existing.join(batch.select(key), Seq(key), "left_semi")
+        .count()
+      // SCHEMA EVOLUTION, extend-only: the batch may ADD columns (old
+      // rows read null for them via mergeSchema) but must carry every
+      // existing column — a batch silently missing one would null it out
+      // for every key it touches, which is a bug, not an evolution
+      val dropped = existing.columns.toSet -- batch.columns.toSet
+      require(dropped.isEmpty,
+        s"upsert batch is missing table columns: ${dropped.mkString(",")}" +
+          " (schema changes are extend-only)")
+      val merged = existing
+        .join(batch.select(key), Seq(key), "left_anti")
+        .unionByName(batch, allowMissingColumns = true)
+        .localCheckpoint(true) // materialize before writing the epoch
+      val next = cur + 1
+      val fresh = commitEpoch(spark, dir, next, merged, kept,
+        man.hexDigits, beforeCommit)
+      CowStats(next, impacted.size.toLong, rewritten.size.toLong,
+        fresh.size.toLong, matched, nBatch - matched)
+    }
 
   /** HARD-DELETE rows by key — the write-path complement of the index
     * family's tombstone forget: same impacted-bucket copy-on-write
@@ -300,17 +486,17 @@ object MergeTable {
     * complete only once retention passes, and q143 prices exactly
     * that. */
   def deleteKeys(spark: SparkSession, dir: String,
-      keys: DataFrame): CowStats = {
+      keys: DataFrame): CowStats = retryOnConflict("deleteKeys", dir) {
     val key = keyMeta(spark, dir, None)
     val cur = versions(spark, dir).lastOption.getOrElse(
       throw new IllegalArgumentException(s"no MergeTable at $dir"))
+    val man = readManifestFull(spark, dir, cur)
     val ks = keys.select(col(keys.columns.head).as(key))
-      .withColumn("bucket", bucketCol(col(key)))
+      .withColumn("bucket", bucketCol(col(key), man.hexDigits))
       .localCheckpoint(true)
     val impacted = ks.select("bucket").distinct()
       .collect().map(_.getString(0)).toSet
-    val manifest = readManifest(spark, dir, cur)
-    val (rewritten, kept) = manifest.partition(e =>
+    val (rewritten, kept) = man.entries.partition(e =>
       impacted.contains(bucketOfEntry(e)))
     val existing = readTable(spark, dir, Some(cur))
       .filter(col("bucket").isin(impacted.toSeq: _*))
@@ -319,9 +505,8 @@ object MergeTable {
     val survivors = existing.join(ks.select(key), Seq(key), "left_anti")
       .localCheckpoint(true)
     val next = cur + 1
-    writeEpoch(survivors, dir, next)
-    val fresh = epochEntries(spark, dir, next)
-    commitManifest(spark, dir, next, kept ++ fresh)
+    val fresh = commitEpoch(spark, dir, next, survivors, kept,
+      man.hexDigits, () => ())
     CowStats(next, impacted.size.toLong, rewritten.size.toLong,
       fresh.size.toLong, matched, 0L)
   }
@@ -337,37 +522,136 @@ object MergeTable {
     * optimized table to the SAME oracle as the unoptimized q140
     * state. */
   def optimize(spark: SparkSession, dir: String,
-      sortCol: String): CowStats = {
+      sortCol: String): CowStats = retryOnConflict("optimize", dir) {
     keyMeta(spark, dir, None)
     val cur = versions(spark, dir).lastOption.getOrElse(
       throw new IllegalArgumentException(s"no MergeTable at $dir"))
-    val filesBefore = readManifest(spark, dir, cur).size.toLong
+    val man = readManifestFull(spark, dir, cur)
     val next = cur + 1
     val all = readTable(spark, dir, Some(cur)).localCheckpoint(true)
-    val tasks = math.min(1 << (4 * HEX_DIGITS),
-      spark.sparkContext.defaultParallelism)
-    all.repartition(tasks, col("bucket"))
-      .sortWithinPartitions("bucket", sortCol)
-      .write.mode("overwrite")
-      .partitionBy("bucket").parquet(s"$dir/data/v=$next")
-    val fresh = epochEntries(spark, dir, next)
-    commitManifest(spark, dir, next, fresh)
-    CowStats(next, fresh.size.toLong, filesBefore, fresh.size.toLong,
-      0L, 0L)
+    val fresh = commitEpoch(spark, dir, next, all, Seq.empty,
+      man.hexDigits, () => (), sortCols = Seq(sortCol))
+    CowStats(next, fresh.size.toLong, man.entries.size.toLong,
+      fresh.size.toLong, 0L, 0L)
+  }
+
+  /** OPTIMIZE with MULTI-DIMENSIONAL clustering: rewrite every bucket
+    * with rows sorted by the Z-ORDER curve of (`xCol`, `yCol`)
+    * ([[Layout.withZVal]]'s generator — the same arithmetic q136 pins
+    * bit-for-bit against the oracle), so parquet ROW-GROUP min/max
+    * stats inside each hash-bucket file prune scans on EITHER predicate
+    * column — [[optimize]]'s single-column clustering generalized to
+    * the two-predicate workload, inside the table format. Same
+    * contents-invariant snapshot commit (q151 holds the optimized table
+    * to the identical full-state oracle), same vacuum reclamation.
+    *
+    * `blockBytes` caps the parquet row-group size: at 100 TB a bucket
+    * file holds many row groups naturally and the default is right; the
+    * sf-scale ACCEPTANCE instrument passes a small cap so the
+    * multi-row-group shape (the thing row-group pruning acts on)
+    * exists at test scale too — the knob changes granularity, never
+    * content. */
+  def optimizeZOrder(spark: SparkSession, dir: String, xCol: String,
+      yCol: String, blockBytes: Option[Long] = None): CowStats =
+    retryOnConflict("optimizeZOrder", dir) {
+      keyMeta(spark, dir, None)
+      val cur = versions(spark, dir).lastOption.getOrElse(
+        throw new IllegalArgumentException(s"no MergeTable at $dir"))
+      val man = readManifestFull(spark, dir, cur)
+      val next = cur + 1
+      val all = Layout.withZVal(
+        readTable(spark, dir, Some(cur)), xCol, yCol)
+        .localCheckpoint(true)
+      val fresh = commitEpoch(spark, dir, next, all, Seq.empty,
+        man.hexDigits, () => (), blockBytes, sortCols = Seq("zval"),
+        dropAfterSort = Seq("zval"))
+      CowStats(next, fresh.size.toLong, man.entries.size.toLong,
+        fresh.size.toLong, 0L, 0L)
+    }
+
+  /** REBUCKET — the full-rewrite migration to a new bucket width the
+    * module's contract prices explicitly: read the current snapshot,
+    * re-hash every key at `newHexDigits`, write the whole table as one
+    * epoch (filesWritten = non-empty new buckets — THE migration
+    * price), and commit a manifest whose `#hex=` header carries the new
+    * width. Contents-invariant (q150 holds the migrated table to the
+    * same state oracle, bucket column restated at the new width); TIME
+    * TRAVEL crosses the boundary because every retained manifest reads
+    * under its own recorded width; subsequent upserts bucket against
+    * the new header automatically. When to run it: the ScaleProbe COW
+    * leg's collateral-rows slope — when an average batch's collateral
+    * neighbors (impacted-bucket rows rewritten per row changed) grow
+    * past budget, widen; docs/PLANS.md records the measured drop. */
+  def rebucket(spark: SparkSession, dir: String,
+      newHexDigits: Int): CowStats = {
+    require(newHexDigits >= 1 && newHexDigits <= 8,
+      s"bucket width must be 1..8 hex digits, got $newHexDigits")
+    retryOnConflict("rebucket", dir) {
+      val key = keyMeta(spark, dir, None)
+      val cur = versions(spark, dir).lastOption.getOrElse(
+        throw new IllegalArgumentException(s"no MergeTable at $dir"))
+      val man = readManifestFull(spark, dir, cur)
+      val next = cur + 1
+      val rehashed = readTable(spark, dir, Some(cur)).drop("bucket")
+        .withColumn("bucket", bucketCol(col(key), newHexDigits))
+      val fresh = commitEpoch(spark, dir, next, rehashed, Seq.empty,
+        newHexDigits, () => ())
+      CowStats(next, fresh.size.toLong, man.entries.size.toLong,
+        fresh.size.toLong, 0L, 0L)
+    }
   }
 
   /** Drop all but the last `retainVersions` manifests and delete every
     * data file no retained manifest references — the retention job
     * that bounds snapshot history's storage cost and completes hard
     * deletes. Driver work is manifest-sized (file-name sets + an
-    * O(files) name-walk); data files are never read. */
+    * O(files) name-walk); data files are never read.
+    *
+    * CRASH ORDERING: the expired manifests drop FIRST, then the file
+    * sweep runs — a crash between the two leaves only unreferenced
+    * files, which [[fsck]] classifies as benign orphans and the next
+    * vacuum resweeps. The reverse order would leave still-listed
+    * versions whose files are gone (fsck's `missing`, the alarm-worthy
+    * corruption class) from a mere retention-job crash. Lost-race /
+    * crashed-commit manifest temps for versions at or below the current
+    * committed one are swept too (a temp ABOVE it may be an in-flight
+    * commit and is left alone). */
   def vacuum(spark: SparkSession, dir: String,
-      retainVersions: Int = 1): VacuumStats = {
+      retainVersions: Int = 1): VacuumStats =
+    vacuumWithHook(spark, dir, retainVersions, () => ())
+
+  /** [[vacuum]] with a spec-only injection point fired between the
+    * manifest drop and the file sweep — the crash window whose ordering
+    * the Scaladoc promises; MergeTableSpec kills there and proves the
+    * aftermath is benign orphans, never missing files. */
+  private[graft] def vacuumWithHook(spark: SparkSession, dir: String,
+      retainVersions: Int, afterManifestDrop: () => Unit): VacuumStats = {
     require(retainVersions >= 1, "must retain at least the current version")
     val fs = hadoopFs(spark, dir)
     val vs = versions(spark, dir)
     val (drop, keep) = vs.splitAt(math.max(0, vs.size - retainVersions))
     val live = keep.flatMap(readManifest(spark, dir, _)).toSet
+    val cur = vs.lastOption.getOrElse(0L)
+    // 1) expired manifests + stale commit temps (metadata only)
+    drop.foreach(v => fs.delete(manifestPath(dir, v), false))
+    // stale commit temps: a temp for a version AT OR BELOW the current
+    // committed one lost its race or crashed — always sweep; a temp
+    // ABOVE it is indistinguishable from an in-flight commit, so only
+    // age disambiguates (a healthy commit promotes within seconds)
+    val md = manifestDir(dir)
+    val graceMs = 10L * 60 * 1000
+    if (fs.exists(md))
+      fs.listStatus(md).filter { st =>
+        val n = st.getPath.getName
+        n.startsWith(".v") && n.endsWith(".tmp") && {
+          val v = scala.util.Try(
+            n.drop(2).takeWhile(_.isDigit).toLong).toOption
+          v.exists(_ <= cur) || (v.isDefined &&
+            st.getModificationTime < System.currentTimeMillis() - graceMs)
+        }
+      }.foreach(st => fs.delete(st.getPath, false))
+    afterManifestDrop()
+    // 2) the unreferenced-file sweep (orphaned attempts included)
     val dataRoot = new Path(s"$dir/data")
     var deleted = 0L
     if (fs.exists(dataRoot))
@@ -382,8 +666,6 @@ object MergeTable {
           }
         }
       }
-    drop.foreach(v =>
-      fs.delete(new Path(manifestDir(dir), f"v$v%09d"), false))
     VacuumStats(deleted, live.size.toLong, drop.size.toLong,
       keep.size.toLong)
   }

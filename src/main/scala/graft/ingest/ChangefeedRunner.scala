@@ -58,6 +58,27 @@ object ChangefeedRunner {
         val diff = graft.ext.MergeTable.changes(spark, tableDir, from, cur)
         diff.write.mode("overwrite").parquet(s"$sinkDir/batch=$cur")
         val rows = spark.read.parquet(s"$sinkDir/batch=$cur").count()
+        // STRAND SWEEP, before the cursor advances: a prior run that
+        // crashed after (partially) writing its batch and then saw the
+        // table advance leaves a batch=<V> dir, from < V < cur, that
+        // the byte-identical-overwrite replay no longer covers (the
+        // retry publishes batch=<cur> instead) — indistinguishable
+        // from a committed batch to a consumer. Every batch in that
+        // open interval is by construction uncommitted (the cursor
+        // still reads `from`), so deleting them is safe; re-crashing
+        // here just reruns the sweep. Consumers' contract stays "a
+        // batch dir ≤ the committed cursor is complete".
+        val fs = new org.apache.hadoop.fs.Path(sinkDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val root = new org.apache.hadoop.fs.Path(sinkDir)
+        if (fs.exists(root))
+          fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+            .filter { p =>
+              val n = p.getName
+              n.startsWith("batch=") &&
+                scala.util.Try(n.drop(6).toLong).toOption
+                  .exists(v => v > from && v < cur)
+            }.foreach(fs.delete(_, true))
         cursor.commit(cur) // only after the sink is fully written
         Some(RunResult(from, cur, rows))
     }

@@ -100,10 +100,12 @@ class LayoutSpec extends SparkSpec {
   }
 
   test("q137 instrument: linear reads every file for the off-axis " +
-      "predicate; z-order strictly beats it there and on the box") {
+      "predicate; z-order strictly beats it there and on the box — at " +
+      "file AND row-group granularity") {
     val r = graft.SparkEntry.queries("q137_zorder_skipping")(spark, sf)
       .collect().head
     def g(c: String): Long = r.getAs[Long](c)
+    val rgs = (Layout.FILES * Layout.RG_PER_FILE).toLong
     assert(g("files_linear") === Layout.FILES.toLong)
     assert(g("files_zorder") === Layout.FILES.toLong)
     assert(g("read_y_linear") === Layout.FILES.toLong,
@@ -113,5 +115,95 @@ class LayoutSpec extends SparkSpec {
     assert(g("read_x_linear") <= g("read_x_zorder"),
       "linear should stay unbeaten on its own sort column")
     assert(g("rows_box") > 0)
+    // row-group granularity: same physics, 4x the units — the number a
+    // parquet reader actually pays
+    assert(g("rg_y_linear") === rgs,
+      "linear row groups should be stats-useless on y")
+    assert(g("rg_y_zorder") < g("rg_y_linear"))
+    assert(g("rg_box_zorder") < rgs)
+    assert(g("rg_x_linear") <= g("rg_x_zorder"))
+    // block-granular skipping is at least as sharp as file-granular in
+    // RELATIVE terms: opened-fraction at row-group level must not
+    // exceed the file-level fraction on the z-layout's box read
+    assert(g("rg_box_zorder") * Layout.FILES.toLong <=
+      g("read_box_zorder") * rgs,
+      "row-group pruning should refine, not coarsen, the file pruning")
+  }
+
+  test("bucket quantization: full 64-bit span does not overflow and " +
+      "stays monotone in 0..255; small spans normalize to 0..255") {
+    import spark.implicits._
+    // wide span: mn=0, mx=Long.MaxValue-1 — the multiply-first form
+    // would wrap; the CASE must route to divide-first and stay in range
+    val mx = Long.MaxValue - 1
+    val wide = Seq(0L, 1L, mx / 3, mx / 2, mx - 1, mx).toDF("c")
+      .selectExpr(s"c", Layout.sparkBucketExpr("c", "0", mx.toString) +
+        " AS b")
+      .orderBy("c").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(wide.forall { case (_, b) => b >= 0 && b <= 255 },
+      s"wide-span bucket out of 8-bit range: ${wide.mkString(",")}")
+    assert(wide.map(_._2).toSeq === wide.map(_._2).sorted.toSeq,
+      "bucketing must be monotone in the key")
+    assert(wide.head._2 === 0L && wide.last._2 >= 200L,
+      "wide-span buckets should still cover most of 0..255")
+    // small span: 0..9 must SCALE UP to cover 0..255 (the normalization
+    // the interleave's balance depends on)
+    val small = (0L to 9L).toDF("c")
+      .selectExpr(Layout.sparkBucketExpr("c", "0", "9") + " AS b")
+      .collect().map(_.getLong(0))
+    assert(small.min === 0L && small.max >= 230L,
+      s"small-span buckets failed to normalize: ${small.mkString(",")}")
+  }
+
+  test("physical block-granular footer stats: per-row-group bounds " +
+      "nest in file bounds, reassemble them exactly, and prune finer " +
+      "than whole files") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val zDir = java.nio.file.Files.createTempDirectory("graft-zrg")
+      .resolve("z").toString
+    // small block cap -> several row groups per file, the shape the
+    // instrument exists to measure (at 100 TB it exists naturally)
+    Layout.zOrderWrite(li, "l_partkey", "l_suppkey", zDir, files = 4,
+      blockBytes = Some(16 * 1024))
+    val fileList = {
+      val fs = new org.apache.hadoop.fs.Path(zDir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(zDir))
+        .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+        .map(_.toString).toSeq
+    }
+    val blocks = Layout.footerBlockStats(spark, fileList,
+      "l_partkey", "l_suppkey").localCheckpoint(true)
+    val nFiles = fileList.size.toLong
+    val nBlocks = blocks.count()
+    assert(nBlocks > nFiles, s"expected multiple row groups per file " +
+      s"($nBlocks blocks over $nFiles files)")
+    // block bounds reassemble the file bounds exactly
+    val reassembled = blocks.groupBy("file")
+      .agg(min("fminx").as("fminx"), max("fmaxx").as("fmaxx"),
+        min("fminy").as("fminy"), max("fmaxy").as("fmaxy"))
+    val fileStats = Layout.footerStats(spark, zDir, "l_partkey",
+      "l_suppkey")
+    assert(reassembled.exceptAll(fileStats).count() === 0)
+    assert(fileStats.exceptAll(reassembled).count() === 0)
+    // block-level pruning on the box opens fewer row groups than the
+    // opened files contain — the refinement the extension is for
+    val Array(mnx, mxx) = li.agg(min("l_partkey"), max("l_partkey"))
+      .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+    val Array(mny, mxy) = li.agg(min("l_suppkey"), max("l_suppkey"))
+      .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+    val xr = (mnx + (mxx - mnx) * 7 / 16, mnx + (mxx - mnx) * 8 / 16)
+    val yr = (mny + (mxy - mny) * 7 / 16, mny + (mxy - mny) * 8 / 16)
+    val openedFiles = Layout.prunedFiles(fileStats, Some(xr), Some(yr))
+      .collect().map(_.getString(0)).toSet
+    val openedBlocks = Layout.prunedRowGroups(blocks, Some(xr), Some(yr))
+      .localCheckpoint(true)
+    val blocksInOpenedFiles = blocks
+      .filter(col("file").isin(openedFiles.toSeq: _*)).count()
+    assert(openedBlocks.count() < blocksInOpenedFiles,
+      "row-group stats should skip blocks inside opened files")
+    // and every opened block lives in an opened file (consistency)
+    assert(openedBlocks.filter(!col("file").isin(openedFiles.toSeq: _*))
+      .count() === 0)
   }
 }

@@ -49,8 +49,8 @@ class MergeTableSpec extends SparkSpec {
     // copy-on-write: no pre-existing file modified or deleted
     assert(before.forall { case (p, sig) => after.get(p) == Some(sig) },
       "a live file was mutated or deleted by an upsert")
-    assert((after.keySet -- before.keySet).forall(_.startsWith("v=2/")),
-      "new files must land under the new epoch only")
+    assert((after.keySet -- before.keySet).forall(_.startsWith("v=2-")),
+      "new files must land under the new epoch's attempt dir only")
     val t = MergeTable.readTable(spark, dir)
     assert(t.count() === 501L)
     assert(t.filter(col("key") === 7L).select("value")
@@ -194,7 +194,7 @@ class MergeTableSpec extends SparkSpec {
       .orderBy("key").collect().toSeq
     assert(before === after, "optimize changed table contents")
     // physical within-file sortedness on the sort column
-    val files = fileIds(dir).keys.filter(_.startsWith("v=2/")).toSeq
+    val files = fileIds(dir).keys.filter(_.startsWith("v=2-")).toSeq
     assert(files.nonEmpty)
     files.take(5).foreach { rel =>
       val vals = spark.read.parquet(s"$dir/data/$rel")
@@ -230,6 +230,197 @@ class MergeTableSpec extends SparkSpec {
       .select("key", "change").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(cf === Map(7L -> "update"))
+  }
+
+  test("upsert rejects a batch carrying two rows for one key — the " +
+      "silent-duplicate CDC corruption turned into a loud error") {
+    import spark.implicits._
+    val dir = mkTable(50)
+    val err = intercept[IllegalArgumentException] {
+      MergeTable.upsert(spark, dir,
+        Seq((7L, "first"), (7L, "second"), (8L, "x"))
+          .toDF("key", "value"))
+    }
+    assert(err.getMessage.contains("one row per key"))
+    // the rejected batch must not have committed anything
+    assert(MergeTable.versions(spark, dir) === Seq(1L))
+  }
+
+  test("atomic manifest commit: a zero-length manifest (legacy torn " +
+      "write) is invisible garbage — not a version, not latest, and " +
+      "the version is re-committable over it") {
+    val dir = mkTable(30)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // plant the torn write the old create-then-write commit could leave
+    val torn = new org.apache.hadoop.fs.Path(s"$dir/_manifests/v000000002")
+    fs.create(torn, true).close()
+    assert(MergeTable.versions(spark, dir) === Seq(1L),
+      "a zero-length manifest must not surface as a committed version")
+    // latest-read resolves v1, unaffected by the garbage
+    assert(MergeTable.readTable(spark, dir).count() === 30L)
+    // and the retry can claim version 2 over the garbage
+    import spark.implicits._
+    val st = MergeTable.upsert(spark, dir, Seq((1L, "re")).toDF("key", "value"))
+    assert(st.version === 2L)
+    assert(MergeTable.versions(spark, dir) === Seq(1L, 2L))
+    assert(MergeTable.readTable(spark, dir)
+      .filter(col("key") === 1L).select("value")
+      .collect().head.getString(0) === "re")
+  }
+
+  test("a crashed commit (temp manifest written, never promoted) is " +
+      "invisible to readers and swept by vacuum — but a FRESH temp " +
+      "above the current version (possibly in-flight) is left alone") {
+    val dir = mkTable(30)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def plant(name: String): org.apache.hadoop.fs.Path = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/_manifests/$name")
+      val o = fs.create(p, true)
+      try o.write("#hex=2\nv=9-99x9/bucket=aa/w.parquet".getBytes("UTF-8"))
+      finally o.close()
+      p
+    }
+    // a lost race / crashed commit at the CURRENT version: always stale
+    val lostRace = plant(".v000000001.99x9.tmp")
+    // a fresh temp one version ahead: indistinguishable from in-flight
+    val inFlight = plant(".v000000002.88x8.tmp")
+    assert(MergeTable.versions(spark, dir) === Seq(1L))
+    MergeTable.vacuum(spark, dir, retainVersions = 1)
+    assert(!fs.exists(lostRace), "vacuum must sweep stale commit temps")
+    assert(fs.exists(inFlight),
+      "a fresh above-current temp may be an in-flight commit — kept " +
+        "until the age grace expires")
+    // age out the in-flight candidate and it sweeps too
+    fs.setTimes(inFlight, System.currentTimeMillis() - 11 * 60 * 1000, -1)
+    MergeTable.vacuum(spark, dir, retainVersions = 1)
+    assert(!fs.exists(inFlight))
+  }
+
+  test("vacuum crash ordering: dying between the manifest drop and " +
+      "the file sweep leaves benign orphans (missing = 0), and the " +
+      "next vacuum resweeps them") {
+    import spark.implicits._
+    val dir = mkTable(50)
+    MergeTable.upsert(spark, dir, Seq((5L, "x")).toDF("key", "value"))
+    val boom = intercept[RuntimeException] {
+      MergeTable.vacuumWithHook(spark, dir, 1,
+        () => throw new RuntimeException("crash before file sweep"))
+    }
+    assert(boom.getMessage.contains("crash"))
+    val rep = MergeTable.fsck(spark, dir)
+    assert(rep.missing === 0L,
+      "a vacuum crash must never strand a listed version without files")
+    assert(rep.orphans > 0L, "the v1-only files should now be orphans")
+    assert(MergeTable.readTable(spark, dir).count() === 50L)
+    MergeTable.vacuum(spark, dir, retainVersions = 1)
+    val after = MergeTable.fsck(spark, dir)
+    assert(after.orphans === 0L && after.missing === 0L)
+  }
+
+  test("multi-writer: the commit-race loser retries against the " +
+      "winner's snapshot; final state equals sequential application " +
+      "and no orphan attempt files survive") {
+    import spark.implicits._
+    val dir = mkTable(200)
+    // writer A prepares an upsert; between A's epoch write and its
+    // manifest promotion, writer B commits a full upsert of its own —
+    // including a key in the SAME bucket-set A is rewriting, so A's
+    // retry must pick up B's row or lose it
+    var fired = false
+    val stA = MergeTable.upsertWithHook(spark, dir,
+      Seq((7L, "fromA"), (201L, "insA")).toDF("key", "value"),
+      () => if (!fired) {
+        fired = true
+        MergeTable.upsert(spark, dir,
+          Seq((7L, "fromB"), (8L, "fromB")).toDF("key", "value")): Unit
+      })
+    assert(fired)
+    assert(stA.version === 3L,
+      "the loser must land at the version after the winner's")
+    val t = MergeTable.readTable(spark, dir)
+    val byKey = t.filter(col("key").isin(7L, 8L, 201L))
+      .select("key", "value").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // sequential semantics: B committed first, then A — A's write of
+    // key 7 supersedes B's; B's key 8 survives; A's insert lands
+    assert(byKey === Map(7L -> "fromA", 8L -> "fromB", 201L -> "insA"))
+    assert(t.count() === 201L)
+    // the losing attempt dir was eagerly deleted: nothing orphaned
+    val rep = MergeTable.fsck(spark, dir)
+    assert(rep.orphans === 0L && rep.missing === 0L)
+  }
+
+  test("rebucket: contents-invariant full-rewrite migration to a new " +
+      "bucket width; time travel reads old versions under their own " +
+      "width; later upserts bucket at the new width") {
+    import spark.implicits._
+    val dir = mkTable(300)
+    assert(MergeTable.bucketWidth(spark, dir) === 2)
+    val before = MergeTable.readTable(spark, dir).drop("bucket")
+      .orderBy("key").collect().toSeq
+    val st = MergeTable.rebucket(spark, dir, 1)
+    assert(st.version === 2L)
+    assert(st.filesWritten === 16L,
+      "300 keys must populate all 16 one-hex buckets")
+    assert(MergeTable.bucketWidth(spark, dir) === 1)
+    assert(MergeTable.bucketWidth(spark, dir, Some(1L)) === 2,
+      "the pre-migration snapshot keeps its own width")
+    val after = MergeTable.readTable(spark, dir)
+    assert(after.drop("bucket").orderBy("key").collect().toSeq === before,
+      "rebucket changed table contents")
+    assert(after.select("bucket").distinct().collect()
+      .forall(_.getString(0).length == 1))
+    // time travel across the boundary: v1 still reads 2-hex buckets
+    val v1 = MergeTable.readTable(spark, dir, Some(1L))
+    assert(v1.select("bucket").distinct().collect()
+      .forall(_.getString(0).length == 2))
+    // an upsert after the migration buckets at the NEW width and lands
+    // in the right file set (state correct, no duplicate key)
+    val up = MergeTable.upsert(spark, dir,
+      Seq((13L, "NEW"), (301L, "ins")).toDF("key", "value"))
+    assert(up.rowsMatched === 1L && up.rowsInserted === 1L)
+    assert(up.bucketsRewritten <= 2L)
+    val t = MergeTable.readTable(spark, dir)
+    assert(t.count() === 301L)
+    assert(t.filter(col("key") === 13L).count() === 1L)
+    assert(t.filter(col("key") === 13L).select("value")
+      .collect().head.getString(0) === "NEW")
+  }
+
+  test("optimizeZOrder: contents-invariant; each bucket file's row " +
+      "groups are clustered so block stats prune a two-column box") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cowz")
+      .resolve("t").toString
+    val n = 4000
+    // two independent value dimensions over a 16-bucket table
+    val df = (1 to n).map(i => (i.toLong, (i * 37L) % 1000L,
+      (i * 101L) % 1000L)).toDF("key", "x", "y")
+    MergeTable.create(df, dir, "key", hexDigits = 1)
+    val before = MergeTable.readTable(spark, dir).drop("bucket")
+      .orderBy("key").collect().toSeq
+    val st = MergeTable.optimizeZOrder(spark, dir, "x", "y",
+      blockBytes = Some(1024))
+    assert(st.version === 2L)
+    val after = MergeTable.readTable(spark, dir)
+    assert(after.drop("bucket").orderBy("key").collect().toSeq === before,
+      "optimizeZOrder changed table contents")
+    assert(!after.columns.contains("zval"),
+      "the clustering key must not be persisted")
+    // physical: multiple row groups per file, and box pruning works on
+    // the real footers
+    val files = fileIds(dir).keys.filter(_.startsWith("v=2-"))
+      .map(rel => s"$dir/data/$rel").toSeq
+    val blocks = Layout.footerBlockStats(spark, files, "x", "y")
+      .localCheckpoint(true)
+    assert(blocks.count() > files.size.toLong,
+      "expected multiple row groups per bucket file")
+    val opened = Layout.prunedRowGroups(blocks,
+      Some((437L, 500L)), Some((437L, 500L))).count()
+    assert(opened < blocks.count(),
+      "block stats failed to prune the box on the z-ordered table")
   }
 
   test("a mismatched key column on an existing table throws") {

@@ -45,6 +45,37 @@ class ChangefeedRunnerSpec extends SparkSpec {
     assert(cursor.read() === Some(3L))
   }
 
+  test("a stranded batch dir from a crashed run (table advanced " +
+      "before the retry) is swept by the next successful publish") {
+    import spark.implicits._
+    val table = java.nio.file.Files.createTempDirectory("cfr-strand")
+      .resolve("t").toString
+    val sink = java.nio.file.Files.createTempDirectory("cfr-ssink")
+      .toString
+    val state = java.nio.file.Files.createTempDirectory("cfr-sstate")
+      .toString
+    val cursor = new FileCursorStore(state)
+    graft.ext.MergeTable.create(
+      (1L to 50L).map(i => (i, s"v$i")).toDF("key", "value"), table, "key")
+    assert(ChangefeedRunner.runOnce(spark, table, sink, cursor).isEmpty)
+    // crashed run: half-wrote batch=2 (a run targeting v2 that died
+    // before committing its cursor), then the table advanced to v3
+    graft.ext.MergeTable.upsert(spark, table,
+      Seq((3L, "x")).toDF("key", "value"))
+    Seq((3L, "update")).toDF("key", "change")
+      .write.parquet(s"$sink/batch=2") // the strand
+    graft.ext.MergeTable.upsert(spark, table,
+      Seq((4L, "y")).toDF("key", "value"))
+    val r = ChangefeedRunner.runOnce(spark, table, sink, cursor).get
+    assert(r.fromV === 1L && r.toV === 3L)
+    val fs = new org.apache.hadoop.fs.Path(sink)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$sink/batch=2")),
+      "the stranded uncommitted batch dir must be swept")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$sink/batch=3")))
+    assert(cursor.read() === Some(3L))
+  }
+
   test("vacuum past the cursor fails the next run loudly — retention " +
       "must cover publisher lag, and the failure names the gap") {
     import spark.implicits._

@@ -7,6 +7,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 case class CdcRow(key: Long, value: String)
+case class SeqCdcRow(key: Long, value: String, seq: Long)
 
 /** MergeStream: a change stream drained batch-by-batch into the
   * copy-on-write table — later batches win on overlapping keys, and
@@ -35,5 +36,39 @@ class MergeStreamSpec extends SparkSpec {
       .select("key", "value").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got === Map(3L -> "b1", 7L -> "b1", 21L -> "b0-ins"))
+  }
+
+  test("a micro-batch carrying several changes to one key collapses " +
+      "to the latest by the sequence column before applying — no " +
+      "duplicate keys, no rejected batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("merge-seq").toString + "/t"
+    val ckpt = Files.createTempDirectory("merge-seq-ckpt").toString
+    graft.ext.MergeTable.create(
+      (1L to 10L).map(i => SeqCdcRow(i, s"v$i", 0L)).toDF(), dir, "key")
+    val input = MemoryStream[SeqCdcRow]
+    // key 3 changes twice in ONE batch (out of arrival order on seq),
+    // key 11 is inserted then updated in the same batch
+    input.addData(SeqCdcRow(3, "mid", 7), SeqCdcRow(3, "final", 9),
+      SeqCdcRow(3, "early", 2), SeqCdcRow(11, "ins", 1),
+      SeqCdcRow(11, "upd", 2))
+    MergeStream.start(input.toDF(), dir, ckpt, seqCol = Some("seq"))
+      .awaitTermination()
+    val t = graft.ext.MergeTable.readTable(spark, dir)
+    assert(t.count() === 11L, "collapse must leave one row per key")
+    val got = t.filter(col("key").isin(3L, 11L))
+      .select("key", "value").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(3L -> "final", 11L -> "upd"))
+    // and WITHOUT the collapse, the same shape fails loudly instead of
+    // writing duplicate keys (the upsert contract)
+    val input2 = MemoryStream[SeqCdcRow]
+    input2.addData(SeqCdcRow(5, "a", 1), SeqCdcRow(5, "b", 2))
+    val ckpt2 = Files.createTempDirectory("merge-seq-ckpt2").toString
+    val q = MergeStream.start(input2.toDF(), dir, ckpt2)
+    val err = intercept[Exception] { q.awaitTermination() }
+    assert(err.getMessage.contains("one row per key") ||
+      Option(err.getCause).exists(_.getMessage.contains("one row per key")))
   }
 }
