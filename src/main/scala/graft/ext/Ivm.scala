@@ -18,16 +18,30 @@ import graft.core.{QueryDef, Tables}
   * inverses; min/max do NOT, and neither do HLL distinct sketches —
   * register-max cannot unsee an element — so those aggregates stay on
   * the rollup family's rebuild-from-partials path under deletion). Deltas land as run partitions
-  * (the Rollup discipline — replay-idempotent by run overwrite) and
-  * the serve is one O(groups x runs) aggregation of the summary.
+  * (the Rollup discipline — replay-idempotent by run overwrite), the
+  * serve is one O(groups x runs) aggregation of the summary, and
+  * [[compact]] BOUNDS the runs term: counts and sums form a group, so
+  * folding every settled run partial into the reserved `run=-1` epoch
+  * is exact (a served view is identical before and after — q147 runs
+  * the gate across a mid-stream compaction; IvmSpec pins the
+  * invariance directly), and a long-lived view serves from O(groups)
+  * rows however many increments it has absorbed.
   *
   * Per-increment cost is O(changefeed rows) = O(changed buckets), so a
   * view over a 100 TB table follows a trickle of changes for the price
-  * of the trickle. q147 proves EXACTNESS through two composed
-  * increments (v1→v3, then v3→v4): the maintained view must equal the
-  * direct aggregate of the final snapshot, group for group — the
-  * delta algebra is hash-gated against an oracle that never saw the
-  * deltas. */
+  * of the trickle. Two maintainers drive a view end-to-end (exactly
+  * one per view — run-id spaces must not interleave):
+  * [[graft.ingest.IvmRunner]] drains the published changefeed with a
+  * cursor (runs keyed by table version; q149 gates the whole
+  * publisher→runner→compact→serve pipeline), and
+  * [[graft.streaming.IvmStream]] drains a change stream per
+  * micro-batch (runs keyed by foreachBatch id — a replayed batch
+  * overwrites its own run, the exactly-once-by-overwrite discipline
+  * every streaming twin here uses). q147 proves EXACTNESS through two
+  * composed increments (v1→v3, then v3→v4): the maintained view must
+  * equal the direct aggregate of the final snapshot, group for group —
+  * the delta algebra is hash-gated against an oracle that never saw
+  * the deltas. */
 object Ivm {
 
   /** Initialize the view's base partial (run 0) from a table snapshot:
@@ -66,6 +80,34 @@ object Ivm {
       .agg(sum("n").as("n"), sum("cents").as("sum_cents"))
       .filter(col("n") =!= 0)
 
+  /** Fold SETTLED run partials into the reserved `run=-1` epoch — the
+    * boundedness mechanism the rest of the incremental family has
+    * ([[Rollup.compact]]'s swap discipline): counts and sums are a
+    * commutative group, so the fold is EXACT and a serve reads O(groups)
+    * rows instead of O(groups x runs). Net-zero groups are KEPT in the
+    * folded epoch (an update within a group leaves n = 0 with a nonzero
+    * cents delta — dropping the row would lose the money; [[serve]]
+    * filters cancelled groups, the fold must not).
+    *
+    * `excludeRunsAbove` names the maintainer's committed cursor: any
+    * run ABOVE it is a possibly-half-applied in-flight attempt that the
+    * maintainer will REPLAY (run-overwrite) after restart — folding it
+    * would double-count the replay, so it is dropped from the rewrite
+    * and restored by that replay, the IvfPqStream auto-compaction
+    * contract. None = the caller asserts no maintainer is mid-batch. */
+  def compact(spark: SparkSession, dir: String,
+      excludeRunsAbove: Option[Long] = None)
+      : DedupIndex.CompactionStats =
+    DedupIndex.rewriteAndSwap(spark, dir) { tmp =>
+      val all = spark.read.parquet(dir)
+      excludeRunsAbove
+        .map(b => all.filter(col("run") <= b)).getOrElse(all)
+        .groupBy("status")
+        .agg(sum("n").as("n"), sum("cents").as("cents"))
+        .repartition(1)
+        .write.mode("overwrite").parquet(s"$tmp/run=-1")
+    }
+
   // ---- q147: the lifecycle with status MIGRATION -------------------
 
   private def baseRows(s: SparkSession, dir: String): DataFrame =
@@ -78,11 +120,15 @@ object Ivm {
     * deltas through two composed increments — batch 1 (cents+100 on
     * key % 101, 'N' inserts at -(key+1) on key % 103) and batch 2
     * (keys % 202 MIGRATE to status 'X' at cents+300) applied as
-    * increment v1→v3, then a hard delete (key % 307) as increment
-    * v3→v4. The served view must equal the direct per-status aggregate
-    * of the final snapshot, which the oracle computes from orders
-    * arithmetic alone — retraction, group migration, insert placement
-    * and delete subtraction all hash-gated in one row set. */
+    * increment v1→v3, then a [[compact]] folding the settled partials
+    * MID-STREAM, then a hard delete (key % 307) as increment v3→v4
+    * applied ON TOP of the folded epoch. The served view must equal
+    * the direct per-status aggregate of the final snapshot, which the
+    * oracle computes from orders arithmetic alone — retraction, group
+    * migration, insert placement, delete subtraction AND the fold's
+    * exactness all hash-gated in one row set (a compact that lost or
+    * double-counted anything fails the same gate that passed without
+    * it). */
   private val q147IvmChangefeed = QueryDef(
     (s, dir) => {
       val table = java.nio.file.Files.createTempDirectory("graft-q147-t")
@@ -103,6 +149,7 @@ object Ivm {
           .select(col("key"), lit("X").as("status"),
             (col("cents") + 300).as("cents")))
       Ivm.applyChanges(MergeTable.changes(s, table, 1L, 3L), view, 1)
+      Ivm.compact(s, view) // fold mid-stream: the gate must not notice
       MergeTable.deleteKeys(s, table,
         base.filter(col("key") % 307 === 0).select("key"))
       Ivm.applyChanges(MergeTable.changes(s, table, 3L, 4L), view, 2)
@@ -125,7 +172,73 @@ object Ivm {
       |       CAST(sum(cents) AS BIGINT) AS sum_cents
       |FROM fin GROUP BY status ORDER BY status""")
 
+  /** q149 — the WIRED pipeline end-to-end, same final oracle as q147:
+    * table → [[graft.ingest.ChangefeedRunner]] (cursor-tracked publish
+    * of each version diff to a batch sink, bootstrap pinning v1) →
+    * [[graft.ingest.IvmRunner.maintainOnce]] (chain-validated drain of
+    * the published batches into the view, apply-then-commit, settled
+    * runs folded into the reserved epoch each pass) → [[serve]]. What
+    * q147 proves about the delta ALGEBRA, this row proves about the
+    * PLUMBING: two publisher runs (v1→v3 coalesced, then v3→v4), two
+    * maintainer drains with their compactions, and the served view
+    * must still equal the direct aggregate the oracle computes from
+    * orders arithmetic alone. Every moving part — marker chain, cursor
+    * discipline on both sides, fold exclusion — sits on the hash
+    * gate's critical path. */
+  private val q149IvmRunner = QueryDef(
+    (s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-q149")
+      val table = root.resolve("table").toString
+      val view = root.resolve("view").toString
+      val sink = root.resolve("sink").toString
+      val pubCursor =
+        new graft.ingest.FileCursorStore(root.resolve("pub").toString)
+      val ivmCursor =
+        new graft.ingest.FileCursorStore(root.resolve("ivm").toString)
+      val base = baseRows(s, dir).localCheckpoint(true)
+      MergeTable.create(base, table, "key")
+      // publisher bootstrap pins v1; the consumer snapshots it
+      graft.ingest.ChangefeedRunner.runOnce(s, table, sink, pubCursor)
+      Ivm.init(MergeTable.readTable(s, table, Some(1L)).drop("bucket"),
+        view)
+      ivmCursor.commit(1L)
+      MergeTable.upsert(s, table,
+        base.filter(col("key") % 101 === 0)
+          .withColumn("cents", col("cents") + 100)
+          .unionByName(base.filter(col("key") % 103 === 0)
+            .select((-col("key") - 1).as("key"), lit("N").as("status"),
+              col("cents"))))
+      MergeTable.upsert(s, table,
+        base.filter(col("key") % 202 === 0)
+          .select(col("key"), lit("X").as("status"),
+            (col("cents") + 300).as("cents")))
+      graft.ingest.ChangefeedRunner.runOnce(s, table, sink, pubCursor)
+      graft.ingest.IvmRunner.maintainOnce(s, sink, view, ivmCursor)
+      MergeTable.deleteKeys(s, table,
+        base.filter(col("key") % 307 === 0).select("key"))
+      graft.ingest.ChangefeedRunner.runOnce(s, table, sink, pubCursor)
+      graft.ingest.IvmRunner.maintainOnce(s, sink, view, ivmCursor)
+      Ivm.serve(s, view).orderBy("status")
+    },
+    """WITH base AS (
+      |  SELECT o_orderkey AS key, o_orderstatus AS status,
+      |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+      |  FROM orders),
+      |fin AS (
+      |  SELECT key,
+      |         CASE WHEN key % 202 = 0 THEN 'X' ELSE status END AS status,
+      |         CASE WHEN key % 202 = 0 THEN cents + 300
+      |              WHEN key % 101 = 0 THEN cents + 100
+      |              ELSE cents END AS cents
+      |  FROM base WHERE key % 307 <> 0
+      |  UNION ALL
+      |  SELECT -key - 1, 'N', cents FROM base WHERE key % 103 = 0)
+      |SELECT status, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM fin GROUP BY status ORDER BY status""")
+
   val defs: Map[String, QueryDef] = Map(
     "q147_ivm_changefeed" -> q147IvmChangefeed,
+    "q149_ivm_runner" -> q149IvmRunner,
   )
 }

@@ -40,6 +40,42 @@ object ChangefeedRunner {
 
   final case class RunResult(fromV: Long, toV: Long, rows: Long)
 
+  /** Per-batch provenance marker (`_graft_feed` inside the batch dir):
+    * `fromV toV`, written after the data, before the cursor commit. A
+    * consumer CHAIN-VALIDATES it — apply `batch=<toV>` only when its
+    * recorded fromV equals the consumer's own cursor — which turns the
+    * two silent-corruption cases into loud errors: a batch whose
+    * fromV is BELOW the consumer's cursor overlaps deltas already
+    * applied (double count), one ABOVE it skips deltas (a gap, e.g.
+    * the publisher re-bootstrapped). [[IvmRunner]] enforces it. */
+  val MarkerFile = "_graft_feed"
+
+  private[ingest] def writeMarker(spark: SparkSession, batchDir: String,
+      fromV: Long, toV: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(batchDir, MarkerFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(s"$fromV $toV".getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The (fromV, toV) a published batch recorded — None when the dir
+    * predates the marker or is a half-written strand. */
+  def readMarker(spark: SparkSession,
+      batchDir: String): Option[(Long, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(batchDir, MarkerFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      s.trim.split("\\s+") match {
+        case Array(a, b) => Some((a.toLong, b.toLong))
+        case _ => None
+      }
+    }
+  }
+
   /** One incremental run: publish the diff from the cursor's version
     * to the table's current version, then advance the cursor. None =
     * nothing new (or first-run bootstrap, which only sets the
@@ -58,6 +94,7 @@ object ChangefeedRunner {
         val diff = graft.ext.MergeTable.changes(spark, tableDir, from, cur)
         diff.write.mode("overwrite").parquet(s"$sinkDir/batch=$cur")
         val rows = spark.read.parquet(s"$sinkDir/batch=$cur").count()
+        writeMarker(spark, s"$sinkDir/batch=$cur", from, cur)
         // STRAND SWEEP, before the cursor advances: a prior run that
         // crashed after (partially) writing its batch and then saw the
         // table advance leaves a batch=<V> dir, from < V < cur, that

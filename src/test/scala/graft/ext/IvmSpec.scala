@@ -35,4 +35,76 @@ class IvmSpec extends SparkSpec {
     assert(got === Set(("A", 1L, 20L), ("C", 1L, 12L)),
       s"delta algebra broke: $got")
   }
+
+  private def mkChangefeed(rows: Seq[(Long, String, java.lang.Long,
+      String, java.lang.Long)]): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    rows.toDF("key", "os", "oc", "ns", "nc")
+      .select(col("key"),
+        when(col("os").isNotNull, struct(col("os").as("status"),
+          col("oc").as("cents"))).as("old_row"),
+        when(col("ns").isNotNull, struct(col("ns").as("status"),
+          col("nc").as("cents"))).as("new_row"))
+  }
+
+  test("compact folds every settled run into the reserved epoch " +
+      "without changing the serve — including a net-zero group whose " +
+      "cents delta must survive the fold") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ivm-c")
+      .resolve("v").toString
+    Ivm.init(Seq(("A", 10L), ("A", 20L), ("B", 5L))
+      .toDF("status", "cents"), dir)
+    // run 1: within-group update (A: 10 -> 13) — n cancels to 0 for A,
+    // cents delta +3 must NOT be lost by the fold
+    Ivm.applyChanges(mkChangefeed(Seq(
+      (1L, "A", 10L, "A", 13L))), dir, 1)
+    // run 2: migrate B's row to C
+    Ivm.applyChanges(mkChangefeed(Seq(
+      (2L, "B", 5L, "C", 7L))), dir, 2)
+    val before = Ivm.serve(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val st = Ivm.compact(spark, dir)
+    val after = Ivm.serve(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(after === before, "compaction changed the served view")
+    assert(after === Set(("A", 2L, 33L), ("C", 1L, 7L)))
+    assert(st.filesWritten < st.filesRead,
+      "the fold should shrink the partial set")
+    // the view now serves from the single reserved epoch
+    val runs = spark.read.parquet(dir).select("run").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(runs === Set(-1), s"expected only run=-1, got $runs")
+    // a fresh increment lands on top of the folded epoch exactly
+    Ivm.applyChanges(mkChangefeed(Seq(
+      (3L, null, null, "D", 100L))), dir, 3)
+    val withNew = Ivm.serve(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(withNew === Set(("A", 2L, 33L), ("C", 1L, 7L), ("D", 1L, 100L)))
+  }
+
+  test("compact excludes runs above the committed cursor: a " +
+      "half-applied in-flight run is dropped, its replay restores it, " +
+      "and the view never double-counts") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ivm-x")
+      .resolve("v").toString
+    Ivm.init(Seq(("A", 10L)).toDF("status", "cents"), dir)
+    Ivm.applyChanges(mkChangefeed(Seq(
+      (1L, "A", 10L, "A", 12L))), dir, 1) // committed (cursor = 1)
+    Ivm.applyChanges(mkChangefeed(Seq(
+      (2L, null, null, "B", 50L))), dir, 2) // in-flight, NOT committed
+    Ivm.compact(spark, dir, excludeRunsAbove = Some(1L))
+    // the in-flight run was dropped, not folded
+    val served = Ivm.serve(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(served === Set(("A", 1L, 12L)),
+      s"in-flight run leaked into the fold: $served")
+    // the maintainer replays the batch after restart — run overwrite
+    Ivm.applyChanges(mkChangefeed(Seq(
+      (2L, null, null, "B", 50L))), dir, 2)
+    val after = Ivm.serve(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(after === Set(("A", 1L, 12L), ("B", 1L, 50L)))
+  }
 }

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+case class ChangeRow(key: Long, os: String, oc: java.lang.Long,
+  ns: String, nc: java.lang.Long)
+
+/** IvmStream: change rows drained into the view per micro-batch,
+  * exactly-once by run-overwrite — a restart drains only new data, a
+  * half-applied batch is healed by its replay, and compaction between
+  * drains (excluding the in-flight frontier) never double-counts. */
+class IvmStreamSpec extends SparkSpec {
+
+  private def toChanges(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("key"),
+      when(col("os").isNotNull, struct(col("os").as("status"),
+        col("oc").as("cents"))).as("old_row"),
+      when(col("ns").isNotNull, struct(col("ns").as("status"),
+        col("nc").as("cents"))).as("new_row"))
+
+  private def served(view: String): Set[(String, Long, Long)] =
+    graft.ext.Ivm.serve(spark, view).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("two drains with a restart, a mid-stream compact, and a " +
+      "planted half-applied run: the view equals the change log's net " +
+      "effect exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val view = Files.createTempDirectory("ivm-stream").toString + "/v"
+    val ckpt = Files.createTempDirectory("ivm-stream-ck").toString
+    graft.ext.Ivm.init(
+      Seq(("A", 10L), ("B", 5L)).toDF("status", "cents"), view)
+    val input = MemoryStream[ChangeRow]
+
+    // batch 0 (run 1): A's 10 -> 12, insert C
+    input.addData(ChangeRow(1, "A", 10L, "A", 12L),
+      ChangeRow(2, null, null, "C", 50L))
+    IvmStream.start(toChanges(input.toDF()), view, ckpt)
+      .awaitTermination()
+    assert(served(view) === Set(("A", 1L, 12L), ("B", 1L, 5L),
+      ("C", 1L, 50L)))
+
+    // compact between drains, excluding nothing in flight (run 1 is
+    // committed by the checkpoint) — serve must not move
+    graft.ext.Ivm.compact(spark, view, excludeRunsAbove = Some(1L))
+    assert(served(view) === Set(("A", 1L, 12L), ("B", 1L, 5L),
+      ("C", 1L, 50L)))
+
+    // plant a half-applied NEXT run (a kill mid-write leaves a partial
+    // run=2) — the restarted drain must overwrite it, not add to it
+    Seq(("Z", 77L, 77000L)).toDF("status", "n", "cents")
+      .write.mode("overwrite").parquet(s"$view/run=2")
+    // restart: batch 1 (run 2) deletes B, moves C to D
+    input.addData(ChangeRow(3, "B", 5L, null, null),
+      ChangeRow(2, "C", 50L, "D", 60L))
+    IvmStream.start(toChanges(input.toDF()), view, ckpt)
+      .awaitTermination()
+    assert(served(view) === Set(("A", 1L, 12L), ("D", 1L, 60L)),
+      "the replayed run must overwrite the half-applied attempt")
+  }
+}
