@@ -12,6 +12,13 @@ import org.apache.spark.sql.SparkSession
   * is also written to SPARK_GRAFT_BENCH_OUT (default /tmp/bench.json) as
   * a belt-and-braces channel for the driver.
   *
+  * Lifecycle cells (the mutating COW/IVM instruments) self-report their
+  * fixture-BUILD seconds through [[graft.core.Timing]]; the bench splits
+  * each such cell into `build_s` and `op_s = total - build_s` on the
+  * file channel and ships per-pass build arrays on the passes sibling —
+  * so a regression in the measured OPERATION is visible even when the
+  * build dominates the cell.
+  *
   * Each query gets one warmup execution (JIT + codegen compilation + file
   * footer caches) and three measured executions, reporting the per-query
   * minimum — at bench scale the steady-state number is the meaningful
@@ -44,16 +51,22 @@ import org.apache.spark.sql.SparkSession
   * the full-precision contract line on SPARK_GRAFT_BENCH_OUT.
   */
 object Bench {
+  /** One execution: (total seconds, error, fixture-build seconds).
+    * `build` is the portion a lifecycle query self-reports through
+    * [[graft.core.Timing]] — the bench's `op_s` for such a cell is
+    * total - build, so a regression in the measured operation cannot
+    * hide inside fixture-construction noise. */
   private def runOnce(spark: SparkSession, sfDir: String,
       name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-      : (Double, Option[String]) = {
+      : (Double, Option[String], Double) = {
+    graft.core.Timing.drain() // clear anything a prior cell left behind
     val t0 = System.nanoTime()
     val err =
       try { fn(spark, sfDir).count(); None }
       catch { case t: Throwable =>
         Some(s"${t.getClass.getSimpleName}: ${Option(t.getMessage).getOrElse("").take(160)}")
       }
-    ((System.nanoTime() - t0) / 1e9, err)
+    ((System.nanoTime() - t0) / 1e9, err, graft.core.Timing.drain())
   }
 
   private def jsonStr(s: String): String =
@@ -105,7 +118,7 @@ object Bench {
 
     // warmup: full execution of every query once (errors logged, not fatal)
     queries.foreach { case (name, fn) =>
-      val (sec, err) = runOnce(spark, sfDir, name, fn)
+      val (sec, err, _) = runOnce(spark, sfDir, name, fn)
       System.err.println(f"[bench] warmup $name%-28s $sec%8.3f s${err.fold("")(" ERR " + _)}")
     }
     System.gc() // drop warmup garbage so measured passes see a quiet heap
@@ -132,9 +145,10 @@ object Bench {
       val half = queries.size / 2
       val r = queries.zipWithIndex.map { case ((name, fn), i) =>
         if (i == half) sentinelOnce().foreach(sent += _)
-        val (sec, err) = runOnce(spark, sfDir, name, fn)
-        System.err.println(f"[bench] pass$pass  $name%-28s $sec%8.3f s${err.fold("")(" ERR " + _)}")
-        name -> ((sec, err))
+        val (sec, err, build) = runOnce(spark, sfDir, name, fn)
+        val bnote = if (build > 0) f" (build $build%.3f)" else ""
+        System.err.println(f"[bench] pass$pass  $name%-28s $sec%8.3f s$bnote${err.fold("")(" ERR " + _)}")
+        name -> ((sec, err, build))
       }
       sentinelOnce().foreach(sent += _)
       val frac = for ((b0, i0, s0, t0) <- cpu0; (b1, i1, s1, t1) <- cpuSample();
@@ -158,19 +172,31 @@ object Bench {
     val noise =
       if (passMins.nonEmpty && passMins.min > 0) passMins.max / passMins.min
       else 1.0
-    // steady-state = per-query min across measured passes
+    // steady-state = per-query min across measured passes; the build
+    // sub-timing reported for a cell is the one from its min pass, so
+    // op_s = sec - build describes a single coherent execution
     val results = queries.indices.map { i =>
       val name = passes.head(i)._1
       val secs = passes.map(_(i)._2._1)
-      (name, secs.min, passes.flatMap(_(i)._2._2).headOption)
+      val minIdx = secs.indexOf(secs.min)
+      (name, secs.min, passes.flatMap(_(i)._2._2).headOption,
+        passes(minIdx)(i)._2._3)
     }
 
     // stdout keys = the qNN prefix (unique by registry numbering; checked)
     def shortKey(name: String): String = name.takeWhile(_ != '_')
     require(results.map(r => shortKey(r._1)).distinct.size == results.size,
       "qNN prefixes are no longer unique; stdout bench keys would collide")
+    // trim trailing zeros ("0.10" -> "0.1", "3.00" -> "3") — still valid
+    // JSON numbers, and the saved bytes keep the 151-query stdout line
+    // inside the driver's ~1.8 KB capture window
+    def num2(v: Double): String =
+      f"$v%.2f".reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse match {
+        case "" | "-" => "0"
+        case s => s
+      }
     val qs = results
-      .map { case (k, v, _) => jsonStr(shortKey(k)) + f":$v%.2f" }
+      .map { case (k, v, _, _) => jsonStr(shortKey(k)) + ":" + num2(v) }
       .mkString("{", ",", "}")
     // all measured passes per query, not just the min: lets the judge
     // (and future rounds) see run-to-run variance instead of trusting
@@ -193,23 +219,32 @@ object Bench {
         s""""sentinel_sec":$sentArr,"steal_frac":$stealArr,""" +
         f""""idle_frac":$idleArr,"sentinel_ratio":$noise%.4f}"""
     }
+    // per-pass build sub-timings for the lifecycle cells (zero rows
+    // omitted): the op_s of a mutating instrument is total - build
+    val buildJson = queries.indices
+      .filter(i => passes.exists(_(i)._2._3 > 0))
+      .map { i =>
+        jsonStr(passes.head(i)._1) +
+          passes.map(p => f"${p(i)._2._3}%.4f").mkString(":[", ",", "]")
+      }
+      .mkString(""""build":{""", ",", "}")
     val passJson = queries.indices
       .map { i =>
         jsonStr(passes.head(i)._1) +
           passes.map(p => f"${p(i)._2._1}%.4f").mkString(":[", ",", "]")
       }
-      .mkString("""{"passes":{""", ",", s"},$noiseJson}")
+      .mkString("""{"passes":{""", ",", s"},$buildJson,$noiseJson}")
     val passesPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES",
       "/tmp/bench_passes.json")
     try Files.write(Paths.get(passesPath),
       (passJson + "\n").getBytes(StandardCharsets.UTF_8))
     catch { case t: Throwable =>
       System.err.println(s"[bench] passes file write failed: $t") }
-    val errs = results.collect { case (k, _, Some(e)) => jsonStr(k) + ":" + jsonStr(e) }
+    val errs = results.collect { case (k, _, Some(e), _) => jsonStr(k) + ":" + jsonStr(e) }
     val errJson = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
     // errors on stdout stay terse (short keys, clipped messages) so a
     // failing run can't blow the capture window either
-    val errsShort = results.collect { case (k, _, Some(e)) =>
+    val errsShort = results.collect { case (k, _, Some(e), _) =>
       jsonStr(shortKey(k)) + ":" + jsonStr(e.take(40)) }
     val errShortJson =
       if (errsShort.isEmpty) "" else errsShort.mkString(""","errors":{""", ",", "}")
@@ -220,12 +255,18 @@ object Bench {
     // with it present); it also rides the PASSES sibling in full
     val stdoutLine =
       f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs$errShortJson,"noise":$noise%.2f,"sf":"$sfBase"}"""
-    // the file channel keeps full names, 4-decimal precision, full path
+    // the file channel keeps full names, 4-decimal precision, full path,
+    // and the lifecycle cells' build/op split (from each cell's min pass)
     val qsFull = results
-      .map { case (k, v, _) => jsonStr(k) + f":$v%.4f" }
+      .map { case (k, v, _, _) => jsonStr(k) + f":$v%.4f" }
       .mkString("{", ",", "}")
+    val buildFull = results.filter(_._4 > 0)
+      .map { case (k, v, _, b) =>
+        jsonStr(k) + f""":{"build_s":$b%.4f,"op_s":${math.max(0.0, v - b)}%.4f}"""
+      }
+      .mkString("""{""", ",", "}")
     val fileLine =
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qsFull$errJson,"noise":$noise%.4f,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qsFull$errJson,"build":$buildFull,"noise":$noise%.4f,"sf":"$sfDir"}"""
     try Files.write(Paths.get(outPath), (fileLine + "\n").getBytes(StandardCharsets.UTF_8))
     catch { case t: Throwable => System.err.println(s"[bench] file write failed: $t") }
     System.err.println(s"[bench] stdout contract line: ${stdoutLine.length} bytes")

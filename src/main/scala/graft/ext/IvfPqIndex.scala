@@ -306,7 +306,9 @@ object IvfPqIndex {
     * forget only APPENDS the ids to a `_tombstones/` side table
     * (underscore-prefixed: invisible to the code-table scan's partition
     * discovery AND to dataFileCount); [[search]] anti-joins the
-    * broadcast tombstone set before any ranking work; the next
+    * tombstone set before any ranking work (size-gated: broadcast only
+    * under the session's autoBroadcastJoinThreshold budget, shuffle
+    * hash beyond it — a forget backlog must not blow the driver); the next
     * [[compact]] drops the rows physically and the swap retires the
     * side table with the old directory. Contract: vec_ids are stable
     * identities — re-`add`ing a forgotten id stays suppressed until a

@@ -135,9 +135,12 @@ object Ivm {
         .resolve("table").toString
       val view = java.nio.file.Files.createTempDirectory("graft-q147-v")
         .resolve("view").toString
-      val base = baseRows(s, dir).localCheckpoint(true)
-      MergeTable.create(base, table, "key")
-      Ivm.init(MergeTable.readTable(s, table).drop("bucket"), view)
+      val base = graft.core.Timing.build {
+        val b = baseRows(s, dir).localCheckpoint(true)
+        MergeTable.create(b, table, "key")
+        Ivm.init(MergeTable.readTable(s, table).drop("bucket"), view)
+        b
+      }
       MergeTable.upsert(s, table,
         base.filter(col("key") % 101 === 0)
           .withColumn("cents", col("cents") + 100)
@@ -195,13 +198,16 @@ object Ivm {
         new graft.ingest.FileCursorStore(root.resolve("pub").toString)
       val ivmCursor =
         new graft.ingest.FileCursorStore(root.resolve("ivm").toString)
-      val base = baseRows(s, dir).localCheckpoint(true)
-      MergeTable.create(base, table, "key")
-      // publisher bootstrap pins v1; the consumer snapshots it
-      graft.ingest.ChangefeedRunner.runOnce(s, table, sink, pubCursor)
-      Ivm.init(MergeTable.readTable(s, table, Some(1L)).drop("bucket"),
-        view)
-      ivmCursor.commit(1L)
+      val base = graft.core.Timing.build {
+        val b = baseRows(s, dir).localCheckpoint(true)
+        MergeTable.create(b, table, "key")
+        // publisher bootstrap pins v1; the consumer snapshots it
+        graft.ingest.ChangefeedRunner.runOnce(s, table, sink, pubCursor)
+        Ivm.init(MergeTable.readTable(s, table, Some(1L)).drop("bucket"),
+          view)
+        ivmCursor.commit(1L)
+        b
+      }
       MergeTable.upsert(s, table,
         base.filter(col("key") % 101 === 0)
           .withColumn("cents", col("cents") + 100)

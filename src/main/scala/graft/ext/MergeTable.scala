@@ -759,15 +759,16 @@ object MergeTable {
       .withColumn("cents", col("cents") + 300)
 
   private def runLifecycleStats(s: SparkSession, dir: String,
-      tag: String): (String, CowStats, CowStats) = {
-    val out = java.nio.file.Files.createTempDirectory(s"graft-$tag-cow")
-      .resolve("table").toString
-    val base = baseRows(s, dir).localCheckpoint(true)
-    create(base, out, "key")
-    val s1 = upsert(s, out, batch1(base))
-    val s2 = upsert(s, out, batch2(base))
-    (out, s1, s2)
-  }
+      tag: String): (String, CowStats, CowStats) =
+    graft.core.Timing.build {
+      val out = java.nio.file.Files.createTempDirectory(s"graft-$tag-cow")
+        .resolve("table").toString
+      val base = baseRows(s, dir).localCheckpoint(true)
+      create(base, out, "key")
+      val s1 = upsert(s, out, batch1(base))
+      val s2 = upsert(s, out, batch2(base))
+      (out, s1, s2)
+    }
 
   /** Per-JVM memo of the three-version lifecycle, keyed by fixture dir
     * — the IvfPqIndex.steadyIndex discipline: the READ-ONLY consumers
@@ -806,8 +807,8 @@ object MergeTable {
     * plain lifecycle) and q146 (lifecycle + OPTIMIZE) — the
     * rewrite-proven-result-identical discipline of q92/q124: optimize
     * must change layout, never content. */
-  private val lifecycleStateSql: String =
-    s"""WITH base AS (
+  private val lifecycleFinCte: String =
+    s"""base AS (
        |  SELECT o_orderkey AS key, o_custkey AS cust,
        |         o_orderstatus AS status,
        |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
@@ -819,9 +820,14 @@ object MergeTable {
        |              ELSE cents END AS cents
        |  FROM base
        |  UNION ALL
-       |  SELECT -key - 1, cust, 'N', cents FROM base WHERE key % 103 = 0)
+       |  SELECT -key - 1, cust, 'N', cents FROM base WHERE key % 103 = 0)""".stripMargin
+
+  /** The final-state oracle at bucket width `hex` — q140/q146 gate at
+    * the default width, q150/q151 after the width-1 migration. */
+  private def lifecycleStateSql(hex: Int): String =
+    s"""WITH $lifecycleFinCte
        |SELECT key, cust, status, cents,
-       |       ${bucketSql("key")} AS bucket
+       |       ${bucketSql("key", hex)} AS bucket
        |FROM fin ORDER BY key""".stripMargin
 
   private def lifecycleState(s: SparkSession, out: String) =
@@ -831,7 +837,7 @@ object MergeTable {
 
   private val q140CowUpsert = QueryDef(
     (s, dir) => lifecycleState(s, memoLifecycle(s, dir)._1),
-    lifecycleStateSql)
+    lifecycleStateSql(HEX_DIGITS))
 
   /** q146 — OPTIMIZE invariance: the lifecycle table rewritten with
     * rows sorted by cents inside every bucket (row-group min/max stats
@@ -845,7 +851,7 @@ object MergeTable {
       optimize(s, out, "cents")
       lifecycleState(s, out)
     },
-    lifecycleStateSql)
+    lifecycleStateSql(HEX_DIGITS))
 
   /** q141 — WRITE-AMPLIFICATION acceptance row for the same lifecycle:
     * buckets touched by each batch (= files written, one file per
@@ -1010,21 +1016,24 @@ object MergeTable {
        |ORDER BY key""")
 
   /** q148 — FSCK + sweep acceptance row: run the lifecycle, PLANT a
-    * crashed epoch attempt (a data file under an epoch dir that no
-    * manifest ever committed — exactly what a writer dying before its
-    * manifest create leaves behind), and price the audit: fsck sees
-    * every manifest entry present (missing = 0), exactly one orphan,
-    * and after a retain-1 vacuum the orphan is swept WITH the expired
-    * versions (files_deleted = |B0 ∩ B1| + |B2| + 1) while the live
-    * state still reads in full. The oracle re-derives the whole ledger
-    * from md5 bucket sets + the planted literal — the invisible-garbage
-    * contract and its cleanup, hash-gated. */
+    * crashed COMMIT-RACE LOSER's attempt (a data file under a
+    * writer-unique `v=<N>-<tag>` attempt dir that no manifest ever
+    * committed — exactly what a loser dying before its eager cleanup,
+    * or any writer dying before its manifest promotion, leaves
+    * behind), and price the audit: fsck sees every manifest entry
+    * present (missing = 0), exactly one orphan, and after a retain-1
+    * vacuum the orphan is swept WITH the expired versions
+    * (files_deleted = |B0 ∩ B1| + |B2| + 1) while the live state still
+    * reads in full. The oracle re-derives the whole ledger from md5
+    * bucket sets + the planted literal — the invisible-garbage
+    * contract of the multi-writer protocol and its cleanup,
+    * hash-gated. */
   private val q148TableFsck = QueryDef(
     (s, dir) => {
       val out = runLifecycle(s, dir, "q148")
       val fs = hadoopFs(s, out)
       val crashed = new Path(
-        s"$out/data/v=999/bucket=00/part-crashed.c000.snappy.parquet")
+        s"$out/data/v=4-0x0/bucket=00/part-crashed.c000.snappy.parquet")
       fs.mkdirs(crashed.getParent)
       val o = fs.create(crashed, true)
       try o.write(Array.fill[Byte](64)(0)) finally o.close()
@@ -1065,6 +1074,93 @@ object MergeTable {
        |    + (SELECT CAST(count(*) AS BIGINT) FROM base
        |         WHERE key % 103 = 0) AS rows_current""")
 
+  /** q150 — REBUCKET migration acceptance: run the lifecycle at the
+    * default 256-bucket width, migrate to 16 buckets ([[rebucket]] to
+    * one hex digit), and gate the ENTIRE final state with the bucket
+    * column restated at the NEW width — the q146 contents-invariance
+    * discipline applied to the migration (a key lost, duplicated, or
+    * mis-hashed by the rewrite fails row-for-row). The migration PRICE
+    * rides every row as constants the oracle re-derives: filesWritten
+    * = distinct new buckets (the full-rewrite cost the Scaladoc
+    * promises is "priced as such, never silent") and the recorded new
+    * width. */
+  private val q150RebucketMigration = QueryDef(
+    (s, dir) => {
+      val out = runLifecycle(s, dir, "q150")
+      val st = rebucket(s, out, 1)
+      lifecycleState(s, out)
+        .withColumn("files_written", lit(st.filesWritten))
+        .withColumn("hex_digits", lit(bucketWidth(s, out).toLong))
+    },
+    s"""WITH $lifecycleFinCte
+       |SELECT key, cust, status, cents,
+       |       ${bucketSql("key", 1)} AS bucket,
+       |       (SELECT CAST(count(DISTINCT ${bucketSql("key", 1)})
+       |          AS BIGINT) FROM fin) AS files_written,
+       |       CAST(1 AS BIGINT) AS hex_digits
+       |FROM fin ORDER BY key""")
+
+  /** q151 — Z-ORDER OPTIMIZE acceptance: lifecycle → [[rebucket]] to
+    * 16 buckets (so each bucket file holds enough rows for several row
+    * groups at sf scale) → [[optimizeZOrder]] on (cust, cents) with a
+    * small row-group cap (the knob that recreates the multi-row-group
+    * file shape a 100 TB bucket has naturally) → the FULL final state
+    * under the q150 oracle (contents invariance through BOTH rewrites,
+    * the q146 discipline), plus the REAL-FOOTER pruning row as
+    * constants: rows_box (exact, oracle-derived — the box spans the
+    * center 1/16 of each value dimension) and two gates the oracle
+    * pins at 1 — rg_multi (the physical files do hold ≥ 2 row groups
+    * each, so the instrument measured something) and rg_box_pruned
+    * (a min/max-stats reader opens at most HALF the row groups for
+    * the box — real footers, real skipping, the number a reader
+    * pays). MergeTableSpec holds the same machinery to strict
+    * physical assertions; this row keeps it honest per-round at the
+    * oracle gate. */
+  private val q151ZorderOptimize = QueryDef(
+    (s, dir) => {
+      val out = runLifecycle(s, dir, "q151")
+      rebucket(s, out, 1)
+      val st = optimizeZOrder(s, out, "cust", "cents",
+        blockBytes = Some(1024))
+      val cur = versions(s, out).last
+      val files = readManifest(s, out, cur).map(e => s"$out/data/$e")
+      val blocks = Layout.footerBlockStats(s, files, "cust", "cents")
+        .localCheckpoint(true)
+      val t = readTable(s, out).localCheckpoint(true)
+      val b = t.agg(min("cust"), max("cust"), min("cents"), max("cents"))
+        .collect().head
+      val (mnx, mxx, mny, mxy) =
+        (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+      val (x1, x2) = (mnx + (mxx - mnx) * 7 / 16, mnx + (mxx - mnx) * 8 / 16)
+      val (y1, y2) = (mny + (mxy - mny) * 7 / 16, mny + (mxy - mny) * 8 / 16)
+      val rowsBox = t.filter(col("cust").between(x1, x2) &&
+        col("cents").between(y1, y2)).count()
+      val rgTotal = blocks.count()
+      val rgBox = Layout.prunedRowGroups(blocks, Some((x1, x2)),
+        Some((y1, y2))).count()
+      lifecycleState(s, out)
+        .withColumn("rows_box", lit(rowsBox))
+        .withColumn("rg_multi",
+          lit(if (rgTotal >= 2 * st.filesWritten) 1L else 0L))
+        .withColumn("rg_box_pruned",
+          lit(if (rgBox * 2 <= rgTotal) 1L else 0L))
+    },
+    s"""WITH $lifecycleFinCte,
+       |bb AS (SELECT min(cust) AS mnx, max(cust) AS mxx,
+       |              min(cents) AS mny, max(cents) AS mxy FROM fin),
+       |p AS (SELECT mnx + ((mxx - mnx) * 7) // 16 AS x1,
+       |             mnx + ((mxx - mnx) * 8) // 16 AS x2,
+       |             mny + ((mxy - mny) * 7) // 16 AS y1,
+       |             mny + ((mxy - mny) * 8) // 16 AS y2 FROM bb)
+       |SELECT key, cust, status, cents,
+       |       ${bucketSql("key", 1)} AS bucket,
+       |       (SELECT CAST(count(*) AS BIGINT) FROM fin, p
+       |        WHERE cust BETWEEN x1 AND x2
+       |          AND cents BETWEEN y1 AND y2) AS rows_box,
+       |       CAST(1 AS BIGINT) AS rg_multi,
+       |       CAST(1 AS BIGINT) AS rg_box_pruned
+       |FROM fin ORDER BY key""")
+
   val defs: Map[String, QueryDef] = Map(
     "q148_table_fsck" -> q148TableFsck,
     "q140_cow_upsert" -> q140CowUpsert,
@@ -1073,5 +1169,7 @@ object MergeTable {
     "q143_vacuum_cost" -> q143VacuumCost,
     "q144_changefeed" -> q144Changefeed,
     "q146_optimize_invariance" -> q146OptimizeInvariance,
+    "q150_rebucket_migration" -> q150RebucketMigration,
+    "q151_zorder_optimize" -> q151ZorderOptimize,
   )
 }

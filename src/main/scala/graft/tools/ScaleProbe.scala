@@ -73,7 +73,8 @@ object ScaleProbe {
     case class Cell(scale: Int, n: Long, buildS: Double, serveS: Double,
       candPerQuery: Double, pairS: Double, candPairs: Long, planes: Int,
       closureS: Double, nComponents: Long, exciseS: Double,
-      dupTokens: Long, cowS: Double, cowFiles: Long, cowRows: Long)
+      dupTokens: Long, cowS: Double, cowFiles: Long, cowRows: Long,
+      cowRowsWide: Long)
 
     val cells = scales.map { sc =>
       val n = baseN * sc
@@ -188,15 +189,34 @@ object ScaleProbe {
         .filter(col("bucket").isin(graft.ext.MergeTable
           .changedBuckets(spark, tbl, 1L, 2L): _*)).count()
 
+      // --- rebucket relief: the collateral-row slope above is THE
+      // instrument that says when to widen the bucket count; rebucket
+      // is the migration that acts on it. Migrate the same table to
+      // 3 hex (4096 buckets), re-apply the same constant batch, and
+      // measure the collateral rows again — the drop (≈ bucket-size
+      // ratio, 16x at these scales) is the migration's payoff, priced
+      // against its one-time full rewrite.
+      // versions are read from the returned stats, not hardcoded: the
+      // timed upsert above ran twice (timeMinOf warmup), so the
+      // migration does not sit at a fixed version number
+      val vMig = graft.ext.MergeTable.rebucket(spark, tbl, 3).version
+      val vUp = graft.ext.MergeTable.upsert(spark, tbl,
+        batch.withColumn("payload", lit(-2L))).version
+      val cowRowsWide = graft.ext.MergeTable.readTable(spark, tbl)
+        .filter(col("bucket").isin(graft.ext.MergeTable
+          .changedBuckets(spark, tbl, vMig, vUp): _*)).count()
+
       val cell = Cell(sc, n, buildS, serveS, candPerQuery, pairS,
         candPairs, planes, closureS, nComp, exciseS, dupToks,
-        cowS, cowFiles, cowRows)
+        cowS, cowFiles, cowRows, cowRowsWide)
       println(f"[scaleprobe] scale=${sc}x n=$n build=${buildS}%.2fs " +
         f"serve=${serveS}%.2fs cand/q=${candPerQuery}%.1f " +
         f"pairscan=${pairS}%.2fs candpairs=$candPairs planes=$planes " +
         f"closure=${closureS}%.2fs components=$nComp/$groups " +
         f"excise=${exciseS}%.2fs duptokens=$dupToks " +
-        f"cow=${cowS}%.2fs cowfiles=$cowFiles cowrows=$cowRows")
+        f"cow=${cowS}%.2fs cowfiles=$cowFiles cowrows=$cowRows " +
+        f"cowrows_rebucketed=$cowRowsWide " +
+        f"relief=${cowRows.toDouble / math.max(1, cowRowsWide)}%.1fx")
       cell
     }
 
@@ -214,7 +234,8 @@ object ScaleProbe {
       f"excise_time=${expo(_.exciseS)}%.2f " +
       f"excise_dup_tokens=${expo(_.dupTokens.toDouble)}%.2f " +
       f"cow_files_written=${expo(_.cowFiles.toDouble)}%.2f " +
-      f"cow_rows_rewritten=${expo(_.cowRows.toDouble)}%.2f")
+      f"cow_rows_rewritten=${expo(_.cowRows.toDouble)}%.2f " +
+      f"cow_rows_rebucketed=${expo(_.cowRowsWide.toDouble)}%.2f")
     spark.stop()
   }
 }

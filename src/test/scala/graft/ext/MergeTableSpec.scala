@@ -389,6 +389,54 @@ class MergeTableSpec extends SparkSpec {
       .collect().head.getString(0) === "NEW")
   }
 
+  test("changefeed across the rebucket boundary: every bucket's file " +
+      "list changed, yet the diff is empty — and a post-migration " +
+      "upsert diffs exactly its own rows") {
+    import spark.implicits._
+    val dir = mkTable(200)
+    MergeTable.rebucket(spark, dir, 1)
+    // the migration rewrote everything: the manifest diff can prune
+    // nothing, but the row-level diff must still be EMPTY
+    assert(MergeTable.changes(spark, dir, 1L, 2L).count() === 0L,
+      "a contents-invariant migration must produce no change rows")
+    MergeTable.upsert(spark, dir, Seq((5L, "moved"), (201L, "ins"))
+      .toDF("key", "value"))
+    val cf = MergeTable.changes(spark, dir, 1L, 3L)
+      .select("key", "change").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cf === Map(5L -> "update", 201L -> "insert"),
+      s"diff across the migration misclassified: $cf")
+  }
+
+  test("concurrent upserts from two threads settle by retry: every " +
+      "batch lands exactly once, final state is exact, no orphans") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = mkTable(100)
+    // two writers, disjoint key ranges, three batches each — the retry
+    // protocol must serialize them without losing a batch
+    def writer(base: Long): Future[Unit] = Future {
+      (0 until 3).foreach { i =>
+        MergeTable.upsert(spark, dir,
+          Seq((base + i, s"w$base-$i")).toDF("key", "value")): Unit
+      }
+    }
+    Await.result(Future.sequence(Seq(writer(200L), writer(300L))),
+      5.minutes)
+    assert(MergeTable.versions(spark, dir).size === 7,
+      "six upserts after create must land six committed versions")
+    val t = MergeTable.readTable(spark, dir)
+    assert(t.count() === 106L)
+    val got = t.filter(col("key") >= 200L).select("key", "value")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === (0 until 3).flatMap(i => Seq(
+      (200L + i) -> s"w200-$i", (300L + i) -> s"w300-$i")).toMap)
+    val rep = MergeTable.fsck(spark, dir)
+    assert(rep.orphans === 0L && rep.missing === 0L)
+  }
+
   test("optimizeZOrder: contents-invariant; each bucket file's row " +
       "groups are clustered so block stats prune a two-column box") {
     import spark.implicits._
