@@ -45,39 +45,48 @@ import graft.core.{QueryDef, Tables}
 object Ivm {
 
   /** Initialize the view's base partial (run 0) from a table snapshot:
-    * per-status count + cents sum. */
-  def init(table: DataFrame, dir: String): Unit =
-    table.groupBy("status")
-      .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
+    * per-`groupCol` count + `valCol` sum. The view definition —
+    * (groupCol, valCol) — is fixed at init and every later call must
+    * name the same pair; the partials' physical schema carries the
+    * group column by name, so a mismatch fails on read, not
+    * silently. */
+  def init(table: DataFrame, dir: String, groupCol: String = "status",
+      valCol: String = "cents"): Unit =
+    table.groupBy(groupCol)
+      .agg(count(lit(1)).as("n"), sum(valCol).as("v"))
       .repartition(1)
       .write.mode("overwrite").parquet(s"$dir/run=0")
 
   /** Apply one changefeed increment as a delta partial: every old_row
-    * contributes (-1, -cents) to its OLD group, every new_row (+1,
-    * +cents) to its NEW group; an update whose status migrated thus
+    * contributes (-1, -value) to its OLD group, every new_row (+1,
+    * +value) to its NEW group; an update whose group migrated thus
     * moves its weight between groups, and a net-zero group simply
     * cancels at serve time. `runId` keys the partition (replay
     * overwrites it — idempotent). */
-  def applyChanges(changefeed: DataFrame, dir: String, runId: Long): Unit = {
+  def applyChanges(changefeed: DataFrame, dir: String, runId: Long,
+      groupCol: String = "status", valCol: String = "cents"): Unit = {
     val retract = changefeed.filter(col("old_row").isNotNull)
-      .select(col("old_row.status").as("status"), lit(-1L).as("w"),
-        (-col("old_row.cents")).as("c"))
+      .select(col(s"old_row.$groupCol").as(groupCol), lit(-1L).as("w"),
+        (-col(s"old_row.$valCol")).as("c"))
     val assert_ = changefeed.filter(col("new_row").isNotNull)
-      .select(col("new_row.status").as("status"), lit(1L).as("w"),
-        col("new_row.cents").as("c"))
+      .select(col(s"new_row.$groupCol").as(groupCol), lit(1L).as("w"),
+        col(s"new_row.$valCol").as("c"))
     retract.unionByName(assert_)
-      .groupBy("status")
-      .agg(sum("w").as("n"), sum("c").as("cents"))
+      .groupBy(groupCol)
+      .agg(sum("w").as("n"), sum("c").as("v"))
       .repartition(1)
       .write.mode("overwrite").parquet(s"$dir/run=$runId")
   }
 
   /** Serve the view: + -merge all partials, drop groups whose count
-    * cancelled to zero (a status that emptied out). */
-  def serve(spark: SparkSession, dir: String): DataFrame =
+    * cancelled to zero (a group that emptied out). Output columns:
+    * (groupCol, n, sum_<valCol>). */
+  def serve(spark: SparkSession, dir: String,
+      groupCol: String = "status",
+      valCol: String = "cents"): DataFrame =
     spark.read.parquet(dir)
-      .groupBy("status")
-      .agg(sum("n").as("n"), sum("cents").as("sum_cents"))
+      .groupBy(groupCol)
+      .agg(sum("n").as("n"), sum("v").as(s"sum_$valCol"))
       .filter(col("n") =!= 0)
 
   /** Fold SETTLED run partials into the reserved `run=-1` epoch — the
@@ -96,14 +105,15 @@ object Ivm {
     * and restored by that replay, the IvfPqStream auto-compaction
     * contract. None = the caller asserts no maintainer is mid-batch. */
   def compact(spark: SparkSession, dir: String,
-      excludeRunsAbove: Option[Long] = None)
+      excludeRunsAbove: Option[Long] = None,
+      groupCol: String = "status")
       : DedupIndex.CompactionStats =
     DedupIndex.rewriteAndSwap(spark, dir) { tmp =>
       val all = spark.read.parquet(dir)
       excludeRunsAbove
         .map(b => all.filter(col("run") <= b)).getOrElse(all)
-        .groupBy("status")
-        .agg(sum("n").as("n"), sum("cents").as("cents"))
+        .groupBy(groupCol)
+        .agg(sum("n").as("n"), sum("v").as("v"))
         .repartition(1)
         .write.mode("overwrite").parquet(s"$tmp/run=-1")
     }

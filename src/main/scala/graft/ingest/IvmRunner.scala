@@ -49,9 +49,11 @@ object IvmRunner {
 
   /** One maintenance run: apply every committed batch beyond the
     * cursor, in version order, chain-validated; returns the versions
-    * applied (empty = up to date). */
+    * applied (empty = up to date). `groupCol`/`valCol` name the view
+    * definition fixed at [[graft.ext.Ivm.init]]. */
   def runOnce(spark: SparkSession, sinkDir: String, viewDir: String,
-      cursor: CursorStore): Seq[Long] = {
+      cursor: CursorStore, groupCol: String = "status",
+      valCol: String = "cents"): Seq[Long] = {
     val start = cursor.read().getOrElse(throw new IllegalStateException(
       s"IVM cursor is uninitialized — bootstrap the view from a pinned " +
         s"snapshot (Ivm.init at version V) and commit V before draining " +
@@ -70,7 +72,7 @@ object IvmRunner {
                 else "increments are missing ") +
                 "(re-bootstrap the view from a pinned snapshot)")
           val batch = spark.read.parquet(s"$sinkDir/batch=$v")
-          graft.ext.Ivm.applyChanges(batch, viewDir, v)
+          graft.ext.Ivm.applyChanges(batch, viewDir, v, groupCol, valCol)
           cursor.commit(toV) // only after the run partition is written
           at = toV
           applied += toV
@@ -83,10 +85,13 @@ object IvmRunner {
     * maintenance loop a long-lived view schedules (serve cost stays
     * O(groups) however many increments flow through). */
   def maintainOnce(spark: SparkSession, sinkDir: String, viewDir: String,
-      cursor: CursorStore): Seq[Long] = {
-    val applied = runOnce(spark, sinkDir, viewDir, cursor)
+      cursor: CursorStore, groupCol: String = "status",
+      valCol: String = "cents"): Seq[Long] = {
+    val applied = runOnce(spark, sinkDir, viewDir, cursor, groupCol,
+      valCol)
     cursor.read().foreach(c =>
-      graft.ext.Ivm.compact(spark, viewDir, excludeRunsAbove = Some(c)))
+      graft.ext.Ivm.compact(spark, viewDir, excludeRunsAbove = Some(c),
+        groupCol = groupCol))
     applied
   }
 }

@@ -21,13 +21,16 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
 object IvmStream {
 
   /** AvailableNow drain: apply each micro-batch of change rows as one
-    * view increment. */
-  def start(changes: DataFrame, viewDir: String,
-      checkpoint: String): StreamingQuery =
+    * view increment; `groupCol`/`valCol` name the view definition
+    * fixed at [[graft.ext.Ivm.init]]. */
+  def start(changes: DataFrame, viewDir: String, checkpoint: String,
+      groupCol: String = "status",
+      valCol: String = "cents"): StreamingQuery =
     changes.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        graft.ext.Ivm.applyChanges(batch, viewDir, id + 1)
+        graft.ext.Ivm.applyChanges(batch, viewDir, id + 1, groupCol,
+          valCol)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())

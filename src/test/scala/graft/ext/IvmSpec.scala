@@ -83,6 +83,38 @@ class IvmSpec extends SparkSpec {
     assert(withNew === Set(("A", 2L, 33L), ("C", 1L, 7L), ("D", 1L, 100L)))
   }
 
+  test("the view definition is generic: a (lang, bytes) view " +
+      "maintains, folds and serves exactly like the default pair, and " +
+      "a mis-named serve fails loudly instead of silently") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ivm-g")
+      .resolve("v").toString
+    Ivm.init(Seq(("en", 100L), ("en", 50L), ("fr", 30L))
+      .toDF("lang", "bytes"), dir, groupCol = "lang", valCol = "bytes")
+    val cf = Seq(
+      (1L, "en", java.lang.Long.valueOf(100L), "de",
+        java.lang.Long.valueOf(120L)))
+      .toDF("key", "ol", "ob", "nl", "nb")
+      .select(col("key"),
+        when(col("ol").isNotNull, struct(col("ol").as("lang"),
+          col("ob").as("bytes"))).as("old_row"),
+        when(col("nl").isNotNull, struct(col("nl").as("lang"),
+          col("nb").as("bytes"))).as("new_row"))
+    Ivm.applyChanges(cf, dir, 1, groupCol = "lang", valCol = "bytes")
+    Ivm.compact(spark, dir, groupCol = "lang")
+    val got = Ivm.serve(spark, dir, groupCol = "lang", valCol = "bytes")
+    assert(got.columns.toSeq === Seq("lang", "n", "sum_bytes"))
+    val rows = got.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows === Set(("en", 1L, 50L), ("fr", 1L, 30L),
+      ("de", 1L, 120L)))
+    // the definition is fixed at init: serving under the wrong group
+    // column cannot silently return garbage
+    intercept[Exception] {
+      Ivm.serve(spark, dir).collect()
+    }
+  }
+
   test("compact excludes runs above the committed cursor: a " +
       "half-applied in-flight run is dropped, its replay restores it, " +
       "and the view never double-counts") {

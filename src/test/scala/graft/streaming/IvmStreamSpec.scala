@@ -53,7 +53,7 @@ class IvmStreamSpec extends SparkSpec {
 
     // plant a half-applied NEXT run (a kill mid-write leaves a partial
     // run=2) — the restarted drain must overwrite it, not add to it
-    Seq(("Z", 77L, 77000L)).toDF("status", "n", "cents")
+    Seq(("Z", 77L, 77000L)).toDF("status", "n", "v")
       .write.mode("overwrite").parquet(s"$view/run=2")
     // restart: batch 1 (run 2) deletes B, moves C to D
     input.addData(ChangeRow(3, "B", 5L, null, null),
