@@ -80,8 +80,13 @@ object Layout {
     *    normalization multiply-first existed for is free.
     *
     * CASE evaluates lazily in both dialects, so the untaken multiply
-    * never overflows. `divOp` renders the integer-division operator of
-    * the target dialect: Spark spells it `DIV`, DuckDB `//`. */
+    * never overflows. Remaining documented limit: the SPAN itself must
+    * fit a signed 64-bit value — a domain touching both extremes
+    * (min < 0 and max > 0 with mx - mn ≥ 2^63) wraps the span
+    * negative before either branch runs; [[withZVal]] guards it
+    * loudly (real key domains sit far inside). `divOp` renders the
+    * integer-division operator of the target dialect: Spark spells it
+    * `DIV`, DuckDB `//`. */
   private[ext] def bucketSql(c: String, mn: String, mx: String,
       divOp: String): String =
     s"CAST(CASE WHEN ($mx - $mn) < ${1L << 55} " +
@@ -111,19 +116,32 @@ object Layout {
   private[ext] def zExpr(xb: String, yb: String): String = zSql(xb, yb)
 
   /** Attach the z-value of (`xCol`, `yCol`) with data-derived bounds —
-    * the curve generator as a reusable projection (the bounds ride a
-    * one-row broadcast, an O(1) relation at any scale). Callers sort or
-    * range-exchange on `zval` and drop it before landing the data
+    * the curve generator as a reusable projection. The bounds are ONE
+    * row; collecting them costs one cheap min/max job and lets the
+    * main pass inline them as LITERALS (no join at all in the layout
+    * write's plan) while also guarding the signed-span limit loudly:
+    * a domain whose span wraps 64-bit arithmetic (min < 0, max > 0 at
+    * the extremes) would mis-bucket silently otherwise. Callers sort
+    * or range-exchange on `zval` and drop it before landing the data
     * ([[zOrderWrite]]; [[MergeTable.optimizeZOrder]]). */
   def withZVal(df: DataFrame, xCol: String, yCol: String): DataFrame = {
-    val bounds = df.agg(
+    val b = df.agg(
       min(xCol).as("mnx"), max(xCol).as("mxx"),
-      min(yCol).as("mny"), max(yCol).as("mxy"))
-    df.crossJoin(broadcast(bounds))
-      .withColumn("xb", expr(sparkBucket(xCol, "mnx", "mxx")))
-      .withColumn("yb", expr(sparkBucket(yCol, "mny", "mxy")))
+      min(yCol).as("mny"), max(yCol).as("mxy")).collect().head
+    val (mnx, mxx, mny, mxy) =
+      (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    def guard(c: String, mn: Long, mx: Long): Unit =
+      require(mx - mn >= 0,
+        s"z-order on $c: the domain span [$mn, $mx] exceeds signed " +
+          "64-bit arithmetic and would mis-bucket — shift or split the " +
+          "key domain first")
+    guard(xCol, mnx, mxx); guard(yCol, mny, mxy)
+    df.withColumn("xb",
+        expr(sparkBucket(xCol, s"${mnx}L", s"${mxx}L")))
+      .withColumn("yb",
+        expr(sparkBucket(yCol, s"${mny}L", s"${mxy}L")))
       .withColumn("zval", expr(zSql("xb", "yb")))
-      .drop("mnx", "mxx", "mny", "mxy", "xb", "yb")
+      .drop("xb", "yb")
   }
 
   /** lineitem with bounds + 8-bit buckets + z-value attached — the

@@ -132,4 +132,29 @@ class ScanPruningSpec extends SparkSpec {
     // one query at nprobe=2 probes ≤ 2 of the 8 cells — behavioral check
     assert(served.count() == 3)
   }
+
+  test("a MergeTable snapshot read composes with native pruning: a " +
+      "bucket predicate is a PartitionFilter and a value predicate a " +
+      "PushedFilter — so the z-order optimize's row-group stats are " +
+      "actually consulted by the scan") {
+    import spark.implicits._
+    import graft.ext.MergeTable
+    val tbl = java.nio.file.Files.createTempDirectory("graft-cow-prune")
+      .toString + "/t"
+    MergeTable.create(
+      (1L to 400L).map(i => (i, i * 3L)).toDF("key", "cents"),
+      tbl, "key", hexDigits = 1)
+    MergeTable.optimizeZOrder(spark, tbl, "key", "cents",
+      blockBytes = Some(1024))
+    val q = MergeTable.readTable(spark, tbl)
+      .filter(col("bucket") === "a" && col("cents") > 600L)
+    val plan = planOf(q)
+    val pf = plan.linesIterator
+      .find(_.contains("PartitionFilters:")).getOrElse("")
+    assert(pf.contains("bucket"),
+      s"bucket predicate did not reach PartitionFilters:\n$plan")
+    assert(plan.contains("GreaterThan(cents,600)"),
+      s"cents predicate not pushed to the parquet reader (row-group " +
+        s"stats would go unconsulted):\n$plan")
+  }
 }

@@ -155,6 +155,25 @@ class LayoutSpec extends SparkSpec {
       s"small-span buckets failed to normalize: ${small.mkString(",")}")
   }
 
+  test("withZVal guards the signed-span limit loudly: a domain " +
+      "touching both 64-bit extremes fails with a named error instead " +
+      "of silently mis-bucketing") {
+    import spark.implicits._
+    val df = Seq((Long.MinValue, 1L), (Long.MaxValue, 2L))
+      .toDF("k", "other")
+    val err = intercept[IllegalArgumentException] {
+      Layout.withZVal(df, "k", "other").count()
+    }
+    assert(err.getMessage.contains("signed"))
+    // and a full POSITIVE 64-bit span still works (the spec above pins
+    // the arithmetic; this pins the production entry point end-to-end)
+    val ok = Layout.withZVal(
+      Seq((0L, 0L), (Long.MaxValue - 1, 5L)).toDF("k", "other"),
+      "k", "other")
+    assert(ok.select("zval").collect().map(_.getLong(0))
+      .forall(z => z >= 0 && z <= 65535))
+  }
+
   test("physical block-granular footer stats: per-row-group bounds " +
       "nest in file bounds, reassemble them exactly, and prune finer " +
       "than whole files") {
