@@ -438,21 +438,25 @@ object MergeTable {
       val batch = updates
         .withColumn("bucket", bucketCol(col(key), man.hexDigits))
         .localCheckpoint(true)
-      // AT MOST ONE ROW PER KEY, enforced (the documented contract): a
-      // CDC batch carrying two changes to one key has no defined latest
-      // here — both rows would survive the union as silent duplicate
-      // keys. Collapse upstream (MergeStream's latestBy does it by a
-      // sequence column); this gate turns the silent corruption into a
-      // loud error for the price of one aggregate over the small batch.
-      val cnts = batch.agg(count(lit(1)), count_distinct(col(key)))
-        .collect().head
-      val (nBatch, nKeys) = (cnts.getLong(0), cnts.getLong(1))
+      // ONE aggregate job serves both driver needs: the impacted-bucket
+      // set (O(buckets) driver rows, the documented cost class) and the
+      // AT-MOST-ONE-ROW-PER-KEY gate — per-bucket distinct key counts
+      // SUM to the global distinct because the md5 buckets partition
+      // the keyspace. The gate is the documented contract: a CDC batch
+      // carrying two changes to one key has no defined latest here —
+      // both rows would survive the union as silent duplicate keys.
+      // Collapse upstream (MergeStream's latestBy does it by a
+      // sequence column); this turns the silent corruption into a loud
+      // error for the price already paid to find the buckets.
+      val perBucket = batch.groupBy("bucket")
+        .agg(count(lit(1)), count_distinct(col(key))).collect()
+      val impacted = perBucket.map(_.getString(0)).toSet
+      val nBatch = perBucket.map(_.getLong(1)).sum
+      val nKeys = perBucket.map(_.getLong(2)).sum
       require(nBatch == nKeys,
         s"upsert batch has $nBatch rows over $nKeys keys — at most one " +
           "row per key (collapse to latest upstream, e.g. by a " +
           "sequence/timestamp column)")
-      val impacted = batch.select("bucket").distinct()
-        .collect().map(_.getString(0)).toSet
       val (rewritten, kept) = man.entries.partition(e =>
         impacted.contains(bucketOfEntry(e)))
       val existing = readTable(spark, dir, Some(cur))
