@@ -385,6 +385,14 @@ object MergeTable {
     val v = version.getOrElse(versions(spark, dir).lastOption.getOrElse(
       throw new IllegalArgumentException(s"no MergeTable at $dir")))
     val files = readManifest(spark, dir, v).map(e => s"$dir/data/$e")
+    if (files.isEmpty)
+      // a version whose every row died lists no files — there is no
+      // schema to infer, so name the state instead of surfacing
+      // Spark's opaque unable-to-infer error
+      throw new IllegalStateException(
+        s"version $v of the MergeTable at $dir is EMPTY (every row " +
+          "deleted): an empty snapshot carries no schema; read an " +
+          "earlier version or re-create the table")
     // mergeSchema: snapshots may mix pre- and post-evolution files
     // (upsert allows EXTEND-only schema changes); merging footers is
     // manifest-sized work, and older files' rows read null for newer

@@ -76,6 +76,33 @@ object ChangefeedRunner {
     }
   }
 
+  /** SINK RETENTION — the bound on the published feed itself: batch
+    * dirs at or below `consumedThrough` (the slowest consumer's
+    * committed cursor) have been absorbed and can never be re-read
+    * under the chain-validation contract (a consumer at cursor C only
+    * accepts fromV == C, and every retained batch above C chains
+    * forward), so the retention job deletes them. Without this the
+    * sink grows with the table's entire change history — the same
+    * unbounded-runs class [[graft.ext.Ivm.compact]] closes on the view
+    * side. A deployment with several consumers passes the MINIMUM of
+    * their cursors. Idempotent; crash-safe (a half-deleted dir is
+    * below every cursor and the next prune resweeps). */
+  def pruneSink(spark: SparkSession, sinkDir: String,
+      consumedThrough: Long): Long = {
+    val root = new org.apache.hadoop.fs.Path(sinkDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0L
+    val doomed = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        n.startsWith("batch=") &&
+          scala.util.Try(n.drop(6).toLong).toOption
+            .exists(_ <= consumedThrough)
+      }
+    doomed.foreach(fs.delete(_, true))
+    doomed.length.toLong
+  }
+
   /** One incremental run: publish the diff from the cursor's version
     * to the table's current version, then advance the cursor. None =
     * nothing new (or first-run bootstrap, which only sets the

@@ -471,6 +471,18 @@ class MergeTableSpec extends SparkSpec {
       "block stats failed to prune the box on the z-ordered table")
   }
 
+  test("a version whose every row died reads as a NAMED empty-table " +
+      "error, and the prior version still reads in full") {
+    import spark.implicits._
+    val dir = mkTable(10)
+    MergeTable.deleteKeys(spark, dir, (1L to 10L).toDF("key"))
+    val err = intercept[IllegalStateException] {
+      MergeTable.readTable(spark, dir).count()
+    }
+    assert(err.getMessage.contains("EMPTY"))
+    assert(MergeTable.readTable(spark, dir, Some(1L)).count() === 10L)
+  }
+
   test("a mismatched key column on an existing table throws") {
     import spark.implicits._
     val dir = mkTable(10)

@@ -76,6 +76,41 @@ class ChangefeedRunnerSpec extends SparkSpec {
     assert(cursor.read() === Some(3L))
   }
 
+  test("sink retention: batches at or below the slowest consumer's " +
+      "cursor prune away; the unconsumed tail survives and still " +
+      "chains") {
+    import spark.implicits._
+    val table = java.nio.file.Files.createTempDirectory("cfr-prune")
+      .resolve("t").toString
+    val sink = java.nio.file.Files.createTempDirectory("cfr-psink")
+      .toString
+    val cursor = new FileCursorStore(
+      java.nio.file.Files.createTempDirectory("cfr-pstate").toString)
+    graft.ext.MergeTable.create(
+      (1L to 30L).map(i => (i, s"v$i")).toDF("key", "value"), table, "key")
+    assert(ChangefeedRunner.runOnce(spark, table, sink, cursor).isEmpty)
+    (1 to 3).foreach { i =>
+      graft.ext.MergeTable.upsert(spark, table,
+        Seq((i.toLong, s"u$i")).toDF("key", "value"))
+      ChangefeedRunner.runOnce(spark, table, sink, cursor)
+    }
+    val fs = new org.apache.hadoop.fs.Path(sink)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def batches(): Set[String] = fs.listStatus(
+      new org.apache.hadoop.fs.Path(sink))
+      .filter(_.isDirectory).map(_.getPath.getName).toSet
+    assert(batches() === Set("batch=2", "batch=3", "batch=4"))
+    // the slowest consumer has absorbed through version 3
+    val pruned = ChangefeedRunner.pruneSink(spark, sink, 3L)
+    assert(pruned === 2L)
+    assert(batches() === Set("batch=4"))
+    // the surviving batch still chains for a consumer at cursor 3
+    assert(ChangefeedRunner.readMarker(spark, s"$sink/batch=4")
+      === Some((3L, 4L)))
+    // idempotent
+    assert(ChangefeedRunner.pruneSink(spark, sink, 3L) === 0L)
+  }
+
   test("vacuum past the cursor fails the next run loudly — retention " +
       "must cover publisher lag, and the failure names the gap") {
     import spark.implicits._
