@@ -253,8 +253,65 @@ object Ivm {
       |       CAST(sum(cents) AS BIGINT) AS sum_cents
       |FROM fin GROUP BY status ORDER BY status""")
 
+  /** q152 — BOUNDEDNESS acceptance row: the claim [[compact]] exists
+    * for, priced. Six disjoint increments (keys with key % 1009 = i
+    * migrate to a NEW status 'M' at cents + i*10 — disjoint residues,
+    * so each increment's old_row is the base state) land as six run
+    * partials on top of the init partial; the serve then reads
+    * runs_before = 7 partitions. One fold later it reads
+    * runs_after = 1 — and the served per-status aggregate must equal
+    * the oracle's direct CASE restatement over orders, so the fold's
+    * EXACTNESS and its O(groups×runs) → O(groups) collapse are gated
+    * in the same row set (the numbers ride every row as constants the
+    * oracle pins). A long-lived view absorbing a trickle of thousands
+    * of increments serves at the folded cost; this row is the
+    * mechanical witness. */
+  private val q152IvmBoundedness = QueryDef(
+    (s, dir) => {
+      val view = java.nio.file.Files.createTempDirectory("graft-q152")
+        .resolve("view").toString
+      val base = graft.core.Timing.build {
+        val b = baseRows(s, dir).localCheckpoint(true)
+        Ivm.init(b, view)
+        b
+      }
+      (1 to 6).foreach { i =>
+        val moved = base.filter(col("key") % 1009 === i)
+        val cf = moved.select(col("key"),
+          struct(col("status"), col("cents")).as("old_row"),
+          struct(lit("M").as("status"),
+            (col("cents") + i * 10).as("cents")).as("new_row"))
+        Ivm.applyChanges(cf, view, i.toLong)
+      }
+      val runsBefore = s.read.parquet(view).select("run")
+        .distinct().count()
+      Ivm.compact(s, view)
+      val runsAfter = s.read.parquet(view).select("run")
+        .distinct().count()
+      Ivm.serve(s, view).orderBy("status")
+        .withColumn("runs_before", lit(runsBefore))
+        .withColumn("runs_after", lit(runsAfter))
+    },
+    """WITH base AS (
+      |  SELECT o_orderkey AS key, o_orderstatus AS status,
+      |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+      |  FROM orders),
+      |fin AS (
+      |  SELECT key,
+      |         CASE WHEN key % 1009 BETWEEN 1 AND 6 THEN 'M'
+      |              ELSE status END AS status,
+      |         cents + CASE WHEN key % 1009 BETWEEN 1 AND 6
+      |                      THEN (key % 1009) * 10 ELSE 0 END AS cents
+      |  FROM base)
+      |SELECT status, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+      |       CAST(7 AS BIGINT) AS runs_before,
+      |       CAST(1 AS BIGINT) AS runs_after
+      |FROM fin GROUP BY status ORDER BY status""")
+
   val defs: Map[String, QueryDef] = Map(
     "q147_ivm_changefeed" -> q147IvmChangefeed,
     "q149_ivm_runner" -> q149IvmRunner,
+    "q152_ivm_boundedness" -> q152IvmBoundedness,
   )
 }
