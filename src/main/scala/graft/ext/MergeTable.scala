@@ -627,18 +627,36 @@ object MergeTable {
     * corruption class) from a mere retention-job crash. Lost-race /
     * crashed-commit manifest temps for versions at or below the current
     * committed one are swept too (a temp ABOVE it may be an in-flight
-    * commit and is left alone). */
+    * commit and is left alone).
+    *
+    * IN-FLIGHT WRITER SAFETY: an unreferenced data file is deleted
+    * only once OLDER than `minFileAgeMs` — a concurrent committer's
+    * just-written attempt files are "unreferenced" until its manifest
+    * promotes, and a graceless sweep in that window would delete them
+    * and let the commit land referencing missing files (exactly the
+    * corruption class [[fsck]] alarms on). The default grace dwarfs
+    * any epoch-write-to-promote window; crashed attempts age into the
+    * next sweep (the Delta/Iceberg deleted-file-retention discipline).
+    * Files referenced by EXPIRED manifests carry no such risk — they
+    * were committed long ago — but take the same guard harmlessly.
+    * Pass 0 only where single-writer execution is certain (the
+    * lifecycle instruments do, and say so). */
+  val DefaultVacuumGraceMs: Long = 10L * 60 * 1000
+
   def vacuum(spark: SparkSession, dir: String,
-      retainVersions: Int = 1): VacuumStats =
-    vacuumWithHook(spark, dir, retainVersions, () => ())
+      retainVersions: Int = 1,
+      minFileAgeMs: Long = DefaultVacuumGraceMs): VacuumStats =
+    vacuumWithHook(spark, dir, retainVersions, () => (), minFileAgeMs)
 
   /** [[vacuum]] with a spec-only injection point fired between the
     * manifest drop and the file sweep — the crash window whose ordering
     * the Scaladoc promises; MergeTableSpec kills there and proves the
     * aftermath is benign orphans, never missing files. */
   private[graft] def vacuumWithHook(spark: SparkSession, dir: String,
-      retainVersions: Int, afterManifestDrop: () => Unit): VacuumStats = {
+      retainVersions: Int, afterManifestDrop: () => Unit,
+      minFileAgeMs: Long = DefaultVacuumGraceMs): VacuumStats = {
     require(retainVersions >= 1, "must retain at least the current version")
+    val sweepBefore = System.currentTimeMillis() - minFileAgeMs
     val fs = hadoopFs(spark, dir)
     val vs = versions(spark, dir)
     val (drop, keep) = vs.splitAt(math.max(0, vs.size - retainVersions))
@@ -672,7 +690,8 @@ object MergeTable {
           fs.listStatus(bd.getPath).filter(_.isFile).foreach { f =>
             val rel = s"${epoch.getPath.getName}/${bd.getPath.getName}/" +
               f.getPath.getName
-            if (!live.contains(rel) && !f.getPath.getName.startsWith("_")) {
+            if (!live.contains(rel) && !f.getPath.getName.startsWith("_")
+                && f.getModificationTime <= sweepBefore) {
               fs.delete(f.getPath, false); deleted += 1
             }
           }
@@ -962,7 +981,9 @@ object MergeTable {
       val out = runLifecycle(s, dir, "q143")
       val before = versions(s, out).map(v =>
         readManifest(s, out, v)).map(_.size.toLong)
-      val vs = vacuum(s, out, retainVersions = 1)
+      // the lifecycle instrument is single-writer by construction, so
+      // the in-flight grace is waived for an immediate priced sweep
+      val vs = vacuum(s, out, retainVersions = 1, minFileAgeMs = 0)
       val after = readTable(s, out).count()
       import s.implicits._
       Seq((before.head, vs.filesDeleted, vs.filesLive,
@@ -1050,7 +1071,7 @@ object MergeTable {
       val o = fs.create(crashed, true)
       try o.write(Array.fill[Byte](64)(0)) finally o.close()
       val before = fsck(s, out)
-      val vac = vacuum(s, out, retainVersions = 1)
+      val vac = vacuum(s, out, retainVersions = 1, minFileAgeMs = 0)
       val after = fsck(s, out)
       val rows = readTable(s, out).count()
       import s.implicits._

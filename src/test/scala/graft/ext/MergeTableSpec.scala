@@ -123,7 +123,7 @@ class MergeTableSpec extends SparkSpec {
     MergeTable.upsert(spark, dir,
       Seq((5L, "x"), (6L, "y")).toDF("key", "value"))
     val liveBefore = fileIds(dir).size
-    val vs = MergeTable.vacuum(spark, dir, retainVersions = 1)
+    val vs = MergeTable.vacuum(spark, dir, retainVersions = 1, minFileAgeMs = 0)
     assert(vs.versionsDropped === 1L && vs.versionsLive === 1L)
     assert(fileIds(dir).size === liveBefore - vs.filesDeleted.toInt)
     assert(fileIds(dir).size.toLong === vs.filesLive)
@@ -152,9 +152,37 @@ class MergeTableSpec extends SparkSpec {
     val t = MergeTable.readTable(spark, dir)
     assert(t.count() === 50L - nDoomed)
     assert(t.filter(col("bucket") === victim).count() === 0L)
-    MergeTable.vacuum(spark, dir, retainVersions = 1)
+    MergeTable.vacuum(spark, dir, retainVersions = 1, minFileAgeMs = 0)
     assert(!fileIds(dir).keys.exists(_.contains(s"bucket=$victim")),
       "the emptied bucket's file survived vacuum")
+  }
+
+  test("vacuum's default grace protects an in-flight writer: a young " +
+      "unreferenced attempt file survives the sweep (its commit can " +
+      "still land), and sweeps once aged") {
+    import spark.implicits._
+    val dir = mkTable(30)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // an in-flight committer mid-window: epoch written, manifest not
+    // yet promoted — its files are unreferenced RIGHT NOW
+    val inflight = new org.apache.hadoop.fs.Path(
+      s"$dir/data/v=2-77x7/bucket=0a/part-inflight.snappy.parquet")
+    fs.mkdirs(inflight.getParent)
+    val o = fs.create(inflight, true)
+    try o.write(Array.fill[Byte](16)(1)) finally o.close()
+    MergeTable.vacuum(spark, dir, retainVersions = 1)
+    assert(fs.exists(inflight),
+      "a graceless sweep would delete an in-flight commit's files and " +
+        "let its manifest land referencing missing data")
+    // the writer crashed instead: the attempt ages past the grace and
+    // the next sweep collects it as a benign orphan
+    fs.setTimes(inflight, System.currentTimeMillis() - 11 * 60 * 1000, -1)
+    val vs = MergeTable.vacuum(spark, dir, retainVersions = 1)
+    assert(vs.filesDeleted === 1L)
+    assert(!fs.exists(inflight))
+    val rep = MergeTable.fsck(spark, dir)
+    assert(rep.orphans === 0L && rep.missing === 0L)
   }
 
   test("changefeed: the version diff scans only manifest-changed " +
@@ -201,7 +229,7 @@ class MergeTableSpec extends SparkSpec {
         .select("value").collect().map(_.getString(0)).toSeq
       assert(vals === vals.sorted, s"file $rel not sorted by value")
     }
-    val vac = MergeTable.vacuum(spark, dir, retainVersions = 1)
+    val vac = MergeTable.vacuum(spark, dir, retainVersions = 1, minFileAgeMs = 0)
     assert(vac.filesDeleted > 0)
     assert(MergeTable.readTable(spark, dir)
       .orderBy("key").collect().toSeq === after)
@@ -287,14 +315,14 @@ class MergeTableSpec extends SparkSpec {
     // a fresh temp one version ahead: indistinguishable from in-flight
     val inFlight = plant(".v000000002.88x8.tmp")
     assert(MergeTable.versions(spark, dir) === Seq(1L))
-    MergeTable.vacuum(spark, dir, retainVersions = 1)
+    MergeTable.vacuum(spark, dir, retainVersions = 1, minFileAgeMs = 0)
     assert(!fs.exists(lostRace), "vacuum must sweep stale commit temps")
     assert(fs.exists(inFlight),
       "a fresh above-current temp may be an in-flight commit — kept " +
         "until the age grace expires")
     // age out the in-flight candidate and it sweeps too
     fs.setTimes(inFlight, System.currentTimeMillis() - 11 * 60 * 1000, -1)
-    MergeTable.vacuum(spark, dir, retainVersions = 1)
+    MergeTable.vacuum(spark, dir, retainVersions = 1, minFileAgeMs = 0)
     assert(!fs.exists(inFlight))
   }
 
@@ -314,7 +342,7 @@ class MergeTableSpec extends SparkSpec {
       "a vacuum crash must never strand a listed version without files")
     assert(rep.orphans > 0L, "the v1-only files should now be orphans")
     assert(MergeTable.readTable(spark, dir).count() === 50L)
-    MergeTable.vacuum(spark, dir, retainVersions = 1)
+    MergeTable.vacuum(spark, dir, retainVersions = 1, minFileAgeMs = 0)
     val after = MergeTable.fsck(spark, dir)
     assert(after.orphans === 0L && after.missing === 0L)
   }
