@@ -125,9 +125,27 @@ object Layout {
     * or range-exchange on `zval` and drop it before landing the data
     * ([[zOrderWrite]]; [[MergeTable.optimizeZOrder]]). */
   def withZVal(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    // public-API guards (optimizeZOrder routes arbitrary tables here):
+    // the curve arithmetic is 64-bit integer bucketing, so clustering
+    // columns must be integral — a fractional column would silently
+    // cluster on truncated values — and an empty input has no bounds
+    // to collect (getLong on the all-null agg row would NPE opaquely)
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    Seq(xCol, yCol).foreach { c =>
+      val dt = df.schema(c).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"z-order on $c: clustering columns must be integral " +
+          s"(byte/short/int/long), got ${dt.simpleString}")
+    }
     val b = df.agg(
-      min(xCol).as("mnx"), max(xCol).as("mxx"),
-      min(yCol).as("mny"), max(yCol).as("mxy")).collect().head
+      min(col(xCol).cast("long")).as("mnx"),
+      max(col(xCol).cast("long")).as("mxx"),
+      min(col(yCol).cast("long")).as("mny"),
+      max(col(yCol).cast("long")).as("mxy")).collect().head
+    require(!b.isNullAt(0) && !b.isNullAt(2),
+      s"z-order on ($xCol, $yCol): the input is EMPTY (or the " +
+        "clustering columns are all-null) — no bounds exist to build " +
+        "the curve over")
     val (mnx, mxx, mny, mxy) =
       (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
     def guard(c: String, mn: Long, mx: Long): Unit =

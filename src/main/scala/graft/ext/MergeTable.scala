@@ -140,8 +140,11 @@ object MergeTable {
   // ---- manifests ---------------------------------------------------
   // one text file per committed version under _manifests/, named
   // v<zero-padded N>; line 1 is the "#hex=<d>" bucket-width header
-  // (absent in legacy manifests → HEX_DIGITS), every other line a
-  // data-file path RELATIVE to <dir>/data (e.g.
+  // (absent in legacy manifests → HEX_DIGITS), then one
+  // "#fp=<bucket>:<rows>:<hashsum>" CONTENT-FINGERPRINT line per
+  // non-empty bucket (absent in legacy manifests — see
+  // [[changedBuckets]] for the per-bucket fallback), every other line
+  // a data-file path RELATIVE to <dir>/data (e.g.
   // "v=2-41x7/bucket=a3/part-....parquet"). Commits land via a hidden
   // ".v<N>.<tag>.tmp" sibling promoted atomically, so a listed,
   // non-empty v<N> is always a COMPLETE manifest.
@@ -150,35 +153,64 @@ object MergeTable {
   private def manifestPath(dir: String, v: Long) =
     new Path(manifestDir(dir), f"v$v%09d")
 
-  /** Committed versions at `dir`, ascending (empty → no table yet).
-    * Hidden temp names and zero-length files (a legacy torn write) are
-    * uncommitted garbage, never versions. */
-  def versions(spark: SparkSession, dir: String): Seq[Long] = {
+  /** Manifest names on disk with their byte lengths, ascending by
+    * version — the shared parse behind [[versions]]/[[commitManifest]]:
+    * which zero-length files count as committed is a JOINT decision
+    * (see versions' Scaladoc) and must not be made twice. */
+  private def manifestLens(spark: SparkSession,
+      dir: String): Seq[(Long, Long)] = {
     val fs = hadoopFs(spark, dir)
     val md = manifestDir(dir)
     if (!fs.exists(md)) Seq.empty
     else fs.listStatus(md).toSeq
-      .filter(st => st.getLen > 0 && {
+      .filter { st =>
         val n = st.getPath.getName
         n.startsWith("v") && n.length > 1 && n.drop(1).forall(_.isDigit)
-      })
-      .map(_.getPath.getName.drop(1).toLong).sorted
+      }
+      .map(st => st.getPath.getName.drop(1).toLong -> st.getLen)
+      .sortBy(_._1)
+  }
+
+  /** Committed versions at `dir`, ascending (empty → no table yet).
+    * Hidden temp names are uncommitted garbage. A ZERO-LENGTH `v<N>`
+    * is ambiguous: the CURRENT writer never produces one (every commit
+    * carries at least the `#hex=` header), but the legacy format wrote
+    * zero bytes for a committed snapshot whose every row was deleted,
+    * and a legacy torn write looks identical. Disambiguation: a
+    * zero-length manifest BELOW the highest non-empty version is a
+    * legacy committed-empty snapshot (history — dropping it would let
+    * its version number be re-committed with different contents,
+    * corrupting time travel); one AT OR ABOVE it is torn garbage,
+    * invisible and reclaimable. A legacy table whose LATEST snapshot
+    * is empty is genuinely undecidable — re-commit it under the
+    * current format before multi-writer use (migration note). */
+  def versions(spark: SparkSession, dir: String): Seq[Long] = {
+    val all = manifestLens(spark, dir)
+    val maxNonEmpty = all.collect { case (v, len) if len > 0 => v }
+      .maxOption
+    all.collect {
+      case (v, len) if len > 0 || maxNonEmpty.exists(v < _) => v
+    }
   }
 
   private final case class ManifestData(hexDigits: Int,
-    entries: Seq[String])
+    entries: Seq[String], fps: Map[String, String])
 
   private def readManifestFull(spark: SparkSession, dir: String,
       v: Long): ManifestData = {
     val fs = hadoopFs(spark, dir)
     val p = manifestPath(dir, v)
-    val committed =
-      try fs.getFileStatus(p).getLen > 0
-      catch { case _: java.io.FileNotFoundException => false }
+    val len =
+      try Some(fs.getFileStatus(p).getLen)
+      catch { case _: java.io.FileNotFoundException => None }
+    val committed = len.exists(_ > 0) ||
+      (len.contains(0L) && versions(spark, dir).contains(v))
     if (!committed)
       throw new IllegalArgumentException(
         s"MergeTable at $dir has no version $v (vacuumed or never " +
           s"committed); retained: ${versions(spark, dir).mkString(",")}")
+    if (len.contains(0L)) // legacy committed-empty snapshot
+      return ManifestData(HEX_DIGITS, Seq.empty, Map.empty)
     val in = fs.open(p)
     val lines =
       try scala.io.Source.fromInputStream(in, "UTF-8")
@@ -187,7 +219,13 @@ object MergeTable {
     val hex = lines.collectFirst {
       case l if l.startsWith("#hex=") => l.drop(5).trim.toInt
     }.getOrElse(HEX_DIGITS)
-    ManifestData(hex, lines.filterNot(_.startsWith("#")))
+    val fps = lines.collect {
+      case l if l.startsWith("#fp=") =>
+        val body = l.drop(4)
+        val cut = body.indexOf(':')
+        body.take(cut) -> body.drop(cut + 1)
+    }.toMap
+    ManifestData(hex, lines.filterNot(_.startsWith("#")), fps)
   }
 
   private def readManifest(spark: SparkSession, dir: String,
@@ -223,24 +261,45 @@ object MergeTable {
     * the same version loses with an explicit conflict; a crash at any
     * point leaves either a complete committed manifest or an invisible
     * temp file [[vacuum]] sweeps — never a readable half-manifest. A
-    * pre-existing ZERO-LENGTH `v<N>` (legacy torn write) is uncommitted
-    * garbage: it is deleted and the promotion race decides the owner. */
+    * pre-existing ZERO-LENGTH `v<N>` is deleted and re-raced only when
+    * it sits AT OR ABOVE the highest non-empty version (a torn write);
+    * below it, it is a legacy committed-empty snapshot whose version
+    * number must never be reassigned (see [[versions]]).
+    *
+    * `fps` carries the per-bucket content fingerprints
+    * (`#fp=<bucket>:<rows>:<hashsum>` lines) — [[changedBuckets]]
+    * compares them so a layout-only rewrite contributes zero changed
+    * buckets to a later version diff. `beforePromote` is a spec-only
+    * injection point between the temp write and the promotion (the
+    * window a concurrent vacuum's stale-temp sweep can race). */
   private[ext] def commitManifest(spark: SparkSession, dir: String,
       v: Long, entries: Seq[String],
-      hexDigits: Int = HEX_DIGITS): Unit = {
+      hexDigits: Int = HEX_DIGITS,
+      fps: Map[String, String] = Map.empty,
+      beforePromote: () => Unit = () => ()): Unit = {
     val fs = hadoopFs(spark, dir)
     fs.mkdirs(manifestDir(dir))
     val p = manifestPath(dir, v)
     try {
       val st = fs.getFileStatus(p)
       if (st.getLen > 0) conflict(dir, v, null)
-      fs.delete(p, false) // zero-length garbage: eligible for overwrite
+      val maxNonEmpty = manifestLens(spark, dir)
+        .collect { case (mv, len) if len > 0 => mv }.maxOption
+      if (maxNonEmpty.exists(_ > v))
+        throw new IllegalArgumentException(
+          s"version $v at $dir is a legacy committed-empty snapshot " +
+            "(zero-length manifest below the newest version) — its " +
+            "number is history and cannot be re-committed")
+      fs.delete(p, false) // zero-length TORN garbage: eligible for overwrite
     } catch { case _: java.io.FileNotFoundException => }
     val tmp = new Path(manifestDir(dir), f".v$v%09d.${attemptTag()}.tmp")
     val out = fs.create(tmp, true)
-    try out.write((s"#hex=$hexDigits" +: entries.sorted)
+    val fpLines = fps.toSeq.sortBy(_._1)
+      .map { case (b, fp) => s"#fp=$b:$fp" }
+    try out.write(((s"#hex=$hexDigits" +: fpLines) ++ entries.sorted)
       .mkString("\n").getBytes("UTF-8"))
     finally out.close()
+    beforePromote()
     val qualified = fs.makeQualified(p)
     if (qualified.toUri.getScheme == "file") {
       try java.nio.file.Files.createLink(
@@ -249,6 +308,15 @@ object MergeTable {
           fs.makeQualified(tmp).toUri.getPath))
       catch {
         case e: java.nio.file.FileAlreadyExistsException =>
+          fs.delete(tmp, false); conflict(dir, v, e)
+        case e: java.nio.file.NoSuchFileException =>
+          // our temp vanished mid-promotion: a concurrent vacuum's
+          // stale-temp sweep collected it, which only happens once the
+          // version is committed (temps at or below the current version
+          // are by definition race losers) — the same state the HDFS
+          // branch reports as a clean conflict, so map it identically
+          // rather than letting a raw NoSuchFileException escape the
+          // retry loop
           fs.delete(tmp, false); conflict(dir, v, e)
       }
       fs.delete(tmp, false)
@@ -278,6 +346,39 @@ object MergeTable {
         st.isFile && !n.startsWith("_") && !n.startsWith(".")
       }.map(st => s"$epochName/${d.getPath.getName}/${st.getPath.getName}")
     }
+  }
+
+  /** Per-bucket CONTENT fingerprint of a just-written epoch: row count
+    * plus an ORDER-INDEPENDENT hash sum (xxhash64 of the payload
+    * columns in sorted-name order, summed as exact decimal — sum is
+    * commutative, so a layout rewrite that only reorders rows computes
+    * the identical value). Computed by reading back the epoch's own
+    * files — one columnar scan of exactly the rewritten data, the same
+    * cost class as the write it annotates — so the fingerprint attests
+    * what is ON DISK, not what the plan intended. xxhash64 skips null
+    * inputs, so an extend-only schema evolution leaves pre-evolution
+    * rows' hashes unchanged (consistent with [[changes]], which treats
+    * null-extended old rows as unchanged payloads). */
+  private def epochFingerprints(spark: SparkSession, dir: String,
+      epochName: String): Map[String, String] = {
+    val epochPath = s"$dir/data/$epochName"
+    val df = spark.read.option("basePath", epochPath).parquet(epochPath)
+    val payload = df.columns.filter(_ != "bucket").sorted
+    // the bucket id comes from the FILE PATH, not the inferred
+    // partition column: partition-type inference turns an epoch whose
+    // bucket names happen to be all-digits ("bucket=47") into an int
+    // column — and "bucket=07" would round-trip as "7", corrupting the
+    // fingerprint key; the path substring is exact by construction
+    df.select(
+        regexp_extract(col("_metadata.file_path"),
+          "bucket=([0-9a-f]+)/", 1).as("fp_bucket"),
+        xxhash64(payload.map(col): _*).cast("decimal(38,0)").as("fp_h"))
+      .groupBy("fp_bucket")
+      .agg(count(lit(1)).as("n"), sum("fp_h").as("h"))
+      .collect()
+      .map(r => r.getString(0) ->
+        s"${r.getLong(1)}:${r.getDecimal(2).toBigInteger}")
+      .toMap
   }
 
   final case class FsckReport(referenced: Long, orphans: Long,
@@ -337,20 +438,32 @@ object MergeTable {
 
   /** Write `rows` as version `next`'s epoch under a writer-unique
     * attempt dir and commit `kept ++ fresh` atomically; returns the
-    * fresh entries. On a lost race the attempt dir is eagerly deleted
-    * (a crash instead leaves an orphan for [[vacuum]]) and the conflict
-    * propagates to the caller's [[retryOnConflict]] loop. */
+    * fresh entries. `keptFps` carries the untouched buckets' content
+    * fingerprints forward (inherited verbatim from the prior manifest);
+    * the rewritten buckets' fingerprints are computed from the epoch's
+    * own files ([[epochFingerprints]]). On a lost race the attempt dir
+    * is eagerly deleted (a crash instead leaves an orphan for
+    * [[vacuum]]) and the conflict propagates to the caller's
+    * [[retryOnConflict]] loop. */
   private def commitEpoch(spark: SparkSession, dir: String, next: Long,
       rows: DataFrame, kept: Seq[String], hexDigits: Int,
       beforeCommit: () => Unit, blockBytes: Option[Long] = None,
-      sortCols: Seq[String] = Nil, dropAfterSort: Seq[String] = Nil)
+      sortCols: Seq[String] = Nil, dropAfterSort: Seq[String] = Nil,
+      keptFps: Map[String, String] = Map.empty)
       : Seq[String] = {
     val epochName = s"v=$next-${attemptTag()}"
     writeEpoch(rows, dir, epochName, hexDigits, blockBytes, sortCols,
       dropAfterSort)
     val fresh = epochEntries(spark, dir, epochName)
+    val freshFps =
+      if (fresh.isEmpty) Map.empty[String, String]
+      else epochFingerprints(spark, dir, epochName)
     beforeCommit()
-    try { commitManifest(spark, dir, next, kept ++ fresh, hexDigits); fresh }
+    try {
+      commitManifest(spark, dir, next, kept ++ fresh, hexDigits,
+        keptFps ++ freshFps)
+      fresh
+    }
     catch { case e: CommitConflictException =>
       hadoopFs(spark, dir).delete(new Path(s"$dir/data/$epochName"), true)
       throw e
@@ -485,7 +598,7 @@ object MergeTable {
         .localCheckpoint(true) // materialize before writing the epoch
       val next = cur + 1
       val fresh = commitEpoch(spark, dir, next, merged, kept,
-        man.hexDigits, beforeCommit)
+        man.hexDigits, beforeCommit, keptFps = man.fps -- impacted)
       CowStats(next, impacted.size.toLong, rewritten.size.toLong,
         fresh.size.toLong, matched, nBatch - matched)
     }
@@ -518,7 +631,7 @@ object MergeTable {
       .localCheckpoint(true)
     val next = cur + 1
     val fresh = commitEpoch(spark, dir, next, survivors, kept,
-      man.hexDigits, () => ())
+      man.hexDigits, () => (), keptFps = man.fps -- impacted)
     CowStats(next, impacted.size.toLong, rewritten.size.toLong,
       fresh.size.toLong, matched, 0L)
   }
@@ -667,9 +780,13 @@ object MergeTable {
     // stale commit temps: a temp for a version AT OR BELOW the current
     // committed one lost its race or crashed — always sweep; a temp
     // ABOVE it is indistinguishable from an in-flight commit, so only
-    // age disambiguates (a healthy commit promotes within seconds)
+    // age disambiguates (a healthy commit promotes within seconds).
+    // ONE knob governs both sweeps: the same `minFileAgeMs` that
+    // protects in-flight DATA files gates the above-current temps, so
+    // a deployment tuning the grace tunes all of it — and the
+    // documented single-writer waiver (0) drains crashed temps
+    // immediately instead of on a hidden ten-minute clock
     val md = manifestDir(dir)
-    val graceMs = 10L * 60 * 1000
     if (fs.exists(md))
       fs.listStatus(md).filter { st =>
         val n = st.getPath.getName
@@ -677,7 +794,7 @@ object MergeTable {
           val v = scala.util.Try(
             n.drop(2).takeWhile(_.isDigit).toLong).toOption
           v.exists(_ <= cur) || (v.isDefined &&
-            st.getModificationTime < System.currentTimeMillis() - graceMs)
+            st.getModificationTime <= sweepBefore)
         }
       }.foreach(st => fs.delete(st.getPath, false))
     afterManifestDrop()
@@ -703,28 +820,52 @@ object MergeTable {
 
   /** CHANGEFEED (CDC OUT) — the row-level diff between two committed
     * versions, classified insert/update/delete, WITHOUT scanning the
-    * table: the two manifests name their files, so any bucket whose
-    * file list is IDENTICAL in both versions provably holds identical
-    * rows and is skipped before a single byte is read — the diff scans
-    * only the buckets some intervening commit rewrote (manifest-pruned,
-    * the same trick Iceberg's incremental reads play on snapshot
-    * metadata). Changed buckets join full-outer on the key: only-new →
+    * table: the two manifests carry a CONTENT FINGERPRINT per bucket
+    * (row count + order-independent payload hash, written at commit
+    * time), so any bucket whose fingerprint is IDENTICAL in both
+    * versions provably holds identical rows and is skipped before a
+    * single byte is read — the diff scans only the buckets some
+    * intervening commit actually CHANGED. Crucially that makes
+    * layout-only maintenance FREE to diff across: [[optimize]] and
+    * [[optimizeZOrder]] rewrite every file but move no row, their
+    * fingerprints compare equal, and a changefeed window straddling
+    * them contributes ZERO changed buckets instead of a table-sized
+    * full-outer join (the manifest-metadata trick Iceberg's
+    * incremental reads play, extended from file identity to content
+    * identity). Changed buckets join full-outer on the key: only-new →
     * insert, only-old → delete, both-but-payload-differs → update;
     * payload-identical rows inside a rewritten bucket (the batch's
     * collateral neighbors) drop out. Cost: O(changed buckets' rows) +
     * two manifest reads — a changefeed over a quiet 100 TB table is
-    * near-free regardless of its size. */
-  /** Buckets whose manifest file lists differ between two versions —
-    * the set a version diff must scan; every other bucket is skipped
-    * unread. Factored for the spec to pin the pruning itself. */
+    * near-free regardless of its size, even the night after OPTIMIZE.
+    *
+    * [[rebucket]] legitimately invalidates bucket IDENTITY (every key
+    * re-hashes), so a diff across a width change cannot prune by
+    * bucket at all and degrades to the keyed full diff — still
+    * row-correct (the rebucket-boundary spec pins an EMPTY diff), but
+    * O(table); [[graft.ingest.ChangefeedRunner]] warns loudly when a
+    * publish window straddles one. */
+  /** Buckets whose CONTENT differs between two versions — the set a
+    * version diff must scan; every other bucket is skipped unread.
+    * Compared by manifest fingerprint where both versions carry one
+    * (current writer), falling back per bucket to file-list identity
+    * for legacy manifests (conservative: a legacy layout-only rewrite
+    * scans, never skips, a changed bucket). Factored for the spec to
+    * pin the pruning itself. */
   private[graft] def changedBuckets(spark: SparkSession, dir: String,
       fromV: Long, toV: Long): Seq[String] = {
+    val mf = readManifestFull(spark, dir, fromV)
+    val mt = readManifestFull(spark, dir, toV)
     val byB = (m: Seq[String]) => m.groupBy(bucketOfEntry).view
       .mapValues(_.sorted).toMap
-    val bf = byB(readManifest(spark, dir, fromV))
-    val bt = byB(readManifest(spark, dir, toV))
-    (bf.keySet ++ bt.keySet).filter(b => bf.get(b) != bt.get(b))
-      .toSeq.sorted
+    val bf = byB(mf.entries)
+    val bt = byB(mt.entries)
+    (bf.keySet ++ bt.keySet).filter { b =>
+      (mf.fps.get(b), mt.fps.get(b)) match {
+        case (Some(a), Some(c)) => a != c
+        case _ => bf.get(b) != bt.get(b)
+      }
+    }.toSeq.sorted
   }
 
   def changes(spark: SparkSession, dir: String, fromV: Long,
@@ -1194,6 +1335,68 @@ object MergeTable {
        |       CAST(1 AS BIGINT) AS rg_box_pruned
        |FROM fin ORDER BY key""")
 
+  /** q153 — LAYOUT-ONLY COMMITS ARE CDC-FREE, the round-13
+    * short-circuit priced end-to-end through the WIRED publisher:
+    * create → bootstrap pin → batch-1 upsert → publish (a real batch:
+    * every update + insert row) → OPTIMIZE (rewrites every file, moves
+    * no row) → publish again. The second publish's window straddles
+    * the maintenance commit, and the content fingerprints must prove
+    * every bucket unchanged BEFORE a byte is read: the gate pins the
+    * changed-bucket count at 0 and the published batch at 0 rows —
+    * routine nightly OPTIMIZE on a 100 TB table costs the next CDC run
+    * two manifest reads, not a table-sized diff. The full final state
+    * rides the same row set (the q140 discipline), so the short-circuit
+    * can never pass by simply not publishing real changes. */
+  private val q153LayoutCdc = QueryDef(
+    (s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-q153")
+      val table = root.resolve("table").toString
+      val sink = root.resolve("sink").toString
+      val cursor =
+        new graft.ingest.FileCursorStore(root.resolve("pc").toString)
+      val base = graft.core.Timing.build {
+        val b = baseRows(s, dir).localCheckpoint(true)
+        create(b, table, "key")
+        graft.ingest.ChangefeedRunner.runOnce(s, table, sink, cursor)
+        b
+      }
+      upsert(s, table, batch1(base))
+      val pub1 = graft.ingest.ChangefeedRunner
+        .runOnce(s, table, sink, cursor)
+        .map(_.rows).getOrElse(-1L)
+      optimize(s, table, "cents")
+      val cbOpt = changedBuckets(s, table, 2L, 3L).size.toLong
+      val pub2 = graft.ingest.ChangefeedRunner
+        .runOnce(s, table, sink, cursor)
+        .map(_.rows).getOrElse(-1L)
+      lifecycleState(s, table)
+        .withColumn("rows_pub1", lit(pub1))
+        .withColumn("buckets_changed_by_optimize", lit(cbOpt))
+        .withColumn("rows_pub2", lit(pub2))
+    },
+    s"""WITH base AS (
+       |  SELECT o_orderkey AS key, o_custkey AS cust,
+       |         o_orderstatus AS status,
+       |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+       |  FROM orders),
+       |fin AS (
+       |  SELECT key, cust, status,
+       |         CASE WHEN key % 101 = 0 THEN cents + 100
+       |              ELSE cents END AS cents
+       |  FROM base
+       |  UNION ALL
+       |  SELECT -key - 1, cust, 'N', cents FROM base
+       |  WHERE key % 103 = 0)
+       |SELECT key, cust, status, cents,
+       |       ${bucketSql("key", HEX_DIGITS)} AS bucket,
+       |       (SELECT CAST(count(*) AS BIGINT) FROM base
+       |          WHERE key % 101 = 0)
+       |         + (SELECT CAST(count(*) AS BIGINT) FROM base
+       |              WHERE key % 103 = 0) AS rows_pub1,
+       |       CAST(0 AS BIGINT) AS buckets_changed_by_optimize,
+       |       CAST(0 AS BIGINT) AS rows_pub2
+       |FROM fin ORDER BY key""")
+
   val defs: Map[String, QueryDef] = Map(
     "q148_table_fsck" -> q148TableFsck,
     "q140_cow_upsert" -> q140CowUpsert,
@@ -1204,5 +1407,6 @@ object MergeTable {
     "q146_optimize_invariance" -> q146OptimizeInvariance,
     "q150_rebucket_migration" -> q150RebucketMigration,
     "q151_zorder_optimize" -> q151ZorderOptimize,
+    "q153_layout_cdc" -> q153LayoutCdc,
   )
 }

@@ -103,10 +103,22 @@ object ChangefeedRunner {
     doomed.length.toLong
   }
 
+  private def batchDirs(spark: SparkSession,
+      sinkDir: String): Seq[Long] = {
+    val root = new org.apache.hadoop.fs.Path(sinkDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("batch="))
+      .flatMap(n => scala.util.Try(n.drop(6).toLong).toOption)
+      .toSeq.sorted
+  }
+
   /** One incremental run: publish the diff from the cursor's version
     * to the table's current version, then advance the cursor. None =
     * nothing new (or first-run bootstrap, which only sets the
-    * cursor). */
+    * cursor; or a restart that only ADOPTED an already-published
+    * batch — see below). */
   def runOnce(spark: SparkSession, tableDir: String, sinkDir: String,
       cursor: CursorStore): Option[RunResult] = {
     val cur = graft.ext.MergeTable.versions(spark, tableDir).lastOption
@@ -116,33 +128,69 @@ object ChangefeedRunner {
       case None =>
         cursor.commit(cur) // bootstrap: pin the snapshot, publish nothing
         None
-      case Some(from) if from >= cur => None
-      case Some(from) =>
+      case Some(from0) =>
+        // ADOPTION, before anything else: a prior run that crashed
+        // between writeMarker and cursor.commit left a marker-COMPLETE
+        // batch above the cursor. Its marker IS the consumer-visible
+        // commit (consumers chain-validate on the marker alone and may
+        // already have applied the batch and advanced their cursors),
+        // so the batch must be honored, never swept or superseded by a
+        // wider re-publish whose fromV would sit below a consumer's
+        // cursor and brick the chain. Roll the publisher cursor
+        // forward over every chaining marker-complete batch — adopting
+        // each as the commit it already is — and only then diff from
+        // the adopted frontier.
+        var from = from0
+        var adopted = true
+        while (adopted) {
+          adopted = false
+          batchDirs(spark, sinkDir).filter(_ > from).foreach { v =>
+            if (!adopted)
+              readMarker(spark, s"$sinkDir/batch=$v").foreach {
+                case (fv, tv) if fv == from =>
+                  cursor.commit(tv); from = tv; adopted = true
+                case _ => // non-chaining marker: not ours to adopt
+              }
+          }
+        }
+        if (from >= cur) return None
+        // a publish window straddling a REBUCKET cannot prune by
+        // bucket (every key re-hashed — bucket identity is gone), so
+        // this run degrades to the keyed full diff; say so loudly
+        // rather than letting a routine migration silently turn one
+        // CDC run into a table-sized job
+        val wFrom = graft.ext.MergeTable.bucketWidth(spark, tableDir,
+          Some(from))
+        val wCur = graft.ext.MergeTable.bucketWidth(spark, tableDir,
+          Some(cur))
+        if (wFrom != wCur)
+          System.err.println(s"[graft] changefeed $tableDir: publish " +
+            s"window v$from->v$cur straddles a rebucket " +
+            s"($wFrom->$wCur hex) — bucket pruning is unavailable, " +
+            "this run pays the keyed full diff")
         val diff = graft.ext.MergeTable.changes(spark, tableDir, from, cur)
         diff.write.mode("overwrite").parquet(s"$sinkDir/batch=$cur")
         val rows = spark.read.parquet(s"$sinkDir/batch=$cur").count()
         writeMarker(spark, s"$sinkDir/batch=$cur", from, cur)
         // STRAND SWEEP, before the cursor advances: a prior run that
-        // crashed after (partially) writing its batch and then saw the
-        // table advance leaves a batch=<V> dir, from < V < cur, that
-        // the byte-identical-overwrite replay no longer covers (the
-        // retry publishes batch=<cur> instead) — indistinguishable
-        // from a committed batch to a consumer. Every batch in that
-        // open interval is by construction uncommitted (the cursor
-        // still reads `from`), so deleting them is safe; re-crashing
-        // here just reruns the sweep. Consumers' contract stays "a
-        // batch dir ≤ the committed cursor is complete".
+        // crashed while (partially) writing its batch DATA — before
+        // its marker — and then saw the table advance leaves a
+        // MARKERLESS batch=<V> dir, from < V < cur, that the
+        // byte-identical-overwrite replay no longer covers (the retry
+        // publishes batch=<cur> instead). Markerless dirs are
+        // uncommitted by the marker contract (consumers skip them
+        // unread), so deleting them is safe; marker-complete dirs were
+        // adopted above and are never swept — the distinction that
+        // keeps an ordinary crash+retry from deleting a batch a
+        // consumer already applied. Re-crashing here just reruns the
+        // sweep.
         val fs = new org.apache.hadoop.fs.Path(sinkDir)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val root = new org.apache.hadoop.fs.Path(sinkDir)
-        if (fs.exists(root))
-          fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
-            .filter { p =>
-              val n = p.getName
-              n.startsWith("batch=") &&
-                scala.util.Try(n.drop(6).toLong).toOption
-                  .exists(v => v > from && v < cur)
-            }.foreach(fs.delete(_, true))
+        batchDirs(spark, sinkDir)
+          .filter(v => v > from && v < cur)
+          .filter(v => readMarker(spark, s"$sinkDir/batch=$v").isEmpty)
+          .foreach(v => fs.delete(
+            new org.apache.hadoop.fs.Path(s"$sinkDir/batch=$v"), true))
         cursor.commit(cur) // only after the sink is fully written
         Some(RunResult(from, cur, rows))
     }

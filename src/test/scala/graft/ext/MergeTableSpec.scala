@@ -315,15 +315,18 @@ class MergeTableSpec extends SparkSpec {
     // a fresh temp one version ahead: indistinguishable from in-flight
     val inFlight = plant(".v000000002.88x8.tmp")
     assert(MergeTable.versions(spark, dir) === Seq(1L))
-    MergeTable.vacuum(spark, dir, retainVersions = 1, minFileAgeMs = 0)
+    // default grace: the young above-current temp survives
+    MergeTable.vacuum(spark, dir, retainVersions = 1)
     assert(!fs.exists(lostRace), "vacuum must sweep stale commit temps")
     assert(fs.exists(inFlight),
       "a fresh above-current temp may be an in-flight commit — kept " +
         "until the age grace expires")
-    // age out the in-flight candidate and it sweeps too
-    fs.setTimes(inFlight, System.currentTimeMillis() - 11 * 60 * 1000, -1)
+    // ONE knob governs both sweeps: the single-writer waiver
+    // (minFileAgeMs = 0) drains the above-current temp immediately,
+    // exactly as it does the data files — no hidden second clock
     MergeTable.vacuum(spark, dir, retainVersions = 1, minFileAgeMs = 0)
-    assert(!fs.exists(inFlight))
+    assert(!fs.exists(inFlight),
+      "minFileAgeMs must gate the manifest-temp sweep too")
   }
 
   test("vacuum crash ordering: dying between the manifest drop and " +
@@ -497,6 +500,128 @@ class MergeTableSpec extends SparkSpec {
       Some((437L, 500L)), Some((437L, 500L))).count()
     assert(opened < blocks.count(),
       "block stats failed to prune the box on the z-ordered table")
+  }
+
+  test("layout-only commits contribute ZERO changed buckets: optimize " +
+      "and optimizeZOrder rewrite every file, the content fingerprints " +
+      "compare equal, and the cross-maintenance diff reads nothing") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cowfp")
+      .resolve("t").toString
+    val df = (1 to 400).map(i => (i.toLong, (i * 37L) % 100L,
+      (i * 101L) % 100L)).toDF("key", "x", "y")
+    MergeTable.create(df, dir, "key", hexDigits = 1)
+    MergeTable.upsert(spark, dir,
+      Seq((7L, 1L, 1L), (401L, 2L, 2L)).toDF("key", "x", "y")) // v2
+    MergeTable.optimize(spark, dir, "x") // v3: every file rewritten
+    assert(MergeTable.changedBuckets(spark, dir, 2L, 3L) === Seq.empty,
+      "optimize rewrote files but moved no row — fingerprints must " +
+        "prove every bucket unchanged")
+    MergeTable.optimizeZOrder(spark, dir, "x", "y") // v4
+    assert(MergeTable.changedBuckets(spark, dir, 3L, 4L) === Seq.empty)
+    assert(MergeTable.changes(spark, dir, 2L, 4L).count() === 0L)
+    // the fingerprints are CONTENT-honest, not a maintenance flag: a
+    // diff across maintenance plus a REAL change scans exactly the
+    // really-changed buckets and classifies the rows
+    MergeTable.upsert(spark, dir, Seq((9L, 0L, 0L)).toDF("key", "x", "y"))
+    val changed = MergeTable.changedBuckets(spark, dir, 2L, 5L)
+    assert(changed.size === 1,
+      s"expected only key 9's bucket to differ, got $changed")
+    val cf = MergeTable.changes(spark, dir, 2L, 5L)
+      .select("key", "change").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cf === Map(9L -> "update"))
+    // inherited fingerprints: an upsert carries untouched buckets' fps
+    // forward verbatim, so a bucket untouched since v2 still compares
+    // equal even though BOTH endpoint manifests postdate maintenance
+  }
+
+  test("legacy manifests without fingerprints fall back to file-list " +
+      "identity per bucket — conservative (maintenance scans), never " +
+      "wrong (quiet buckets still skip)") {
+    import spark.implicits._
+    val dir = mkTable(200)
+    MergeTable.upsert(spark, dir, Seq((7L, "UP")).toDF("key", "value"))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // strip the #fp= lines from both manifests (a pre-fingerprint table)
+    Seq(1L, 2L).foreach { v =>
+      val p = new org.apache.hadoop.fs.Path(
+        f"$dir/_manifests/v$v%09d")
+      val in = fs.open(p)
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filterNot(_.startsWith("#fp=")).mkString("\n")
+        finally in.close()
+      fs.delete(p, false)
+      val o = fs.create(p, true)
+      try o.write(body.getBytes("UTF-8")) finally o.close()
+    }
+    val changed = MergeTable.changedBuckets(spark, dir, 1L, 2L)
+    assert(changed.size === 1,
+      "legacy file-list pruning must still skip every quiet bucket")
+    val cf = MergeTable.changes(spark, dir, 1L, 2L)
+      .select("key", "change").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cf === Map(7L -> "update"))
+  }
+
+  test("a zero-length manifest BELOW the newest version is a legacy " +
+      "committed-empty snapshot: it stays in history, reads as the " +
+      "named empty error, and its number can never be re-committed") {
+    import spark.implicits._
+    val dir = mkTable(30)
+    MergeTable.upsert(spark, dir, Seq((1L, "x")).toDF("key", "value"))
+    MergeTable.upsert(spark, dir, Seq((2L, "y")).toDF("key", "value"))
+    // rewrite v2's manifest to the legacy empty form (zero bytes): the
+    // pre-header writer's representation of an all-rows-deleted
+    // commit, now sitting BELOW the non-empty v3
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v2 = new org.apache.hadoop.fs.Path(s"$dir/_manifests/v000000002")
+    fs.delete(v2, false)
+    fs.create(v2, true).close()
+    assert(MergeTable.versions(spark, dir) === Seq(1L, 2L, 3L),
+      "a legacy empty snapshot below the top is committed history")
+    val err = intercept[IllegalStateException] {
+      MergeTable.readTable(spark, dir, Some(2L)).count()
+    }
+    assert(err.getMessage.contains("EMPTY"))
+    // its version number is history — re-committing it would hand two
+    // different contents the same version id
+    val reuse = intercept[IllegalArgumentException] {
+      MergeTable.commitManifest(spark, dir, 2L,
+        Seq("v=2-0x0/bucket=aa/w.parquet"))
+    }
+    assert(reuse.getMessage.contains("legacy committed-empty"))
+    // the table itself still reads at head and at v1/v3
+    assert(MergeTable.readTable(spark, dir).count() === 30L)
+    assert(MergeTable.readTable(spark, dir, Some(1L)).count() === 30L)
+  }
+
+  test("a vacuum sweeping the loser's promotion temp mid-commit maps " +
+      "to a clean conflict (retryable), never a raw missing-file " +
+      "error — the local-fs branch matches the HDFS contract") {
+    val dir = mkTable(20)
+    // between writer A's temp write and its promotion: the version is
+    // committed by a winner AND a vacuum sweeps A's now-stale temp —
+    // exactly the NoSuchFileException window the advice named
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val err = intercept[MergeTable.CommitConflictException] {
+      MergeTable.commitManifest(spark, dir, 2L,
+        Seq("v=2-1x1/bucket=aa/a.parquet"),
+        beforePromote = () => {
+          MergeTable.commitManifest(spark, dir, 2L,
+            Seq("v=2-2x2/bucket=bb/b.parquet")) // the winner lands
+          // the concurrent vacuum's stale-temp sweep (v2 ≤ cur now)
+          fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/_manifests"))
+            .filter(_.getPath.getName.endsWith(".tmp"))
+            .foreach(st => fs.delete(st.getPath, false))
+        })
+    }
+    assert(err.getMessage.contains("commit conflict"))
+    // the winner's manifest is intact
+    assert(MergeTable.versions(spark, dir) === Seq(1L, 2L))
   }
 
   test("a version whose every row died reads as a NAMED empty-table " +
