@@ -45,49 +45,76 @@ import graft.core.{QueryDef, Tables}
 object Ivm {
 
   /** Initialize the view's base partial (run 0) from a table snapshot:
-    * per-`groupCol` count + `valCol` sum. The view definition —
-    * (groupCol, valCol) — is fixed at init and every later call must
-    * name the same pair; the partials' physical schema carries the
-    * group column by name, so a mismatch fails on read, not
-    * silently. */
-  def init(table: DataFrame, dir: String, groupCol: String = "status",
-      valCol: String = "cents"): Unit =
-    table.groupBy(groupCol)
-      .agg(count(lit(1)).as("n"), sum(valCol).as("v"))
+    * per-group count + one sum per measure column. The view definition
+    * — (groupCols, valCols) — is fixed at init and every later call
+    * must name the same vectors; the partials' physical schema carries
+    * the group columns by name and each measure as `v_<valCol>`, so a
+    * mismatch fails on read, not silently. Composite group keys and
+    * several measures cost nothing extra: the retraction algebra is a
+    * VECTOR of group elements (one count + N sums), applied
+    * component-wise. */
+  def init(table: DataFrame, dir: String, groupCols: Seq[String],
+      valCols: Seq[String]): Unit = {
+    require(groupCols.nonEmpty && valCols.nonEmpty,
+      "an IVM view needs at least one group column and one measure")
+    val aggs = count(lit(1)).as("n") +:
+      valCols.map(c => sum(col(c)).as(s"v_$c"))
+    table.groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
       .repartition(1)
       .write.mode("overwrite").parquet(s"$dir/run=0")
+  }
+
+  /** Single-measure convenience form of [[init]]. */
+  def init(table: DataFrame, dir: String, groupCol: String = "status",
+      valCol: String = "cents"): Unit =
+    init(table, dir, Seq(groupCol), Seq(valCol))
 
   /** Apply one changefeed increment as a delta partial: every old_row
-    * contributes (-1, -value) to its OLD group, every new_row (+1,
-    * +value) to its NEW group; an update whose group migrated thus
+    * contributes (-1, -values) to its OLD group, every new_row (+1,
+    * +values) to its NEW group; an update whose group migrated thus
     * moves its weight between groups, and a net-zero group simply
     * cancels at serve time. `runId` keys the partition (replay
     * overwrites it — idempotent). */
   def applyChanges(changefeed: DataFrame, dir: String, runId: Long,
-      groupCol: String = "status", valCol: String = "cents"): Unit = {
-    val retract = changefeed.filter(col("old_row").isNotNull)
-      .select(col(s"old_row.$groupCol").as(groupCol), lit(-1L).as("w"),
-        (-col(s"old_row.$valCol")).as("c"))
-    val assert_ = changefeed.filter(col("new_row").isNotNull)
-      .select(col(s"new_row.$groupCol").as(groupCol), lit(1L).as("w"),
-        col(s"new_row.$valCol").as("c"))
-    retract.unionByName(assert_)
-      .groupBy(groupCol)
-      .agg(sum("w").as("n"), sum("c").as("v"))
+      groupCols: Seq[String], valCols: Seq[String]): Unit = {
+    def side(row: String, sign: Long): DataFrame =
+      changefeed.filter(col(row).isNotNull)
+        .select(groupCols.map(g => col(s"$row.$g").as(g)) ++
+          (lit(sign).as("w") +:
+            valCols.map(c => (col(s"$row.$c") * sign).as(s"c_$c"))): _*)
+    val aggs = sum("w").as("n") +:
+      valCols.map(c => sum(s"c_$c").as(s"v_$c"))
+    side("old_row", -1L).unionByName(side("new_row", 1L))
+      .groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
       .repartition(1)
       .write.mode("overwrite").parquet(s"$dir/run=$runId")
   }
 
+  /** Single-measure convenience form of [[applyChanges]]. */
+  def applyChanges(changefeed: DataFrame, dir: String, runId: Long,
+      groupCol: String = "status", valCol: String = "cents"): Unit =
+    applyChanges(changefeed, dir, runId, Seq(groupCol), Seq(valCol))
+
   /** Serve the view: + -merge all partials, drop groups whose count
     * cancelled to zero (a group that emptied out). Output columns:
-    * (groupCol, n, sum_<valCol>). */
+    * (groupCols..., n, sum_<valCol>...). */
+  def serve(spark: SparkSession, dir: String, groupCols: Seq[String],
+      valCols: Seq[String]): DataFrame = {
+    val aggs = sum("n").as("n") +:
+      valCols.map(c => sum(s"v_$c").as(s"sum_$c"))
+    spark.read.parquet(dir)
+      .groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .filter(col("n") =!= 0)
+  }
+
+  /** Single-measure convenience form of [[serve]]. */
   def serve(spark: SparkSession, dir: String,
       groupCol: String = "status",
       valCol: String = "cents"): DataFrame =
-    spark.read.parquet(dir)
-      .groupBy(groupCol)
-      .agg(sum("n").as("n"), sum("v").as(s"sum_$valCol"))
-      .filter(col("n") =!= 0)
+    serve(spark, dir, Seq(groupCol), Seq(valCol))
 
   /** Fold SETTLED run partials into the reserved `run=-1` epoch — the
     * boundedness mechanism the rest of the incremental family has
@@ -98,25 +125,64 @@ object Ivm {
     * cents delta — dropping the row would lose the money; [[serve]]
     * filters cancelled groups, the fold must not).
     *
-    * `excludeRunsAbove` names the maintainer's committed cursor: any
-    * run ABOVE it is a possibly-half-applied in-flight attempt that the
-    * maintainer will REPLAY (run-overwrite) after restart — folding it
-    * would double-count the replay, so it is dropped from the rewrite
-    * and restored by that replay, the IvfPqStream auto-compaction
-    * contract. None = the caller asserts no maintainer is mid-batch. */
+    * `excludeRunsAbove` names the maintainer's settled frontier: any
+    * run ABOVE it is either a possibly-half-applied in-flight attempt
+    * the maintainer will REPLAY (run-overwrite) after restart, or a
+    * fully-applied increment the frontier simply has not advanced over
+    * yet. Folding either would be wrong (the first double-counts its
+    * replay; the second is fine to fold but indistinguishable from the
+    * first) — so excluded runs are PRESERVED VERBATIM in the rewrite,
+    * byte-copied outside the fold: a replay still overwrites its
+    * partition exactly as before, and an applied-but-unsettled run is
+    * never lost to a fold it wasn't part of. (Dropping instead of
+    * preserving would lose exactly that second class when an EXTERNAL
+    * compactor folds at [[graft.streaming.IvmStream.committedRun]]'s
+    * watermark while the stream is past it — the run's batch is
+    * checkpoint-committed and will never replay to restore it.)
+    * None = the caller asserts no maintainer is mid-batch; everything
+    * folds. The measure vector is read off the partials' own schema
+    * (every non-group, non-run column sums), so one fold path serves
+    * any view definition. */
+  def compact(spark: SparkSession, dir: String,
+      excludeRunsAbove: Option[Long],
+      groupCols: Seq[String]): DedupIndex.CompactionStats =
+    DedupIndex.rewriteAndSwap(spark, dir) { tmp =>
+      val all = spark.read.parquet(dir)
+      val measures = all.columns
+        .filterNot(groupCols.toSet).filter(_ != "run")
+      val aggs = measures.toSeq.map(c => sum(c).as(c))
+      excludeRunsAbove
+        .map(b => all.filter(col("run") <= b)).getOrElse(all)
+        .groupBy(groupCols.map(col): _*)
+        .agg(aggs.head, aggs.tail: _*)
+        .repartition(1)
+        .write.mode("overwrite").parquet(s"$tmp/run=-1")
+      // carry every excluded run partition verbatim (file copy, no
+      // Spark read: a torn in-flight attempt may not even parse)
+      excludeRunsAbove.foreach { b =>
+        val dirPath = new org.apache.hadoop.fs.Path(dir)
+        val fs = dirPath.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        fs.listStatus(dirPath).filter(_.isDirectory)
+          .filter { st =>
+            val n = st.getPath.getName
+            n.startsWith("run=") && scala.util.Try(n.drop(4).toLong)
+              .toOption.exists(_ > b)
+          }
+          .foreach { st =>
+            org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
+              new org.apache.hadoop.fs.Path(tmp, st.getPath.getName),
+              false, spark.sparkContext.hadoopConfiguration): Unit
+          }
+      }
+    }
+
+  /** Single-group convenience form of [[compact]]. */
   def compact(spark: SparkSession, dir: String,
       excludeRunsAbove: Option[Long] = None,
       groupCol: String = "status")
       : DedupIndex.CompactionStats =
-    DedupIndex.rewriteAndSwap(spark, dir) { tmp =>
-      val all = spark.read.parquet(dir)
-      excludeRunsAbove
-        .map(b => all.filter(col("run") <= b)).getOrElse(all)
-        .groupBy(groupCol)
-        .agg(sum("n").as("n"), sum("v").as("v"))
-        .repartition(1)
-        .write.mode("overwrite").parquet(s"$tmp/run=-1")
-    }
+    compact(spark, dir, excludeRunsAbove, Seq(groupCol))
 
   // ---- q147: the lifecycle with status MIGRATION -------------------
 
@@ -309,9 +375,93 @@ object Ivm {
       |       CAST(1 AS BIGINT) AS runs_after
       |FROM fin GROUP BY status ORDER BY status""")
 
+  /** q154 — the GENERALIZED view definition acceptance row: a view
+    * grouped by the COMPOSITE key (status, seg) carrying TWO measures
+    * (sum of cents, sum of units) plus the count, maintained through
+    * every delta class the algebra owns — status migration (class 1:
+    * both measures move between groups), deletion (class 2: pure
+    * vector retraction), WITHIN-composite-key migration (class 3: the
+    * seg component changes while status holds), and insertion (class
+    * 4) — with a [[compact]] folded MID-STREAM between the increments
+    * (the fold path reads the measure vector off the partials' own
+    * schema, so the same rewrite serves any definition). The served
+    * view must equal the direct composite-key aggregate the oracle
+    * computes from orders arithmetic alone: the q147 gate, restated
+    * over the N-measure vector algebra the single-measure rows cannot
+    * distinguish from scalar bookkeeping. */
+  private val q154IvmMulti = QueryDef(
+    (s, dir) => {
+      val view = java.nio.file.Files.createTempDirectory("graft-q154")
+        .resolve("view").toString
+      val groupCols = Seq("status", "seg")
+      val valCols = Seq("cents", "units")
+      val base = graft.core.Timing.build {
+        val b = Tables(s, dir, "orders").select(
+          col("o_orderkey").as("key"),
+          col("o_orderstatus").as("status"),
+          (col("o_custkey") % 4).as("seg"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"),
+          (col("o_orderkey") % 7).as("units")).localCheckpoint(true)
+        Ivm.init(b, view, groupCols, valCols)
+        b
+      }
+      val cls = col("key") % 1009
+      val oldS = struct(col("status"), col("seg"), col("cents"),
+        col("units"))
+      val newS = struct(
+        when(cls === 1, lit("M")).otherwise(col("status")).as("status"),
+        when(cls === 3, (col("seg") + 1) % 4).otherwise(col("seg"))
+          .as("seg"),
+        (col("cents") + when(cls === 1, 10L).when(cls === 3, 30L)
+          .otherwise(0L)).as("cents"),
+        (col("units") + when(cls === 1, 1L).otherwise(0L)).as("units"))
+      // run 1: the status migrations (group AND both measures move)
+      Ivm.applyChanges(base.filter(cls === 1)
+        .select(col("key"), oldS.as("old_row"), newS.as("new_row")),
+        view, 1L, groupCols, valCols)
+      // fold mid-stream: the gate must not notice
+      Ivm.compact(s, view, None, groupCols)
+      // run 2: deletes + seg migrations + inserts, on top of the fold
+      val insS = struct(lit("N").as("status"), col("seg").as("seg"),
+        col("cents").as("cents"), col("units").as("units"))
+      Ivm.applyChanges(base.filter(cls.isin(2L, 3L, 4L))
+        .select(col("key"),
+          when(cls === 4, lit(null)).otherwise(oldS).as("old_row"),
+          when(cls === 2, lit(null))
+            .otherwise(when(cls === 4, insS).otherwise(newS))
+            .as("new_row")),
+        view, 2L, groupCols, valCols)
+      Ivm.serve(s, view, groupCols, valCols).orderBy("status", "seg")
+    },
+    """WITH base AS (
+      |  SELECT o_orderkey AS key, o_orderstatus AS status,
+      |         o_custkey % 4 AS seg,
+      |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+      |         o_orderkey % 7 AS units
+      |  FROM orders),
+      |fin AS (
+      |  SELECT key,
+      |         CASE WHEN key % 1009 = 1 THEN 'M' ELSE status END AS status,
+      |         CASE WHEN key % 1009 = 3 THEN (seg + 1) % 4
+      |              ELSE seg END AS seg,
+      |         cents + CASE WHEN key % 1009 = 1 THEN 10
+      |                      WHEN key % 1009 = 3 THEN 30
+      |                      ELSE 0 END AS cents,
+      |         units + CASE WHEN key % 1009 = 1 THEN 1
+      |                      ELSE 0 END AS units
+      |  FROM base WHERE key % 1009 <> 2
+      |  UNION ALL
+      |  SELECT key, 'N', seg, cents, units FROM base
+      |  WHERE key % 1009 = 4)
+      |SELECT status, seg, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+      |       CAST(sum(units) AS BIGINT) AS sum_units
+      |FROM fin GROUP BY status, seg ORDER BY status, seg""")
+
   val defs: Map[String, QueryDef] = Map(
     "q147_ivm_changefeed" -> q147IvmChangefeed,
     "q149_ivm_runner" -> q149IvmRunner,
     "q152_ivm_boundedness" -> q152IvmBoundedness,
+    "q154_ivm_multi" -> q154IvmMulti,
   )
 }

@@ -33,7 +33,9 @@ import org.apache.spark.sql.SparkSession
   * [[graft.ext.Ivm.compact]] with `excludeRunsAbove = cursor` — a run
   * above the committed cursor is a possibly-half-applied in-flight
   * attempt the restart will replay; folding it would double-count the
-  * replay (the IvfPqStream auto-compaction contract, reapplied). */
+  * replay, so the fold preserves it verbatim outside the reserved
+  * epoch and the replay overwrites it (the IvfPqStream
+  * auto-compaction contract, reapplied). */
 object IvmRunner {
 
   private def batchVersions(spark: SparkSession,

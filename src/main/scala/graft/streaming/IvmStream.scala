@@ -12,23 +12,67 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
   * MergeStream/RollupStream discipline (+1 keeps batch 0 clear of the
   * view's reserved `run=0` snapshot partial).
   *
+  * AUTO-COMPACTION, the IvfPqStream contract reapplied: every
+  * `compactEvery` batches the settled runs fold into the reserved
+  * epoch with `excludeRunsAbove = <the previous batch's run>` — at the
+  * moment foreachBatch(id) runs, every batch BELOW id is durably
+  * committed in the checkpoint and can never replay, so runs ≤ id are
+  * settled by construction; the CURRENT run (id+1) may still replay
+  * after a kill and is excluded (its possibly-half-applied attempt is
+  * preserved verbatim outside the fold and overwritten by the
+  * replay). The run
+  * partition count is thus BOUNDED by ~compactEvery however long the
+  * stream lives — the unbounded-runs growth [[graft.ext.Ivm.compact]]
+  * closes for the runner path, closed for the stream path too.
+  *
+  * COMMITTED-RUN WATERMARK: the same settled frontier is persisted via
+  * the [[graft.ingest.CursorStore]] file discipline in a SIBLING dir
+  * (`<viewDir>__runmark` — outside the view, so compact's
+  * rewrite-and-swap never carries or deletes it), readable through
+  * [[committedRun]]. An EXTERNAL compactor scheduling its own folds
+  * passes exactly that value as `excludeRunsAbove` — the watermark the
+  * siblings' Scaladoc used to tell users to track by hand.
+  *
   * One maintainer per view: the stream's batch-id run keys and
   * [[graft.ingest.IvmRunner]]'s version run keys must not interleave
-  * on one view dir. Compaction between drains uses
-  * `Ivm.compact(excludeRunsAbove = lastCommittedRun)` exactly as the
-  * runner does; IvmSpec proves serve-identity across a kill/restart
-  * with a half-applied batch in place. */
+  * on one view dir. IvmStreamSpec proves serve-identity across a
+  * kill/restart with a half-applied batch AND a stranded mid-fold
+  * temp in place, plus the bounded-runs claim over a long drain. */
 object IvmStream {
+
+  private def watermarkDir(viewDir: String): String =
+    new org.apache.hadoop.fs.Path(viewDir).suffix("__runmark").toString
+
+  /** The settled-run frontier: every run AT OR BELOW this value is
+    * durably applied and can never be replayed — safe to pass as
+    * `Ivm.compact(excludeRunsAbove = ...)` while the stream runs.
+    * None before the first drained batch. */
+  def committedRun(viewDir: String): Option[Long] =
+    new graft.ingest.FileCursorStore(watermarkDir(viewDir)).read()
 
   /** AvailableNow drain: apply each micro-batch of change rows as one
     * view increment; `groupCol`/`valCol` name the view definition
-    * fixed at [[graft.ext.Ivm.init]]. */
+    * fixed at [[graft.ext.Ivm.init]]. `compactEvery` ≤ 0 disables the
+    * auto-compaction policy. */
   def start(changes: DataFrame, viewDir: String, checkpoint: String,
       groupCol: String = "status",
-      valCol: String = "cents"): StreamingQuery =
+      valCol: String = "cents",
+      compactEvery: Int = 8): StreamingQuery =
     changes.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, id: Long) =>
+        // runs ≤ id are settled the moment this body runs (their
+        // batches are checkpoint-committed); persist the frontier
+        // BEFORE any work so an external compactor never reads a
+        // watermark ahead of what is actually durable
+        new graft.ingest.FileCursorStore(watermarkDir(viewDir))
+          .commit(id)
+        if (compactEvery > 0 && id > 0 && id % compactEvery == 0) {
+          val cs = graft.ext.Ivm.compact(batch.sparkSession, viewDir,
+            excludeRunsAbove = Some(id), groupCol = groupCol)
+          System.err.println(s"[graft] ivm auto-compact batch=$id " +
+            s"read=${cs.filesRead} wrote=${cs.filesWritten}")
+        }
         graft.ext.Ivm.applyChanges(batch, viewDir, id + 1, groupCol,
           valCol)
       }

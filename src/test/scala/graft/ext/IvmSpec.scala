@@ -115,28 +115,37 @@ class IvmSpec extends SparkSpec {
     }
   }
 
-  test("compact excludes runs above the committed cursor: a " +
-      "half-applied in-flight run is dropped, its replay restores it, " +
-      "and the view never double-counts") {
+  test("compact excludes runs above the settled frontier from the " +
+      "FOLD but preserves their partitions verbatim: a replay still " +
+      "overwrites its run (no double count), and an applied-but-" +
+      "unsettled run survives a fold that will never see a replay") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("ivm-x")
       .resolve("v").toString
     Ivm.init(Seq(("A", 10L)).toDF("status", "cents"), dir)
     Ivm.applyChanges(mkChangefeed(Seq(
-      (1L, "A", 10L, "A", 12L))), dir, 1) // committed (cursor = 1)
+      (1L, "A", 10L, "A", 12L))), dir, 1) // settled (frontier = 1)
     Ivm.applyChanges(mkChangefeed(Seq(
-      (2L, null, null, "B", 50L))), dir, 2) // in-flight, NOT committed
+      (2L, null, null, "B", 50L))), dir, 2) // above the frontier
     Ivm.compact(spark, dir, excludeRunsAbove = Some(1L))
-    // the in-flight run was dropped, not folded
+    // run 2 stayed OUT of the folded epoch but ON disk: the fold wrote
+    // run=-1 from runs ≤ 1 and byte-copied run=2 alongside
+    val runs = spark.read.parquet(dir).select("run").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(runs === Set(-1, 2),
+      s"excluded run must be preserved verbatim, got partitions $runs")
     val served = Ivm.serve(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
-    assert(served === Set(("A", 1L, 12L)),
-      s"in-flight run leaked into the fold: $served")
-    // the maintainer replays the batch after restart — run overwrite
+    assert(served === Set(("A", 1L, 12L), ("B", 1L, 50L)),
+      "an applied-but-unsettled run must survive the fold — if its " +
+        "batch is checkpoint-committed, no replay will ever restore it")
+    // a maintainer REPLAYING run 2 (the half-applied case) overwrites
+    // the preserved partition — same deltas, exactly once, never added
     Ivm.applyChanges(mkChangefeed(Seq(
       (2L, null, null, "B", 50L))), dir, 2)
     val after = Ivm.serve(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
-    assert(after === Set(("A", 1L, 12L), ("B", 1L, 50L)))
+    assert(after === Set(("A", 1L, 12L), ("B", 1L, 50L)),
+      "the replay must overwrite the preserved run, not double-count")
   }
 }

@@ -117,6 +117,43 @@ class IvmRunnerSpec extends SparkSpec {
     assert(served(view) === direct(table))
   }
 
+  test("a writer retrying through a planted commit conflict " +
+      "interleaves with the publisher+maintainer pipeline and a " +
+      "layout-maintenance commit: the served view still equals the " +
+      "direct aggregate and the maintenance publish is empty") {
+    import spark.implicits._
+    val (table, view, sink, pub, ivm) = rig()
+    // writer A's commit window: writer B lands first (same bucket set
+    // possible), A loses the manifest race and retries against B's
+    // snapshot — the multi-writer protocol on the pipeline's table
+    var fired = false
+    graft.ext.MergeTable.upsertWithHook(spark, table,
+      Seq((10L, "X", 111L)).toDF("key", "status", "cents"),
+      () => if (!fired) {
+        fired = true
+        graft.ext.MergeTable.upsert(spark, table,
+          Seq((10L, "Y", 5L), (11L, "X", 222L))
+            .toDF("key", "status", "cents")): Unit
+      })
+    assert(fired)
+    // the publisher coalesces B's and A's commits into one batch; the
+    // maintainer drains and folds
+    ChangefeedRunner.runOnce(spark, table, sink, pub)
+    IvmRunner.maintainOnce(spark, sink, view, ivm)
+    assert(served(view) === direct(table),
+      "conflict-retried writes must flow through the feed exactly once")
+    // a COMPACTOR commits between publisher runs: the layout-only
+    // version must publish an EMPTY batch (content fingerprints), and
+    // the maintainer must absorb it as a no-op increment
+    graft.ext.MergeTable.optimize(spark, table, "cents")
+    val r = ChangefeedRunner.runOnce(spark, table, sink, pub)
+    assert(r.exists(_.rows === 0L),
+      s"a layout-only commit must publish an empty batch, got $r")
+    IvmRunner.maintainOnce(spark, sink, view, ivm)
+    assert(served(view) === direct(table),
+      "the maintenance no-op batch must not move the view")
+  }
+
   test("maintainOnce folds settled runs each pass: the view serves " +
       "from O(groups) partials however many increments flowed, with " +
       "identical contents") {

@@ -53,7 +53,7 @@ class IvmStreamSpec extends SparkSpec {
 
     // plant a half-applied NEXT run (a kill mid-write leaves a partial
     // run=2) — the restarted drain must overwrite it, not add to it
-    Seq(("Z", 77L, 77000L)).toDF("status", "n", "v")
+    Seq(("Z", 77L, 77000L)).toDF("status", "n", "v_cents")
       .write.mode("overwrite").parquet(s"$view/run=2")
     // restart: batch 1 (run 2) deletes B, moves C to D
     input.addData(ChangeRow(3, "B", 5L, null, null),
@@ -62,5 +62,57 @@ class IvmStreamSpec extends SparkSpec {
       .awaitTermination()
     assert(served(view) === Set(("A", 1L, 12L), ("D", 1L, 60L)),
       "the replayed run must overwrite the half-applied attempt")
+  }
+
+  test("auto-compaction bounds the run partitions over a long drain; " +
+      "a kill mid-fold (stranded compacting temp + half-applied next " +
+      "run) heals on restart; the committed-run watermark tracks the " +
+      "settled frontier and is safe for an external fold") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val view = Files.createTempDirectory("ivm-stream-b").toString + "/v"
+    val ckpt = Files.createTempDirectory("ivm-stream-bck").toString
+    graft.ext.Ivm.init(
+      Seq(("A", 10L)).toDF("status", "cents"), view)
+    assert(IvmStream.committedRun(view).isEmpty,
+      "no watermark before the first drained batch")
+    val input = MemoryStream[ChangeRow]
+    val nBatches = 12
+    (0 until nBatches).foreach { i =>
+      input.addData(ChangeRow(100L + i, null, null, s"G$i", i * 100L))
+      if (i == 6) {
+        // kill mid-fold: a compact died after writing its rewrite temp
+        // (the swap never happened) and a half-applied NEXT run is on
+        // disk — the stranded temp must be discarded by the next fold,
+        // the half-applied run overwritten by its replay
+        Seq(("JUNK", 9L, 9L)).toDF("status", "n", "v_cents")
+          .write.mode("overwrite").parquet(s"${view}__compacting/run=-1")
+        Seq(("Z", 7L, 7000L)).toDF("status", "n", "v_cents")
+          .write.mode("overwrite").parquet(s"$view/run=${i + 1}")
+      }
+      IvmStream.start(toChanges(input.toDF()), view, ckpt,
+        compactEvery = 4).awaitTermination()
+    }
+    // the drain processed batches 0..11 (runs 1..12), folding at batch
+    // ids 4 and 8: partitions are bounded by ~compactEvery, not by the
+    // number of increments absorbed
+    val runs = spark.read.parquet(view).select("run").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(runs.size <= 6,
+      s"auto-compaction failed to bound the run partitions: $runs")
+    assert(runs.contains(-1), "the folded epoch must exist")
+    val expected = (0 until nBatches)
+      .map(i => (s"G$i", 1L, i * 100L)).toSet + (("A", 1L, 10L))
+    assert(served(view) === expected,
+      "long drain with mid-stream folds lost or double-counted deltas")
+    // watermark: batches 0..11 ran, so the settled frontier is 11
+    assert(IvmStream.committedRun(view) === Some(11L))
+    // an external fold at exactly the watermark is safe BY CONTRACT
+    // even if a run above it were mid-replay: runs ≤ 11 settle into
+    // the reserved epoch, run 12 rides on top, serve is unchanged
+    graft.ext.Ivm.compact(spark, view,
+      excludeRunsAbove = IvmStream.committedRun(view))
+    assert(served(view) === expected,
+      "external fold at the committed-run watermark changed the view")
   }
 }
