@@ -871,11 +871,59 @@ object MergeTable {
   def changes(spark: SparkSession, dir: String, fromV: Long,
       toV: Long): DataFrame = {
     val key = keyMeta(spark, dir, None)
-    val changed = changedBuckets(spark, dir, fromV, toV)
-    val tFrom = readTable(spark, dir, Some(fromV))
-      .filter(col("bucket").isin(changed: _*)).drop("bucket")
-    val tTo = readTable(spark, dir, Some(toV))
-      .filter(col("bucket").isin(changed: _*)).drop("bucket")
+    val changed = changedBuckets(spark, dir, fromV, toV).toSet
+    // prune the FILE LISTS, not a partition filter over a full-table
+    // scan: a scan of all files pays an O(files) mergeSchema footer
+    // job per side even when the filter then prunes every one — at
+    // 100 TB that is a table-metadata-sized job just to discover a
+    // layout-only window was quiet. Listing only the changed buckets'
+    // files keeps the whole diff O(changed buckets) from the first
+    // byte, and the all-unchanged case below never touches data at
+    // all.
+    def sideFiles(v: Long): Seq[String] =
+      readManifest(spark, dir, v)
+        .filter(e => changed.contains(bucketOfEntry(e)))
+        .map(e => s"$dir/data/$e")
+    val ff = sideFiles(fromV)
+    val tf = sideFiles(toV)
+    if (ff.isEmpty && tf.isEmpty) {
+      // quiet window (every bucket fingerprint-identical — e.g. a
+      // changefeed run straddling OPTIMIZE): zero rows, and the cost
+      // is two manifest reads plus ONE footer for the schema. The
+      // schema probe is the newest version's first live file, so the
+      // empty batch carries the current physical payload columns a
+      // chained consumer selects on (representative, not the
+      // mergeSchema union — a zero-row batch has no values to lose).
+      import org.apache.spark.sql.types.{StructField, StructType,
+        StringType, LongType}
+      val probe = readManifest(spark, dir, toV).headOption
+        .orElse(readManifest(spark, dir, fromV).headOption)
+      val fields = probe match {
+        case Some(e) => spark.read.parquet(s"$dir/data/$e").schema.fields
+          .filterNot(f => f.name == "v" || f.name == "bucket")
+        case None => Array(StructField(key, LongType))
+      }
+      val keyField = fields.find(_.name == key)
+        .getOrElse(StructField(key, LongType))
+      val payload = StructType(fields.filterNot(_.name == key))
+      val schema = StructType(Seq(keyField,
+        StructField("old_row", payload), StructField("new_row", payload),
+        StructField("change", StringType)))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+    // a side with no changed files (every changed bucket born after
+    // fromV, or dropped by toV) reads the OTHER side's files for its
+    // schema and contributes zero rows
+    def side0(files: Seq[String], other: Seq[String]): DataFrame = {
+      val d = spark.read.option("basePath", s"$dir/data")
+        .option("mergeSchema", "true")
+        .parquet((if (files.nonEmpty) files else other): _*)
+        .drop("v").drop("bucket")
+      if (files.nonEmpty) d else d.limit(0)
+    }
+    val tFrom = side0(ff, tf)
+    val tTo = side0(tf, ff)
     // align both sides on the UNION of their columns (a diff may
     // straddle a schema evolution; the older side reads null for the
     // newer columns, so an evolved value registers as an update)

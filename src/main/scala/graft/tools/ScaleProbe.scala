@@ -74,7 +74,7 @@ object ScaleProbe {
       candPerQuery: Double, pairS: Double, candPairs: Long, planes: Int,
       closureS: Double, nComponents: Long, exciseS: Double,
       dupTokens: Long, cowS: Double, cowFiles: Long, cowRows: Long,
-      cowRowsWide: Long)
+      cowRowsWide: Long, diffOptS: Double, diffOptBuckets: Long)
 
     val cells = scales.map { sc =>
       val n = baseN * sc
@@ -206,9 +206,28 @@ object ScaleProbe {
         .filter(col("bucket").isin(graft.ext.MergeTable
           .changedBuckets(spark, tbl, vMig, vUp): _*)).count()
 
+      // --- diff across maintenance: OPTIMIZE rewrites every file but
+      // moves no row; the per-bucket content fingerprints must prove
+      // every bucket unchanged BEFORE a byte is read, so the changefeed
+      // window straddling it scans ZERO buckets and its cost is two
+      // manifest reads — FLAT in table size (exponent ≈ 0), the
+      // round-13 short-circuit measured rather than asserted.
+      val vOpt = graft.ext.MergeTable.optimize(spark, tbl, "payload")
+        .version
+      var diffOptRows = 0L
+      val diffOptBuckets = graft.ext.MergeTable
+        .changedBuckets(spark, tbl, vUp, vOpt).size.toLong
+      val diffOptS = timeMinOf(3) {
+        diffOptRows = graft.ext.MergeTable
+          .changes(spark, tbl, vUp, vOpt).count()
+      }
+      require(diffOptBuckets == 0L && diffOptRows == 0L,
+        s"layout-only optimize leaked into the changefeed: " +
+          s"$diffOptBuckets buckets / $diffOptRows rows")
+
       val cell = Cell(sc, n, buildS, serveS, candPerQuery, pairS,
         candPairs, planes, closureS, nComp, exciseS, dupToks,
-        cowS, cowFiles, cowRows, cowRowsWide)
+        cowS, cowFiles, cowRows, cowRowsWide, diffOptS, diffOptBuckets)
       println(f"[scaleprobe] scale=${sc}x n=$n build=${buildS}%.2fs " +
         f"serve=${serveS}%.2fs cand/q=${candPerQuery}%.1f " +
         f"pairscan=${pairS}%.2fs candpairs=$candPairs planes=$planes " +
@@ -216,7 +235,9 @@ object ScaleProbe {
         f"excise=${exciseS}%.2fs duptokens=$dupToks " +
         f"cow=${cowS}%.2fs cowfiles=$cowFiles cowrows=$cowRows " +
         f"cowrows_rebucketed=$cowRowsWide " +
-        f"relief=${cowRows.toDouble / math.max(1, cowRowsWide)}%.1fx")
+        f"relief=${cowRows.toDouble / math.max(1, cowRowsWide)}%.1fx " +
+        f"diff_across_optimize=${diffOptS}%.2fs " +
+        f"(buckets=$diffOptBuckets)")
       cell
     }
 
@@ -235,7 +256,50 @@ object ScaleProbe {
       f"excise_dup_tokens=${expo(_.dupTokens.toDouble)}%.2f " +
       f"cow_files_written=${expo(_.cowFiles.toDouble)}%.2f " +
       f"cow_rows_rewritten=${expo(_.cowRows.toDouble)}%.2f " +
-      f"cow_rows_rebucketed=${expo(_.cowRowsWide.toDouble)}%.2f")
+      f"cow_rows_rebucketed=${expo(_.cowRowsWide.toDouble)}%.2f " +
+      f"diff_across_optimize_time=${expo(_.diffOptS)}%.2f")
+
+    // --- MANIFEST SCALING LEG (vs BUCKET COUNT, not corpus size) ---
+    // Manifests re-list every live file each commit, so commit metadata
+    // cost and the changefeed's manifest-read cost are O(buckets)/
+    // version. Fine at 4096 buckets — but the manifest-list-of-
+    // manifests decision (the Iceberg two-level shape) should be made
+    // on a measurement, not a guess: one row per bucket at widths
+    // 1/2/3 hex (16/256/4096 buckets), a CONSTANT 40-key batch upsert
+    // timed (its epoch is ~constant; what grows is the re-listed
+    // manifest), and the CDC-path manifest compare timed
+    // (changedBuckets = two full manifest reads + fingerprint compare,
+    // no data pages). A commit-time or read-time slope near 1 in
+    // bucket count says where single-level manifests stop scaling.
+    case class ManCell(hex: Int, buckets: Long, upsertS: Double,
+      manReadS: Double)
+    val manCells = Seq(1, 2, 3).map { w =>
+      val buckets = 1L << (4 * w)
+      val rows = buckets * 4 // ~4 rows/bucket: every bucket non-empty
+      val dir = s"$tmp/man_w$w"
+      graft.ext.MergeTable.create(
+        spark.range(rows).select(col("id").as("key"),
+          (col("id") % 97).as("payload")), dir, "key", w)
+      val batch = spark.range(40).select(
+        (col("id") * (rows / 40)).as("key"), lit(-1L).as("payload"))
+      var vLast = 0L
+      val upsertS = timeMinOf(2) {
+        vLast = graft.ext.MergeTable.upsert(spark, dir, batch).version
+      }
+      val manReadS = timeMinOf(3) {
+        graft.ext.MergeTable.changedBuckets(spark, dir, vLast - 1, vLast)
+      }
+      println(f"[scaleprobe] manifest hex=$w buckets=$buckets " +
+        f"upsert=${upsertS}%.2fs manifest_compare=${manReadS}%.3fs")
+      ManCell(w, buckets, upsertS, manReadS)
+    }
+    def mexpo(m: ManCell => Double): Double = {
+      val (a, b) = (manCells.head, manCells.last)
+      math.log(m(b) / m(a)) / math.log(b.buckets.toDouble / a.buckets)
+    }
+    println(f"[scaleprobe] MANIFEST EXPONENTS (16 -> 4096 buckets): " +
+      f"upsert_commit_time=${mexpo(_.upsertS)}%.2f " +
+      f"manifest_compare_time=${mexpo(_.manReadS)}%.2f")
     spark.stop()
   }
 }
