@@ -490,6 +490,29 @@ object MergeTable {
     throw new IllegalStateException("unreachable")
   }
 
+  /** A snapshot restricted to an already-pruned manifest entry list —
+    * the impacted-bucket read path shared by [[upsert]]/[[deleteKeys]]:
+    * listing only those files keeps the mergeSchema footer job AND the
+    * scan O(impacted files); building the full-table relation and
+    * filtering it would pay an O(table-files) footer merge per write
+    * just to plan a 40-file read (measured by the ScaleProbe manifest
+    * leg: 7.6 s/upsert at 4096 buckets before, flat after). */
+  private def readEntries(spark: SparkSession, dir: String,
+      entries: Seq[String]): DataFrame =
+    // the bucket id comes from the FILE PATH, never from partition
+    // inference: over a SPARSE file set the inferred type is unsafe —
+    // a lone "bucket=8f" dir infers DOUBLE 8.0 (Java's parseDouble
+    // accepts the f/d suffix), which would relocate the rewritten
+    // epoch to a bucket named "8.0" (the epochFingerprints trap, round
+    // 12, now bitten on the read side). The full-table read never hit
+    // it only because mixed hex values force a string fallback.
+    spark.read.option("basePath", s"$dir/data")
+      .option("mergeSchema", "true")
+      .parquet(entries.map(e => s"$dir/data/$e"): _*)
+      .drop("v").drop("bucket")
+      .withColumn("bucket",
+        regexp_extract(col("_metadata.file_path"), "/bucket=([^/]+)/", 1))
+
   /** The table at a version (default: latest) — resolves that
     * version's manifest and scans exactly its files; `basePath` keeps
     * the `bucket` partition column (the key a reader may prune on). */
@@ -580,14 +603,21 @@ object MergeTable {
           "sequence/timestamp column)")
       val (rewritten, kept) = man.entries.partition(e =>
         impacted.contains(bucketOfEntry(e)))
-      val existing = readTable(spark, dir, Some(cur))
-        .filter(col("bucket").isin(impacted.toSeq: _*))
+      // all-inserts-into-new-buckets: nothing existing to merge; the
+      // batch's own shape stands in for the (empty) existing side
+      val existing =
+        if (rewritten.isEmpty) batch.limit(0)
+        else readEntries(spark, dir, rewritten)
       val matched = existing.join(batch.select(key), Seq(key), "left_semi")
         .count()
       // SCHEMA EVOLUTION, extend-only: the batch may ADD columns (old
       // rows read null for them via mergeSchema) but must carry every
-      // existing column — a batch silently missing one would null it out
-      // for every key it touches, which is a bug, not an evolution
+      // column the impacted files physically store — a batch silently
+      // missing one would null it out for every key it touches, which
+      // is a bug, not an evolution. (A column that exists only in
+      // OTHER buckets' files is not required: the impacted rows never
+      // stored it, so writing them without it preserves contents
+      // exactly — mergeSchema reads null either way.)
       val dropped = existing.columns.toSet -- batch.columns.toSet
       require(dropped.isEmpty,
         s"upsert batch is missing table columns: ${dropped.mkString(",")}" +
@@ -623,8 +653,12 @@ object MergeTable {
       .collect().map(_.getString(0)).toSet
     val (rewritten, kept) = man.entries.partition(e =>
       impacted.contains(bucketOfEntry(e)))
-    val existing = readTable(spark, dir, Some(cur))
-      .filter(col("bucket").isin(impacted.toSeq: _*))
+    // deleting keys that hash only to never-written buckets: nothing
+    // to scan, nothing to rewrite (the empty side's schema is
+    // irrelevant — zero rows write zero files)
+    val existing =
+      if (rewritten.isEmpty) ks.limit(0)
+      else readEntries(spark, dir, rewritten)
     val matched = existing.join(ks.select(key), Seq(key), "left_semi")
       .count()
     val survivors = existing.join(ks.select(key), Seq(key), "left_anti")
@@ -880,12 +914,11 @@ object MergeTable {
     // files keeps the whole diff O(changed buckets) from the first
     // byte, and the all-unchanged case below never touches data at
     // all.
-    def sideFiles(v: Long): Seq[String] =
+    def sideEntries(v: Long): Seq[String] =
       readManifest(spark, dir, v)
         .filter(e => changed.contains(bucketOfEntry(e)))
-        .map(e => s"$dir/data/$e")
-    val ff = sideFiles(fromV)
-    val tf = sideFiles(toV)
+    val ff = sideEntries(fromV)
+    val tf = sideEntries(toV)
     if (ff.isEmpty && tf.isEmpty) {
       // quiet window (every bucket fingerprint-identical — e.g. a
       // changefeed run straddling OPTIMIZE): zero rows, and the cost
@@ -915,12 +948,10 @@ object MergeTable {
     // a side with no changed files (every changed bucket born after
     // fromV, or dropped by toV) reads the OTHER side's files for its
     // schema and contributes zero rows
-    def side0(files: Seq[String], other: Seq[String]): DataFrame = {
-      val d = spark.read.option("basePath", s"$dir/data")
-        .option("mergeSchema", "true")
-        .parquet((if (files.nonEmpty) files else other): _*)
-        .drop("v").drop("bucket")
-      if (files.nonEmpty) d else d.limit(0)
+    def side0(es: Seq[String], other: Seq[String]): DataFrame = {
+      val d = readEntries(spark, dir, if (es.nonEmpty) es else other)
+        .drop("bucket")
+      if (es.nonEmpty) d else d.limit(0)
     }
     val tFrom = side0(ff, tf)
     val tTo = side0(tf, ff)

@@ -519,7 +519,19 @@ class MergeTableSpec extends SparkSpec {
         "prove every bucket unchanged")
     MergeTable.optimizeZOrder(spark, dir, "x", "y") // v4
     assert(MergeTable.changedBuckets(spark, dir, 3L, 4L) === Seq.empty)
-    assert(MergeTable.changes(spark, dir, 2L, 4L).count() === 0L)
+    val quiet = MergeTable.changes(spark, dir, 2L, 4L)
+    assert(quiet.count() === 0L)
+    // the quiet window short-circuits to a one-footer schema probe —
+    // the empty batch must still carry the full changefeed shape (a
+    // chained consumer selects old_row/new_row fields off it)
+    assert(quiet.columns.toSeq === Seq("key", "old_row", "new_row",
+      "change"))
+    Seq("old_row", "new_row").foreach { c =>
+      assert(quiet.schema(c).dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+        .fieldNames.toSet === Set("x", "y"),
+        s"$c must carry the payload columns")
+    }
     // the fingerprints are CONTENT-honest, not a maintenance flag: a
     // diff across maintenance plus a REAL change scans exactly the
     // really-changed buckets and classifies the rows
