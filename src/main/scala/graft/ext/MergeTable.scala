@@ -873,19 +873,33 @@ object MergeTable {
     * two manifest reads — a changefeed over a quiet 100 TB table is
     * near-free regardless of its size, even the night after OPTIMIZE.
     *
-    * [[rebucket]] legitimately invalidates bucket IDENTITY (every key
-    * re-hashes), so a diff across a width change cannot prune by
-    * bucket at all and degrades to the keyed full diff — still
-    * row-correct (the rebucket-boundary spec pins an EMPTY diff), but
+    * [[rebucket]] invalidates bucket IDENTITY (every key re-hashes),
+    * but not content identity: the per-bucket fingerprints are
+    * ADDITIVE (count sum + hash sum), so their TABLE-LEVEL total is
+    * invariant under re-hashing rows into different buckets. A window
+    * whose endpoints disagree on width but agree on the total is a
+    * contents-invariant migration and diffs to ZERO buckets — a
+    * rebucket-only window is as CDC-free as an OPTIMIZE-only one.
+    * Only a window containing BOTH a width change and real row
+    * changes degrades to the keyed full diff — still row-correct
+    * (the rebucket-boundary spec pins the classifications), but
     * O(table); [[graft.ingest.ChangefeedRunner]] warns loudly when a
-    * publish window straddles one. */
+    * publish window pays that. */
   /** Buckets whose CONTENT differs between two versions — the set a
     * version diff must scan; every other bucket is skipped unread.
     * Compared by manifest fingerprint where both versions carry one
     * (current writer), falling back per bucket to file-list identity
     * for legacy manifests (conservative: a legacy layout-only rewrite
-    * scans, never skips, a changed bucket). Factored for the spec to
-    * pin the pruning itself. */
+    * scans, never skips, a changed bucket). When the two versions
+    * disagree on bucket WIDTH (the window straddles a [[rebucket]]),
+    * per-bucket identity is meaningless — instead the TABLE-LEVEL
+    * fingerprint totals are compared (sums are associative: the total
+    * is the same number whichever width grouped it), and a match
+    * prunes the whole table; width change + total mismatch means real
+    * row changes rode the window, and every bucket on both sides is
+    * returned (the keyed full diff). Same-width windows never use the
+    * total: the per-bucket compare is strictly finer. Factored for
+    * the spec to pin the pruning itself. */
   private[graft] def changedBuckets(spark: SparkSession, dir: String,
       fromV: Long, toV: Long): Seq[String] = {
     val mf = readManifestFull(spark, dir, fromV)
@@ -894,6 +908,10 @@ object MergeTable {
       .mapValues(_.sorted).toMap
     val bf = byB(mf.entries)
     val bt = byB(mt.entries)
+    if (mf.hexDigits != mt.hexDigits &&
+        fpTotal(mf.fps, bf.keySet).exists(t =>
+          fpTotal(mt.fps, bt.keySet).contains(t)))
+      return Seq.empty
     (bf.keySet ++ bt.keySet).filter { b =>
       (mf.fps.get(b), mt.fps.get(b)) match {
         case (Some(a), Some(c)) => a != c
@@ -901,6 +919,18 @@ object MergeTable {
       }
     }.toSeq.sorted
   }
+
+  /** Table-level fingerprint total: (Σ rows, Σ hash) over every
+    * bucket's `n:hash` fingerprint — None unless EVERY bucket holding
+    * files carries one (a legacy bucket with no fingerprint makes the
+    * total unattestable, so the caller must not prune on it). */
+  private def fpTotal(fps: Map[String, String],
+      buckets: Set[String]): Option[(Long, BigInt)] =
+    if (!buckets.subsetOf(fps.keySet)) None
+    else Some(buckets.foldLeft((0L, BigInt(0))) { case ((n, h), b) =>
+      val Array(c, s) = fps(b).split(":", 2)
+      (n + c.toLong, h + BigInt(s))
+    })
 
   def changes(spark: SparkSession, dir: String, fromV: Long,
       toV: Long): DataFrame = {
@@ -1476,6 +1506,70 @@ object MergeTable {
        |       CAST(0 AS BIGINT) AS rows_pub2
        |FROM fin ORDER BY key""")
 
+  /** q155 — REBUCKET-ONLY WINDOWS ARE CDC-FREE, q153's discipline
+    * applied to the one maintenance commit that also destroys bucket
+    * identity: create → bootstrap pin → batch-1 upsert → publish (a
+    * real batch) → REBUCKET to one hex digit (re-hashes every key,
+    * rewrites every file, moves no row) → publish again. Bucket-level
+    * fingerprints cannot prune across the width change, but their
+    * TABLE-LEVEL total is width-invariant (sums are associative), so
+    * the gate pins the changed-bucket count at 0 and the published
+    * batch at 0 rows — a live-table migration costs the next CDC run
+    * two manifest reads, not the keyed full diff the pre-shortcut
+    * design paid. The full final state rides the same row set with
+    * the bucket column restated at the NEW width (the q150
+    * discipline), so the short-circuit can never pass by skipping a
+    * migration that actually lost or moved rows. */
+  private val q155RebucketCdc = QueryDef(
+    (s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-q155")
+      val table = root.resolve("table").toString
+      val sink = root.resolve("sink").toString
+      val cursor =
+        new graft.ingest.FileCursorStore(root.resolve("pc").toString)
+      val base = graft.core.Timing.build {
+        val b = baseRows(s, dir).localCheckpoint(true)
+        create(b, table, "key")
+        graft.ingest.ChangefeedRunner.runOnce(s, table, sink, cursor)
+        b
+      }
+      upsert(s, table, batch1(base))
+      val pub1 = graft.ingest.ChangefeedRunner
+        .runOnce(s, table, sink, cursor)
+        .map(_.rows).getOrElse(-1L)
+      rebucket(s, table, 1)
+      val cbReb = changedBuckets(s, table, 2L, 3L).size.toLong
+      val pub2 = graft.ingest.ChangefeedRunner
+        .runOnce(s, table, sink, cursor)
+        .map(_.rows).getOrElse(-1L)
+      lifecycleState(s, table)
+        .withColumn("rows_pub1", lit(pub1))
+        .withColumn("buckets_changed_by_rebucket", lit(cbReb))
+        .withColumn("rows_pub2", lit(pub2))
+    },
+    s"""WITH base AS (
+       |  SELECT o_orderkey AS key, o_custkey AS cust,
+       |         o_orderstatus AS status,
+       |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+       |  FROM orders),
+       |fin AS (
+       |  SELECT key, cust, status,
+       |         CASE WHEN key % 101 = 0 THEN cents + 100
+       |              ELSE cents END AS cents
+       |  FROM base
+       |  UNION ALL
+       |  SELECT -key - 1, cust, 'N', cents FROM base
+       |  WHERE key % 103 = 0)
+       |SELECT key, cust, status, cents,
+       |       ${bucketSql("key", 1)} AS bucket,
+       |       (SELECT CAST(count(*) AS BIGINT) FROM base
+       |          WHERE key % 101 = 0)
+       |         + (SELECT CAST(count(*) AS BIGINT) FROM base
+       |              WHERE key % 103 = 0) AS rows_pub1,
+       |       CAST(0 AS BIGINT) AS buckets_changed_by_rebucket,
+       |       CAST(0 AS BIGINT) AS rows_pub2
+       |FROM fin ORDER BY key""")
+
   val defs: Map[String, QueryDef] = Map(
     "q148_table_fsck" -> q148TableFsck,
     "q140_cow_upsert" -> q140CowUpsert,
@@ -1487,5 +1581,6 @@ object MergeTable {
     "q150_rebucket_migration" -> q150RebucketMigration,
     "q151_zorder_optimize" -> q151ZorderOptimize,
     "q153_layout_cdc" -> q153LayoutCdc,
+    "q155_rebucket_cdc" -> q155RebucketCdc,
   )
 }

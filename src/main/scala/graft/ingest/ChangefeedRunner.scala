@@ -155,19 +155,24 @@ object ChangefeedRunner {
         }
         if (from >= cur) return None
         // a publish window straddling a REBUCKET cannot prune by
-        // bucket (every key re-hashed — bucket identity is gone), so
-        // this run degrades to the keyed full diff; say so loudly
-        // rather than letting a routine migration silently turn one
-        // CDC run into a table-sized job
+        // bucket (every key re-hashed — bucket identity is gone). A
+        // rebucket-ONLY window still diffs free — the table-level
+        // fingerprint total is width-invariant and changedBuckets
+        // prunes everything — but a window carrying BOTH the width
+        // change and real row changes degrades to the keyed full
+        // diff; say so loudly rather than letting a routine migration
+        // silently turn one CDC run into a table-sized job
         val wFrom = graft.ext.MergeTable.bucketWidth(spark, tableDir,
           Some(from))
         val wCur = graft.ext.MergeTable.bucketWidth(spark, tableDir,
           Some(cur))
-        if (wFrom != wCur)
+        if (wFrom != wCur &&
+            graft.ext.MergeTable
+              .changedBuckets(spark, tableDir, from, cur).nonEmpty)
           System.err.println(s"[graft] changefeed $tableDir: publish " +
             s"window v$from->v$cur straddles a rebucket " +
-            s"($wFrom->$wCur hex) — bucket pruning is unavailable, " +
-            "this run pays the keyed full diff")
+            s"($wFrom->$wCur hex) AND carries row changes — bucket " +
+            "pruning is unavailable, this run pays the keyed full diff")
         val diff = graft.ext.MergeTable.changes(spark, tableDir, from, cur)
         diff.write.mode("overwrite").parquet(s"$sinkDir/batch=$cur")
         val rows = spark.read.parquet(s"$sinkDir/batch=$cur").count()

@@ -200,6 +200,14 @@ object ScaleProbe {
       // timed upsert above ran twice (timeMinOf warmup), so the
       // migration does not sit at a fixed version number
       val vMig = graft.ext.MergeTable.rebucket(spark, tbl, 3).version
+      // a rebucket-ONLY window diffs free despite the width change:
+      // the table-level fingerprint total is width-invariant, so the
+      // migration contributes zero changed buckets and zero rows
+      require(graft.ext.MergeTable
+          .changedBuckets(spark, tbl, vMig - 1, vMig).isEmpty &&
+          graft.ext.MergeTable
+            .changes(spark, tbl, vMig - 1, vMig).count() == 0L,
+        "contents-invariant rebucket leaked into the changefeed")
       val vUp = graft.ext.MergeTable.upsert(spark, tbl,
         batch.withColumn("payload", lit(-2L))).version
       val cowRowsWide = graft.ext.MergeTable.readTable(spark, tbl)

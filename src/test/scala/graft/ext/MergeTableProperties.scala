@@ -90,8 +90,19 @@ object MergeTableProperties extends Properties("MergeTable") {
         case (_, Rebucket(h)) => h
         case (w, _) => w
       }
+      // a layout-only commit (optimize OR rebucket — even one that
+      // lands mid-history after deletes emptied buckets) must diff to
+      // ZERO changed buckets: optimize by per-bucket fingerprint
+      // identity, rebucket by the width-invariant table-level total
+      val layoutOnlyFree = versions.zip(versions.tail).zip(ops)
+        .forall { case ((a, b), op) => op match {
+          case Rebucket(_) | Optimize =>
+            MergeTable.changedBuckets(s, dir, a, b).isEmpty
+          case _ => true
+        } }
       versions.size == history.size &&
         widths == expectedWidths &&
+        layoutOnlyFree &&
         versions.zip(history).forall { case (v, m) => stateAt(v) == m }
     }
 }

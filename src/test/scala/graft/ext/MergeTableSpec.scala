@@ -420,18 +420,29 @@ class MergeTableSpec extends SparkSpec {
       .collect().head.getString(0) === "NEW")
   }
 
-  test("changefeed across the rebucket boundary: every bucket's file " +
-      "list changed, yet the diff is empty — and a post-migration " +
-      "upsert diffs exactly its own rows") {
+  test("changefeed across the rebucket boundary: a rebucket-only " +
+      "window prunes to ZERO buckets via the width-invariant " +
+      "fingerprint total; width change + real changes pays the full " +
+      "diff with exact classifications") {
     import spark.implicits._
     val dir = mkTable(200)
     MergeTable.rebucket(spark, dir, 1)
-    // the migration rewrote everything: the manifest diff can prune
-    // nothing, but the row-level diff must still be EMPTY
+    // the migration rewrote everything and re-hashed every key, but
+    // the TABLE-LEVEL fingerprint total is width-invariant: the
+    // window must prune before a byte is read, not merely diff empty
+    assert(MergeTable.changedBuckets(spark, dir, 1L, 2L) === Seq.empty,
+      "a contents-invariant migration must prune to zero buckets — " +
+        "the additive fingerprint total is the same number at both " +
+        "widths")
     assert(MergeTable.changes(spark, dir, 1L, 2L).count() === 0L,
       "a contents-invariant migration must produce no change rows")
     MergeTable.upsert(spark, dir, Seq((5L, "moved"), (201L, "ins"))
       .toDF("key", "value"))
+    // width change AND real row changes in one window: totals differ,
+    // bucket identity is gone — every bucket on both sides is in play
+    assert(MergeTable.changedBuckets(spark, dir, 1L, 3L).nonEmpty,
+      "real changes across a width change must defeat the total " +
+        "shortcut")
     val cf = MergeTable.changes(spark, dir, 1L, 3L)
       .select("key", "change").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
