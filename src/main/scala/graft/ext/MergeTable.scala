@@ -416,6 +416,55 @@ object MergeTable {
       (referenced -- onDisk).size.toLong)
   }
 
+  final case class FsckDeepReport(bucketsChecked: Long,
+    mismatched: Seq[String], unattested: Seq[String])
+
+  /** DEEP FSCK — re-verify a snapshot's at-rest CONTENT against the
+    * manifest's per-bucket fingerprints: recompute (row count,
+    * order-independent payload hash sum) from the live data files and
+    * compare to the `#fp=` lines the writing commits attested. The
+    * fingerprints exist for changefeed pruning, but they are equally
+    * an integrity contract — a flipped bit, a truncated file, a
+    * lost-update overwrite, or a fingerprint-inheritance bug all land
+    * a bucket in `mismatched`; a bucket whose manifest carries no
+    * fingerprint (legacy writer) lands in `unattested`, checked for
+    * existence by the metadata [[fsck]] but content-unverifiable.
+    *
+    * Cost is EXPLICITLY O(snapshot data): one pruned columnar scan of
+    * every live file — the opt-in deep audit, not the metadata walk
+    * [[fsck]] stays. Verifying an old version re-attests history: the
+    * recompute crosses every epoch the snapshot references, so a
+    * clean report also proves fingerprint INHERITANCE was honest
+    * across upserts, optimize, and rebucket (q156 gates exactly
+    * that on the full lifecycle + migration). xxhash64 skips null
+    * inputs and the recompute sorts the merged schema's columns by
+    * name, so extend-only schema evolution verifies clean across the
+    * boundary (same discipline as the write-side fingerprint). */
+  def fsckDeep(spark: SparkSession, dir: String,
+      version: Option[Long] = None): FsckDeepReport = {
+    val v = version.getOrElse(versions(spark, dir).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"no MergeTable at $dir")))
+    val man = readManifestFull(spark, dir, v)
+    if (man.entries.isEmpty)
+      return FsckDeepReport(0L, Seq.empty, Seq.empty)
+    val df = readEntries(spark, dir, man.entries)
+    val payload = df.columns.filter(_ != "bucket").sorted
+    val actual = df.select(col("bucket"),
+        xxhash64(payload.map(col): _*).cast("decimal(38,0)").as("fp_h"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum("fp_h").as("h"))
+      .collect()
+      .map(r => r.getString(0) ->
+        s"${r.getLong(1)}:${r.getDecimal(2).toBigInteger}")
+      .toMap
+    val buckets = man.entries.map(bucketOfEntry).distinct
+    val (attested, unattested) = buckets.partition(man.fps.contains)
+    val mismatched = attested.filter(b =>
+      !actual.get(b).contains(man.fps(b)))
+    FsckDeepReport(attested.size.toLong, mismatched.sorted,
+      unattested.sorted)
+  }
+
   private def writeEpoch(df: DataFrame, dir: String, epochName: String,
       hexDigits: Int, blockBytes: Option[Long] = None,
       sortCols: Seq[String] = Nil, dropAfterSort: Seq[String] = Nil)
@@ -1570,6 +1619,42 @@ object MergeTable {
        |       CAST(0 AS BIGINT) AS rows_pub2
        |FROM fin ORDER BY key""")
 
+  /** q156 — DEEP FSCK acceptance: the changefeed fingerprints double
+    * as an at-rest INTEGRITY contract, and this row proves the
+    * recompute agrees with the attestations across the entire
+    * maintenance surface: full lifecycle (create + two upserts) →
+    * [[rebucket]] to one hex digit → [[optimize]] → [[fsckDeep]].
+    * Every live bucket must be attested (unattested = 0) and every
+    * recomputed (rows, hash-sum) must equal what the commits wrote
+    * (mismatches = 0) — a fingerprint-INHERITANCE bug anywhere in
+    * upsert/rebucket/optimize, or a write that lied about what
+    * reached disk, fails the gate; buckets_checked is re-derived by
+    * the oracle as the distinct bucket count at the migrated width,
+    * so the audit can't pass by checking nothing. The full final
+    * state rides along (the q150 discipline). Corruption DETECTION —
+    * a planted bit-flip landing in `mismatched` — is fault injection
+    * and lives in MergeTableSpec, not an oracle row. */
+  private val q156FsckDeep = QueryDef(
+    (s, dir) => {
+      val out = runLifecycle(s, dir, "q156")
+      rebucket(s, out, 1)
+      optimize(s, out, "cents")
+      val rep = fsckDeep(s, out)
+      lifecycleState(s, out)
+        .withColumn("buckets_checked", lit(rep.bucketsChecked))
+        .withColumn("content_mismatches",
+          lit(rep.mismatched.size.toLong))
+        .withColumn("unattested", lit(rep.unattested.size.toLong))
+    },
+    s"""WITH $lifecycleFinCte
+       |SELECT key, cust, status, cents,
+       |       ${bucketSql("key", 1)} AS bucket,
+       |       (SELECT CAST(count(DISTINCT ${bucketSql("key", 1)})
+       |          AS BIGINT) FROM fin) AS buckets_checked,
+       |       CAST(0 AS BIGINT) AS content_mismatches,
+       |       CAST(0 AS BIGINT) AS unattested
+       |FROM fin ORDER BY key""")
+
   val defs: Map[String, QueryDef] = Map(
     "q148_table_fsck" -> q148TableFsck,
     "q140_cow_upsert" -> q140CowUpsert,
@@ -1582,5 +1667,6 @@ object MergeTable {
     "q151_zorder_optimize" -> q151ZorderOptimize,
     "q153_layout_cdc" -> q153LayoutCdc,
     "q155_rebucket_cdc" -> q155RebucketCdc,
+    "q156_fsck_deep" -> q156FsckDeep,
   )
 }

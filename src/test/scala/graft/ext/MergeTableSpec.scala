@@ -588,6 +588,80 @@ class MergeTableSpec extends SparkSpec {
     assert(cf === Map(7L -> "update"))
   }
 
+  test("fsckDeep: a clean table re-attests across upsert + rebucket + " +
+      "optimize; a corrupted live file is pinpointed to its bucket " +
+      "(invisible to the metadata fsck); stripped fingerprints report " +
+      "unattested, never verified") {
+    import spark.implicits._
+    val dir = mkTable(200)
+    MergeTable.upsert(spark, dir,
+      Seq((5L, "changed"), (201L, "ins")).toDF("key", "value"))
+    MergeTable.rebucket(spark, dir, 1)
+    MergeTable.optimize(spark, dir, "value")
+    val clean = MergeTable.fsckDeep(spark, dir)
+    assert(clean.bucketsChecked > 0L)
+    assert(clean.mismatched.isEmpty,
+      s"clean table must re-attest: ${clean.mismatched}")
+    assert(clean.unattested.isEmpty)
+    // time travel re-attests HISTORY: the pre-migration snapshot's
+    // fingerprints were inherited across commits, and the recompute
+    // over its own epoch files must still agree
+    val v1 = MergeTable.fsckDeep(spark, dir, Some(1L))
+    assert(v1.mismatched.isEmpty && v1.unattested.isEmpty)
+    // corrupt ONE live file in place: same path, same schema, same
+    // row count, one payload value altered — the metadata fsck (a
+    // name walk) stays clean, the content audit must pinpoint it
+    val filePath = MergeTable.readTable(spark, dir)
+      .select(col("_metadata.file_path")).distinct()
+      .collect().map(_.getString(0)).sorted.head
+    val local = java.nio.file.Paths.get(new java.net.URI(filePath))
+    val one = spark.read.parquet(filePath)
+    val minKey = one.agg(min("key")).collect().head.getLong(0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-corrupt")
+    one.withColumn("value",
+        when(col("key") === minKey, lit("BITROT"))
+          .otherwise(col("value")))
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+      .filter { p =>
+        val n = java.nio.file.Paths.get(p).getFileName.toString
+        n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+      }.head
+    java.nio.file.Files.copy(java.nio.file.Paths.get(part), local,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // drop the Hadoop local-fs checksum sidecar: the spec models
+    // corruption the STORAGE does not catch (object stores carry no
+    // client-side crc), so the read must reach the audit, not fail
+    // in the filesystem layer
+    java.nio.file.Files.deleteIfExists(
+      local.getParent.resolve("." + local.getFileName + ".crc"))
+    val meta = MergeTable.fsck(spark, dir)
+    assert(meta.orphans === 0L && meta.missing === 0L,
+      "an in-place content corruption must be invisible to the name " +
+        "walk — that blindness is what fsckDeep exists to close")
+    val bucket = "bucket=([0-9a-f]+)".r
+      .findFirstMatchIn(filePath).get.group(1)
+    val deep = MergeTable.fsckDeep(spark, dir)
+    assert(deep.mismatched === Seq(bucket),
+      s"corruption in bucket $bucket mislocated: ${deep.mismatched}")
+    // stripped fingerprints (legacy writer): content can't be
+    // verified and the report says so instead of pretending
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = MergeTable.versions(spark, dir).last
+    val p = new org.apache.hadoop.fs.Path(f"$dir/_manifests/v$cur%09d")
+    val in = fs.open(p)
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().filterNot(_.startsWith("#fp=")).mkString("\n")
+      finally in.close()
+    fs.delete(p, false)
+    val o = fs.create(p, true)
+    try o.write(body.getBytes("UTF-8")) finally o.close()
+    val legacy = MergeTable.fsckDeep(spark, dir)
+    assert(legacy.bucketsChecked === 0L && legacy.mismatched.isEmpty &&
+      legacy.unattested.nonEmpty)
+  }
+
   test("a zero-length manifest BELOW the newest version is a legacy " +
       "committed-empty snapshot: it stays in history, reads as the " +
       "named empty error, and its number can never be re-committed") {
