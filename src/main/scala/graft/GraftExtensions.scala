@@ -17,6 +17,9 @@ import graft.functions.{CosineSimilarity, HyperplaneBucket, LongVecDot, LongVecL
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    // point-lookup partition pruning on MergeTable scans: `key = lit`
+    // implies `bucket = md5prefix(lit)` (contract in the footers)
+    e.injectOptimizerRule(_ => graft.plans.KeyToBucketPruning)
     e.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),

@@ -16,8 +16,15 @@ import graft.core.{QueryDef, Tables}
   * subtraction. That is only sound when the view's aggregates form a
   * commutative GROUP (not just a monoid — counts and sums have
   * inverses; min/max do NOT, and neither do HLL distinct sketches —
-  * register-max cannot unsee an element — so those aggregates stay on
-  * the rollup family's rebuild-from-partials path under deletion). Deltas land as run partitions
+  * register-max cannot unsee an element). MIN/MAX measures are still
+  * maintainable under the weaker two-regime contract `extremaCols`
+  * implements: inserts MERGE (min/max are a commutative monoid over
+  * additions), retractions DIRTY their group (a per-group `d` counter
+  * that sums through folds), and dirty groups are re-aggregated from
+  * the base snapshot at serve or fold time, pruned to exactly the
+  * dirty groups — deletions are the rare path, and only their groups
+  * pay the recompute. HLL sketches stay on the rollup family's
+  * rebuild-from-partials path. Deltas land as run partitions
   * (the Rollup discipline — replay-idempotent by run overwrite), the
   * serve is one O(groups x runs) aggregation of the summary, and
   * [[compact]] BOUNDS the runs term: counts and sums form a group, so
@@ -45,20 +52,26 @@ import graft.core.{QueryDef, Tables}
 object Ivm {
 
   /** Initialize the view's base partial (run 0) from a table snapshot:
-    * per-group count + one sum per measure column. The view definition
-    * — (groupCols, valCols) — is fixed at init and every later call
-    * must name the same vectors; the partials' physical schema carries
-    * the group columns by name and each measure as `v_<valCol>`, so a
-    * mismatch fails on read, not silently. Composite group keys and
-    * several measures cost nothing extra: the retraction algebra is a
-    * VECTOR of group elements (one count + N sums), applied
-    * component-wise. */
+    * per-group count + one sum per measure column, plus (optionally)
+    * min/max per `extremaCols` column under the two-regime contract
+    * documented on [[serve]]. The view definition —
+    * (groupCols, valCols, extremaCols) — is fixed at init and every
+    * later call must name the same vectors; the partials' physical
+    * schema carries the group columns by name, each sum measure as
+    * `v_<valCol>`, each extrema pair as `mn_<c>`/`mx_<c>` with the
+    * shared dirty counter `d`, so a mismatch fails on read, not
+    * silently. Composite group keys and several measures cost nothing
+    * extra: the retraction algebra is a VECTOR of group elements (one
+    * count + N sums), applied component-wise. */
   def init(table: DataFrame, dir: String, groupCols: Seq[String],
-      valCols: Seq[String]): Unit = {
+      valCols: Seq[String], extremaCols: Seq[String]): Unit = {
     require(groupCols.nonEmpty && valCols.nonEmpty,
       "an IVM view needs at least one group column and one measure")
-    val aggs = count(lit(1)).as("n") +:
-      valCols.map(c => sum(col(c)).as(s"v_$c"))
+    val aggs = (count(lit(1)).as("n") +:
+      valCols.map(c => sum(col(c)).as(s"v_$c"))) ++
+      extremaCols.flatMap(e => Seq(min(col(e)).as(s"mn_$e"),
+        max(col(e)).as(s"mx_$e"))) ++
+      (if (extremaCols.isEmpty) Nil else Seq(sum(lit(0L)).as("d")))
     table.groupBy(groupCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
       .repartition(1)
@@ -68,7 +81,7 @@ object Ivm {
   /** Single-measure convenience form of [[init]]. */
   def init(table: DataFrame, dir: String, groupCol: String = "status",
       valCol: String = "cents"): Unit =
-    init(table, dir, Seq(groupCol), Seq(valCol))
+    init(table, dir, Seq(groupCol), Seq(valCol), Nil)
 
   /** Apply one changefeed increment as a delta partial: every old_row
     * contributes (-1, -values) to its OLD group, every new_row (+1,
@@ -77,14 +90,27 @@ object Ivm {
     * cancels at serve time. `runId` keys the partition (replay
     * overwrites it — idempotent). */
   def applyChanges(changefeed: DataFrame, dir: String, runId: Long,
-      groupCols: Seq[String], valCols: Seq[String]): Unit = {
+      groupCols: Seq[String], valCols: Seq[String],
+      extremaCols: Seq[String]): Unit = {
     def side(row: String, sign: Long): DataFrame =
       changefeed.filter(col(row).isNotNull)
-        .select(groupCols.map(g => col(s"$row.$g").as(g)) ++
+        .select((groupCols.map(g => col(s"$row.$g").as(g)) ++
           (lit(sign).as("w") +:
-            valCols.map(c => (col(s"$row.$c") * sign).as(s"c_$c"))): _*)
-    val aggs = sum("w").as("n") +:
-      valCols.map(c => sum(s"c_$c").as(s"v_$c"))
+            valCols.map(c => (col(s"$row.$c") * sign).as(s"c_$c"))) ++
+          extremaCols.map { e =>
+            // a NEW row is a live extrema candidate; an OLD row is a
+            // retraction — its value contributes nothing mergeable
+            // (min/max have no inverse), it DIRTIES the group instead
+            val v = col(s"$row.$e")
+            (if (sign > 0) v else when(lit(false), v)).as(s"e_$e")
+          } ++
+          (if (extremaCols.isEmpty) Nil
+           else Seq(lit(if (sign > 0) 0L else 1L).as("dd")))): _*)
+    val aggs = (sum("w").as("n") +:
+      valCols.map(c => sum(s"c_$c").as(s"v_$c"))) ++
+      extremaCols.flatMap(e => Seq(min(s"e_$e").as(s"mn_$e"),
+        max(s"e_$e").as(s"mx_$e"))) ++
+      (if (extremaCols.isEmpty) Nil else Seq(sum("dd").as("d")))
     side("old_row", -1L).unionByName(side("new_row", 1L))
       .groupBy(groupCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
@@ -95,26 +121,75 @@ object Ivm {
   /** Single-measure convenience form of [[applyChanges]]. */
   def applyChanges(changefeed: DataFrame, dir: String, runId: Long,
       groupCol: String = "status", valCol: String = "cents"): Unit =
-    applyChanges(changefeed, dir, runId, Seq(groupCol), Seq(valCol))
+    applyChanges(changefeed, dir, runId, Seq(groupCol), Seq(valCol), Nil)
 
   /** Serve the view: + -merge all partials, drop groups whose count
     * cancelled to zero (a group that emptied out). Output columns:
-    * (groupCols..., n, sum_<valCol>...). */
+    * (groupCols..., n, sum_<valCol>..., min_<e>/max_<e>...).
+    *
+    * MIN/MAX measures (`extremaCols`) are served by the two-regime
+    * contract their non-invertibility forces: a group no retraction
+    * has touched since its last resolution (`d = 0`) serves the merged
+    * candidates exactly (base extrema merged with every inserted
+    * value — min/max are a commutative monoid over inserts); a group
+    * with retractions (`d > 0`) is DIRTY — a deleted value may have
+    * BEEN the extreme, which cannot be unseen — and is re-aggregated
+    * from `base`, pruned to exactly the dirty groups (one semi-joined
+    * aggregate, O(dirty groups' base rows): deletions are the rare
+    * path, and only their groups pay). `base` must be the table
+    * snapshot at the view's applied frontier; serving a dirty view
+    * without it fails loudly rather than return a stale extreme. */
   def serve(spark: SparkSession, dir: String, groupCols: Seq[String],
-      valCols: Seq[String]): DataFrame = {
-    val aggs = sum("n").as("n") +:
-      valCols.map(c => sum(s"v_$c").as(s"sum_$c"))
-    spark.read.parquet(dir)
+      valCols: Seq[String], extremaCols: Seq[String],
+      base: Option[DataFrame]): DataFrame = {
+    val aggs = (sum("n").as("n") +:
+      valCols.map(c => sum(s"v_$c").as(s"sum_$c"))) ++
+      extremaCols.flatMap(e => Seq(min(s"mn_$e").as(s"min_$e"),
+        max(s"mx_$e").as(s"max_$e"))) ++
+      (if (extremaCols.isEmpty) Nil else Seq(sum("d").as("d")))
+    val summary = spark.read.parquet(dir)
       .groupBy(groupCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
       .filter(col("n") =!= 0)
+    if (extremaCols.isEmpty) summary
+    else {
+      val pinned = summary.localCheckpoint(true)
+      val anyDirty = pinned.filter(col("d") > 0).limit(1).count() > 0
+      val resolved =
+        if (!anyDirty) pinned
+        else {
+          val b = base.getOrElse(throw new IllegalArgumentException(
+            "the view has dirty min/max groups (a retraction touched " +
+              "them since the last resolution) — pass base = the table " +
+              "snapshot at the view's applied frontier to re-aggregate " +
+              "them"))
+          val dirtyKeys = pinned.filter(col("d") > 0)
+            .select(groupCols.map(col): _*)
+          val recAggs = extremaCols.flatMap(e =>
+            Seq(min(col(e)).as(s"r_mn_$e"), max(col(e)).as(s"r_mx_$e")))
+          val recompute = b
+            .join(dirtyKeys, groupCols, "left_semi")
+            .groupBy(groupCols.map(col): _*)
+            .agg(recAggs.head, recAggs.tail: _*)
+          pinned.join(recompute, groupCols, "left")
+            .select((groupCols.map(col) ++
+              (col("n") +: valCols.map(c => col(s"sum_$c"))) ++
+              extremaCols.flatMap(e => Seq(
+                when(col("d") > 0, col(s"r_mn_$e"))
+                  .otherwise(col(s"min_$e")).as(s"min_$e"),
+                when(col("d") > 0, col(s"r_mx_$e"))
+                  .otherwise(col(s"max_$e")).as(s"max_$e"))) :+
+              col("d")): _*)
+        }
+      resolved.drop("d")
+    }
   }
 
   /** Single-measure convenience form of [[serve]]. */
   def serve(spark: SparkSession, dir: String,
       groupCol: String = "status",
       valCol: String = "cents"): DataFrame =
-    serve(spark, dir, Seq(groupCol), Seq(valCol))
+    serve(spark, dir, Seq(groupCol), Seq(valCol), Nil, None)
 
   /** Fold SETTLED run partials into the reserved `run=-1` epoch — the
     * boundedness mechanism the rest of the incremental family has
@@ -140,21 +215,63 @@ object Ivm {
     * watermark while the stream is past it — the run's batch is
     * checkpoint-committed and will never replay to restore it.)
     * None = the caller asserts no maintainer is mid-batch; everything
-    * folds. The measure vector is read off the partials' own schema
-    * (every non-group, non-run column sums), so one fold path serves
-    * any view definition. */
+    * folds. The measure vector is read off the partials' own schema by
+    * the physical prefix contract (count and v_ columns sum, mn_ and
+    * mx_ columns merge as min/max, d sums), so one fold path serves
+    * any view definition. `base` (optional) resolves dirty extrema
+    * groups during the fold — see the body comment. */
   def compact(spark: SparkSession, dir: String,
       excludeRunsAbove: Option[Long],
-      groupCols: Seq[String]): DedupIndex.CompactionStats =
+      groupCols: Seq[String],
+      base: Option[DataFrame]): DedupIndex.CompactionStats =
     DedupIndex.rewriteAndSwap(spark, dir) { tmp =>
       val all = spark.read.parquet(dir)
       val measures = all.columns
         .filterNot(groupCols.toSet).filter(_ != "run")
-      val aggs = measures.toSeq.map(c => sum(c).as(c))
-      excludeRunsAbove
+      // fold by the physical prefix contract: v_* and the count sum
+      // (group algebra), mn_*/mx_* merge as min/max (monoid over
+      // inserts; soundness under retraction rides the d counter, which
+      // SUMS — dirtiness propagates through any number of folds until
+      // a resolution pays the recompute)
+      val aggs = measures.toSeq.map { c =>
+        if (c.startsWith("mn_")) min(col(c)).as(c)
+        else if (c.startsWith("mx_")) max(col(c)).as(c)
+        else sum(col(c)).as(c)
+      }
+      val foldedRaw = excludeRunsAbove
         .map(b => all.filter(col("run") <= b)).getOrElse(all)
         .groupBy(groupCols.map(col): _*)
         .agg(aggs.head, aggs.tail: _*)
+      // RESOLUTION (optional): with `base` = the table snapshot at the
+      // settled frontier, dirty extrema groups are re-aggregated from
+      // it and their d reset — after this fold a serve of the settled
+      // state is clean, paying O(dirty groups' base rows) once here
+      // instead of on every serve. A group that emptied out (n = 0,
+      // absent from base) resets to null extrema: if it is ever
+      // re-inserted, the monoid restarts from the new values exactly.
+      val extrema = measures.filter(_.startsWith("mn_")).map(_.drop(3))
+      val folded = base match {
+        case Some(b) if extrema.nonEmpty && measures.contains("d") =>
+          val pinned = foldedRaw.localCheckpoint(true)
+          val dirtyKeys = pinned.filter(col("d") > 0)
+            .select(groupCols.map(col): _*)
+          val recAggs = extrema.toSeq.flatMap(e =>
+            Seq(min(col(e)).as(s"r_mn_$e"), max(col(e)).as(s"r_mx_$e")))
+          val recompute = b.join(dirtyKeys, groupCols, "left_semi")
+            .groupBy(groupCols.map(col): _*)
+            .agg(recAggs.head, recAggs.tail: _*)
+          pinned.join(recompute, groupCols, "left")
+            .select((groupCols.map(col) ++ measures.toSeq.map {
+              case "d" => lit(0L).as("d")
+              case c if c.startsWith("mn_") =>
+                when(col("d") > 0, col(s"r_${c}")).otherwise(col(c)).as(c)
+              case c if c.startsWith("mx_") =>
+                when(col("d") > 0, col(s"r_${c}")).otherwise(col(c)).as(c)
+              case c => col(c)
+            }): _*)
+        case _ => foldedRaw
+      }
+      folded
         .repartition(1)
         .write.mode("overwrite").parquet(s"$tmp/run=-1")
       // carry every excluded run partition verbatim (file copy, no
@@ -182,7 +299,7 @@ object Ivm {
       excludeRunsAbove: Option[Long] = None,
       groupCol: String = "status")
       : DedupIndex.CompactionStats =
-    compact(spark, dir, excludeRunsAbove, Seq(groupCol))
+    compact(spark, dir, excludeRunsAbove, Seq(groupCol), None)
 
   // ---- q147: the lifecycle with status MIGRATION -------------------
 
@@ -402,7 +519,7 @@ object Ivm {
           (col("o_custkey") % 4).as("seg"),
           round(col("o_totalprice") * 100, 0).cast("long").as("cents"),
           (col("o_orderkey") % 7).as("units")).localCheckpoint(true)
-        Ivm.init(b, view, groupCols, valCols)
+        Ivm.init(b, view, groupCols, valCols, Nil)
         b
       }
       val cls = col("key") % 1009
@@ -418,9 +535,9 @@ object Ivm {
       // run 1: the status migrations (group AND both measures move)
       Ivm.applyChanges(base.filter(cls === 1)
         .select(col("key"), oldS.as("old_row"), newS.as("new_row")),
-        view, 1L, groupCols, valCols)
+        view, 1L, groupCols, valCols, Nil)
       // fold mid-stream: the gate must not notice
-      Ivm.compact(s, view, None, groupCols)
+      Ivm.compact(s, view, None, groupCols, None)
       // run 2: deletes + seg migrations + inserts, on top of the fold
       val insS = struct(lit("N").as("status"), col("seg").as("seg"),
         col("cents").as("cents"), col("units").as("units"))
@@ -430,8 +547,8 @@ object Ivm {
           when(cls === 2, lit(null))
             .otherwise(when(cls === 4, insS).otherwise(newS))
             .as("new_row")),
-        view, 2L, groupCols, valCols)
-      Ivm.serve(s, view, groupCols, valCols).orderBy("status", "seg")
+        view, 2L, groupCols, valCols, Nil)
+      Ivm.serve(s, view, groupCols, valCols, Nil, None).orderBy("status", "seg")
     },
     """WITH base AS (
       |  SELECT o_orderkey AS key, o_orderstatus AS status,
@@ -458,10 +575,91 @@ object Ivm {
       |       CAST(sum(units) AS BIGINT) AS sum_units
       |FROM fin GROUP BY status, seg ORDER BY status, seg""")
 
+  /** q158 — MIN/MAX measures acceptance row: the aggregates the group
+    * algebra CANNOT carry (no inverse), maintained under the two-regime
+    * extrema contract and gated on BOTH resolution paths. A per-status
+    * (count, sum, min, max) view over cents: increment 1 DELETES keys
+    * `key % 1009 = 2` in status 'F' only (dirtying exactly that group —
+    * a deleted value may have been the extreme), then a [[compact]]
+    * WITHOUT base folds mid-stream (the d counter must survive the
+    * fold: dirtiness propagates, it never silently resolves), then
+    * increment 2 INSERTS rows into every status (clean-path candidates:
+    * min/max merge as a monoid over inserts — 'O'/'P' stay clean and
+    * serve from merged candidates alone). The output unions two serves
+    * of the SAME final state: `serve_recompute` (base passed at serve
+    * time; the dirty 'F' group re-aggregates, pruned to just it) and
+    * `fold_resolved` (a [[compact]] WITH base resolves the dirt into
+    * the folded epoch, then a base-less serve must succeed — it throws
+    * if any dirt survived). Both row sets must equal the direct
+    * aggregate the oracle computes from orders arithmetic alone. */
+  private val q158IvmExtrema = QueryDef(
+    (s, dir) => {
+      val view = java.nio.file.Files.createTempDirectory("graft-q158")
+        .resolve("view").toString
+      val g = Seq("status"); val v = Seq("cents"); val e = Seq("cents")
+      val base = graft.core.Timing.build {
+        val b = baseRows(s, dir).localCheckpoint(true)
+        Ivm.init(b, view, g, v, e)
+        b
+      }
+      val cls = col("key") % 1009
+      val st = struct(col("status"), col("cents"))
+      // increment 1: hard deletes in 'F' only — old_row retractions
+      Ivm.applyChanges(
+        base.filter(cls === 2 && col("status") === "F")
+          .select(col("key"), st.as("old_row"),
+            when(lit(false), st).as("new_row")),
+        view, 1L, g, v, e)
+      // fold mid-stream WITHOUT base: the dirt must ride through
+      Ivm.compact(s, view, None, g, None)
+      // increment 2: inserts into every status (clean-path candidates)
+      Ivm.applyChanges(
+        base.filter(cls === 4)
+          .select((-col("key") - 1).as("key"),
+            when(lit(false), st).as("old_row"),
+            struct(col("status"), (col("cents") + 5).as("cents"))
+              .as("new_row")),
+        view, 2L, g, v, e)
+      val fin = base.filter(!(cls === 2 && col("status") === "F"))
+        .unionByName(base.filter(cls === 4)
+          .select((-col("key") - 1).as("key"), col("status"),
+            (col("cents") + 5).as("cents")))
+        .localCheckpoint(true)
+      val s1 = Ivm.serve(s, view, g, v, e, Some(fin))
+        .withColumn("path", lit("serve_recompute"))
+      Ivm.compact(s, view, None, g, Some(fin))
+      val s2 = Ivm.serve(s, view, g, v, e, None)
+        .withColumn("path", lit("fold_resolved"))
+      s1.unionByName(s2).orderBy("path", "status")
+    },
+    """WITH base AS (
+      |  SELECT o_orderkey AS key, o_orderstatus AS status,
+      |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+      |  FROM orders),
+      |fin AS (
+      |  SELECT key, status, cents FROM base
+      |  WHERE NOT (key % 1009 = 2 AND status = 'F')
+      |  UNION ALL
+      |  SELECT -key - 1, status, cents + 5 FROM base
+      |  WHERE key % 1009 = 4),
+      |agg AS (
+      |  SELECT status, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(cents) AS BIGINT) AS sum_cents,
+      |         CAST(min(cents) AS BIGINT) AS min_cents,
+      |         CAST(max(cents) AS BIGINT) AS max_cents
+      |  FROM fin GROUP BY status)
+      |SELECT status, n, sum_cents, min_cents, max_cents,
+      |       'fold_resolved' AS path FROM agg
+      |UNION ALL
+      |SELECT status, n, sum_cents, min_cents, max_cents,
+      |       'serve_recompute' AS path FROM agg
+      |ORDER BY path, status""")
+
   val defs: Map[String, QueryDef] = Map(
     "q147_ivm_changefeed" -> q147IvmChangefeed,
     "q149_ivm_runner" -> q149IvmRunner,
     "q152_ivm_boundedness" -> q152IvmBoundedness,
     "q154_ivm_multi" -> q154IvmMulti,
+    "q158_ivm_extrema" -> q158IvmExtrema,
   )
 }

@@ -469,9 +469,25 @@ object MergeTable {
       hexDigits: Int, blockBytes: Option[Long] = None,
       sortCols: Seq[String] = Nil, dropAfterSort: Seq[String] = Nil)
       : Unit = {
+    // stamp the key column's field metadata with the snapshot's bucket
+    // width: the stamp rides the parquet footers into every scan's
+    // output attributes, which is what lets KeyToBucketPruning turn a
+    // `key = <lit>` filter into a `bucket IN (...)` partition filter —
+    // and the only metadata placement that survives predicate pushdown
+    // (a projection alias's metadata is erased when the filter is
+    // pushed beneath it). All of one snapshot's files agree on the
+    // width (rebucket rewrites every file), so a scan never mixes
+    // stamps.
+    val key = keyMeta(df.sparkSession, dir, None)
+    val tagged =
+      if (!df.columns.contains(key)) df
+      else df.withColumn(key, col(key).as(key,
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong(graft.plans.KeyToBucketPruning.KeyHexMeta,
+            hexDigits.toLong).build()))
     val tasks = math.min(1 << (4 * hexDigits),
       df.sparkSession.sparkContext.defaultParallelism)
-    val shaped = df.repartition(tasks, col("bucket"))
+    val shaped = tagged.repartition(tasks, col("bucket"))
     val sorted =
       if (sortCols.isEmpty) shaped
       else shaped.sortWithinPartitions(("bucket" +: sortCols).map(col): _*)
@@ -585,6 +601,38 @@ object MergeTable {
     spark.read.option("basePath", s"$dir/data")
       .option("mergeSchema", "true").parquet(files: _*)
       .drop("v")
+  }
+
+  /** POINT LOOKUP by key: the rows of `keys` at a version (default:
+    * latest), reading ONLY the impacted buckets' files — the manifest
+    * prunes DRIVER-SIDE by the same md5 arithmetic the write path
+    * buckets with, so a handful of keys on a 100 TB table costs a
+    * handful of files, never a snapshot listing. The declarative twin
+    * is [[graft.plans.KeyToBucketPruning]] (a `key IN (...)` filter on
+    * [[readTable]] prunes the same partitions through Catalyst); this
+    * API form needs no rule registration and returns exactly the
+    * matched rows. Integral and string keys only — the types whose
+    * toString equals Spark's CAST AS STRING. */
+  def readKeys(spark: SparkSession, dir: String, keys: Seq[Any],
+      version: Option[Long] = None): DataFrame = {
+    require(keys.nonEmpty, "readKeys needs at least one key")
+    val key = keyMeta(spark, dir, None)
+    val v = version.getOrElse(versions(spark, dir).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"no MergeTable at $dir")))
+    val man = readManifestFull(spark, dir, v)
+    val strs = keys.map {
+      case k @ (_: Long | _: Int | _: Short | _: Byte | _: String) =>
+        k.toString
+      case k => throw new IllegalArgumentException(
+        "readKeys supports integral and string keys, got " +
+          (if (k == null) "null" else k.getClass.getName))
+    }
+    val buckets = strs
+      .map(s => graft.plans.KeyToBucketPruning.bucketOf(s, man.hexDigits))
+      .toSet
+    val entries = man.entries.filter(e => buckets.contains(bucketOfEntry(e)))
+    if (entries.isEmpty) readTable(spark, dir, Some(v)).filter(lit(false))
+    else readEntries(spark, dir, entries).filter(col(key).isin(keys: _*))
   }
 
   /** Create the table at `dir` from `df`, keyed (and hash-bucketed) by
@@ -1655,6 +1703,54 @@ object MergeTable {
        |       CAST(0 AS BIGINT) AS unattested
        |FROM fin ORDER BY key""")
 
+  /** q157 — POINT-LOOKUP PRUNING acceptance: on the shared lifecycle
+    * table, look up the keys `key % 2003 = 0` (plus their negative
+    * insert twins where they exist) through BOTH lookup paths —
+    * declarative ([[readTable]] + `isin` filter, rewritten by
+    * [[graft.plans.KeyToBucketPruning]] into a `bucket IN` partition
+    * filter) and API ([[readKeys]], manifest pruned driver-side) —
+    * and gate the ROWS (full lifecycle arithmetic: updates, inserts,
+    * latest-wins all visible through a pruned read) AND the FILES
+    * SCANNED: both paths must read exactly count(DISTINCT md5-bucket)
+    * files, one live file per impacted bucket, which the oracle
+    * re-derives with the same md5 arithmetic. A point lookup on a
+    * 100 TB snapshot costs the impacted buckets' files, never a
+    * table scan — and the gate fails if either path silently widens. */
+  private val q157PointLookup = QueryDef(
+    (s, dir) => {
+      val (out, _, _) = memoLifecycle(s, dir)
+      val ks: Seq[Long] = Tables(s, dir, "orders")
+        .filter(col("o_orderkey") % 2003 === 0)
+        .select(col("o_orderkey").cast("long"))
+        .collect().map(_.getLong(0)).toSeq.sorted
+      val lookupKeys: Seq[Long] = ks ++ ks.filter(_ % 103 == 0).map(-_ - 1L)
+      graft.plans.KeyToBucketPruning.enable(s)
+      val lookup = readTable(s, out)
+        .filter(col("key").isin(lookupKeys: _*))
+      val scan = lookup.queryExecution.executedPlan.collectLeaves()
+        .collectFirst {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }.getOrElse(sys.error("point lookup did not plan a file scan"))
+      val filesScanned = scan.selectedPartitions.totalNumberOfFiles
+      val filesApi = readKeys(s, out, lookupKeys).inputFiles.length.toLong
+      lookup.select("key", "cust", "status", "cents", "bucket")
+        .withColumn("files_scanned", lit(filesScanned))
+        .withColumn("files_api", lit(filesApi))
+        .orderBy("key")
+    },
+    s"""WITH $lifecycleFinCte,
+       |sel AS (
+       |  SELECT * FROM fin
+       |  WHERE (key >= 0 AND key % 2003 = 0)
+       |     OR (key < 0 AND (-key - 1) % 2003 = 0))
+       |SELECT key, cust, status, cents,
+       |       ${bucketSql("key")} AS bucket,
+       |       (SELECT CAST(count(DISTINCT ${bucketSql("key")})
+       |          AS BIGINT) FROM sel) AS files_scanned,
+       |       (SELECT CAST(count(DISTINCT ${bucketSql("key")})
+       |          AS BIGINT) FROM sel) AS files_api
+       |FROM sel ORDER BY key""")
+
   val defs: Map[String, QueryDef] = Map(
     "q148_table_fsck" -> q148TableFsck,
     "q140_cow_upsert" -> q140CowUpsert,
@@ -1668,5 +1764,6 @@ object MergeTable {
     "q153_layout_cdc" -> q153LayoutCdc,
     "q155_rebucket_cdc" -> q155RebucketCdc,
     "q156_fsck_deep" -> q156FsckDeep,
+    "q157_point_lookup" -> q157PointLookup,
   )
 }

@@ -51,11 +51,14 @@ object IvmRunner {
 
   /** One maintenance run: apply every committed batch beyond the
     * cursor, in version order, chain-validated; returns the versions
-    * applied (empty = up to date). `groupCol`/`valCol` name the view
-    * definition fixed at [[graft.ext.Ivm.init]]. */
+    * applied (empty = up to date). The group/measure vectors name the
+    * view definition fixed at [[graft.ext.Ivm.init]] — including
+    * composite keys, several sum measures, and min/max extrema
+    * (whose dirt the drain carries; resolution happens at serve or at
+    * an explicit [[graft.ext.Ivm.compact]] with the base snapshot). */
   def runOnce(spark: SparkSession, sinkDir: String, viewDir: String,
-      cursor: CursorStore, groupCol: String = "status",
-      valCol: String = "cents"): Seq[Long] = {
+      cursor: CursorStore, groupCols: Seq[String], valCols: Seq[String],
+      extremaCols: Seq[String]): Seq[Long] = {
     val start = cursor.read().getOrElse(throw new IllegalStateException(
       s"IVM cursor is uninitialized — bootstrap the view from a pinned " +
         s"snapshot (Ivm.init at version V) and commit V before draining " +
@@ -74,7 +77,8 @@ object IvmRunner {
                 else "increments are missing ") +
                 "(re-bootstrap the view from a pinned snapshot)")
           val batch = spark.read.parquet(s"$sinkDir/batch=$v")
-          graft.ext.Ivm.applyChanges(batch, viewDir, v, groupCol, valCol)
+          graft.ext.Ivm.applyChanges(batch, viewDir, v, groupCols,
+            valCols, extremaCols)
           cursor.commit(toV) // only after the run partition is written
           at = toV
           applied += toV
@@ -83,17 +87,30 @@ object IvmRunner {
     applied.toSeq
   }
 
+  /** Single-measure convenience form of [[runOnce]]. */
+  def runOnce(spark: SparkSession, sinkDir: String, viewDir: String,
+      cursor: CursorStore, groupCol: String = "status",
+      valCol: String = "cents"): Seq[Long] =
+    runOnce(spark, sinkDir, viewDir, cursor, Seq(groupCol), Seq(valCol),
+      Nil)
+
   /** [[runOnce]] + a post-drain fold of the settled runs — the steady
     * maintenance loop a long-lived view schedules (serve cost stays
     * O(groups) however many increments flow through). */
   def maintainOnce(spark: SparkSession, sinkDir: String, viewDir: String,
-      cursor: CursorStore, groupCol: String = "status",
-      valCol: String = "cents"): Seq[Long] = {
-    val applied = runOnce(spark, sinkDir, viewDir, cursor, groupCol,
-      valCol)
+      cursor: CursorStore, groupCols: Seq[String], valCols: Seq[String],
+      extremaCols: Seq[String]): Seq[Long] = {
+    val applied = runOnce(spark, sinkDir, viewDir, cursor, groupCols,
+      valCols, extremaCols)
     cursor.read().foreach(c =>
-      graft.ext.Ivm.compact(spark, viewDir, excludeRunsAbove = Some(c),
-        groupCol = groupCol))
+      graft.ext.Ivm.compact(spark, viewDir, Some(c), groupCols, None))
     applied
   }
+
+  /** Single-measure convenience form of [[maintainOnce]]. */
+  def maintainOnce(spark: SparkSession, sinkDir: String, viewDir: String,
+      cursor: CursorStore, groupCol: String = "status",
+      valCol: String = "cents"): Seq[Long] =
+    maintainOnce(spark, sinkDir, viewDir, cursor, Seq(groupCol),
+      Seq(valCol), Nil)
 }

@@ -51,13 +51,15 @@ object IvmStream {
     new graft.ingest.FileCursorStore(watermarkDir(viewDir)).read()
 
   /** AvailableNow drain: apply each micro-batch of change rows as one
-    * view increment; `groupCol`/`valCol` name the view definition
-    * fixed at [[graft.ext.Ivm.init]]. `compactEvery` ≤ 0 disables the
-    * auto-compaction policy. */
+    * view increment; the group/measure vectors name the view
+    * definition fixed at [[graft.ext.Ivm.init]] — composite keys,
+    * several sum measures, and min/max extrema all drain through the
+    * same run discipline (extrema dirt rides the folds; resolution is
+    * an external compact with the base snapshot at [[committedRun]]).
+    * `compactEvery` ≤ 0 disables the auto-compaction policy. */
   def start(changes: DataFrame, viewDir: String, checkpoint: String,
-      groupCol: String = "status",
-      valCol: String = "cents",
-      compactEvery: Int = 8): StreamingQuery =
+      groupCols: Seq[String], valCols: Seq[String],
+      extremaCols: Seq[String], compactEvery: Int): StreamingQuery =
     changes.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -69,14 +71,22 @@ object IvmStream {
           .commit(id)
         if (compactEvery > 0 && id > 0 && id % compactEvery == 0) {
           val cs = graft.ext.Ivm.compact(batch.sparkSession, viewDir,
-            excludeRunsAbove = Some(id), groupCol = groupCol)
+            Some(id), groupCols, None)
           System.err.println(s"[graft] ivm auto-compact batch=$id " +
             s"read=${cs.filesRead} wrote=${cs.filesWritten}")
         }
-        graft.ext.Ivm.applyChanges(batch, viewDir, id + 1, groupCol,
-          valCol)
+        graft.ext.Ivm.applyChanges(batch, viewDir, id + 1, groupCols,
+          valCols, extremaCols)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** Single-measure convenience form of [[start]]. */
+  def start(changes: DataFrame, viewDir: String, checkpoint: String,
+      groupCol: String = "status",
+      valCol: String = "cents",
+      compactEvery: Int = 8): StreamingQuery =
+    start(changes, viewDir, checkpoint, Seq(groupCol), Seq(valCol),
+      Nil, compactEvery)
 }

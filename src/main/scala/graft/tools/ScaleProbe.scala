@@ -74,7 +74,8 @@ object ScaleProbe {
       candPerQuery: Double, pairS: Double, candPairs: Long, planes: Int,
       closureS: Double, nComponents: Long, exciseS: Double,
       dupTokens: Long, cowS: Double, cowFiles: Long, cowRows: Long,
-      cowRowsWide: Long, diffOptS: Double, diffOptBuckets: Long)
+      cowRowsWide: Long, diffOptS: Double, diffOptBuckets: Long,
+      lookupS: Double, lookupApiS: Double, lookupFiles: Long)
 
     val cells = scales.map { sc =>
       val n = baseN * sc
@@ -233,9 +234,37 @@ object ScaleProbe {
         s"layout-only optimize leaked into the changefeed: " +
           s"$diffOptBuckets buckets / $diffOptRows rows")
 
+      // --- point lookup: a CONSTANT 5-key lookup against the growing
+      // (now 4096-bucket, optimized) table must cost the impacted
+      // buckets' files — never a snapshot scan. Both paths measured:
+      // the Catalyst rule (readTable + IN filter rewritten to a
+      // bucket partition filter) and the driver-pruned readKeys API.
+      // Claims: files read flat (exponent ≈ 0; at 4096 buckets the 5
+      // keys own ≤ 5 files) and wall time flat in table size.
+      graft.plans.KeyToBucketPruning.enable(spark)
+      val lookKeys = Seq(0L, 50L, 100L, 150L, 200L)
+      val lookDf = graft.ext.MergeTable.readTable(spark, tbl)
+        .filter(col("key").isin(lookKeys: _*))
+      val lookupFiles = lookDf.queryExecution.executedPlan
+        .collectLeaves().collectFirst {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.selectedPartitions.totalNumberOfFiles
+        }.getOrElse(-1L)
+      val lookupS = timeMinOf(3) {
+        require(lookDf.count() == 5L, "rule-path lookup lost rows")
+      }
+      val lookupApiS = timeMinOf(3) {
+        require(graft.ext.MergeTable.readKeys(spark, tbl, lookKeys)
+          .count() == 5L, "api-path lookup lost rows")
+      }
+      require(lookupFiles > 0 && lookupFiles <= lookKeys.size,
+        s"point lookup scanned $lookupFiles files for " +
+          s"${lookKeys.size} keys — pruning did not hold")
+
       val cell = Cell(sc, n, buildS, serveS, candPerQuery, pairS,
         candPairs, planes, closureS, nComp, exciseS, dupToks,
-        cowS, cowFiles, cowRows, cowRowsWide, diffOptS, diffOptBuckets)
+        cowS, cowFiles, cowRows, cowRowsWide, diffOptS, diffOptBuckets,
+        lookupS, lookupApiS, lookupFiles)
       println(f"[scaleprobe] scale=${sc}x n=$n build=${buildS}%.2fs " +
         f"serve=${serveS}%.2fs cand/q=${candPerQuery}%.1f " +
         f"pairscan=${pairS}%.2fs candpairs=$candPairs planes=$planes " +
@@ -245,7 +274,9 @@ object ScaleProbe {
         f"cowrows_rebucketed=$cowRowsWide " +
         f"relief=${cowRows.toDouble / math.max(1, cowRowsWide)}%.1fx " +
         f"diff_across_optimize=${diffOptS}%.2fs " +
-        f"(buckets=$diffOptBuckets)")
+        f"(buckets=$diffOptBuckets) " +
+        f"lookup=${lookupS}%.2fs lookup_api=${lookupApiS}%.2fs " +
+        f"lookup_files=$lookupFiles")
       cell
     }
 
@@ -265,7 +296,10 @@ object ScaleProbe {
       f"cow_files_written=${expo(_.cowFiles.toDouble)}%.2f " +
       f"cow_rows_rewritten=${expo(_.cowRows.toDouble)}%.2f " +
       f"cow_rows_rebucketed=${expo(_.cowRowsWide.toDouble)}%.2f " +
-      f"diff_across_optimize_time=${expo(_.diffOptS)}%.2f")
+      f"diff_across_optimize_time=${expo(_.diffOptS)}%.2f " +
+      f"lookup_time=${expo(_.lookupS)}%.2f " +
+      f"lookup_api_time=${expo(_.lookupApiS)}%.2f " +
+      f"lookup_files=${expo(_.lookupFiles.toDouble)}%.2f")
 
     // --- MANIFEST SCALING LEG (vs BUCKET COUNT, not corpus size) ---
     // Manifests re-list every live file each commit, so commit metadata

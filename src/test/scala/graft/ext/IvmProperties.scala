@@ -90,4 +90,60 @@ object IvmProperties extends Properties("Ivm") {
     }.toSet
     served == expected
   }
+
+  property("the EXTREMA channel serves the model's min/max through " +
+      "any change sequence, with folds (resolving and not) interleaved") =
+    forAll(genOps) { ops =>
+      val s = spark
+      import s.implicits._
+      val G = Seq("status"); val V = Seq("cents"); val E = Seq("cents")
+      val dir = java.nio.file.Files.createTempDirectory("ivm-prop-x")
+        .resolve("v").toString
+      var model: Map[Long, (String, Long)] =
+        Map(1L -> ("A", 10L), 2L -> ("B", 20L), 3L -> ("A", 30L))
+      def baseDf = model.values.toSeq.toDF("status", "cents")
+      Ivm.init(baseDf, dir, G, V, E)
+      var run = 0L
+      var flip = false // alternate resolving / non-resolving folds
+      ops.foreach { case (batch, doCompact) =>
+        val delta = batch.filter { case (k, nv) => model.get(k) != nv }
+        if (delta.nonEmpty) {
+          run += 1
+          val rows = delta.toSeq.map { case (k, nv) =>
+            val ov = model.get(k)
+            (k, ov.map(_._1).orNull,
+              ov.map(o => java.lang.Long.valueOf(o._2)).orNull,
+              nv.map(_._1).orNull,
+              nv.map(n => java.lang.Long.valueOf(n._2)).orNull)
+          }
+          val cf = rows.toDF("key", "os", "oc", "ns", "nc")
+            .select(col("key"),
+              when(col("os").isNotNull, struct(col("os").as("status"),
+                col("oc").as("cents"))).as("old_row"),
+              when(col("ns").isNotNull, struct(col("ns").as("status"),
+                col("nc").as("cents"))).as("new_row"))
+          Ivm.applyChanges(cf, dir, run, G, V, E)
+          model = delta.foldLeft(model) {
+            case (m, (k, Some(nv))) => m + (k -> nv)
+            case (m, (k, None)) => m - k
+          }
+        }
+        if (doCompact) {
+          // a resolving fold must see the snapshot at the settled
+          // frontier = the current model; a non-resolving fold just
+          // carries the dirt
+          Ivm.compact(s, dir, None, G,
+            if (flip) Some(baseDf) else None): Unit
+          flip = !flip
+        }
+      }
+      val served = Ivm.serve(s, dir, G, V, E, Some(baseDf)).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      val expected = model.values.groupBy(_._1).map { case (g, vs) =>
+        (g, vs.size.toLong, vs.map(_._2).sum,
+          vs.map(_._2).min, vs.map(_._2).max)
+      }.toSet
+      served == expected
+    }
 }

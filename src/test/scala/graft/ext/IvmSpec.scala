@@ -148,4 +148,96 @@ class IvmSpec extends SparkSpec {
     assert(after === Set(("A", 1L, 12L), ("B", 1L, 50L)),
       "the replay must overwrite the preserved run, not double-count")
   }
+
+  // ---- min/max extrema channel --------------------------------------
+
+  private val G = Seq("status"); private val V = Seq("cents")
+  private val E = Seq("cents")
+
+  private def servedX(base: Option[org.apache.spark.sql.DataFrame])(
+      dir: String): Set[(String, Long, Long, Long, Long)] =
+    Ivm.serve(spark, dir, G, V, E, base).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+
+  test("extrema, CLEAN path: insert-only increments merge min/max " +
+      "exactly without ever touching the base — including a brand-new " +
+      "group born from an insert") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ivm-mn")
+      .resolve("v").toString
+    Ivm.init(Seq(("A", 10L), ("A", 20L)).toDF("status", "cents"),
+      dir, G, V, E)
+    Ivm.applyChanges(mkChangefeed(Seq(
+      (3L, null, null, "A", 5L),    // new A min
+      (4L, null, null, "A", 15L),   // interior
+      (5L, null, null, "B", 50L))), // new group
+      dir, 1, G, V, E)
+    assert(servedX(None)(dir) ===
+      Set(("A", 4L, 50L, 5L, 20L), ("B", 1L, 50L, 50L, 50L)))
+  }
+
+  test("extrema, DIRTY path: a deletion may have removed the extreme — " +
+      "serving without base fails LOUDLY, serving with base recomputes " +
+      "only the dirty group") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ivm-md")
+      .resolve("v").toString
+    Ivm.init(Seq(("A", 10L), ("A", 20L), ("B", 5L), ("B", 7L))
+      .toDF("status", "cents"), dir, G, V, E)
+    // delete A's MAX (20): merged candidates would still claim 20
+    Ivm.applyChanges(mkChangefeed(Seq(
+      (1L, "A", 20L, null, null))), dir, 1, G, V, E)
+    val e = intercept[IllegalArgumentException](servedX(None)(dir))
+    assert(e.getMessage.contains("dirty"))
+    val base = Seq(("A", 10L), ("B", 5L), ("B", 7L))
+      .toDF("status", "cents")
+    assert(servedX(Some(base))(dir) ===
+      Set(("A", 1L, 10L, 10L, 10L), ("B", 2L, 12L, 5L, 7L)))
+  }
+
+  test("extrema: dirt SURVIVES a fold without base (it never silently " +
+      "resolves), and a fold WITH base resolves it so later serves and " +
+      "inserts ride the clean monoid again") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ivm-mf")
+      .resolve("v").toString
+    Ivm.init(Seq(("A", 10L), ("A", 20L)).toDF("status", "cents"),
+      dir, G, V, E)
+    // update A's max within-group (20 -> 12): retraction dirties A
+    Ivm.applyChanges(mkChangefeed(Seq(
+      (1L, "A", 20L, "A", 12L))), dir, 1, G, V, E)
+    Ivm.compact(spark, dir, None, G, None) // fold, dirt must survive
+    val e = intercept[IllegalArgumentException](servedX(None)(dir))
+    assert(e.getMessage.contains("dirty"),
+      "a base-less fold must not have resolved the dirty group")
+    val base1 = Seq(("A", 10L), ("A", 12L)).toDF("status", "cents")
+    Ivm.compact(spark, dir, None, G, Some(base1)) // resolution
+    assert(servedX(None)(dir) === Set(("A", 2L, 22L, 10L, 12L)),
+      "the resolving fold must leave a clean, base-less-servable view")
+    // post-resolution insert: clean monoid merge again
+    Ivm.applyChanges(mkChangefeed(Seq(
+      (9L, null, null, "A", 3L))), dir, 2, G, V, E)
+    assert(servedX(None)(dir) === Set(("A", 3L, 25L, 3L, 12L)))
+  }
+
+  test("extrema: a group emptied by deletes cancels out of the serve, " +
+      "and a later re-insert restarts its extrema from the new values") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ivm-me")
+      .resolve("v").toString
+    Ivm.init(Seq(("A", 10L), ("B", 5L)).toDF("status", "cents"),
+      dir, G, V, E)
+    Ivm.applyChanges(mkChangefeed(Seq(
+      (1L, "A", 10L, null, null))), dir, 1, G, V, E) // empty A out
+    val base1 = Seq(("B", 5L)).toDF("status", "cents")
+    assert(servedX(Some(base1))(dir) === Set(("B", 1L, 5L, 5L, 5L)))
+    Ivm.compact(spark, dir, None, G, Some(base1)) // A resets to null extrema
+    Ivm.applyChanges(mkChangefeed(Seq(
+      (2L, null, null, "A", 99L))), dir, 2, G, V, E)
+    assert(servedX(None)(dir) ===
+      Set(("A", 1L, 99L, 99L, 99L), ("B", 1L, 5L, 5L, 5L)),
+      "re-inserted group must restart extrema from the new value, " +
+        "never resurrect the deleted one")
+  }
 }
