@@ -109,9 +109,29 @@ object KeyToBucketPruning extends Rule[LogicalPlan] with PredicateHelper {
       if (!attr.metadata.contains(KeyHexMeta)) None
       else {
         val hex = attr.metadata.getLong(KeyHexMeta).toInt
-        val bucketAttrs = child.output.filter(o =>
-          o.name == BucketColName && o.dataType == StringType &&
-            o.exprId != attr.exprId)
+        // PROVENANCE, not just name: both attributes must come from ONE
+        // scan. A join partner with its own unrelated "bucket" column
+        // must never be constrained by this key's md5, and a Union's
+        // output wears the FIRST child's metadata while carrying every
+        // child's rows (two snapshots at different widths would
+        // mis-prune the second). So the rule fires only when the
+        // filter's child subtree has exactly ONE leaf and that leaf
+        // outputs both the key and the bucket — i.e. the filter sits
+        // over a single scan. Nothing is lost: predicate pushdown
+        // distributes filters through joins and unions, and the rule
+        // (same fixed-point batch) fires on each side's own filter
+        // with each side's own width.
+        val leaves = child.collectLeaves()
+        val singleLeaf = leaves match {
+          case Seq(l) if l.outputSet.contains(attr) => true
+          case _ => false
+        }
+        val bucketAttrs =
+          if (!singleLeaf) Nil
+          else child.output.filter(o =>
+            o.name == BucketColName && o.dataType == StringType &&
+              o.exprId != attr.exprId &&
+              leaves.head.outputSet.contains(o))
         // exactly one candidate, not already constrained: above a join
         // of two bucketed scans the owner is ambiguous — skip (pushdown
         // will split the predicate per side and the rule fires there)

@@ -169,6 +169,41 @@ class KeyToBucketPruningSpec extends SparkSpec {
     assert(e.getMessage.contains("integral and string"))
   }
 
+  test("a join partner's own unrelated 'bucket' column is never " +
+      "constrained by the key's md5: rows survive exactly") {
+    import spark.implicits._
+    val dir = mkTable()
+    // partner carries a STRING column named bucket whose values have
+    // nothing to do with md5 — mis-pruning on it would drop the row
+    val partner = Seq((7L, "zz-not-a-hash"), (8L, "qq"))
+      .toDF("key", "bucket")
+    val j = MergeTable.readTable(spark, dir).select("key", "value")
+      .join(partner, Seq("key"))
+      .filter(col("key") === 7L)
+    val rows = j.collect()
+    assert(rows.length === 1)
+    assert(rows.head.getString(1) === "v7" &&
+      rows.head.getString(2) === "zz-not-a-hash")
+  }
+
+  test("a UNION of two snapshots at DIFFERENT widths (across rebucket) " +
+      "keeps both sides' rows: each side prunes at its own width after " +
+      "pushdown, and the mixed-width union itself is never rewritten") {
+    val dir = mkTable()
+    MergeTable.rebucket(spark, dir, 1)
+    val u = MergeTable.readTable(spark, dir, Some(1L))
+      .select("key", "value", "bucket")
+      .unionByName(MergeTable.readTable(spark, dir)
+        .select("key", "value", "bucket"))
+      .filter(col("key") === 7L)
+    val rows = u.collect()
+    assert(rows.length === 2,
+      s"a snapshot's rows were lost to a wrong-width bucket filter: " +
+        rows.mkString(","))
+    assert(rows.map(_.getString(2)).map(_.length).sorted.toSeq ===
+      Seq(1, 2), "expected one row per width")
+  }
+
   test("a lookup of keys that all hash to ABSENT buckets returns empty " +
       "without error on both paths") {
     import spark.implicits._
