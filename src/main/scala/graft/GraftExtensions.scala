@@ -20,6 +20,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // point-lookup partition pruning on MergeTable scans: `key = lit`
     // implies `bucket = md5prefix(lit)` (contract in the footers)
     e.injectOptimizerRule(_ => graft.plans.KeyToBucketPruning)
+    // SQL surface for the snapshot table: SELECT ... FROM
+    // merge_table('/dir'[, version]) — time travel + pruning compose
+    e.injectTableFunction((
+      new FunctionIdentifier("merge_table"),
+      new ExpressionInfo(graft.ext.MergeTable.getClass.getName,
+        "merge_table"),
+      graft.ext.MergeTable.tableFunctionBuilder))
     e.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),

@@ -603,6 +603,52 @@ object MergeTable {
       .drop("v")
   }
 
+  /** Builder for the `merge_table(dir[, version])` SQL table-valued
+    * function: resolves the snapshot through [[readTable]] at analysis
+    * time, so plain SQL reads the table — time travel via the second
+    * argument, and `WHERE key = <lit>` point lookups prune through
+    * [[graft.plans.KeyToBucketPruning]] exactly as the DataFrame path
+    * does (the TVF splices the same scan plan, footer metadata and
+    * all). Registered per-session by [[registerSql]] or for every
+    * session by [[graft.GraftExtensions]]. Arguments must be literals
+    * (a plan must resolve before any row exists to evaluate them). */
+  private[graft] val tableFunctionBuilder
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    exprs =>
+      require(exprs.nonEmpty && exprs.length <= 2,
+        s"merge_table(dir[, version]) takes 1-2 arguments, got ${exprs.length}")
+      def evalLit(e: org.apache.spark.sql.catalyst.expressions.Expression,
+          what: String): Any = {
+        require(e.foldable, s"merge_table: $what must be a literal")
+        e.eval()
+      }
+      val dir = evalLit(exprs.head, "dir") match {
+        case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+        case other => throw new IllegalArgumentException(
+          s"merge_table: dir must be a string literal, got $other")
+      }
+      val version: Option[Long] = exprs.drop(1).headOption.map(e =>
+        evalLit(e, "version") match {
+          case i: java.lang.Integer => i.longValue
+          case l: java.lang.Long => l.longValue
+          case other => throw new IllegalArgumentException(
+            s"merge_table: version must be an integer literal, got $other")
+        })
+      val spark = org.apache.spark.sql.SparkSession.active
+      readTable(spark, dir, version).queryExecution.logical
+  }
+
+  /** Register the `merge_table` table-valued function on a session
+    * built without `spark.sql.extensions=graft.GraftExtensions` —
+    * idempotent (re-registration overwrites with the same builder). */
+  def registerSql(spark: SparkSession): Unit =
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("merge_table"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        MergeTable.getClass.getName, "merge_table"),
+      tableFunctionBuilder)
+
   /** POINT LOOKUP by key: the rows of `keys` at a version (default:
     * latest), reading ONLY the impacted buckets' files — the manifest
     * prunes DRIVER-SIDE by the same md5 arithmetic the write path
@@ -1751,6 +1797,31 @@ object MergeTable {
        |          AS BIGINT) FROM sel) AS files_api
        |FROM sel ORDER BY key""")
 
+  /** q159 — SQL SURFACE acceptance: the full lifecycle state read
+    * through `merge_table('$dir')` in plain SQL (the table-valued
+    * function splices [[readTable]]'s scan at analysis, so snapshot
+    * resolution, footer metadata and partition pruning all ride along),
+    * held to the IDENTICAL oracle as q140's DataFrame read — plus a
+    * time-travel probe (`merge_table(dir, 1)` row count = the
+    * pre-update base) riding every row as an oracle-pinned constant.
+    * A SQL user and a DataFrame user must see byte-identical tables. */
+  private val q159SqlTable = QueryDef(
+    (s, dir) => {
+      val (out, _, _) = memoLifecycle(s, dir)
+      registerSql(s)
+      val v1Rows = s.sql(
+        s"SELECT count(*) AS c FROM merge_table('$out', 1)")
+        .collect().head.getLong(0)
+      s.sql(s"SELECT key, cust, status, cents, bucket " +
+          s"FROM merge_table('$out') ORDER BY key")
+        .withColumn("v1_rows", lit(v1Rows))
+    },
+    s"""WITH $lifecycleFinCte
+       |SELECT key, cust, status, cents,
+       |       ${bucketSql("key")} AS bucket,
+       |       (SELECT CAST(count(*) AS BIGINT) FROM orders) AS v1_rows
+       |FROM fin ORDER BY key""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
     "q148_table_fsck" -> q148TableFsck,
     "q140_cow_upsert" -> q140CowUpsert,
@@ -1765,5 +1836,6 @@ object MergeTable {
     "q155_rebucket_cdc" -> q155RebucketCdc,
     "q156_fsck_deep" -> q156FsckDeep,
     "q157_point_lookup" -> q157PointLookup,
+    "q159_sql_table" -> q159SqlTable,
   )
 }

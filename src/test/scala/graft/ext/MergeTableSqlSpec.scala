@@ -1,0 +1,87 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The `merge_table(dir[, version])` SQL table-valued surface: plain
+  * SQL reads the snapshot table, the version argument time-travels,
+  * point lookups prune through the same rule as the DataFrame path,
+  * and malformed calls fail loudly at analysis. */
+class MergeTableSqlSpec extends SparkSpec {
+
+  MergeTable.registerSql(spark)
+  graft.plans.KeyToBucketPruning.enable(spark)
+
+  private def mkTable(n: Int = 300): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-mts")
+      .resolve("t").toString
+    MergeTable.create(
+      (1 to n).map(i => (i.toLong, s"v$i")).toDF("key", "value"),
+      dir, "key")
+    dir
+  }
+
+  test("SELECT over merge_table() serves the LIVE snapshot and the " +
+      "version argument time-travels") {
+    import spark.implicits._
+    val dir = mkTable()
+    MergeTable.upsert(spark, dir,
+      Seq((7L, "SEVEN"), (901L, "new")).toDF("key", "value"))
+    assert(spark.sql(s"SELECT count(*) AS c FROM merge_table('$dir')")
+      .collect().head.getLong(0) === 301L)
+    assert(spark.sql(s"SELECT count(*) AS c FROM merge_table('$dir', 1)")
+      .collect().head.getLong(0) === 300L)
+    assert(spark.sql(
+      s"SELECT value FROM merge_table('$dir') WHERE key = 7")
+      .collect().head.getString(0) === "SEVEN")
+    assert(spark.sql(
+      s"SELECT value FROM merge_table('$dir', 1) WHERE key = 7")
+      .collect().head.getString(0) === "v7")
+  }
+
+  test("a SQL point lookup prunes to one bucket file — the TVF splices " +
+      "the same footer-stamped scan, so the rule composes") {
+    val dir = mkTable()
+    val q = spark.sql(
+      s"SELECT key, value FROM merge_table('$dir') WHERE key = 7")
+    val files = q.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.totalNumberOfFiles
+      }.getOrElse(-1L)
+    assert(files === 1L,
+      s"SQL lookup scanned $files files\n" +
+        q.queryExecution.executedPlan.toString)
+    assert(q.collect().map(_.getString(1)).toSeq === Seq("v7"))
+  }
+
+  test("two merge_table() calls join in one SQL statement") {
+    val dir = mkTable()
+    val rows = spark.sql(
+      s"""SELECT a.key, a.value, b.value
+         |FROM merge_table('$dir') a JOIN merge_table('$dir') b
+         |  ON a.key = b.key
+         |WHERE a.key = 42""".stripMargin).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getString(1) === "v42" &&
+      rows.head.getString(2) === "v42")
+  }
+
+  test("malformed calls fail loudly: wrong arity, bad version value, " +
+      "vacuumed/never-committed version") {
+    val dir = mkTable()
+    val e1 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM merge_table('$dir', 1, 2)").collect()
+    }
+    assert(e1.getMessage.contains("1-2 arguments"))
+    val e2 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM merge_table('$dir', 'x')").collect()
+    }
+    assert(e2.getMessage.contains("integer literal"))
+    val e3 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM merge_table('$dir', 99)").collect()
+    }
+    assert(e3.getMessage.contains("no version 99"))
+  }
+}
