@@ -172,4 +172,52 @@ class IvmRunnerSpec extends SparkSpec {
     assert(runs === Set(-1),
       s"maintain loop left unfolded runs: $runs")
   }
+
+  test("a GENERALIZED view (min/max extrema) rides the wired pipeline: " +
+      "the maintain drain carries the dirt through its folds, a serve " +
+      "with the frontier snapshot recomputes exactly, and a resolving " +
+      "compact hands back a clean base-less view") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("ivmr-x")
+    val table = root.resolve("t").toString
+    val view = root.resolve("v").toString
+    val sink = root.resolve("s").toString
+    val pub = new FileCursorStore(root.resolve("pc").toString)
+    val ivm = new FileCursorStore(root.resolve("ic").toString)
+    val G = Seq("status"); val V = Seq("cents"); val E = Seq("cents")
+    graft.ext.MergeTable.create(
+      (1L to 100L).map(i => (i, if (i % 2 == 0) "E" else "O", i * 10L))
+        .toDF("key", "status", "cents"), table, "key")
+    assert(ChangefeedRunner.runOnce(spark, table, sink, pub).isEmpty)
+    graft.ext.Ivm.init(
+      graft.ext.MergeTable.readTable(spark, table, Some(1L))
+        .drop("bucket"), view, G, V, E)
+    ivm.commit(1L)
+    // delete E's MAX (key 100, cents 1000) — the retraction whose value
+    // WAS the extreme, the exact case merged candidates cannot serve
+    graft.ext.MergeTable.deleteKeys(spark, table, Seq(100L).toDF("key"))
+    ChangefeedRunner.runOnce(spark, table, sink, pub)
+    // and an insert that lowers O's min (clean-path candidate)
+    graft.ext.MergeTable.upsert(spark, table,
+      Seq((101L, "O", 1L)).toDF("key", "status", "cents"))
+    ChangefeedRunner.runOnce(spark, table, sink, pub)
+    assert(IvmRunner.maintainOnce(spark, sink, view, ivm, G, V, E)
+      === Seq(2L, 3L))
+    val base = graft.ext.MergeTable.readTable(spark, table)
+      .drop("bucket").localCheckpoint(true)
+    def servedX(b: Option[org.apache.spark.sql.DataFrame]) =
+      graft.ext.Ivm.serve(spark, view, G, V, E, b).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+    val expected = Set(
+      ("E", 49L, (2L to 98L by 2).map(_ * 10).sum, 20L, 980L),
+      ("O", 51L, (1L to 99L by 2).map(_ * 10).sum + 1L, 1L, 990L))
+    // dirty E: serve needs the frontier snapshot; base-less throws
+    assert(intercept[IllegalArgumentException](servedX(None))
+      .getMessage.contains("dirty"))
+    assert(servedX(Some(base)) === expected)
+    // resolution: one compact with base, then base-less serves are clean
+    graft.ext.Ivm.compact(spark, view, Some(3L), G, Some(base)): Unit
+    assert(servedX(None) === expected)
+  }
 }
