@@ -689,6 +689,17 @@ object MergeTable {
     * under partitionBy). */
   def create(df: DataFrame, dir: String, keyCol: String,
       hexDigits: Int = HEX_DIGITS): Unit = {
+    // "bucket" and "v" are the table's PHYSICAL partition columns — a
+    // payload column with either name would be silently destroyed
+    // (bucket: overwritten by the hash below; v: dropped by every
+    // read). Reject at create, the only gate every table passes once.
+    val reserved = df.columns.toSet.intersect(Set("bucket", "v"))
+    require(reserved.isEmpty,
+      s"column name(s) ${reserved.mkString(", ")} are reserved for the " +
+        "table layout (bucket = hash partition, v = version epoch) — " +
+        "rename before create")
+    require(df.columns.contains(keyCol),
+      s"key column $keyCol is not in the input (${df.columns.mkString(",")})")
     val s = df.sparkSession
     keyMeta(s, dir, Some(keyCol))
     commitEpoch(s, dir, 1L,
@@ -718,6 +729,14 @@ object MergeTable {
   private[graft] def upsertWithHook(spark: SparkSession, dir: String,
       updates: DataFrame, beforeCommit: () => Unit): CowStats =
     retryOnConflict("upsert", dir) {
+      // "v" is the physical version-epoch partition column: a batch
+      // column with that name would be dropped by every later read
+      // (extend-only evolution would otherwise admit it silently).
+      // "bucket" is allowed — it is recomputed from the key below, so
+      // feeding readTable output back through upsert stays legal.
+      require(!updates.columns.contains("v"),
+        "column name v is reserved for the table layout (version " +
+          "epoch) — rename before upsert")
       val key = keyMeta(spark, dir, None)
       val cur = versions(spark, dir).lastOption.getOrElse(
         throw new IllegalArgumentException(s"no MergeTable at $dir"))

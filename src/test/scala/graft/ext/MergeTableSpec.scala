@@ -34,6 +34,38 @@ class MergeTableSpec extends SparkSpec {
     }.toMap
   }
 
+  test("reserved layout column names are rejected loudly: a payload " +
+      "'bucket' or 'v' would be silently destroyed, a missing key " +
+      "cannot bucket") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cow-res")
+      .resolve("t").toString
+    val e1 = intercept[IllegalArgumentException] {
+      MergeTable.create(Seq((1L, "x")).toDF("key", "bucket"), dir, "key")
+    }
+    assert(e1.getMessage.contains("reserved"))
+    val e2 = intercept[IllegalArgumentException] {
+      MergeTable.create(Seq((1L, "x")).toDF("key", "v"), dir, "key")
+    }
+    assert(e2.getMessage.contains("reserved"))
+    val e3 = intercept[IllegalArgumentException] {
+      MergeTable.create(Seq((1L, "x")).toDF("key", "value"), dir, "nope")
+    }
+    assert(e3.getMessage.contains("not in the input"))
+    MergeTable.create(Seq((1L, "x")).toDF("key", "value"), dir, "key")
+    val e4 = intercept[IllegalArgumentException] {
+      MergeTable.upsert(spark, dir,
+        Seq((1L, "y", 9L)).toDF("key", "value", "v"))
+    }
+    assert(e4.getMessage.contains("reserved"))
+    // feeding readTable output back through upsert stays legal: the
+    // bucket column is recomputed, not destroyed
+    MergeTable.upsert(spark, dir, MergeTable.readTable(spark, dir)
+      .withColumn("value", lit("fed-back")))
+    assert(MergeTable.readTable(spark, dir).select("value")
+      .collect().head.getString(0) === "fed-back")
+  }
+
   test("upsert writes only the impacted buckets' new files; every " +
       "pre-existing file is untouched on disk; state is exact") {
     import spark.implicits._
