@@ -115,4 +115,43 @@ class IvmStreamSpec extends SparkSpec {
     assert(served(view) === expected,
       "external fold at the committed-run watermark changed the view")
   }
+
+  test("an EXTREMA view drains through the stream: retraction dirt " +
+      "rides the micro-batch runs, and the external resolution at the " +
+      "committed-run watermark hands back a clean base-less serve") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val G = Seq("status"); val V = Seq("cents"); val E = Seq("cents")
+    val view = Files.createTempDirectory("ivm-stream-x").toString + "/v"
+    val ckpt = Files.createTempDirectory("ivm-stream-xck").toString
+    graft.ext.Ivm.init(
+      Seq(("A", 10L), ("A", 20L), ("B", 5L)).toDF("status", "cents"),
+      view, G, V, E)
+    val input = MemoryStream[ChangeRow]
+    // batch 0: delete A's max (20) — dirt; insert a lower B value —
+    // clean monoid candidate
+    input.addData(ChangeRow(1, "A", 20L, null, null),
+      ChangeRow(9, null, null, "B", 2L))
+    IvmStream.start(toChanges(input.toDF()), view, ckpt, G, V, E, 8)
+      .awaitTermination()
+    def servedX(b: Option[org.apache.spark.sql.DataFrame]) =
+      graft.ext.Ivm.serve(spark, view, G, V, E, b).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+    val base = Seq(("A", 10L), ("B", 5L), ("B", 2L))
+      .toDF("status", "cents")
+    val expected = Set(("A", 1L, 10L, 10L, 10L), ("B", 2L, 7L, 2L, 5L))
+    assert(intercept[IllegalArgumentException](servedX(None))
+      .getMessage.contains("dirty"))
+    assert(servedX(Some(base)) === expected)
+    // resolution: the watermark (persisted at batch ENTRY) still sits
+    // below run 1, so a fold there would preserve the dirty run
+    // verbatim — dirt above the frontier is by design unresolvable
+    // until settled. After awaitTermination the stream is quiescent,
+    // so the caller may assert exactly that with None and resolve
+    // everything: clean base-less serves thereafter.
+    assert(IvmStream.committedRun(view) === Some(0L))
+    graft.ext.Ivm.compact(spark, view, None, G, Some(base)): Unit
+    assert(servedX(None) === expected)
+  }
 }
