@@ -27,6 +27,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(graft.ext.MergeTable.getClass.getName,
         "merge_table"),
       graft.ext.MergeTable.tableFunctionBuilder))
+    // CDC batch between committed versions — the fingerprint
+    // short-circuit and changed-bucket file pruning ride into SQL
+    e.injectTableFunction((
+      new FunctionIdentifier("table_changes"),
+      new ExpressionInfo(graft.ext.MergeTable.getClass.getName,
+        "table_changes"),
+      graft.ext.MergeTable.changesFunctionBuilder))
+    // manifest-only version ledger (v, files, buckets, rows)
+    e.injectTableFunction((
+      new FunctionIdentifier("merge_table_history"),
+      new ExpressionInfo(graft.ext.MergeTable.getClass.getName,
+        "merge_table_history"),
+      graft.ext.MergeTable.historyFunctionBuilder))
     e.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),

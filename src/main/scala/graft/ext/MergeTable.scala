@@ -612,42 +612,111 @@ object MergeTable {
     * all). Registered per-session by [[registerSql]] or for every
     * session by [[graft.GraftExtensions]]. Arguments must be literals
     * (a plan must resolve before any row exists to evaluate them). */
+  private def litString(fn: String,
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      what: String): String = {
+    require(e.foldable, s"$fn: $what must be a literal")
+    e.eval() match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case other => throw new IllegalArgumentException(
+        s"$fn: $what must be a string literal, got $other")
+    }
+  }
+
+  private def litLong(fn: String,
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      what: String): Long = {
+    require(e.foldable, s"$fn: $what must be a literal")
+    e.eval() match {
+      case i: java.lang.Integer => i.longValue
+      case l: java.lang.Long => l.longValue
+      case other => throw new IllegalArgumentException(
+        s"$fn: $what must be an integer literal, got $other")
+    }
+  }
+
   private[graft] val tableFunctionBuilder
       : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
         org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
     exprs =>
       require(exprs.nonEmpty && exprs.length <= 2,
         s"merge_table(dir[, version]) takes 1-2 arguments, got ${exprs.length}")
-      def evalLit(e: org.apache.spark.sql.catalyst.expressions.Expression,
-          what: String): Any = {
-        require(e.foldable, s"merge_table: $what must be a literal")
-        e.eval()
-      }
-      val dir = evalLit(exprs.head, "dir") match {
-        case s: org.apache.spark.unsafe.types.UTF8String => s.toString
-        case other => throw new IllegalArgumentException(
-          s"merge_table: dir must be a string literal, got $other")
-      }
-      val version: Option[Long] = exprs.drop(1).headOption.map(e =>
-        evalLit(e, "version") match {
-          case i: java.lang.Integer => i.longValue
-          case l: java.lang.Long => l.longValue
-          case other => throw new IllegalArgumentException(
-            s"merge_table: version must be an integer literal, got $other")
-        })
+      val dir = litString("merge_table", exprs.head, "dir")
+      val version = exprs.drop(1).headOption
+        .map(litLong("merge_table", _, "version"))
       val spark = org.apache.spark.sql.SparkSession.active
       readTable(spark, dir, version).queryExecution.logical
   }
 
-  /** Register the `merge_table` table-valued function on a session
-    * built without `spark.sql.extensions=graft.GraftExtensions` —
+  /** Builder for `table_changes(dir, fromV[, toV])`: the CDC batch
+    * between two committed versions as plain SQL — [[changes]]'s plan
+    * spliced at analysis, so the fingerprint short-circuit and the
+    * changed-bucket file-list pruning ride along (a quiet window costs
+    * two manifest reads in SQL exactly as it does in the API). `toV`
+    * defaults to the newest committed version, the "changes since"
+    * idiom a downstream SQL consumer wants. */
+  private[graft] val changesFunctionBuilder
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    exprs =>
+      require(exprs.length >= 2 && exprs.length <= 3,
+        s"table_changes(dir, fromV[, toV]) takes 2-3 arguments, " +
+          s"got ${exprs.length}")
+      val dir = litString("table_changes", exprs.head, "dir")
+      val fromV = litLong("table_changes", exprs(1), "fromV")
+      val spark = org.apache.spark.sql.SparkSession.active
+      val toV = exprs.drop(2).headOption
+        .map(litLong("table_changes", _, "toV"))
+        .getOrElse(versions(spark, dir).max)
+      changes(spark, dir, fromV, toV).queryExecution.logical
+  }
+
+  /** Builder for `merge_table_history(dir)`: one row per retained
+    * version — (v, files, buckets, rows) — from the manifests alone
+    * (the fingerprint ledger every commit attests), so auditing a
+    * 100 TB table's history is O(versions × manifest), zero data
+    * reads. `rows` is the fingerprint total, null for a legacy
+    * version any of whose buckets lacks one (unattestable, reported
+    * as such rather than guessed). */
+  private[graft] val historyFunctionBuilder
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    exprs =>
+      require(exprs.length == 1,
+        s"merge_table_history(dir) takes 1 argument, got ${exprs.length}")
+      val dir = litString("merge_table_history", exprs.head, "dir")
+      val spark = org.apache.spark.sql.SparkSession.active
+      history(spark, dir).queryExecution.logical
+  }
+
+  /** The manifest-only version ledger behind `merge_table_history`. */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    val rows = versions(spark, dir).sorted.map { v =>
+      val md = readManifestFull(spark, dir, v)
+      val buckets = md.entries.map(bucketOfEntry).distinct
+      val attested = fpTotal(md.fps, buckets.toSet)
+      (v, md.entries.size.toLong, buckets.size.toLong,
+        attested.map(_._1))
+    }
+    import spark.implicits._
+    rows.toDF("v", "files", "buckets", "rows")
+  }
+
+  /** Register the SQL table-valued surface (`merge_table`,
+    * `table_changes`, `merge_table_history`) on a session built
+    * without `spark.sql.extensions=graft.GraftExtensions` —
     * idempotent (re-registration overwrites with the same builder). */
   def registerSql(spark: SparkSession): Unit =
-    spark.sessionState.tableFunctionRegistry.registerFunction(
-      new org.apache.spark.sql.catalyst.FunctionIdentifier("merge_table"),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        MergeTable.getClass.getName, "merge_table"),
-      tableFunctionBuilder)
+    Seq("merge_table" -> tableFunctionBuilder,
+      "table_changes" -> changesFunctionBuilder,
+      "merge_table_history" -> historyFunctionBuilder)
+      .foreach { case (name, builder) =>
+        spark.sessionState.tableFunctionRegistry.registerFunction(
+          new org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+          new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+            MergeTable.getClass.getName, name),
+          builder)
+      }
 
   /** POINT LOOKUP by key: the rows of `keys` at a version (default:
     * latest), reading ONLY the impacted buckets' files — the manifest
@@ -1841,6 +1910,58 @@ object MergeTable {
        |       (SELECT CAST(count(*) AS BIGINT) FROM orders) AS v1_rows
        |FROM fin ORDER BY key""".stripMargin)
 
+  /** q160 — SQL CDC acceptance: the version-1→3 change batch read
+    * through `table_changes('$dir', 1, 3)` in plain SQL, gated against
+    * the oracle's re-derivation of the diff from orders arithmetic —
+    * updates (latest-wins across both upserts) and inserts, old/new
+    * struct fields projected by name. Two probes ride every row as
+    * oracle-pinned constants: `table_changes(dir, 2)` row count (the
+    * DEFAULT-toV path — changes since v2 = exactly the batch-2 keys)
+    * and a `merge_table_history` checksum (Σ v·rows over the three
+    * manifest-attested versions — the fingerprint ledger exposed to
+    * SQL, priced at zero data reads). A SQL consumer and the
+    * [[changes]] API must see the identical feed. */
+  private val q160SqlChanges = QueryDef(
+    (s, dir) => {
+      val (out, _, _) = memoLifecycle(s, dir)
+      registerSql(s)
+      val w23 = s.sql(
+        s"SELECT count(*) AS c FROM table_changes('$out', 2)")
+        .collect().head.getLong(0)
+      val hist = s.sql(
+        s"SELECT sum(v * rows) AS t FROM merge_table_history('$out')")
+        .collect().head.getLong(0)
+      s.sql(
+        s"""SELECT key, change, old_row.cents AS old_cents,
+           |       new_row.cents AS new_cents
+           |FROM table_changes('$out', 1, 3) ORDER BY key""".stripMargin)
+        .withColumn("w23_rows", lit(w23))
+        .withColumn("hist_probe", lit(hist))
+    },
+    s"""WITH base AS (
+       |  SELECT o_orderkey AS key,
+       |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+       |  FROM orders),
+       |n AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n1,
+       |         CAST(count(*) FILTER (WHERE key % 103 = 0) AS BIGINT)
+       |           AS ins,
+       |         CAST(count(*) FILTER (WHERE key % 202 = 0) AS BIGINT)
+       |           AS w23
+       |  FROM base)
+       |SELECT key, change, old_cents, new_cents,
+       |       (SELECT w23 FROM n) AS w23_rows,
+       |       (SELECT 1 * n1 + 5 * (n1 + ins) FROM n) AS hist_probe
+       |FROM (
+       |  SELECT key, 'update' AS change, cents AS old_cents,
+       |         cents + CASE WHEN key % 202 = 0 THEN 300 ELSE 100 END
+       |           AS new_cents
+       |  FROM base WHERE key % 101 = 0
+       |  UNION ALL
+       |  SELECT -key - 1, 'insert', CAST(NULL AS BIGINT), cents
+       |  FROM base WHERE key % 103 = 0)
+       |ORDER BY key""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
     "q148_table_fsck" -> q148TableFsck,
     "q140_cow_upsert" -> q140CowUpsert,
@@ -1856,5 +1977,6 @@ object MergeTable {
     "q156_fsck_deep" -> q156FsckDeep,
     "q157_point_lookup" -> q157PointLookup,
     "q159_sql_table" -> q159SqlTable,
+    "q160_sql_changes" -> q160SqlChanges,
   )
 }

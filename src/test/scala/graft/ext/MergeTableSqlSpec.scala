@@ -68,6 +68,58 @@ class MergeTableSqlSpec extends SparkSpec {
       rows.head.getString(2) === "v42")
   }
 
+  test("table_changes() serves the CDC batch in SQL: explicit window, " +
+      "default-toV latest, and a quiet post-OPTIMIZE window at 0 rows") {
+    import spark.implicits._
+    val dir = mkTable()
+    MergeTable.upsert(spark, dir,
+      Seq((7L, "SEVEN"), (901L, "new")).toDF("key", "value"))
+    MergeTable.deleteKeys(spark, dir, Seq(13L).toDF("key"))
+    val d13 = spark.sql(
+      s"""SELECT key, change, old_row.value AS o, new_row.value AS n
+         |FROM table_changes('$dir', 1, 3) ORDER BY key""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2)), Option(r.getString(3)))).toSeq
+    assert(d13 === Seq(
+      (7L, "update", Some("v7"), Some("SEVEN")),
+      (13L, "delete", Some("v13"), None),
+      (901L, "insert", None, Some("new"))))
+    // default toV = newest committed version ("changes since v2")
+    val since2 = spark.sql(
+      s"SELECT key, change FROM table_changes('$dir', 2) ORDER BY key")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(since2 === Seq((13L, "delete")))
+    // layout-only window: the fingerprint short-circuit rides into SQL
+    MergeTable.optimize(spark, dir, "key")
+    assert(spark.sql(
+      s"SELECT count(*) AS c FROM table_changes('$dir', 3, 4)")
+      .collect().head.getLong(0) === 0L)
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM table_changes('$dir')").collect()
+    }
+    assert(e.getMessage.contains("2-3 arguments"))
+  }
+
+  test("merge_table_history() is the manifest-only version ledger: " +
+      "attested row counts track the lifecycle, OPTIMIZE moves files " +
+      "but never rows") {
+    import spark.implicits._
+    val dir = mkTable(100)
+    MergeTable.upsert(spark, dir,
+      Seq((7L, "SEVEN"), (901L, "new")).toDF("key", "value"))
+    MergeTable.deleteKeys(spark, dir, Seq(13L).toDF("key"))
+    MergeTable.optimize(spark, dir, "key")
+    val hist = spark.sql(
+      s"""SELECT v, files, buckets, rows
+         |FROM merge_table_history('$dir') ORDER BY v""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+    assert(hist === Seq((1L, 100L), (2L, 101L), (3L, 100L), (4L, 100L)))
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM merge_table_history('$dir', 1)").collect()
+    }
+    assert(e.getMessage.contains("takes 1 argument"))
+  }
+
   test("malformed calls fail loudly: wrong arity, bad version value, " +
       "vacuumed/never-committed version") {
     val dir = mkTable()
