@@ -901,6 +901,203 @@ object MergeTable {
       fresh.size.toLong, matched, 0L)
   }
 
+  /** Clause actions for [[merge]] — the conditional three-way MERGE
+    * (SQL:2003 / Delta-Iceberg `MERGE INTO`) re-expressed over the COW
+    * table's impacted-bucket write path. Conditions and update
+    * expressions are ordinary [[Column]]s over two struct columns the
+    * operator provides: `tgt` (the existing row) and `src` (the source
+    * row) — e.g. `col("src.cents") > col("tgt.cents")`. */
+  sealed trait MergeAction
+  object MergeAction {
+    /** Replace the row with per-column expressions; a column not named
+      * keeps its class default — the existing value for matched /
+      * not-matched-by-source clauses, the source value for
+      * not-matched inserts. A set name present in NEITHER side's
+      * schema EXTENDS it (older rows read null — the upsert
+      * extend-only evolution contract). */
+    final case class Update(set: Map[String, Column]) extends MergeAction
+    /** Take the source row wholesale — matched rows are overwritten,
+      * not-matched rows inserted verbatim: [[upsert]]'s latest-wins
+      * semantics as one clause. */
+    case object UpdateAll extends MergeAction
+    /** Drop the row from the new snapshot (still readable at prior
+      * versions until [[vacuum]], the [[deleteKeys]] contract). */
+    case object Delete extends MergeAction
+  }
+
+  /** One WHEN clause: fires on rows of its class whose `condition`
+    * holds (None = unconditional); the FIRST firing clause of the
+    * class wins — SQL clause-order semantics. */
+  final case class MergeWhen(condition: Option[Column],
+      action: MergeAction)
+
+  final case class MergeStats(version: Long, bucketsRewritten: Long,
+    filesRead: Long, filesWritten: Long, rowsUpdated: Long,
+    rowsDeleted: Long, rowsInserted: Long, rowsCarried: Long)
+
+  /** Conditional three-way MERGE in ONE snapshot commit: classify every
+    * (target row, source row) pair by key as matched / not-matched
+    * (insert candidates) / not-matched-by-source (target rows the
+    * source omits), dispatch each class through its WHEN clauses in
+    * order, and commit the survivors as the next version — updates,
+    * deletes, and inserts land atomically, under the same multi-writer
+    * [[retryOnConflict]] protocol as every other writer here.
+    *
+    * SCALE contract: with no `notMatchedBySource` clause the write is
+    * [[upsert]]-shaped — only the SOURCE's hash buckets are read and
+    * rewritten, O(source buckets) however large the table (the
+    * impacted-bucket discipline, spec-pinned). A `notMatchedBySource`
+    * clause must by definition SEE every target row, so it prices the
+    * merge at a full-table rewrite — the same honesty as
+    * `optimize`; callers wanting the cheap path express deletions as
+    * explicit source rows instead.
+    *
+    * The source carries at most one row per key (the upsert gate —
+    * two changes to one key have no defined winner here; collapse
+    * upstream). An [[MergeAction.UpdateAll]]/insert clause requires
+    * the source to carry every impacted table column (extend-only
+    * evolution — a silently absent column would null out every row
+    * the clause touches). */
+  def merge(spark: SparkSession, dir: String, source: DataFrame,
+      matched: Seq[MergeWhen] = Nil,
+      notMatched: Seq[MergeWhen] = Nil,
+      notMatchedBySource: Seq[MergeWhen] = Nil): MergeStats =
+    retryOnConflict("merge", dir) {
+      import MergeAction._
+      require(matched.nonEmpty || notMatched.nonEmpty ||
+        notMatchedBySource.nonEmpty,
+        "merge needs at least one WHEN clause")
+      notMatched.foreach(w => require(w.action != Delete,
+        "WHEN NOT MATCHED cannot delete — there is no target row"))
+      notMatchedBySource.foreach(w => require(w.action != UpdateAll,
+        "WHEN NOT MATCHED BY SOURCE cannot take the source row — " +
+          "there is none"))
+      require(!source.columns.contains("v"),
+        "column name v is reserved for the table layout (version " +
+          "epoch) — rename before merge")
+      val key = keyMeta(spark, dir, None)
+      require(source.columns.contains(key),
+        s"merge source must carry the table's key column $key")
+      val setNames = (matched ++ notMatched ++ notMatchedBySource)
+        .flatMap(_.action match {
+          case Update(set) => set.keys
+          case _ => Nil
+        })
+      require(!setNames.contains(key),
+        s"an Update clause may not set the key column $key — a re-keyed " +
+          "row belongs to a different bucket; delete + insert instead")
+      require(!setNames.exists(Set("v", "bucket")),
+        "v and bucket are reserved layout column names")
+      val cur = versions(spark, dir).lastOption.getOrElse(
+        throw new IllegalArgumentException(s"no MergeTable at $dir"))
+      val man = readManifestFull(spark, dir, cur)
+      val batch = source.drop("bucket")
+        .withColumn("bucket", bucketCol(col(key), man.hexDigits))
+        .localCheckpoint(true)
+      // one aggregate job: the source's bucket set AND the
+      // at-most-one-row-per-key gate (the upsert discipline)
+      val perBucket = batch.groupBy("bucket")
+        .agg(count(lit(1)), count_distinct(col(key))).collect()
+      val nBatch = perBucket.map(_.getLong(1)).sum
+      val nKeys = perBucket.map(_.getLong(2)).sum
+      require(nBatch == nKeys,
+        s"merge source has $nBatch rows over $nKeys keys — at most one " +
+          "row per key (collapse to latest upstream)")
+      val impacted: Set[String] =
+        if (notMatchedBySource.nonEmpty)
+          man.entries.map(bucketOfEntry).toSet ++
+            perBucket.map(_.getString(0))
+        else perBucket.map(_.getString(0)).toSet
+      val (rewritten, kept) = man.entries.partition(e =>
+        impacted.contains(bucketOfEntry(e)))
+      val existing =
+        if (rewritten.isEmpty) batch.limit(0)
+        else readEntries(spark, dir, rewritten)
+      val tgtCols = existing.columns.filterNot(_ == "bucket").toSeq
+      val srcCols = batch.columns.filterNot(_ == "bucket").toSeq
+      if ((matched ++ notMatched).exists(_.action == UpdateAll)) {
+        val dropped = tgtCols.toSet -- srcCols.toSet
+        require(dropped.isEmpty,
+          s"merge source is missing table columns ${dropped.mkString(",")}" +
+            " required by an UpdateAll/insert clause (schema changes " +
+            "are extend-only)")
+      }
+      val t = existing.select(col(key).as("__gk"),
+        struct(tgtCols.map(col): _*).as("tgt"))
+      val s = batch.select(col(key).as("__gk"),
+        struct(srcCols.map(col): _*).as("src"))
+      // the using-column full outer join COALESCES the key, so every
+      // surviving row re-buckets from the same value its side carried
+      val j = t.join(s, Seq("__gk"), "full_outer")
+      // clause dispatch: one small integer per row, first-match-wins
+      // within each class; ids are 1-based in declaration order.
+      // Defaults: matched / by-source rows CARRY (0) — an untouched
+      // target row must survive a merge verbatim; a source row no
+      // insert clause accepts is SKIPPED (-1) — ignored, not deleted.
+      final case class Cl(when: MergeWhen, id: Int, cls: Int)
+      val M = 0; val NM = 1; val BS = 2
+      val clauses: Seq[Cl] =
+        (matched.map(_ -> M) ++ notMatched.map(_ -> NM) ++
+          notMatchedBySource.map(_ -> BS)).zipWithIndex
+          .map { case ((w, c), i) => Cl(w, i + 1, c) }
+      val classCond: Int => Column = {
+        case M => col("tgt").isNotNull && col("src").isNotNull
+        case NM => col("tgt").isNull
+        case _ => col("src").isNull
+      }
+      val act = clauses.foldRight(
+        when(col("tgt").isNull, lit(-1)).otherwise(lit(0))) {
+        case (cl, acc) =>
+          when(classCond(cl.cls) &&
+            cl.when.condition.getOrElse(lit(true)), lit(cl.id))
+            .otherwise(acc)
+      }
+      val classified = j.withColumn("__act", act).localCheckpoint(true)
+      val counts: Map[Int, Long] = classified.groupBy("__act").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      def total(ids: Iterable[Int]): Long =
+        ids.map(counts.getOrElse(_, 0L)).sum
+      val deleteIds = clauses.collect {
+        case Cl(MergeWhen(_, Delete), id, _) => id
+      }
+      val updatedIds = clauses.collect {
+        case Cl(w, id, c) if (c == M || c == BS) && w.action != Delete => id
+      }
+      val insertIds = clauses.collect {
+        case Cl(_, id, NM) => id
+      }
+      // output schema: target columns, then source extensions, then
+      // set-only extensions — stable order, extend-only by construction
+      val outCols = (tgtCols ++ srcCols ++ setNames).distinct
+        .filterNot(_ == key)
+      def tgtC(c: String): Column =
+        if (tgtCols.contains(c)) col(s"tgt.$c") else lit(null)
+      def srcC(c: String): Column =
+        if (srcCols.contains(c)) col(s"src.$c") else lit(null)
+      val outExprs = outCols.map { c =>
+        clauses.foldRight(tgtC(c)) { case (cl, acc) =>
+          val v = cl.when.action match {
+            case UpdateAll => srcC(c)
+            case Update(set) =>
+              set.getOrElse(c, if (cl.cls == NM) srcC(c) else tgtC(c))
+            case Delete => acc // row filtered below; value irrelevant
+          }
+          when(col("__act") === cl.id, v).otherwise(acc)
+        }.as(c)
+      }
+      val doomed = (deleteIds :+ (-1)).map(java.lang.Integer.valueOf)
+      val survivors = classified
+        .filter(!col("__act").isin(doomed: _*))
+        .select(col("__gk").as(key) +: outExprs: _*)
+        .withColumn("bucket", bucketCol(col(key), man.hexDigits))
+      val next = cur + 1
+      val fresh = commitEpoch(spark, dir, next, survivors, kept,
+        man.hexDigits, () => (), keptFps = man.fps -- impacted)
+      MergeStats(next, impacted.size.toLong, rewritten.size.toLong,
+        fresh.size.toLong, total(updatedIds), total(deleteIds),
+        total(insertIds), counts.getOrElse(0, 0L))
+    }
+
   /** OPTIMIZE — a contents-invariant, layout-changing version: rewrite
     * every bucket with rows sorted by `sortCol` (so parquet row-group
     * min/max stats prune scans on that column WITHIN each hash bucket —
@@ -1962,6 +2159,102 @@ object MergeTable {
        |  FROM base WHERE key % 103 = 0)
        |ORDER BY key""".stripMargin)
 
+  /** q161 — conditional three-way MERGE acceptance: build the keyed
+    * orders table fresh, run ONE [[merge]] carrying every clause class
+    * — a conditional matched update (src strictly larger), a
+    * fall-through matched delete, a conditional insert, a by-source
+    * aging update and a by-source reap — and dump the full final state
+    * (key, cents, status, note) with the per-class row stats riding as
+    * pinned columns. The oracle replays the clause algebra in SQL over
+    * a FULL OUTER JOIN: first-firing-clause dispatch, set defaults
+    * (matched/by-source fall back to the target value, inserts to the
+    * source), the schema-extending `note` column, and skipped
+    * (not deleted) unaccepted inserts are all hash-gated row for
+    * row. */
+  private val q161MergeClauses = QueryDef(
+    (s, dir) => {
+      val root = graft.core.Timing.build {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft-q161").resolve("t").toString
+        create(baseRows(s, dir).select("key", "cents", "status"), out,
+          "key")
+        out
+      }
+      val t = readTable(s, root).select("key", "cents", "status")
+      val src = t.filter(col("key") % 13 === 0)
+        .select(col("key"),
+          (col("cents") + (col("key") % 200) - 100).as("cents"),
+          col("status"))
+        .unionByName(t.filter(col("key") % 17 === 0)
+          .select((-col("key") - 1).as("key"),
+            (col("cents") + 50).as("cents"), lit("N").as("status")))
+      val st = merge(s, root, src,
+        matched = Seq(
+          MergeWhen(Some(col("src.cents") > col("tgt.cents")),
+            MergeAction.Update(Map("cents" -> col("src.cents"),
+              "note" -> lit("up")))),
+          MergeWhen(None, MergeAction.Delete)),
+        notMatched = Seq(
+          MergeWhen(Some(col("src.cents") % 3 =!= 0),
+            MergeAction.UpdateAll)),
+        notMatchedBySource = Seq(
+          MergeWhen(Some(col("tgt.key") % 19 === 0),
+            MergeAction.Update(Map("cents" -> (col("tgt.cents") + 1),
+              "note" -> lit("aged")))),
+          MergeWhen(Some(col("tgt.key") % 23 === 0),
+            MergeAction.Delete)))
+      readTable(s, root)
+        .select("key", "cents", "status", "note")
+        .withColumn("n_upd", lit(st.rowsUpdated))
+        .withColumn("n_del", lit(st.rowsDeleted))
+        .withColumn("n_ins", lit(st.rowsInserted))
+        .orderBy("key")
+    },
+    s"""WITH t AS (
+       |  SELECT o_orderkey AS key,
+       |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+       |         o_orderstatus AS status
+       |  FROM orders),
+       |s AS (
+       |  SELECT key, cents + (key % 200) - 100 AS cents, status
+       |  FROM t WHERE key % 13 = 0
+       |  UNION ALL
+       |  SELECT -key - 1, cents + 50, 'N' FROM t WHERE key % 17 = 0),
+       |j AS (
+       |  SELECT coalesce(t.key, s.key) AS key,
+       |         t.key IS NOT NULL AS has_t, s.key IS NOT NULL AS has_s,
+       |         t.cents AS tc, t.status AS tst,
+       |         s.cents AS sc, s.status AS sst
+       |  FROM t FULL OUTER JOIN s ON t.key = s.key),
+       |r AS (
+       |  SELECT key, tc, tst, sc, sst,
+       |         CASE
+       |           WHEN has_t AND has_s AND sc > tc THEN 1
+       |           WHEN has_t AND has_s THEN 2
+       |           WHEN NOT has_t AND sc % 3 <> 0 THEN 3
+       |           WHEN NOT has_t THEN -1
+       |           WHEN key % 19 = 0 THEN 4
+       |           WHEN key % 23 = 0 THEN 5
+       |           ELSE 0 END AS act
+       |  FROM j),
+       |n AS (
+       |  SELECT
+       |    CAST(count(*) FILTER (WHERE act IN (1, 4)) AS BIGINT) AS upd,
+       |    CAST(count(*) FILTER (WHERE act IN (2, 5)) AS BIGINT) AS del,
+       |    CAST(count(*) FILTER (WHERE act = 3) AS BIGINT) AS ins
+       |  FROM r)
+       |SELECT key,
+       |       CASE act WHEN 1 THEN sc WHEN 3 THEN sc
+       |                WHEN 4 THEN tc + 1 ELSE tc END AS cents,
+       |       CASE WHEN act = 3 THEN sst ELSE tst END AS status,
+       |       CASE act WHEN 1 THEN 'up' WHEN 4 THEN 'aged'
+       |                ELSE NULL END AS note,
+       |       (SELECT upd FROM n) AS n_upd,
+       |       (SELECT del FROM n) AS n_del,
+       |       (SELECT ins FROM n) AS n_ins
+       |FROM r WHERE act IN (0, 1, 3, 4)
+       |ORDER BY key""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
     "q148_table_fsck" -> q148TableFsck,
     "q140_cow_upsert" -> q140CowUpsert,
@@ -1978,5 +2271,6 @@ object MergeTable {
     "q157_point_lookup" -> q157PointLookup,
     "q159_sql_table" -> q159SqlTable,
     "q160_sql_changes" -> q160SqlChanges,
+    "q161_merge_clauses" -> q161MergeClauses,
   )
 }
