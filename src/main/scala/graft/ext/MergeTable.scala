@@ -245,6 +245,94 @@ object MergeTable {
     readManifestFull(spark, dir, v).hexDigits
   }
 
+  // ── Named tags: immutable version pins ──────────────────────────
+
+  private def tagsDir(dir: String) = new Path(dir, "_tags")
+  private val TagName = "[A-Za-z0-9][A-Za-z0-9._-]{0,63}".r
+
+  /** Pin `name` to a committed version (default: latest) — an
+    * IMMUTABLE named ref (`_tags/<name>`, created no-overwrite: two
+    * racers get one winner and one loud failure). Re-pointing a pin
+    * would silently change what a past training run meant, so there
+    * is no re-point: [[dropTag]] + re-tag is the explicit two-step.
+    * [[vacuum]] RETAINS tag-pinned versions (and their files) past
+    * `retainVersions` — the Iceberg ref-retention contract: a pin
+    * means "hold this snapshot", and the reproducibility story
+    * (re-read the exact bytes a run trained on, months later) is only
+    * as good as that hold. Returns the pinned version. */
+  def tag(spark: SparkSession, dir: String, name: String,
+      version: Option[Long] = None): Long = {
+    require(TagName.matches(name),
+      s"tag name '$name' must match ${TagName.regex}")
+    val v = version.getOrElse(versions(spark, dir).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"no MergeTable at $dir")))
+    readManifestFull(spark, dir, v): Unit // loud on vacuumed/uncommitted
+    val fs = hadoopFs(spark, dir)
+    fs.mkdirs(tagsDir(dir)): Unit
+    val p = new Path(tagsDir(dir), name)
+    val out =
+      try fs.create(p, false)
+      catch { case e: java.io.IOException if fs.exists(p) =>
+        throw new IllegalArgumentException(
+          s"tag '$name' already exists at $dir (tags are immutable — " +
+            "dropTag first to re-point)", e)
+      }
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    v
+  }
+
+  /** Every tag at `dir` (empty when none). */
+  def tags(spark: SparkSession, dir: String): Map[String, Long] = {
+    val fs = hadoopFs(spark, dir)
+    val td = tagsDir(dir)
+    if (!fs.exists(td)) Map.empty
+    else fs.listStatus(td).filter(_.isFile).map { st =>
+      val in = fs.open(st.getPath)
+      val s =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      st.getPath.getName -> s.toLong
+    }.toMap
+  }
+
+  /** The version a tag pins — loud when absent. */
+  def tagVersion(spark: SparkSession, dir: String, name: String): Long =
+    tags(spark, dir).getOrElse(name,
+      throw new IllegalArgumentException(
+        s"no tag '$name' at $dir; tags: " +
+          tags(spark, dir).keys.toSeq.sorted.mkString(",")))
+
+  /** Drop a tag — the explicit half of re-pointing. The version stays
+    * committed; once unpinned it is vacuum-eligible again. Returns
+    * whether the tag existed. */
+  def dropTag(spark: SparkSession, dir: String, name: String): Boolean =
+    hadoopFs(spark, dir).delete(new Path(tagsDir(dir), name), false)
+
+  /** RESTORE — roll the live table back (or forward) to `toVersion`'s
+    * snapshot by committing a NEW version that re-lists that
+    * snapshot's files: pure metadata, O(manifest), zero rows moved or
+    * rewritten — the Delta RESTORE shape, and the operational answer
+    * to "a bad batch landed an hour ago" on a 100 TB table. History
+    * is untouched (the bad versions stay readable until [[vacuum]]),
+    * and the restored files are RE-REFERENCED by the new manifest, so
+    * the unreferenced-file sweep keeps them live however old their
+    * origin. The changefeed prices the rollback honestly: the diff
+    * from the bad head to the restored head is the real row-level
+    * undo, fingerprint-pruned to the buckets that actually differ.
+    * Bucket width and content fingerprints inherit from the restored
+    * manifest verbatim (later upserts bucket at the restored width —
+    * restore across a [[rebucket]] restores the width too). */
+  def restore(spark: SparkSession, dir: String, toVersion: Long): Long =
+    retryOnConflict("restore", dir) {
+      val cur = versions(spark, dir).lastOption.getOrElse(
+        throw new IllegalArgumentException(s"no MergeTable at $dir"))
+      val old = readManifestFull(spark, dir, toVersion)
+      val next = cur + 1
+      commitManifest(spark, dir, next, old.entries, old.hexDigits,
+        old.fps)
+      next
+    }
+
   private def conflict(dir: String, v: Long,
       cause: Throwable): Nothing =
     throw new CommitConflictException(
@@ -642,9 +730,23 @@ object MergeTable {
       require(exprs.nonEmpty && exprs.length <= 2,
         s"merge_table(dir[, version]) takes 1-2 arguments, got ${exprs.length}")
       val dir = litString("merge_table", exprs.head, "dir")
-      val version = exprs.drop(1).headOption
-        .map(litLong("merge_table", _, "version"))
       val spark = org.apache.spark.sql.SparkSession.active
+      // the version argument is an integer literal (a version number)
+      // or a string literal (a tag name — resolved through the
+      // immutable pin, so `merge_table(dir, 'train-2026-08')` re-reads
+      // the exact snapshot that run pinned)
+      val version = exprs.drop(1).headOption.map { e =>
+        require(e.foldable, "merge_table: version must be a literal")
+        e.eval() match {
+          case i: java.lang.Integer => i.longValue
+          case l: java.lang.Long => l.longValue
+          case s: org.apache.spark.unsafe.types.UTF8String =>
+            tagVersion(spark, dir, s.toString)
+          case other => throw new IllegalArgumentException(
+            "merge_table: version must be an integer version or a " +
+              s"string tag name, got $other")
+        }
+      }
       readTable(spark, dir, version).queryExecution.logical
   }
 
@@ -1234,7 +1336,16 @@ object MergeTable {
     val sweepBefore = System.currentTimeMillis() - minFileAgeMs
     val fs = hadoopFs(spark, dir)
     val vs = versions(spark, dir)
-    val (drop, keep) = vs.splitAt(math.max(0, vs.size - retainVersions))
+    // tag-pinned versions are retained past the suffix window (and
+    // with them their files): a pin means "hold this snapshot" — the
+    // Iceberg ref-retention contract, without which a routine vacuum
+    // would silently break every reproducibility pin older than the
+    // retention horizon
+    val pinned = tags(spark, dir).values.toSet
+    val (dropRaw, keepSuffix) =
+      vs.splitAt(math.max(0, vs.size - retainVersions))
+    val drop = dropRaw.filterNot(pinned)
+    val keep = dropRaw.filter(pinned) ++ keepSuffix
     val live = keep.flatMap(readManifest(spark, dir, _)).toSet
     val cur = vs.lastOption.getOrElse(0L)
     // 1) expired manifests + stale commit temps (metadata only)
@@ -2255,6 +2366,51 @@ object MergeTable {
        |FROM r WHERE act IN (0, 1, 3, 4)
        |ORDER BY key""".stripMargin)
 
+  /** q162 — TAG + RESTORE acceptance: create the keyed orders table,
+    * land a bad batch (batch1), pin v1 under an immutable tag, RESTORE
+    * to the tag's version (a pure-metadata commit re-listing v1's
+    * files — zero rows moved), and dump the live table: it must equal
+    * the ORIGINAL base state row for row under the q140-family oracle
+    * (bucket column included — silent file widening or a stale head
+    * fails the hash). Three probes ride every row: the restored
+    * version number, the tag resolution, and the row count of the
+    * changefeed's 2→3 "undo" diff — the honest row-level price of the
+    * rollback (batch1's updates revert + its inserts delete), which
+    * the oracle re-derives from orders arithmetic. */
+  private val q162TagRestore = QueryDef(
+    (s, dir) => {
+      val root = graft.core.Timing.build {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft-q162").resolve("t").toString
+        val base = baseRows(s, dir).localCheckpoint(true)
+        create(base, out, "key")
+        upsert(s, out, batch1(base)): Unit
+        out
+      }
+      tag(s, root, "prerelease", Some(1L)): Unit
+      val v = restore(s, root, tagVersion(s, root, "prerelease"))
+      val undo = changes(s, root, 2L, v).count()
+      readTable(s, root)
+        .select("key", "cust", "status", "cents", "bucket")
+        .withColumn("restored_v", lit(v))
+        .withColumn("tag_v", lit(tagVersion(s, root, "prerelease")))
+        .withColumn("undo_rows", lit(undo))
+        .orderBy("key")
+    },
+    s"""WITH base AS (
+       |  SELECT o_orderkey AS key, o_custkey AS cust,
+       |         o_orderstatus AS status,
+       |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+       |  FROM orders)
+       |SELECT key, cust, status, cents,
+       |       ${bucketSql("key")} AS bucket,
+       |       CAST(3 AS BIGINT) AS restored_v,
+       |       CAST(1 AS BIGINT) AS tag_v,
+       |       (SELECT CAST(count(*) FILTER (WHERE key % 101 = 0)
+       |                  + count(*) FILTER (WHERE key % 103 = 0)
+       |               AS BIGINT) FROM base) AS undo_rows
+       |FROM base ORDER BY key""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
     "q148_table_fsck" -> q148TableFsck,
     "q140_cow_upsert" -> q140CowUpsert,
@@ -2272,5 +2428,6 @@ object MergeTable {
     "q159_sql_table" -> q159SqlTable,
     "q160_sql_changes" -> q160SqlChanges,
     "q161_merge_clauses" -> q161MergeClauses,
+    "q162_tag_restore" -> q162TagRestore,
   )
 }

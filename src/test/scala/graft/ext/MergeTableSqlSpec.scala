@@ -127,10 +127,16 @@ class MergeTableSqlSpec extends SparkSpec {
       spark.sql(s"SELECT * FROM merge_table('$dir', 1, 2)").collect()
     }
     assert(e1.getMessage.contains("1-2 arguments"))
+    // a STRING version argument resolves as a tag name (the
+    // reproducibility-pin idiom); an unknown one fails loudly
     val e2 = intercept[Exception] {
       spark.sql(s"SELECT * FROM merge_table('$dir', 'x')").collect()
     }
-    assert(e2.getMessage.contains("integer literal"))
+    assert(e2.getMessage.contains("no tag 'x'"))
+    val e2b = intercept[Exception] {
+      spark.sql(s"SELECT * FROM merge_table('$dir', 1.5)").collect()
+    }
+    assert(e2b.getMessage.contains("integer version or a string tag"))
     val e3 = intercept[Exception] {
       spark.sql(s"SELECT * FROM merge_table('$dir', 99)").collect()
     }
