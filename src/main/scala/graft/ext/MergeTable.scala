@@ -194,7 +194,8 @@ object MergeTable {
   }
 
   private final case class ManifestData(hexDigits: Int,
-    entries: Seq[String], fps: Map[String, String])
+    entries: Seq[String], fps: Map[String, String],
+    token: Option[String] = None)
 
   private def readManifestFull(spark: SparkSession, dir: String,
       v: Long): ManifestData = {
@@ -225,7 +226,10 @@ object MergeTable {
         val cut = body.indexOf(':')
         body.take(cut) -> body.drop(cut + 1)
     }.toMap
-    ManifestData(hex, lines.filterNot(_.startsWith("#")), fps)
+    val tok = lines.collectFirst {
+      case l if l.startsWith("#tok=") => l.drop(5)
+    }
+    ManifestData(hex, lines.filterNot(_.startsWith("#")), fps, tok)
   }
 
   private def readManifest(spark: SparkSession, dir: String,
@@ -364,7 +368,8 @@ object MergeTable {
       v: Long, entries: Seq[String],
       hexDigits: Int = HEX_DIGITS,
       fps: Map[String, String] = Map.empty,
-      beforePromote: () => Unit = () => ()): Unit = {
+      beforePromote: () => Unit = () => (),
+      token: Option[String] = None): Unit = {
     val fs = hadoopFs(spark, dir)
     fs.mkdirs(manifestDir(dir))
     val p = manifestPath(dir, v)
@@ -384,8 +389,14 @@ object MergeTable {
     val out = fs.create(tmp, true)
     val fpLines = fps.toSeq.sortBy(_._1)
       .map { case (b, fp) => s"#fp=$b:$fp" }
-    try out.write(((s"#hex=$hexDigits" +: fpLines) ++ entries.sorted)
-      .mkString("\n").getBytes("UTF-8"))
+    val tokLines = token.toSeq.map { t =>
+      require(!t.contains('\n') && !t.contains('\r'),
+        "idempotency token must be a single line")
+      s"#tok=$t"
+    }
+    try out.write(
+      ((s"#hex=$hexDigits" +: tokLines) ++ fpLines ++ entries.sorted)
+        .mkString("\n").getBytes("UTF-8"))
     finally out.close()
     beforePromote()
     val qualified = fs.makeQualified(p)
@@ -602,7 +613,8 @@ object MergeTable {
       rows: DataFrame, kept: Seq[String], hexDigits: Int,
       beforeCommit: () => Unit, blockBytes: Option[Long] = None,
       sortCols: Seq[String] = Nil, dropAfterSort: Seq[String] = Nil,
-      keptFps: Map[String, String] = Map.empty)
+      keptFps: Map[String, String] = Map.empty,
+      token: Option[String] = None)
       : Seq[String] = {
     val epochName = s"v=$next-${attemptTag()}"
     writeEpoch(rows, dir, epochName, hexDigits, blockBytes, sortCols,
@@ -614,7 +626,7 @@ object MergeTable {
     beforeCommit()
     try {
       commitManifest(spark, dir, next, kept ++ fresh, hexDigits,
-        keptFps ++ freshFps)
+        keptFps ++ freshFps, token = token)
       fresh
     }
     catch { case e: CommitConflictException =>
@@ -765,10 +777,25 @@ object MergeTable {
         s"table_changes(dir, fromV[, toV]) takes 2-3 arguments, " +
           s"got ${exprs.length}")
       val dir = litString("table_changes", exprs.head, "dir")
-      val fromV = litLong("table_changes", exprs(1), "fromV")
       val spark = org.apache.spark.sql.SparkSession.active
-      val toV = exprs.drop(2).headOption
-        .map(litLong("table_changes", _, "toV"))
+      // endpoints are integer versions or string TAG names — so
+      // `table_changes(dir, 'release-7', 'release-8')` is the diff
+      // between two pinned snapshots, the release-note idiom
+      def endpoint(e: org.apache.spark.sql.catalyst.expressions
+          .Expression, what: String): Long = {
+        require(e.foldable, s"table_changes: $what must be a literal")
+        e.eval() match {
+          case i: java.lang.Integer => i.longValue
+          case l: java.lang.Long => l.longValue
+          case s: org.apache.spark.unsafe.types.UTF8String =>
+            tagVersion(spark, dir, s.toString)
+          case other => throw new IllegalArgumentException(
+            s"table_changes: $what must be an integer version or a " +
+              s"string tag name, got $other")
+        }
+      }
+      val fromV = endpoint(exprs(1), "fromV")
+      val toV = exprs.drop(2).headOption.map(endpoint(_, "toV"))
         .getOrElse(versions(spark, dir).max)
       changes(spark, dir, fromV, toV).queryExecution.logical
   }
@@ -1063,7 +1090,8 @@ object MergeTable {
   def merge(spark: SparkSession, dir: String, source: DataFrame,
       matched: Seq[MergeWhen] = Nil,
       notMatched: Seq[MergeWhen] = Nil,
-      notMatchedBySource: Seq[MergeWhen] = Nil): MergeStats =
+      notMatchedBySource: Seq[MergeWhen] = Nil,
+      idempotencyToken: Option[String] = None): MergeStats =
     retryOnConflict("merge", dir) {
       import MergeAction._
       require(matched.nonEmpty || notMatched.nonEmpty ||
@@ -1194,11 +1222,36 @@ object MergeTable {
         .withColumn("bucket", bucketCol(col(key), man.hexDigits))
       val next = cur + 1
       val fresh = commitEpoch(spark, dir, next, survivors, kept,
-        man.hexDigits, () => (), keptFps = man.fps -- impacted)
+        man.hexDigits, () => (), keptFps = man.fps -- impacted,
+        token = idempotencyToken)
       MergeStats(next, impacted.size.toLong, rewritten.size.toLong,
         fresh.size.toLong, total(updatedIds), total(deleteIds),
         total(insertIds), counts.getOrElse(0, 0L))
     }
+
+  /** The highest micro-batch id a streaming writer (`streamId`) has
+    * COMMITTED into this table — read from the `#tok=<streamId>:<id>`
+    * manifest annotation a token-carrying [[merge]] wrote, scanning
+    * retained manifests newest-first (first hit wins). The token rides
+    * the SAME atomic manifest promotion as the data, which is what
+    * makes a non-replay-idempotent merge EXACTLY-ONCE under
+    * foreachBatch's at-least-once delivery: a crash between the table
+    * commit and the checkpoint commit replays the batch, the gate sees
+    * its own token, and the replay skips — there is no window where
+    * data landed but the marker did not. (The upsert stream needs no
+    * token because upsert is idempotent BY VALUE; a clause merge is
+    * not — a matched Delete turns a replayed row into a not-matched
+    * insert candidate.) Retention coupling: any vacuum retaining ≥ 1
+    * version retains the newest token by construction. */
+  def lastAppliedBatch(spark: SparkSession, dir: String,
+      streamId: String): Option[Long] = {
+    val pfx = s"$streamId:"
+    versions(spark, dir).reverse.iterator
+      .map(v => readManifestFull(spark, dir, v).token)
+      .collectFirst {
+        case Some(t) if t.startsWith(pfx) => t.drop(pfx.length).toLong
+      }
+  }
 
   /** OPTIMIZE — a contents-invariant, layout-changing version: rewrite
     * every bucket with rows sorted by `sortCol` (so parquet row-group

@@ -57,4 +57,50 @@ object MergeStream {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** AvailableNow CLAUSE drain — [[graft.ext.MergeTable.merge]] per
+    * micro-batch, made EXACTLY-ONCE by an idempotency token committed
+    * ATOMICALLY INSIDE the table's own manifest (`#tok=<stream>:<id>`).
+    * The plain [[start]] path needs no such gate because upsert is
+    * idempotent by value; a clause merge is NOT — a matched Delete
+    * turns a replayed row into a not-matched insert candidate, and a
+    * relative Update (`tgt.cents + 1`) accumulates — so at-least-once
+    * replay must be de-duplicated, and the only sound place for the
+    * marker is the same atomic commit that carries the data (a
+    * separate marker file would re-open the crash window between the
+    * two writes). Each batch checks
+    * [[graft.ext.MergeTable.lastAppliedBatch]] and skips ids at or
+    * below it; the streamId derives from the checkpoint path (stable
+    * across restarts) unless given explicitly — give it explicitly
+    * when several streams share one checkpoint ROOT.
+    *
+    * `notMatchedBySource` is deliberately absent: a by-source clause
+    * prices a FULL-TABLE pass, which per micro-batch is a footgun —
+    * run it as a batch maintenance [[graft.ext.MergeTable.merge]]
+    * instead. */
+  def startClauses(source: DataFrame, dir: String, checkpoint: String,
+      matched: Seq[graft.ext.MergeTable.MergeWhen] = Nil,
+      notMatched: Seq[graft.ext.MergeTable.MergeWhen] = Nil,
+      seqCol: Option[String] = None,
+      streamId: Option[String] = None): StreamingQuery = {
+    val sid = streamId.getOrElse("mrg-" +
+      java.util.UUID.nameUUIDFromBytes(checkpoint.getBytes("UTF-8"))
+        .toString.take(8))
+    source.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val sp = batch.sparkSession
+        if (!graft.ext.MergeTable.lastAppliedBatch(sp, dir, sid)
+            .exists(_ >= id)) {
+          val toApply = seqCol.fold(batch)(sc =>
+            latestBy(batch, graft.ext.MergeTable.keyOf(sp, dir), sc))
+          graft.ext.MergeTable.merge(sp, dir, toApply,
+            matched = matched, notMatched = notMatched,
+            idempotencyToken = Some(s"$sid:$id")): Unit
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
 }

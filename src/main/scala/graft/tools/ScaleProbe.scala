@@ -75,7 +75,8 @@ object ScaleProbe {
       closureS: Double, nComponents: Long, exciseS: Double,
       dupTokens: Long, cowS: Double, cowFiles: Long, cowRows: Long,
       cowRowsWide: Long, diffOptS: Double, diffOptBuckets: Long,
-      lookupS: Double, lookupApiS: Double, lookupFiles: Long)
+      lookupS: Double, lookupApiS: Double, lookupFiles: Long,
+      mergeS: Double, mergeFiles: Long, restoreS: Double)
 
     val cells = scales.map { sc =>
       val n = baseN * sc
@@ -261,10 +262,47 @@ object ScaleProbe {
         s"point lookup scanned $lookupFiles files for " +
           s"${lookKeys.size} keys — pruning did not hold")
 
+      // --- conditional MERGE: the clause path shares upsert's
+      // impacted-bucket discipline, so a CONSTANT source against the
+      // growing table must stay O(source buckets) — files written
+      // bounded by the source's distinct buckets, wall time flat in
+      // table size (exponent ≈ 0). The clause set exercises all of
+      // update/delete/insert so the full-outer classify path is what
+      // gets timed, not a degenerate branch.
+      val mergeSrc = spark.range(20).select(
+        (col("id") * 101).as("key"), lit(-7L).as("payload"))
+        .localCheckpoint(true)
+      var mergeFiles = 0L
+      val mergeS = timeMinOf(1) {
+        mergeFiles = graft.ext.MergeTable.merge(spark, tbl, mergeSrc,
+          matched = Seq(
+            graft.ext.MergeTable.MergeWhen(
+              Some(col("tgt.key") % 2 === 0),
+              graft.ext.MergeTable.MergeAction.Update(
+                Map("payload" -> col("src.payload")))),
+            graft.ext.MergeTable.MergeWhen(None,
+              graft.ext.MergeTable.MergeAction.Delete)),
+          notMatched = Seq(graft.ext.MergeTable.MergeWhen(None,
+            graft.ext.MergeTable.MergeAction.UpdateAll))).filesWritten
+      }
+      val mergeSrcBuckets = mergeSrc
+        .select(substring(md5(col("key").cast("string")), 1, 3))
+        .distinct().count()
+      require(mergeFiles <= mergeSrcBuckets,
+        s"merge wrote $mergeFiles files for a $mergeSrcBuckets-bucket " +
+          "source — the impacted-bucket discipline did not hold")
+
+      // --- RESTORE: rollback is a pure-metadata commit (re-list an
+      // old manifest); its cost must be O(manifest), flat in row count.
+      val restoreS = timeMinOf(1) {
+        graft.ext.MergeTable.restore(spark, tbl,
+          graft.ext.MergeTable.versions(spark, tbl).max - 1): Unit
+      }
+
       val cell = Cell(sc, n, buildS, serveS, candPerQuery, pairS,
         candPairs, planes, closureS, nComp, exciseS, dupToks,
         cowS, cowFiles, cowRows, cowRowsWide, diffOptS, diffOptBuckets,
-        lookupS, lookupApiS, lookupFiles)
+        lookupS, lookupApiS, lookupFiles, mergeS, mergeFiles, restoreS)
       println(f"[scaleprobe] scale=${sc}x n=$n build=${buildS}%.2fs " +
         f"serve=${serveS}%.2fs cand/q=${candPerQuery}%.1f " +
         f"pairscan=${pairS}%.2fs candpairs=$candPairs planes=$planes " +
@@ -276,7 +314,9 @@ object ScaleProbe {
         f"diff_across_optimize=${diffOptS}%.2fs " +
         f"(buckets=$diffOptBuckets) " +
         f"lookup=${lookupS}%.2fs lookup_api=${lookupApiS}%.2fs " +
-        f"lookup_files=$lookupFiles")
+        f"lookup_files=$lookupFiles " +
+        f"merge=${mergeS}%.2fs merge_files=$mergeFiles " +
+        f"restore=${restoreS}%.2fs")
       cell
     }
 
@@ -299,7 +339,10 @@ object ScaleProbe {
       f"diff_across_optimize_time=${expo(_.diffOptS)}%.2f " +
       f"lookup_time=${expo(_.lookupS)}%.2f " +
       f"lookup_api_time=${expo(_.lookupApiS)}%.2f " +
-      f"lookup_files=${expo(_.lookupFiles.toDouble)}%.2f")
+      f"lookup_files=${expo(_.lookupFiles.toDouble)}%.2f " +
+      f"merge_time=${expo(_.mergeS)}%.2f " +
+      f"merge_files=${expo(_.mergeFiles.toDouble)}%.2f " +
+      f"restore_time=${expo(_.restoreS)}%.2f")
 
     // --- MANIFEST SCALING LEG (vs BUCKET COUNT, not corpus size) ---
     // Manifests re-list every live file each commit, so commit metadata

@@ -94,6 +94,15 @@ class MergeTableSqlSpec extends SparkSpec {
     assert(spark.sql(
       s"SELECT count(*) AS c FROM table_changes('$dir', 3, 4)")
       .collect().head.getLong(0) === 0L)
+    // endpoints as TAG names: the diff between two pinned snapshots
+    MergeTable.tag(spark, dir, "r1", Some(1L))
+    MergeTable.tag(spark, dir, "r3", Some(3L))
+    val tagged = spark.sql(
+      s"""SELECT key, change FROM table_changes('$dir', 'r1', 'r3')
+         |ORDER BY key""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(tagged === Seq((7L, "update"), (13L, "delete"),
+      (901L, "insert")))
     val e = intercept[Exception] {
       spark.sql(s"SELECT * FROM table_changes('$dir')").collect()
     }

@@ -71,4 +71,87 @@ class MergeStreamSpec extends SparkSpec {
     assert(err.getMessage.contains("one row per key") ||
       Option(err.getCause).exists(_.getMessage.contains("one row per key")))
   }
+
+  private def clauseSet = (
+    Seq(graft.ext.MergeTable.MergeWhen(None,
+      graft.ext.MergeTable.MergeAction.Delete)),
+    Seq(graft.ext.MergeTable.MergeWhen(None,
+      graft.ext.MergeTable.MergeAction.UpdateAll)))
+
+  test("clause drain is EXACTLY-ONCE under replay: the in-manifest " +
+      "token gates a re-delivered batch, so a matched delete cannot " +
+      "flip back into a not-matched insert") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("merge-cl").toString + "/t"
+    val ckpt = Files.createTempDirectory("merge-cl-ckpt").toString
+    graft.ext.MergeTable.create(
+      (1L to 10L).map(i => CdcRow(i, s"v$i")).toDF(), dir, "key")
+    val (m, nm) = clauseSet // matched rows die, new keys insert
+    def vals(keys: Long*): Map[Long, String] =
+      graft.ext.MergeTable.readTable(spark, dir)
+        .filter(col("key").isin(keys: _*)).select("key", "value")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val input = MemoryStream[CdcRow]
+    input.addData(CdcRow(3, "x"), CdcRow(30, "ins"))
+    // simulate the crash window: the TABLE commit landed (with the
+    // stream's token for batch 0) but the CHECKPOINT commit did not —
+    // exactly the state a kill between the two leaves behind
+    graft.ext.MergeTable.merge(spark, dir,
+      Seq(CdcRow(3, "x"), CdcRow(30, "ins")).toDF(),
+      matched = m, notMatched = nm,
+      idempotencyToken = Some("s1:0"))
+    assert(vals(3L, 30L) === Map(30L -> "ins"), "3 deleted, 30 inserted")
+    assert(graft.ext.MergeTable.lastAppliedBatch(spark, dir, "s1")
+      === Some(0L))
+    // restart: foreachBatch re-delivers batch 0; without the gate the
+    // replay would RE-INSERT 3 (now not-matched) and DELETE 30 (now
+    // matched) — the flip-flop that makes clause merges non-idempotent
+    MergeStream.startClauses(input.toDF(), dir, ckpt,
+      matched = m, notMatched = nm, streamId = Some("s1"))
+      .awaitTermination()
+    assert(vals(3L, 30L) === Map(30L -> "ins"),
+      "the replayed batch must be skipped, not re-applied")
+    // a genuinely NEW batch still applies (and advances the token)
+    input.addData(CdcRow(30, "y"), CdcRow(40, "ins2"))
+    MergeStream.startClauses(input.toDF(), dir, ckpt,
+      matched = m, notMatched = nm, streamId = Some("s1"))
+      .awaitTermination()
+    assert(vals(3L, 30L, 40L) === Map(40L -> "ins2"),
+      "30 matched its second change and died; 40 inserted")
+    assert(graft.ext.MergeTable.lastAppliedBatch(spark, dir, "s1")
+      === Some(1L))
+    // foreign tokens never gate this stream
+    assert(graft.ext.MergeTable.lastAppliedBatch(spark, dir, "other")
+      === None)
+  }
+
+  test("clause drain composes with the seq collapse: several changes " +
+      "to one key in one micro-batch apply as the key's final word " +
+      "through the clause algebra") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("merge-clseq").toString + "/t"
+    val ckpt = Files.createTempDirectory("merge-clseq-ckpt").toString
+    graft.ext.MergeTable.create(
+      (1L to 10L).map(i => SeqCdcRow(i, s"v$i", 0L)).toDF(), dir, "key")
+    val input = MemoryStream[SeqCdcRow]
+    // key 4: two changes in one batch — only the seq-latest ("keep")
+    // reaches the clauses, so the conditional update fires on it
+    input.addData(SeqCdcRow(4, "drop", 1), SeqCdcRow(4, "keep", 2),
+      SeqCdcRow(50, "new", 1))
+    MergeStream.startClauses(input.toDF(), dir, ckpt,
+      matched = Seq(graft.ext.MergeTable.MergeWhen(
+        Some(col("src.value") === "keep"),
+        graft.ext.MergeTable.MergeAction.Update(
+          Map("value" -> col("src.value"))))),
+      notMatched = Seq(graft.ext.MergeTable.MergeWhen(None,
+        graft.ext.MergeTable.MergeAction.UpdateAll)),
+      seqCol = Some("seq")).awaitTermination()
+    val got = graft.ext.MergeTable.readTable(spark, dir)
+      .filter(col("key").isin(4L, 50L)).select("key", "value")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(4L -> "keep", 50L -> "new"))
+    assert(graft.ext.MergeTable.readTable(spark, dir).count() === 11L)
+  }
 }
