@@ -285,7 +285,12 @@ object MergeTable {
     v
   }
 
-  /** Every tag at `dir` (empty when none). */
+  /** Every tag at `dir` (empty when none). A TORN tag file (a crash
+    * between create and write left non-numeric content) fails LOUDLY
+    * by name rather than being skipped: [[vacuum]] reads this map to
+    * decide which versions a pin holds, and silently ignoring an
+    * unreadable pin could sweep the exact snapshot it was protecting —
+    * the operator deletes the named file (or re-tags) deliberately. */
   def tags(spark: SparkSession, dir: String): Map[String, Long] = {
     val fs = hadoopFs(spark, dir)
     val td = tagsDir(dir)
@@ -295,7 +300,11 @@ object MergeTable {
       val s =
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
         finally in.close()
-      st.getPath.getName -> s.toLong
+      val v = s.toLongOption.getOrElse(throw new IllegalStateException(
+        s"torn tag file ${st.getPath}: content '$s' is not a version " +
+          "— delete it (or re-tag) before vacuuming; a torn pin " +
+          "cannot be honored and must not be silently dropped"))
+      st.getPath.getName -> v
     }.toMap
   }
 

@@ -55,6 +55,18 @@ class TagRestoreSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException] {
       MergeTable.tagVersion(spark, dir, "ghost")
     }.getMessage.contains("no tag"))
+    // a TORN tag file (crash between create and write) fails loudly
+    // by name — vacuum must never silently drop a pin it cannot read
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val torn = new org.apache.hadoop.fs.Path(s"$dir/_tags/torn")
+    val out = fs.create(torn, true)
+    try out.write("not-a-version".getBytes("UTF-8")) finally out.close()
+    assert(intercept[IllegalStateException] {
+      MergeTable.tags(spark, dir)
+    }.getMessage.contains("torn tag file"))
+    fs.delete(torn, false)
+    assert(MergeTable.tags(spark, dir).keySet === Set("baseline", "head"))
   }
 
   test("vacuum retains tag-pinned versions and their files past the " +
