@@ -321,6 +321,108 @@ object MergeTable {
   def dropTag(spark: SparkSession, dir: String, name: String): Boolean =
     hadoopFs(spark, dir).delete(new Path(tagsDir(dir), name), false)
 
+  // ── CHECK constraints: write-time invariants ────────────────────
+
+  private def constraintsDir(dir: String) = new Path(dir, "_constraints")
+
+  /** Declare a CHECK constraint (`_constraints/<name>`, one SQL
+    * boolean expression over payload columns) — the at-rest twin of
+    * the ingest layer's NOT-NULL validation. EXISTING data is
+    * validated first (one O(snapshot) scan, the Delta ADD CONSTRAINT
+    * contract: a constraint that does not already hold would make
+    * every later rejection arbitrary). Semantics are SQL CHECK: a row
+    * violates only when the expression evaluates FALSE — NULL passes,
+    * so a constraint over a column older rows never stored (extend-
+    * only evolution) does not reject them. Every [[upsert]] and
+    * [[merge]] then validates exactly the rows it is about to write —
+    * O(written rows), never the table — and fails LOUDLY with
+    * per-constraint violation counts, committing nothing. Immutable
+    * like a tag: [[dropConstraint]] + re-add to change. */
+  def addConstraint(spark: SparkSession, dir: String, name: String,
+      sqlExpr: String): Unit = {
+    require(TagName.matches(name),
+      s"constraint name '$name' must match ${TagName.regex}")
+    require(sqlExpr.trim.nonEmpty && !sqlExpr.contains('\n'),
+      "constraint expression must be one non-empty line")
+    val bad = readTable(spark, dir).filter(
+      coalesce(expr(sqlExpr).cast("boolean"), lit(true)) === false)
+      .count()
+    require(bad == 0L,
+      s"constraint '$name' ($sqlExpr) does not hold on the existing " +
+        s"snapshot: $bad row(s) violate — clean the data first")
+    val fs = hadoopFs(spark, dir)
+    fs.mkdirs(constraintsDir(dir)): Unit
+    val p = new Path(constraintsDir(dir), name)
+    val out =
+      try fs.create(p, false)
+      catch { case e: java.io.IOException if fs.exists(p) =>
+        throw new IllegalArgumentException(
+          s"constraint '$name' already exists at $dir (constraints " +
+            "are immutable — dropConstraint first)", e)
+      }
+    try out.write(sqlExpr.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Every CHECK constraint at `dir` (name -> SQL expression). A torn
+    * file fails loudly by name — the write path reads this map to
+    * decide what to reject, and guessing would make enforcement
+    * arbitrary. */
+  def constraints(spark: SparkSession, dir: String): Map[String, String] = {
+    val fs = hadoopFs(spark, dir)
+    val cd = constraintsDir(dir)
+    if (!fs.exists(cd)) Map.empty
+    else fs.listStatus(cd).filter(_.isFile).map { st =>
+      val in = fs.open(st.getPath)
+      val s =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      if (s.isEmpty) throw new IllegalStateException(
+        s"torn constraint file ${st.getPath}: empty expression — " +
+          "delete it (or re-add) before writing")
+      st.getPath.getName -> s
+    }.toMap
+  }
+
+  /** Drop a CHECK constraint; returns whether it existed. */
+  def dropConstraint(spark: SparkSession, dir: String,
+      name: String): Boolean =
+    hadoopFs(spark, dir).delete(new Path(constraintsDir(dir), name), false)
+
+  /** One aggregate over the rows `op` is about to write: per-
+    * constraint violation counts; any violation aborts BEFORE the
+    * epoch write, so nothing — file or manifest — lands. */
+  private def enforceConstraints(spark: SparkSession, dir: String,
+      rows: DataFrame, op: String): Unit = {
+    val all = constraints(spark, dir).toSeq.sortBy(_._1)
+    if (all.isEmpty) return
+    // a constraint whose column does not RESOLVE on this write's rows
+    // is the extend-only evolution case: the epoch being written never
+    // stored that column, so every written row reads NULL for it —
+    // NULL passes SQL CHECK, so the constraint passes this write
+    // wholesale. (It cannot be a typo: addConstraint resolved the
+    // expression against the live snapshot, and evolution never drops
+    // a column.)
+    val cs = all.filter { case (_, e) =>
+      scala.util.Try(rows.select(expr(e))).isSuccess
+    }
+    if (cs.isEmpty) return
+    val aggs = cs.map { case (n, e) =>
+      coalesce(sum(when(
+        coalesce(expr(e).cast("boolean"), lit(true)) === false,
+        1L).otherwise(0L)), lit(0L)).as(s"c_$n")
+    }
+    val row = rows.agg(aggs.head, aggs.tail: _*).collect().head
+    val viols = cs.zipWithIndex
+      .map { case ((n, e), i) => (n, e, row.getLong(i)) }
+      .filter(_._3 > 0L)
+    if (viols.nonEmpty)
+      throw new IllegalStateException(
+        s"$op at $dir rejected by CHECK constraint(s): " +
+          viols.map { case (n, e, c) => s"$n ($e): $c row(s)" }
+            .mkString("; ") +
+          " — nothing was committed")
+  }
+
   /** RESTORE — roll the live table back (or forward) to `toVersion`'s
     * snapshot by committing a NEW version that re-lists that
     * snapshot's files: pure metadata, O(manifest), zero rows moved or
@@ -995,6 +1097,7 @@ object MergeTable {
         .join(batch.select(key), Seq(key), "left_anti")
         .unionByName(batch, allowMissingColumns = true)
         .localCheckpoint(true) // materialize before writing the epoch
+      enforceConstraints(spark, dir, merged, "upsert")
       val next = cur + 1
       val fresh = commitEpoch(spark, dir, next, merged, kept,
         man.hexDigits, beforeCommit, keptFps = man.fps -- impacted)
@@ -1229,6 +1332,7 @@ object MergeTable {
         .filter(!col("__act").isin(doomed: _*))
         .select(col("__gk").as(key) +: outExprs: _*)
         .withColumn("bucket", bucketCol(col(key), man.hexDigits))
+      enforceConstraints(spark, dir, survivors, "merge")
       val next = cur + 1
       val fresh = commitEpoch(spark, dir, next, survivors, kept,
         man.hexDigits, () => (), keptFps = man.fps -- impacted,
@@ -2473,6 +2577,59 @@ object MergeTable {
        |               AS BIGINT) FROM base) AS undo_rows
        |FROM base ORDER BY key""".stripMargin)
 
+  /** q163 — CHECK constraint acceptance: declare `cents >= 0` on the
+    * keyed orders table (existing data validates clean), attempt an
+    * upsert whose batch drives a deterministic subset negative — the
+    * write must be REJECTED ATOMICALLY (no version commits; the
+    * in-query `require`s gate both the throw and the untouched version
+    * list) — then apply a clean batch and dump the full final state:
+    * the rejected batch must have left no trace, the accepted one all
+    * of its rows. Probes riding every row: the violating-row count the
+    * oracle re-derives from orders arithmetic, and the constraint
+    * count. */
+  private val q163CheckConstraint = QueryDef(
+    (s, dir) => {
+      val root = graft.core.Timing.build {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft-q163").resolve("t").toString
+        create(baseRows(s, dir).select("key", "cents", "status"), out,
+          "key")
+        out
+      }
+      addConstraint(s, root, "cents_nonneg", "cents >= 0")
+      val t = readTable(s, root).select("key", "cents", "status")
+      val badBatch = t.filter(col("key") % 11 === 0)
+        .withColumn("cents", col("cents") - 10000000L)
+      val nViol = badBatch.filter(col("cents") < 0).count()
+      require(nViol > 0, "q163 fixture: the batch must carry violations")
+      val rejected =
+        try { upsert(s, root, badBatch); false }
+        catch { case e: IllegalStateException
+            if e.getMessage.contains("cents_nonneg") => true }
+      require(rejected, "q163: the violating batch must be rejected")
+      require(versions(s, root) == Seq(1L),
+        "q163: a rejected batch must commit nothing")
+      upsert(s, root, t.filter(col("key") % 13 === 0)
+        .withColumn("cents", col("cents") + 7)): Unit
+      readTable(s, root).select("key", "cents", "status")
+        .withColumn("n_viol", lit(nViol))
+        .withColumn("n_cons", lit(constraints(s, root).size.toLong))
+        .orderBy("key")
+    },
+    s"""WITH base AS (
+       |  SELECT o_orderkey AS key,
+       |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+       |         o_orderstatus AS status
+       |  FROM orders)
+       |SELECT key,
+       |       CASE WHEN key % 13 = 0 THEN cents + 7
+       |            ELSE cents END AS cents,
+       |       status,
+       |       (SELECT CAST(count(*) AS BIGINT) FROM base
+       |        WHERE key % 11 = 0 AND cents - 10000000 < 0) AS n_viol,
+       |       CAST(1 AS BIGINT) AS n_cons
+       |FROM base ORDER BY key""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
     "q148_table_fsck" -> q148TableFsck,
     "q140_cow_upsert" -> q140CowUpsert,
@@ -2491,5 +2648,6 @@ object MergeTable {
     "q160_sql_changes" -> q160SqlChanges,
     "q161_merge_clauses" -> q161MergeClauses,
     "q162_tag_restore" -> q162TagRestore,
+    "q163_check_constraint" -> q163CheckConstraint,
   )
 }
