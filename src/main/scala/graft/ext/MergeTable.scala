@@ -592,7 +592,7 @@ object MergeTable {
   }
 
   final case class FsckReport(referenced: Long, orphans: Long,
-    missing: Long)
+    missing: Long, danglingTags: Seq[String] = Nil)
 
   /** FSCK — audit the data directory against the retained manifests:
     * `referenced` = live manifest entries, `orphans` = files on disk no
@@ -621,9 +621,17 @@ object MergeTable {
             }
         }
       }
+    // a DANGLING tag names a version no retained manifest backs —
+    // impossible through this API (vacuum retains pinned versions;
+    // tag() validates its target), so any hit is external damage the
+    // audit must surface: the pin's reproducibility promise is broken
+    val vs = versions(spark, dir).toSet
+    val dangling = tags(spark, dir).collect {
+      case (n, v) if !vs.contains(v) => s"$n->v$v"
+    }.toSeq.sorted
     FsckReport(referenced.size.toLong,
       (onDisk.toSet -- referenced).size.toLong,
-      (referenced -- onDisk).size.toLong)
+      (referenced -- onDisk).size.toLong, dangling)
   }
 
   final case class FsckDeepReport(bucketsChecked: Long,

@@ -67,6 +67,14 @@ class TagRestoreSpec extends SparkSpec {
     }.getMessage.contains("torn tag file"))
     fs.delete(torn, false)
     assert(MergeTable.tags(spark, dir).keySet === Set("baseline", "head"))
+    // fsck surfaces a DANGLING pin (external damage: the manifest a
+    // tag names was removed behind the API's back)
+    assert(MergeTable.fsck(spark, dir).danglingTags === Nil)
+    val out2 = fs.create(
+      new org.apache.hadoop.fs.Path(s"$dir/_tags/lost"), true)
+    try out2.write("77".getBytes("UTF-8")) finally out2.close()
+    assert(MergeTable.fsck(spark, dir).danglingTags === Seq("lost->v77"))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_tags/lost"), false)
   }
 
   test("vacuum retains tag-pinned versions and their files past the " +
