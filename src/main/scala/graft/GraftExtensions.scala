@@ -40,6 +40,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(graft.ext.MergeTable.getClass.getName,
         "merge_table_history"),
       graft.ext.MergeTable.historyFunctionBuilder))
+    // one-row DESCRIBE DETAIL idiom (metadata only, zero data reads)
+    e.injectTableFunction((
+      new FunctionIdentifier("merge_table_detail"),
+      new ExpressionInfo(graft.ext.MergeTable.getClass.getName,
+        "merge_table_detail"),
+      graft.ext.MergeTable.detailFunctionBuilder))
     e.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),

@@ -950,14 +950,50 @@ object MergeTable {
     rows.toDF("v", "files", "buckets", "rows")
   }
 
+  /** Builder for `merge_table_detail(dir)`: the one-row DESCRIBE
+    * DETAIL idiom — key column, live version, bucket width, live
+    * files/buckets, manifest-attested row count (null where any
+    * bucket is unattested), retained versions, tags, constraints —
+    * all from metadata, zero data reads. */
+  private[graft] val detailFunctionBuilder
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    exprs =>
+      require(exprs.length == 1,
+        s"merge_table_detail(dir) takes 1 argument, got ${exprs.length}")
+      val dir = litString("merge_table_detail", exprs.head, "dir")
+      val spark = org.apache.spark.sql.SparkSession.active
+      detail(spark, dir).queryExecution.logical
+  }
+
+  /** The metadata-only table detail behind `merge_table_detail`. */
+  def detail(spark: SparkSession, dir: String): DataFrame = {
+    val vs = versions(spark, dir)
+    val cur = vs.lastOption.getOrElse(
+      throw new IllegalArgumentException(s"no MergeTable at $dir"))
+    val md = readManifestFull(spark, dir, cur)
+    val buckets = md.entries.map(bucketOfEntry).distinct
+    val attested = fpTotal(md.fps, buckets.toSet)
+    import spark.implicits._
+    Seq((keyMeta(spark, dir, None), cur, md.hexDigits.toLong,
+      md.entries.size.toLong, buckets.size.toLong,
+      attested.map(_._1), vs.size.toLong,
+      tags(spark, dir).size.toLong,
+      constraints(spark, dir).size.toLong))
+      .toDF("key_col", "version", "hex_digits", "files", "buckets",
+        "rows", "versions_retained", "tags", "constraints")
+  }
+
   /** Register the SQL table-valued surface (`merge_table`,
-    * `table_changes`, `merge_table_history`) on a session built
+    * `table_changes`, `merge_table_history`, `merge_table_detail`) on
+    * a session built
     * without `spark.sql.extensions=graft.GraftExtensions` —
     * idempotent (re-registration overwrites with the same builder). */
   def registerSql(spark: SparkSession): Unit =
     Seq("merge_table" -> tableFunctionBuilder,
       "table_changes" -> changesFunctionBuilder,
-      "merge_table_history" -> historyFunctionBuilder)
+      "merge_table_history" -> historyFunctionBuilder,
+      "merge_table_detail" -> detailFunctionBuilder)
       .foreach { case (name, builder) =>
         spark.sessionState.tableFunctionRegistry.registerFunction(
           new org.apache.spark.sql.catalyst.FunctionIdentifier(name),

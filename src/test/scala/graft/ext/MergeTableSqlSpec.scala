@@ -129,6 +129,33 @@ class MergeTableSqlSpec extends SparkSpec {
     assert(e.getMessage.contains("takes 1 argument"))
   }
 
+  test("merge_table_detail() is the one-row DESCRIBE DETAIL idiom: " +
+      "key, version, width, files, attested rows, tags, constraints — " +
+      "all metadata, tracking the lifecycle") {
+    import spark.implicits._
+    val dir = mkTable(100)
+    MergeTable.upsert(spark, dir,
+      Seq((901L, "new")).toDF("key", "value"))
+    MergeTable.tag(spark, dir, "pin", Some(1L))
+    MergeTable.addConstraint(spark, dir, "v_nonempty",
+      "length(value) > 0")
+    val r = spark.sql(
+      s"""SELECT key_col, version, hex_digits, files, buckets, rows,
+         |       versions_retained, tags, constraints
+         |FROM merge_table_detail('$dir')""".stripMargin).collect()
+    assert(r.length === 1)
+    val d = r.head
+    assert(d.getString(0) === "key" && d.getLong(1) === 2L &&
+      d.getLong(2) === 2L && d.getLong(5) === 101L &&
+      d.getLong(6) === 2L && d.getLong(7) === 1L && d.getLong(8) === 1L)
+    assert(d.getLong(3) === d.getLong(4),
+      "one live file per bucket by the epoch writer's construction")
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM merge_table_detail()").collect()
+    }
+    assert(e.getMessage.contains("takes 1 argument"))
+  }
+
   test("malformed calls fail loudly: wrong arity, bad version value, " +
       "vacuumed/never-committed version") {
     val dir = mkTable()
