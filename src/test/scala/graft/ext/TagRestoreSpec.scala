@@ -138,6 +138,12 @@ class TagRestoreSpec extends SparkSpec {
     assert(MergeTable.readTable(spark, dir)
       .filter(col("key") === 2L).select("value")
       .collect().head.getString(0) === "Z")
+    // the restored manifest inherited v1's content fingerprints
+    // verbatim — the deep audit must re-attest them against the
+    // re-referenced files, across the vacuum and the later upsert
+    val deep = MergeTable.fsckDeep(spark, dir)
+    assert(deep.mismatched.isEmpty && deep.unattested.isEmpty,
+      s"fingerprint inheritance must survive restore: $deep")
   }
 
   test("restore across a rebucket restores the WIDTH too, and SQL " +
