@@ -195,7 +195,7 @@ object MergeTable {
 
   private final case class ManifestData(hexDigits: Int,
     entries: Seq[String], fps: Map[String, String],
-    token: Option[String] = None)
+    tokens: Map[String, Long] = Map.empty)
 
   private def readManifestFull(spark: SparkSession, dir: String,
       v: Long): ManifestData = {
@@ -226,10 +226,20 @@ object MergeTable {
         val cut = body.indexOf(':')
         body.take(cut) -> body.drop(cut + 1)
     }.toMap
-    val tok = lines.collectFirst {
-      case l if l.startsWith("#tok=") => l.drop(5)
-    }
-    ManifestData(hex, lines.filterNot(_.startsWith("#")), fps, tok)
+    // every snapshot CARRIES FORWARD all streams' newest idempotency
+    // tokens (one #tok=<streamId>:<batchId> line per stream — the
+    // Delta per-app txn-version model), so the LATEST manifest alone
+    // answers [[lastAppliedBatch]] and no interleaved non-token writer
+    // + vacuum can drop a stream's replay gate. The streamId may
+    // itself contain ':'; the batch id never does, so split at the
+    // LAST colon.
+    val toks = lines.collect {
+      case l if l.startsWith("#tok=") =>
+        val body = l.drop(5)
+        val cut = body.lastIndexOf(':')
+        body.take(cut) -> body.drop(cut + 1).toLong
+    }.toMap
+    ManifestData(hex, lines.filterNot(_.startsWith("#")), fps, toks)
   }
 
   private def readManifest(spark: SparkSession, dir: String,
@@ -282,6 +292,20 @@ object MergeTable {
             "dropTag first to re-point)", e)
       }
     try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    // re-check AFTER the pin lands (the commit protocol's read-back
+    // pattern): a concurrent vacuum between the validation above and
+    // the pin creation can sweep the target version's manifest — the
+    // pin would then dangle from birth, its reproducibility promise
+    // already broken, detected only by a later fsck while reads
+    // through the tag fail. Un-pin and throw instead; once this check
+    // passes the pin is visible to every later vacuum's retention set.
+    if (!versions(spark, dir).contains(v)) {
+      fs.delete(p, false): Unit
+      throw new IllegalStateException(
+        s"tag '$name': version $v at $dir was vacuumed concurrently " +
+          "before the pin became visible — nothing was tagged; retry " +
+          "against a retained version")
+    }
     v
   }
 
@@ -441,10 +465,32 @@ object MergeTable {
     retryOnConflict("restore", dir) {
       val cur = versions(spark, dir).lastOption.getOrElse(
         throw new IllegalArgumentException(s"no MergeTable at $dir"))
+      val head = readManifestFull(spark, dir, cur)
       val old = readManifestFull(spark, dir, toVersion)
+      // CHECK constraints live UNVERSIONED in _constraints/, so a
+      // restore to a pre-constraint snapshot could silently publish a
+      // live version that violates a declared invariant — breaking the
+      // addConstraint contract ("existing data always holds") every
+      // later per-write enforcement leans on. Re-validate the restored
+      // snapshot's rows first and fail loudly BEFORE committing: one
+      // O(restored snapshot) scan, the same price addConstraint paid —
+      // the operator drops the constraint deliberately if the rollback
+      // must win.
+      if (old.entries.nonEmpty)
+        enforceConstraints(spark, dir,
+          readEntries(spark, dir, old.entries), "restore")
+      // streaming idempotency tokens track the STREAM's applied
+      // frontier, which a data rollback does not rewind (the stream's
+      // checkpoint still records those batches as committed — replaying
+      // them would double-apply onto the restored state): carry the
+      // max of head's and the restored snapshot's per-stream ids.
+      val toks = (head.tokens.keySet ++ old.tokens.keySet).map { sid =>
+        sid -> math.max(head.tokens.getOrElse(sid, Long.MinValue),
+          old.tokens.getOrElse(sid, Long.MinValue))
+      }.toMap
       val next = cur + 1
       commitManifest(spark, dir, next, old.entries, old.hexDigits,
-        old.fps)
+        old.fps, tokens = toks)
       next
     }
 
@@ -480,7 +526,7 @@ object MergeTable {
       hexDigits: Int = HEX_DIGITS,
       fps: Map[String, String] = Map.empty,
       beforePromote: () => Unit = () => (),
-      token: Option[String] = None): Unit = {
+      tokens: Map[String, Long] = Map.empty): Unit = {
     val fs = hadoopFs(spark, dir)
     fs.mkdirs(manifestDir(dir))
     val p = manifestPath(dir, v)
@@ -500,10 +546,10 @@ object MergeTable {
     val out = fs.create(tmp, true)
     val fpLines = fps.toSeq.sortBy(_._1)
       .map { case (b, fp) => s"#fp=$b:$fp" }
-    val tokLines = token.toSeq.map { t =>
-      require(!t.contains('\n') && !t.contains('\r'),
-        "idempotency token must be a single line")
-      s"#tok=$t"
+    val tokLines = tokens.toSeq.sortBy(_._1).map { case (sid, id) =>
+      require(!sid.contains('\n') && !sid.contains('\r'),
+        "idempotency stream id must be a single line")
+      s"#tok=$sid:$id"
     }
     try out.write(
       ((s"#hex=$hexDigits" +: tokLines) ++ fpLines ++ entries.sorted)
@@ -558,11 +604,43 @@ object MergeTable {
     }
   }
 
+  /** Salt prepended (as a constant first hash input) to the second
+    * fingerprint channel: `h2 = xxhash64('fp2', payload...)` mixes the
+    * same bytes through an independent avalanche, so two offsetting
+    * payload changes whose `h1` deltas cancel (a 2⁻⁶⁴ accident — or a
+    * constructed one, now that the fingerprint also backs
+    * [[fsckDeep]]'s integrity audit) would have to cancel BOTH sums:
+    * 128-bit resistance for one extra codegen'd hash per row, same
+    * aggregate shape, same cost class. */
+  private val Fp2Salt = "fp2"
+
+  /** The two per-row fingerprint hash columns over `payload` (sorted
+    * column names) — shared by the epoch write-back and [[fsckDeep]]'s
+    * recompute so the attestation and the audit can never drift. */
+  private def fpHashCols(payload: Seq[String]): Seq[Column] = Seq(
+    xxhash64(payload.map(col): _*).cast("decimal(38,0)").as("fp_h"),
+    xxhash64((lit(Fp2Salt) +: payload.map(col)): _*)
+      .cast("decimal(38,0)").as("fp_h2"))
+
+  /** Component-prefix fingerprint comparison: fingerprints are
+    * `rows:h1[:h2]` — current commits write all three, legacy
+    * manifests only two — and two attestations agree when every
+    * component BOTH carry matches. Comparing the common prefix keeps
+    * pruning and auditing working across the format upgrade (a legacy
+    * endpoint simply gets the old 64-bit guarantee); once both sides
+    * are current, all three components must match. */
+  private def fpAgrees(a: String, b: String): Boolean = {
+    val as = a.split(":"); val bs = b.split(":")
+    as.zip(bs).forall { case (x, y) => x == y }
+  }
+
   /** Per-bucket CONTENT fingerprint of a just-written epoch: row count
-    * plus an ORDER-INDEPENDENT hash sum (xxhash64 of the payload
-    * columns in sorted-name order, summed as exact decimal — sum is
+    * plus TWO order-independent hash sums (xxhash64 of the payload
+    * columns in sorted-name order, and the same bytes under the
+    * [[Fp2Salt]] channel, each summed as exact decimal — sums are
     * commutative, so a layout rewrite that only reorders rows computes
-    * the identical value). Computed by reading back the epoch's own
+    * identical values; two channels make a cancelling-delta collision
+    * a 128-bit event). Computed by reading back the epoch's own
     * files — one columnar scan of exactly the rewritten data, the same
     * cost class as the write it annotates — so the fingerprint attests
     * what is ON DISK, not what the plan intended. xxhash64 skips null
@@ -579,15 +657,16 @@ object MergeTable {
     // bucket names happen to be all-digits ("bucket=47") into an int
     // column — and "bucket=07" would round-trip as "7", corrupting the
     // fingerprint key; the path substring is exact by construction
-    df.select(
-        regexp_extract(col("_metadata.file_path"),
-          "bucket=([0-9a-f]+)/", 1).as("fp_bucket"),
-        xxhash64(payload.map(col): _*).cast("decimal(38,0)").as("fp_h"))
+    df.select(regexp_extract(col("_metadata.file_path"),
+          "bucket=([0-9a-f]+)/", 1).as("fp_bucket") +:
+        fpHashCols(payload): _*)
       .groupBy("fp_bucket")
-      .agg(count(lit(1)).as("n"), sum("fp_h").as("h"))
+      .agg(count(lit(1)).as("n"), sum("fp_h").as("h"),
+        sum("fp_h2").as("h2"))
       .collect()
       .map(r => r.getString(0) ->
-        s"${r.getLong(1)}:${r.getDecimal(2).toBigInteger}")
+        s"${r.getLong(1)}:${r.getDecimal(2).toBigInteger}:${
+          r.getDecimal(3).toBigInteger}")
       .toMap
   }
 
@@ -667,18 +746,21 @@ object MergeTable {
       return FsckDeepReport(0L, Seq.empty, Seq.empty)
     val df = readEntries(spark, dir, man.entries)
     val payload = df.columns.filter(_ != "bucket").sorted
-    val actual = df.select(col("bucket"),
-        xxhash64(payload.map(col): _*).cast("decimal(38,0)").as("fp_h"))
+    val actual = df.select(col("bucket") +: fpHashCols(payload): _*)
       .groupBy("bucket")
-      .agg(count(lit(1)).as("n"), sum("fp_h").as("h"))
+      .agg(count(lit(1)).as("n"), sum("fp_h").as("h"),
+        sum("fp_h2").as("h2"))
       .collect()
       .map(r => r.getString(0) ->
-        s"${r.getLong(1)}:${r.getDecimal(2).toBigInteger}")
+        s"${r.getLong(1)}:${r.getDecimal(2).toBigInteger}:${
+          r.getDecimal(3).toBigInteger}")
       .toMap
     val buckets = man.entries.map(bucketOfEntry).distinct
     val (attested, unattested) = buckets.partition(man.fps.contains)
+    // prefix comparison: a legacy two-component attestation verifies
+    // its two components; a current one all three
     val mismatched = attested.filter(b =>
-      !actual.get(b).contains(man.fps(b)))
+      !actual.get(b).exists(fpAgrees(man.fps(b), _)))
     FsckDeepReport(attested.size.toLong, mismatched.sorted,
       unattested.sorted)
   }
@@ -733,7 +815,7 @@ object MergeTable {
       beforeCommit: () => Unit, blockBytes: Option[Long] = None,
       sortCols: Seq[String] = Nil, dropAfterSort: Seq[String] = Nil,
       keptFps: Map[String, String] = Map.empty,
-      token: Option[String] = None)
+      tokens: Map[String, Long] = Map.empty)
       : Seq[String] = {
     val epochName = s"v=$next-${attemptTag()}"
     writeEpoch(rows, dir, epochName, hexDigits, blockBytes, sortCols,
@@ -745,7 +827,7 @@ object MergeTable {
     beforeCommit()
     try {
       commitManifest(spark, dir, next, kept ++ fresh, hexDigits,
-        keptFps ++ freshFps, token = token)
+        keptFps ++ freshFps, tokens = tokens)
       fresh
     }
     catch { case e: CommitConflictException =>
@@ -944,7 +1026,7 @@ object MergeTable {
       val buckets = md.entries.map(bucketOfEntry).distinct
       val attested = fpTotal(md.fps, buckets.toSet)
       (v, md.entries.size.toLong, buckets.size.toLong,
-        attested.map(_._1))
+        attested.map(fpRows))
     }
     import spark.implicits._
     rows.toDF("v", "files", "buckets", "rows")
@@ -977,7 +1059,7 @@ object MergeTable {
     import spark.implicits._
     Seq((keyMeta(spark, dir, None), cur, md.hexDigits.toLong,
       md.entries.size.toLong, buckets.size.toLong,
-      attested.map(_._1), vs.size.toLong,
+      attested.map(fpRows), vs.size.toLong,
       tags(spark, dir).size.toLong,
       constraints(spark, dir).size.toLong))
       .toDF("key_col", "version", "hex_digits", "files", "buckets",
@@ -1144,7 +1226,8 @@ object MergeTable {
       enforceConstraints(spark, dir, merged, "upsert")
       val next = cur + 1
       val fresh = commitEpoch(spark, dir, next, merged, kept,
-        man.hexDigits, beforeCommit, keptFps = man.fps -- impacted)
+        man.hexDigits, beforeCommit, keptFps = man.fps -- impacted,
+        tokens = man.tokens)
       CowStats(next, impacted.size.toLong, rewritten.size.toLong,
         fresh.size.toLong, matched, nBatch - matched)
     }
@@ -1181,7 +1264,8 @@ object MergeTable {
       .localCheckpoint(true)
     val next = cur + 1
     val fresh = commitEpoch(spark, dir, next, survivors, kept,
-      man.hexDigits, () => (), keptFps = man.fps -- impacted)
+      man.hexDigits, () => (), keptFps = man.fps -- impacted,
+      tokens = man.tokens)
     CowStats(next, impacted.size.toLong, rewritten.size.toLong,
       fresh.size.toLong, matched, 0L)
   }
@@ -1378,9 +1462,17 @@ object MergeTable {
         .withColumn("bucket", bucketCol(col(key), man.hexDigits))
       enforceConstraints(spark, dir, survivors, "merge")
       val next = cur + 1
+      // the new token JOINS the carried-forward map (and a replayed id
+      // never regresses a newer one — max, the monotone frontier)
+      val newTokens = idempotencyToken.map { t =>
+        val cut = t.lastIndexOf(':')
+        require(cut > 0, s"idempotency token '$t' must be <streamId>:<batchId>")
+        val sid = t.take(cut); val id = t.drop(cut + 1).toLong
+        man.tokens + (sid -> math.max(id, man.tokens.getOrElse(sid, Long.MinValue)))
+      }.getOrElse(man.tokens)
       val fresh = commitEpoch(spark, dir, next, survivors, kept,
         man.hexDigits, () => (), keptFps = man.fps -- impacted,
-        token = idempotencyToken)
+        tokens = newTokens)
       MergeStats(next, impacted.size.toLong, rewritten.size.toLong,
         fresh.size.toLong, total(updatedIds), total(deleteIds),
         total(insertIds), counts.getOrElse(0, 0L))
@@ -1398,17 +1490,19 @@ object MergeTable {
     * data landed but the marker did not. (The upsert stream needs no
     * token because upsert is idempotent BY VALUE; a clause merge is
     * not — a matched Delete turns a replayed row into a not-matched
-    * insert candidate.) Retention coupling: any vacuum retaining ≥ 1
-    * version retains the newest token by construction. */
+    * insert candidate.) Retention coupling: every COMMIT — token or
+    * not — carries ALL streams' newest tokens forward (the Delta
+    * per-app txn-version model), so any vacuum retaining ≥ 1 version
+    * retains every stream's frontier even when upserts, optimizes, or
+    * restores interleave between a stream's merges; the head manifest
+    * alone answers this. (Manifests from before the carry-forward may
+    * hold a token only on the committing version — the newest-first
+    * scan below covers that legacy shape.) */
   def lastAppliedBatch(spark: SparkSession, dir: String,
-      streamId: String): Option[Long] = {
-    val pfx = s"$streamId:"
+      streamId: String): Option[Long] =
     versions(spark, dir).reverse.iterator
-      .map(v => readManifestFull(spark, dir, v).token)
-      .collectFirst {
-        case Some(t) if t.startsWith(pfx) => t.drop(pfx.length).toLong
-      }
-  }
+      .map(v => readManifestFull(spark, dir, v).tokens.get(streamId))
+      .collectFirst { case Some(id) => id }
 
   /** OPTIMIZE — a contents-invariant, layout-changing version: rewrite
     * every bucket with rows sorted by `sortCol` (so parquet row-group
@@ -1429,7 +1523,8 @@ object MergeTable {
     val next = cur + 1
     val all = readTable(spark, dir, Some(cur)).localCheckpoint(true)
     val fresh = commitEpoch(spark, dir, next, all, Seq.empty,
-      man.hexDigits, () => (), sortCols = Seq(sortCol))
+      man.hexDigits, () => (), sortCols = Seq(sortCol),
+      tokens = man.tokens)
     CowStats(next, fresh.size.toLong, man.entries.size.toLong,
       fresh.size.toLong, 0L, 0L)
   }
@@ -1463,7 +1558,7 @@ object MergeTable {
         .localCheckpoint(true)
       val fresh = commitEpoch(spark, dir, next, all, Seq.empty,
         man.hexDigits, () => (), blockBytes, sortCols = Seq("zval"),
-        dropAfterSort = Seq("zval"))
+        dropAfterSort = Seq("zval"), tokens = man.tokens)
       CowStats(next, fresh.size.toLong, man.entries.size.toLong,
         fresh.size.toLong, 0L, 0L)
     }
@@ -1494,7 +1589,7 @@ object MergeTable {
       val rehashed = readTable(spark, dir, Some(cur)).drop("bucket")
         .withColumn("bucket", bucketCol(col(key), newHexDigits))
       val fresh = commitEpoch(spark, dir, next, rehashed, Seq.empty,
-        newHexDigits, () => ())
+        newHexDigits, () => (), tokens = man.tokens)
       CowStats(next, fresh.size.toLong, man.entries.size.toLong,
         fresh.size.toLong, 0L, 0L)
     }
@@ -1658,28 +1753,39 @@ object MergeTable {
     val bf = byB(mf.entries)
     val bt = byB(mt.entries)
     if (mf.hexDigits != mt.hexDigits &&
-        fpTotal(mf.fps, bf.keySet).exists(t =>
-          fpTotal(mt.fps, bt.keySet).contains(t)))
+        (for (a <- fpTotal(mf.fps, bf.keySet);
+              b <- fpTotal(mt.fps, bt.keySet)) yield fpAgrees(a, b))
+          .contains(true))
       return Seq.empty
     (bf.keySet ++ bt.keySet).filter { b =>
       (mf.fps.get(b), mt.fps.get(b)) match {
-        case (Some(a), Some(c)) => a != c
+        case (Some(a), Some(c)) => !fpAgrees(a, c)
         case _ => bf.get(b) != bt.get(b)
       }
     }.toSeq.sorted
   }
 
-  /** Table-level fingerprint total: (Σ rows, Σ hash) over every
-    * bucket's `n:hash` fingerprint — None unless EVERY bucket holding
-    * files carries one (a legacy bucket with no fingerprint makes the
+  /** Table-level fingerprint total, rendered in the same
+    * `rows:h1[:h2]` shape the per-bucket fingerprints use (so
+    * [[fpAgrees]]' prefix comparison applies): component-wise sums
+    * over every bucket's fingerprint — the second channel is present
+    * only when EVERY bucket carries it (a mixed-format history sums
+    * what both formats share). None unless every bucket holding files
+    * carries a fingerprint at all (a legacy bucket with none makes the
     * total unattestable, so the caller must not prune on it). */
   private def fpTotal(fps: Map[String, String],
-      buckets: Set[String]): Option[(Long, BigInt)] =
+      buckets: Set[String]): Option[String] =
     if (!buckets.subsetOf(fps.keySet)) None
-    else Some(buckets.foldLeft((0L, BigInt(0))) { case ((n, h), b) =>
-      val Array(c, s) = fps(b).split(":", 2)
-      (n + c.toLong, h + BigInt(s))
-    })
+    else {
+      val parts = buckets.toSeq.map(b => fps(b).split(":").map(BigInt(_)))
+      val width = if (parts.isEmpty) 3 else parts.map(_.length).min
+      val sums = (0 until width).map(i => parts.map(_(i)).sum)
+      Some(sums.mkString(":"))
+    }
+
+  /** Σ rows component of a rendered [[fpTotal]]. */
+  private def fpRows(total: String): Long =
+    total.split(":")(0).toLong
 
   def changes(spark: SparkSession, dir: String, fromV: Long,
       toV: Long): DataFrame = {

@@ -41,9 +41,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * and string keys stringify exactly like Spark's CAST AS STRING), a
   * missing/ambiguous bucket column (e.g. above a join of two bucketed
   * scans, where picking a side would be unsound — pushdown splits the
-  * predicate per side and the rule fires there instead), or a
-  * condition that already constrains the bucket (the fixed-point
-  * guard: the rule's own output stops it re-firing).
+  * predicate per side and the rule fires there instead), a `bucket`
+  * that is not the scan's PARTITION column (a derived table keeps the
+  * footer stamp but may have overwritten the data column — and a
+  * data-column conjunct prunes nothing anyway), or a condition that
+  * already constrains the bucket (the fixed-point guard: the rule's
+  * own output stops it re-firing).
   *
   * Registration: injected by [[graft.GraftExtensions]]
   * (`spark.sql.extensions=graft.GraftExtensions`), or per-session via
@@ -126,8 +129,28 @@ object KeyToBucketPruning extends Rule[LogicalPlan] with PredicateHelper {
           case Seq(l) if l.outputSet.contains(attr) => true
           case _ => false
         }
+        // the bucket column must be the scan's PARTITION column, not
+        // merely a data column wearing the right name: the KeyHexMeta
+        // stamp rides parquet footers into any DERIVED table written
+        // from a MergeTable read, and a derived table whose `bucket`
+        // DATA column was overwritten (legal — upsert even permits it)
+        // would re-trigger the rule with values that no longer satisfy
+        // the key↔bucket invariant — silent missing rows. Only the
+        // table's own layout maintains the invariant, and only there
+        // does the conjunct prune anything (a data-column filter reads
+        // every file anyway) — so the partition-column requirement is
+        // both the soundness fence and free of any lost capability.
+        val partitionBacked = singleLeaf && (leaves.head match {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.partitionSchema.fieldNames.contains(BucketColName)
+              case _ => false
+            }
+          case _ => false
+        })
         val bucketAttrs =
-          if (!singleLeaf) Nil
+          if (!partitionBacked) Nil
           else child.output.filter(o =>
             o.name == BucketColName && o.dataType == StringType &&
               o.exprId != attr.exprId &&

@@ -774,4 +774,110 @@ class MergeTableSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("keyed by"))
   }
+
+  test("fingerprint comparison is 128-bit: a bucket whose SECOND hash " +
+      "channel differs is flagged changed even when rows and the first " +
+      "sum collide (the h1-cancelling-delta case the old 64-bit sum " +
+      "could not distinguish); a legacy two-component attestation " +
+      "still agrees on its common prefix") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-fp128")
+      .resolve("t").toString
+    // crafted manifests: same rows (2) and same h1 (100) — exactly what
+    // two offsetting payload changes whose seed-42 deltas cancel would
+    // attest — but the independent fp2 channel disagrees
+    MergeTable.commitManifest(spark, dir, 1L,
+      Seq("v=1-0x0/bucket=aa/a.parquet"), fps = Map("aa" -> "2:100:555"))
+    MergeTable.commitManifest(spark, dir, 2L,
+      Seq("v=2-0x0/bucket=aa/b.parquet"), fps = Map("aa" -> "2:100:666"))
+    assert(MergeTable.changedBuckets(spark, dir, 1L, 2L) === Seq("aa"),
+      "an h1 collision must not slip past the second channel")
+    // legacy (pre-upgrade) endpoint: two components compare on the
+    // common prefix — the old 64-bit guarantee, not a spurious rescan
+    MergeTable.commitManifest(spark, dir, 3L,
+      Seq("v=2-0x0/bucket=aa/b.parquet"), fps = Map("aa" -> "2:100"))
+    assert(MergeTable.changedBuckets(spark, dir, 2L, 3L) === Seq.empty,
+      "a legacy attestation agreeing on rows+h1 must prune")
+    // and a freshly-written table attests THREE components
+    val t = mkTable(20)
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new org.apache.hadoop.fs.Path(s"$t/_manifests/v000000001"))
+    val fpLines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.startsWith("#fp=")).toList
+      finally in.close()
+    assert(fpLines.nonEmpty &&
+      fpLines.forall(_.count(_ == ':') == 3), // bucket:n:h1:h2
+      s"current commits must attest both hash channels: $fpLines")
+  }
+
+  test("idempotency tokens are carried forward by EVERY committer " +
+      "(upsert, optimize, rebucket, restore), so a vacuum retaining " +
+      "one version after interleaved non-token writes still answers " +
+      "lastAppliedBatch — the crash-replay gate survives maintenance") {
+    import spark.implicits._
+    val dir = mkTable(50)
+    MergeTable.merge(spark, dir,
+      Seq((51L, "ins")).toDF("key", "value"),
+      notMatched = Seq(MergeTable.MergeWhen(None,
+        MergeTable.MergeAction.UpdateAll)),
+      idempotencyToken = Some("streamA:7"))
+    assert(MergeTable.lastAppliedBatch(spark, dir, "streamA") === Some(7L))
+    // interleaved NON-token writers — each must carry streamA:7 forward
+    MergeTable.upsert(spark, dir, Seq((1L, "upd")).toDF("key", "value"))
+    MergeTable.optimize(spark, dir, "key")
+    MergeTable.rebucket(spark, dir, 1)
+    val restored = MergeTable.restore(spark, dir,
+      MergeTable.versions(spark, dir).last - 1)
+    assert(restored > 0)
+    // drop everything but the newest version: the token must survive
+    MergeTable.vacuum(spark, dir, retainVersions = 1, minFileAgeMs = 0)
+    assert(MergeTable.versions(spark, dir).size === 1)
+    assert(MergeTable.lastAppliedBatch(spark, dir, "streamA") === Some(7L),
+      "the replay gate must ride every snapshot, not just the one " +
+        "that committed it")
+    // a second stream's token joins the map without displacing the first
+    MergeTable.merge(spark, dir,
+      Seq((52L, "ins2")).toDF("key", "value"),
+      notMatched = Seq(MergeTable.MergeWhen(None,
+        MergeTable.MergeAction.UpdateAll)),
+      idempotencyToken = Some("streamB:3"))
+    assert(MergeTable.lastAppliedBatch(spark, dir, "streamA") === Some(7L))
+    assert(MergeTable.lastAppliedBatch(spark, dir, "streamB") === Some(3L))
+    // a replayed (stale) token never regresses the frontier
+    MergeTable.merge(spark, dir,
+      Seq((53L, "ins3")).toDF("key", "value"),
+      notMatched = Seq(MergeTable.MergeWhen(None,
+        MergeTable.MergeAction.UpdateAll)),
+      idempotencyToken = Some("streamA:5"))
+    assert(MergeTable.lastAppliedBatch(spark, dir, "streamA") === Some(7L),
+      "a replayed older batch id must not rewind the frontier")
+  }
+
+  test("restore re-validates CHECK constraints: rolling back to a " +
+      "pre-constraint snapshot that violates a declared invariant " +
+      "fails loudly and commits nothing") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-rescon")
+      .resolve("t").toString
+    // v1 carries a negative value; v2 cleans it; the constraint is then
+    // declared against the CLEAN head (addConstraint validates v2)
+    MergeTable.create(Seq((1L, -5L), (2L, 10L)).toDF("key", "cents"),
+      dir, "key")
+    MergeTable.upsert(spark, dir, Seq((1L, 5L)).toDF("key", "cents"))
+    MergeTable.addConstraint(spark, dir, "nonneg", "cents >= 0")
+    val err = intercept[IllegalStateException] {
+      MergeTable.restore(spark, dir, 1L)
+    }
+    assert(err.getMessage.contains("nonneg"),
+      s"restore to a violating snapshot must name the constraint: $err")
+    assert(MergeTable.versions(spark, dir) === Seq(1L, 2L),
+      "a rejected restore must commit nothing")
+    // dropping the constraint makes the rollback legal again — the
+    // operator's explicit two-step
+    MergeTable.dropConstraint(spark, dir, "nonneg")
+    assert(MergeTable.restore(spark, dir, 1L) === 3L)
+    assert(MergeTable.readTable(spark, dir)
+      .filter(col("cents") < 0).count() === 1L)
+  }
 }

@@ -218,4 +218,30 @@ class KeyToBucketPruningSpec extends SparkSpec {
     assert(MergeTable.readTable(spark, dir)
       .filter(col("key").isin(miss: _*)).count() === 0L)
   }
+
+  test("a DERIVED table round-tripped through plain parquet does not " +
+      "fire the rule: the footer stamp survives the round trip, but a " +
+      "'bucket' DATA column may no longer satisfy the key↔bucket " +
+      "invariant — only a real partition column is trusted") {
+    import spark.implicits._
+    val dir = mkTable(100)
+    val out = java.nio.file.Files.createTempDirectory("graft-kbp-d")
+      .resolve("derived").toString
+    // legal derivation: overwrite the bucket column (upsert permits a
+    // batch carrying one), then land as PLAIN parquet — bucket is now
+    // an ordinary data column whose values violate the invariant
+    MergeTable.readTable(spark, dir)
+      .withColumn("bucket", lit("zz"))
+      .write.parquet(out)
+    val q = spark.read.parquet(out).filter(col("key") === 7L)
+    // the key attribute still wears the footer stamp — the old rule
+    // would conjoin bucket IN ('<md5(7)>') and silently drop the row
+    val rows = q.select("key", "value").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((7L, "v7")),
+      "the rule fired on a non-partition bucket column and lost rows")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("bucket IN"),
+      s"rule must stay silent on a data-column bucket:\n$plan")
+  }
 }
