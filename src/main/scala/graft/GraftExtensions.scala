@@ -20,6 +20,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // point-lookup partition pruning on MergeTable scans: `key = lit`
     // implies `bucket = md5prefix(lit)` (contract in the footers)
     e.injectOptimizerRule(_ => graft.plans.KeyToBucketPruning)
+    // value-predicate FILE pruning on MergeTable scans: manifest #st=
+    // per-file min/max stats drop files a pushed range can never match
+    e.injectOptimizerRule(_ => graft.plans.StatsFilePruning)
     // SQL surface for the snapshot table: SELECT ... FROM
     // merge_table('/dir'[, version]) — time travel + pruning compose
     e.injectTableFunction((
@@ -46,6 +49,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(graft.ext.MergeTable.getClass.getName,
         "merge_table_detail"),
       graft.ext.MergeTable.detailFunctionBuilder))
+    // maintained IVM views served in plain SQL (definition inferred
+    // from the partials' schema; avg derived from the exact partials)
+    e.injectTableFunction((
+      new FunctionIdentifier("ivm_view"),
+      new ExpressionInfo(graft.ext.Ivm.getClass.getName, "ivm_view"),
+      graft.ext.Ivm.viewFunctionBuilder))
     e.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),

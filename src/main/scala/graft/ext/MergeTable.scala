@@ -195,7 +195,8 @@ object MergeTable {
 
   private final case class ManifestData(hexDigits: Int,
     entries: Seq[String], fps: Map[String, String],
-    tokens: Map[String, Long] = Map.empty)
+    tokens: Map[String, Long] = Map.empty,
+    sts: Map[String, String] = Map.empty)
 
   private def readManifestFull(spark: SparkSession, dir: String,
       v: Long): ManifestData = {
@@ -239,7 +240,15 @@ object MergeTable {
         val cut = body.lastIndexOf(':')
         body.take(cut) -> body.drop(cut + 1).toLong
     }.toMap
-    ManifestData(hex, lines.filterNot(_.startsWith("#")), fps, toks)
+    // per-FILE column stats: "#st=<relpath>|col:min:max|..." — keyed
+    // by the entry path (a data file's stats are immutable with it)
+    val sts = lines.collect {
+      case l if l.startsWith("#st=") =>
+        val body = l.drop(4)
+        val cut = body.indexOf('|')
+        if (cut < 0) body -> "" else body.take(cut) -> body.drop(cut + 1)
+    }.toMap
+    ManifestData(hex, lines.filterNot(_.startsWith("#")), fps, toks, sts)
   }
 
   private def readManifest(spark: SparkSession, dir: String,
@@ -490,7 +499,7 @@ object MergeTable {
       }.toMap
       val next = cur + 1
       commitManifest(spark, dir, next, old.entries, old.hexDigits,
-        old.fps, tokens = toks)
+        old.fps, tokens = toks, sts = old.sts)
       next
     }
 
@@ -526,7 +535,8 @@ object MergeTable {
       hexDigits: Int = HEX_DIGITS,
       fps: Map[String, String] = Map.empty,
       beforePromote: () => Unit = () => (),
-      tokens: Map[String, Long] = Map.empty): Unit = {
+      tokens: Map[String, Long] = Map.empty,
+      sts: Map[String, String] = Map.empty): Unit = {
     val fs = hadoopFs(spark, dir)
     fs.mkdirs(manifestDir(dir))
     val p = manifestPath(dir, v)
@@ -551,9 +561,14 @@ object MergeTable {
         "idempotency stream id must be a single line")
       s"#tok=$sid:$id"
     }
+    // stats only for files the manifest actually lists (a carried-
+    // forward map may hold entries for dropped files)
+    val entrySet = entries.toSet
+    val stLines = sts.toSeq.filter(e => entrySet.contains(e._1))
+      .sortBy(_._1).map { case (f, body) => s"#st=$f|$body" }
     try out.write(
-      ((s"#hex=$hexDigits" +: tokLines) ++ fpLines ++ entries.sorted)
-        .mkString("\n").getBytes("UTF-8"))
+      ((s"#hex=$hexDigits" +: tokLines) ++ fpLines ++ stLines ++
+        entries.sorted).mkString("\n").getBytes("UTF-8"))
     finally out.close()
     beforePromote()
     val qualified = fs.makeQualified(p)
@@ -648,26 +663,110 @@ object MergeTable {
     * rows' hashes unchanged (consistent with [[changes]], which treats
     * null-extended old rows as unchanged payloads). */
   private def epochFingerprints(spark: SparkSession, dir: String,
-      epochName: String): Map[String, String] = {
+      epochName: String): Map[String, String] =
+    epochStats(spark, dir, epochName)._1
+
+  /** Columns a manifest carries PER-FILE min/max stats for: integral
+    * payload columns (the exact-arithmetic types [[Layout]]'s pruning
+    * model covers), names clean of the stats line's own delimiters. */
+  private def statColumns(
+      schema: org.apache.spark.sql.types.StructType): Seq[String] = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType,
+      ShortType}
+    schema.fields.filter(f => f.name != "bucket" &&
+        Seq(ByteType, ShortType, IntegerType, LongType)
+          .contains(f.dataType) &&
+        !f.name.exists(c => c == '|' || c == ':'))
+      .map(_.name).toSeq.sorted
+  }
+
+  /** ONE read-back scan of a just-written epoch serving BOTH manifest
+    * annotations: per-BUCKET content fingerprints (`#fp=` — the
+    * changefeed short-circuit and fsckDeep's attestation) and per-FILE
+    * min/max column stats (`#st=` — the value-predicate FILE pruning
+    * [[graft.plans.StatsFilePruning]] applies at plan time, the
+    * Iceberg/Delta manifest-stats model). Grouped by file path — the
+    * finer grain — with the bucket fingerprints folded from the
+    * per-file rows driver-side (hash SUMS are associative, so the fold
+    * is exact; driver rows are O(epoch files), the manifest cost
+    * class). Stats cover the integral payload columns; min/max are of
+    * non-null values, an all-null file rendering as an empty range a
+    * null-rejecting predicate may prune. */
+  private def epochStats(spark: SparkSession, dir: String,
+      epochName: String): (Map[String, String], Map[String, String]) = {
     val epochPath = s"$dir/data/$epochName"
     val df = spark.read.option("basePath", epochPath).parquet(epochPath)
     val payload = df.columns.filter(_ != "bucket").sorted
+    val stCols = statColumns(df.schema)
     // the bucket id comes from the FILE PATH, not the inferred
     // partition column: partition-type inference turns an epoch whose
     // bucket names happen to be all-digits ("bucket=47") into an int
     // column — and "bucket=07" would round-trip as "7", corrupting the
     // fingerprint key; the path substring is exact by construction
-    df.select(regexp_extract(col("_metadata.file_path"),
-          "bucket=([0-9a-f]+)/", 1).as("fp_bucket") +:
-        fpHashCols(payload): _*)
-      .groupBy("fp_bucket")
-      .agg(count(lit(1)).as("n"), sum("fp_h").as("h"),
-        sum("fp_h2").as("h2"))
+    val selected = df.select(Seq(
+        regexp_extract(col("_metadata.file_path"),
+          "/data/(.*)$", 1).as("fp_file"),
+        regexp_extract(col("_metadata.file_path"),
+          "bucket=([0-9a-f]+)/", 1).as("fp_bucket")) ++
+      fpHashCols(payload) ++ stCols.map(c => col(c)): _*)
+    val aggs = Seq(count(lit(1)).as("n"), sum("fp_h").as("h"),
+        sum("fp_h2").as("h2")) ++
+      stCols.flatMap(c => Seq(
+        min(col(c).cast("long")).as(s"mn_$c"),
+        max(col(c).cast("long")).as(s"mx_$c")))
+    val rows = selected.groupBy("fp_file", "fp_bucket")
+      .agg(aggs.head, aggs.tail: _*)
       .collect()
-      .map(r => r.getString(0) ->
-        s"${r.getLong(1)}:${r.getDecimal(2).toBigInteger}:${
-          r.getDecimal(3).toBigInteger}")
+    val fps = rows.groupBy(_.getString(1)).map { case (b, rs) =>
+      val n = rs.map(_.getLong(2)).sum
+      val h1 = rs.map(r => BigInt(r.getDecimal(3).toBigInteger)).sum
+      val h2 = rs.map(r => BigInt(r.getDecimal(4).toBigInteger)).sum
+      b -> s"$n:$h1:$h2"
+    }
+    val sts = rows.map { r =>
+      val body = stCols.zipWithIndex.map { case (c, i) =>
+        val mn = if (r.isNullAt(5 + 2 * i)) "" else r.getLong(5 + 2 * i).toString
+        val mx = if (r.isNullAt(6 + 2 * i)) "" else r.getLong(6 + 2 * i).toString
+        s"$c:$mn:$mx"
+      }.mkString("|")
+      r.getString(0) -> body
+    }.toMap
+    (fps, sts)
+  }
+
+  /** Parsed per-file column stats for the table at `dir`: entry
+    * relpath -> column -> (min, max) of its non-null values (None/None
+    * = the file stores only nulls for it), unioned over every retained
+    * manifest — sound because a data file and its stats are immutable
+    * together; whichever snapshot a scan reads, its files' stats are
+    * the same rows. This is the relation
+    * [[graft.plans.StatsFilePruning]] consults at PLAN time to drop
+    * files a pushed-down value predicate can never match. Cached per
+    * dir against the manifest listing (stats reads are manifest-sized;
+    * planning must not re-read them per query). */
+  private val statsCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[(Long, Long)],
+      Map[String, Map[String, (Option[Long], Option[Long])]])]()
+
+  private[graft] def fileStatsIndex(spark: SparkSession, dir: String)
+      : Map[String, Map[String, (Option[Long], Option[Long])]] = {
+    val sig = manifestLens(spark, dir)
+    val cached = statsCache.get(dir)
+    if (cached != null && cached._1 == sig) return cached._2
+    val parsed = versions(spark, dir)
+      .flatMap(v => readManifestFull(spark, dir, v).sts.toSeq)
       .toMap
+      .map { case (f, body) =>
+        f -> body.split('|').toSeq.filter(_.nonEmpty).flatMap { seg =>
+          seg.split(":", -1) match {
+            case Array(c, mn, mx) =>
+              Some(c -> (mn.toLongOption, mx.toLongOption))
+            case _ => None
+          }
+        }.toMap
+      }
+    statsCache.put(dir, (sig, parsed))
+    parsed
   }
 
   final case class FsckReport(referenced: Long, orphans: Long,
@@ -767,7 +866,8 @@ object MergeTable {
 
   private def writeEpoch(df: DataFrame, dir: String, epochName: String,
       hexDigits: Int, blockBytes: Option[Long] = None,
-      sortCols: Seq[String] = Nil, dropAfterSort: Seq[String] = Nil)
+      sortCols: Seq[String] = Nil, dropAfterSort: Seq[String] = Nil,
+      maxRecordsPerFile: Option[Long] = None)
       : Unit = {
     // stamp the key column's field metadata with the snapshot's bucket
     // width: the stamp rides the parquet footers into every scan's
@@ -798,6 +898,14 @@ object MergeTable {
       // a replayed attempt writes a NEW dir and the old one is an
       // orphan fsck classifies benign and vacuum sweeps
     blockBytes.foreach(b => w.option("parquet.block.size", b.toString))
+    // file ROLLING inside a bucket: with a sorted write, capping the
+    // records per file yields contiguous sort-key STRIPES, one file
+    // each — the unit manifest-level min/max stats then prune (a
+    // single file per bucket has near-global value ranges under hash
+    // bucketing, so without stripes value predicates can never skip a
+    // file). Deterministic: the writer rolls after exactly this many
+    // rows of a total order.
+    maxRecordsPerFile.foreach(n => w.option("maxRecordsPerFile", n.toString))
     w.partitionBy("bucket").parquet(s"$dir/data/$epochName")
   }
 
@@ -815,19 +923,21 @@ object MergeTable {
       beforeCommit: () => Unit, blockBytes: Option[Long] = None,
       sortCols: Seq[String] = Nil, dropAfterSort: Seq[String] = Nil,
       keptFps: Map[String, String] = Map.empty,
-      tokens: Map[String, Long] = Map.empty)
+      tokens: Map[String, Long] = Map.empty,
+      keptSts: Map[String, String] = Map.empty,
+      maxRecordsPerFile: Option[Long] = None)
       : Seq[String] = {
     val epochName = s"v=$next-${attemptTag()}"
     writeEpoch(rows, dir, epochName, hexDigits, blockBytes, sortCols,
-      dropAfterSort)
+      dropAfterSort, maxRecordsPerFile)
     val fresh = epochEntries(spark, dir, epochName)
-    val freshFps =
-      if (fresh.isEmpty) Map.empty[String, String]
-      else epochFingerprints(spark, dir, epochName)
+    val (freshFps, freshSts) =
+      if (fresh.isEmpty) (Map.empty[String, String], Map.empty[String, String])
+      else epochStats(spark, dir, epochName)
     beforeCommit()
     try {
       commitManifest(spark, dir, next, kept ++ fresh, hexDigits,
-        keptFps ++ freshFps, tokens = tokens)
+        keptFps ++ freshFps, tokens = tokens, sts = keptSts ++ freshSts)
       fresh
     }
     catch { case e: CommitConflictException =>
@@ -1227,7 +1337,8 @@ object MergeTable {
       val next = cur + 1
       val fresh = commitEpoch(spark, dir, next, merged, kept,
         man.hexDigits, beforeCommit, keptFps = man.fps -- impacted,
-        tokens = man.tokens)
+        tokens = man.tokens,
+        keptSts = man.sts.view.filterKeys(kept.toSet).toMap)
       CowStats(next, impacted.size.toLong, rewritten.size.toLong,
         fresh.size.toLong, matched, nBatch - matched)
     }
@@ -1265,7 +1376,8 @@ object MergeTable {
     val next = cur + 1
     val fresh = commitEpoch(spark, dir, next, survivors, kept,
       man.hexDigits, () => (), keptFps = man.fps -- impacted,
-      tokens = man.tokens)
+      tokens = man.tokens,
+      keptSts = man.sts.view.filterKeys(kept.toSet).toMap)
     CowStats(next, impacted.size.toLong, rewritten.size.toLong,
       fresh.size.toLong, matched, 0L)
   }
@@ -1472,7 +1584,8 @@ object MergeTable {
       }.getOrElse(man.tokens)
       val fresh = commitEpoch(spark, dir, next, survivors, kept,
         man.hexDigits, () => (), keptFps = man.fps -- impacted,
-        tokens = newTokens)
+        tokens = newTokens,
+        keptSts = man.sts.view.filterKeys(kept.toSet).toMap)
       MergeStats(next, impacted.size.toLong, rewritten.size.toLong,
         fresh.size.toLong, total(updatedIds), total(deleteIds),
         total(insertIds), counts.getOrElse(0, 0L))
@@ -1544,11 +1657,28 @@ object MergeTable {
     * sf-scale ACCEPTANCE instrument passes a small cap so the
     * multi-row-group shape (the thing row-group pruning acts on)
     * exists at test scale too — the knob changes granularity, never
-    * content. */
+    * content.
+    *
+    * `maxRecordsPerFile` turns on Z-STRIPING: within each bucket the
+    * sorted write ROLLS a new file every N rows of the (zval, key)
+    * total order, so a bucket becomes a run of curve-contiguous
+    * STRIPE FILES whose per-file min/max stats (written into the
+    * manifest as `#st=` lines by the same read-back scan that
+    * fingerprints the epoch) bound BOTH value dimensions tightly —
+    * the unit [[graft.plans.StatsFilePruning]] skips at PLAN time.
+    * Without striping a hash bucket's single file spans near-global
+    * value ranges and file-level stats can never skip it; with it, a
+    * box predicate on a 100 TB table opens the overlapping stripes
+    * and row-group pruning sharpens the rest (q164 pins the planned
+    * file count to the oracle's stripe model). The (zval, key) order
+    * is TOTAL, so stripe boundaries are deterministic and
+    * oracle-restatable — the q137 contiguous-rank-block discipline
+    * made physical. */
   def optimizeZOrder(spark: SparkSession, dir: String, xCol: String,
-      yCol: String, blockBytes: Option[Long] = None): CowStats =
+      yCol: String, blockBytes: Option[Long] = None,
+      maxRecordsPerFile: Option[Long] = None): CowStats =
     retryOnConflict("optimizeZOrder", dir) {
-      keyMeta(spark, dir, None)
+      val key = keyMeta(spark, dir, None)
       val cur = versions(spark, dir).lastOption.getOrElse(
         throw new IllegalArgumentException(s"no MergeTable at $dir"))
       val man = readManifestFull(spark, dir, cur)
@@ -1557,10 +1687,12 @@ object MergeTable {
         readTable(spark, dir, Some(cur)), xCol, yCol)
         .localCheckpoint(true)
       val fresh = commitEpoch(spark, dir, next, all, Seq.empty,
-        man.hexDigits, () => (), blockBytes, sortCols = Seq("zval"),
-        dropAfterSort = Seq("zval"), tokens = man.tokens)
-      CowStats(next, fresh.size.toLong, man.entries.size.toLong,
-        fresh.size.toLong, 0L, 0L)
+        man.hexDigits, () => (), blockBytes,
+        sortCols = Seq("zval", key),
+        dropAfterSort = Seq("zval"), tokens = man.tokens,
+        maxRecordsPerFile = maxRecordsPerFile)
+      CowStats(next, man.entries.map(bucketOfEntry).distinct.size.toLong,
+        man.entries.size.toLong, fresh.size.toLong, 0L, 0L)
     }
 
   /** REBUCKET — the full-rewrite migration to a new bucket width the
@@ -2299,6 +2431,88 @@ object MergeTable {
        |       CAST(1 AS BIGINT) AS rg_box_pruned
        |FROM fin ORDER BY key""")
 
+  /** Stripe size for the q164 instrument: ~947 rows per bucket at
+    * sf0.01 and 16 buckets → 4 stripe files per bucket, the smallest
+    * shape where file-level pruning has something real to skip. */
+  private val Q164_STRIPE = 256L
+
+  /** q164 — VALUE-PREDICATE FILE PRUNING acceptance, the q157
+    * discipline applied to value predicates: lifecycle → [[rebucket]]
+    * to 16 buckets → [[optimizeZOrder]] on (cust, cents) WITH
+    * Z-STRIPING (the write rolls a new file every [[Q164_STRIPE]] rows
+    * of the per-bucket (zval, key) total order, and the commit's
+    * read-back scan writes each stripe's min/max into the manifest as
+    * `#st=` lines) → a center-box predicate through the PLAIN
+    * DataFrame read with [[graft.plans.StatsFilePruning]] enabled.
+    * The gate pins BOTH the returned rows (full lifecycle arithmetic
+    * through a pruned read) and the FILES THE PLAN SCHEDULES:
+    * files_scanned must equal the oracle's re-derivation of exactly
+    * which stripes overlap the box — per md5-bucket, rows ranked by
+    * the q136-pinned z-curve, chunked at the stripe size, min/max per
+    * chunk, overlap-counted (the q137 contiguous-rank-block model,
+    * here measured against the REAL planned scan, not a model of it).
+    * files_total (the stripe count) rides along so the row reads as
+    * amplification. A 100 TB box query pays the overlapping stripes
+    * at PLAN time — before this round, the same query scheduled every
+    * file and leaned on row-group skipping alone. */
+  private val q164StatsPruning = QueryDef(
+    (s, dir) => {
+      val out = runLifecycle(s, dir, "q164")
+      rebucket(s, out, 1)
+      optimizeZOrder(s, out, "cust", "cents",
+        maxRecordsPerFile = Some(Q164_STRIPE))
+      graft.plans.StatsFilePruning.enable(s)
+      val t = readTable(s, out)
+      val b = t.agg(min("cust"), max("cust"), min("cents"), max("cents"))
+        .collect().head
+      val (mnx, mxx, mny, mxy) =
+        (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+      val (x1, x2) = (mnx + (mxx - mnx) * 7 / 16, mnx + (mxx - mnx) * 8 / 16)
+      val (y1, y2) = (mny + (mxy - mny) * 7 / 16, mny + (mxy - mny) * 8 / 16)
+      val q = readTable(s, out).filter(
+        col("cust").between(x1, x2) && col("cents").between(y1, y2))
+      val scan = q.queryExecution.executedPlan.collectLeaves()
+        .collectFirst {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }.getOrElse(sys.error("box predicate did not plan a file scan"))
+      val filesScanned = scan.selectedPartitions.totalNumberOfFiles
+      val filesTotal = readManifest(s, out, versions(s, out).last)
+        .size.toLong
+      q.select("key", "cust", "status", "cents")
+        .withColumn("files_scanned", lit(filesScanned))
+        .withColumn("files_total", lit(filesTotal))
+        .orderBy("key")
+    },
+    s"""WITH $lifecycleFinCte,
+       |bb AS (SELECT min(cust) AS mnx, max(cust) AS mxx,
+       |              min(cents) AS mny, max(cents) AS mxy FROM fin),
+       |p AS (SELECT mnx + ((mxx - mnx) * 7) // 16 AS x1,
+       |             mnx + ((mxx - mnx) * 8) // 16 AS x2,
+       |             mny + ((mxy - mny) * 7) // 16 AS y1,
+       |             mny + ((mxy - mny) * 8) // 16 AS y2 FROM bb),
+       |g AS (SELECT fin.*, ${bucketSql("key", 1)} AS bkt,
+       |             ${Layout.bucketSql("cust", "mnx", "mxx", "//")} AS xb,
+       |             ${Layout.bucketSql("cents", "mny", "mxy", "//")} AS yb
+       |      FROM fin, bb),
+       |z AS (SELECT *, ${Layout.zExpr("xb", "yb")} AS zval FROM g),
+       |f AS (SELECT *, ((row_number() OVER (PARTITION BY bkt
+       |        ORDER BY zval, key)) - 1) // $Q164_STRIPE AS fid FROM z),
+       |st AS (SELECT bkt, fid, min(cust) AS fminx, max(cust) AS fmaxx,
+       |              min(cents) AS fminy, max(cents) AS fmaxy
+       |       FROM f GROUP BY bkt, fid),
+       |cnt AS (SELECT
+       |    CAST(sum(CASE WHEN fminx <= x2 AND fmaxx >= x1
+       |      AND fminy <= y2 AND fmaxy >= y1 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS files_scanned,
+       |    CAST(count(*) AS BIGINT) AS files_total
+       |  FROM st, p)
+       |SELECT key, cust, status, cents,
+       |       (SELECT files_scanned FROM cnt) AS files_scanned,
+       |       (SELECT files_total FROM cnt) AS files_total
+       |FROM fin, p
+       |WHERE cust BETWEEN x1 AND x2 AND cents BETWEEN y1 AND y2
+       |ORDER BY key""".stripMargin)
+
   /** q153 — LAYOUT-ONLY COMMITS ARE CDC-FREE, the round-13
     * short-circuit priced end-to-end through the WIRED publisher:
     * create → bootstrap pin → batch-1 upsert → publish (a real batch:
@@ -2799,5 +3013,6 @@ object MergeTable {
     "q161_merge_clauses" -> q161MergeClauses,
     "q162_tag_restore" -> q162TagRestore,
     "q163_check_constraint" -> q163CheckConstraint,
+    "q164_stats_pruning" -> q164StatsPruning,
   )
 }

@@ -76,7 +76,8 @@ object ScaleProbe {
       dupTokens: Long, cowS: Double, cowFiles: Long, cowRows: Long,
       cowRowsWide: Long, diffOptS: Double, diffOptBuckets: Long,
       lookupS: Double, lookupApiS: Double, lookupFiles: Long,
-      mergeS: Double, mergeFiles: Long, restoreS: Double)
+      mergeS: Double, mergeFiles: Long, restoreS: Double,
+      statsScanned: Long, statsTotal: Long, statsPlanS: Double)
 
     val cells = scales.map { sc =>
       val n = baseN * sc
@@ -299,10 +300,48 @@ object ScaleProbe {
           graft.ext.MergeTable.versions(spark, tbl).max - 1): Unit
       }
 
+      // --- value-predicate FILE pruning (round 14): a z-striped table
+      // with a FIXED value domain (mod columns) and a FIXED box. Total
+      // stripe files grow ∝ n (stripe size constant), matched rows
+      // grow ∝ n — and the claim under test is that the PLANNED scan
+      // tracks the box's constant curve share: scanned/total flat
+      // (exponent ≈ 0), i.e. the pruning win scales WITH the table
+      // instead of eroding. Planning cost (optimize + one count) is
+      // also recorded; the stats read is manifest-sized and cached.
+      val stp = s"$tmp/stp_s$sc"
+      graft.ext.MergeTable.create(
+        spark.range(n).select(col("id").as("key"),
+          (col("id") % 499).as("x"), (col("id") % 293).as("y")),
+        stp, "key", 1)
+      graft.ext.MergeTable.optimizeZOrder(spark, stp, "x", "y",
+        maxRecordsPerFile = Some(200L))
+      graft.plans.StatsFilePruning.enable(spark)
+      val boxDf = graft.ext.MergeTable.readTable(spark, stp)
+        .filter(col("x").between(200L, 240L) &&
+          col("y").between(100L, 130L))
+      var statsScanned = 0L
+      val statsPlanS = timeMinOf(3) {
+        statsScanned = boxDf.queryExecution.executedPlan
+          .collectLeaves().collectFirst {
+            case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+              f.selectedPartitions.totalNumberOfFiles
+          }.getOrElse(-1L)
+      }
+      val statsTotal = graft.ext.MergeTable.readTable(spark, stp)
+        .inputFiles.length.toLong
+      require(statsScanned > 0 && statsScanned < statsTotal,
+        s"stats pruning did not engage: $statsScanned of $statsTotal")
+      val wantBox = spark.range(n).filter(
+        (col("id") % 499).between(200L, 240L) &&
+          (col("id") % 293).between(100L, 130L)).count()
+      require(boxDf.count() == wantBox,
+        "stats-pruned box read lost rows")
+
       val cell = Cell(sc, n, buildS, serveS, candPerQuery, pairS,
         candPairs, planes, closureS, nComp, exciseS, dupToks,
         cowS, cowFiles, cowRows, cowRowsWide, diffOptS, diffOptBuckets,
-        lookupS, lookupApiS, lookupFiles, mergeS, mergeFiles, restoreS)
+        lookupS, lookupApiS, lookupFiles, mergeS, mergeFiles, restoreS,
+        statsScanned, statsTotal, statsPlanS)
       println(f"[scaleprobe] scale=${sc}x n=$n build=${buildS}%.2fs " +
         f"serve=${serveS}%.2fs cand/q=${candPerQuery}%.1f " +
         f"pairscan=${pairS}%.2fs candpairs=$candPairs planes=$planes " +
@@ -316,7 +355,10 @@ object ScaleProbe {
         f"lookup=${lookupS}%.2fs lookup_api=${lookupApiS}%.2fs " +
         f"lookup_files=$lookupFiles " +
         f"merge=${mergeS}%.2fs merge_files=$mergeFiles " +
-        f"restore=${restoreS}%.2fs")
+        f"restore=${restoreS}%.2fs " +
+        f"stats_scan=$statsScanned/$statsTotal " +
+        f"(frac=${statsScanned.toDouble / statsTotal}%.3f, " +
+        f"plan=${statsPlanS}%.3fs)")
       cell
     }
 
@@ -342,7 +384,11 @@ object ScaleProbe {
       f"lookup_files=${expo(_.lookupFiles.toDouble)}%.2f " +
       f"merge_time=${expo(_.mergeS)}%.2f " +
       f"merge_files=${expo(_.mergeFiles.toDouble)}%.2f " +
-      f"restore_time=${expo(_.restoreS)}%.2f")
+      f"restore_time=${expo(_.restoreS)}%.2f " +
+      f"stats_files_scanned=${expo(_.statsScanned.toDouble)}%.2f " +
+      f"stats_prune_fraction=${
+        expo(c => c.statsScanned.toDouble / c.statsTotal)}%.2f " +
+      f"stats_plan_time=${expo(_.statsPlanS)}%.2f")
 
     // --- MANIFEST SCALING LEG (vs BUCKET COUNT, not corpus size) ---
     // Manifests re-list every live file each commit, so commit metadata
