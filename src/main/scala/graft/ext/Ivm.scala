@@ -138,10 +138,19 @@ object Ivm {
     * aggregate, O(dirty groups' base rows): deletions are the rare
     * path, and only their groups pay). `base` must be the table
     * snapshot at the view's applied frontier; serving a dirty view
-    * without it fails loudly rather than return a stale extreme. */
+    * without it fails loudly rather than return a stale extreme.
+    *
+    * `avgOf` derives `avg_<c> = sum_<c> / n` (double) for the named
+    * measures — AVG and any sum/count rational need no partial of
+    * their own: the group algebra already maintains both terms
+    * exactly, so the derivation is a projection at serve time, free
+    * at any scale (the classic IVM treatment of non-self-maintainable
+    * aggregates reduced to self-maintainable parts). */
   def serve(spark: SparkSession, dir: String, groupCols: Seq[String],
       valCols: Seq[String], extremaCols: Seq[String],
-      base: Option[DataFrame]): DataFrame = {
+      base: Option[DataFrame], avgOf: Seq[String]): DataFrame = {
+    require(avgOf.forall(valCols.contains),
+      s"avgOf must name maintained measures (${valCols.mkString(",")})")
     val aggs = (sum("n").as("n") +:
       valCols.map(c => sum(s"v_$c").as(s"sum_$c"))) ++
       extremaCols.flatMap(e => Seq(min(s"mn_$e").as(s"min_$e"),
@@ -151,8 +160,12 @@ object Ivm {
       .groupBy(groupCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
       .filter(col("n") =!= 0)
-    if (extremaCols.isEmpty) summary
-    else {
+    def withAvgs(d: DataFrame): DataFrame =
+      avgOf.foldLeft(d)((acc, c) =>
+        acc.withColumn(s"avg_$c",
+          col(s"sum_$c").cast("double") / col("n")))
+    if (extremaCols.isEmpty) withAvgs(summary)
+    else withAvgs {
       val pinned = summary.localCheckpoint(true)
       val anyDirty = pinned.filter(col("d") > 0).limit(1).count() > 0
       val resolved =
@@ -185,11 +198,60 @@ object Ivm {
     }
   }
 
+  /** No-avg form of [[serve]] (the pre-round-14 signature). */
+  def serve(spark: SparkSession, dir: String, groupCols: Seq[String],
+      valCols: Seq[String], extremaCols: Seq[String],
+      base: Option[DataFrame]): DataFrame =
+    serve(spark, dir, groupCols, valCols, extremaCols, base, Nil)
+
   /** Single-measure convenience form of [[serve]]. */
   def serve(spark: SparkSession, dir: String,
       groupCol: String = "status",
       valCol: String = "cents"): DataFrame =
     serve(spark, dir, Seq(groupCol), Seq(valCol), Nil, None)
+
+  /** Builder for the `ivm_view('/dir')` SQL table-valued function: the
+    * maintained view SERVED in plain SQL, the view definition inferred
+    * from the partials' own physical schema (the init-time prefix
+    * contract — `v_<c>` sums, `mn_`/`mx_<c>` extrema, `d` dirty
+    * counter, everything else a group column), so any maintained view
+    * is SQL-readable without re-declaring its shape, exactly as
+    * `merge_table` reads the snapshot table. `avg_<c>` rides along
+    * for every measure (derived at serve time from the exact
+    * partials). A view with dirty extrema fails loudly — resolve with
+    * a compact-with-base first, then the SQL serve is clean. */
+  private[graft] val viewFunctionBuilder
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    exprs =>
+      require(exprs.length == 1,
+        s"ivm_view(dir) takes 1 argument, got ${exprs.length}")
+      val e = exprs.head
+      require(e.foldable, "ivm_view: dir must be a literal")
+      val dir = e.eval() match {
+        case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+        case other => throw new IllegalArgumentException(
+          s"ivm_view: dir must be a string literal, got $other")
+      }
+      val spark = org.apache.spark.sql.SparkSession.active
+      val names = spark.read.parquet(dir).schema.fieldNames.toSeq
+      val valCols = names.filter(_.startsWith("v_")).map(_.drop(2))
+      val extrema = names.filter(_.startsWith("mn_")).map(_.drop(3))
+      val groupCols = names.filterNot(n => n == "n" || n == "d" ||
+        n == "run" || n.startsWith("v_") || n.startsWith("mn_") ||
+        n.startsWith("mx_"))
+      serve(spark, dir, groupCols, valCols, extrema, None,
+        avgOf = valCols).queryExecution.logical
+  }
+
+  /** Register `ivm_view` on a session built without
+    * `spark.sql.extensions=graft.GraftExtensions` — idempotent. */
+  def registerSql(spark: SparkSession): Unit =
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("ivm_view"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        Ivm.getClass.getName, "ivm_view"),
+      viewFunctionBuilder)
 
   /** Fold SETTLED run partials into the reserved `run=-1` epoch — the
     * boundedness mechanism the rest of the incremental family has
@@ -655,11 +717,76 @@ object Ivm {
       |       'serve_recompute' AS path FROM agg
       |ORDER BY path, status""")
 
+  /** q165 — SQL SERVE + DERIVED MEASURES acceptance: a composite-key
+    * (status, seg) view carrying two measures, maintained through a
+    * group-migrating increment and a mid-stream [[compact]], then read
+    * entirely through `ivm_view('/dir')` in PLAIN SQL — the view
+    * definition inferred from the partials' own schema, with the
+    * derived `avg_cents` (sum/count rational, computed from the exact
+    * partials at serve time — AVG needs no partial of its own) rounded
+    * and gated against the delta-blind direct aggregate the oracle
+    * computes from orders arithmetic alone. A SQL consumer reads a
+    * maintained view exactly like a table — the q159 discipline
+    * applied to the IVM layer. */
+  private val q165IvmSqlServe = QueryDef(
+    (s, dir) => {
+      val view = java.nio.file.Files.createTempDirectory("graft-q165")
+        .resolve("view").toString
+      val groupCols = Seq("status", "seg")
+      val valCols = Seq("cents", "units")
+      val base = graft.core.Timing.build {
+        val b = Tables(s, dir, "orders").select(
+          col("o_orderkey").as("key"),
+          col("o_orderstatus").as("status"),
+          (col("o_custkey") % 4).as("seg"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"),
+          (col("o_orderkey") % 7).as("units")).localCheckpoint(true)
+        Ivm.init(b, view, groupCols, valCols, Nil)
+        b
+      }
+      val cls = col("key") % 1009
+      val oldS = struct(col("status"), col("seg"), col("cents"),
+        col("units"))
+      val newS = struct(lit("M").as("status"), col("seg"),
+        (col("cents") + 10L).as("cents"),
+        (col("units") + 1L).as("units"))
+      Ivm.applyChanges(base.filter(cls === 1)
+        .select(col("key"), oldS.as("old_row"), newS.as("new_row")),
+        view, 1L, groupCols, valCols, Nil)
+      Ivm.compact(s, view, None, groupCols, None)
+      Ivm.registerSql(s)
+      s.sql(
+        s"""SELECT status, seg, n, sum_cents, sum_units,
+           |       round(avg_cents, 2) AS avg_cents_r
+           |FROM ivm_view('$view')
+           |ORDER BY status, seg""".stripMargin)
+    },
+    """WITH base AS (
+      |  SELECT o_orderkey AS key, o_orderstatus AS status,
+      |         o_custkey % 4 AS seg,
+      |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+      |         o_orderkey % 7 AS units
+      |  FROM orders),
+      |fin AS (
+      |  SELECT key,
+      |         CASE WHEN key % 1009 = 1 THEN 'M' ELSE status END AS status,
+      |         seg,
+      |         cents + CASE WHEN key % 1009 = 1 THEN 10 ELSE 0 END AS cents,
+      |         units + CASE WHEN key % 1009 = 1 THEN 1 ELSE 0 END AS units
+      |  FROM base)
+      |SELECT status, seg, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+      |       CAST(sum(units) AS BIGINT) AS sum_units,
+      |       round(CAST(sum(cents) AS DOUBLE) / count(*), 2)
+      |         AS avg_cents_r
+      |FROM fin GROUP BY status, seg ORDER BY status, seg""")
+
   val defs: Map[String, QueryDef] = Map(
     "q147_ivm_changefeed" -> q147IvmChangefeed,
     "q149_ivm_runner" -> q149IvmRunner,
     "q152_ivm_boundedness" -> q152IvmBoundedness,
     "q154_ivm_multi" -> q154IvmMulti,
     "q158_ivm_extrema" -> q158IvmExtrema,
+    "q165_ivm_sql_serve" -> q165IvmSqlServe,
   )
 }
