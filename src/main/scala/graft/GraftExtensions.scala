@@ -23,6 +23,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // value-predicate FILE pruning on MergeTable scans: manifest #st=
     // per-file min/max stats drop files a pushed range can never match
     e.injectOptimizerRule(_ => graft.plans.StatsFilePruning)
+    // SQL DML: MERGE INTO merge_table.`/dir` routed to the clause
+    // engine (the write-side twin of the merge_table read TVF)
+    e.injectResolutionRule(_ => graft.plans.MergeIntoMergeTable)
     // SQL surface for the snapshot table: SELECT ... FROM
     // merge_table('/dir'[, version]) — time travel + pruning compose
     e.injectTableFunction((

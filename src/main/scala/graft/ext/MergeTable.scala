@@ -2896,6 +2896,99 @@ object MergeTable {
        |FROM r WHERE act IN (0, 1, 3, 4)
        |ORDER BY key""".stripMargin)
 
+  /** q166 — SQL MERGE INTO acceptance: q161's five-clause merge
+    * replayed VERBATIM through a real `MERGE INTO merge_table.'/dir'`
+    * statement — Spark's own grammar, the
+    * [[graft.plans.MergeIntoMergeTable]] resolution route, the same
+    * clause engine — and held to q161's IDENTICAL oracle. The SQL and
+    * API paths must be indistinguishable row for row AND stat for
+    * stat (the returned DML metrics row feeds the pinned n_upd/n_del/
+    * n_ins columns), which is what makes the statement an entry point
+    * rather than a dialect: clause-order dispatch, set defaults, the
+    * schema-extending `note` column and skipped unaccepted inserts
+    * all hash-gate through the parser. */
+  private val q166SqlMergeDml = QueryDef(
+    (s, dir) => {
+      val root = graft.core.Timing.build {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft-q166").resolve("t").toString
+        create(baseRows(s, dir).select("key", "cents", "status"), out,
+          "key")
+        out
+      }
+      val t = readTable(s, root).select("key", "cents", "status")
+      t.filter(col("key") % 13 === 0)
+        .select(col("key"),
+          (col("cents") + (col("key") % 200) - 100).as("cents"),
+          col("status"))
+        .unionByName(t.filter(col("key") % 17 === 0)
+          .select((-col("key") - 1).as("key"),
+            (col("cents") + 50).as("cents"), lit("N").as("status")))
+        .createOrReplaceTempView("q166_src")
+      val st = s.sql(
+        s"""MERGE INTO merge_table.`$root` AS t
+           |USING q166_src AS s
+           |ON t.key = s.key
+           |WHEN MATCHED AND s.cents > t.cents THEN
+           |  UPDATE SET cents = s.cents, note = 'up'
+           |WHEN MATCHED THEN DELETE
+           |WHEN NOT MATCHED AND s.cents % 3 != 0 THEN INSERT *
+           |WHEN NOT MATCHED BY SOURCE AND t.key % 19 = 0 THEN
+           |  UPDATE SET cents = t.cents + 1, note = 'aged'
+           |WHEN NOT MATCHED BY SOURCE AND t.key % 23 = 0 THEN DELETE
+           |""".stripMargin).collect().head
+      readTable(s, root)
+        .select("key", "cents", "status", "note")
+        .withColumn("n_upd", lit(st.getLong(1)))
+        .withColumn("n_del", lit(st.getLong(2)))
+        .withColumn("n_ins", lit(st.getLong(3)))
+        .orderBy("key")
+    },
+    s"""WITH t AS (
+       |  SELECT o_orderkey AS key,
+       |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+       |         o_orderstatus AS status
+       |  FROM orders),
+       |s AS (
+       |  SELECT key, cents + (key % 200) - 100 AS cents, status
+       |  FROM t WHERE key % 13 = 0
+       |  UNION ALL
+       |  SELECT -key - 1, cents + 50, 'N' FROM t WHERE key % 17 = 0),
+       |j AS (
+       |  SELECT coalesce(t.key, s.key) AS key,
+       |         t.key IS NOT NULL AS has_t, s.key IS NOT NULL AS has_s,
+       |         t.cents AS tc, t.status AS tst,
+       |         s.cents AS sc, s.status AS sst
+       |  FROM t FULL OUTER JOIN s ON t.key = s.key),
+       |r AS (
+       |  SELECT key, tc, tst, sc, sst,
+       |         CASE
+       |           WHEN has_t AND has_s AND sc > tc THEN 1
+       |           WHEN has_t AND has_s THEN 2
+       |           WHEN NOT has_t AND sc % 3 <> 0 THEN 3
+       |           WHEN NOT has_t THEN -1
+       |           WHEN key % 19 = 0 THEN 4
+       |           WHEN key % 23 = 0 THEN 5
+       |           ELSE 0 END AS act
+       |  FROM j),
+       |n AS (
+       |  SELECT
+       |    CAST(count(*) FILTER (WHERE act IN (1, 4)) AS BIGINT) AS upd,
+       |    CAST(count(*) FILTER (WHERE act IN (2, 5)) AS BIGINT) AS del,
+       |    CAST(count(*) FILTER (WHERE act = 3) AS BIGINT) AS ins
+       |  FROM r)
+       |SELECT key,
+       |       CASE act WHEN 1 THEN sc WHEN 3 THEN sc
+       |                WHEN 4 THEN tc + 1 ELSE tc END AS cents,
+       |       CASE WHEN act = 3 THEN sst ELSE tst END AS status,
+       |       CASE act WHEN 1 THEN 'up' WHEN 4 THEN 'aged'
+       |                ELSE NULL END AS note,
+       |       (SELECT upd FROM n) AS n_upd,
+       |       (SELECT del FROM n) AS n_del,
+       |       (SELECT ins FROM n) AS n_ins
+       |FROM r WHERE act IN (0, 1, 3, 4)
+       |ORDER BY key""".stripMargin)
+
   /** q162 — TAG + RESTORE acceptance: create the keyed orders table,
     * land a bad batch (batch1), pin v1 under an immutable tag, RESTORE
     * to the tag's version (a pure-metadata commit re-listing v1's
@@ -3014,5 +3107,6 @@ object MergeTable {
     "q162_tag_restore" -> q162TagRestore,
     "q163_check_constraint" -> q163CheckConstraint,
     "q164_stats_pruning" -> q164StatsPruning,
+    "q166_sql_merge_dml" -> q166SqlMergeDml,
   )
 }

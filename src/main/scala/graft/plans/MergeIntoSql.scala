@@ -1,0 +1,251 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute,
+  UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{Attribute,
+  AttributeReference, EqualTo, Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment,
+  DeleteAction, InsertAction, InsertStarAction, LogicalPlan,
+  MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.LongType
+
+import graft.ext.MergeTable
+
+/** SQL DML for the snapshot table: a real `MERGE INTO` statement
+  * against `merge_table`.`/dir`, parsed by Spark's own grammar and
+  * routed to [[graft.ext.MergeTable.merge]]'s clause engine — the
+  * write-side twin of the `merge_table(...)` read TVF, so a
+  * SQL-literate user reaches the conditional three-way merge the way
+  * the reference's README promises its downstream is driven
+  * (README.md:265-312 declares a SQL-first surface):
+  *
+  * {{{
+  * MERGE INTO merge_table.`/path/to/table` AS t
+  * USING src_view AS s
+  * ON t.key = s.key
+  * WHEN MATCHED AND s.cents > t.cents THEN UPDATE SET cents = s.cents
+  * WHEN MATCHED THEN DELETE
+  * WHEN NOT MATCHED AND s.cents % 3 != 0 THEN INSERT *
+  * WHEN NOT MATCHED BY SOURCE THEN UPDATE SET cents = t.cents + 1
+  * }}}
+  *
+  * The resolution rule [[MergeIntoMergeTable]] intercepts the parsed
+  * [[MergeIntoTable]] while its target is still the unresolved
+  * `merge_table.<dir>` identifier (the Delta `delta.`/path``
+  * idiom) and replaces it with a runnable command; everything else —
+  * clause-order dispatch, O(source buckets) without a by-source
+  * clause, constraints, conflict retry, stats/fingerprint manifest
+  * annotations — is the SAME engine the API path runs, so q166 can
+  * hold the SQL statement to q161's oracle verbatim. The command
+  * returns one row of clause stats (the Delta MERGE metrics shape).
+  *
+  * Scope is the engine's own contract, loudly enforced: the ON
+  * condition must be key-equality on the table's key column (the
+  * bucket discipline — a non-key merge would be a different
+  * operator), an INSERT must assign the key from the source's, and
+  * WITH SCHEMA EVOLUTION is rejected (extend via SET of a new column
+  * is supported, silent evolution is not). */
+object MergeIntoMergeTable extends Rule[LogicalPlan] {
+
+  private def targetOf(p: LogicalPlan): Option[(String, Option[String])] =
+    p match {
+      case SubqueryAlias(id, UnresolvedRelation(parts, _, _))
+          if isMergeTableRef(parts) => Some((parts(1), Some(id.name)))
+      case UnresolvedRelation(parts, _, _) if isMergeTableRef(parts) =>
+        Some((parts(1), None))
+      case _ => None
+    }
+
+  private def isMergeTableRef(parts: Seq[String]): Boolean =
+    parts.length == 2 && parts.head.equalsIgnoreCase("merge_table")
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsUp {
+      case m: MergeIntoTable =>
+        targetOf(m.targetTable) match {
+          case Some((dir, tgtAlias)) =>
+            if (m.withSchemaEvolution)
+              throw new IllegalArgumentException(
+                "MERGE INTO merge_table: WITH SCHEMA EVOLUTION is not " +
+                  "supported — extend-only evolution happens through " +
+                  "SET of a new column name, explicitly")
+            val srcAlias = m.sourceTable match {
+              case SubqueryAlias(id, _) => Some(id.name)
+              case _ => None
+            }
+            GraftMergeCommand(dir, new CapturedMerge(m.sourceTable,
+              tgtAlias, srcAlias, m.mergeCondition, m.matchedActions,
+              m.notMatchedActions, m.notMatchedBySourceActions))
+          case None => m
+        }
+    }
+}
+
+/** Opaque carrier for the captured MERGE pieces: a plain class (not a
+  * case class, not an Expression), so the command's product-derived
+  * `expressions` stays empty — the analyzer neither re-resolves nor
+  * rejects the deliberately-unresolved clause trees (they resolve at
+  * run time against the engine's tgt/src struct frame, the only frame
+  * they are meaningful in). */
+final class CapturedMerge(
+    val source: LogicalPlan,
+    val tgtAlias: Option[String], val srcAlias: Option[String],
+    val mergeCondition: Expression,
+    val matchedActions: Seq[org.apache.spark.sql.catalyst.plans.logical.MergeAction],
+    val notMatchedActions: Seq[org.apache.spark.sql.catalyst.plans.logical.MergeAction],
+    val notMatchedBySourceActions: Seq[org.apache.spark.sql.catalyst.plans.logical.MergeAction])
+  extends Serializable
+
+/** The runnable half: resolves the source, converts Spark's parsed
+  * clause trees to [[MergeTable.MergeWhen]] Columns over the engine's
+  * `tgt`/`src` struct frame, and runs ONE [[MergeTable.merge]] —
+  * executed when the DataFrame returned by `spark.sql(...)` runs, like
+  * every Spark DML command. */
+final case class GraftMergeCommand(dir: String, captured: CapturedMerge)
+  extends LeafRunnableCommand {
+  import captured._
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType)(),
+    AttributeReference("rows_updated", LongType)(),
+    AttributeReference("rows_deleted", LongType)(),
+    AttributeReference("rows_inserted", LongType)(),
+    AttributeReference("rows_carried", LongType)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val key = MergeTable.keyOf(spark, dir)
+    val srcDf = Bridge.ofRows(spark, source)
+    val srcCols = srcDf.columns.toSeq
+    val tgtSchema = MergeTable.readTable(spark, dir).schema
+    val tgtCols = tgtSchema.fieldNames.filterNot(_ == "bucket").toSeq
+
+    // requalify a parsed reference onto the engine's tgt/src structs;
+    // anything that cannot be owned unambiguously fails loudly —
+    // silent misattribution would rewrite the wrong side's values
+    def remapParts(parts: Seq[String], what: String): Seq[String] =
+      parts match {
+        case Seq(q, c) if tgtAlias.contains(q) => Seq("tgt", c)
+        case Seq(q, c) if srcAlias.contains(q) => Seq("src", c)
+        case Seq(c) =>
+          val inT = tgtCols.contains(c); val inS = srcCols.contains(c)
+          if (inT && inS) throw new IllegalArgumentException(
+            s"MERGE INTO merge_table: $what reference '$c' is ambiguous " +
+              "(both sides carry it) — qualify with the table or source " +
+              "alias")
+          else if (inT) Seq("tgt", c)
+          else if (inS) Seq("src", c)
+          else throw new IllegalArgumentException(
+            s"MERGE INTO merge_table: $what reference '$c' matches " +
+              "neither the table nor the source")
+        case other => throw new IllegalArgumentException(
+          s"MERGE INTO merge_table: $what reference '${other.mkString(".")}' " +
+            "must be <alias>.<column> or a bare column name")
+      }
+    def remapExpr(e: Expression, what: String): Expression =
+      e.transformUp {
+        case ua: UnresolvedAttribute =>
+          UnresolvedAttribute(remapParts(ua.nameParts, what))
+        case ar: AttributeReference => // pre-resolved: only the source
+          // side can have resolved (the target was an unresolved
+          // identifier when the rule fired)
+          UnresolvedAttribute(Seq("src", ar.name))
+      }
+    def toCol(e: Expression, what: String): Column =
+      Bridge.column(remapExpr(e, what))
+
+    // the ON condition must be key-equality on the table's key — the
+    // bucket discipline the engine's merge is defined over
+    val onOk = remapExpr(mergeCondition, "ON") match {
+      case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute) =>
+        Set(a.nameParts, b.nameParts) ==
+          Set(Seq("tgt", key), Seq("src", key))
+      case _ => false
+    }
+    if (!onOk) throw new IllegalArgumentException(
+      s"MERGE INTO merge_table: the ON condition must be key equality " +
+        s"on the table's key column — ON <tgt>.$key = <src>.$key " +
+        s"(got: ${mergeCondition.sql})")
+
+    def assignName(a: Assignment): String = a.key match {
+      case ua: UnresolvedAttribute => ua.nameParts.last
+      case ar: AttributeReference => ar.name
+      case other => throw new IllegalArgumentException(
+        s"MERGE INTO merge_table: cannot assign to ${other.sql}")
+    }
+    def setMap(assigns: Seq[Assignment], what: String): Map[String, Column] =
+      assigns.map(a => assignName(a) -> toCol(a.value, what)).toMap
+
+    def updateWhen(cond: Option[Expression], assigns: Seq[Assignment],
+        what: String): MergeTable.MergeWhen =
+      MergeTable.MergeWhen(cond.map(toCol(_, what)),
+        MergeTable.MergeAction.Update(setMap(assigns, what)))
+
+    val matched = matchedActions.map {
+      case UpdateAction(c, assigns, false) =>
+        updateWhen(c, assigns, "WHEN MATCHED UPDATE")
+      case UpdateStarAction(c) =>
+        MergeTable.MergeWhen(c.map(toCol(_, "WHEN MATCHED UPDATE *")),
+          MergeTable.MergeAction.UpdateAll)
+      case UpdateAction(c, _, true) => // UPDATE SET * parses to fromStar
+        MergeTable.MergeWhen(c.map(toCol(_, "WHEN MATCHED UPDATE *")),
+          MergeTable.MergeAction.UpdateAll)
+      case DeleteAction(c) =>
+        MergeTable.MergeWhen(c.map(toCol(_, "WHEN MATCHED DELETE")),
+          MergeTable.MergeAction.Delete)
+      case other => throw new IllegalArgumentException(
+        s"MERGE INTO merge_table: unsupported WHEN MATCHED action $other")
+    }
+    val notMatched = notMatchedActions.map {
+      case InsertStarAction(c) =>
+        MergeTable.MergeWhen(c.map(toCol(_, "WHEN NOT MATCHED INSERT *")),
+          MergeTable.MergeAction.UpdateAll)
+      case InsertAction(c, assigns) =>
+        val what = "WHEN NOT MATCHED INSERT"
+        val m = setMap(assigns, what)
+        // the key must come from the source's key: an inserted row is
+        // keyed (and bucketed) by the source key the full-outer join
+        // coalesced — any other key expression would silently re-key
+        val keyOk = assigns.find(a => assignName(a) == key)
+          .map(a => remapExpr(a.value, what))
+          .collect { case ua: UnresolvedAttribute => ua.nameParts }
+          .contains(Seq("src", key))
+        if (!keyOk) throw new IllegalArgumentException(
+          s"MERGE INTO merge_table: INSERT must assign $key from the " +
+            s"source's $key column (rows are keyed by it)")
+        // SQL semantics: unassigned TABLE columns insert as NULL (the
+        // engine's Update defaults an absent name to the source value,
+        // which is the INSERT * shape — pin NULL explicitly instead)
+        val full = tgtCols.filterNot(_ == key).map { c0 =>
+          // typed null: a bare NULL literal would land a VOID column
+          // in the written parquet and break the snapshot's schema
+          c0 -> m.getOrElse(c0,
+            Bridge.column(Literal.create(null, tgtSchema(c0).dataType)))
+        }.toMap ++ (m - key)
+        MergeTable.MergeWhen(c.map(toCol(_, what)),
+          MergeTable.MergeAction.Update(full))
+      case other => throw new IllegalArgumentException(
+        s"MERGE INTO merge_table: unsupported WHEN NOT MATCHED action $other")
+    }
+    val bySource = notMatchedBySourceActions.map {
+      case UpdateAction(c, assigns, false) =>
+        updateWhen(c, assigns, "WHEN NOT MATCHED BY SOURCE UPDATE")
+      case DeleteAction(c) =>
+        MergeTable.MergeWhen(
+          c.map(toCol(_, "WHEN NOT MATCHED BY SOURCE DELETE")),
+          MergeTable.MergeAction.Delete)
+      case other => throw new IllegalArgumentException(
+        "MERGE INTO merge_table: unsupported WHEN NOT MATCHED BY " +
+          s"SOURCE action $other")
+    }
+
+    val st = MergeTable.merge(spark, dir, srcDf,
+      matched = matched, notMatched = notMatched,
+      notMatchedBySource = bySource)
+    Seq(Row(st.version, st.rowsUpdated, st.rowsDeleted, st.rowsInserted,
+      st.rowsCarried))
+  }
+}

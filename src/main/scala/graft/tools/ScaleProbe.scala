@@ -314,7 +314,7 @@ object ScaleProbe {
           (col("id") % 499).as("x"), (col("id") % 293).as("y")),
         stp, "key", 1)
       graft.ext.MergeTable.optimizeZOrder(spark, stp, "x", "y",
-        maxRecordsPerFile = Some(200L))
+        maxRecordsPerFile = Some(50L))
       graft.plans.StatsFilePruning.enable(spark)
       val boxDf = graft.ext.MergeTable.readTable(spark, stp)
         .filter(col("x").between(200L, 240L) &&

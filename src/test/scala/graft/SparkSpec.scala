@@ -18,6 +18,10 @@ object SparkSpec {
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-wh").toString)
       .config("spark.sql.shuffle.partitions", "4")
+      // the production wiring (Verify/Bench run with it too): TVFs,
+      // native expressions, pruning rules, and the MERGE INTO DML
+      // route are all exercised under the same extension point
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -1,0 +1,146 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.ext.MergeTable
+import org.apache.spark.sql.functions._
+
+/** MERGE INTO merge_table.`/dir` — the SQL DML route into the clause
+  * engine: parsed by Spark's own grammar, intercepted while the
+  * target is the unresolved path identifier, executed as one
+  * MergeTable.merge. Same engine, same snapshot commit, loud on
+  * every unsupported shape. */
+class MergeIntoSqlSpec extends SparkSpec {
+
+  private def mkTable(n: Int = 300): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-midml")
+      .resolve("t").toString
+    MergeTable.create(
+      (1 to n).map(i => (i.toLong, i.toLong * 10, s"s$i"))
+        .toDF("key", "cents", "status"),
+      dir, "key")
+    dir
+  }
+
+  test("a four-clause MERGE INTO statement lands as ONE snapshot " +
+      "commit with SQL clause-order semantics, and the stats row " +
+      "comes back through spark.sql") {
+    import spark.implicits._
+    val dir = mkTable()
+    Seq((2L, 100L, "up"), (3L, 5L, "down"), (301L, 77L, "new"),
+      (302L, 9L, "skip"))
+      .toDF("key", "cents", "status")
+      .createOrReplaceTempView("mi_src")
+    val st = spark.sql(
+      s"""MERGE INTO merge_table.`$dir` AS t
+         |USING mi_src AS s
+         |ON t.key = s.key
+         |WHEN MATCHED AND s.cents > t.cents THEN
+         |  UPDATE SET cents = s.cents, status = s.status
+         |WHEN MATCHED THEN DELETE
+         |WHEN NOT MATCHED AND s.cents % 2 = 1 THEN INSERT *
+         |WHEN NOT MATCHED BY SOURCE AND t.key = 7 THEN
+         |  UPDATE SET cents = t.cents + 1
+         |""".stripMargin).collect().head
+    // key 2: src 100 > tgt 20 -> updated; key 3: 5 < 30 -> clause 2
+    // deletes; 301 (77 odd) inserts; 302 (9 odd)... 9 % 2 = 1 -> also
+    // inserts; key 7 untouched by source -> aged by the by-source
+    // clause; everything else carries
+    assert(st.getLong(1) === 2L, s"rows_updated: $st") // key 2 + key 7
+    assert(st.getLong(2) === 1L, s"rows_deleted: $st") // key 3
+    assert(st.getLong(3) === 2L, s"rows_inserted: $st") // 301, 302
+    val t = MergeTable.readTable(spark, dir)
+    assert(t.count() === 301L) // 300 - 1 deleted + 2 inserted
+    val got = t.filter(col("key").isin(2L, 3L, 7L, 301L, 302L))
+      .select("key", "cents", "status").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(got(2L) === ((100L, "up")))
+    assert(!got.contains(3L))
+    assert(got(7L) === ((71L, "s7")))
+    assert(got(301L) === ((77L, "new")))
+    assert(got(302L) === ((9L, "skip")))
+  }
+
+  test("an explicit INSERT column list follows SQL semantics: " +
+      "unassigned table columns land NULL, and assigning the key " +
+      "from anything but the source key is rejected") {
+    import spark.implicits._
+    val dir = mkTable(50)
+    Seq((501L, 42L)).toDF("key", "cents")
+      .createOrReplaceTempView("mi_src2")
+    spark.sql(
+      s"""MERGE INTO merge_table.`$dir` AS t
+         |USING mi_src2 AS s
+         |ON t.key = s.key
+         |WHEN NOT MATCHED THEN INSERT (key, cents) VALUES (s.key, s.cents)
+         |""".stripMargin).collect()
+    val r = MergeTable.readTable(spark, dir)
+      .filter(col("key") === 501L)
+      .select("cents", "status").collect().head
+    assert(r.getLong(0) === 42L)
+    assert(r.isNullAt(1), "unassigned status must insert as NULL")
+    val err = intercept[IllegalArgumentException] {
+      spark.sql(
+        s"""MERGE INTO merge_table.`$dir` AS t
+           |USING mi_src2 AS s
+           |ON t.key = s.key
+           |WHEN NOT MATCHED THEN INSERT (key, cents) VALUES (-s.key, s.cents)
+           |""".stripMargin).collect()
+    }
+    assert(err.getMessage.contains("INSERT must assign key"),
+      s"re-keying insert must be rejected: $err")
+  }
+
+  test("a non-key ON condition and an ambiguous bare reference both " +
+      "fail loudly; a MERGE against a non-merge_table identifier is " +
+      "left to Spark's own resolution") {
+    import spark.implicits._
+    val dir = mkTable(20)
+    Seq((1L, 5L, "x")).toDF("key", "cents", "status")
+      .createOrReplaceTempView("mi_src3")
+    val e1 = intercept[IllegalArgumentException] {
+      spark.sql(
+        s"""MERGE INTO merge_table.`$dir` AS t USING mi_src3 AS s
+           |ON t.cents = s.cents
+           |WHEN MATCHED THEN DELETE""".stripMargin).collect()
+    }
+    assert(e1.getMessage.contains("key equality"))
+    val e2 = intercept[IllegalArgumentException] {
+      spark.sql(
+        s"""MERGE INTO merge_table.`$dir` AS t USING mi_src3 AS s
+           |ON t.key = s.key
+           |WHEN MATCHED THEN UPDATE SET cents = cents + 1""".stripMargin)
+        .collect()
+    }
+    assert(e2.getMessage.contains("ambiguous"))
+    // foreign target: our rule must not touch it (Spark reports its
+    // own missing-table error, not a graft one)
+    val e3 = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO some_other_table AS t USING mi_src3 AS s
+          |ON t.key = s.key
+          |WHEN MATCHED THEN DELETE""".stripMargin).collect()
+    }
+    assert(!e3.getMessage.contains("merge_table"),
+      s"foreign MERGE target leaked into the graft route: $e3")
+  }
+
+  test("the SQL route enforces the same CHECK constraints and lands " +
+      "the same manifest annotations as the API route") {
+    import spark.implicits._
+    val dir = mkTable(40)
+    MergeTable.addConstraint(spark, dir, "cents_pos", "cents > 0")
+    Seq((5L, -1L, "bad")).toDF("key", "cents", "status")
+      .createOrReplaceTempView("mi_src4")
+    val err = intercept[IllegalStateException] {
+      spark.sql(
+        s"""MERGE INTO merge_table.`$dir` AS t USING mi_src4 AS s
+           |ON t.key = s.key
+           |WHEN MATCHED THEN UPDATE SET cents = s.cents""".stripMargin)
+        .collect()
+    }
+    assert(err.getMessage.contains("cents_pos"))
+    assert(MergeTable.versions(spark, dir) === Seq(1L),
+      "a constraint-rejected SQL merge must commit nothing")
+  }
+}
