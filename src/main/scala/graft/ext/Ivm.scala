@@ -781,6 +781,73 @@ object Ivm {
       |         AS avg_cents_r
       |FROM fin GROUP BY status, seg ORDER BY status, seg""")
 
+  /** q167 — STREAMING CDC SUBSCRIPTION acceptance: the q149 pipeline
+    * with the runner/cursor plumbing replaced by the
+    * [[graft.sources.ChangefeedSource]] — the view SUBSCRIBES to the
+    * table (`readStream.format("merge-table-changes")`, offsets =
+    * table versions) and [[graft.streaming.IvmStream]] drains each
+    * version-range micro-batch through the same run discipline. Three
+    * AvailableNow drains (bootstrap no-op, the two-upsert window, the
+    * delete window) and the served view must equal the direct
+    * aggregate the oracle computes from orders arithmetic alone —
+    * exactly-once now riding the checkpoint offset log instead of the
+    * runner's cursor file, with the fingerprint short-circuit and
+    * changed-bucket pruning inside every getBatch. */
+  private val q167ChangefeedStream = QueryDef(
+    (s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-q167")
+      val table = root.resolve("table").toString
+      val view = root.resolve("view").toString
+      val ckpt = root.resolve("ckpt").toString
+      def drain(): Unit = {
+        val q = graft.streaming.IvmStream.start(
+          s.readStream.format("merge-table-changes")
+            .option("dir", table).option("initialVersion", 1L).load(),
+          view, ckpt, Seq("status"), Seq("cents"), Nil,
+          compactEvery = 2)
+        q.awaitTermination()
+      }
+      val base = graft.core.Timing.build {
+        val b = baseRows(s, dir).localCheckpoint(true)
+        MergeTable.create(b, table, "key")
+        Ivm.init(MergeTable.readTable(s, table, Some(1L)).drop("bucket"),
+          view)
+        drain() // bootstrap: nothing past v1, zero rows applied
+        b
+      }
+      MergeTable.upsert(s, table,
+        base.filter(col("key") % 101 === 0)
+          .withColumn("cents", col("cents") + 100)
+          .unionByName(base.filter(col("key") % 103 === 0)
+            .select((-col("key") - 1).as("key"), lit("N").as("status"),
+              col("cents"))))
+      MergeTable.upsert(s, table,
+        base.filter(col("key") % 202 === 0)
+          .select(col("key"), lit("X").as("status"),
+            (col("cents") + 300).as("cents")))
+      drain() // one micro-batch: the composed v1→v3 diff
+      MergeTable.deleteKeys(s, table,
+        base.filter(col("key") % 307 === 0).select("key"))
+      drain() // one micro-batch: the v3→v4 diff
+      Ivm.serve(s, view).orderBy("status")
+    },
+    """WITH base AS (
+      |  SELECT o_orderkey AS key, o_orderstatus AS status,
+      |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+      |  FROM orders),
+      |fin AS (
+      |  SELECT key,
+      |         CASE WHEN key % 202 = 0 THEN 'X' ELSE status END AS status,
+      |         CASE WHEN key % 202 = 0 THEN cents + 300
+      |              WHEN key % 101 = 0 THEN cents + 100
+      |              ELSE cents END AS cents
+      |  FROM base WHERE key % 307 <> 0
+      |  UNION ALL
+      |  SELECT -key - 1, 'N', cents FROM base WHERE key % 103 = 0)
+      |SELECT status, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM fin GROUP BY status ORDER BY status""")
+
   val defs: Map[String, QueryDef] = Map(
     "q147_ivm_changefeed" -> q147IvmChangefeed,
     "q149_ivm_runner" -> q149IvmRunner,
@@ -788,5 +855,6 @@ object Ivm {
     "q154_ivm_multi" -> q154IvmMulti,
     "q158_ivm_extrema" -> q158IvmExtrema,
     "q165_ivm_sql_serve" -> q165IvmSqlServe,
+    "q167_changefeed_stream" -> q167ChangefeedStream,
   )
 }

@@ -21,4 +21,17 @@ object Bridge {
       : org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** A streaming-flagged DataFrame from a batch one — what a V1
+    * streaming Source's getBatch must return (the engine asserts
+    * isStreaming; FileStreamSource and Delta's source do exactly this
+    * internalCreateDataFrame dance). The batch plan collapses to its
+    * RDD lazily — nothing executes until the micro-batch runs. */
+  def asStreaming(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    spark.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
 }
