@@ -1444,6 +1444,21 @@ object MergeTable {
       notMatched: Seq[MergeWhen] = Nil,
       notMatchedBySource: Seq[MergeWhen] = Nil,
       idempotencyToken: Option[String] = None): MergeStats =
+    mergeWithHook(spark, dir, source, matched, notMatched,
+      notMatchedBySource, idempotencyToken, () => ())
+
+  /** [[merge]] with the spec-only injection point between epoch write
+    * and manifest promotion — the window a concurrent committer
+    * exploits; the two-streams spec plants a competing commit there to
+    * prove the retry protocol re-dispatches the clauses against the
+    * winner's snapshot with the idempotency token intact. */
+  private[graft] def mergeWithHook(spark: SparkSession, dir: String,
+      source: DataFrame,
+      matched: Seq[MergeWhen],
+      notMatched: Seq[MergeWhen],
+      notMatchedBySource: Seq[MergeWhen],
+      idempotencyToken: Option[String],
+      beforeCommit: () => Unit): MergeStats =
     retryOnConflict("merge", dir) {
       import MergeAction._
       require(matched.nonEmpty || notMatched.nonEmpty ||
@@ -1583,7 +1598,7 @@ object MergeTable {
         man.tokens + (sid -> math.max(id, man.tokens.getOrElse(sid, Long.MinValue)))
       }.getOrElse(man.tokens)
       val fresh = commitEpoch(spark, dir, next, survivors, kept,
-        man.hexDigits, () => (), keptFps = man.fps -- impacted,
+        man.hexDigits, beforeCommit, keptFps = man.fps -- impacted,
         tokens = newTokens,
         keptSts = man.sts.view.filterKeys(kept.toSet).toMap)
       MergeStats(next, impacted.size.toLong, rewritten.size.toLong,

@@ -154,4 +154,95 @@ class MergeStreamSpec extends SparkSpec {
     assert(got === Map(4L -> "keep", 50L -> "new"))
     assert(graft.ext.MergeTable.readTable(spark, dir).count() === 11L)
   }
+
+  test("TWO concurrent clause streams into one table: per-stream " +
+      "tokens gate independently, the conflict-retry protocol " +
+      "serializes the commits, and the final state is the clause " +
+      "algebra over both sources") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("merge-2s").toString + "/t"
+    graft.ext.MergeTable.create(
+      (1L to 40L).map(i => CdcRow(i, s"v$i")).toDF(), dir, "key")
+    val m = Seq(graft.ext.MergeTable.MergeWhen(None,
+      graft.ext.MergeTable.MergeAction.Update(
+        Map("value" -> col("src.value")))))
+    val nm = Seq(graft.ext.MergeTable.MergeWhen(None,
+      graft.ext.MergeTable.MergeAction.UpdateAll))
+    val inA = MemoryStream[CdcRow]; val inB = MemoryStream[CdcRow]
+    // disjoint key ranges, so any serialization of the two streams'
+    // commits lands the same final state — what the protocol promises
+    inA.addData(CdcRow(1, "a1"), CdcRow(41, "a-ins"))
+    inB.addData(CdcRow(2, "b1"), CdcRow(42, "b-ins"))
+    val ckA = Files.createTempDirectory("merge-2s-a").toString
+    val ckB = Files.createTempDirectory("merge-2s-b").toString
+    val qa = MergeStream.startClauses(inA.toDF(), dir, ckA,
+      matched = m, notMatched = nm, streamId = Some("sA"))
+    val qb = MergeStream.startClauses(inB.toDF(), dir, ckB,
+      matched = m, notMatched = nm, streamId = Some("sB"))
+    qa.awaitTermination(); qb.awaitTermination()
+    val t = graft.ext.MergeTable.readTable(spark, dir)
+    assert(t.count() === 42L)
+    val got = t.filter(col("key").isin(1L, 2L, 41L, 42L))
+      .select("key", "value").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "a1", 2L -> "b1", 41L -> "a-ins",
+      42L -> "b-ins"))
+    assert(graft.ext.MergeTable.lastAppliedBatch(spark, dir, "sA")
+      === Some(0L))
+    assert(graft.ext.MergeTable.lastAppliedBatch(spark, dir, "sB")
+      === Some(0L),
+      "each stream's frontier must survive the other's commits " +
+        "(token carry-forward)")
+    // second round: both streams advance; tokens advance independently
+    inA.addData(CdcRow(41, "a2"))
+    inB.addData(CdcRow(42, "b2"))
+    MergeStream.startClauses(inA.toDF(), dir, ckA,
+      matched = m, notMatched = nm, streamId = Some("sA"))
+      .awaitTermination()
+    MergeStream.startClauses(inB.toDF(), dir, ckB,
+      matched = m, notMatched = nm, streamId = Some("sB"))
+      .awaitTermination()
+    assert(graft.ext.MergeTable.lastAppliedBatch(spark, dir, "sA")
+      === Some(1L))
+    assert(graft.ext.MergeTable.lastAppliedBatch(spark, dir, "sB")
+      === Some(1L))
+  }
+
+  test("a clause merge that LOSES the commit race re-dispatches its " +
+      "clauses against the winner's snapshot — conditions re-evaluate " +
+      "on the new state, and the idempotency token lands with the " +
+      "retried commit") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("merge-race").toString + "/t"
+    graft.ext.MergeTable.create(
+      (1L to 10L).map(i => CdcRow(i, "orig")).toDF(), dir, "key")
+    // the clause deletes matched rows still reading 'orig'; a
+    // concurrent upsert moves key 1 to 'moved' BETWEEN the loser's
+    // epoch write and its promotion — after the retry, key 1 must
+    // SURVIVE (the condition is false against the winner's snapshot);
+    // a blind re-promote of the stale epoch would have deleted it
+    var planted = false
+    val st = graft.ext.MergeTable.mergeWithHook(spark, dir,
+      Seq(CdcRow(1, "x"), CdcRow(2, "x")).toDF(),
+      matched = Seq(graft.ext.MergeTable.MergeWhen(
+        Some(col("tgt.value") === "orig"),
+        graft.ext.MergeTable.MergeAction.Delete)),
+      notMatched = Nil, notMatchedBySource = Nil,
+      idempotencyToken = Some("sX:5"),
+      beforeCommit = () => if (!planted) {
+        planted = true
+        graft.ext.MergeTable.upsert(spark, dir,
+          Seq(CdcRow(1, "moved")).toDF()): Unit
+      })
+    assert(st.rowsDeleted === 1L,
+      s"only key 2 still read 'orig' after the winner's commit: $st")
+    val t = graft.ext.MergeTable.readTable(spark, dir)
+    assert(t.filter(col("key") === 1L).select("value")
+      .collect().head.getString(0) === "moved",
+      "the loser must re-evaluate against the winner's snapshot")
+    assert(t.filter(col("key") === 2L).count() === 0L)
+    assert(graft.ext.MergeTable.lastAppliedBatch(spark, dir, "sX")
+      === Some(5L), "the token must ride the RETRIED commit")
+  }
 }
