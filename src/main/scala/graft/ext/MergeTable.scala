@@ -196,7 +196,8 @@ object MergeTable {
   private final case class ManifestData(hexDigits: Int,
     entries: Seq[String], fps: Map[String, String],
     tokens: Map[String, Long] = Map.empty,
-    sts: Map[String, String] = Map.empty)
+    sts: Map[String, String] = Map.empty,
+    cols: Map[String, String] = Map.empty)
 
   private def readManifestFull(spark: SparkSession, dir: String,
       v: Long): ManifestData = {
@@ -248,7 +249,21 @@ object MergeTable {
         val cut = body.indexOf('|')
         if (cut < 0) body -> "" else body.take(cut) -> body.drop(cut + 1)
     }.toMap
-    ManifestData(hex, lines.filterNot(_.startsWith("#")), fps, toks, sts)
+    // COLUMN MAPPING (the Iceberg id-model re-expressed over names):
+    // "#col=<physical>:<logical>" — the parquet files keep their
+    // immutable PHYSICAL column names forever; the snapshot's LOGICAL
+    // schema renames (logical differs) or drops (logical empty) them
+    // at the read boundary. No line = identity. Each manifest carries
+    // its own mapping, so time travel reads every version under the
+    // names it had.
+    val colMap = lines.collect {
+      case l if l.startsWith("#col=") =>
+        val body = l.drop(5)
+        val cut = body.indexOf(':')
+        body.take(cut) -> body.drop(cut + 1)
+    }.toMap
+    ManifestData(hex, lines.filterNot(_.startsWith("#")), fps, toks,
+      sts, colMap)
   }
 
   private def readManifest(spark: SparkSession, dir: String,
@@ -499,9 +514,90 @@ object MergeTable {
       }.toMap
       val next = cur + 1
       commitManifest(spark, dir, next, old.entries, old.hexDigits,
-        old.fps, tokens = toks, sts = old.sts)
+        old.fps, tokens = toks, sts = old.sts, cols = old.cols)
       next
     }
+
+  /** Shared validation + metadata-only commit for the two schema
+    * evolution verbs beyond extend-only. The PHYSICAL column names in
+    * the parquet files are immutable; the manifest's `#col=` mapping
+    * is what changes — so both verbs are O(manifest) commits that
+    * move zero rows, re-list the same files, and inherit fingerprints
+    * verbatim (a rename/drop-only window is CDC-free by the same
+    * fingerprint identity that makes OPTIMIZE free to diff across).
+    * Time travel reads every snapshot under its own names. */
+  private def alterMapping(spark: SparkSession, dir: String,
+      op: String, name: String,
+      newLogical: Option[String]): Long =
+    retryOnConflict(op, dir) {
+      val key = keyMeta(spark, dir, None)
+      require(name != key,
+        s"the key column $key cannot be ${if (newLogical.isEmpty) "dropped"
+          else "renamed"} — it is the table's bucket identity")
+      newLogical.foreach { to =>
+        require(to != key && to != "bucket" && to != "v",
+          s"'$to' collides with the key or a reserved layout name")
+        require(to.nonEmpty &&
+          !to.exists(c => c == ':' || c == '|' || c == '\n' || c == '\r'),
+          s"column name '$to' may not be empty or contain ':', '|', " +
+            "or line breaks")
+      }
+      val cur = versions(spark, dir).lastOption.getOrElse(
+        throw new IllegalArgumentException(s"no MergeTable at $dir"))
+      val man = readManifestFull(spark, dir, cur)
+      val logical = readTable(spark, dir, Some(cur)).columns.toSet -
+        "bucket"
+      require(logical.contains(name),
+        s"$op: no column '$name' in the table " +
+          s"(${logical.toSeq.sorted.mkString(",")})")
+      newLogical.foreach(to => require(!logical.contains(to),
+        s"$op: column '$to' already exists"))
+      // the physical slot the logical name currently occupies
+      val p = man.cols.collectFirst {
+        case (ph, l) if l == name => ph }.getOrElse(name)
+      require(!p.exists(c => c == ':' || c == '|'),
+        s"$op: physical column '$p' carries mapping delimiters — " +
+          "this table predates clean-name enforcement; rewrite it")
+      val newCols =
+        if (newLogical.contains(p)) man.cols - p // renamed back home
+        else man.cols + (p -> newLogical.getOrElse(""))
+      // every declared CHECK constraint must still RESOLVE on the
+      // post-change schema: enforcement silently skips non-resolving
+      // expressions (the extend-only rationale), so letting a rename/
+      // drop orphan one would disable it without a trace
+      val post = applyLogicalView(
+        readPhysical(spark, dir, Some(cur)).limit(0), newCols)
+      constraints(spark, dir).foreach { case (n, e) =>
+        require(scala.util.Try(post.select(expr(e))).isSuccess,
+          s"$op: CHECK constraint '$n' ($e) references '$name' — drop " +
+            "(and re-add under the new schema) first")
+      }
+      val next = cur + 1
+      commitManifest(spark, dir, next, man.entries, man.hexDigits,
+        man.fps, tokens = man.tokens, sts = man.sts, cols = newCols)
+      next
+    }
+
+  /** RENAME a column — a pure-metadata commit (the Iceberg/Delta
+    * column-mapping model): the files keep their physical name, the
+    * new manifest maps it to `to`, and every consumer — reads, SQL
+    * TVFs, upsert/merge batches (which arrive in logical names),
+    * constraints, the changefeed — speaks the new name from this
+    * version on while time travel keeps the old one. The KEY column
+    * is not renamable (bucket identity); a name once renamed away
+    * cannot be re-used (its physical slot is occupied — loud). */
+  def renameColumn(spark: SparkSession, dir: String, from: String,
+      to: String): Long =
+    alterMapping(spark, dir, "renameColumn", from, Some(to))
+
+  /** DROP a column — metadata-only; the bytes stay in the files (old
+    * snapshots still read them; rewritten buckets shed them
+    * incrementally) but every read at this version onward excludes
+    * the column, upsert batches must not carry it, and the changefeed
+    * stops reporting it. Not reversible by name (the physical slot
+    * stays occupied); the key column cannot be dropped. */
+  def dropColumn(spark: SparkSession, dir: String, name: String): Long =
+    alterMapping(spark, dir, "dropColumn", name, None)
 
   private def conflict(dir: String, v: Long,
       cause: Throwable): Nothing =
@@ -536,7 +632,8 @@ object MergeTable {
       fps: Map[String, String] = Map.empty,
       beforePromote: () => Unit = () => (),
       tokens: Map[String, Long] = Map.empty,
-      sts: Map[String, String] = Map.empty): Unit = {
+      sts: Map[String, String] = Map.empty,
+      cols: Map[String, String] = Map.empty): Unit = {
     val fs = hadoopFs(spark, dir)
     fs.mkdirs(manifestDir(dir))
     val p = manifestPath(dir, v)
@@ -566,9 +663,11 @@ object MergeTable {
     val entrySet = entries.toSet
     val stLines = sts.toSeq.filter(e => entrySet.contains(e._1))
       .sortBy(_._1).map { case (f, body) => s"#st=$f|$body" }
+    val colLines = cols.toSeq.sortBy(_._1)
+      .map { case (p, l) => s"#col=$p:$l" }
     try out.write(
-      ((s"#hex=$hexDigits" +: tokLines) ++ fpLines ++ stLines ++
-        entries.sorted).mkString("\n").getBytes("UTF-8"))
+      ((s"#hex=$hexDigits" +: tokLines) ++ colLines ++ fpLines ++
+        stLines ++ entries.sorted).mkString("\n").getBytes("UTF-8"))
     finally out.close()
     beforePromote()
     val qualified = fs.makeQualified(p)
@@ -925,7 +1024,8 @@ object MergeTable {
       keptFps: Map[String, String] = Map.empty,
       tokens: Map[String, Long] = Map.empty,
       keptSts: Map[String, String] = Map.empty,
-      maxRecordsPerFile: Option[Long] = None)
+      maxRecordsPerFile: Option[Long] = None,
+      cols: Map[String, String] = Map.empty)
       : Seq[String] = {
     val epochName = s"v=$next-${attemptTag()}"
     writeEpoch(rows, dir, epochName, hexDigits, blockBytes, sortCols,
@@ -937,7 +1037,8 @@ object MergeTable {
     beforeCommit()
     try {
       commitManifest(spark, dir, next, kept ++ fresh, hexDigits,
-        keptFps ++ freshFps, tokens = tokens, sts = keptSts ++ freshSts)
+        keptFps ++ freshFps, tokens = tokens, sts = keptSts ++ freshSts,
+        cols = cols)
       fresh
     }
     catch { case e: CommitConflictException =>
@@ -989,10 +1090,51 @@ object MergeTable {
       .withColumn("bucket",
         regexp_extract(col("_metadata.file_path"), "/bucket=([^/]+)/", 1))
 
-  /** The table at a version (default: latest) — resolves that
-    * version's manifest and scans exactly its files; `basePath` keeps
-    * the `bucket` partition column (the key a reader may prune on). */
-  def readTable(spark: SparkSession, dir: String,
+  /** The snapshot's LOGICAL view of a physically-named frame: one
+    * projection renaming mapped physicals and excluding dropped ones
+    * (a single select, so a rename landing on a still-occupied
+    * physical name can never alias-collide mid-rewrite). The layout
+    * columns (`bucket`, `v`) are never mapped. */
+  private def applyLogicalView(df: DataFrame,
+      cols: Map[String, String]): DataFrame =
+    if (cols.isEmpty) df
+    else df.select(df.columns.toSeq.flatMap { c =>
+      if (c == "bucket" || c == "v") Some(col(c))
+      else cols.get(c) match {
+        case Some("") => None // dropped
+        case Some(l) => Some(col(c).as(l))
+        case None => Some(col(c))
+      }
+    }: _*)
+
+  /** The inverse boundary: a LOGICALLY-named batch translated to the
+    * table's physical column names before it meets the files. A batch
+    * column that lands on a physical slot whose logical fate is
+    * rename-away or drop is REJECTED loudly — writing it would
+    * silently resurrect dead bytes under a stale name (re-adding a
+    * dropped/renamed name needs an id-based format; this one forbids
+    * it, explicitly). */
+  private def toPhysical(df: DataFrame,
+      cols: Map[String, String]): DataFrame =
+    if (cols.isEmpty) df
+    else {
+      val occupied = df.columns.toSet.intersect(cols.keySet)
+      require(occupied.isEmpty,
+        s"column name(s) ${occupied.mkString(", ")} were renamed away " +
+          "or dropped from this table — their physical slots are " +
+          "occupied; pick a fresh name")
+      val rev = cols.collect { case (p, l) if l.nonEmpty => l -> p }
+      df.select(df.columns.toSeq.map { c =>
+        rev.get(c).map(col(c).as(_)).getOrElse(col(c))
+      }: _*)
+    }
+
+  /** The PHYSICAL snapshot (files' own column names, mapping not
+    * applied) — the internal read every rewrite path must use:
+    * fingerprints sort physical names, so a layout rewrite that
+    * silently materialized the logical names would break content
+    * identity (and CDC-freeness) for no user-visible gain. */
+  private def readPhysical(spark: SparkSession, dir: String,
       version: Option[Long] = None): DataFrame = {
     val v = version.getOrElse(versions(spark, dir).lastOption.getOrElse(
       throw new IllegalArgumentException(s"no MergeTable at $dir")))
@@ -1012,6 +1154,20 @@ object MergeTable {
     spark.read.option("basePath", s"$dir/data")
       .option("mergeSchema", "true").parquet(files: _*)
       .drop("v")
+  }
+
+  /** The table at a version (default: latest) — resolves that
+    * version's manifest, scans exactly its files, and applies the
+    * version's own COLUMN MAPPING (renames/drops are metadata the
+    * manifest carries, so time travel reads every snapshot under the
+    * names it had); `basePath` keeps the `bucket` partition column
+    * (the key a reader may prune on). */
+  def readTable(spark: SparkSession, dir: String,
+      version: Option[Long] = None): DataFrame = {
+    val v = version.getOrElse(versions(spark, dir).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"no MergeTable at $dir")))
+    applyLogicalView(readPhysical(spark, dir, Some(v)),
+      readManifestFull(spark, dir, v).cols)
   }
 
   /** Builder for the `merge_table(dir[, version])` SQL table-valued
@@ -1223,7 +1379,9 @@ object MergeTable {
       .toSet
     val entries = man.entries.filter(e => buckets.contains(bucketOfEntry(e)))
     if (entries.isEmpty) readTable(spark, dir, Some(v)).filter(lit(false))
-    else readEntries(spark, dir, entries).filter(col(key).isin(keys: _*))
+    else applyLogicalView(
+      readEntries(spark, dir, entries).filter(col(key).isin(keys: _*)),
+      man.cols)
   }
 
   /** Create the table at `dir` from `df`, keyed (and hash-bucketed) by
@@ -1286,7 +1444,8 @@ object MergeTable {
       val cur = versions(spark, dir).lastOption.getOrElse(
         throw new IllegalArgumentException(s"no MergeTable at $dir"))
       val man = readManifestFull(spark, dir, cur)
-      val batch = updates
+      // the batch arrives in LOGICAL names; the files speak physical
+      val batch = toPhysical(updates, man.cols)
         .withColumn("bucket", bucketCol(col(key), man.hexDigits))
         .localCheckpoint(true)
       // ONE aggregate job serves both driver needs: the impacted-bucket
@@ -1325,7 +1484,12 @@ object MergeTable {
       // OTHER buckets' files is not required: the impacted rows never
       // stored it, so writing them without it preserves contents
       // exactly — mergeSchema reads null either way.)
-      val dropped = existing.columns.toSet -- batch.columns.toSet
+      // DROPPED physicals are exempt: the batch cannot (and must not)
+      // carry them — existing rows keep their bytes, batch rows read
+      // null, and old snapshots still see the data
+      val droppedPhys = man.cols.filter(_._2.isEmpty).keySet
+      val dropped = existing.columns.toSet -- batch.columns.toSet --
+        droppedPhys
       require(dropped.isEmpty,
         s"upsert batch is missing table columns: ${dropped.mkString(",")}" +
           " (schema changes are extend-only)")
@@ -1333,12 +1497,14 @@ object MergeTable {
         .join(batch.select(key), Seq(key), "left_anti")
         .unionByName(batch, allowMissingColumns = true)
         .localCheckpoint(true) // materialize before writing the epoch
-      enforceConstraints(spark, dir, merged, "upsert")
+      enforceConstraints(spark, dir, applyLogicalView(merged, man.cols),
+        "upsert")
       val next = cur + 1
       val fresh = commitEpoch(spark, dir, next, merged, kept,
         man.hexDigits, beforeCommit, keptFps = man.fps -- impacted,
         tokens = man.tokens,
-        keptSts = man.sts.view.filterKeys(kept.toSet).toMap)
+        keptSts = man.sts.view.filterKeys(kept.toSet).toMap,
+        cols = man.cols)
       CowStats(next, impacted.size.toLong, rewritten.size.toLong,
         fresh.size.toLong, matched, nBatch - matched)
     }
@@ -1377,7 +1543,8 @@ object MergeTable {
     val fresh = commitEpoch(spark, dir, next, survivors, kept,
       man.hexDigits, () => (), keptFps = man.fps -- impacted,
       tokens = man.tokens,
-      keptSts = man.sts.view.filterKeys(kept.toSet).toMap)
+      keptSts = man.sts.view.filterKeys(kept.toSet).toMap,
+      cols = man.cols)
     CowStats(next, impacted.size.toLong, rewritten.size.toLong,
       fresh.size.toLong, matched, 0L)
   }
@@ -1507,9 +1674,13 @@ object MergeTable {
         else perBucket.map(_.getString(0)).toSet
       val (rewritten, kept) = man.entries.partition(e =>
         impacted.contains(bucketOfEntry(e)))
+      // the clause algebra runs in LOGICAL space (conditions and SET
+      // names are user-facing); the physical boundary is crossed once
+      // on the way back down, at toPhysical below
       val existing =
         if (rewritten.isEmpty) batch.limit(0)
-        else readEntries(spark, dir, rewritten)
+        else applyLogicalView(readEntries(spark, dir, rewritten),
+          man.cols)
       val tgtCols = existing.columns.filterNot(_ == "bucket").toSeq
       val srcCols = batch.columns.filterNot(_ == "bucket").toSeq
       if ((matched ++ notMatched).exists(_.action == UpdateAll)) {
@@ -1583,11 +1754,12 @@ object MergeTable {
         }.as(c)
       }
       val doomed = (deleteIds :+ (-1)).map(java.lang.Integer.valueOf)
-      val survivors = classified
+      val survivorsL = classified
         .filter(!col("__act").isin(doomed: _*))
         .select(col("__gk").as(key) +: outExprs: _*)
+      enforceConstraints(spark, dir, survivorsL, "merge")
+      val survivors = toPhysical(survivorsL, man.cols)
         .withColumn("bucket", bucketCol(col(key), man.hexDigits))
-      enforceConstraints(spark, dir, survivors, "merge")
       val next = cur + 1
       // the new token JOINS the carried-forward map (and a replayed id
       // never regresses a newer one — max, the monotone frontier)
@@ -1600,7 +1772,8 @@ object MergeTable {
       val fresh = commitEpoch(spark, dir, next, survivors, kept,
         man.hexDigits, beforeCommit, keptFps = man.fps -- impacted,
         tokens = newTokens,
-        keptSts = man.sts.view.filterKeys(kept.toSet).toMap)
+        keptSts = man.sts.view.filterKeys(kept.toSet).toMap,
+        cols = man.cols)
       MergeStats(next, impacted.size.toLong, rewritten.size.toLong,
         fresh.size.toLong, total(updatedIds), total(deleteIds),
         total(insertIds), counts.getOrElse(0, 0L))
@@ -1649,10 +1822,15 @@ object MergeTable {
       throw new IllegalArgumentException(s"no MergeTable at $dir"))
     val man = readManifestFull(spark, dir, cur)
     val next = cur + 1
-    val all = readTable(spark, dir, Some(cur)).localCheckpoint(true)
+    // PHYSICAL read: a rewrite must preserve the files' own column
+    // names or the (name-sorted) content fingerprints would shift and
+    // the layout-only commit would stop being CDC-free
+    val all = readPhysical(spark, dir, Some(cur)).localCheckpoint(true)
+    val physSort = man.cols.collectFirst {
+      case (p, l) if l == sortCol => p }.getOrElse(sortCol)
     val fresh = commitEpoch(spark, dir, next, all, Seq.empty,
-      man.hexDigits, () => (), sortCols = Seq(sortCol),
-      tokens = man.tokens)
+      man.hexDigits, () => (), sortCols = Seq(physSort),
+      tokens = man.tokens, cols = man.cols)
     CowStats(next, fresh.size.toLong, man.entries.size.toLong,
       fresh.size.toLong, 0L, 0L)
   }
@@ -1698,14 +1876,16 @@ object MergeTable {
         throw new IllegalArgumentException(s"no MergeTable at $dir"))
       val man = readManifestFull(spark, dir, cur)
       val next = cur + 1
+      def phys(c: String): String = man.cols.collectFirst {
+        case (p, l) if l == c => p }.getOrElse(c)
       val all = Layout.withZVal(
-        readTable(spark, dir, Some(cur)), xCol, yCol)
+        readPhysical(spark, dir, Some(cur)), phys(xCol), phys(yCol))
         .localCheckpoint(true)
       val fresh = commitEpoch(spark, dir, next, all, Seq.empty,
         man.hexDigits, () => (), blockBytes,
         sortCols = Seq("zval", key),
         dropAfterSort = Seq("zval"), tokens = man.tokens,
-        maxRecordsPerFile = maxRecordsPerFile)
+        maxRecordsPerFile = maxRecordsPerFile, cols = man.cols)
       CowStats(next, man.entries.map(bucketOfEntry).distinct.size.toLong,
         man.entries.size.toLong, fresh.size.toLong, 0L, 0L)
     }
@@ -1733,10 +1913,10 @@ object MergeTable {
         throw new IllegalArgumentException(s"no MergeTable at $dir"))
       val man = readManifestFull(spark, dir, cur)
       val next = cur + 1
-      val rehashed = readTable(spark, dir, Some(cur)).drop("bucket")
+      val rehashed = readPhysical(spark, dir, Some(cur)).drop("bucket")
         .withColumn("bucket", bucketCol(col(key), newHexDigits))
       val fresh = commitEpoch(spark, dir, next, rehashed, Seq.empty,
-        newHexDigits, () => (), tokens = man.tokens)
+        newHexDigits, () => (), tokens = man.tokens, cols = man.cols)
       CowStats(next, fresh.size.toLong, man.entries.size.toLong,
         fresh.size.toLong, 0L, 0L)
     }
@@ -1937,6 +2117,11 @@ object MergeTable {
   def changes(spark: SparkSession, dir: String, fromV: Long,
       toV: Long): DataFrame = {
     val key = keyMeta(spark, dir, None)
+    // the feed speaks the DESTINATION version's logical names: a
+    // renamed column is the SAME column (physical identity — the diff
+    // joins and compares physically, so a rename-only window yields
+    // no rows), and a dropped column stops appearing
+    val viewCols = readManifestFull(spark, dir, toV).cols
     val changed = changedBuckets(spark, dir, fromV, toV).toSet
     // prune the FILE LISTS, not a partition filter over a full-table
     // scan: a scan of all files pays an O(files) mergeSchema footer
@@ -1966,6 +2151,13 @@ object MergeTable {
       val fields = probe match {
         case Some(e) => spark.read.parquet(s"$dir/data/$e").schema.fields
           .filterNot(f => f.name == "v" || f.name == "bucket")
+          .flatMap { f =>
+            viewCols.get(f.name) match {
+              case Some("") => None
+              case Some(l) => Some(f.copy(name = l))
+              case None => Some(f)
+            }
+          }
         case None => Array(StructField(key, LongType))
       }
       val keyField = fields.find(_.name == key)
@@ -1981,8 +2173,9 @@ object MergeTable {
     // fromV, or dropped by toV) reads the OTHER side's files for its
     // schema and contributes zero rows
     def side0(es: Seq[String], other: Seq[String]): DataFrame = {
-      val d = readEntries(spark, dir, if (es.nonEmpty) es else other)
-        .drop("bucket")
+      val d = applyLogicalView(
+        readEntries(spark, dir, if (es.nonEmpty) es else other)
+          .drop("bucket"), viewCols)
       if (es.nonEmpty) d else d.limit(0)
     }
     val tFrom = side0(ff, tf)
@@ -3004,6 +3197,60 @@ object MergeTable {
        |FROM r WHERE act IN (0, 1, 3, 4)
        |ORDER BY key""".stripMargin)
 
+  /** q168 — SCHEMA EVOLUTION acceptance (rename + drop, the column-
+    * mapping model): create the keyed orders table → batch-1 upsert
+    * (old names) → RENAME cents→amount (pure-metadata commit) →
+    * batch-2 upsert carrying the NEW name → DROP cust (pure-metadata
+    * commit) — then dump the full final state under the lifecycle
+    * oracle with the RENAMED column and WITHOUT the dropped one.
+    * Three probes ride every row, oracle-pinned: `v2_sum_cents` (TIME
+    * TRAVEL to the pre-rename snapshot reads the OLD name — each
+    * manifest carries its own mapping), and the changefeed row counts
+    * across the rename-only and drop-only windows, both 0 — mapping
+    * commits re-list the same files with the same fingerprints, so
+    * they are as CDC-free as OPTIMIZE. A rename that moved values,
+    * lost batch-2's writes through the name boundary, or leaked the
+    * dropped column fails the hash row for row. */
+  private val q168SchemaEvolution = QueryDef(
+    (s, dir) => {
+      val root = graft.core.Timing.build {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft-q168").resolve("t").toString
+        val base = baseRows(s, dir).localCheckpoint(true)
+        create(base, out, "key")
+        upsert(s, out, batch1(base)): Unit
+        out
+      }
+      val vRename = renameColumn(s, root, "cents", "amount")
+      val renameCdc = changes(s, root, vRename - 1, vRename).count()
+      val base = baseRows(s, dir)
+      upsert(s, root, batch2(base).withColumnRenamed("cents", "amount"))
+      val vDrop = dropColumn(s, root, "cust")
+      val dropCdc = changes(s, root, vDrop - 1, vDrop).count()
+      val v2Sum = readTable(s, root, Some(2L))
+        .agg(sum("cents")).collect().head.getLong(0)
+      readTable(s, root)
+        .select("key", "status", "amount", "bucket")
+        .withColumn("v2_sum_cents", lit(v2Sum))
+        .withColumn("rename_cdc", lit(renameCdc))
+        .withColumn("drop_cdc", lit(dropCdc))
+        .orderBy("key")
+    },
+    s"""WITH $lifecycleFinCte,
+       |v2 AS (
+       |  SELECT CAST(sum(cents) AS BIGINT)
+       |       + (SELECT CAST(count(*) * 100 AS BIGINT) FROM base
+       |            WHERE key % 101 = 0)
+       |       + (SELECT CAST(coalesce(sum(cents), 0) AS BIGINT)
+       |            FROM base WHERE key % 103 = 0) AS s
+       |  FROM base)
+       |SELECT key, status, cents AS amount,
+       |       ${bucketSql("key")} AS bucket,
+       |       (SELECT s FROM v2) AS v2_sum_cents,
+       |       CAST(0 AS BIGINT) AS rename_cdc,
+       |       CAST(0 AS BIGINT) AS drop_cdc
+       |FROM fin ORDER BY key""".stripMargin)
+
   /** q162 — TAG + RESTORE acceptance: create the keyed orders table,
     * land a bad batch (batch1), pin v1 under an immutable tag, RESTORE
     * to the tag's version (a pure-metadata commit re-listing v1's
@@ -3123,5 +3370,6 @@ object MergeTable {
     "q163_check_constraint" -> q163CheckConstraint,
     "q164_stats_pruning" -> q164StatsPruning,
     "q166_sql_merge_dml" -> q166SqlMergeDml,
+    "q168_schema_evolution" -> q168SchemaEvolution,
   )
 }
