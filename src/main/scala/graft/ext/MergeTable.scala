@@ -3197,6 +3197,56 @@ object MergeTable {
        |FROM r WHERE act IN (0, 1, 3, 4)
        |ORDER BY key""".stripMargin)
 
+  /** q169 — SQL UPDATE/DELETE acceptance: sourceless DML statements
+    * against `merge_table.'/dir'` — `UPDATE ... SET ... WHERE` then
+    * `DELETE FROM ... WHERE` — each executed as one by-source merge
+    * commit (every target row is not-matched by an empty source: the
+    * full-table pass SQL's sourceless DML prices, the same honesty as
+    * a by-source clause). The full final state is hash-gated against
+    * the oracle's CASE restatement over orders, with both statements'
+    * stats rows riding as pinned columns — SET arithmetic evaluated
+    * over the target row, WHERE dispatch, and the two snapshot
+    * commits all through Spark's own parser. */
+  private val q169SqlUpdateDelete = QueryDef(
+    (s, dir) => {
+      val root = graft.core.Timing.build {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft-q169").resolve("t").toString
+        create(baseRows(s, dir).select("key", "cents", "status"), out,
+          "key")
+        out
+      }
+      val up = s.sql(
+        s"""UPDATE merge_table.`$root` AS t
+           |SET cents = t.cents + 7, status = 'U'
+           |WHERE t.key % 11 = 0""".stripMargin).collect().head
+      val del = s.sql(
+        s"DELETE FROM merge_table.`$root` WHERE key % 13 = 0")
+        .collect().head
+      readTable(s, root).select("key", "cents", "status")
+        .withColumn("n_upd", lit(up.getLong(1)))
+        .withColumn("n_del", lit(del.getLong(2)))
+        .orderBy("key")
+    },
+    s"""WITH base AS (
+       |  SELECT o_orderkey AS key,
+       |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+       |         o_orderstatus AS status
+       |  FROM orders),
+       |n AS (
+       |  SELECT
+       |    CAST(count(*) FILTER (WHERE key % 11 = 0) AS BIGINT) AS upd,
+       |    CAST(count(*) FILTER (WHERE key % 13 = 0) AS BIGINT) AS del
+       |  FROM base)
+       |SELECT key,
+       |       CASE WHEN key % 11 = 0 THEN cents + 7 ELSE cents END
+       |         AS cents,
+       |       CASE WHEN key % 11 = 0 THEN 'U' ELSE status END AS status,
+       |       (SELECT upd FROM n) AS n_upd,
+       |       (SELECT del FROM n) AS n_del
+       |FROM base WHERE key % 13 <> 0
+       |ORDER BY key""".stripMargin)
+
   /** q168 — SCHEMA EVOLUTION acceptance (rename + drop, the column-
     * mapping model): create the keyed orders table → batch-1 upsert
     * (old names) → RENAME cents→amount (pure-metadata commit) →
@@ -3371,5 +3421,6 @@ object MergeTable {
     "q164_stats_pruning" -> q164StatsPruning,
     "q166_sql_merge_dml" -> q166SqlMergeDml,
     "q168_schema_evolution" -> q168SchemaEvolution,
+    "q169_sql_update_delete" -> q169SqlUpdateDelete,
   )
 }

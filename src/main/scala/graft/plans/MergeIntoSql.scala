@@ -82,6 +82,25 @@ object MergeIntoMergeTable extends Rule[LogicalPlan] {
               m.notMatchedActions, m.notMatchedBySourceActions))
           case None => m
         }
+      // UPDATE/DELETE sugar: a sourceless statement is a merge whose
+      // every target row is not-matched-by-source — the honest
+      // full-table pass SQL UPDATE/DELETE semantics demand (callers
+      // with keys in hand use DELETE via MERGE or the deleteKeys API
+      // for the O(impacted buckets) path)
+      case u: org.apache.spark.sql.catalyst.plans.logical.UpdateTable =>
+        targetOf(u.table) match {
+          case Some((dir, tgtAlias)) =>
+            GraftUpdateDeleteCommand(dir, new CapturedDml(tgtAlias,
+              u.assignments, u.condition, isDelete = false))
+          case None => u
+        }
+      case d: org.apache.spark.sql.catalyst.plans.logical.DeleteFromTable =>
+        targetOf(d.table) match {
+          case Some((dir, tgtAlias)) =>
+            GraftUpdateDeleteCommand(dir, new CapturedDml(tgtAlias,
+              Nil, Some(d.condition), isDelete = true))
+          case None => d
+        }
     }
 }
 
@@ -247,5 +266,76 @@ final case class GraftMergeCommand(dir: String, captured: CapturedMerge)
       notMatchedBySource = bySource)
     Seq(Row(st.version, st.rowsUpdated, st.rowsDeleted, st.rowsInserted,
       st.rowsCarried))
+  }
+}
+
+/** Opaque carrier for UPDATE/DELETE pieces (the [[CapturedMerge]]
+  * rationale: keep the deliberately-unresolved trees out of the
+  * analyzer's reach). */
+final class CapturedDml(
+    val tgtAlias: Option[String],
+    val assignments: Seq[Assignment],
+    val condition: Option[Expression],
+    val isDelete: Boolean) extends Serializable
+
+/** `UPDATE merge_table.`/dir`` SET ... [WHERE ...]` and
+  * `DELETE FROM merge_table.`/dir`` [WHERE ...]` — executed as ONE
+  * [[MergeTable.merge]] whose source is EMPTY and whose single
+  * not-matched-by-source clause carries the statement's condition and
+  * action: every target row is by definition not matched by an empty
+  * source, which is exactly the full-table pass SQL's sourceless DML
+  * prices (the same honesty as a by-source merge clause). Returns
+  * (version, rows_updated, rows_deleted). */
+final case class GraftUpdateDeleteCommand(dir: String,
+    captured: CapturedDml) extends LeafRunnableCommand {
+  import captured._
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType)(),
+    AttributeReference("rows_updated", LongType)(),
+    AttributeReference("rows_deleted", LongType)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val key = MergeTable.keyOf(spark, dir)
+    val t = MergeTable.readTable(spark, dir)
+    val tgtCols = t.columns.filterNot(_ == "bucket").toSeq
+    def remap(e: Expression, what: String): Expression = e.transformUp {
+      case ua: UnresolvedAttribute => ua.nameParts match {
+        case Seq(q, c) if tgtAlias.contains(q) =>
+          UnresolvedAttribute(Seq("tgt", c))
+        case Seq(c) if tgtCols.contains(c) =>
+          UnresolvedAttribute(Seq("tgt", c))
+        case other => throw new IllegalArgumentException(
+          s"${if (isDelete) "DELETE FROM" else "UPDATE"} merge_table: " +
+            s"$what reference '${other.mkString(".")}' does not name a " +
+            "table column")
+      }
+    }
+    def toCol(e: Expression, what: String): Column =
+      Bridge.column(remap(e, what))
+    val cond = condition.map(toCol(_, "WHERE"))
+    val action =
+      if (isDelete) MergeTable.MergeAction.Delete
+      else {
+        require(assignments.nonEmpty, "UPDATE needs a SET clause")
+        val m = assignments.map { a =>
+          val n = a.key match {
+            case ua: UnresolvedAttribute => ua.nameParts.last
+            case ar: AttributeReference => ar.name
+            case other => throw new IllegalArgumentException(
+              s"UPDATE merge_table: cannot assign to ${other.sql}")
+          }
+          require(n != key,
+            s"UPDATE merge_table: the key column $key cannot be SET — " +
+              "a re-keyed row belongs to a different bucket")
+          n -> toCol(a.value, "SET")
+        }.toMap
+        MergeTable.MergeAction.Update(m)
+      }
+    // an EMPTY source puts every target row in the by-source class
+    val emptySrc = t.select(t.col(key)).limit(0)
+    val st = MergeTable.merge(spark, dir, emptySrc,
+      notMatchedBySource = Seq(MergeTable.MergeWhen(cond, action)))
+    Seq(Row(st.version, st.rowsUpdated, st.rowsDeleted))
   }
 }

@@ -125,6 +125,33 @@ class MergeIntoSqlSpec extends SparkSpec {
       s"foreign MERGE target leaked into the graft route: $e3")
   }
 
+  test("UPDATE and DELETE sugar: sourceless DML lands as a by-source " +
+      "merge — conditions over table columns, SET arithmetic, key " +
+      "immutability, and stats rows back through spark.sql") {
+    val dir = mkTable(100)
+    val up = spark.sql(
+      s"""UPDATE merge_table.`$dir` AS t
+         |SET cents = t.cents + 5, status = 'bumped'
+         |WHERE t.key % 10 = 0""".stripMargin).collect().head
+    assert(up.getLong(1) === 10L, s"rows_updated: $up")
+    val t1 = MergeTable.readTable(spark, dir)
+    assert(t1.filter(col("status") === "bumped").count() === 10L)
+    assert(t1.filter(col("key") === 10L).select("cents")
+      .collect().head.getLong(0) === 105L)
+    val del = spark.sql(
+      s"DELETE FROM merge_table.`$dir` WHERE key > 90").collect().head
+    assert(del.getLong(2) === 10L, s"rows_deleted: $del")
+    assert(MergeTable.readTable(spark, dir).count() === 90L)
+    // unconditioned UPDATE touches every row; SET key rejected
+    val all = spark.sql(
+      s"UPDATE merge_table.`$dir` SET cents = cents + 1").collect().head
+    assert(all.getLong(1) === 90L)
+    val err = intercept[IllegalArgumentException] {
+      spark.sql(s"UPDATE merge_table.`$dir` SET key = key + 1").collect()
+    }
+    assert(err.getMessage.contains("cannot be SET"))
+  }
+
   test("the SQL route enforces the same CHECK constraints and lands " +
       "the same manifest annotations as the API route") {
     import spark.implicits._
