@@ -44,9 +44,39 @@ import graft.ext.MergeTable
   *   .load()
   * }}} */
 final class ChangefeedSource(sqlContext: SQLContext, dir: String,
-    startVersion: Long) extends Source {
+    startVersion: Long) extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private def spark = sqlContext.sparkSession
+
+  /** Version ceiling captured when an AvailableNow run starts: the
+    * run drains everything committed AT THAT MOMENT and stops —
+    * versions landing mid-run wait for the next trigger (the
+    * FileStreamSource admission-control discipline, which also
+    * retires the engine's single-batch fallback warning). */
+  @volatile private var availableNowCap: Option[Long] = None
+
+  private def latestVersion: Long =
+    MergeTable.versions(spark, dir).lastOption.getOrElse(startVersion)
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(math.max(latestVersion, startVersion))
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  override def latestOffset(
+      startOffset: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset = {
+    val cur = math.max(latestVersion, startVersion)
+    VersionOffset(availableNowCap.fold(cur)(math.min(cur, _)))
+  }
+
+  override def reportLatestOffset()
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    VersionOffset(math.max(latestVersion, startVersion))
 
   /** The changefeed schema is stable per table (key + old_row/new_row
     * payload structs + change class); probed once via a self-diff of
