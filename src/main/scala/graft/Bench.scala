@@ -202,17 +202,6 @@ object Bench {
     def shortKey(name: String): String = name.takeWhile(_ != '_')
     require(results.map(r => shortKey(r._1)).distinct.size == results.size,
       "qNN prefixes are no longer unique; stdout bench keys would collide")
-    // trim trailing zeros ("0.10" -> "0.1", "3.00" -> "3") — still valid
-    // JSON numbers, and the saved bytes keep the 151-query stdout line
-    // inside the driver's ~1.8 KB capture window
-    def num2(v: Double): String =
-      f"$v%.2f".reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse match {
-        case "" | "-" => "0"
-        case s => s
-      }
-    val qs = results
-      .map { case (k, v, _, _) => jsonStr(shortKey(k)) + ":" + num2(v) }
-      .mkString("{", ",", "}")
     // all measured passes per query, not just the min: lets the judge
     // (and future rounds) see run-to-run variance instead of trusting
     // the min-of-passes methodology blind. A SIBLING file, never the
@@ -251,10 +240,17 @@ object Bench {
       .mkString("""{"passes":{""", ",", s"},$buildJson,$noiseJson}")
     val passesPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES",
       "/tmp/bench_passes.json")
-    try Files.write(Paths.get(passesPath),
-      (passJson + "\n").getBytes(StandardCharsets.UTF_8))
-    catch { case t: Throwable =>
-      System.err.println(s"[bench] passes file write failed: $t") }
+    // every file-channel artifact is ALSO dropped inside the repo
+    // (BENCH_*_latest.json, git-ignored nothing — committed as the
+    // round's BENCH_OPS_r{N}/BENCH_FULL_r{N} siblings next session):
+    // round 14's full record survived only by accident in /tmp
+    def writeAll(body: String, paths: String*): Unit = paths.foreach { p =>
+      try Files.write(Paths.get(p), (body + "\n").getBytes(StandardCharsets.UTF_8))
+      catch { case t: Throwable =>
+        System.err.println(s"[bench] write $p failed: $t") }
+    }
+    val repoDir = sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo")
+    writeAll(passJson, passesPath, s"$repoDir/BENCH_OPS_latest.json")
     val errs = results.collect { case (k, _, Some(e), _) => jsonStr(k) + ":" + jsonStr(e) }
     val errJson = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
     // errors on stdout stay terse (short keys, clipped messages) so a
@@ -265,11 +261,17 @@ object Bench {
       if (errsShort.isEmpty) "" else errsShort.mkString(""","errors":{""", ",", "}")
     val total = results.map(_._2).sum
     val sfBase = Paths.get(sfDir).getFileName.toString
-    // the "noise" key is a non-contract extra, but round 8's driver run
-    // proved the parser tolerates it (BENCH_r08.json parsed non-null
-    // with it present); it also rides the PASSES sibling in full
+    // STDOUT IS HEADLINE-ONLY (round-15 fix): round 14 proved the
+    // per-query map no longer fits the driver's ~2 KB capture window
+    // (2,253 B line -> BENCH_r14.json parsed:null; the proven boundary
+    // is 1,920 parsed / 2,269 failed). The full per-query map rides the
+    // file channel exclusively; stdout keeps the contract headline plus
+    // an empty "queries" object so the line's SHAPE stays what the
+    // driver expects, at ~200 bytes total — a size that cannot regress
+    // as the registry grows. Errors stay on stdout (terse) because a
+    // failing run must be visible on the hard channel.
     val stdoutLine =
-      f"""{"metric":"total","value":$total%.2f,"value_normalized":${normalized(total)}%.2f,"unit":"sec","queries":$qs$errShortJson,"noise":$noise%.2f,"sf":"$sfBase"}"""
+      f"""{"metric":"total","value":$total%.2f,"value_normalized":${normalized(total)}%.2f,"unit":"sec","queries":{}$errShortJson,"noise":$noise%.2f,"sf":"$sfBase"}"""
     // the file channel keeps full names, 4-decimal precision, full path,
     // and the lifecycle cells' build/op split (from each cell's min pass)
     val qsFull = results
@@ -282,8 +284,7 @@ object Bench {
       .mkString("""{""", ",", "}")
     val fileLine =
       f"""{"metric":"total","value":$total%.4f,"value_normalized":${normalized(total)}%.4f,"unit":"sec","queries":$qsFull$errJson,"build":$buildFull,"noise":$noise%.4f,"sf":"$sfDir"}"""
-    try Files.write(Paths.get(outPath), (fileLine + "\n").getBytes(StandardCharsets.UTF_8))
-    catch { case t: Throwable => System.err.println(s"[bench] file write failed: $t") }
+    writeAll(fileLine, outPath, s"$repoDir/BENCH_FULL_latest.json")
     System.err.println(s"[bench] stdout contract line: ${stdoutLine.length} bytes")
     println(stdoutLine)
     spark.stop()
