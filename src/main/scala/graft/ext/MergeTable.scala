@@ -235,11 +235,18 @@ object MergeTable {
     // + vacuum can drop a stream's replay gate. The streamId may
     // itself contain ':'; the batch id never does, so split at the
     // LAST colon.
-    val toks = lines.collect {
+    val toks = lines.flatMap {
       case l if l.startsWith("#tok=") =>
         val body = l.drop(5)
         val cut = body.lastIndexOf(':')
-        body.take(cut) -> body.drop(cut + 1).toLong
+        // defensive: a manifest written by an older/foreign tool may
+        // carry a free-form token with no ':<long>' suffix; the
+        // universal reader must not throw for a line only the stream
+        // replay gate consumes (it treats an unparseable token as
+        // "no batch recorded" — the safe, at-least-once direction)
+        if (cut < 0) None
+        else body.drop(cut + 1).toLongOption.map(body.take(cut) -> _)
+      case _ => None
     }.toMap
     // per-FILE column stats: "#st=<relpath>|col:min:max|..." — keyed
     // by the entry path (a data file's stats are immutable with it)
@@ -500,9 +507,15 @@ object MergeTable {
       // O(restored snapshot) scan, the same price addConstraint paid —
       // the operator drops the constraint deliberately if the rollback
       // must win.
+      // validate the LOGICAL view of the restored snapshot: a
+      // constraint is declared against logical names, so handing
+      // enforceConstraints the physical frame would silently skip
+      // (fail-to-resolve) any constraint over a renamed column —
+      // exactly the silent-disable this re-validation exists to stop
       if (old.entries.nonEmpty)
         enforceConstraints(spark, dir,
-          readEntries(spark, dir, old.entries), "restore")
+          applyLogicalView(readEntries(spark, dir, old.entries),
+            old.cols), "restore")
       // streaming idempotency tokens track the STREAM's applied
       // frontier, which a data rollback does not rewind (the stream's
       // checkpoint still records those batches as committed — replaying
@@ -558,6 +571,19 @@ object MergeTable {
       require(!p.exists(c => c == ':' || c == '|'),
         s"$op: physical column '$p' carries mapping delimiters — " +
           "this table predates clean-name enforcement; rewrite it")
+      // a rename target may not land on an OCCUPIED physical slot
+      // either (a name previously renamed away or dropped): the files
+      // keep that physical name forever, so toPhysical would reject
+      // every later batch carrying the new logical name — the table
+      // would become unwritable under its own schema. Loud here, at
+      // rename time, as the doc promises. The one exception is the
+      // rename-back-home case (to == p), which VACATES the slot.
+      newLogical.foreach { to =>
+        require(!man.cols.contains(to) || to == p,
+          s"$op: '$to' is an occupied physical slot (a column once " +
+            s"named '$to' was renamed away or dropped; its files keep " +
+            "that name forever) — pick a fresh name")
+      }
       val newCols =
         if (newLogical.contains(p)) man.cols - p // renamed back home
         else man.cols + (p -> newLogical.getOrElse(""))
@@ -765,18 +791,61 @@ object MergeTable {
       epochName: String): Map[String, String] =
     epochStats(spark, dir, epochName)._1
 
-  /** Columns a manifest carries PER-FILE min/max stats for: integral
-    * payload columns (the exact-arithmetic types [[Layout]]'s pruning
-    * model covers), names clean of the stats line's own delimiters. */
+  /** Columns a manifest carries PER-FILE min/max stats for —
+    * integrals, dates (epoch days), timestamps (epoch micros),
+    * decimals of precision ≤ 18 (unscaled longs at the column's own
+    * scale), and strings (truncated bounds, the Iceberg model; see
+    * [[StatBound]]) — names clean of the stats line's own delimiters.
+    * TIMESTAMP_NTZ is deliberately excluded: its micros encoding is
+    * session-timezone-relative, so a bound written by one session
+    * could mis-prune a literal planned in another. */
   private def statColumns(
-      schema: org.apache.spark.sql.types.StructType): Seq[String] = {
-    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType,
-      ShortType}
-    schema.fields.filter(f => f.name != "bucket" &&
-        Seq(ByteType, ShortType, IntegerType, LongType)
-          .contains(f.dataType) &&
-        !f.name.exists(c => c == '|' || c == ':'))
-      .map(_.name).toSeq.sorted
+      schema: org.apache.spark.sql.types.StructType)
+      : Seq[org.apache.spark.sql.types.StructField] = {
+    import org.apache.spark.sql.types._
+    schema.fields.filter { f =>
+      f.name != "bucket" &&
+      !f.name.exists(c => c == '|' || c == ':') &&
+      (f.dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case DateType | TimestampType | StringType => true
+        case d: DecimalType => d.precision <= 18
+        case _ => false
+      })
+    }.sortBy(_.name).toSeq
+  }
+
+  /** Encode one native min/max aggregate value as a [[StatBound]]
+    * manifest token. None = this side cannot be represented (string
+    * upper bound with no widening room, a decimal that overflows a
+    * long) — the caller then leaves the COLUMN unattested for the
+    * file rather than narrow a bound. */
+  private def encodeStat(
+      dt: org.apache.spark.sql.types.DataType, v: Any,
+      isMax: Boolean): Option[String] = {
+    import org.apache.spark.sql.types._
+    (dt, v) match {
+      case (ByteType | ShortType | IntegerType | LongType, n: Number) =>
+        Some(StatBound.L(n.longValue).token)
+      case (DateType, d: java.sql.Date) =>
+        Some(StatBound.L(d.toLocalDate.toEpochDay).token)
+      case (DateType, d: java.time.LocalDate) =>
+        Some(StatBound.L(d.toEpochDay).token)
+      case (TimestampType, t: java.sql.Timestamp) =>
+        Some(StatBound.L(Math.addExact(Math.multiplyExact(
+          Math.floorDiv(t.getTime, 1000L), 1000000L),
+          t.getNanos / 1000L)).token)
+      case (TimestampType, t: java.time.Instant) =>
+        Some(StatBound.L(Math.addExact(Math.multiplyExact(
+          t.getEpochSecond, 1000000L), t.getNano / 1000L)).token)
+      case (d: DecimalType, b: java.math.BigDecimal) =>
+        scala.util.Try(StatBound.L(
+          b.setScale(d.scale).unscaledValue.longValueExact).token).toOption
+      case (StringType, s: String) =>
+        if (isMax) StatBound.truncMax(s).map(_.token)
+        else Some(StatBound.truncMin(s).token)
+      case _ => None
+    }
   }
 
   /** ONE read-back scan of a just-written epoch serving BOTH manifest
@@ -802,17 +871,28 @@ object MergeTable {
     // bucket names happen to be all-digits ("bucket=47") into an int
     // column — and "bucket=07" would round-trip as "7", corrupting the
     // fingerprint key; the path substring is exact by construction
+    // the stats key is the manifest ENTRY relpath — exactly the last
+    // three path segments (<epochName>/bucket=xx/<file>; epochName is
+    // slash-free by construction). Anchoring at the END, not at the
+    // first "/data/", keeps the key correct for a table whose own dir
+    // contains "/data/" (e.g. /x/data/t), where a first-match
+    // extraction would yield "t/data/v=..." — a key no manifest entry
+    // carries, silently disabling stats pruning for that table.
     val selected = df.select(Seq(
         regexp_extract(col("_metadata.file_path"),
-          "/data/(.*)$", 1).as("fp_file"),
+          "([^/]+/bucket=[0-9a-f]+/[^/]+)$", 1).as("fp_file"),
         regexp_extract(col("_metadata.file_path"),
           "bucket=([0-9a-f]+)/", 1).as("fp_bucket")) ++
-      fpHashCols(payload) ++ stCols.map(c => col(c)): _*)
+      fpHashCols(payload) ++ stCols.map(f => col(f.name)): _*)
+    // min/max are aggregated NATIVELY (string/date/decimal semantics
+    // are the engine's own) and encoded driver-side into StatBound
+    // tokens — O(epoch files) driver rows, the manifest cost class
     val aggs = Seq(count(lit(1)).as("n"), sum("fp_h").as("h"),
         sum("fp_h2").as("h2")) ++
-      stCols.flatMap(c => Seq(
-        min(col(c).cast("long")).as(s"mn_$c"),
-        max(col(c).cast("long")).as(s"mx_$c")))
+      stCols.zipWithIndex.flatMap { case (f, i) => Seq(
+        min(col(f.name)).as(s"mn_$i"),
+        max(col(f.name)).as(s"mx_$i"))
+      }
     val rows = selected.groupBy("fp_file", "fp_bucket")
       .agg(aggs.head, aggs.tail: _*)
       .collect()
@@ -823,10 +903,20 @@ object MergeTable {
       b -> s"$n:$h1:$h2"
     }
     val sts = rows.map { r =>
-      val body = stCols.zipWithIndex.map { case (c, i) =>
-        val mn = if (r.isNullAt(5 + 2 * i)) "" else r.getLong(5 + 2 * i).toString
-        val mx = if (r.isNullAt(6 + 2 * i)) "" else r.getLong(6 + 2 * i).toString
-        s"$c:$mn:$mx"
+      val body = stCols.zipWithIndex.flatMap { case (f, i) =>
+        val (rawMn, rawMx) = (r.get(5 + 2 * i), r.get(6 + 2 * i))
+        if (rawMn == null && rawMx == null)
+          Some(s"${f.name}::") // all-null file: prunable empty range
+        else {
+          val mn = encodeStat(f.dataType, rawMn, isMax = false)
+          val mx = encodeStat(f.dataType, rawMx, isMax = true)
+          // a side that cannot be represented leaves the COLUMN
+          // unattested for this file — absent beats a narrowed bound
+          (mn, mx) match {
+            case (Some(a), Some(b)) => Some(s"${f.name}:$a:$b")
+            case _ => None
+          }
+        }
       }.mkString("|")
       r.getString(0) -> body
     }.toMap
@@ -845,25 +935,117 @@ object MergeTable {
     * planning must not re-read them per query). */
   private val statsCache = new java.util.concurrent.ConcurrentHashMap[
     String, (Seq[(Long, Long)],
-      Map[String, Map[String, (Option[Long], Option[Long])]])]()
+      Map[String, Map[String, (Option[StatBound], Option[StatBound])]])]()
+
+  /** Parse one `#st=` body ("col:mn:mx|...") into typed bounds. */
+  private def parseStatsBody(body: String)
+      : Map[String, (Option[StatBound], Option[StatBound])] =
+    body.split('|').toSeq.filter(_.nonEmpty).flatMap { seg =>
+      seg.split(":", -1) match {
+        case Array(c, "", "") =>
+          // the file stores only nulls for the column: an empty
+          // range a null-rejecting predicate may prune
+          Some(c -> (Option.empty[StatBound], Option.empty[StatBound]))
+        case Array(c, mn, mx) =>
+          // both bounds must decode to the SAME kind or the
+          // column reads as unattested (keep the file) — a
+          // malformed or future-format token must never prune
+          (StatBound.decode(mn), StatBound.decode(mx)) match {
+            case (a @ Some(x), b @ Some(y))
+                if StatBound.cmp(x, y).isDefined =>
+              Some(c -> (a, b))
+            case _ => None
+          }
+        case _ => None
+      }
+    }.toMap
+
+  // ── Stats checkpoints: O(1 + tail) metadata reads ─────────────────
+  // A long-lived table retains many manifests, and the stats index
+  // must union `#st=` lines across ALL of them (a scan may time-travel
+  // to any version; a file's stats are immutable with it, so the union
+  // is a set of facts). To keep that read O(1 checkpoint + tail)
+  // instead of O(versions) — the Delta checkpoint model applied to the
+  // one piece of state here that actually AGGREGATES across versions
+  // (entries/fps/tokens/cols are per-version self-contained: the head
+  // manifest alone answers them) — the index persists its own union as
+  // `_manifests/_stats.v<N>.ckpt` once the un-checkpointed tail
+  // exceeds [[StatsCkptTail]] versions. The checkpoint is a pure
+  // CACHE: losing it (or racing over it — create-no-overwrite, losers
+  // walk away) costs a rebuild, never correctness; stats for vacuumed
+  // files linger harmlessly (they can never match a live scan's file
+  // list) until [[vacuum]] drops every checkpoint, after which the
+  // next read rebuilds from the retained manifests only.
+  private val StatsCkptTail = 8
+
+  private val StatsCkptName = "_stats\\.v([0-9]{9})\\.ckpt".r
+
+  private def statsCkpts(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Seq[(Long, Path)] = {
+    val md = manifestDir(dir)
+    if (!fs.exists(md)) Seq.empty
+    else fs.listStatus(md).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case StatsCkptName(v) => Some(v.toLong -> st.getPath)
+        case _ => None
+      }
+    }.sortBy(_._1)
+  }
+
+  private[graft] def dropStatsCkpts(spark: SparkSession,
+      dir: String): Unit = {
+    val fs = hadoopFs(spark, dir)
+    statsCkpts(fs, dir).foreach { case (_, p) => fs.delete(p, false) }
+  }
 
   private[graft] def fileStatsIndex(spark: SparkSession, dir: String)
-      : Map[String, Map[String, (Option[Long], Option[Long])]] = {
+      : Map[String, Map[String, (Option[StatBound], Option[StatBound])]] = {
     val sig = manifestLens(spark, dir)
     val cached = statsCache.get(dir)
     if (cached != null && cached._1 == sig) return cached._2
-    val parsed = versions(spark, dir)
+    val fs = hadoopFs(spark, dir)
+    val vs = versions(spark, dir)
+    // newest checkpoint (if any) covers every version ≤ its N; an
+    // UNREADABLE checkpoint is treated as absent (full rebuild) — it
+    // must never shrink the covered set it claims
+    val ckpt = statsCkpts(fs, dir).lastOption.flatMap { case (n, p) =>
+      try {
+        val in = fs.open(p)
+        val lines =
+          try scala.io.Source.fromInputStream(in, "UTF-8")
+            .getLines().toList
+          finally in.close()
+        Some((n, lines.flatMap { l =>
+          val cut = l.indexOf('|')
+          if (cut <= 0) None else Some(l.take(cut) -> l.drop(cut + 1))
+        }.toMap))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+    val base: Map[String, String] =
+      ckpt.fold(Map.empty[String, String])(_._2)
+    val tail = ckpt.fold(vs) { case (n, _) => vs.filter(_ > n) }
+    val raw = base ++ tail
       .flatMap(v => readManifestFull(spark, dir, v).sts.toSeq)
-      .toMap
-      .map { case (f, body) =>
-        f -> body.split('|').toSeq.filter(_.nonEmpty).flatMap { seg =>
-          seg.split(":", -1) match {
-            case Array(c, mn, mx) =>
-              Some(c -> (mn.toLongOption, mx.toLongOption))
-            case _ => None
-          }
-        }.toMap
-      }
+    val parsed = raw.map { case (f, body) => f -> parseStatsBody(body) }
+    // persist the union once the tail outgrows the budget, so the next
+    // session's first read is O(ckpt + small tail); atomic tmp+promote
+    // (the manifest commit protocol), losers ignore the race
+    if (tail.size > StatsCkptTail && vs.nonEmpty) {
+      val target = new Path(manifestDir(dir), f"_stats.v${vs.last}%09d.ckpt")
+      val tmp = new Path(manifestDir(dir),
+        f"._stats.v${vs.last}%09d.${attemptTag()}.tmp")
+      try {
+        val out = fs.create(tmp, false)
+        try raw.foreach { case (f, b) =>
+          out.write(s"$f|$b\n".getBytes("UTF-8")) }
+        finally out.close()
+        if (!fs.rename(tmp, target)) fs.delete(tmp, false): Unit
+        // older checkpoints are superseded — sweep them eagerly
+        statsCkpts(fs, dir).filter(_._1 < vs.last)
+          .foreach { case (_, p) => fs.delete(p, false) }
+      } catch { case scala.util.control.NonFatal(_) =>
+        scala.util.Try(fs.delete(tmp, false)): Unit }
+    }
     statsCache.put(dir, (sig, parsed))
     parsed
   }
@@ -1815,9 +1997,10 @@ object MergeTable {
     * Contents-invariance is the q92/q124 contract: q146 holds the
     * optimized table to the SAME oracle as the unoptimized q140
     * state. */
-  def optimize(spark: SparkSession, dir: String,
-      sortCol: String): CowStats = retryOnConflict("optimize", dir) {
-    keyMeta(spark, dir, None)
+  def optimize(spark: SparkSession, dir: String, sortCol: String,
+      maxRecordsPerFile: Option[Long] = None): CowStats =
+    retryOnConflict("optimize", dir) {
+    val key = keyMeta(spark, dir, None)
     val cur = versions(spark, dir).lastOption.getOrElse(
       throw new IllegalArgumentException(s"no MergeTable at $dir"))
     val man = readManifestFull(spark, dir, cur)
@@ -1828,9 +2011,19 @@ object MergeTable {
     val all = readPhysical(spark, dir, Some(cur)).localCheckpoint(true)
     val physSort = man.cols.collectFirst {
       case (p, l) if l == sortCol => p }.getOrElse(sortCol)
+    // STRIPING (maxRecordsPerFile) needs a TOTAL order so stripe
+    // boundaries are deterministic and oracle-restatable — the key
+    // tiebreak makes (sortCol, key) total, the optimizeZOrder
+    // discipline applied to single-column clustering. Without
+    // striping the sort stays single-column (existing layouts
+    // byte-stable).
+    val sortCols =
+      if (maxRecordsPerFile.isDefined) Seq(physSort, key)
+      else Seq(physSort)
     val fresh = commitEpoch(spark, dir, next, all, Seq.empty,
-      man.hexDigits, () => (), sortCols = Seq(physSort),
-      tokens = man.tokens, cols = man.cols)
+      man.hexDigits, () => (), sortCols = sortCols,
+      tokens = man.tokens, maxRecordsPerFile = maxRecordsPerFile,
+      cols = man.cols)
     CowStats(next, fresh.size.toLong, man.entries.size.toLong,
       fresh.size.toLong, 0L, 0L)
   }
@@ -1982,6 +2175,12 @@ object MergeTable {
     val cur = vs.lastOption.getOrElse(0L)
     // 1) expired manifests + stale commit temps (metadata only)
     drop.foreach(v => fs.delete(manifestPath(dir, v), false))
+    // stats checkpoints union facts across ALL versions ever seen;
+    // once manifests expire, drop the checkpoints too so the next
+    // stats read rebuilds from the retained manifests only (the
+    // checkpoint is a pure cache — see fileStatsIndex) and swept
+    // files' stats stop accumulating across vacuums
+    if (drop.nonEmpty) dropStatsCkpts(spark, dir)
     // stale commit temps: a temp for a version AT OR BELOW the current
     // committed one lost its race or crashed — always sweep; a temp
     // ABOVE it is indistinguishable from an in-flight commit, so only
@@ -2721,6 +2920,155 @@ object MergeTable {
        |WHERE cust BETWEEN x1 AND x2 AND cents BETWEEN y1 AND y2
        |ORDER BY key""".stripMargin)
 
+  /** q170 — TYPED value-predicate FILE PRUNING acceptance: the q164
+    * discipline extended to the column kinds the reference's own
+    * declared queries actually filter on (strings, dates —
+    * README.md:295-311 filters `language`, a string, and partitions by
+    * date) plus decimals. One table from orders (key, pri = padded
+    * priority STRING past the 16-code-point truncation length, odate
+    * DATE, price DECIMAL(12,2), cents), created at 16 buckets, then
+    * striped THREE times — sorted by odate, by pri, by price — and
+    * after each layout the PLANNED file count of a predicate on that
+    * layout's sort column is pinned to the oracle's stripe-model
+    * re-derivation (per md5-bucket rank → chunk at the stripe size →
+    * min/max per chunk → overlap count): a date box, a string range,
+    * a decimal box. The padded string exercises the Iceberg truncated-
+    * bounds path for real (min = 16-cp prefix, max = incremented
+    * prefix) while staying model-exact (the five priorities separate
+    * at character 0, so widened and true bounds prune identically —
+    * the adversarial shared-prefix cases live in
+    * StatsFilePruningSpec). The date-box ROWS ride a time-travel read
+    * of the date-sorted snapshot — content correctness through a
+    * pruned plan, while later optimizes move the head. */
+  private val Q170_STRIPE = 256L
+
+  private val q170TypedStats = QueryDef(
+    (s, dir) => {
+      val out = graft.core.Timing.build {
+        val o = java.nio.file.Files.createTempDirectory("graft-q170")
+          .resolve("table").toString
+        val base = Tables(s, dir, "orders").select(
+          col("o_orderkey").as("key"),
+          rpad(col("o_orderpriority"), 20, "x").as("pri"),
+          col("o_orderdate").cast("date").as("odate"),
+          (round(col("o_totalprice") * 100, 0).cast("long") / 100.0)
+            .cast(org.apache.spark.sql.types.DecimalType(12, 2))
+            .as("price"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+          .localCheckpoint(true)
+        create(base, o, "key", hexDigits = 1)
+        o
+      }
+      graft.plans.StatsFilePruning.enable(s)
+      def planned(q: DataFrame): Long =
+        q.queryExecution.executedPlan.collectLeaves().collectFirst {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.selectedPartitions.totalNumberOfFiles
+        }.getOrElse(sys.error("q170: predicate did not plan a file scan"))
+      // layout A: date-sorted stripes; a centered 1/16 date box
+      val vA = optimize(s, out, "odate",
+        maxRecordsPerFile = Some(Q170_STRIPE)).version
+      val db = readTable(s, out).agg(min("odate"), max("odate"))
+        .collect().head
+      def localDate(v: Any): java.time.LocalDate = v match {
+        case d: java.sql.Date => d.toLocalDate
+        case d: java.time.LocalDate => d
+        case other => sys.error(s"q170: unexpected date value $other")
+      }
+      val (dmn, dmx) = (localDate(db.get(0)), localDate(db.get(1)))
+      val span = java.time.temporal.ChronoUnit.DAYS.between(dmn, dmx)
+      val d1 = java.sql.Date.valueOf(dmn.plusDays(span * 7 / 16))
+      val d2 = java.sql.Date.valueOf(dmn.plusDays(span * 8 / 16))
+      val dateBox = readTable(s, out, Some(vA))
+        .filter(col("odate").between(lit(d1), lit(d2)))
+      val dScanned = planned(dateBox)
+      val filesTotal = readManifest(s, out, vA).size.toLong
+      // layout B: string-sorted stripes; a priority-class range whose
+      // literals are SHORTER than the values (prefix-order comparisons)
+      optimize(s, out, "pri", maxRecordsPerFile = Some(Q170_STRIPE))
+      val strRange = readTable(s, out)
+        .filter(col("pri") >= "2" && col("pri") < "5")
+      val sScanned = planned(strRange)
+      val sRows = strRange.count()
+      // layout C: decimal-sorted stripes; a centered dollar box with
+      // literals constructed at the column's exact DecimalType
+      val pb = readTable(s, out).agg(min("cents"), max("cents"))
+        .collect().head
+      val (ymn, ymx) = (pb.getLong(0), pb.getLong(1))
+      val y1 = (ymn + (ymx - ymn) * 7 / 16) / 100
+      val y2 = (ymn + (ymx - ymn) * 8 / 16) / 100
+      def dollars(v: Long) = lit(v)
+        .cast(org.apache.spark.sql.types.DecimalType(12, 2))
+      optimize(s, out, "price", maxRecordsPerFile = Some(Q170_STRIPE))
+      val decBox = readTable(s, out)
+        .filter(col("price").between(dollars(y1), dollars(y2)))
+      val pScanned = planned(decBox)
+      val pRows = decBox.count()
+      dateBox.select("key", "pri", "odate", "price", "cents")
+        .withColumn("d_scanned", lit(dScanned))
+        .withColumn("s_scanned", lit(sScanned))
+        .withColumn("p_scanned", lit(pScanned))
+        .withColumn("files_total", lit(filesTotal))
+        .withColumn("s_rows", lit(sRows))
+        .withColumn("p_rows", lit(pRows))
+        .orderBy("key")
+    },
+    s"""WITH base AS (
+       |  SELECT o_orderkey AS key,
+       |         rpad(o_orderpriority, 20, 'x') AS pri,
+       |         CAST(o_orderdate AS DATE) AS odate,
+       |         CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+       |           / 100.0 AS DECIMAL(12,2)) AS price,
+       |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+       |  FROM orders),
+       |g AS (SELECT base.*, ${bucketSql("key", 1)} AS bkt FROM base),
+       |db AS (SELECT min(odate) AS dmn, max(odate) AS dmx FROM base),
+       |dp AS (SELECT dmn + CAST(((dmx - dmn) * 7) // 16 AS INTEGER) AS d1,
+       |              dmn + CAST(((dmx - dmn) * 8) // 16 AS INTEGER) AS d2
+       |       FROM db),
+       |fa AS (SELECT g.*, ((row_number() OVER (PARTITION BY bkt
+       |         ORDER BY odate, key)) - 1) // $Q170_STRIPE AS fid FROM g),
+       |sta AS (SELECT bkt, fid, min(odate) AS fmn, max(odate) AS fmx
+       |        FROM fa GROUP BY bkt, fid),
+       |cda AS (SELECT
+       |    CAST(sum(CASE WHEN fmn <= d2 AND fmx >= d1
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS d_scanned,
+       |    CAST(count(*) AS BIGINT) AS files_total FROM sta, dp),
+       |fb AS (SELECT g.*, ((row_number() OVER (PARTITION BY bkt
+       |         ORDER BY pri, key)) - 1) // $Q170_STRIPE AS fid FROM g),
+       |stb AS (SELECT bkt, fid, min(pri) AS fmn, max(pri) AS fmx
+       |        FROM fb GROUP BY bkt, fid),
+       |csb AS (SELECT
+       |    CAST(sum(CASE WHEN fmn <= '5' AND fmx >= '2'
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS s_scanned FROM stb),
+       |srw AS (SELECT CAST(count(*) AS BIGINT) AS s_rows FROM base
+       |        WHERE pri >= '2' AND pri < '5'),
+       |pb AS (SELECT min(cents) AS ymn, max(cents) AS ymx FROM base),
+       |pp AS (SELECT
+       |    CAST((ymn + ((ymx - ymn) * 7) // 16) // 100
+       |      AS DECIMAL(12,2)) AS plo,
+       |    CAST((ymn + ((ymx - ymn) * 8) // 16) // 100
+       |      AS DECIMAL(12,2)) AS phi FROM pb),
+       |fc AS (SELECT g.*, ((row_number() OVER (PARTITION BY bkt
+       |         ORDER BY price, key)) - 1) // $Q170_STRIPE AS fid FROM g),
+       |stc AS (SELECT bkt, fid, min(price) AS fmn, max(price) AS fmx
+       |        FROM fc GROUP BY bkt, fid),
+       |csc AS (SELECT
+       |    CAST(sum(CASE WHEN fmn <= phi AND fmx >= plo
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS p_scanned FROM stc, pp),
+       |prw AS (SELECT CAST(count(*) AS BIGINT) AS p_rows
+       |        FROM base, pp WHERE price BETWEEN plo AND phi)
+       |SELECT key, pri, odate, price, cents,
+       |       (SELECT d_scanned FROM cda) AS d_scanned,
+       |       (SELECT s_scanned FROM csb) AS s_scanned,
+       |       (SELECT p_scanned FROM csc) AS p_scanned,
+       |       (SELECT files_total FROM cda) AS files_total,
+       |       (SELECT s_rows FROM srw) AS s_rows,
+       |       (SELECT p_rows FROM prw) AS p_rows
+       |FROM base, dp
+       |WHERE odate BETWEEN d1 AND d2
+       |ORDER BY key""".stripMargin)
+
   /** q153 — LAYOUT-ONLY COMMITS ARE CDC-FREE, the round-13
     * short-circuit priced end-to-end through the WIRED publisher:
     * create → bootstrap pin → batch-1 upsert → publish (a real batch:
@@ -3419,6 +3767,7 @@ object MergeTable {
     "q162_tag_restore" -> q162TagRestore,
     "q163_check_constraint" -> q163CheckConstraint,
     "q164_stats_pruning" -> q164StatsPruning,
+    "q170_typed_stats_pruning" -> q170TypedStats,
     "q166_sql_merge_dml" -> q166SqlMergeDml,
     "q168_schema_evolution" -> q168SchemaEvolution,
     "q169_sql_update_delete" -> q169SqlUpdateDelete,

@@ -279,21 +279,100 @@ final class CapturedDml(
     val isDelete: Boolean) extends Serializable
 
 /** `UPDATE merge_table.`/dir`` SET ... [WHERE ...]` and
-  * `DELETE FROM merge_table.`/dir`` [WHERE ...]` — executed as ONE
-  * [[MergeTable.merge]] whose source is EMPTY and whose single
-  * not-matched-by-source clause carries the statement's condition and
-  * action: every target row is by definition not matched by an empty
-  * source, which is exactly the full-table pass SQL's sourceless DML
-  * prices (the same honesty as a by-source merge clause). Returns
-  * (version, rows_updated, rows_deleted). */
+  * `DELETE FROM merge_table.`/dir`` [WHERE ...]`.
+  *
+  * Dispatch is COST-SHAPED (round-15): a WHERE whose conjuncts pin the
+  * KEY to literals — `key = <lit>`, `key IN (<lits>)`, optionally
+  * ANDed with residual predicates — runs as a KEYED merge (source =
+  * the key literals, one matched clause carrying the residual), which
+  * is the engine's O(impacted buckets) path: untouched buckets are
+  * carried by manifest reference, byte-identical. Any other WHERE
+  * (or none) runs as ONE [[MergeTable.merge]] whose source is EMPTY
+  * and whose single not-matched-by-source clause carries the
+  * statement's condition and action: every target row is by definition
+  * not matched by an empty source — exactly the full-table pass SQL's
+  * sourceless DML prices. Semantics are identical either way (a keyed
+  * row failing the residual is carried unchanged; a key absent from
+  * the table matches nothing); only the files rewritten differ.
+  * Returns (version, rows_updated, rows_deleted). */
 final case class GraftUpdateDeleteCommand(dir: String,
-    captured: CapturedDml) extends LeafRunnableCommand {
+    captured: CapturedDml) extends LeafRunnableCommand
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
   import captured._
 
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType)(),
     AttributeReference("rows_updated", LongType)(),
     AttributeReference("rows_deleted", LongType)())
+
+  /** Is `e` a reference to the table's key column (bare or via the
+    * target alias)? */
+  private def isKeyRef(e: Expression, key: String): Boolean = e match {
+    case ua: UnresolvedAttribute => ua.nameParts match {
+      case Seq(c) => c == key
+      case Seq(q, c) => tgtAlias.contains(q) && c == key
+      case _ => false
+    }
+    case _ => false
+  }
+
+  /** The WHERE's key-literal pin, if its conjuncts contain exactly one
+    * `key = lit` / `key IN (lits...)`: (literals, residual conjuncts).
+    * None = not keyed; run the full pass. */
+  private def keyPin(cond: Expression, key: String)
+      : Option[(Seq[Literal], Seq[Expression])] = {
+    val conjuncts = splitConjunctivePredicates(cond)
+    val (pins, rest) = conjuncts.partition {
+      case EqualTo(a, _: Literal) if isKeyRef(a, key) => true
+      case EqualTo(_: Literal, a) if isKeyRef(a, key) => true
+      case org.apache.spark.sql.catalyst.expressions.In(a, vs)
+          if isKeyRef(a, key) && vs.nonEmpty &&
+            vs.forall(_.isInstanceOf[Literal]) => true
+      case _ => false
+    }
+    if (pins.size != 1) return None // 0 = not keyed; 2+ = let the
+    // full pass evaluate the conjunction (intersecting pins is legal
+    // but never what a user meant — don't guess)
+    val lits = pins.head match {
+      case EqualTo(_, l: Literal) => Seq(l)
+      case EqualTo(l: Literal, _) => Seq(l)
+      case org.apache.spark.sql.catalyst.expressions.In(_, vs) =>
+        vs.map(_.asInstanceOf[Literal])
+    }
+    if (lits.exists(_.value == null)) return None // NULL key matches
+    // nothing under = / IN; the full pass preserves that for free
+    Some((lits, rest))
+  }
+
+  /** Literal key values as a one-column DataFrame at the table key's
+    * exact type — None when any literal's type cannot UP-cast to it
+    * (a lossy cast could silently hit the wrong rows; the full pass
+    * evaluates such predicates with Spark's own comparison rules). */
+  private def keysDf(spark: SparkSession, key: String,
+      keyType: org.apache.spark.sql.types.DataType,
+      lits: Seq[Literal]): Option[org.apache.spark.sql.DataFrame] = {
+    import org.apache.spark.sql.types._
+    val rank = Map[DataType, Int](ByteType -> 1, ShortType -> 2,
+      IntegerType -> 3, LongType -> 4)
+    def upcastable(from: DataType): Boolean =
+      from == keyType ||
+        (rank.contains(from) && rank.contains(keyType) &&
+          rank(from) <= rank(keyType))
+    if (!lits.forall(l => upcastable(l.dataType))) return None
+    val rows = lits.map { l =>
+      Row(org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .convertToScala(l.value, l.dataType))
+    }
+    val dfs = lits.zip(rows).map { case (l, r) =>
+      spark.createDataFrame(java.util.Arrays.asList(r),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(key, l.dataType))))
+    }
+    Some(dfs.reduce(_ unionByName _)
+      .select(org.apache.spark.sql.functions.col(key).cast(keyType)
+        .as(key))
+      .distinct())
+  }
 
   override def run(spark: SparkSession): Seq[Row] = {
     val key = MergeTable.keyOf(spark, dir)
@@ -313,7 +392,6 @@ final case class GraftUpdateDeleteCommand(dir: String,
     }
     def toCol(e: Expression, what: String): Column =
       Bridge.column(remap(e, what))
-    val cond = condition.map(toCol(_, "WHERE"))
     val action =
       if (isDelete) MergeTable.MergeAction.Delete
       else {
@@ -332,7 +410,18 @@ final case class GraftUpdateDeleteCommand(dir: String,
         }.toMap
         MergeTable.MergeAction.Update(m)
       }
+    // keyed fast path: WHERE pins the key to literals
+    condition.flatMap(keyPin(_, key)).foreach { case (lits, rest) =>
+      keysDf(spark, key, t.schema(key).dataType, lits).foreach { ks =>
+        val residual = rest.reduceOption(
+          org.apache.spark.sql.catalyst.expressions.And.apply)
+        val st = MergeTable.merge(spark, dir, ks, matched = Seq(
+          MergeTable.MergeWhen(residual.map(toCol(_, "WHERE")), action)))
+        return Seq(Row(st.version, st.rowsUpdated, st.rowsDeleted))
+      }
+    }
     // an EMPTY source puts every target row in the by-source class
+    val cond = condition.map(toCol(_, "WHERE"))
     val emptySrc = t.select(t.col(key)).limit(0)
     val st = MergeTable.merge(spark, dir, emptySrc,
       notMatchedBySource = Seq(MergeTable.MergeWhen(cond, action)))

@@ -10,12 +10,16 @@ import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
   InMemoryFileIndex, LogicalRelation}
-import org.apache.spark.sql.types.{ByteType, IntegerType, LongType,
-  ShortType}
+import org.apache.spark.sql.types.{ByteType, DataType, DateType,
+  DecimalType, IntegerType, LongType, ShortType, StringType,
+  TimestampType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.ext.StatBound
 
 /** VALUE-PREDICATE FILE PRUNING for the snapshot table
   * ([[graft.ext.MergeTable]]): every manifest entry carries per-file
-  * min/max stats for the table's integral columns (`#st=` lines,
+  * min/max stats for the table's stat-typed columns (`#st=` lines,
   * computed by the same epoch read-back scan that fingerprints the
   * commit), and this rule filters a scan's FILE LIST against the
   * pushed-down range predicates at PLAN time — the Iceberg/Delta
@@ -26,19 +30,30 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType,
   * difference between reading one z-order stripe set and touching
   * every bucket's files.
   *
+  * Covered column/literal kinds (see [[StatBound]]): integrals, dates
+  * (epoch days), timestamps (epoch micros), decimals of precision ≤ 18
+  * (unscaled at the column's scale — the literal's DecimalType must
+  * EQUAL the column's, which analysis guarantees for an uncast
+  * attribute), and strings (truncated Iceberg-style bounds compared in
+  * UTF-8 unsigned byte order — exactly UTF8String's comparator, so the
+  * engine and the stats agree on "between").
+  *
   * Soundness: a file is dropped only when the manifest attests that NO
   * non-null value of a constrained column falls in the predicate's
   * range; every extracted predicate shape (comparisons against
   * literals, IN lists) is null-rejecting, so rows reading null for the
-  * column cannot match either. Everything off-pattern keeps the file
-  * or silences the rule entirely: a file without stats (legacy
-  * manifest, post-evolution column), an unsupported literal type, a
-  * non-MergeTable scan (the `<dir>/data/v=…/bucket=…` path shape plus
-  * `_manifests` and `_graft_meta` must all be present), a relation
-  * whose files span two table dirs. The rewrite swaps ONLY the file
-  * index — same schema, same output attribute ids, condition kept for
-  * row-level evaluation — so the rule can never change results, only
-  * the files scheduled.
+  * column cannot match either. String bounds are truncated WIDE (min
+  * truncates to a prefix, max increments past the prefix), so a
+  * truncated bound may keep an extra file, never drop a matching one.
+  * Everything off-pattern keeps the file or silences the rule
+  * entirely: a file without stats (legacy manifest, post-evolution
+  * column), an unsupported or kind-mismatched literal, a non-MergeTable
+  * scan (the `<dir>/data/v=…/bucket=…` path shape plus `_manifests`
+  * and `_graft_meta` must all be present), a relation whose files span
+  * two table dirs. The rewrite swaps ONLY the file index — same
+  * schema, same output attribute ids, condition kept for row-level
+  * evaluation — so the rule can never change results, only the files
+  * scheduled.
   *
   * Registration: injected by [[graft.GraftExtensions]], or per-session
   * via [[StatsFilePruning.enable]]. */
@@ -54,70 +69,137 @@ object StatsFilePruning extends Rule[LogicalPlan] with PredicateHelper {
       catch { case scala.util.control.NonFatal(_) => f }
   }
 
-  /** Conjunctive [lo, hi] bounds per column name, from the
-    * null-rejecting literal comparisons in `cond` that reference the
-    * relation's own integral attributes. Inclusive and conservative
-    * (strict bounds widen to inclusive — pruning may keep an extra
-    * file, never drop a matching one). */
-  private def ranges(cond: Expression,
-      lr: LogicalRelation): Map[String, (Option[Long], Option[Long])] = {
-    def longOf(l: Literal): Option[Long] = l.value match {
-      case i: java.lang.Integer => Some(i.longValue)
-      case v: java.lang.Long => Some(v.longValue)
-      case s: java.lang.Short => Some(s.longValue)
-      case b: java.lang.Byte => Some(b.longValue)
-      case _ => None
-    }
-    def ownIntegral(a: AttributeReference): Boolean =
-      lr.outputSet.contains(a) &&
-        Seq(ByteType, ShortType, IntegerType, LongType).contains(a.dataType)
-    val bounds = scala.collection.mutable.Map
-      .empty[String, (Option[Long], Option[Long])]
-    def add(a: AttributeReference, lo: Option[Long],
-        hi: Option[Long]): Unit = if (ownIntegral(a)) {
-      val (clo, chi) = bounds.getOrElse(a.name, (None, None))
-      bounds(a.name) = (
-        Seq(clo, lo).flatten.maxOption, Seq(chi, hi).flatten.minOption)
-    }
-    splitConjunctivePredicates(cond).foreach {
-      case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
-        add(a, longOf(l), None)
-      case GreaterThan(a: AttributeReference, l: Literal) =>
-        add(a, longOf(l), None)
-      case LessThanOrEqual(a: AttributeReference, l: Literal) =>
-        add(a, None, longOf(l))
-      case LessThan(a: AttributeReference, l: Literal) =>
-        add(a, None, longOf(l))
-      case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
-        add(a, None, longOf(l))
-      case GreaterThan(l: Literal, a: AttributeReference) =>
-        add(a, None, longOf(l))
-      case LessThanOrEqual(l: Literal, a: AttributeReference) =>
-        add(a, longOf(l), None)
-      case LessThan(l: Literal, a: AttributeReference) =>
-        add(a, longOf(l), None)
-      case EqualTo(a: AttributeReference, l: Literal) =>
-        add(a, longOf(l), longOf(l))
-      case EqualTo(l: Literal, a: AttributeReference) =>
-        add(a, longOf(l), longOf(l))
-      case In(a: AttributeReference, vs)
-          if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
-        val ls = vs.map(v => longOf(v.asInstanceOf[Literal]))
-        if (ls.forall(_.isDefined)) {
-          val s = ls.flatten
-          add(a, Some(s.min), Some(s.max))
-        }
-      case InSet(a: AttributeReference, vs) if vs.nonEmpty =>
-        val ls = vs.toSeq.map {
-          case i: java.lang.Integer => Some(i.longValue)
-          case v: java.lang.Long => Some(v.longValue)
-          case s: java.lang.Short => Some(s.longValue)
-          case b: java.lang.Byte => Some(b.longValue)
+  /** A stat-typed attribute's literal comparand as a [[StatBound]] —
+    * None for every kind/type mismatch (which silences the bound, not
+    * the query). Decimal literals must carry the COLUMN's exact
+    * DecimalType so unscaled longs agree on scale; date/timestamp
+    * literals are Catalyst's internal days/micros already. */
+  private def boundOf(dt: DataType, l: Literal): Option[StatBound] =
+    (dt, l.value) match {
+      case (_, null) => None
+      case (ByteType | ShortType | IntegerType | LongType, _) =>
+        l.value match {
+          case i: java.lang.Integer => Some(StatBound.L(i.longValue))
+          case v: java.lang.Long => Some(StatBound.L(v.longValue))
+          case s: java.lang.Short => Some(StatBound.L(s.longValue))
+          case b: java.lang.Byte => Some(StatBound.L(b.longValue))
           case _ => None
         }
-        if (ls.forall(_.isDefined)) {
-          val s = ls.flatten
-          add(a, Some(s.min), Some(s.max))
+      case (DateType, i: java.lang.Integer) if l.dataType == DateType =>
+        Some(StatBound.L(i.longValue))
+      case (TimestampType, v: java.lang.Long)
+          if l.dataType == TimestampType =>
+        Some(StatBound.L(v.longValue))
+      case (d: DecimalType, v: org.apache.spark.sql.types.Decimal)
+          if d.precision <= 18 && l.dataType == d =>
+        scala.util.Try(StatBound.L(v.toUnscaledLong)).toOption
+      case (StringType, s: UTF8String) if l.dataType == StringType =>
+        Some(StatBound.S(s.getBytes.clone()))
+      case _ => None
+    }
+
+  /** Values inside an InSet are internal Catalyst values with no
+    * Literal wrapper; re-wrap per the attribute's type. */
+  private def inSetBound(dt: DataType, v: Any): Option[StatBound] =
+    v match {
+      case null => None
+      case i: java.lang.Integer
+          if Seq(ByteType, ShortType, IntegerType, LongType, DateType)
+            .contains(dt) => Some(StatBound.L(i.longValue))
+      case n: java.lang.Long
+          if Seq(LongType, TimestampType).contains(dt) =>
+        Some(StatBound.L(n.longValue))
+      case s: java.lang.Short => Some(StatBound.L(s.longValue))
+      case b: java.lang.Byte => Some(StatBound.L(b.longValue))
+      case d: org.apache.spark.sql.types.Decimal =>
+        dt match {
+          case dd: DecimalType if dd.precision <= 18 &&
+              d.scale == dd.scale =>
+            scala.util.Try(StatBound.L(d.toUnscaledLong)).toOption
+          case _ => None
+        }
+      case s: UTF8String if dt == StringType =>
+        Some(StatBound.S(s.getBytes.clone()))
+      case _ => None
+    }
+
+  private def statTyped(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case DateType | TimestampType | StringType => true
+    case d: DecimalType => d.precision <= 18
+    case _ => false
+  }
+
+  /** Conjunctive [lo, hi] bounds per column name, from the
+    * null-rejecting literal comparisons in `cond` that reference the
+    * relation's own stat-typed attributes. Inclusive and conservative
+    * (strict bounds widen to inclusive — pruning may keep an extra
+    * file, never drop a matching one). */
+  private def ranges(cond: Expression, lr: LogicalRelation)
+      : Map[String, (Option[StatBound], Option[StatBound])] = {
+    def own(a: AttributeReference): Boolean =
+      lr.outputSet.contains(a) && statTyped(a.dataType)
+    val bounds = scala.collection.mutable.Map
+      .empty[String, (Option[StatBound], Option[StatBound])]
+    def tighter(a: Option[StatBound], b: Option[StatBound],
+        wantMax: Boolean): Option[StatBound] = (a, b) match {
+      case (Some(x), Some(y)) =>
+        // mixed kinds cannot happen within one column (the literal
+        // kind is fixed by the attribute type); keep x defensively
+        StatBound.cmp(x, y) match {
+          case Some(c) => if ((c >= 0) == wantMax) Some(x) else Some(y)
+          case None => Some(x)
+        }
+      case _ => a.orElse(b)
+    }
+    def add(a: AttributeReference, lo: Option[StatBound],
+        hi: Option[StatBound]): Unit = if (own(a)) {
+      val (clo, chi) = bounds.getOrElse(a.name, (None, None))
+      bounds(a.name) = (
+        tighter(clo, lo, wantMax = true), // lower bounds: keep the max
+        tighter(chi, hi, wantMax = false)) // upper bounds: keep the min
+    }
+    def b(a: AttributeReference, l: Literal): Option[StatBound] =
+      boundOf(a.dataType, l)
+    splitConjunctivePredicates(cond).foreach {
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
+        add(a, b(a, l), None)
+      case GreaterThan(a: AttributeReference, l: Literal) =>
+        add(a, b(a, l), None)
+      case LessThanOrEqual(a: AttributeReference, l: Literal) =>
+        add(a, None, b(a, l))
+      case LessThan(a: AttributeReference, l: Literal) =>
+        add(a, None, b(a, l))
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
+        add(a, None, b(a, l))
+      case GreaterThan(l: Literal, a: AttributeReference) =>
+        add(a, None, b(a, l))
+      case LessThanOrEqual(l: Literal, a: AttributeReference) =>
+        add(a, b(a, l), None)
+      case LessThan(l: Literal, a: AttributeReference) =>
+        add(a, b(a, l), None)
+      case EqualTo(a: AttributeReference, l: Literal) =>
+        add(a, b(a, l), b(a, l))
+      case EqualTo(l: Literal, a: AttributeReference) =>
+        add(a, b(a, l), b(a, l))
+      case In(a: AttributeReference, vs)
+          if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        val bs = vs.map(v => b(a, v.asInstanceOf[Literal]))
+        if (bs.forall(_.isDefined)) {
+          val s = bs.flatten
+          add(a, s.reduceOption((x, y) =>
+              if (StatBound.lte(x, y)) x else y),
+            s.reduceOption((x, y) =>
+              if (StatBound.gte(x, y)) x else y))
+        }
+      case InSet(a: AttributeReference, vs) if vs.nonEmpty && own(a) =>
+        val bs = vs.toSeq.map(v => inSetBound(a.dataType, v))
+        if (bs.forall(_.isDefined)) {
+          val s = bs.flatten
+          add(a, s.reduceOption((x, y) =>
+              if (StatBound.lte(x, y)) x else y),
+            s.reduceOption((x, y) =>
+              if (StatBound.gte(x, y)) x else y))
         }
       case _ =>
     }
@@ -130,6 +212,12 @@ object StatsFilePruning extends Rule[LogicalPlan] with PredicateHelper {
     if (rs.isEmpty) return f
     val files = hfs.location.inputFiles
     if (files.isEmpty) return f
+    // cheap shape probe FIRST: a foreign parquet scan must reject on
+    // its first file, not after an O(files) regex pass at plan time
+    files.head match {
+      case EntryPath(_, _) =>
+      case _ => return f
+    }
     // every file must sit under ONE table's data dir, in the table's
     // own epoch/bucket layout — anything else is not a MergeTable scan
     val parsed = files.map {
@@ -159,7 +247,10 @@ object StatsFilePruning extends Rule[LogicalPlan] with PredicateHelper {
                   // extracted predicates are null-rejecting: no match
                   false
                 case Some((Some(mn), Some(mx))) =>
-                  lo.forall(_ <= mx) && hi.forall(_ >= mn)
+                  // keep unless PROVABLY disjoint: a kind mismatch
+                  // (cmp None) keeps the file
+                  lo.forall(l => StatBound.cmp(l, mx).forall(_ <= 0)) &&
+                    hi.forall(h => StatBound.cmp(h, mn).forall(_ >= 0))
                 case _ => true
               }
             }

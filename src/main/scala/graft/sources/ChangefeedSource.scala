@@ -33,8 +33,12 @@ import graft.ext.MergeTable
   * "changes from now on"). RETENTION contract, loud: vacuum must
   * retain any version still unconsumed by the stream's checkpoint —
   * [[MergeTable.changes]] on a vacuumed endpoint names the missing
-  * version rather than silently skipping rows; retainVersions (or a
-  * tag pin on the consumer's frontier) is the knob.
+  * version rather than silently skipping rows. `pinFrontier=true`
+  * automates the knob: the source maintains a TAG at its committed
+  * frontier (advanced in the engine's batch-commit callback), and
+  * since vacuum retains tag-pinned versions, an aggressive retention
+  * setting can never outrun a lagging stream. Without it,
+  * retainVersions (or a manual tag) remains the operator's contract.
   *
   * Usage:
   * {{{
@@ -44,10 +48,43 @@ import graft.ext.MergeTable
   *   .load()
   * }}} */
 final class ChangefeedSource(sqlContext: SQLContext, dir: String,
-    startVersion: Long) extends Source
+    startVersion: Long, pinName: Option[String] = None) extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private def spark = sqlContext.sparkSession
+
+  // FRONTIER AUTO-PIN (`pinFrontier` option): the source maintains
+  // TWO tags bracketing its in-flight window so
+  // [[MergeTable.vacuum]] — which retains tag-pinned versions past
+  // retainVersions — can never sweep a manifest the stream might
+  // still need, however aggressive the retention knob and however
+  // far the stream lags. `<pin>` holds the current batch's diff BASE
+  // (the last committed offset: a crash before the checkpoint commit
+  // replays from it) and `<pin>.head` the batch's END (the engine
+  // stops an AvailableNow run WITHOUT calling [[commit]] on the final
+  // batch, so on restart the committed frontier is the previous
+  // END — one pin at the base alone would let vacuum sweep it
+  // between runs). Both advance monotonically in [[getBatch]]; the
+  // base additionally advances in [[commit]] when the engine does
+  // call it. Tags are immutable by design; advancing = dropTag +
+  // re-tag, and the retention re-check inside tag() covers the
+  // hand-over window. Without the option the retention contract
+  // stays the documented manual knob.
+  pinName.foreach { n =>
+    advancePin(n, startVersion); advancePin(s"$n.head", startVersion)
+  }
+
+  private def advancePin(name: String, v: Long): Unit = {
+    val cur = scala.util.Try(
+      MergeTable.tagVersion(spark, dir, name)).toOption
+    if (cur.exists(_ >= v)) return // a restarted query replaying an
+    // older offset must not drag the pin (and retention) backwards
+    cur.foreach(_ => MergeTable.dropTag(spark, dir, name))
+    MergeTable.tag(spark, dir, name, Some(v)): Unit
+  }
+
+  override def commit(end: Offset): Unit =
+    pinName.foreach(advancePin(_, versionOf(end)))
 
   /** Version ceiling captured when an AvailableNow run starts: the
     * run drains everything committed AT THAT MOMENT and stops —
@@ -102,11 +139,32 @@ final class ChangefeedSource(sqlContext: SQLContext, dir: String,
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val fromV = start.map(versionOf).getOrElse(startVersion)
     val toV = versionOf(end)
+    pinName.foreach { n =>
+      advancePin(n, fromV); advancePin(s"$n.head", toV)
+    }
     val batch =
       if (toV <= fromV) // engine replay of an empty range
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else MergeTable.changes(spark, dir, fromV, toV)
+    // changes() speaks the DESTINATION version's logical names, but
+    // this source declared `schema` once, at startVersion: a schema
+    // evolution commit mid-stream (rename/drop/extend — it lands in
+    // the old_row/new_row payload STRUCTS, so sameType, not top-level
+    // field names, is the test) would otherwise surface downstream as
+    // an engine plan-schema assertion or a silently misaligned sink.
+    // Name the condition and the remedy instead — the stream must be
+    // restarted (fresh source = fresh pinned schema; the checkpoint's
+    // version offsets stay valid, so no change is lost or
+    // re-delivered).
+    if (batch.schema.catalogString != schema.catalogString)
+      throw new IllegalStateException(
+        s"merge-table-changes at $dir: the table's schema evolved " +
+          s"mid-stream (batch ($fromV,$toV] speaks " +
+          s"${batch.schema.catalogString}; this stream was started " +
+          s"under ${schema.catalogString}). Restart the streaming " +
+          "query to adopt the new schema — its checkpointed version " +
+          "offsets remain valid.")
     // the engine asserts a streaming-flagged plan from a V1 source
     org.apache.spark.sql.graft.Bridge.asStreaming(batch)
   }
@@ -153,7 +211,19 @@ final class ChangefeedSourceProvider extends StreamSourceProvider
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): Source =
+      parameters: Map[String, String]): Source = {
+    // `pinFrontier=true` derives a stable per-query tag name from the
+    // checkpoint's metadata path (unique per streaming query by
+    // construction), so restarts of the SAME query adopt the same pin
+    // and distinct queries never fight over one
+    val pin = parameters.get("pinFrontier").filter(_.trim.toBoolean)
+      .map { _ =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(metadataPath.getBytes("UTF-8"))
+          .take(6).map(b => f"$b%02x").mkString
+        s"stream-$h"
+      }
     new ChangefeedSource(sqlContext, dirOf(parameters),
-      startOf(sqlContext, parameters))
+      startOf(sqlContext, parameters), pin)
+  }
 }

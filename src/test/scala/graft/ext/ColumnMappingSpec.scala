@@ -119,6 +119,60 @@ class ColumnMappingSpec extends SparkSpec {
       "enforcement must see the logical (renamed) view of the write")
   }
 
+  test("a rename may not land on an OCCUPIED physical slot (a name " +
+      "renamed away or dropped) — loud at rename time, not at the " +
+      "next write; rename-back-home vacates the slot") {
+    import spark.implicits._
+    val dir = mkTable(50)
+    MergeTable.renameColumn(spark, dir, "cents", "amount")
+    // 'cents' is gone logically but its PHYSICAL slot is occupied:
+    // renaming status onto it would make every later batch carrying
+    // logical 'cents' collide with the closed slot in toPhysical —
+    // the table would be unwritable under its own schema
+    val err = intercept[IllegalArgumentException] {
+      MergeTable.renameColumn(spark, dir, "status", "cents")
+    }
+    assert(err.getMessage.contains("occupied physical slot"), s"$err")
+    // same trap via drop: dropping a column leaves its slot occupied
+    MergeTable.dropColumn(spark, dir, "status")
+    assert(intercept[IllegalArgumentException] {
+      MergeTable.renameColumn(spark, dir, "amount", "status")
+    }.getMessage.contains("occupied physical slot"))
+    // rename-back-home is the one legal landing on a mapped slot
+    MergeTable.renameColumn(spark, dir, "amount", "cents")
+    assert(MergeTable.readTable(spark, dir).columns.contains("cents"))
+    MergeTable.upsert(spark, dir, Seq((1L, 5L)).toDF("key", "cents"))
+    assert(MergeTable.readTable(spark, dir)
+      .filter(col("key") === 1L).select("cents")
+      .collect().head.getLong(0) === 5L)
+  }
+
+  test("restore re-validates CHECK constraints against the LOGICAL " +
+      "view of the restored snapshot — a constraint on a renamed " +
+      "column must block a violating rollback, not silently skip") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-rst")
+      .resolve("t").toString
+    MergeTable.create(
+      Seq((1L, -5L), (2L, 20L)).toDF("key", "cents"), dir, "key") // v1
+    MergeTable.renameColumn(spark, dir, "cents", "amount") // v2: bad row
+    MergeTable.upsert(spark, dir,
+      Seq((1L, 5L)).toDF("key", "amount")) // v3: fixed
+    MergeTable.addConstraint(spark, dir, "amount_pos", "amount > 0")
+    // v2's snapshot violates amount_pos UNDER ITS LOGICAL NAME; a
+    // physical-frame validation would fail to resolve 'amount' over
+    // the file column 'cents' and silently skip the check
+    val err = intercept[IllegalStateException] {
+      MergeTable.restore(spark, dir, 2L)
+    }
+    assert(err.getMessage.contains("amount_pos"),
+      s"restore must see the logical view: $err")
+    // the restore never committed; a clean restore still works
+    assert(MergeTable.readTable(spark, dir)
+      .filter(col("amount") <= 0).count() === 0L)
+    MergeTable.restore(spark, dir, 3L)
+  }
+
   test("the SQL surfaces speak the mapped names: merge_table reads, " +
       "MERGE INTO writes, and stats pruning pushes a renamed " +
       "predicate down to the physical stats") {

@@ -152,6 +152,63 @@ class MergeIntoSqlSpec extends SparkSpec {
     assert(err.getMessage.contains("cannot be SET"))
   }
 
+  test("KEY-PREDICATE SQL DML takes the O(impacted buckets) path: " +
+      "untouched buckets survive BYTE-IDENTICAL (same files re-listed) " +
+      "under keyed DELETE/UPDATE, residual conjuncts apply row-level, " +
+      "and a non-key WHERE still pays the honest full pass") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-kdml")
+      .resolve("t").toString
+    MergeTable.create(
+      (1 to 400).map(i => (i.toLong, i.toLong * 10, s"s$i"))
+        .toDF("key", "cents", "status"),
+      dir, "key", hexDigits = 1)
+    def files(): Set[String] =
+      MergeTable.readTable(spark, dir).inputFiles.toSet
+    def bucketOf(f: String): String =
+      "bucket=([0-9a-f]+)".r.findFirstMatchIn(f).get.group(1)
+    // keyed DELETE: exactly one bucket rewritten
+    val before = files()
+    spark.sql(s"DELETE FROM merge_table.`$dir` WHERE key = 7").collect()
+    val afterDel = files()
+    val survivors = before.intersect(afterDel)
+    val touched = (before -- survivors).map(bucketOf)
+    assert(touched.size === 1,
+      s"keyed DELETE must rewrite ONE bucket, touched: $touched")
+    assert((afterDel -- before).map(bucketOf) === touched)
+    assert(MergeTable.readTable(spark, dir)
+      .filter(col("key") === 7L).count() === 0L)
+    // keyed UPDATE with IN list + residual: only the residual-passing
+    // row moves; the other key is carried; off-key buckets untouched
+    val before2 = files()
+    spark.sql(s"UPDATE merge_table.`$dir` SET status = 'hot' " +
+      "WHERE key IN (11, 12) AND cents > 115").collect()
+    val after2 = files()
+    val touched2 = (before2 -- before2.intersect(after2)).map(bucketOf)
+    val expect2 = Set(11L, 12L).map(k =>
+      KeyToBucketPruning.bucketOf(k.toString, 1))
+    assert(touched2.subsetOf(expect2),
+      s"keyed UPDATE must only rewrite the keys' buckets: $touched2")
+    val got = MergeTable.readTable(spark, dir)
+      .filter(col("key").isin(11L, 12L))
+      .select("key", "status").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got === Map(11L -> "s11", 12L -> "hot"),
+      "residual cents > 115 must gate row-level (11*10=110 carried)")
+    // a key = NULL predicate matches nothing (and must not error)
+    spark.sql(s"DELETE FROM merge_table.`$dir` WHERE key = NULL")
+      .collect()
+    assert(MergeTable.readTable(spark, dir).count() === 399L)
+    // non-key WHERE: the honest full pass — every bucket rewritten
+    val before3 = files()
+    spark.sql(s"DELETE FROM merge_table.`$dir` WHERE cents >= 3500")
+      .collect()
+    assert(before3.intersect(files()).isEmpty,
+      "a value predicate must pay the full-table pass")
+    assert(MergeTable.readTable(spark, dir).count() ===
+      (1 to 400).count(i => i != 7 && i * 10 < 3500).toLong)
+  }
+
   test("the SQL route enforces the same CHECK constraints and lands " +
       "the same manifest annotations as the API route") {
     import spark.implicits._

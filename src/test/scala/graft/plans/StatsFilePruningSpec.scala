@@ -55,10 +55,11 @@ class StatsFilePruningSpec extends SparkSpec {
     val entries = sparkManifest(dir, live)
     val expect = entries.count { e =>
       val st = stats(e)
+      import graft.ext.StatBound.L
       val (cLo, cHi) = st("cust") match {
-        case (Some(a), Some(b)) => (a, b); case _ => (0L, -1L) }
+        case (Some(L(a)), Some(L(b))) => (a, b); case _ => (0L, -1L) }
       val (dLo, dHi) = st("cents") match {
-        case (Some(a), Some(b)) => (a, b); case _ => (0L, -1L) }
+        case (Some(L(a)), Some(L(b))) => (a, b); case _ => (0L, -1L) }
       cLo <= 460L && cHi >= 400L && dLo <= 280L && dHi >= 250L
     }
     assert(planned === expect.toLong,
@@ -143,6 +144,113 @@ class StatsFilePruningSpec extends SparkSpec {
       "the all-null file must be pruned by a null-rejecting predicate")
     assert(q.select("key").collect().map(_.getLong(0)).toSeq ===
       Seq(ks(1)))
+  }
+
+  test("string bounds TRUNCATE WIDE: a >16-code-point value sharing a " +
+      "16-cp prefix with the predicate literal is never pruned away " +
+      "(min widens down, max widens up), while separated prefixes " +
+      "still prune; result identity holds either way") {
+    import spark.implicits._
+    import graft.ext.StatBound
+    // truncation unit contracts first: bounds must WIDEN, never narrow
+    val p16 = "abcdefghijklmnop" // exactly 16 cps
+    val long1 = p16 + "zzz"
+    assert(StatBound.truncMin(long1) === StatBound.S(
+      p16.getBytes("UTF-8")), "min bound = 16-cp prefix")
+    assert(StatBound.truncMax(long1) === Some(StatBound.S(
+      "abcdefghijklmnoq".getBytes("UTF-8"))),
+      "max bound = prefix with last cp incremented")
+    assert(StatBound.truncMax("abcdefghijklmno퟿" + "x")
+      === Some(StatBound.S("abcdefghijklmno".getBytes("UTF-8"))),
+      "increment must skip the surrogate gap")
+    val allMax = new String(Array.fill(17)(0x10FFFF).flatMap(
+      Character.toChars))
+    assert(StatBound.truncMax(allMax).isEmpty,
+      "an unincrementable prefix must yield NO upper bound")
+    assert(StatBound.truncMax(p16) === Some(StatBound.S(
+      p16.getBytes("UTF-8"))), "a fitting value is exact")
+    // end-to-end: three buckets' worth of long strings; the shared-
+    // prefix group straddles the truncation boundary
+    val dir = java.nio.file.Files.createTempDirectory("graft-sfp-s")
+      .resolve("t").toString
+    val rows = (1 to 600).map { i =>
+      val s =
+        if (i % 3 == 0) p16 + f"tail$i%04d" // shared 16-cp prefix group
+        else if (i % 3 == 1) f"early$i%04d-string-value"
+        else f"zlate$i%04d-string-value"
+      (i.toLong, s)
+    }
+    MergeTable.create(rows.toDF("key", "sval"), dir, "key", hexDigits = 1)
+    MergeTable.optimize(spark, dir, "sval",
+      maxRecordsPerFile = Some(50L))
+    val total = scanFiles(MergeTable.readTable(spark, dir))
+    // predicate INSIDE the shared-prefix group: every group member's
+    // file must survive pruning (their stored bounds are truncated,
+    // so the planner sees [prefix, prefix+1) boxes that all overlap)
+    val probe = p16 + "tail0300"
+    val qIn = MergeTable.readTable(spark, dir)
+      .filter(col("sval") === probe)
+    assert(qIn.count() === 1L, "truncated bounds must not lose the row")
+    // predicate far BELOW every value: prunes to zero files
+    val qOut = MergeTable.readTable(spark, dir)
+      .filter(col("sval") < "a")
+    assert(scanFiles(qOut) === 0L && qOut.count() === 0L)
+    // a range over one prefix-separated family prunes the others
+    val qFam = MergeTable.readTable(spark, dir)
+      .filter(col("sval") >= "early" && col("sval") < "earlz")
+    assert(scanFiles(qFam) < total,
+      "prefix-separated families must file-prune")
+    assert(qFam.count() === rows.count(_._2.startsWith("early")).toLong)
+  }
+
+  test("date, timestamp, and decimal predicates file-prune on their " +
+      "own sorted stripes with exact result identity") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-sfp-t")
+      .resolve("t").toString
+    val rows = (1 to 800).map { i =>
+      (i.toLong,
+        java.sql.Date.valueOf(java.time.LocalDate.of(2020, 1, 1)
+          .plusDays(i.toLong % 365)),
+        java.sql.Timestamp.from(java.time.Instant.parse(
+          "2021-01-01T00:00:00Z").plusSeconds(i.toLong * 3600)),
+        new java.math.BigDecimal(i).movePointLeft(2)) // i cents
+    }
+    val df = rows.toDF("key", "d", "ts", "amt")
+      .withColumn("amt", col("amt")
+        .cast(org.apache.spark.sql.types.DecimalType(10, 2)))
+    MergeTable.create(df, dir, "key", hexDigits = 1)
+    // date layout
+    MergeTable.optimize(spark, dir, "d", maxRecordsPerFile = Some(60L))
+    val total = scanFiles(MergeTable.readTable(spark, dir))
+    val qd = MergeTable.readTable(spark, dir).filter(
+      col("d").between(lit(java.sql.Date.valueOf("2020-02-01")),
+        lit(java.sql.Date.valueOf("2020-02-15"))))
+    assert(scanFiles(qd) < total, "date box must file-prune")
+    assert(qd.count() === rows.count(r =>
+      !r._2.before(java.sql.Date.valueOf("2020-02-01")) &&
+        !r._2.after(java.sql.Date.valueOf("2020-02-15"))).toLong)
+    // timestamp layout
+    MergeTable.optimize(spark, dir, "ts", maxRecordsPerFile = Some(60L))
+    val t1 = java.sql.Timestamp.from(
+      java.time.Instant.parse("2021-01-05T00:00:00Z"))
+    val t2 = java.sql.Timestamp.from(
+      java.time.Instant.parse("2021-01-07T00:00:00Z"))
+    val qt = MergeTable.readTable(spark, dir)
+      .filter(col("ts").between(lit(t1), lit(t2)))
+    assert(scanFiles(qt) < total, "timestamp box must file-prune")
+    assert(qt.count() === rows.count(r =>
+      !r._3.before(t1) && !r._3.after(t2)).toLong)
+    // decimal layout; literals constructed at the column's exact type
+    MergeTable.optimize(spark, dir, "amt", maxRecordsPerFile = Some(60L))
+    def dec(v: String) = lit(new java.math.BigDecimal(v))
+      .cast(org.apache.spark.sql.types.DecimalType(10, 2))
+    val qa = MergeTable.readTable(spark, dir)
+      .filter(col("amt").between(dec("2.00"), dec("3.00")))
+    assert(scanFiles(qa) < total, "decimal box must file-prune")
+    assert(qa.count() === rows.count(r =>
+      r._4.compareTo(new java.math.BigDecimal("2.00")) >= 0 &&
+        r._4.compareTo(new java.math.BigDecimal("3.00")) <= 0).toLong)
   }
 
   test("the rule is silent on a NON-MergeTable parquet layout even " +

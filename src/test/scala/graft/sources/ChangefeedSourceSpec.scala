@@ -107,6 +107,107 @@ class ChangefeedSourceSpec extends SparkSpec {
       s"the post-optimize change must flow exactly once: ${rows.toSeq}")
   }
 
+  test("a schema evolution commit mid-stream fails the NEXT batch " +
+      "with a NAMED error (restart to adopt the new schema) instead " +
+      "of the engine's opaque plan-schema assertion") {
+    import spark.implicits._
+    val (dir, _) = mkTable(60)
+    val root = java.nio.file.Files.createTempDirectory("graft-cfs3")
+    val sink = root.resolve("sink").toString
+    val ckpt = root.resolve("ckpt").toString
+    def drainToSink(): Unit = {
+      val q = stream(dir).writeStream
+        .format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    MergeTable.upsert(spark, dir, Seq((1L, "Z", 1L))
+      .toDF("key", "status", "cents"))
+    drainToSink() // healthy pre-evolution batch
+    MergeTable.renameColumn(spark, dir, "cents", "amount")
+    MergeTable.upsert(spark, dir, Seq((2L, "Z", 2L))
+      .toDF("key", "status", "amount"))
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drainToSink()
+    }
+    val msg = Option(err.getCause).fold(err.getMessage)(_.getMessage)
+    assert(msg.contains("schema evolved"),
+      s"the failure must be the source's named error, got: $msg")
+  }
+
+  test("pinFrontier=true: the source holds a tag at its committed " +
+      "frontier, so an aggressive vacuum cannot outrun a LAGGING " +
+      "stream — no data loss, and the pin advances with the " +
+      "checkpoint; the unpinned twin fails loudly on the same abuse") {
+    import spark.implicits._
+    def run(pin: Boolean): Either[String, Long] = {
+      val (dir, _) = mkTable(100)
+      val root = java.nio.file.Files.createTempDirectory(
+        s"graft-cfs-pin$pin")
+      val sink = root.resolve("sink").toString
+      val ckpt = root.resolve("ckpt").toString
+      def drain(): Unit = {
+        val q = spark.readStream.format("merge-table-changes")
+          .option("dir", dir).option("initialVersion", 1L)
+          .option("pinFrontier", pin.toString).load()
+          .writeStream.format("parquet").option("path", sink)
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      MergeTable.upsert(spark, dir, Seq((1L, "Z", 1L))
+        .toDF("key", "status", "cents"))
+      drain() // frontier now v2
+      if (pin) {
+        val p1 = MergeTable.tags(spark, dir)
+          .filter(_._1.startsWith("stream-"))
+        assert(p1.nonEmpty && p1.values.max >= 2L,
+          s"pins must bracket the first drained window: $p1")
+      }
+      // the stream LAGS while the table moves on and vacuum runs hot
+      (2 to 4).foreach { i =>
+        MergeTable.upsert(spark, dir, Seq((i.toLong, "Z", i.toLong))
+          .toDF("key", "status", "cents"))
+      }
+      MergeTable.vacuum(spark, dir, retainVersions = 1, minFileAgeMs = 0L)
+      try {
+        drain()
+        val keys = spark.read.parquet(sink).select("key")
+          .collect().map(_.getLong(0)).toSet
+        assert(keys === Set(1L, 2L, 3L, 4L),
+          s"every change must arrive exactly once: $keys")
+        val pins = MergeTable.tags(spark, dir)
+          .filter(_._1.startsWith("stream-"))
+        if (pin) {
+          assert(pins.size === 2,
+            s"base + head frontier pins expected: $pins")
+          assert(pins.values.max ===
+            MergeTable.versions(spark, dir).last,
+            "the head pin must advance to the drained frontier")
+        } else assert(pins.isEmpty)
+        Right(keys.size.toLong)
+      } catch {
+        case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+          Left(Option(e.getCause).fold(e.getMessage)(_.getMessage))
+        case e: IllegalArgumentException =>
+          // the unpinned twin can die as early as the schema probe
+          // (its bootstrap version is already swept) — equally loud
+          Left(e.getMessage)
+      }
+    }
+    assert(run(pin = true) === Right(4L))
+    run(pin = false) match {
+      case Left(msg) => assert(msg.contains("vacuumed") ||
+        msg.contains("no version"),
+        s"the unpinned stream must fail LOUDLY, not skip rows: $msg")
+      case Right(_) => fail("without the pin, an aggressive vacuum " +
+        "must surface as a loud missing-version error")
+    }
+  }
+
   test("the provider is loud on a missing dir option and derives the " +
       "changefeed schema (key, old_row, new_row, change)") {
     val (dir, _) = mkTable(20)
