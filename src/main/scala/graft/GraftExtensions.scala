@@ -58,6 +58,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("ivm_view"),
       new ExpressionInfo(graft.ext.Ivm.getClass.getName, "ivm_view"),
       graft.ext.Ivm.viewFunctionBuilder))
+    // mergeable rollup summaries (HLL distinct / histogram / exact
+    // additive partials) served in plain SQL, kind inferred from the
+    // summary's schema; 3-arg form = range-distinct sketch union
+    e.injectTableFunction((
+      new FunctionIdentifier("rollup_view"),
+      new ExpressionInfo(graft.ext.Rollup.getClass.getName,
+        "rollup_view"),
+      graft.ext.Rollup.rollupViewBuilder))
     e.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),

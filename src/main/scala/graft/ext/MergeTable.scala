@@ -860,11 +860,35 @@ object MergeTable {
     * class). Stats cover the integral payload columns; min/max are of
     * non-null values, an all-null file rendering as an empty range a
     * null-rejecting predicate may prune. */
+  /** PROBE-ONLY flag (`-Dgraft.cow.probe.bareFingerprints=true`):
+    * emulates the round-13 commit shape — bucket-grain grouping, one
+    * hash channel, no per-file stats — so [[graft.tools.ScaleProbe]]
+    * can A/B the write-path cost of the round-14/15 manifest
+    * annotations against a bare upsert. Never set in production: it
+    * writes legacy-format fingerprints and NO `#st=` lines (sound —
+    * unattested files are simply never pruned — but it forfeits file
+    * pruning and 128-bit collision resistance for that epoch). */
+  private def bareFingerprintProbe: Boolean =
+    java.lang.Boolean.getBoolean("graft.cow.probe.bareFingerprints")
+
   private def epochStats(spark: SparkSession, dir: String,
       epochName: String): (Map[String, String], Map[String, String]) = {
     val epochPath = s"$dir/data/$epochName"
     val df = spark.read.option("basePath", epochPath).parquet(epochPath)
     val payload = df.columns.filter(_ != "bucket").sorted
+    if (bareFingerprintProbe) {
+      // r13 shape: per-BUCKET single-channel fingerprints, no stats
+      val rows = df.select(
+          regexp_extract(col("_metadata.file_path"),
+            "bucket=([0-9a-f]+)/", 1).as("fp_bucket"),
+          xxhash64(payload.map(col): _*).cast("decimal(38,0)").as("fp_h"))
+        .groupBy("fp_bucket")
+        .agg(count(lit(1)).as("n"), sum("fp_h").as("h"))
+        .collect()
+      return (rows.map(r => r.getString(0) ->
+        s"${r.getLong(1)}:${BigInt(r.getDecimal(2).toBigInteger)}").toMap,
+        Map.empty)
+    }
     val stCols = statColumns(df.schema)
     // the bucket id comes from the FILE PATH, not the inferred
     // partition column: partition-type inference turns an epoch whose

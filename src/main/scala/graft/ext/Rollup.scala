@@ -301,9 +301,193 @@ object Rollup {
        |  (SELECT cents FROM rk WHERE rk = (n * 99 + 99) // 100)
        |    AS p99_exact""")
 
+  /** Builder for the `rollup_view('/dir'[, lo, hi])` SQL table-valued
+    * function — the at-rest rollup summaries SERVED in plain SQL, the
+    * summary KIND inferred from the partials' own physical schema
+    * (the [[graft.ext.Ivm.viewFunctionBuilder]] contract applied to
+    * this family):
+    *  - a `sketch` column → the HLL distinct summary. One argument
+    *    serves the per-day merged view (day, distinct_estimate,
+    *    n_rows); the three-argument range form
+    *    `rollup_view(dir, DATE lo, DATE hi)` unions the day sketches
+    *    across the range FIRST and estimates once — range-distinct
+    *    does not decompose over post-estimate rows, so the union must
+    *    happen inside the serve (exactly [[mergedDistinct]]).
+    *  - a `bin` column → the histogram summary, served as + -merged
+    *    (bin, cnt) rows; percentile walks are ordinary SQL windows
+    *    over them.
+    *  - otherwise → exact additive partials: group by every
+    *    dimension column, + -merge the measures (`cnt` and `*_cents`,
+    *    the family's fixed-point naming contract).
+    * Every serve reads O(summary) rows; the base table is never
+    * touched. */
+  private[graft] val rollupViewBuilder
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    exprs =>
+      require(exprs.length == 1 || exprs.length == 3,
+        s"rollup_view(dir[, lo, hi]) takes 1 or 3 arguments, got " +
+          s"${exprs.length}")
+      def lit(e: org.apache.spark.sql.catalyst.expressions.Expression,
+          what: String): Any = {
+        require(e.foldable, s"rollup_view: $what must be a literal")
+        e.eval()
+      }
+      val dir = lit(exprs.head, "dir") match {
+        case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+        case other => throw new IllegalArgumentException(
+          s"rollup_view: dir must be a string literal, got $other")
+      }
+      def dateOf(e: org.apache.spark.sql.catalyst.expressions.Expression,
+          what: String): java.sql.Date = lit(e, what) match {
+        case days: java.lang.Integer // DateType's internal epoch days
+            if e.dataType == org.apache.spark.sql.types.DateType =>
+          java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(
+            days.longValue))
+        case s: org.apache.spark.unsafe.types.UTF8String =>
+          java.sql.Date.valueOf(s.toString)
+        case other => throw new IllegalArgumentException(
+          s"rollup_view: $what must be a DATE or date-string literal, " +
+            s"got $other")
+      }
+      val spark = org.apache.spark.sql.SparkSession.active
+      val df = spark.read.parquet(dir)
+      val names = df.schema.fieldNames.toSet
+      val served =
+        if (names.contains("sketch")) {
+          if (exprs.length == 3)
+            mergedDistinct(spark, dir, dateOf(exprs(1), "lo"),
+              dateOf(exprs(2), "hi"))
+          else df.groupBy("day")
+            .agg(hll_sketch_estimate(
+                hll_union_agg(col("sketch"), true)).as("distinct_estimate"),
+              sum("n_rows").as("n_rows"))
+        } else {
+          require(exprs.length == 1,
+            "rollup_view: the range form serves only sketch summaries")
+          if (names.contains("bin"))
+            df.groupBy("bin").agg(sum("cnt").as("cnt"))
+          else {
+            val measures = df.columns.filter(c =>
+              c == "cnt" || c.endsWith("_cents")).toSeq
+            require(measures.nonEmpty,
+              s"rollup_view: $dir is not a rollup summary (no sketch/" +
+                "bin/cnt/*_cents columns)")
+            val dims = df.columns.filterNot(c =>
+              c == "run" || measures.contains(c)).toSeq
+            df.groupBy(dims.map(col): _*)
+              .agg(sum(measures.head).as(measures.head),
+                measures.tail.map(m => sum(m).as(m)): _*)
+          }
+        }
+      served.queryExecution.logical
+  }
+
+  /** Register `rollup_view` on a session built without
+    * `spark.sql.extensions=graft.GraftExtensions` — idempotent. */
+  def registerSql(spark: SparkSession): Unit =
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("rollup_view"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        Rollup.getClass.getName, "rollup_view"),
+      rollupViewBuilder)
+
+  /** q171 — the rollup family's SQL SERVE acceptance row: build the
+    * q138 HLL summary and the q145 histogram summary (two incremental
+    * runs each, same slicing), then answer BOTH through
+    * `rollup_view` in PLAIN SQL — the range-distinct via the
+    * three-argument sketch form, the percentiles via an ordinary SQL
+    * window walk over the merged bins — under the exact oracles those
+    * rows already pinned. Completes the SQL story the way `ivm_view`
+    * (q165) did for maintained views: every at-rest summary the
+    * engine maintains is now SQL-readable without its Scala API. */
+  private val q171RollupSql = QueryDef(
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val root = java.nio.file.Files.createTempDirectory("graft-q171")
+      val skDir = root.resolve("sketches").toString
+      val hDir = root.resolve("hist").toString
+      val withDay = ev
+        .crossJoin(broadcast(ev.agg(min(to_date(col("ts"))).as("d0"))))
+        .withColumn("day", to_date(col("ts")))
+        .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+        .localCheckpoint(true)
+      val run1 = withDay.filter(datediff(col("day"), col("d0")) < 15)
+      val run2 = withDay.filter(datediff(col("day"), col("d0")) >= 15)
+      buildDistinctSketches(run1, skDir, 0)
+      buildDistinctSketches(run2, skDir, 1)
+      val Array(lo, hi) = run1.agg(min("cents"), max("cents"))
+        .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+      buildHistogram(run1, hDir, 0, lo, hi)
+      buildHistogram(run2, hDir, 1, lo, hi)
+      val d0 = withDay.select(col("d0")).limit(1)
+        .collect().head.get(0) match {
+          case d: java.sql.Date => d.toLocalDate
+          case d: java.time.LocalDate => d
+          case other => sys.error(s"q171: unexpected date $other")
+        }
+      val (rLo, rHi) = (d0.plusDays(7), d0.plusDays(21))
+      Rollup.registerSql(s)
+      val sql = s.sql(
+        s"""WITH cum AS (
+           |  SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum,
+           |         sum(cnt) OVER () AS n
+           |  FROM rollup_view('$hDir')),
+           |d AS (SELECT days_merged, estimate, n_rows
+           |      FROM rollup_view('$skDir', DATE '$rLo', DATE '$rHi'))
+           |SELECT
+           |  (SELECT days_merged FROM d) AS days_merged,
+           |  (SELECT n_rows FROM d) AS n_rows,
+           |  (SELECT estimate FROM d) AS estimate,
+           |  (SELECT CAST(min(bin) AS BIGINT) FROM cum
+           |     WHERE cum >= (n * 50 + 99) DIV 100) AS p50_bin,
+           |  (SELECT CAST(min(bin) AS BIGINT) FROM cum
+           |     WHERE cum >= (n * 90 + 99) DIV 100) AS p90_bin,
+           |  (SELECT CAST(min(bin) AS BIGINT) FROM cum
+           |     WHERE cum >= (n * 99 + 99) DIV 100) AS p99_bin""".stripMargin)
+      val exact = withDay
+        .filter(col("day").between(
+          org.apache.spark.sql.functions.lit(java.sql.Date.valueOf(rLo)),
+          org.apache.spark.sql.functions.lit(java.sql.Date.valueOf(rHi))))
+        .agg(countDistinct("user_id").as("n_exact"))
+      sql.crossJoin(broadcast(exact))
+        .select(col("days_merged"), col("n_rows"), col("n_exact"),
+          when(abs(col("estimate") - col("n_exact")).cast("double")
+            <= col("n_exact").cast("double") * org.apache.spark.sql
+              .functions.lit(0.05e0), 1L).otherwise(0L)
+            .as("within_5pct"),
+          col("p50_bin"), col("p90_bin"), col("p99_bin"))
+    },
+    s"""WITH b AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+       |r AS (SELECT d0 + 7 AS lo, d0 + 21 AS hi FROM b),
+       |e AS (SELECT CAST(ts AS DATE) AS day, user_id,
+       |             CAST(round(value * 100, 0) AS BIGINT) AS cents
+       |      FROM events),
+       |win AS (SELECT e.* FROM e, r WHERE day BETWEEN lo AND hi),
+       |r1 AS (SELECT e.cents FROM e, b WHERE day - d0 < 15),
+       |dom AS (SELECT min(cents) AS lo, max(cents) AS hi FROM r1),
+       |hist AS (SELECT ${binSql("cents", "lo", "hi", "//")} AS bin,
+       |                count(*) AS cnt
+       |         FROM e, dom GROUP BY 1),
+       |cum AS (SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum,
+       |               sum(cnt) OVER () AS n
+       |        FROM hist)
+       |SELECT CAST(count(DISTINCT day) AS BIGINT) AS days_merged,
+       |       CAST(count(*) AS BIGINT) AS n_rows,
+       |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+       |       CAST(1 AS BIGINT) AS within_5pct,
+       |       (SELECT CAST(min(bin) AS BIGINT) FROM cum
+       |          WHERE cum >= (n * 50 + 99) // 100) AS p50_bin,
+       |       (SELECT CAST(min(bin) AS BIGINT) FROM cum
+       |          WHERE cum >= (n * 90 + 99) // 100) AS p90_bin,
+       |       (SELECT CAST(min(bin) AS BIGINT) FROM cum
+       |          WHERE cum >= (n * 99 + 99) // 100) AS p99_bin
+       |FROM win""")
+
   val defs: Map[String, QueryDef] = Map(
     "q138_sketch_rollup" -> q138SketchRollup,
     "q139_incremental_rollup" -> q139IncrementalRollup,
     "q145_histogram_rollup" -> q145HistogramRollup,
+    "q171_rollup_sql" -> q171RollupSql,
   )
 }

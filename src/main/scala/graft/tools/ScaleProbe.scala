@@ -390,6 +390,51 @@ object ScaleProbe {
         expo(c => c.statsScanned.toDouble / c.statsTotal)}%.2f " +
       f"stats_plan_time=${expo(_.statsPlanS)}%.2f")
 
+    // --- WRITE-PATH OVERHEAD A/B (round 15): bare upsert on a
+    // 256-bucket table, the round-14/15 manifest annotations
+    // (file-grain stats + fp2 channel) ON vs OFF (the probe flag
+    // emulates the r13 commit shape), at 1x/3x/10x. The question the
+    // verdict asked: what fraction of a commit does the read-back
+    // annotation work cost, and does the fraction grow with table
+    // size? (It should not: the read-back scans only the REWRITTEN
+    // epoch, whose size is batch-bucket-bound, not table-bound.)
+    case class AbCell(scale: Int, n: Long, onS: Double, offS: Double)
+    val abCells = scales.map { sc =>
+      val n = baseN * 10 * sc // big enough that a commit has real work
+      def mkTbl(tag: String): String = {
+        val d = s"$tmp/ab_${tag}_s$sc"
+        graft.ext.MergeTable.create(
+          spark.range(n).select(col("id").as("key"),
+            (col("id") % 97).as("payload")), d, "key", 2)
+        d
+      }
+      val batch = spark.range(40).select(
+        (col("id") * (n / 40)).as("key"), lit(-1L).as("payload"))
+        .localCheckpoint(true)
+      val tOn = mkTbl("on"); val tOff = mkTbl("off")
+      val onS = timeMinOf(2) {
+        graft.ext.MergeTable.upsert(spark, tOn, batch): Unit
+      }
+      System.setProperty("graft.cow.probe.bareFingerprints", "true")
+      val offS =
+        try timeMinOf(2) {
+          graft.ext.MergeTable.upsert(spark, tOff, batch): Unit
+        }
+        finally System.clearProperty("graft.cow.probe.bareFingerprints")
+      println(f"[scaleprobe] ab scale=${sc}x n=$n " +
+        f"upsert_full=${onS}%.3fs upsert_bare=${offS}%.3fs " +
+        f"overhead_frac=${(onS - offS) / onS}%.3f")
+      AbCell(sc, n, onS, offS)
+    }
+    def abexpo(m: AbCell => Double): Double = {
+      val (a, b) = (abCells.head, abCells.last)
+      math.log(m(b) / m(a)) / math.log(b.n.toDouble / a.n)
+    }
+    println(f"[scaleprobe] AB EXPONENTS (1x -> ${scales.last}x): " +
+      f"upsert_full_time=${abexpo(_.onS)}%.2f " +
+      f"upsert_bare_time=${abexpo(_.offS)}%.2f " +
+      f"overhead_frac_trend=${abexpo(c => math.max(1e-9, (c.onS - c.offS) / c.onS))}%.2f")
+
     // --- MANIFEST SCALING LEG (vs BUCKET COUNT, not corpus size) ---
     // Manifests re-list every live file each commit, so commit metadata
     // cost and the changefeed's manifest-read cost are O(buckets)/
