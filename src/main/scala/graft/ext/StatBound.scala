@@ -106,7 +106,17 @@ object StatBound {
     val cps = codePoints(s)
     if (cps.length <= TruncLen)
       return Some(S(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-    val kept = cps.take(TruncLen)
+    incremented(cps.take(TruncLen))
+  }
+
+  /** The least string strictly GREATER than every string with prefix
+    * `s` — the upper bound a `LIKE 's%'`/StartsWith predicate needs:
+    * increment the last code point (carrying left; surrogate gap
+    * skipped). None when nothing can increment (prefix all U+10FFFF
+    * → treat the prefix match as upper-unbounded). */
+  def prefixUpper(s: String): Option[S] = incremented(codePoints(s))
+
+  private def incremented(kept: Array[Int]): Option[S] = {
     var i = kept.length - 1
     while (i >= 0) {
       val cp = kept(i)

@@ -359,16 +359,19 @@ final case class GraftUpdateDeleteCommand(dir: String,
         (rank.contains(from) && rank.contains(keyType) &&
           rank(from) <= rank(keyType))
     if (!lits.forall(l => upcastable(l.dataType))) return None
+    // the analyzer coerces an IN list to one common type, so a single
+    // local relation covers every literal; a mixed-type list (possible
+    // only across separate conjuncts, which keyPin rejects) falls back
+    val litTypes = lits.map(_.dataType).distinct
+    if (litTypes.size != 1) return None
     val rows = lits.map { l =>
       Row(org.apache.spark.sql.catalyst.CatalystTypeConverters
         .convertToScala(l.value, l.dataType))
     }
-    val dfs = lits.zip(rows).map { case (l, r) =>
-      spark.createDataFrame(java.util.Arrays.asList(r),
+    import scala.jdk.CollectionConverters._
+    Some(spark.createDataFrame(rows.asJava,
         org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField(key, l.dataType))))
-    }
-    Some(dfs.reduce(_ unionByName _)
+          org.apache.spark.sql.types.StructField(key, litTypes.head))))
       .select(org.apache.spark.sql.functions.col(key).cast(keyType)
         .as(key))
       .distinct())

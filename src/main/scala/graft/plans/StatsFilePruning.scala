@@ -5,7 +5,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{AttributeReference,
   EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet,
-  LessThan, LessThanOrEqual, Literal, PredicateHelper}
+  LessThan, LessThanOrEqual, Literal, PredicateHelper, StartsWith}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
@@ -192,6 +192,15 @@ object StatsFilePruning extends Rule[LogicalPlan] with PredicateHelper {
             s.reduceOption((x, y) =>
               if (StatBound.gte(x, y)) x else y))
         }
+      // LIKE 'p%' (LikeSimplification rewrites it to StartsWith):
+      // every match sits in [p, p+1) — lo = the prefix itself, hi =
+      // the least string past every p-prefixed one (None = unbounded
+      // when the prefix cannot increment). Null-rejecting: LIKE on a
+      // null row is null, filtered.
+      case StartsWith(a: AttributeReference, l: Literal)
+          if a.dataType == StringType && l.value != null =>
+        val p = l.value.asInstanceOf[UTF8String].toString
+        add(a, Some(StatBound.truncMin(p)), StatBound.prefixUpper(p))
       case InSet(a: AttributeReference, vs) if vs.nonEmpty && own(a) =>
         val bs = vs.toSeq.map(v => inSetBound(a.dataType, v))
         if (bs.forall(_.isDefined)) {

@@ -68,8 +68,12 @@ final class ChangefeedSource(sqlContext: SQLContext, dir: String,
   // base additionally advances in [[commit]] when the engine does
   // call it. Tags are immutable by design; advancing = dropTag +
   // re-tag, and the retention re-check inside tag() covers the
-  // hand-over window. Without the option the retention contract
-  // stays the documented manual knob.
+  // hand-over window against a RACING vacuum; a crash BETWEEN the
+  // drop and the re-tag loses that pin until the query restarts
+  // (first act: re-pin), so the worst case of a crash + immediate
+  // hot vacuum in that gap is the LOUD missing-version error — never
+  // silent row loss. Without the option the retention contract stays
+  // the documented manual knob.
   pinName.foreach { n =>
     advancePin(n, startVersion); advancePin(s"$n.head", startVersion)
   }

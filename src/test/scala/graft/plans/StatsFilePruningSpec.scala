@@ -173,7 +173,7 @@ class StatsFilePruningSpec extends SparkSpec {
     // prefix group straddles the truncation boundary
     val dir = java.nio.file.Files.createTempDirectory("graft-sfp-s")
       .resolve("t").toString
-    val rows = (1 to 600).map { i =>
+    val rows = (1 to 3200).map { i =>
       val s =
         if (i % 3 == 0) p16 + f"tail$i%04d" // shared 16-cp prefix group
         else if (i % 3 == 1) f"early$i%04d-string-value"
@@ -201,6 +201,18 @@ class StatsFilePruningSpec extends SparkSpec {
     assert(scanFiles(qFam) < total,
       "prefix-separated families must file-prune")
     assert(qFam.count() === rows.count(_._2.startsWith("early")).toLong)
+    // LIKE 'p%' (StartsWith after LikeSimplification) prunes to the
+    // [p, p+1) box with exact rows
+    val qLike = MergeTable.readTable(spark, dir)
+      .filter(col("sval").like("zlate%"))
+    assert(scanFiles(qLike) < total, "LIKE prefix must file-prune")
+    assert(qLike.count() ===
+      rows.count(_._2.startsWith("zlate")).toLong)
+    // a LIKE prefix longer than the 16-cp truncation is still exact
+    val qLikeLong = MergeTable.readTable(spark, dir)
+      .filter(col("sval").like(p16 + "tail03%"))
+    assert(qLikeLong.count() ===
+      rows.count(_._2.startsWith(p16 + "tail03")).toLong)
   }
 
   test("date, timestamp, and decimal predicates file-prune on their " +
