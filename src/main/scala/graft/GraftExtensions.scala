@@ -26,6 +26,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // SQL DML: MERGE INTO merge_table.`/dir` routed to the clause
     // engine (the write-side twin of the merge_table read TVF)
     e.injectResolutionRule(_ => graft.plans.MergeIntoMergeTable)
+    // SQL maintenance: OPTIMIZE ... SORT BY/ZORDER BY [STRIPE n] and
+    // VACUUM ... [RETAIN n VERSIONS] — a delegating parser that
+    // recognizes exactly these two statement shapes (Delta's
+    // operational idiom) and hands everything else through untouched
+    e.injectParser((_, parser) => new graft.plans.GraftSqlParser(parser))
     // SQL surface for the snapshot table: SELECT ... FROM
     // merge_table('/dir'[, version]) — time travel + pruning compose
     e.injectTableFunction((

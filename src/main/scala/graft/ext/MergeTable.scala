@@ -3093,6 +3093,72 @@ object MergeTable {
        |WHERE odate BETWEEN d1 AND d2
        |ORDER BY key""".stripMargin)
 
+  /** q172 — SQL MAINTENANCE acceptance: the whole operational loop in
+    * PLAIN SQL through the delegating parser
+    * ([[graft.plans.GraftSqlParser]], the Delta OPTIMIZE/VACUUM
+    * idiom): lifecycle → rebucket(1) → `OPTIMIZE merge_table.`/dir``
+    * SORT BY cents STRIPE 256` → `VACUUM … RETAIN 1 VERSIONS` → a
+    * cents box read whose PLANNED file count is pinned to the
+    * oracle's single-column stripe model (rank by (cents, key) per
+    * md5 bucket, chunk at the stripe, overlap-count — q164's
+    * discipline for the sort-striped layout), the full final state
+    * riding (q146's invariance: two rewrites + an expiry move no
+    * rows), and the retained-version count pinned at 1. A SQL-only
+    * operator can now run stripe-for-pruning maintenance and history
+    * expiry end-to-end and the gate holds every step. */
+  private val q172SqlMaintenance = QueryDef(
+    (s, dir) => {
+      val out = runLifecycle(s, dir, "q172")
+      rebucket(s, out, 1)
+      val opt = s.sql(
+        s"OPTIMIZE merge_table.`$out` SORT BY cents STRIPE $Q164_STRIPE")
+        .collect()
+      require(opt.length == 1, "OPTIMIZE must return its stats row")
+      val vac = s.sql(s"VACUUM merge_table.`$out` RETAIN 1 VERSIONS")
+        .collect()
+      require(vac.length == 1, "VACUUM must return its sweep row")
+      val vKept = versions(s, out).size.toLong
+      graft.plans.StatsFilePruning.enable(s)
+      val t = readTable(s, out)
+      val b = t.agg(min("cents"), max("cents")).collect().head
+      val (mny, mxy) = (b.getLong(0), b.getLong(1))
+      val (y1, y2) = (mny + (mxy - mny) * 7 / 16, mny + (mxy - mny) * 8 / 16)
+      val q = readTable(s, out).filter(col("cents").between(y1, y2))
+      val scanned = q.queryExecution.executedPlan.collectLeaves()
+        .collectFirst {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.selectedPartitions.totalNumberOfFiles
+        }.getOrElse(sys.error("q172: box did not plan a file scan"))
+      val filesTotal = readManifest(s, out, versions(s, out).last)
+        .size.toLong
+      q.select("key", "cust", "status", "cents")
+        .withColumn("files_scanned", lit(scanned))
+        .withColumn("files_total", lit(filesTotal))
+        .withColumn("versions_kept", lit(vKept))
+        .orderBy("key")
+    },
+    s"""WITH $lifecycleFinCte,
+       |bb AS (SELECT min(cents) AS mny, max(cents) AS mxy FROM fin),
+       |p AS (SELECT mny + ((mxy - mny) * 7) // 16 AS y1,
+       |             mny + ((mxy - mny) * 8) // 16 AS y2 FROM bb),
+       |g AS (SELECT fin.*, ${bucketSql("key", 1)} AS bkt FROM fin),
+       |f AS (SELECT *, ((row_number() OVER (PARTITION BY bkt
+       |        ORDER BY cents, key)) - 1) // $Q164_STRIPE AS fid FROM g),
+       |st AS (SELECT bkt, fid, min(cents) AS fmn, max(cents) AS fmx
+       |       FROM f GROUP BY bkt, fid),
+       |cnt AS (SELECT
+       |    CAST(sum(CASE WHEN fmn <= y2 AND fmx >= y1
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+       |    CAST(count(*) AS BIGINT) AS files_total
+       |  FROM st, p)
+       |SELECT key, cust, status, cents,
+       |       (SELECT files_scanned FROM cnt) AS files_scanned,
+       |       (SELECT files_total FROM cnt) AS files_total,
+       |       CAST(1 AS BIGINT) AS versions_kept
+       |FROM fin, p
+       |WHERE cents BETWEEN y1 AND y2
+       |ORDER BY key""".stripMargin)
+
   /** q153 — LAYOUT-ONLY COMMITS ARE CDC-FREE, the round-13
     * short-circuit priced end-to-end through the WIRED publisher:
     * create → bootstrap pin → batch-1 upsert → publish (a real batch:
@@ -3792,6 +3858,7 @@ object MergeTable {
     "q163_check_constraint" -> q163CheckConstraint,
     "q164_stats_pruning" -> q164StatsPruning,
     "q170_typed_stats_pruning" -> q170TypedStats,
+    "q172_sql_maintenance" -> q172SqlMaintenance,
     "q166_sql_merge_dml" -> q166SqlMergeDml,
     "q168_schema_evolution" -> q168SchemaEvolution,
     "q169_sql_update_delete" -> q169SqlUpdateDelete,

@@ -1,0 +1,128 @@
+package graft.plans
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute,
+  AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{DataType, LongType, StructType}
+
+import graft.ext.MergeTable
+
+/** SQL MAINTENANCE statements for the snapshot table — the Delta
+  * operational idiom, parsed by a thin delegating parser (Spark's
+  * grammar has no OPTIMIZE/VACUUM productions to hook, so the
+  * extension recognizes exactly these two statement shapes and hands
+  * everything else to the real parser untouched):
+  *
+  * {{{
+  * OPTIMIZE merge_table.`/dir` SORT BY col [STRIPE n]
+  * OPTIMIZE merge_table.`/dir` ZORDER BY (xCol, yCol) [STRIPE n]
+  * VACUUM merge_table.`/dir` [RETAIN n VERSIONS]
+  * }}}
+  *
+  * Each routes to the SAME engine verb the API exposes ([[MergeTable
+  * .optimize]], [[MergeTable.optimizeZOrder]], [[MergeTable.vacuum]])
+  * and returns its stats as one row, so a SQL-only operator can run
+  * the whole maintenance story: stripe a table for stats pruning,
+  * reclaim history, all under the engine's snapshot-commit protocol.
+  * `STRIPE n` caps records per file (z/sort striping — the unit
+  * [[StatsFilePruning]] skips); `RETAIN n VERSIONS` maps to
+  * retainVersions (default 1). VACUUM uses the engine's default file
+  * grace; the aggressive `minFileAgeMs = 0` single-writer waiver
+  * stays API-only (a SQL statement should not carry the footgun).
+  *
+  * Recognition is conservative: the statement must match the shape
+  * END-TO-END (anchored regex over the whole text) or it is delegated
+  * — a table named `optimize` or a column named `vacuum` parses
+  * exactly as before. */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  private val OptimizeSort =
+    """(?is)\s*OPTIMIZE\s+merge_table\s*\.\s*`([^`]+)`\s+SORT\s+BY\s+
+      |([A-Za-z_][A-Za-z0-9_]*)(?:\s+STRIPE\s+(\d+))?\s*;?\s*"""
+      .stripMargin.replace("\n", "").r
+  private val OptimizeZ =
+    """(?is)\s*OPTIMIZE\s+merge_table\s*\.\s*`([^`]+)`\s+ZORDER\s+BY\s*
+      |\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)
+      |(?:\s+STRIPE\s+(\d+))?\s*;?\s*"""
+      .stripMargin.replace("\n", "").r
+  private val Vacuum =
+    """(?is)\s*VACUUM\s+merge_table\s*\.\s*`([^`]+)`
+      |(?:\s+RETAIN\s+(\d+)\s+VERSIONS?)?\s*;?\s*"""
+      .stripMargin.replace("\n", "").r
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case OptimizeSort(dir, col, stripe) =>
+      GraftOptimizeCommand(dir, Left(col),
+        Option(stripe).map(_.toLong))
+    case OptimizeZ(dir, x, y, stripe) =>
+      GraftOptimizeCommand(dir, Right((x, y)),
+        Option(stripe).map(_.toLong))
+    case Vacuum(dir, retain) =>
+      GraftVacuumCommand(dir, Option(retain).map(_.toInt).getOrElse(1))
+    case _ => delegate.parsePlan(sqlText)
+  }
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}
+
+/** `OPTIMIZE merge_table.`/dir`` — SORT BY (single-column clustering,
+  * striped when STRIPE is given) or ZORDER BY (two-dimensional curve
+  * clustering). One row of [[MergeTable.CowStats]] back. */
+final case class GraftOptimizeCommand(dir: String,
+    by: Either[String, (String, String)],
+    stripe: Option[Long]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType)(),
+    AttributeReference("files_read", LongType)(),
+    AttributeReference("files_written", LongType)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val st = by match {
+      case Left(c) =>
+        MergeTable.optimize(spark, dir, c, maxRecordsPerFile = stripe)
+      case Right((x, y)) =>
+        MergeTable.optimizeZOrder(spark, dir, x, y,
+          maxRecordsPerFile = stripe)
+    }
+    Seq(Row(st.version, st.filesRead, st.filesWritten))
+  }
+}
+
+/** `VACUUM merge_table.`/dir`` [RETAIN n VERSIONS] — expire history
+  * past the retention window (tag-pinned versions always retained)
+  * and sweep unreferenced files under the engine's default grace. */
+final case class GraftVacuumCommand(dir: String,
+    retainVersions: Int) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("files_deleted", LongType)(),
+    AttributeReference("files_live", LongType)(),
+    AttributeReference("versions_dropped", LongType)(),
+    AttributeReference("versions_kept", LongType)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val st = MergeTable.vacuum(spark, dir, retainVersions)
+    Seq(Row(st.filesDeleted, st.filesLive, st.versionsDropped,
+      st.versionsLive))
+  }
+}

@@ -200,7 +200,12 @@ object StatsFilePruning extends Rule[LogicalPlan] with PredicateHelper {
       case StartsWith(a: AttributeReference, l: Literal)
           if a.dataType == StringType && l.value != null =>
         val p = l.value.asInstanceOf[UTF8String].toString
-        add(a, Some(StatBound.truncMin(p)), StatBound.prefixUpper(p))
+        // lo = the FULL prefix (every match has it as a prefix, so is
+        // ≥ it bytewise) — exact, no truncation needed on the
+        // predicate side; only STORED bounds truncate
+        add(a, Some(StatBound.S(
+            p.getBytes(java.nio.charset.StandardCharsets.UTF_8))),
+          StatBound.prefixUpper(p))
       case InSet(a: AttributeReference, vs) if vs.nonEmpty && own(a) =>
         val bs = vs.toSeq.map(v => inSetBound(a.dataType, v))
         if (bs.forall(_.isDefined)) {

@@ -1,0 +1,79 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.ext.MergeTable
+import org.apache.spark.sql.functions._
+
+/** SQL maintenance statements (OPTIMIZE / VACUUM through the
+  * delegating parser): the same engine verbs as the API, a stats row
+  * back, and every non-matching statement delegated untouched. */
+class MaintenanceSqlSpec extends SparkSpec {
+
+  private def mkTable(n: Int = 3200): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-msql")
+      .resolve("t").toString
+    MergeTable.create(
+      (1 to n).map(i => (i.toLong, (i % 499).toLong, (i % 293).toLong))
+        .toDF("key", "x", "y"),
+      dir, "key", hexDigits = 1)
+    dir
+  }
+
+  test("OPTIMIZE ... SORT BY col STRIPE n stripes the table (stats " +
+      "pruning fires after), contents invariant, stats row returned") {
+    val dir = mkTable()
+    val before = MergeTable.readTable(spark, dir)
+      .agg(sum("x"), count(lit(1))).collect().head
+    val st = spark.sql(
+      s"OPTIMIZE merge_table.`$dir` SORT BY x STRIPE 100").collect()
+    assert(st.length === 1 && st.head.getLong(0) === 2L,
+      "optimize must commit version 2 and return its stats row")
+    val after = MergeTable.readTable(spark, dir)
+      .agg(sum("x"), count(lit(1))).collect().head
+    assert(before === after, "OPTIMIZE must move no rows")
+    StatsFilePruning.enable(spark)
+    val q = MergeTable.readTable(spark, dir)
+      .filter(col("x").between(100L, 140L))
+    val planned = q.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.totalNumberOfFiles
+      }.get
+    val total = MergeTable.readTable(spark, dir).inputFiles.length
+    assert(planned < total, s"striped layout must prune: $planned/$total")
+  }
+
+  test("OPTIMIZE ... ZORDER BY (x, y) STRIPE n commits a curve-striped " +
+      "layout; VACUUM ... RETAIN 1 VERSIONS expires history and " +
+      "reports the sweep") {
+    val dir = mkTable()
+    val st = spark.sql(
+      s"OPTIMIZE merge_table.`$dir` ZORDER BY (x, y) STRIPE 100")
+      .collect()
+    assert(st.head.getLong(0) === 2L)
+    assert(MergeTable.versions(spark, dir) === Seq(1L, 2L))
+    // vacuum with the default grace deletes no fresh files but must
+    // still expire the version list down to the retained suffix
+    val vs = spark.sql(
+      s"VACUUM merge_table.`$dir` RETAIN 1 VERSIONS").collect()
+    assert(vs.length === 1)
+    assert(MergeTable.versions(spark, dir) === Seq(2L),
+      "RETAIN 1 VERSIONS must expire version 1")
+    assert(MergeTable.readTable(spark, dir).count() === 3200L)
+  }
+
+  test("recognition is conservative: identifiers named optimize/vacuum " +
+      "and non-merge_table statements delegate to Spark's parser") {
+    import spark.implicits._
+    Seq((1L, 2L)).toDF("a", "b").createOrReplaceTempView("optimize")
+    assert(spark.sql("SELECT a FROM optimize").count() === 1L)
+    Seq((1L, 2L)).toDF("vacuum", "b").createOrReplaceTempView("vv")
+    assert(spark.sql("SELECT vacuum FROM vv").count() === 1L)
+    // a malformed OPTIMIZE (not the merge_table shape) is a plain
+    // Spark parse error, not a silent maintenance run
+    intercept[Exception] {
+      spark.sql("OPTIMIZE some_table SORT BY x").collect()
+    }
+  }
+}
