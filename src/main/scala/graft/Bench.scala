@@ -31,12 +31,16 @@ import org.apache.spark.sql.SparkSession
   *
   * The stdout line carries the driver-contract fields
   * (metric/value/unit/queries[/errors]/sf) plus ONE `noise` scalar —
-  * the worst/best ratio of the PER-PASS MINIMA of a fixed sentinel
-  * (q01, run at the start/middle/end of every measured pass). Matched
-  * to the min-of-passes methodology: a reported number only moves if a
-  * whole pass inflated, which is what this ratio detects — so a judge
-  * can separate host co-tenant noise (sentinel floors drift, steal
-  * nonzero) from a real regression (sentinel quiet, one query moved)
+  * the MEDIAN, over a three-query sentinel SET drawn from different
+  * families (q01 top-k, q22 date functions, q52 token counting; each
+  * run at the start/middle/end of every measured pass), of each
+  * sentinel's worst/best per-pass-minimum ratio. Matched to the
+  * min-of-passes methodology: a reported number only moves if a
+  * whole pass inflated, which is what this ratio detects — and the
+  * median keeps one 100 ms query's scheduler jitter from inflating
+  * the scalar on a quiet host (round 15's 1.22) — so a judge can
+  * separate host co-tenant noise (sentinel floors drift, steal
+  * nonzero) from a real regression (sentinels quiet, one query moved)
   * without re-running.
   * Full noise data — per-pass sentinel triples and /proc/stat
   * steal/idle fractions over each pass — rides the PASSES sibling
@@ -133,29 +137,38 @@ object Bench {
     // sentinel (or nonzero steal) is host noise; a quiet sentinel with
     // one query moving is a real regression — adjudicable from
     // BENCH_r{N}.json + the passes sibling alone, no re-run needed.
-    val sentinel = queries.collectFirst {
-      case (n, f) if n.startsWith("q01") => (n, f) }
-    def sentinelOnce(): Option[Double] =
-      sentinel.map { case (n, f) => runOnce(spark, sfDir, n, f)._1 }
+    // The sentinel is a SET of three cheap stable queries from
+    // DIFFERENT families (relational top-k, scalar date functions,
+    // text token counting): round 15 proved a single 100 ms sentinel's
+    // scheduler jitter can push the scalar past the 1.2 distrust line
+    // on a provably quiet host; the MEDIAN over three independent
+    // families cannot be moved by one query's jitter.
+    val sentinelPrefixes = Seq("q01", "q22", "q52")
+    val sentinels = sentinelPrefixes.flatMap(p =>
+      queries.collectFirst { case (n, f) if n.startsWith(p) => (n, f) })
     val passMeta = collection.mutable.ArrayBuffer
-      .empty[(Seq[Double], Option[(Double, Double)])]
+      .empty[(Map[String, Seq[Double]], Option[(Double, Double)])]
     val passes = (1 to 3).map { pass =>
       val cpu0 = cpuSample()
-      val sent = collection.mutable.ArrayBuffer.empty[Double]
-      sentinelOnce().foreach(sent += _)
+      val sent = collection.mutable.Map.empty[String, Vector[Double]]
+      def sentinelOnce(): Unit = sentinels.foreach { case (n, f) =>
+        sent(n) = sent.getOrElse(n, Vector.empty) :+
+          runOnce(spark, sfDir, n, f)._1
+      }
+      sentinelOnce()
       val half = queries.size / 2
       val r = queries.zipWithIndex.map { case ((name, fn), i) =>
-        if (i == half) sentinelOnce().foreach(sent += _)
+        if (i == half) sentinelOnce()
         val (sec, err, build) = runOnce(spark, sfDir, name, fn)
         val bnote = if (build > 0) f" (build $build%.3f)" else ""
         System.err.println(f"[bench] pass$pass  $name%-28s $sec%8.3f s$bnote${err.fold("")(" ERR " + _)}")
         name -> ((sec, err, build))
       }
-      sentinelOnce().foreach(sent += _)
+      sentinelOnce()
       val frac = for ((b0, i0, s0, t0) <- cpu0; (b1, i1, s1, t1) <- cpuSample();
           if t1 > t0)
         yield ((s1 - s0).toDouble / (t1 - t0), (i1 - i0).toDouble / (t1 - t0))
-      passMeta += ((sent.toSeq, frac))
+      passMeta += ((sent.view.mapValues(_.toSeq).toMap, frac))
       System.gc()
       r
     }
@@ -169,10 +182,21 @@ object Bench {
     // provably quiet host — steal 0.0003 — vs 1.16 for this definition).
     // 1.0 = quiet; >1.2 = per-pass floors drifted past the regression
     // threshold the round verdicts use, distrust cross-round deltas.
-    val passMins = passMeta.map(_._1).filter(_.nonEmpty).map(_.min)
-    val noise =
-      if (passMins.nonEmpty && passMins.min > 0) passMins.max / passMins.min
-      else 1.0
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.isEmpty) 1.0
+      else if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    def passMinsOf(n: String): Seq[Double] =
+      passMeta.toSeq.flatMap(p =>
+        p._1.get(n).filter(_.nonEmpty).map(_.min))
+    val sentinelRatios = sentinels.map(_._1).flatMap { n =>
+      val mins = passMinsOf(n)
+      if (mins.nonEmpty && mins.min > 0) Some(mins.max / mins.min)
+      else None
+    }
+    val noise = if (sentinelRatios.isEmpty) 1.0 else median(sentinelRatios)
     // HOST-NORMALIZED total: rounds 12-13 proved cross-round totals
     // need a hand-derived multiplier whenever the host drifts (r13 ran
     // ~1.2-1.3x hot on code proven faster like-for-like). The sentinel
@@ -183,10 +207,20 @@ object Bench {
     // sentinel minimum — the closest this host came to quiet. Raw
     // stays the contract value; normalized is the cross-round
     // comparator that needs no hand multiplier.
-    val RefSentinelSec = 0.13
-    val sentFloor = passMins.minOption.filter(_ > 0)
+    // quiet-host reference floors per sentinel: q01's is the BENCH_r12
+    // quiet-host record (steal ~ 0); q22/q52's are their round-15
+    // official floors, taken on a host whose q01 floor (0.126) sat at
+    // the quiet reference. The multiplier is the MEDIAN of the per-
+    // sentinel drift corrections, same jitter-immunity as the ratio.
+    val RefSentinelSec = Map("q01" -> 0.13, "q22" -> 0.104, "q52" -> 0.086)
+    val driftInv = sentinels.map(_._1).flatMap { n =>
+      for {
+        floor <- passMinsOf(n).minOption.filter(_ > 0)
+        ref <- RefSentinelSec.get(n.takeWhile(_ != '_'))
+      } yield ref / floor
+    }
     def normalized(total: Double): Double =
-      sentFloor.map(f => total * (RefSentinelSec / f)).getOrElse(total)
+      if (driftInv.isEmpty) total else total * median(driftInv)
     // steady-state = per-query min across measured passes; the build
     // sub-timing reported for a cell is the one from its min pass, so
     // op_s = sec - build describes a single coherent execution
@@ -210,17 +244,21 @@ object Bench {
     // sentinel triples (start/middle/end) and /proc/stat steal+idle
     // fractions over each pass's wall interval
     val noiseJson = {
-      val sentArr = passMeta
-        .map(_._1.map(s => f"$s%.4f").mkString("[", ",", "]"))
-        .mkString("[", ",", "]")
+      // per-sentinel per-pass triples (start/middle/end), one array of
+      // arrays per sentinel, keyed by full query name
+      val sentObj = sentinels.map(_._1).map { n =>
+        jsonStr(n) + ":" + passMeta
+          .map(_._1.getOrElse(n, Seq.empty)
+            .map(s => f"$s%.4f").mkString("[", ",", "]"))
+          .mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
       val stealArr = passMeta
         .map(_._2.map(f => f"${f._1}%.4f").getOrElse("null"))
         .mkString("[", ",", "]")
       val idleArr = passMeta
         .map(_._2.map(f => f"${f._2}%.4f").getOrElse("null"))
         .mkString("[", ",", "]")
-      s""""noise":{"sentinel":${jsonStr(sentinel.fold("none")(_._1))},""" +
-        s""""sentinel_sec":$sentArr,"steal_frac":$stealArr,""" +
+      s""""noise":{"sentinels":$sentObj,"steal_frac":$stealArr,""" +
         f""""idle_frac":$idleArr,"sentinel_ratio":$noise%.4f}"""
     }
     // per-pass build sub-timings for the lifecycle cells (zero rows
@@ -249,8 +287,18 @@ object Bench {
       catch { case t: Throwable =>
         System.err.println(s"[bench] write $p failed: $t") }
     }
-    val repoDir = sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo")
-    writeAll(passJson, passesPath, s"$repoDir/BENCH_OPS_latest.json")
+    // the repo mirror is best-effort and location-agnostic: explicit
+    // SPARK_GRAFT_REPO wins; otherwise mirror into the working
+    // directory only when it actually looks like this repo's checkout
+    // (build.sbt present), so a bench run from elsewhere never
+    // scatters artifacts into a foreign directory
+    val repoDir = sys.env.get("SPARK_GRAFT_REPO").orElse {
+      Some(sys.props("user.dir"))
+        .filter(d => Files.exists(Paths.get(d, "build.sbt")))
+    }
+    def mirror(name: String): Seq[String] =
+      repoDir.map(d => s"$d/$name").toSeq
+    writeAll(passJson, (passesPath +: mirror("BENCH_OPS_latest.json")): _*)
     val errs = results.collect { case (k, _, Some(e), _) => jsonStr(k) + ":" + jsonStr(e) }
     val errJson = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
     // errors on stdout stay terse (short keys, clipped messages) so a
@@ -284,7 +332,7 @@ object Bench {
       .mkString("""{""", ",", "}")
     val fileLine =
       f"""{"metric":"total","value":$total%.4f,"value_normalized":${normalized(total)}%.4f,"unit":"sec","queries":$qsFull$errJson,"build":$buildFull,"noise":$noise%.4f,"sf":"$sfDir"}"""
-    writeAll(fileLine, outPath, s"$repoDir/BENCH_FULL_latest.json")
+    writeAll(fileLine, (outPath +: mirror("BENCH_FULL_latest.json")): _*)
     System.err.println(s"[bench] stdout contract line: ${stdoutLine.length} bytes")
     println(stdoutLine)
     spark.stop()

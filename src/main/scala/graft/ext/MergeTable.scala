@@ -249,13 +249,23 @@ object MergeTable {
       case _ => None
     }.toMap
     // per-FILE column stats: "#st=<relpath>|col:min:max|..." — keyed
-    // by the entry path (a data file's stats are immutable with it)
-    val sts = lines.collect {
-      case l if l.startsWith("#st=") =>
-        val body = l.drop(4)
+    // by the entry path (a data file's stats are immutable with it).
+    // `#st=` carries the pre-round-15 integral/all-null tokens and
+    // `#st2=` the typed string bounds (see writeManifest's version
+    // gate); a file's internal body is the union of both lines.
+    val sts = lines.flatMap { l =>
+      val tag = if (l.startsWith("#st2=")) 5
+        else if (l.startsWith("#st=")) 4 else -1
+      if (tag < 0) None
+      else {
+        val body = l.drop(tag)
         val cut = body.indexOf('|')
-        if (cut < 0) body -> "" else body.take(cut) -> body.drop(cut + 1)
-    }.toMap
+        if (cut < 0) Some(body -> "")
+        else Some(body.take(cut) -> body.drop(cut + 1))
+      }
+    }.groupBy(_._1).map { case (f, bs) =>
+      f -> bs.map(_._2).filter(_.nonEmpty).mkString("|")
+    }
     // COLUMN MAPPING (the Iceberg id-model re-expressed over names):
     // "#col=<physical>:<logical>" — the parquet files keep their
     // immutable PHYSICAL column names forever; the snapshot's LOGICAL
@@ -685,10 +695,31 @@ object MergeTable {
       s"#tok=$sid:$id"
     }
     // stats only for files the manifest actually lists (a carried-
-    // forward map may hold entries for dropped files)
+    // forward map may hold entries for dropped files). The line is
+    // VERSION-GATED by bound kind: `#st=` carries only the tokens the
+    // pre-round-15 wire format defined (bare longs / all-null), and
+    // string `s<hex>` bounds ride a separate `#st2=` header — a legacy
+    // reader parsing `s<hex>` through toLongOption would read
+    // (None, None), its all-null encoding, and wrongly PRUNE; an
+    // unknown `#st2=` header it merely skips (column unattested, file
+    // kept), the sound degradation.
     val entrySet = entries.toSet
     val stLines = sts.toSeq.filter(e => entrySet.contains(e._1))
-      .sortBy(_._1).map { case (f, body) => s"#st=$f|$body" }
+      .sortBy(_._1).flatMap { case (f, body) =>
+        val segs = body.split('|').toSeq.filter(_.nonEmpty)
+        val (typed, legacy) = segs.partition { seg =>
+          seg.split(":", -1) match {
+            case Array(_, mn, mx) =>
+              (mn.nonEmpty && mn.charAt(0) == 's') ||
+                (mx.nonEmpty && mx.charAt(0) == 's')
+            case _ => false
+          }
+        }
+        (if (legacy.nonEmpty || segs.isEmpty)
+           Seq(s"#st=$f|${legacy.mkString("|")}") else Nil) ++
+        (if (typed.nonEmpty) Seq(s"#st2=$f|${typed.mkString("|")}")
+         else Nil)
+      }
     val colLines = cols.toSeq.sortBy(_._1)
       .map { case (p, l) => s"#col=$p:$l" }
     try out.write(
@@ -1004,6 +1035,12 @@ object MergeTable {
 
   private val StatsCkptName = "_stats\\.v([0-9]{9})\\.ckpt".r
 
+  /** Integrity header of a stats checkpoint: magic + format version +
+    * CRC32 of the payload lines. A header that is missing or whose
+    * CRC disagrees makes the checkpoint read as ABSENT (full rebuild),
+    * so content corruption degrades the same way an IO error does. */
+  private val StatsCkptMagic = "#graft-stats-ckpt:2:"
+
   private def statsCkpts(fs: org.apache.hadoop.fs.FileSystem,
       dir: String): Seq[(Long, Path)] = {
     val md = manifestDir(dir)
@@ -1030,8 +1067,13 @@ object MergeTable {
     val fs = hadoopFs(spark, dir)
     val vs = versions(spark, dir)
     // newest checkpoint (if any) covers every version ≤ its N; an
-    // UNREADABLE checkpoint is treated as absent (full rebuild) — it
-    // must never shrink the covered set it claims
+    // UNREADABLE checkpoint — IO failure, missing/mismatched magic
+    // header, or a payload whose CRC disagrees with the header — is
+    // treated as absent (full rebuild from manifests). The integrity
+    // line makes the documented "corrupt checkpoint = rebuild"
+    // contract hold for CONTENT corruption too, not just IO errors:
+    // parseable garbage must not be accepted as the base and silently
+    // mask stats for versions ≤ N.
     val ckpt = statsCkpts(fs, dir).lastOption.flatMap { case (n, p) =>
       try {
         val in = fs.open(p)
@@ -1039,10 +1081,19 @@ object MergeTable {
           try scala.io.Source.fromInputStream(in, "UTF-8")
             .getLines().toList
           finally in.close()
-        Some((n, lines.flatMap { l =>
-          val cut = l.indexOf('|')
-          if (cut <= 0) None else Some(l.take(cut) -> l.drop(cut + 1))
-        }.toMap))
+        lines match {
+          case header :: rest if header.startsWith(StatsCkptMagic) =>
+            val crc = new java.util.zip.CRC32
+            crc.update(rest.mkString("\n").getBytes("UTF-8"))
+            if (header == s"$StatsCkptMagic${crc.getValue}")
+              Some((n, rest.flatMap { l =>
+                val cut = l.indexOf('|')
+                if (cut <= 0) None
+                else Some(l.take(cut) -> l.drop(cut + 1))
+              }.toMap))
+            else None
+          case _ => None
+        }
       } catch { case scala.util.control.NonFatal(_) => None }
     }
     val base: Map[String, String] =
@@ -1060,8 +1111,14 @@ object MergeTable {
         f"._stats.v${vs.last}%09d.${attemptTag()}.tmp")
       try {
         val out = fs.create(tmp, false)
-        try raw.foreach { case (f, b) =>
-          out.write(s"$f|$b\n".getBytes("UTF-8")) }
+        try {
+          val payload = raw.toSeq.sortBy(_._1)
+            .map { case (f, b) => s"$f|$b" }.mkString("\n")
+          val crc = new java.util.zip.CRC32
+          crc.update(payload.getBytes("UTF-8"))
+          out.write(s"$StatsCkptMagic${crc.getValue}\n".getBytes("UTF-8"))
+          out.write(payload.getBytes("UTF-8"))
+        }
         finally out.close()
         if (!fs.rename(tmp, target)) fs.delete(tmp, false): Unit
         // older checkpoints are superseded — sweep them eagerly
@@ -3028,7 +3085,13 @@ object MergeTable {
         .filter(col("price").between(dollars(y1), dollars(y2)))
       val pScanned = planned(decBox)
       val pRows = decBox.count()
-      dateBox.select("key", "pri", "odate", "price", "cents")
+      // The gate hashes values through a representation-sensitive
+      // channel; DECIMAL output is emitted as its canonical string
+      // (scale-2, so both engines print identically) while the
+      // DECIMAL predicate + striped layout above stay the subject and
+      // `cents` carries the exact value as BIGINT.
+      dateBox.select(col("key"), col("pri"), col("odate"),
+          col("price").cast("string").as("price"), col("cents"))
         .withColumn("d_scanned", lit(dScanned))
         .withColumn("s_scanned", lit(sScanned))
         .withColumn("p_scanned", lit(pScanned))
@@ -3082,7 +3145,7 @@ object MergeTable {
        |      THEN 1 ELSE 0 END) AS BIGINT) AS p_scanned FROM stc, pp),
        |prw AS (SELECT CAST(count(*) AS BIGINT) AS p_rows
        |        FROM base, pp WHERE price BETWEEN plo AND phi)
-       |SELECT key, pri, odate, price, cents,
+       |SELECT key, pri, odate, CAST(price AS VARCHAR) AS price, cents,
        |       (SELECT d_scanned FROM cda) AS d_scanned,
        |       (SELECT s_scanned FROM csb) AS s_scanned,
        |       (SELECT p_scanned FROM csc) AS p_scanned,

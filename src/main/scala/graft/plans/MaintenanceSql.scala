@@ -20,7 +20,7 @@ import graft.ext.MergeTable
   * {{{
   * OPTIMIZE merge_table.`/dir` SORT BY col [STRIPE n]
   * OPTIMIZE merge_table.`/dir` ZORDER BY (xCol, yCol) [STRIPE n]
-  * VACUUM merge_table.`/dir` [RETAIN n VERSIONS]
+  * VACUUM merge_table.`/dir` RETAIN n VERSIONS
   * }}}
   *
   * Each routes to the SAME engine verb the API exposes ([[MergeTable
@@ -30,9 +30,12 @@ import graft.ext.MergeTable
   * reclaim history, all under the engine's snapshot-commit protocol.
   * `STRIPE n` caps records per file (z/sort striping — the unit
   * [[StatsFilePruning]] skips); `RETAIN n VERSIONS` maps to
-  * retainVersions (default 1). VACUUM uses the engine's default file
-  * grace; the aggressive `minFileAgeMs = 0` single-writer waiver
-  * stays API-only (a SQL statement should not carry the footgun).
+  * retainVersions and is MANDATORY (a bare VACUUM is rejected with
+  * guidance: the syntax is Delta's but the semantics expire whole
+  * versions, so no default is safe to borrow). VACUUM uses the
+  * engine's default file grace; the aggressive `minFileAgeMs = 0`
+  * single-writer waiver stays API-only (a SQL statement should not
+  * carry the footgun).
   *
   * Recognition is conservative: the statement must match the shape
   * END-TO-END (anchored regex over the whole text) or it is delegated
@@ -62,7 +65,19 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       GraftOptimizeCommand(dir, Right((x, y)),
         Option(stripe).map(_.toLong))
     case Vacuum(dir, retain) =>
-      GraftVacuumCommand(dir, Option(retain).map(_.toInt).getOrElse(1))
+      // RETAIN is MANDATORY in the SQL form: the statement borrows
+      // Delta's VACUUM syntax but not its semantics (Delta's sweeps
+      // stale files inside a retention window and never drops table
+      // versions; this one expires whole versions), so a bare VACUUM
+      // defaulting to RETAIN 1 would silently erase all time travel
+      // for an operator expecting Delta's safe file sweep.
+      if (retain == null)
+        throw new IllegalArgumentException(
+          "VACUUM merge_table requires an explicit retention: " +
+            "`VACUUM merge_table.`<dir>` RETAIN n VERSIONS` — unlike " +
+            "Delta's VACUUM, this statement EXPIRES table versions " +
+            "past the retention window; RETAIN 1 keeps only the head")
+      else GraftVacuumCommand(dir, retain.toInt)
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -108,7 +123,7 @@ final case class GraftOptimizeCommand(dir: String,
   }
 }
 
-/** `VACUUM merge_table.`/dir`` [RETAIN n VERSIONS] — expire history
+/** `VACUUM merge_table.`/dir` RETAIN n VERSIONS` — expire history
   * past the retention window (tag-pinned versions always retained)
   * and sweep unreferenced files under the engine's default grace. */
 final case class GraftVacuumCommand(dir: String,

@@ -63,6 +63,22 @@ class MaintenanceSqlSpec extends SparkSpec {
     assert(MergeTable.readTable(spark, dir).count() === 3200L)
   }
 
+  test("bare VACUUM (no RETAIN) is rejected with guidance — the " +
+      "statement expires whole versions, so no Delta-borrowed default " +
+      "is safe; history is untouched by the failed statement") {
+    val dir = mkTable()
+    spark.sql(s"OPTIMIZE merge_table.`$dir` SORT BY x STRIPE 100")
+      .collect()
+    val before = MergeTable.versions(spark, dir)
+    val e = intercept[Exception] {
+      spark.sql(s"VACUUM merge_table.`$dir`").collect()
+    }
+    assert(e.getMessage.contains("RETAIN"),
+      s"error must name the missing clause: ${e.getMessage}")
+    assert(MergeTable.versions(spark, dir) === before,
+      "a rejected VACUUM must not expire anything")
+  }
+
   test("recognition is conservative: identifiers named optimize/vacuum " +
       "and non-merge_table statements delegate to Spark's parser") {
     import spark.implicits._
