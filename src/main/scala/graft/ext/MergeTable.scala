@@ -3222,6 +3222,48 @@ object MergeTable {
        |WHERE cents BETWEEN y1 AND y2
        |ORDER BY key""".stripMargin)
 
+  /** q173 — SQL `INSERT INTO` acceptance: the q140 upsert lifecycle
+    * replayed with the LOAD VERB in plain SQL (the reference's own
+    * load statement is `COPY INTO`, README.md:286-291 — INSERT INTO is
+    * its engine twin, routed through [[upsert]]). The table is created
+    * via the API (layout/key declaration has no SQL verb by design);
+    * batch 1 then arrives POSITIONALLY (`INSERT INTO … SELECT` with a
+    * UNION ALL of updates and fresh negative keys — on a keyed table
+    * an existing key REPLACES, a new key appends) and batch 2 through
+    * an explicitly PERMUTED column list, exercising both alignment
+    * paths. The version sequence is pinned (2 then 3) from the
+    * returned stats rows, and the full final state is held to the
+    * q140 oracle VERBATIM — the SQL verb must be bit-for-bit the API
+    * upsert, latest-wins sequencing included. */
+  private val q173SqlInsert = QueryDef(
+    (s, dir) => {
+      val out = graft.core.Timing.build {
+        val o = java.nio.file.Files.createTempDirectory("graft-q173")
+          .resolve("table").toString
+        val base = baseRows(s, dir).localCheckpoint(true)
+        create(base, o, "key")
+        base.createOrReplaceTempView("q173_base")
+        o
+      }
+      val r1 = s.sql(
+        s"""INSERT INTO merge_table.`$out`
+           |SELECT key, cust, status, cents + 100 AS cents
+           |FROM q173_base WHERE key % 101 = 0
+           |UNION ALL
+           |SELECT -key - 1, cust, 'N', cents
+           |FROM q173_base WHERE key % 103 = 0""".stripMargin).collect()
+      require(r1.length == 1 && r1.head.getLong(0) == 2L,
+        "q173: first INSERT must commit version 2")
+      val r2 = s.sql(
+        s"""INSERT INTO merge_table.`$out` (cents, key, status, cust)
+           |SELECT cents + 300, key, status, cust
+           |FROM q173_base WHERE key % 202 = 0""".stripMargin).collect()
+      require(r2.length == 1 && r2.head.getLong(0) == 3L,
+        "q173: second INSERT must commit version 3")
+      lifecycleState(s, out)
+    },
+    lifecycleStateSql(HEX_DIGITS))
+
   /** q153 — LAYOUT-ONLY COMMITS ARE CDC-FREE, the round-13
     * short-circuit priced end-to-end through the WIRED publisher:
     * create → bootstrap pin → batch-1 upsert → publish (a real batch:
@@ -3922,6 +3964,7 @@ object MergeTable {
     "q164_stats_pruning" -> q164StatsPruning,
     "q170_typed_stats_pruning" -> q170TypedStats,
     "q172_sql_maintenance" -> q172SqlMaintenance,
+    "q173_sql_insert" -> q173SqlInsert,
     "q166_sql_merge_dml" -> q166SqlMergeDml,
     "q168_schema_evolution" -> q168SchemaEvolution,
     "q169_sql_update_delete" -> q169SqlUpdateDelete,

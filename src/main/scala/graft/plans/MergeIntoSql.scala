@@ -48,7 +48,12 @@ import graft.ext.MergeTable
   * bucket discipline — a non-key merge would be a different
   * operator), an INSERT must assign the key from the source's, and
   * WITH SCHEMA EVOLUTION is rejected (extend via SET of a new column
-  * is supported, silent evolution is not). */
+  * is supported, silent evolution is not).
+  *
+  * The same rule also routes `INSERT INTO merge_table.`/dir`` (the
+  * load verb — [[GraftInsertCommand]]) and the sourceless
+  * UPDATE/DELETE sugar, so the full DML surface lives behind one
+  * interception point. */
 object MergeIntoMergeTable extends Rule[LogicalPlan] {
 
   private def targetOf(p: LogicalPlan): Option[(String, Option[String])] =
@@ -100,6 +105,27 @@ object MergeIntoMergeTable extends Rule[LogicalPlan] {
             GraftUpdateDeleteCommand(dir, new CapturedDml(tgtAlias,
               Nil, Some(d.condition), isDelete = true))
           case None => d
+        }
+      // INSERT INTO — the load verb (the reference's own COPY INTO
+      // surface, README.md:286-291): routed through the engine's
+      // upsert, so on a KEYED table a re-inserted key REPLACES its row
+      // (stated loudly in the Scaladoc; the alternative — silent
+      // duplicate keys — would corrupt every keyed read path).
+      case i: org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement =>
+        targetOf(i.table) match {
+          case Some((dir, _)) =>
+            if (i.overwrite) throw new IllegalArgumentException(
+              "INSERT OVERWRITE merge_table is not supported — the " +
+                "snapshot table replaces state by KEY, not by " +
+                "partition; use MERGE INTO / DELETE for conditional " +
+                "rewrites or recreate the table for a full reload")
+            if (i.partitionSpec.nonEmpty || i.ifPartitionNotExists)
+              throw new IllegalArgumentException(
+                "INSERT INTO merge_table takes no PARTITION clause — " +
+                  "bucket layout is derived from the table key")
+            GraftInsertCommand(dir,
+              new CapturedInsert(i.query, i.userSpecifiedCols, i.byName))
+          case None => i
         }
     }
 }
@@ -429,5 +455,81 @@ final case class GraftUpdateDeleteCommand(dir: String,
     val st = MergeTable.merge(spark, dir, emptySrc,
       notMatchedBySource = Seq(MergeTable.MergeWhen(cond, action)))
     Seq(Row(st.version, st.rowsUpdated, st.rowsDeleted))
+  }
+}
+
+/** Opaque carrier for a captured INSERT: the unresolved source query
+  * plus the optional column list — same plain-class discipline as
+  * [[CapturedMerge]] (the analyzer must not walk into it). */
+final class CapturedInsert(
+    val query: LogicalPlan,
+    val userCols: Seq[String],
+    val byName: Boolean) extends Serializable
+
+/** `INSERT INTO merge_table.`/dir`` [(cols...)] SELECT ... | VALUES ...`
+  * — the SQL load verb, the statement-level twin of the reference's
+  * `COPY INTO` (its own declared load path). Routes through
+  * [[MergeTable.upsert]], which is what "insert" MEANS on a keyed
+  * snapshot table: a batch row whose key already exists REPLACES that
+  * row (latest-wins, the upsert contract), a new key appends; CHECK
+  * constraints, extend-only schema discipline, conflict retry, and
+  * manifest stats/fingerprint annotations are the same engine path
+  * every API write takes. Alignment is Spark's own INSERT model:
+  * positional against the table's LOGICAL column order, or the
+  * explicit column list / BY NAME — but always TOTAL (every table
+  * column assigned; a keyed snapshot row has no default values), and
+  * values are cast to the column types under the session's cast
+  * semantics. Returns one stats row (the Delta write-metrics shape).
+  */
+final case class GraftInsertCommand(dir: String, captured: CapturedInsert)
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType)(),
+    AttributeReference("buckets_rewritten", LongType)(),
+    AttributeReference("files_written", LongType)(),
+    AttributeReference("rows_replaced", LongType)(),
+    AttributeReference("rows_inserted", LongType)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"INSERT INTO merge_table: $msg")
+    val src = Bridge.ofRows(spark, captured.query)
+    val tgtFields = MergeTable.readTable(spark, dir).schema.fields
+      .filterNot(_.name == "bucket").toSeq
+    val tgtCols = tgtFields.map(_.name)
+    // label the source columns: explicit list > BY NAME > positional
+    val labeled =
+      if (captured.userCols.nonEmpty) {
+        if (src.columns.length != captured.userCols.length)
+          fail(s"the query produces ${src.columns.length} columns for " +
+            s"a ${captured.userCols.length}-column list")
+        src.toDF(captured.userCols: _*)
+      } else if (captured.byName) src
+      else {
+        if (src.columns.length != tgtCols.length)
+          fail(s"positional INSERT needs exactly the table's columns " +
+            s"(${tgtCols.mkString(", ")}); the query produces " +
+            s"${src.columns.length}")
+        src.toDF(tgtCols: _*)
+      }
+    // TOTAL assignment, names matched case-insensitively (the session
+    // resolver discipline), reordered to the table's logical order and
+    // cast to its types
+    val byLower = labeled.columns.map(c => c.toLowerCase -> c).toMap
+    if (labeled.columns.length != tgtCols.length ||
+        byLower.size != labeled.columns.length)
+      fail(s"every table column must be assigned exactly once " +
+        s"(expected: ${tgtCols.mkString(", ")}; " +
+        s"got: ${labeled.columns.mkString(", ")})")
+    val aligned = labeled.select(tgtFields.map { f =>
+      val srcName = byLower.getOrElse(f.name.toLowerCase,
+        fail(s"column ${f.name} is not assigned " +
+          s"(got: ${labeled.columns.mkString(", ")})"))
+      labeled.col(s"`$srcName`").cast(f.dataType).as(f.name)
+    }: _*)
+    val st = MergeTable.upsert(spark, dir, aligned)
+    Seq(Row(st.version, st.bucketsRewritten, st.filesWritten,
+      st.rowsMatched, st.rowsInserted))
   }
 }

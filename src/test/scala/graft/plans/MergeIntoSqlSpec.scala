@@ -227,4 +227,62 @@ class MergeIntoSqlSpec extends SparkSpec {
     assert(MergeTable.versions(spark, dir) === Seq(1L),
       "a constraint-rejected SQL merge must commit nothing")
   }
+
+  test("INSERT INTO merge_table routes through upsert: VALUES and " +
+      "SELECT forms, keyed replacement, store-assignment casts, and " +
+      "one stats row back") {
+    val dir = mkTable(20)
+    // VALUES form, positional: one replacement (key 5) + one new key;
+    // INT literals cast to the BIGINT columns on assignment
+    val st = spark.sql(
+      s"""INSERT INTO merge_table.`$dir`
+         |VALUES (5, 999, 'repl'), (21, 7, 'new')""".stripMargin)
+      .collect()
+    assert(st.length === 1)
+    assert(st.head.getLong(0) === 2L, "INSERT commits the next version")
+    assert(st.head.getLong(3) === 1L, "key 5 is a replacement")
+    assert(st.head.getLong(4) === 1L, "key 21 is an insert")
+    val t = MergeTable.readTable(spark, dir)
+    assert(t.count() === 21L)
+    assert(t.filter(col("key") === 5L).select("cents", "status")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((999L, "repl")), "an existing key must be REPLACED")
+    // SELECT form with a permuted explicit column list
+    spark.sql(s"SELECT 22 AS k, 'x' AS st2, 11 AS c")
+      .createOrReplaceTempView("ins_src")
+    spark.sql(
+      s"""INSERT INTO merge_table.`$dir` (key, status, cents)
+         |SELECT k, st2, c FROM ins_src""".stripMargin).collect()
+    assert(MergeTable.readTable(spark, dir)
+      .filter(col("key") === 22L).select("cents", "status")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((11L, "x")))
+  }
+
+  test("INSERT INTO merge_table is loud on every unsupported shape: " +
+      "OVERWRITE, PARTITION, arity mismatch, partial column list — " +
+      "and a CHECK-violating insert commits nothing") {
+    val dir = mkTable(10)
+    def bad(sql: String, needle: String): Unit = {
+      val e = intercept[Exception] { spark.sql(sql).collect() }
+      assert(e.getMessage.contains(needle),
+        s"expected '$needle' in: ${e.getMessage}")
+    }
+    bad(s"INSERT OVERWRITE merge_table.`$dir` VALUES (1, 1, 'a')",
+      "INSERT OVERWRITE")
+    bad(s"INSERT INTO merge_table.`$dir` VALUES (1, 1)",
+      "positional INSERT")
+    bad(s"INSERT INTO merge_table.`$dir` (key, cents) VALUES (1, 1)",
+      "every table column must be assigned")
+    assert(MergeTable.versions(spark, dir) === Seq(1L),
+      "rejected inserts must commit nothing")
+    MergeTable.addConstraint(spark, dir, "cents_pos", "cents > 0")
+    val e = intercept[IllegalStateException] {
+      spark.sql(s"INSERT INTO merge_table.`$dir` VALUES (99, -5, 'bad')")
+        .collect()
+    }
+    assert(e.getMessage.contains("cents_pos"))
+    assert(MergeTable.versions(spark, dir) === Seq(1L),
+      "a constraint-rejected INSERT must commit nothing")
+  }
 }
