@@ -1,9 +1,19 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SQLContext}
-import org.apache.spark.sql.execution.streaming.{Offset, Source}
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import java.util
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table,
+  TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition,
+  PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream,
+  Offset, ReadLimit, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.ext.MergeTable
 
@@ -20,6 +30,25 @@ import graft.ext.MergeTable
   * replayed uncommitted range re-reads the SAME immutable snapshots —
   * the manifests are the version history, so redelivery is
   * deterministic by construction.
+  *
+  * DSv2 SHAPE (round 16): the source is a
+  * TableProvider → Table → Scan → [[ChangefeedMicroBatchStream]] — the
+  * same connector stack as [[RepoListSource]], replacing the
+  * deprecated V1 `Source`/`StreamSourceProvider` pair. A changefeed
+  * batch is a COMPUTED relation (two file lists diffed through a
+  * full-outer join), which no per-partition reader can express
+  * directly, so each planned range is STAGED once as parquet under the
+  * stream's own checkpoint directory and partition planning + reading
+  * DELEGATE to Spark's own DSv2 parquet batch — executors read the
+  * staged files with the built-in vectorized reader, so a large batch
+  * distributes like any parquet scan instead of riding the driver.
+  * Staging is exactly-once-safe by construction: the staged directory
+  * is keyed by its version range, a replayed range reuses it
+  * (`_SUCCESS`-gated) or deterministically recomputes it from the same
+  * immutable snapshots, and [[ChangefeedMicroBatchStream.commit]]
+  * sweeps ranges at or below the committed frontier, so the staging
+  * footprint is bounded by in-flight batches (the V1 source's
+  * driver-cache discipline, now on disk and distributed).
   *
   * Everything the batch changefeed earned rides along per micro-batch:
   * fingerprint-pruned bucket diffs, the layout-only short-circuit (a
@@ -47,11 +76,105 @@ import graft.ext.MergeTable
   *   .option("initialVersion", 1L)
   *   .load()
   * }}} */
-final class ChangefeedSource(sqlContext: SQLContext, dir: String,
-    startVersion: Long, pinName: Option[String] = None) extends Source
-    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+final class ChangefeedSourceProvider extends TableProvider
+    with DataSourceRegister {
 
-  private def spark = sqlContext.sparkSession
+  override def shortName(): String = "merge-table-changes"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val spark = SparkSession.active
+    val dir = ChangefeedSourceProvider.dirOf(options)
+    ChangefeedSourceProvider.schemaOf(spark, dir,
+      ChangefeedSourceProvider.startOf(spark, dir, options))
+  }
+
+  override def getTable(schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new ChangefeedTable(schema,
+      new CaseInsensitiveStringMap(properties))
+}
+
+object ChangefeedSourceProvider {
+
+  private[sources] def dirOf(options: CaseInsensitiveStringMap): String = {
+    val d = options.get("dir")
+    if (d == null) throw new IllegalArgumentException(
+      "merge-table-changes requires .option(\"dir\", <table path>)")
+    d
+  }
+
+  private[sources] def startOf(spark: SparkSession, dir: String,
+      options: CaseInsensitiveStringMap): Long =
+    Option(options.get("initialVersion")).map(_.trim.toLong).getOrElse(
+      MergeTable.versions(spark, dir).lastOption
+        .getOrElse(throw new IllegalArgumentException(
+          s"no MergeTable at $dir")))
+
+  /** The changefeed schema is stable per table (key + old_row/new_row
+    * payload structs + change class); probed via a self-diff — two
+    * manifest reads and one footer. The probe version is the start
+    * version when it is still retained, else the OLDEST retained one:
+    * a restarted query whose bootstrap version has since been
+    * vacuumed (its checkpointed frontier is past it, its frontier pin
+    * never held it) must not die in the schema probe — versions a
+    * batch actually needs still fail loudly in planning. */
+  private[sources] def schemaOf(spark: SparkSession, dir: String,
+      v: Long): StructType = {
+    val vs = MergeTable.versions(spark, dir)
+    val probe =
+      if (vs.contains(v)) v
+      else vs.headOption.getOrElse(
+        throw new IllegalArgumentException(s"no MergeTable at $dir"))
+    MergeTable.changes(spark, dir, probe, probe).schema
+  }
+}
+
+final class ChangefeedTable(schema0: StructType,
+    options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+
+  override def name(): String =
+    s"merge_table_changes(${options.get("dir")})"
+  override def schema(): StructType = schema0
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(scanOptions: CaseInsensitiveStringMap)
+      : ScanBuilder = { () => new ChangefeedScan(schema0, scanOptions) }
+}
+
+final class ChangefeedScan(schema: StructType,
+    options: CaseInsensitiveStringMap) extends Scan {
+
+  override def readSchema(): StructType = schema
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : MicroBatchStream = {
+    val spark = SparkSession.active
+    val dir = ChangefeedSourceProvider.dirOf(options)
+    val start = ChangefeedSourceProvider.startOf(spark, dir, options)
+    // `pinFrontier=true` derives a stable per-query tag name from the
+    // stream's checkpoint path (unique per streaming query by
+    // construction), so restarts of the SAME query adopt the same pin
+    // and distinct queries never fight over one
+    val pin = Option(options.get("pinFrontier"))
+      .filter(_.trim.toBoolean).map { _ =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(checkpointLocation.getBytes("UTF-8"))
+          .take(6).map(b => f"$b%02x").mkString
+        s"stream-$h"
+      }
+    new ChangefeedMicroBatchStream(spark, dir, start, schema, pin,
+      checkpointLocation)
+  }
+
+  override def description(): String =
+    s"merge-table-changes dir=${options.get("dir")}"
+}
+
+final class ChangefeedMicroBatchStream(spark: SparkSession, dir: String,
+    startVersion: Long, declared: StructType, pinName: Option[String],
+    checkpointLocation: String)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   // FRONTIER AUTO-PIN (`pinFrontier` option): the source maintains
   // TWO tags bracketing its in-flight window so
@@ -60,15 +183,14 @@ final class ChangefeedSource(sqlContext: SQLContext, dir: String,
   // still need, however aggressive the retention knob and however
   // far the stream lags. `<pin>` holds the current batch's diff BASE
   // (the last committed offset: a crash before the checkpoint commit
-  // replays from it) and `<pin>.head` the batch's END (the engine
-  // stops an AvailableNow run WITHOUT calling [[commit]] on the final
-  // batch, so on restart the committed frontier is the previous
-  // END — one pin at the base alone would let vacuum sweep it
-  // between runs). Both advance monotonically in [[getBatch]]; the
-  // base additionally advances in [[commit]] when the engine does
-  // call it. Tags are immutable by design; advancing = dropTag +
-  // re-tag, and the retention re-check inside tag() covers the
-  // hand-over window against a RACING vacuum; a crash BETWEEN the
+  // replays from it) and `<pin>.head` the batch's END (a run that
+  // stops without committing its final batch replays it on restart,
+  // so the committed frontier is the previous END — one pin at the
+  // base alone would let vacuum sweep it between runs). Both advance
+  // monotonically in [[planInputPartitions]]; the base additionally
+  // advances in [[commit]]. Tags are immutable by design; advancing =
+  // dropTag + re-tag, and the retention re-check inside tag() covers
+  // the hand-over window against a RACING vacuum; a crash BETWEEN the
   // drop and the re-tag loses that pin until the query restarts
   // (first act: re-pin), so the worst case of a crash + immediate
   // hot vacuum in that gap is the LOUD missing-version error — never
@@ -87,14 +209,10 @@ final class ChangefeedSource(sqlContext: SQLContext, dir: String,
     MergeTable.tag(spark, dir, name, Some(v)): Unit
   }
 
-  override def commit(end: Offset): Unit =
-    pinName.foreach(advancePin(_, versionOf(end)))
-
   /** Version ceiling captured when an AvailableNow run starts: the
     * run drains everything committed AT THAT MOMENT and stops —
     * versions landing mid-run wait for the next trigger (the
-    * FileStreamSource admission-control discipline, which also
-    * retires the engine's single-batch fallback warning). */
+    * FileStreamSource admission-control discipline). */
   @volatile private var availableNowCap: Option[Long] = None
 
   private def latestVersion: Long =
@@ -103,131 +221,131 @@ final class ChangefeedSource(sqlContext: SQLContext, dir: String,
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowCap = Some(math.max(latestVersion, startVersion))
 
-  override def getDefaultReadLimit
-      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
-    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
-  override def latestOffset(
-      startOffset: org.apache.spark.sql.connector.read.streaming.Offset,
-      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
-      : org.apache.spark.sql.connector.read.streaming.Offset = {
+  override def latestOffset(startOffset: Offset, limit: ReadLimit)
+      : Offset = {
     val cur = math.max(latestVersion, startVersion)
-    VersionOffset(availableNowCap.fold(cur)(math.min(cur, _)))
+    ChangefeedOffset(availableNowCap.fold(cur)(math.min(cur, _)))
   }
 
-  override def reportLatestOffset()
-      : org.apache.spark.sql.connector.read.streaming.Offset =
-    VersionOffset(math.max(latestVersion, startVersion))
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "admission-controlled source: use latestOffset(start, limit)")
 
-  /** The changefeed schema is stable per table (key + old_row/new_row
-    * payload structs + change class); probed once via a self-diff of
-    * the start version — two manifest reads and one footer. */
-  override val schema: StructType =
-    MergeTable.changes(spark, dir, startVersion, startVersion).schema
+  override def reportLatestOffset(): Offset =
+    ChangefeedOffset(math.max(latestVersion, startVersion))
 
-  private case class VersionOffset(v: Long) extends Offset {
-    override def json: String = v.toString
-  }
+  override def initialOffset(): Offset = ChangefeedOffset(startVersion)
+
+  override def deserializeOffset(json: String): Offset =
+    ChangefeedOffset(json.trim.toLong)
 
   private def versionOf(o: Offset): Long = o match {
-    case VersionOffset(v) => v
-    case other => other.json.trim.toLong // SerializedOffset from the log
+    case ChangefeedOffset(v) => v
+    case other => other.json.trim.toLong
   }
 
-  override def getOffset: Option[Offset] = {
-    val cur = MergeTable.versions(spark, dir).lastOption
-      .getOrElse(startVersion)
-    Some(VersionOffset(math.max(cur, startVersion)))
-  }
+  private def stagedRoot = new Path(checkpointLocation, "graft-staged")
+  private def fs = stagedRoot.getFileSystem(
+    spark.sparkContext.hadoopConfiguration)
 
-  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val fromV = start.map(versionOf).getOrElse(startVersion)
+  private val StagedName = "v([0-9]{9})-([0-9]{9})".r
+
+  /** The per-batch delegate parquet Batch over the staged range —
+    * written by [[planInputPartitions]], read by
+    * [[createReaderFactory]]; micro-batch planning is single-threaded
+    * per query. */
+  @volatile private var delegate: Option[Batch] = None
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val fromV = versionOf(start)
     val toV = versionOf(end)
     pinName.foreach { n =>
       advancePin(n, fromV); advancePin(s"$n.head", toV)
     }
-    val batch =
-      if (toV <= fromV) // engine replay of an empty range
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else MergeTable.changes(spark, dir, fromV, toV)
-    // changes() speaks the DESTINATION version's logical names, but
-    // this source declared `schema` once, at startVersion: a schema
-    // evolution commit mid-stream (rename/drop/extend — it lands in
-    // the old_row/new_row payload STRUCTS, so sameType, not top-level
-    // field names, is the test) would otherwise surface downstream as
-    // an engine plan-schema assertion or a silently misaligned sink.
-    // Name the condition and the remedy instead — the stream must be
-    // restarted (fresh source = fresh pinned schema; the checkpoint's
-    // version offsets stay valid, so no change is lost or
-    // re-delivered).
-    if (batch.schema.catalogString != schema.catalogString)
-      throw new IllegalStateException(
-        s"merge-table-changes at $dir: the table's schema evolved " +
-          s"mid-stream (batch ($fromV,$toV] speaks " +
-          s"${batch.schema.catalogString}; this stream was started " +
-          s"under ${schema.catalogString}). Restart the streaming " +
-          "query to adopt the new schema — its checkpointed version " +
-          "offsets remain valid.")
-    // the engine asserts a streaming-flagged plan from a V1 source
-    org.apache.spark.sql.graft.Bridge.asStreaming(batch)
+    if (toV <= fromV) { // engine replay of an empty range
+      delegate = None
+      return Array.empty
+    }
+    val staged = new Path(stagedRoot, f"v$fromV%09d-$toV%09d")
+    if (!fs.exists(new Path(staged, "_SUCCESS"))) {
+      val batch = MergeTable.changes(spark, dir, fromV, toV)
+      // changes() speaks the DESTINATION version's logical names, but
+      // this source declared its schema once, at startVersion: a
+      // schema evolution commit mid-stream (rename/drop/extend — it
+      // lands in the old_row/new_row payload STRUCTS, so sameType,
+      // not top-level field names, is the test) would otherwise
+      // surface downstream as a silently misaligned sink. Name the
+      // condition and the remedy instead — the stream must be
+      // restarted (fresh source = fresh pinned schema; the
+      // checkpoint's version offsets stay valid, so no change is lost
+      // or re-delivered).
+      if (batch.schema.catalogString != declared.catalogString)
+        throw new IllegalStateException(
+          s"merge-table-changes at $dir: the table's schema evolved " +
+            s"mid-stream (batch ($fromV,$toV] speaks " +
+            s"${batch.schema.catalogString}; this stream was started " +
+            s"under ${declared.catalogString}). Restart the streaming " +
+            "query to adopt the new schema — its checkpointed version " +
+            "offsets remain valid.")
+      batch.write.mode("overwrite").parquet(staged.toString)
+    }
+    val b = stagedBatch(staged.toString)
+    delegate = Some(b)
+    b.planInputPartitions()
+  }
+
+  /** Spark's own DSv2 parquet batch over the staged directory: the
+    * executors read with the built-in vectorized reader, split by the
+    * session's file-partitioning knobs — a changefeed batch scales
+    * like any parquet scan. The declared schema is passed explicitly
+    * so a zero-row staged batch (the layout-only short-circuit) needs
+    * no inference. */
+  private def stagedBatch(path: String): Batch = {
+    val tbl = org.apache.spark.sql.execution.datasources.v2.parquet
+      .ParquetTable("merge-table-changes-staged", spark,
+        CaseInsensitiveStringMap.empty(), Seq(path), Some(declared),
+        classOf[org.apache.spark.sql.execution.datasources.parquet
+          .ParquetFileFormat])
+    tbl.newScanBuilder(CaseInsensitiveStringMap.empty()).build().toBatch
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    delegate.map(_.createReaderFactory())
+      .getOrElse(EmptyChangefeedReaderFactory)
+
+  override def commit(end: Offset): Unit = {
+    val upTo = versionOf(end)
+    pinName.foreach(advancePin(_, upTo))
+    // committed ranges never re-deliver: their staged copies can go
+    try {
+      if (fs.exists(stagedRoot))
+        fs.listStatus(stagedRoot).foreach { st =>
+          st.getPath.getName match {
+            case StagedName(_, to) if to.toLong <= upTo =>
+              fs.delete(st.getPath, true): Unit
+            case _ => ()
+          }
+        }
+    } catch { case scala.util.control.NonFatal(_) => () }
   }
 
   override def stop(): Unit = ()
 
   override def toString: String =
-    s"ChangefeedSource[$dir, start=$startVersion]"
+    s"ChangefeedMicroBatchStream[$dir, start=$startVersion]"
 }
 
-/** Provider: `format("merge-table-changes")` (service-registered) or
-  * the full class name. Options: `dir` (required), `initialVersion`
-  * (optional — defaults to the newest committed version at source
-  * creation; only consulted before the first checkpointed batch). */
-final class ChangefeedSourceProvider extends StreamSourceProvider
-    with DataSourceRegister {
+/** A table version as a streaming offset. */
+final case class ChangefeedOffset(v: Long) extends Offset {
+  override def json: String = v.toString
+}
 
-  override def shortName(): String = "merge-table-changes"
-
-  private def dirOf(parameters: Map[String, String]): String =
-    parameters.getOrElse("dir", throw new IllegalArgumentException(
-      "merge-table-changes requires .option(\"dir\", <table path>)"))
-
-  private def startOf(sqlContext: SQLContext,
-      parameters: Map[String, String]): Long = {
-    val dir = dirOf(parameters)
-    parameters.get("initialVersion").map(_.trim.toLong).getOrElse(
-      MergeTable.versions(sqlContext.sparkSession, dir).lastOption
-        .getOrElse(throw new IllegalArgumentException(
-          s"no MergeTable at $dir")))
-  }
-
-  override def sourceSchema(sqlContext: SQLContext,
-      schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): (String, StructType) = {
-    require(schema.isEmpty,
-      "merge-table-changes derives its schema from the table — do not " +
-        "pass one")
-    val dir = dirOf(parameters)
-    val v = startOf(sqlContext, parameters)
-    (shortName(),
-      MergeTable.changes(sqlContext.sparkSession, dir, v, v).schema)
-  }
-
-  override def createSource(sqlContext: SQLContext, metadataPath: String,
-      schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): Source = {
-    // `pinFrontier=true` derives a stable per-query tag name from the
-    // checkpoint's metadata path (unique per streaming query by
-    // construction), so restarts of the SAME query adopt the same pin
-    // and distinct queries never fight over one
-    val pin = parameters.get("pinFrontier").filter(_.trim.toBoolean)
-      .map { _ =>
-        val h = java.security.MessageDigest.getInstance("MD5")
-          .digest(metadataPath.getBytes("UTF-8"))
-          .take(6).map(b => f"$b%02x").mkString
-        s"stream-$h"
-      }
-    new ChangefeedSource(sqlContext, dirOf(parameters),
-      startOf(sqlContext, parameters), pin)
-  }
+private object EmptyChangefeedReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.catalyst.InternalRow] =
+    throw new IllegalStateException(
+      "an empty changefeed batch plans no partitions")
 }
