@@ -827,9 +827,14 @@ object MergeTable {
     * decimals of precision ≤ 18 (unscaled longs at the column's own
     * scale), and strings (truncated bounds, the Iceberg model; see
     * [[StatBound]]) — names clean of the stats line's own delimiters.
-    * TIMESTAMP_NTZ is deliberately excluded: its micros encoding is
-    * session-timezone-relative, so a bound written by one session
-    * could mis-prune a literal planned in another. */
+    * TIMESTAMP_NTZ attests under the WALL-CLOCK-MICROS contract: NTZ
+    * carries no zone by definition, its external value is a
+    * LocalDateTime and its Catalyst-internal value the micros of that
+    * wall time rendered as-if-UTC — both sides of the bound compare
+    * (write-side aggregate, plan-time literal) use that same
+    * session-timezone-FREE encoding, so a bound written under one
+    * session timezone prunes identically under any other
+    * (StatsFilePruningSpec pins the cross-timezone identity). */
   private def statColumns(
       schema: org.apache.spark.sql.types.StructType)
       : Seq[org.apache.spark.sql.types.StructField] = {
@@ -839,7 +844,8 @@ object MergeTable {
       !f.name.exists(c => c == '|' || c == ':') &&
       (f.dataType match {
         case ByteType | ShortType | IntegerType | LongType => true
-        case DateType | TimestampType | StringType => true
+        case DateType | TimestampType | TimestampNTZType |
+             StringType => true
         case d: DecimalType => d.precision <= 18
         case _ => false
       })
@@ -869,6 +875,13 @@ object MergeTable {
       case (TimestampType, t: java.time.Instant) =>
         Some(StatBound.L(Math.addExact(Math.multiplyExact(
           t.getEpochSecond, 1000000L), t.getNano / 1000L)).token)
+      case (TimestampNTZType, t: java.time.LocalDateTime) =>
+        // wall-clock micros (as-if-UTC): the zone-free encoding NTZ's
+        // Catalyst-internal long uses, so plan-time literals compare
+        // under the identical contract in every session timezone
+        Some(StatBound.L(Math.addExact(Math.multiplyExact(
+          t.toEpochSecond(java.time.ZoneOffset.UTC), 1000000L),
+          t.getNano / 1000L)).token)
       case (d: DecimalType, b: java.math.BigDecimal) =>
         scala.util.Try(StatBound.L(
           b.setScale(d.scale).unscaledValue.longValueExact).token).toOption
@@ -1131,6 +1144,58 @@ object MergeTable {
     parsed
   }
 
+  /** Run `f` over `items` on a bounded driver-side pool — the
+    * metadata-sweep parallelism [[vacuum]] and [[fsck]] use: each
+    * list/delete is an independent filesystem RPC (Hadoop FileSystem
+    * clients are thread-safe), so the wall time of an O(files)
+    * metadata walk drops by the pool width. On an object store this
+    * is the difference between the classic hours-long serial VACUUM
+    * and a bounded sweep; the set algebra stays driver-side at
+    * manifest scale. Failures propagate with their original cause. */
+  private def parMeta[A, B](items: Seq[A], par: Int = 16)(
+      f: A => B): Seq[B] = {
+    val n = math.min(par, items.size)
+    if (n <= 1) items.map(f)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+      try items.map { a =>
+        pool.submit(new java.util.concurrent.Callable[B] {
+          def call(): B = f(a)
+        })
+      }.map { fut =>
+        try fut.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            throw e.getCause
+        }
+      }
+      finally pool.shutdown()
+    }
+  }
+
+  /** The data-root name walk shared by [[vacuum]] and [[fsck]]:
+    * (entry relpath, mtime) for every data file on disk, epoch
+    * directories listed IN PARALLEL (each epoch's bucket walk is an
+    * independent RPC chain). Underscore-prefixed names are never data
+    * files and are excluded here once. */
+  private def walkDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Seq[(String, Long)] = {
+    val dataRoot = new Path(s"$dir/data")
+    if (!fs.exists(dataRoot)) return Nil
+    val epochs = fs.listStatus(dataRoot).filter(_.isDirectory).toSeq
+    parMeta(epochs) { epoch =>
+      fs.listStatus(epoch.getPath).filter(_.isDirectory).toSeq
+        .flatMap { bd =>
+          fs.listStatus(bd.getPath).filter(_.isFile).toSeq
+            .filterNot(_.getPath.getName.startsWith("_"))
+            .map { f =>
+              (s"${epoch.getPath.getName}/${bd.getPath.getName}/" +
+                f.getPath.getName, f.getModificationTime)
+            }
+        }
+    }.flatten
+  }
+
   final case class FsckReport(referenced: Long, orphans: Long,
     missing: Long, danglingTags: Seq[String] = Nil)
 
@@ -1149,18 +1214,7 @@ object MergeTable {
     val fs = hadoopFs(spark, dir)
     val referenced = versions(spark, dir)
       .flatMap(readManifest(spark, dir, _)).toSet
-    val dataRoot = new Path(s"$dir/data")
-    val onDisk = scala.collection.mutable.Set.empty[String]
-    if (fs.exists(dataRoot))
-      fs.listStatus(dataRoot).filter(_.isDirectory).foreach { epoch =>
-        fs.listStatus(epoch.getPath).filter(_.isDirectory).foreach { bd =>
-          fs.listStatus(bd.getPath).filter(_.isFile)
-            .filterNot(_.getPath.getName.startsWith("_")).foreach { f =>
-              onDisk += s"${epoch.getPath.getName}/${bd.getPath.getName}/" +
-                f.getPath.getName
-            }
-        }
-      }
+    val onDisk = walkDataFiles(fs, dir).map(_._1).toSet
     // a DANGLING tag names a version no retained manifest backs —
     // impossible through this API (vacuum retains pinned versions;
     // tag() validates its target), so any hit is external damage the
@@ -2078,18 +2132,54 @@ object MergeTable {
     * Contents-invariance is the q92/q124 contract: q146 holds the
     * optimized table to the SAME oracle as the unoptimized q140
     * state. */
+  /** Validate + normalize an OPTIMIZE bucket scope against the table's
+    * width; None = whole table. A malformed id is a loud error (a
+    * typo'd scope silently rewriting nothing would read as "compacted"
+    * forever); an id with no files is legal (an empty bucket is a
+    * no-op, the Delta WHERE-matches-nothing semantics). */
+  private def normalizeScope(buckets: Option[Seq[String]],
+      hexDigits: Int): Option[Set[String]] =
+    buckets.map { bs =>
+      val norm = bs.map(_.trim.toLowerCase).toSet
+      val bad = norm.filterNot(b => b.length == hexDigits &&
+        b.forall(c => (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f')))
+      require(bad.isEmpty,
+        s"OPTIMIZE scope must name $hexDigits-hex-digit bucket ids; " +
+          s"not buckets: ${bad.mkString(", ")}")
+      norm
+    }
+
+  /** OPTIMIZE, optionally PARTITION-SELECTIVE (`buckets` — the Delta
+    * `OPTIMIZE … WHERE` shape over the table's hash-bucket layout): a
+    * 100 TB table compacts INCREMENTALLY, a few buckets per run, and
+    * out-of-scope buckets' files are carried into the new manifest
+    * verbatim (re-listed, never rewritten — the upsert kept-entry
+    * discipline, fingerprints and stats inherited). None rewrites the
+    * whole table. */
   def optimize(spark: SparkSession, dir: String, sortCol: String,
-      maxRecordsPerFile: Option[Long] = None): CowStats =
+      maxRecordsPerFile: Option[Long] = None,
+      buckets: Option[Seq[String]] = None): CowStats =
     retryOnConflict("optimize", dir) {
     val key = keyMeta(spark, dir, None)
     val cur = versions(spark, dir).lastOption.getOrElse(
       throw new IllegalArgumentException(s"no MergeTable at $dir"))
     val man = readManifestFull(spark, dir, cur)
     val next = cur + 1
+    val scope = normalizeScope(buckets, man.hexDigits)
+    val (doomed, kept) = scope match {
+      case None => (man.entries, Seq.empty[String])
+      case Some(bs) =>
+        man.entries.partition(e => bs.contains(bucketOfEntry(e)))
+    }
+    if (doomed.isEmpty) CowStats(cur, 0L, 0L, 0L, 0L, 0L)
+    else {
     // PHYSICAL read: a rewrite must preserve the files' own column
     // names or the (name-sorted) content fingerprints would shift and
-    // the layout-only commit would stop being CDC-free
-    val all = readPhysical(spark, dir, Some(cur)).localCheckpoint(true)
+    // the layout-only commit would stop being CDC-free. A scoped
+    // rewrite lists ONLY the doomed buckets' files (O(scope), the
+    // impacted-bucket read path) — never a table scan.
+    val all = (if (kept.isEmpty) readPhysical(spark, dir, Some(cur))
+      else readEntries(spark, dir, doomed)).localCheckpoint(true)
     val physSort = man.cols.collectFirst {
       case (p, l) if l == sortCol => p }.getOrElse(sortCol)
     // STRIPING (maxRecordsPerFile) needs a TOTAL order so stripe
@@ -2101,12 +2191,15 @@ object MergeTable {
     val sortCols =
       if (maxRecordsPerFile.isDefined) Seq(physSort, key)
       else Seq(physSort)
-    val fresh = commitEpoch(spark, dir, next, all, Seq.empty,
+    val doomedBuckets = doomed.map(bucketOfEntry).toSet
+    val fresh = commitEpoch(spark, dir, next, all, kept,
       man.hexDigits, () => (), sortCols = sortCols,
-      tokens = man.tokens, maxRecordsPerFile = maxRecordsPerFile,
-      cols = man.cols)
-    CowStats(next, fresh.size.toLong, man.entries.size.toLong,
+      keptFps = man.fps -- doomedBuckets, tokens = man.tokens,
+      keptSts = man.sts.view.filterKeys(kept.toSet).toMap,
+      maxRecordsPerFile = maxRecordsPerFile, cols = man.cols)
+    CowStats(next, doomedBuckets.size.toLong, doomed.size.toLong,
       fresh.size.toLong, 0L, 0L)
+    }
   }
 
   /** OPTIMIZE with MULTI-DIMENSIONAL clustering: rewrite every bucket
@@ -2143,25 +2236,39 @@ object MergeTable {
     * made physical. */
   def optimizeZOrder(spark: SparkSession, dir: String, xCol: String,
       yCol: String, blockBytes: Option[Long] = None,
-      maxRecordsPerFile: Option[Long] = None): CowStats =
+      maxRecordsPerFile: Option[Long] = None,
+      buckets: Option[Seq[String]] = None): CowStats =
     retryOnConflict("optimizeZOrder", dir) {
       val key = keyMeta(spark, dir, None)
       val cur = versions(spark, dir).lastOption.getOrElse(
         throw new IllegalArgumentException(s"no MergeTable at $dir"))
       val man = readManifestFull(spark, dir, cur)
       val next = cur + 1
+      val scope = normalizeScope(buckets, man.hexDigits)
+      val (doomed, kept) = scope match {
+        case None => (man.entries, Seq.empty[String])
+        case Some(bs) =>
+          man.entries.partition(e => bs.contains(bucketOfEntry(e)))
+      }
+      if (doomed.isEmpty) CowStats(cur, 0L, 0L, 0L, 0L, 0L)
+      else {
       def phys(c: String): String = man.cols.collectFirst {
         case (p, l) if l == c => p }.getOrElse(c)
       val all = Layout.withZVal(
-        readPhysical(spark, dir, Some(cur)), phys(xCol), phys(yCol))
+        if (kept.isEmpty) readPhysical(spark, dir, Some(cur))
+        else readEntries(spark, dir, doomed), phys(xCol), phys(yCol))
         .localCheckpoint(true)
-      val fresh = commitEpoch(spark, dir, next, all, Seq.empty,
+      val doomedBuckets = doomed.map(bucketOfEntry).toSet
+      val fresh = commitEpoch(spark, dir, next, all, kept,
         man.hexDigits, () => (), blockBytes,
         sortCols = Seq("zval", key),
-        dropAfterSort = Seq("zval"), tokens = man.tokens,
+        dropAfterSort = Seq("zval"),
+        keptFps = man.fps -- doomedBuckets, tokens = man.tokens,
+        keptSts = man.sts.view.filterKeys(kept.toSet).toMap,
         maxRecordsPerFile = maxRecordsPerFile, cols = man.cols)
-      CowStats(next, man.entries.map(bucketOfEntry).distinct.size.toLong,
-        man.entries.size.toLong, fresh.size.toLong, 0L, 0L)
+      CowStats(next, doomedBuckets.size.toLong,
+        doomed.size.toLong, fresh.size.toLong, 0L, 0L)
+      }
     }
 
   /** REBUCKET — the full-rewrite migration to a new bucket width the
@@ -2283,23 +2390,18 @@ object MergeTable {
         }
       }.foreach(st => fs.delete(st.getPath, false))
     afterManifestDrop()
-    // 2) the unreferenced-file sweep (orphaned attempts included)
-    val dataRoot = new Path(s"$dir/data")
-    var deleted = 0L
-    if (fs.exists(dataRoot))
-      fs.listStatus(dataRoot).filter(_.isDirectory).foreach { epoch =>
-        fs.listStatus(epoch.getPath).filter(_.isDirectory).foreach { bd =>
-          fs.listStatus(bd.getPath).filter(_.isFile).foreach { f =>
-            val rel = s"${epoch.getPath.getName}/${bd.getPath.getName}/" +
-              f.getPath.getName
-            if (!live.contains(rel) && !f.getPath.getName.startsWith("_")
-                && f.getModificationTime <= sweepBefore) {
-              fs.delete(f.getPath, false); deleted += 1
-            }
-          }
-        }
-      }
-    VacuumStats(deleted, live.size.toLong, drop.size.toLong,
+    // 2) the unreferenced-file sweep (orphaned attempts included):
+    // the O(files) listing AND the deletes run on the bounded driver
+    // pool — both preserve the crash ordering the Scaladoc promises
+    // (manifests dropped FIRST above; a crash mid-sweep leaves benign
+    // orphans for the next vacuum, never a referenced file missing)
+    val doomed = walkDataFiles(fs, dir).collect {
+      case (rel, mtime)
+          if !live.contains(rel) && mtime <= sweepBefore => rel
+    }
+    parMeta(doomed)(rel =>
+      fs.delete(new Path(s"$dir/data/$rel"), false)): Unit
+    VacuumStats(doomed.size.toLong, live.size.toLong, drop.size.toLong,
       keep.size.toLong)
   }
 
@@ -3264,6 +3366,76 @@ object MergeTable {
     },
     lifecycleStateSql(HEX_DIGITS))
 
+  /** q174 — PARTITION-SELECTIVE OPTIMIZE acceptance (`OPTIMIZE …
+    * WHERE bucket IN (…)`, Delta's incremental-compaction shape over
+    * the hash-bucket layout): at 100 TB a table compacts a few
+    * buckets per run, never the whole thing, so the gate pins the
+    * amplification discipline (q141's, applied to maintenance): one
+    * orders table at 16 buckets (one file per non-empty bucket after
+    * create), a SQL scoped stripe of THREE named buckets, and then
+    *  - the out-of-scope files are RE-LISTED VERBATIM (Scala-side
+    *    require on the relpath sets; count oracle-pinned as the
+    *    distinct out-of-scope buckets),
+    *  - every fresh file belongs to a scoped bucket, and their count
+    *    matches the oracle's stripe-model re-derivation over ONLY the
+    *    scope's rows (q164's discipline, scoped),
+    *  - the full final state is row-identical (a scoped rewrite moves
+    *    layout, never content). */
+  private val Q174_STRIPE = 256L
+
+  private val q174ScopedOptimize = QueryDef(
+    (s, dir) => {
+      val out = graft.core.Timing.build {
+        val o = java.nio.file.Files.createTempDirectory("graft-q174")
+          .resolve("table").toString
+        val base = baseRows(s, dir).localCheckpoint(true)
+        create(base, o, "key", hexDigits = 1)
+        o
+      }
+      val scope = Set("0", "4", "a")
+      val before = readManifest(s, out, 1L)
+      val st = s.sql(
+        s"""OPTIMIZE merge_table.`$out` WHERE bucket IN ('0', '4', 'a')
+           |SORT BY cents STRIPE $Q174_STRIPE""".stripMargin).collect()
+      require(st.length == 1, "q174: scoped OPTIMIZE returns its stats")
+      val after = readManifest(s, out, 2L)
+      val carried = after.toSet.intersect(before.toSet)
+      require(carried ==
+        before.filterNot(e => scope.contains(bucketOfEntry(e))).toSet,
+        "q174: out-of-scope files must be re-listed verbatim")
+      val fresh = after.toSet -- before.toSet
+      require(fresh.forall(e => scope.contains(bucketOfEntry(e))),
+        "q174: every fresh file must belong to a scoped bucket")
+      require(st.head.getLong(1) == (before.size - carried.size).toLong &&
+        st.head.getLong(2) == fresh.size.toLong,
+        s"q174: the stats row must price exactly the scope: ${st.head}")
+      readTable(s, out)
+        .select("key", "cust", "status", "cents", "bucket")
+        .withColumn("files_before", lit(before.size.toLong))
+        .withColumn("files_carried", lit(carried.size.toLong))
+        .withColumn("files_rewritten", lit(fresh.size.toLong))
+        .orderBy("key")
+    },
+    s"""WITH base AS (
+       |  SELECT o_orderkey AS key, o_custkey AS cust,
+       |         o_orderstatus AS status,
+       |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+       |  FROM orders),
+       |g AS (SELECT base.*, ${bucketSql("key", 1)} AS bkt FROM base),
+       |fb AS (SELECT CAST(count(DISTINCT bkt) AS BIGINT) AS n FROM g),
+       |cr AS (SELECT CAST(count(DISTINCT bkt) AS BIGINT) AS n FROM g
+       |       WHERE bkt NOT IN ('0', '4', 'a')),
+       |f AS (SELECT bkt, ((row_number() OVER (PARTITION BY bkt
+       |        ORDER BY cents, key)) - 1) // $Q174_STRIPE AS fid
+       |      FROM g WHERE bkt IN ('0', '4', 'a')),
+       |rw AS (SELECT CAST(count(*) AS BIGINT) AS n
+       |       FROM (SELECT DISTINCT bkt, fid FROM f))
+       |SELECT key, cust, status, cents, bkt AS bucket,
+       |       (SELECT n FROM fb) AS files_before,
+       |       (SELECT n FROM cr) AS files_carried,
+       |       (SELECT n FROM rw) AS files_rewritten
+       |FROM g ORDER BY key""".stripMargin)
+
   /** q153 — LAYOUT-ONLY COMMITS ARE CDC-FREE, the round-13
     * short-circuit priced end-to-end through the WIRED publisher:
     * create → bootstrap pin → batch-1 upsert → publish (a real batch:
@@ -3965,6 +4137,7 @@ object MergeTable {
     "q170_typed_stats_pruning" -> q170TypedStats,
     "q172_sql_maintenance" -> q172SqlMaintenance,
     "q173_sql_insert" -> q173SqlInsert,
+    "q174_scoped_optimize" -> q174ScopedOptimize,
     "q166_sql_merge_dml" -> q166SqlMergeDml,
     "q168_schema_evolution" -> q168SchemaEvolution,
     "q169_sql_update_delete" -> q169SqlUpdateDelete,

@@ -18,8 +18,8 @@ import graft.ext.MergeTable
   * everything else to the real parser untouched):
   *
   * {{{
-  * OPTIMIZE merge_table.`/dir` SORT BY col [STRIPE n]
-  * OPTIMIZE merge_table.`/dir` ZORDER BY (xCol, yCol) [STRIPE n]
+  * OPTIMIZE merge_table.`/dir` [WHERE bucket IN ('0a', …)] SORT BY col [STRIPE n]
+  * OPTIMIZE merge_table.`/dir` [WHERE bucket IN ('0a', …)] ZORDER BY (xCol, yCol) [STRIPE n]
   * VACUUM merge_table.`/dir` RETAIN n VERSIONS
   * }}}
   *
@@ -43,27 +43,47 @@ import graft.ext.MergeTable
   * exactly as before. */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
+  // optional partition scope, the Delta `OPTIMIZE … WHERE` position:
+  // `WHERE bucket IN ('0a', '3f', …)` — the table's partition column
+  // is the hash bucket, so the scope is a bucket-id list
+  private val WhereRe =
+    """(?:\s+WHERE\s+bucket\s+IN\s*\(([^)]*)\))?"""
   private val OptimizeSort =
-    """(?is)\s*OPTIMIZE\s+merge_table\s*\.\s*`([^`]+)`\s+SORT\s+BY\s+
-      |([A-Za-z_][A-Za-z0-9_]*)(?:\s+STRIPE\s+(\d+))?\s*;?\s*"""
-      .stripMargin.replace("\n", "").r
+    ("""(?is)\s*OPTIMIZE\s+merge_table\s*\.\s*`([^`]+)`""" + WhereRe +
+      """\s+SORT\s+BY\s+([A-Za-z_][A-Za-z0-9_]*)""" +
+      """(?:\s+STRIPE\s+(\d+))?\s*;?\s*""").r
   private val OptimizeZ =
-    """(?is)\s*OPTIMIZE\s+merge_table\s*\.\s*`([^`]+)`\s+ZORDER\s+BY\s*
-      |\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)
-      |(?:\s+STRIPE\s+(\d+))?\s*;?\s*"""
-      .stripMargin.replace("\n", "").r
+    ("""(?is)\s*OPTIMIZE\s+merge_table\s*\.\s*`([^`]+)`""" + WhereRe +
+      """\s+ZORDER\s+BY\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*,\s*""" +
+      """([A-Za-z_][A-Za-z0-9_]*)\s*\)(?:\s+STRIPE\s+(\d+))?\s*;?\s*""").r
+
+  /** Parse the WHERE bucket IN list: quoted ids, comma-separated. A
+    * matched-but-malformed list is a loud error, not a delegation —
+    * the statement already committed to the OPTIMIZE shape. */
+  private def scopeOf(group: String): Option[Seq[String]] =
+    Option(group).map { g =>
+      val ids = g.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      require(ids.nonEmpty,
+        "OPTIMIZE … WHERE bucket IN () names no buckets")
+      ids.map { s =>
+        require(s.length >= 3 &&
+          (s.head == '\'' || s.head == '"') && s.last == s.head,
+          s"bucket ids must be quoted string literals, got: $s")
+        s.substring(1, s.length - 1)
+      }
+    }
   private val Vacuum =
     """(?is)\s*VACUUM\s+merge_table\s*\.\s*`([^`]+)`
       |(?:\s+RETAIN\s+(\d+)\s+VERSIONS?)?\s*;?\s*"""
       .stripMargin.replace("\n", "").r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case OptimizeSort(dir, col, stripe) =>
+    case OptimizeSort(dir, where, col, stripe) =>
       GraftOptimizeCommand(dir, Left(col),
-        Option(stripe).map(_.toLong))
-    case OptimizeZ(dir, x, y, stripe) =>
+        Option(stripe).map(_.toLong), scopeOf(where))
+    case OptimizeZ(dir, where, x, y, stripe) =>
       GraftOptimizeCommand(dir, Right((x, y)),
-        Option(stripe).map(_.toLong))
+        Option(stripe).map(_.toLong), scopeOf(where))
     case Vacuum(dir, retain) =>
       // RETAIN is MANDATORY in the SQL form: the statement borrows
       // Delta's VACUUM syntax but not its semantics (Delta's sweeps
@@ -101,10 +121,13 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
 /** `OPTIMIZE merge_table.`/dir`` — SORT BY (single-column clustering,
   * striped when STRIPE is given) or ZORDER BY (two-dimensional curve
-  * clustering). One row of [[MergeTable.CowStats]] back. */
+  * clustering), optionally scoped to a bucket list (`WHERE bucket IN
+  * (…)` — incremental compaction; out-of-scope files are re-listed,
+  * never rewritten). One row of [[MergeTable.CowStats]] back. */
 final case class GraftOptimizeCommand(dir: String,
     by: Either[String, (String, String)],
-    stripe: Option[Long]) extends LeafRunnableCommand {
+    stripe: Option[Long],
+    scope: Option[Seq[String]] = None) extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType)(),
@@ -114,10 +137,11 @@ final case class GraftOptimizeCommand(dir: String,
   override def run(spark: SparkSession): Seq[Row] = {
     val st = by match {
       case Left(c) =>
-        MergeTable.optimize(spark, dir, c, maxRecordsPerFile = stripe)
+        MergeTable.optimize(spark, dir, c, maxRecordsPerFile = stripe,
+          buckets = scope)
       case Right((x, y)) =>
         MergeTable.optimizeZOrder(spark, dir, x, y,
-          maxRecordsPerFile = stripe)
+          maxRecordsPerFile = stripe, buckets = scope)
     }
     Seq(Row(st.version, st.filesRead, st.filesWritten))
   }

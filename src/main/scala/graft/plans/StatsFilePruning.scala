@@ -12,7 +12,7 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
   InMemoryFileIndex, LogicalRelation}
 import org.apache.spark.sql.types.{ByteType, DataType, DateType,
   DecimalType, IntegerType, LongType, ShortType, StringType,
-  TimestampType}
+  TimestampNTZType, TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.ext.StatBound
@@ -31,7 +31,9 @@ import graft.ext.StatBound
   * every bucket's files.
   *
   * Covered column/literal kinds (see [[StatBound]]): integrals, dates
-  * (epoch days), timestamps (epoch micros), decimals of precision ≤ 18
+  * (epoch days), timestamps (epoch micros — LTZ as instant-micros, NTZ
+  * as wall-clock micros, each compared against literals of its own
+  * type under the identical internal encoding), decimals of precision ≤ 18
   * (unscaled at the column's scale — the literal's DecimalType must
   * EQUAL the column's, which analysis guarantees for an uncast
   * attribute), and strings (truncated Iceberg-style bounds compared in
@@ -90,6 +92,9 @@ object StatsFilePruning extends Rule[LogicalPlan] with PredicateHelper {
       case (TimestampType, v: java.lang.Long)
           if l.dataType == TimestampType =>
         Some(StatBound.L(v.longValue))
+      case (TimestampNTZType, v: java.lang.Long)
+          if l.dataType == TimestampNTZType =>
+        Some(StatBound.L(v.longValue))
       case (d: DecimalType, v: org.apache.spark.sql.types.Decimal)
           if d.precision <= 18 && l.dataType == d =>
         scala.util.Try(StatBound.L(v.toUnscaledLong)).toOption
@@ -107,7 +112,8 @@ object StatsFilePruning extends Rule[LogicalPlan] with PredicateHelper {
           if Seq(ByteType, ShortType, IntegerType, LongType, DateType)
             .contains(dt) => Some(StatBound.L(i.longValue))
       case n: java.lang.Long
-          if Seq(LongType, TimestampType).contains(dt) =>
+          if Seq(LongType, TimestampType, TimestampNTZType)
+            .contains(dt) =>
         Some(StatBound.L(n.longValue))
       case s: java.lang.Short => Some(StatBound.L(s.longValue))
       case b: java.lang.Byte => Some(StatBound.L(b.longValue))
@@ -125,7 +131,7 @@ object StatsFilePruning extends Rule[LogicalPlan] with PredicateHelper {
 
   private def statTyped(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType => true
-    case DateType | TimestampType | StringType => true
+    case DateType | TimestampType | TimestampNTZType | StringType => true
     case d: DecimalType => d.precision <= 18
     case _ => false
   }

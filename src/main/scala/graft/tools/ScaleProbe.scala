@@ -398,42 +398,61 @@ object ScaleProbe {
     // annotation work cost, and does the fraction grow with table
     // size? (It should not: the read-back scans only the REWRITTEN
     // epoch, whose size is batch-bucket-bound, not table-bound.)
+    // Two schema shapes, A/B'd independently: the original INTEGRAL
+    // probe (key, payload) and a TYPED-STATS-HEAVY one (two padded
+    // strings through the truncation/increment path, a decimal, a
+    // date) — round 15's write-path regression suspects (q161/q156/
+    // q162) pay the string/date/decimal bound aggregation this shape
+    // exercises and the integral shape does not.
     case class AbCell(scale: Int, n: Long, onS: Double, offS: Double)
-    val abCells = scales.map { sc =>
-      val n = baseN * 10 * sc // big enough that a commit has real work
-      def mkTbl(tag: String): String = {
-        val d = s"$tmp/ab_${tag}_s$sc"
-        graft.ext.MergeTable.create(
-          spark.range(n).select(col("id").as("key"),
-            (col("id") % 97).as("payload")), d, "key", 2)
-        d
-      }
-      val batch = spark.range(40).select(
-        (col("id") * (n / 40)).as("key"), lit(-1L).as("payload"))
-        .localCheckpoint(true)
-      val tOn = mkTbl("on"); val tOff = mkTbl("off")
-      val onS = timeMinOf(2) {
-        graft.ext.MergeTable.upsert(spark, tOn, batch): Unit
-      }
-      System.setProperty("graft.cow.probe.bareFingerprints", "true")
-      val offS =
-        try timeMinOf(2) {
-          graft.ext.MergeTable.upsert(spark, tOff, batch): Unit
+    def abLeg(tag: String, widen: DataFrame => DataFrame)
+        : Seq[AbCell] = {
+      val cells = scales.map { sc =>
+        val n = baseN * 10 * sc // big enough that a commit has real work
+        def mkTbl(t: String): String = {
+          val d = s"$tmp/ab_${tag}_${t}_s$sc"
+          graft.ext.MergeTable.create(
+            widen(spark.range(n).select(col("id").as("key"),
+              (col("id") % 97).as("payload"))), d, "key", 2)
+          d
         }
-        finally System.clearProperty("graft.cow.probe.bareFingerprints")
-      println(f"[scaleprobe] ab scale=${sc}x n=$n " +
-        f"upsert_full=${onS}%.3fs upsert_bare=${offS}%.3fs " +
-        f"overhead_frac=${(onS - offS) / onS}%.3f")
-      AbCell(sc, n, onS, offS)
+        val batch = widen(spark.range(40).select(
+          (col("id") * (n / 40)).as("key"), lit(-1L).as("payload")))
+          .localCheckpoint(true)
+        val tOn = mkTbl("on"); val tOff = mkTbl("off")
+        val onS = timeMinOf(2) {
+          graft.ext.MergeTable.upsert(spark, tOn, batch): Unit
+        }
+        System.setProperty("graft.cow.probe.bareFingerprints", "true")
+        val offS =
+          try timeMinOf(2) {
+            graft.ext.MergeTable.upsert(spark, tOff, batch): Unit
+          }
+          finally System.clearProperty("graft.cow.probe.bareFingerprints")
+        println(f"[scaleprobe] ab[$tag] scale=${sc}x n=$n " +
+          f"upsert_full=${onS}%.3fs upsert_bare=${offS}%.3fs " +
+          f"overhead_frac=${(onS - offS) / onS}%.3f")
+        AbCell(sc, n, onS, offS)
+      }
+      def abexpo(m: AbCell => Double): Double = {
+        val (a, b) = (cells.head, cells.last)
+        math.log(m(b) / m(a)) / math.log(b.n.toDouble / a.n)
+      }
+      println(f"[scaleprobe] AB[$tag] EXPONENTS (1x -> ${scales.last}x): " +
+        f"upsert_full_time=${abexpo(_.onS)}%.2f " +
+        f"upsert_bare_time=${abexpo(_.offS)}%.2f " +
+        f"overhead_frac_trend=${abexpo(c => math.max(1e-9, (c.onS - c.offS) / c.onS))}%.2f")
+      cells
     }
-    def abexpo(m: AbCell => Double): Double = {
-      val (a, b) = (abCells.head, abCells.last)
-      math.log(m(b) / m(a)) / math.log(b.n.toDouble / a.n)
-    }
-    println(f"[scaleprobe] AB EXPONENTS (1x -> ${scales.last}x): " +
-      f"upsert_full_time=${abexpo(_.onS)}%.2f " +
-      f"upsert_bare_time=${abexpo(_.offS)}%.2f " +
-      f"overhead_frac_trend=${abexpo(c => math.max(1e-9, (c.onS - c.offS) / c.onS))}%.2f")
+    abLeg("integral", identity)
+    abLeg("typed", df => df
+      .withColumn("tag", concat(lit("pri-"),
+        lpad((col("key") % 5).cast("string"), 20, "x")))
+      .withColumn("note", concat(lit("doc body prefix "),
+        col("key").cast("string")))
+      .withColumn("price", (col("key") % 99991).cast("decimal(12,2)"))
+      .withColumn("odate", date_add(lit(java.sql.Date.valueOf(
+        "2020-01-01")), (col("key") % 1461).cast("int"))))
 
     // --- MANIFEST SCALING LEG (vs BUCKET COUNT, not corpus size) ---
     // Manifests re-list every live file each commit, so commit metadata
@@ -476,6 +495,58 @@ object ScaleProbe {
     println(f"[scaleprobe] MANIFEST EXPONENTS (16 -> 4096 buckets): " +
       f"upsert_commit_time=${mexpo(_.upsertS)}%.2f " +
       f"manifest_compare_time=${mexpo(_.manReadS)}%.2f")
+
+    // --- VACUUM / FSCK SWEEP LEG (vs FILE COUNT) ---
+    // The round-15 verdict named vacuum's serial driver-side listing
+    // as the one standing scale-killer shape; the sweep now lists
+    // epochs and deletes files on a bounded driver pool. This leg
+    // measures the wall-time exponent of vacuum and the (read-only,
+    // repeatable) fsck name-walk against 1x/3x/10x FILE counts — the
+    // claim is sub-linear wall time at these scales (pool-parallel
+    // RPCs; fixed cost dominates small sweeps) with EXACT stats:
+    // deleted + live must equal the files on disk before the sweep.
+    case class VacCell(scale: Int, files: Long, vacS: Double,
+      deleted: Long, fsckS: Double)
+    val vacCells = scales.map { sc =>
+      val n = baseN * 8 * sc
+      val dir = s"$tmp/vac_s$sc"
+      graft.ext.MergeTable.create(
+        spark.range(n).select(col("id").as("key"),
+          (col("id") % 97).as("payload")), dir, "key", 2)
+      // two striped rewrites: file count scales with n, and the first
+      // rewrite's whole epoch becomes expirable garbage for the sweep
+      graft.ext.MergeTable.optimize(spark, dir, "payload",
+        maxRecordsPerFile = Some(64L))
+      graft.ext.MergeTable.optimize(spark, dir, "key",
+        maxRecordsPerFile = Some(64L))
+      val before = graft.ext.MergeTable.fsck(spark, dir)
+      val filesBefore = before.referenced + before.orphans
+      var st: graft.ext.MergeTable.VacuumStats = null
+      val t0 = System.nanoTime()
+      st = graft.ext.MergeTable.vacuum(spark, dir,
+        retainVersions = 1, minFileAgeMs = 0L)
+      val vacS = (System.nanoTime() - t0) / 1e9
+      require(st.filesDeleted + st.filesLive == filesBefore,
+        s"vacuum stats must account for every file: " +
+          s"$st vs $filesBefore on disk")
+      val after = graft.ext.MergeTable.fsck(spark, dir)
+      require(after.orphans == 0 && after.missing == 0,
+        s"post-vacuum fsck must be clean: $after")
+      val fsckS = timeMinOf(3) {
+        graft.ext.MergeTable.fsck(spark, dir): Unit
+      }
+      println(f"[scaleprobe] vacuum scale=${sc}x files=$filesBefore " +
+        f"vacuum=${vacS}%.3fs deleted=${st.filesDeleted} " +
+        f"fsck=${fsckS}%.3fs")
+      VacCell(sc, filesBefore, vacS, st.filesDeleted, fsckS)
+    }
+    def vexpo(m: VacCell => Double): Double = {
+      val (a, b) = (vacCells.head, vacCells.last)
+      math.log(m(b) / m(a)) / math.log(b.files.toDouble / a.files)
+    }
+    println(f"[scaleprobe] VACUUM EXPONENTS (1x -> ${scales.last}x " +
+      f"files): vacuum_time=${vexpo(_.vacS)}%.2f " +
+      f"fsck_time=${vexpo(_.fsckS)}%.2f")
     spark.stop()
   }
 }

@@ -63,6 +63,35 @@ class MaintenanceSqlSpec extends SparkSpec {
     assert(MergeTable.readTable(spark, dir).count() === 3200L)
   }
 
+  test("OPTIMIZE ... WHERE bucket IN (...) rewrites ONLY the scoped " +
+      "buckets (out-of-scope files re-listed verbatim), stays " +
+      "CDC-free (zero changed buckets), and a malformed scope is " +
+      "loud") {
+    val dir = mkTable(3200)
+    val before = MergeTable.readTable(spark, dir).inputFiles.toSet
+    val st = spark.sql(
+      s"OPTIMIZE merge_table.`$dir` WHERE bucket IN ('0', '7') " +
+        "SORT BY x STRIPE 100").collect()
+    assert(st.length === 1 && st.head.getLong(0) === 2L)
+    val after = MergeTable.readTable(spark, dir).inputFiles.toSet
+    val carried = after.intersect(before)
+    assert(carried === before.filterNot(f =>
+      f.contains("/bucket=0/") || f.contains("/bucket=7/")),
+      "out-of-scope files must survive by reference")
+    assert((after -- before).forall(f =>
+      f.contains("/bucket=0/") || f.contains("/bucket=7/")))
+    // a scoped rewrite moves no rows: the changefeed short-circuit
+    // must hold across it exactly as it does for the full rewrite
+    assert(MergeTable.changes(spark, dir, 1L, 2L).count() === 0L)
+    assert(MergeTable.readTable(spark, dir).count() === 3200L)
+    // scope ids are validated against the table's bucket width
+    val e = intercept[Exception] {
+      spark.sql(s"OPTIMIZE merge_table.`$dir` WHERE bucket IN ('zz') " +
+        "SORT BY x").collect()
+    }
+    assert(e.getMessage.contains("hex-digit"), e.getMessage)
+  }
+
   test("bare VACUUM (no RETAIN) is rejected with guidance — the " +
       "statement expires whole versions, so no Delta-borrowed default " +
       "is safe; history is untouched by the failed statement") {

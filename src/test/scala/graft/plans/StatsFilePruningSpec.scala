@@ -318,6 +318,45 @@ class StatsFilePruningSpec extends SparkSpec {
         r._4.compareTo(new java.math.BigDecimal("3.00")) <= 0).toLong)
   }
 
+  test("TIMESTAMP_NTZ bounds attest under the wall-clock-micros " +
+      "contract: an NTZ box file-prunes with exact rows, and the " +
+      "pruning is IDENTICAL under a different session timezone " +
+      "(the encoding is zone-free on both the write and plan sides)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-sfp-ntz")
+      .resolve("t").toString
+    val base = java.time.LocalDateTime.of(2022, 6, 1, 0, 0, 0)
+    val rows = (1 to 800).map(i => (i.toLong, i.toLong % 97))
+    val df = rows.toDF("key", "h")
+      .withColumn("nts", expr(
+        "timestamp_ntz '2022-06-01 00:00:00' + make_interval(0,0,0,0,h)"))
+      .drop("h")
+    assert(df.schema("nts").dataType ===
+      org.apache.spark.sql.types.TimestampNTZType)
+    MergeTable.create(df, dir, "key", hexDigits = 1)
+    MergeTable.optimize(spark, dir, "nts", maxRecordsPerFile = Some(60L))
+    val total = scanFiles(MergeTable.readTable(spark, dir))
+    def box(): (Long, Long) = {
+      val q = MergeTable.readTable(spark, dir).filter(
+        col("nts").between(
+          lit(base.plusHours(20)), lit(base.plusHours(30))))
+      (scanFiles(q), q.count())
+    }
+    val (scanned0, rows0) = box()
+    assert(scanned0 < total, "NTZ box must file-prune")
+    assert(rows0 === rows.count(r => r._2 >= 20 && r._2 <= 30).toLong)
+    // same predicate under a far-away session timezone: NTZ bounds
+    // and literals are both wall-clock micros, so the planned file
+    // set and the rows must not move
+    val tz0 = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Pacific/Kiritimati")
+      val (scanned1, rows1) = box()
+      assert((scanned1, rows1) === ((scanned0, rows0)),
+        "NTZ pruning must be session-timezone-invariant")
+    } finally spark.conf.set("spark.sql.session.timeZone", tz0)
+  }
+
   test("the rule is silent on a NON-MergeTable parquet layout even " +
       "when the path shape matches (no _manifests => no pruning)") {
     import spark.implicits._
