@@ -3436,6 +3436,44 @@ object MergeTable {
        |       (SELECT n FROM rw) AS files_rewritten
        |FROM g ORDER BY key""".stripMargin)
 
+  /** q175 — the FULL SQL-ONLY LIFECYCLE: with `CREATE MERGE_TABLE`
+    * ([[graft.plans.GraftCreateTableCommand]]) the last API-only verb
+    * falls, so this row replays q140 with ZERO engine API calls —
+    * `CREATE MERGE_TABLE … AS SELECT` → two `INSERT INTO`s (the q173
+    * batches) → a `merge_table('/dir')` TVF read — and holds the full
+    * final state to the q140 oracle verbatim (the only non-SQL step
+    * is registering the source temp view, which is how any SQL
+    * operator names a DataFrame). */
+  private val q175SqlLifecycle = QueryDef(
+    (s, dir) => {
+      val out = graft.core.Timing.build {
+        val o = java.nio.file.Files.createTempDirectory("graft-q175")
+          .resolve("table").toString
+        baseRows(s, dir).localCheckpoint(true)
+          .createOrReplaceTempView("q175_base")
+        o
+      }
+      val cr = s.sql(
+        s"""CREATE MERGE_TABLE `$out` KEY key BUCKETS 256 AS
+           |SELECT * FROM q175_base""".stripMargin).collect()
+      require(cr.length == 1 && cr.head.getLong(0) == 1L,
+        "q175: CREATE must commit version 1")
+      s.sql(
+        s"""INSERT INTO merge_table.`$out`
+           |SELECT key, cust, status, cents + 100 AS cents
+           |FROM q175_base WHERE key % 101 = 0
+           |UNION ALL
+           |SELECT -key - 1, cust, 'N', cents
+           |FROM q175_base WHERE key % 103 = 0""".stripMargin).collect()
+      s.sql(
+        s"""INSERT INTO merge_table.`$out` (cents, key, status, cust)
+           |SELECT cents + 300, key, status, cust
+           |FROM q175_base WHERE key % 202 = 0""".stripMargin).collect()
+      s.sql(s"SELECT key, cust, status, cents, bucket " +
+        s"FROM merge_table('$out') ORDER BY key")
+    },
+    lifecycleStateSql(HEX_DIGITS))
+
   /** q153 — LAYOUT-ONLY COMMITS ARE CDC-FREE, the round-13
     * short-circuit priced end-to-end through the WIRED publisher:
     * create → bootstrap pin → batch-1 upsert → publish (a real batch:
@@ -4138,6 +4176,7 @@ object MergeTable {
     "q172_sql_maintenance" -> q172SqlMaintenance,
     "q173_sql_insert" -> q173SqlInsert,
     "q174_scoped_optimize" -> q174ScopedOptimize,
+    "q175_sql_lifecycle" -> q175SqlLifecycle,
     "q166_sql_merge_dml" -> q166SqlMergeDml,
     "q168_schema_evolution" -> q168SchemaEvolution,
     "q169_sql_update_delete" -> q169SqlUpdateDelete,

@@ -18,6 +18,7 @@ import graft.ext.MergeTable
   * everything else to the real parser untouched):
   *
   * {{{
+  * CREATE MERGE_TABLE `/dir` KEY keyCol [BUCKETS n] AS SELECT …
   * OPTIMIZE merge_table.`/dir` [WHERE bucket IN ('0a', …)] SORT BY col [STRIPE n]
   * OPTIMIZE merge_table.`/dir` [WHERE bucket IN ('0a', …)] ZORDER BY (xCol, yCol) [STRIPE n]
   * VACUUM merge_table.`/dir` RETAIN n VERSIONS
@@ -76,6 +77,17 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*VACUUM\s+merge_table\s*\.\s*`([^`]+)`
       |(?:\s+RETAIN\s+(\d+)\s+VERSIONS?)?\s*;?\s*"""
       .stripMargin.replace("\n", "").r
+  // the CREATE verb completes the SQL-only lifecycle (create → INSERT
+  // → MERGE/UPDATE/DELETE → OPTIMIZE/VACUUM → merge_table() reads):
+  // `CREATE MERGE_TABLE` cannot collide with Spark's grammar (CREATE
+  // there is always followed by TABLE/VIEW/etc., and a table NAMED
+  // merge_table arrives as `CREATE TABLE merge_table …`, which this
+  // anchor does not match). The trailing query text is handed to the
+  // DELEGATE parser, so the full SELECT grammar applies untouched.
+  private val CreateTable =
+    """(?is)\s*CREATE\s+MERGE_TABLE\s+`([^`]+)`\s+KEY\s+
+      |([A-Za-z_][A-Za-z0-9_]*)(?:\s+BUCKETS\s+(\d+))?\s+AS\s+(.+?);?\s*"""
+      .stripMargin.replace("\n", "").r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case OptimizeSort(dir, where, col, stripe) =>
@@ -98,6 +110,17 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
             "Delta's VACUUM, this statement EXPIRES table versions " +
             "past the retention window; RETAIN 1 keeps only the head")
       else GraftVacuumCommand(dir, retain.toInt)
+    case CreateTable(dir, key, buckets, query) =>
+      val hex = Option(buckets).map { b =>
+        val n = b.toLong
+        val h = (math.log(n.toDouble) / math.log(16.0)).round.toInt
+        require(h >= 1 && h <= 8 && (1L << (4 * h)) == n,
+          s"BUCKETS must be a power of 16 between 16 and 16^8 " +
+            s"(the md5-hex bucket widths), got $n")
+        h
+      }
+      GraftCreateTableCommand(dir, key, hex,
+        new CapturedPlan(delegate.parseQuery(query)))
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -144,6 +167,41 @@ final case class GraftOptimizeCommand(dir: String,
           maxRecordsPerFile = stripe, buckets = scope)
     }
     Seq(Row(st.version, st.filesRead, st.filesWritten))
+  }
+}
+
+/** Opaque carrier for a delegate-parsed query plan: a plain class so
+  * the command's product-derived children/expressions stay empty and
+  * the analyzer neither walks nor re-resolves the captured tree (the
+  * [[CapturedMerge]] discipline). */
+final class CapturedPlan(val plan: LogicalPlan) extends Serializable
+
+/** `CREATE MERGE_TABLE `/dir`` KEY keyCol [BUCKETS n] AS <query>` —
+  * the SQL table-creation verb: runs the delegate-parsed query and
+  * hands its result to [[MergeTable.create]] (key declaration,
+  * md5-hex bucketing at the given width, version-1 manifest commit).
+  * BUCKETS takes the bucket COUNT (a power of 16 — the md5-hex width
+  * model); omitted = the engine default. Reserved layout column
+  * names, a missing key column, or an already-created dir all fail
+  * with the engine's own loud errors. One row back:
+  * (version, files_written). */
+final case class GraftCreateTableCommand(dir: String, key: String,
+    hexDigits: Option[Int], captured: CapturedPlan)
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType)(),
+    AttributeReference("files_written", LongType)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val df = org.apache.spark.sql.graft.Bridge.ofRows(spark,
+      captured.plan)
+    hexDigits match {
+      case Some(h) => MergeTable.create(df, dir, key, h)
+      case None => MergeTable.create(df, dir, key)
+    }
+    val files = MergeTable.readTable(spark, dir).inputFiles.length.toLong
+    Seq(Row(1L, files))
   }
 }
 

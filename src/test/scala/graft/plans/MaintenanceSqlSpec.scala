@@ -108,6 +108,50 @@ class MaintenanceSqlSpec extends SparkSpec {
       "a rejected VACUUM must not expire anything")
   }
 
+  test("CREATE MERGE_TABLE ... KEY k BUCKETS n AS SELECT creates the " +
+      "table through the engine (bucketed, readable, writable); " +
+      "re-creation, bad widths, and reserved columns are loud; a " +
+      "table NAMED merge_table delegates to Spark untouched") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-msql-ct")
+      .resolve("t").toString
+    (1 to 400).map(i => (i.toLong, (i % 7).toLong))
+      .toDF("key", "cents").createOrReplaceTempView("ct_src")
+    val st = spark.sql(
+      s"CREATE MERGE_TABLE `$dir` KEY key BUCKETS 16 AS " +
+        "SELECT * FROM ct_src").collect()
+    assert(st.length === 1 && st.head.getLong(0) === 1L)
+    assert(st.head.getLong(1) === 16L, "one file per non-empty bucket")
+    assert(MergeTable.readTable(spark, dir).count() === 400L)
+    // the created table takes every other SQL verb
+    spark.sql(s"INSERT INTO merge_table.`$dir` VALUES (401, 9)").collect()
+    assert(MergeTable.readTable(spark, dir).count() === 401L)
+    // re-creation of an existing dir is loud, not an overwrite
+    intercept[Exception] {
+      spark.sql(s"CREATE MERGE_TABLE `$dir` KEY key AS " +
+        "SELECT * FROM ct_src").collect()
+    }
+    // BUCKETS must be a power of 16 (the md5-hex width model)
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE MERGE_TABLE `${dir}2` KEY key BUCKETS 100 AS " +
+        "SELECT * FROM ct_src").collect()
+    }
+    assert(e.getMessage.contains("power of 16"), e.getMessage)
+    // reserved layout columns are the engine's own loud gate
+    spark.sql("SELECT 1 AS key, 2 AS bucket").createOrReplaceTempView("ct_bad")
+    val e2 = intercept[Exception] {
+      spark.sql(s"CREATE MERGE_TABLE `${dir}3` KEY key AS " +
+        "SELECT * FROM ct_bad").collect()
+    }
+    assert(e2.getMessage.contains("reserved"), e2.getMessage)
+    // `CREATE TABLE merge_table …` is NOT this statement: it reaches
+    // Spark's own parser (and fails there only for catalog reasons,
+    // not ours)
+    intercept[Exception] {
+      spark.sql("CREATE TABLE merge_table (a INT) USING nope").collect()
+    }
+  }
+
   test("recognition is conservative: identifiers named optimize/vacuum " +
       "and non-merge_table statements delegate to Spark's parser") {
     import spark.implicits._
