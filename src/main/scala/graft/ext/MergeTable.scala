@@ -197,7 +197,19 @@ object MergeTable {
     entries: Seq[String], fps: Map[String, String],
     tokens: Map[String, Long] = Map.empty,
     sts: Map[String, String] = Map.empty,
-    cols: Map[String, String] = Map.empty)
+    cols: Map[String, String] = Map.empty,
+    dvs: Seq[String] = Nil,
+    dvf: Map[String, Long] = Map.empty,
+    props: Map[String, String] = Map.empty)
+
+  /** Reader capabilities THIS engine implements. A manifest whose
+    * `#requires=` lines name anything else fails loudly at read time —
+    * the Delta minReaderVersion discipline re-expressed as named
+    * capabilities: a feature whose silent omission would corrupt reads
+    * (deletion vectors — an ignorant reader resurrects deleted rows)
+    * gates the READER, while purely-advisory lines (`#st2=`, `#prop=`)
+    * degrade soundly and gate nothing. */
+  private val ReaderCapabilities: Set[String] = Set("dv")
 
   private def readManifestFull(spark: SparkSession, dir: String,
       v: Long): ManifestData = {
@@ -279,8 +291,43 @@ object MergeTable {
         val cut = body.indexOf(':')
         body.take(cut) -> body.drop(cut + 1)
     }.toMap
+    // PROTOCOL GATE: `#requires=<capability>` names a feature whose
+    // silent omission would return WRONG rows (not merely degrade) —
+    // an engine that does not implement it must refuse the read.
+    val unknownReq = lines.collect {
+      case l if l.startsWith("#requires=") => l.drop(10).trim
+    }.filterNot(ReaderCapabilities)
+    if (unknownReq.nonEmpty)
+      throw new IllegalStateException(
+        s"manifest v$v at $dir requires reader capabilities " +
+          s"[${unknownReq.mkString(", ")}] this engine does not " +
+          "implement — refusing to read (a capability-blind read " +
+          "would silently return wrong rows); upgrade the reader")
+    // DELETION VECTORS (merge-on-read): `#dv=` lines list the live
+    // tombstone parquet files (paths relative to <dir>), `#dvf=` the
+    // data files they mask with each file's tombstone count — the
+    // read path scans clean files verbatim and anti-joins only the
+    // dirty ones (see applyDv).
+    val dvs = lines.collect {
+      case l if l.startsWith("#dv=") => l.drop(4).trim
+    }
+    val dvf = lines.collect {
+      case l if l.startsWith("#dvf=") =>
+        val body = l.drop(5)
+        val cut = body.lastIndexOf(':')
+        body.take(cut) -> body.drop(cut + 1).toLong
+    }.toMap
+    // table PROPERTIES: versioned key:value pairs carried forward by
+    // every commit (the Delta log-properties model — atomic,
+    // time-travel-consistent); advisory, never a reader gate.
+    val props = lines.collect {
+      case l if l.startsWith("#prop=") =>
+        val body = l.drop(6)
+        val cut = body.indexOf(':')
+        body.take(cut) -> body.drop(cut + 1)
+    }.toMap
     ManifestData(hex, lines.filterNot(_.startsWith("#")), fps, toks,
-      sts, colMap)
+      sts, colMap, dvs, dvf, props)
   }
 
   private def readManifest(spark: SparkSession, dir: String,
@@ -502,6 +549,52 @@ object MergeTable {
     * Bucket width and content fingerprints inherit from the restored
     * manifest verbatim (later upserts bucket at the restored width —
     * restore across a [[rebucket]] restores the width too). */
+  /** Table PROPERTIES — versioned key:value pairs in the manifest
+    * (`#prop=` lines, carried forward by every commit — the Delta
+    * log-properties model: atomic with the snapshot, readable at any
+    * retained version). Purely advisory to readers; writers consult
+    * them for routing (e.g. `graft.deletes.mode = mor` switches SQL
+    * DELETE to [[deleteKeysMor]]/[[deleteWhereMor]]). */
+  def properties(spark: SparkSession, dir: String,
+      version: Option[Long] = None): Map[String, String] = {
+    val v = version.getOrElse(versions(spark, dir).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"no MergeTable at $dir")))
+    readManifestFull(spark, dir, v).props
+  }
+
+  /** Set (or overwrite) table properties — one metadata-only commit:
+    * same entries, fingerprints, stats, mapping and tombstones,
+    * properties merged. Returns the committed version. */
+  def setProperties(spark: SparkSession, dir: String,
+      kvs: Map[String, String]): Long =
+    retryOnConflict("setProperties", dir) {
+      require(kvs.nonEmpty, "no properties to set")
+      val cur = versions(spark, dir).lastOption.getOrElse(
+        throw new IllegalArgumentException(s"no MergeTable at $dir"))
+      val man = readManifestFull(spark, dir, cur)
+      val next = cur + 1
+      commitManifest(spark, dir, next, man.entries, man.hexDigits,
+        man.fps, tokens = man.tokens, sts = man.sts, cols = man.cols,
+        dvs = man.dvs, dvf = man.dvf, props = man.props ++ kvs)
+      next
+    }
+
+  /** Remove table properties (absent keys are a no-op); one
+    * metadata-only commit. */
+  def unsetProperties(spark: SparkSession, dir: String,
+      keys: Seq[String]): Long =
+    retryOnConflict("unsetProperties", dir) {
+      require(keys.nonEmpty, "no properties to unset")
+      val cur = versions(spark, dir).lastOption.getOrElse(
+        throw new IllegalArgumentException(s"no MergeTable at $dir"))
+      val man = readManifestFull(spark, dir, cur)
+      val next = cur + 1
+      commitManifest(spark, dir, next, man.entries, man.hexDigits,
+        man.fps, tokens = man.tokens, sts = man.sts, cols = man.cols,
+        dvs = man.dvs, dvf = man.dvf, props = man.props -- keys)
+      next
+    }
+
   def restore(spark: SparkSession, dir: String, toVersion: Long): Long =
     retryOnConflict("restore", dir) {
       val cur = versions(spark, dir).lastOption.getOrElse(
@@ -524,7 +617,7 @@ object MergeTable {
       // exactly the silent-disable this re-validation exists to stop
       if (old.entries.nonEmpty)
         enforceConstraints(spark, dir,
-          applyLogicalView(readEntries(spark, dir, old.entries),
+          applyLogicalView(readEntries(spark, dir, old, old.entries),
             old.cols), "restore")
       // streaming idempotency tokens track the STREAM's applied
       // frontier, which a data rollback does not rewind (the stream's
@@ -536,8 +629,15 @@ object MergeTable {
           old.tokens.getOrElse(sid, Long.MinValue))
       }.toMap
       val next = cur + 1
+      // deletion-vector state restores WITH the data (old.dvs/old.dvf
+      // — the tombstones are part of the snapshot's logical content;
+      // their files are retained with the manifest that names them);
+      // table PROPERTIES keep the head's values (operational config,
+      // not data — a rollback must not silently flip, say, the
+      // delete-mode knob back)
       commitManifest(spark, dir, next, old.entries, old.hexDigits,
-        old.fps, tokens = toks, sts = old.sts, cols = old.cols)
+        old.fps, tokens = toks, sts = old.sts, cols = old.cols,
+        dvs = old.dvs, dvf = old.dvf, props = head.props)
       next
     }
 
@@ -610,7 +710,8 @@ object MergeTable {
       }
       val next = cur + 1
       commitManifest(spark, dir, next, man.entries, man.hexDigits,
-        man.fps, tokens = man.tokens, sts = man.sts, cols = newCols)
+        man.fps, tokens = man.tokens, sts = man.sts, cols = newCols,
+        dvs = man.dvs, dvf = man.dvf, props = man.props)
       next
     }
 
@@ -669,7 +770,10 @@ object MergeTable {
       beforePromote: () => Unit = () => (),
       tokens: Map[String, Long] = Map.empty,
       sts: Map[String, String] = Map.empty,
-      cols: Map[String, String] = Map.empty): Unit = {
+      cols: Map[String, String] = Map.empty,
+      dvs: Seq[String] = Nil,
+      dvf: Map[String, Long] = Map.empty,
+      props: Map[String, String] = Map.empty): Unit = {
     val fs = hadoopFs(spark, dir)
     fs.mkdirs(manifestDir(dir))
     val p = manifestPath(dir, v)
@@ -722,8 +826,26 @@ object MergeTable {
       }
     val colLines = cols.toSeq.sortBy(_._1)
       .map { case (p, l) => s"#col=$p:$l" }
+    // DELETION VECTORS: only data files the manifest still LISTS keep
+    // their tombstone annotation (a rewrite materializes the deletes,
+    // so its files' dvf lines drop here, exactly like stats); once no
+    // dirty file remains the dv files themselves stop being referenced
+    // (vacuum reclaims them) and the reader-capability gate lifts.
+    val dvfLive = dvf.view.filterKeys(entries.toSet).toMap
+    val dvLines =
+      if (dvfLive.isEmpty) Nil
+      else Seq("#requires=dv") ++
+        dvs.distinct.sorted.map(p => s"#dv=$p") ++
+        dvfLive.toSeq.sortBy(_._1).map { case (f, n) => s"#dvf=$f:$n" }
+    val propLines = props.toSeq.sortBy(_._1).map { case (k, pv) =>
+      require(!k.contains(':') && !(k + pv).exists(c =>
+          c == '\n' || c == '\r'),
+        s"table property key '$k' must be ':'-free and single-line")
+      s"#prop=$k:$pv"
+    }
     try out.write(
-      ((s"#hex=$hexDigits" +: tokLines) ++ colLines ++ fpLines ++
+      ((s"#hex=$hexDigits" +: tokLines) ++ propLines ++ colLines ++
+        dvLines ++ fpLines ++
         stLines ++ entries.sorted).mkString("\n").getBytes("UTF-8"))
     finally out.close()
     beforePromote()
@@ -1196,6 +1318,22 @@ object MergeTable {
     }.flatten
   }
 
+  /** Deletion-vector files on disk: `_dvs/<attempt>/part-*.parquet`,
+    * returned as (relpath-to-dir, mtime) — the DV twin of
+    * [[walkDataFiles]], same bounded-pool listing. */
+  private def walkDvFiles(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Seq[(String, Long)] = {
+    val dvRoot = new Path(s"$dir/_dvs")
+    if (!fs.exists(dvRoot)) return Nil
+    val attempts = fs.listStatus(dvRoot).filter(_.isDirectory).toSeq
+    parMeta(attempts) { att =>
+      fs.listStatus(att.getPath).filter(_.isFile).toSeq
+        .filterNot(_.getPath.getName.startsWith("_"))
+        .map(f => (s"_dvs/${att.getPath.getName}/${f.getPath.getName}",
+          f.getModificationTime))
+    }.flatten
+  }
+
   final case class FsckReport(referenced: Long, orphans: Long,
     missing: Long, danglingTags: Seq[String] = Nil)
 
@@ -1212,9 +1350,16 @@ object MergeTable {
     * (q148 prices the whole story). */
   def fsck(spark: SparkSession, dir: String): FsckReport = {
     val fs = hadoopFs(spark, dir)
-    val referenced = versions(spark, dir)
-      .flatMap(readManifest(spark, dir, _)).toSet
-    val onDisk = walkDataFiles(fs, dir).map(_._1).toSet
+    // data entries and deletion-vector files audit together (the
+    // namespaces are disjoint by prefix): a referenced DV file gone
+    // missing is as much a broken snapshot as a lost data file — an
+    // unmaskable read would RESURRECT deleted rows
+    val referenced = versions(spark, dir).flatMap { v =>
+      val m = readManifestFull(spark, dir, v)
+      m.entries.map("data/" + _) ++ m.dvs
+    }.toSet
+    val onDisk = (walkDataFiles(fs, dir).map("data/" + _._1) ++
+      walkDvFiles(fs, dir).map(_._1)).toSet
     // a DANGLING tag names a version no retained manifest backs —
     // impossible through this API (vacuum retains pinned versions;
     // tag() validates its target), so any hit is external damage the
@@ -1259,7 +1404,7 @@ object MergeTable {
     val man = readManifestFull(spark, dir, v)
     if (man.entries.isEmpty)
       return FsckDeepReport(0L, Seq.empty, Seq.empty)
-    val df = readEntries(spark, dir, man.entries)
+    val df = readEntries(spark, dir, man, man.entries)
     val payload = df.columns.filter(_ != "bucket").sorted
     val actual = df.select(col("bucket") +: fpHashCols(payload): _*)
       .groupBy("bucket")
@@ -1342,7 +1487,10 @@ object MergeTable {
       tokens: Map[String, Long] = Map.empty,
       keptSts: Map[String, String] = Map.empty,
       maxRecordsPerFile: Option[Long] = None,
-      cols: Map[String, String] = Map.empty)
+      cols: Map[String, String] = Map.empty,
+      keptDvs: Seq[String] = Nil,
+      keptDvf: Map[String, Long] = Map.empty,
+      props: Map[String, String] = Map.empty)
       : Seq[String] = {
     val epochName = s"v=$next-${attemptTag()}"
     writeEpoch(rows, dir, epochName, hexDigits, blockBytes, sortCols,
@@ -1355,7 +1503,7 @@ object MergeTable {
     try {
       commitManifest(spark, dir, next, kept ++ fresh, hexDigits,
         keptFps ++ freshFps, tokens = tokens, sts = keptSts ++ freshSts,
-        cols = cols)
+        cols = cols, dvs = keptDvs, dvf = keptDvf, props = props)
       fresh
     }
     catch { case e: CommitConflictException =>
@@ -1391,7 +1539,7 @@ object MergeTable {
     * filtering it would pay an O(table-files) footer merge per write
     * just to plan a 40-file read (measured by the ScaleProbe manifest
     * leg: 7.6 s/upsert at 4096 buckets before, flat after). */
-  private def readEntries(spark: SparkSession, dir: String,
+  private def scanEntriesRaw(spark: SparkSession, dir: String,
       entries: Seq[String]): DataFrame =
     // the bucket id comes from the FILE PATH, never from partition
     // inference: over a SPARSE file set the inferred type is unsafe —
@@ -1406,6 +1554,57 @@ object MergeTable {
       .drop("v").drop("bucket")
       .withColumn("bucket",
         regexp_extract(col("_metadata.file_path"), "/bucket=([^/]+)/", 1))
+
+  /** Tombstone sets at or below this many rows broadcast to the
+    * anti-join (a DV is small by design — a table whose tombstones
+    * outgrow this should have been compacted; the join still runs,
+    * as a shuffle). */
+  private val DvBroadcastMaxRows = 4L << 20
+
+  /** A snapshot's live tombstones restricted to `within` data files,
+    * as (`file` = manifest entry relpath, `pos` = parquet row index)
+    * rows — the anti-join side of every merge-on-read read. */
+  private def dvTombstones(spark: SparkSession, dir: String,
+      man: ManifestData, within: Seq[String]): DataFrame = {
+    val all = spark.read.parquet(man.dvs.map(p => s"$dir/$p"): _*)
+    // tombstones of files outside this read can never join; the
+    // filter keeps the (possibly broadcast) side ∝ the files read —
+    // at very large dirty lists the IN-literal would bloat the plan,
+    // and the anti-join drops non-matches anyway, so skip it there
+    if (within.size <= 1024) all.filter(col("file").isin(within: _*))
+    else all
+  }
+
+  /** DV-aware entry read: clean files (no tombstones) scan verbatim;
+    * dirty files scan with their parquet row identity
+    * (`_metadata.file_path` + `_metadata.row_index`) and anti-join the
+    * snapshot's tombstones — work ∝ dirty files + tombstone rows, the
+    * merge-on-read contract. The tombstone side broadcasts when small
+    * (the typical compliance-delete shape). */
+  private def readEntries(spark: SparkSession, dir: String,
+      man: ManifestData, entries: Seq[String]): DataFrame = {
+    val dirty = entries.filter(man.dvf.contains)
+    if (dirty.isEmpty) scanEntriesRaw(spark, dir, entries)
+    else {
+      val clean = entries.filterNot(man.dvf.contains)
+      val nTomb = dirty.map(man.dvf).sum
+      val tomb0 = dvTombstones(spark, dir, man, dirty)
+      val tomb = if (nTomb <= DvBroadcastMaxRows) broadcast(tomb0)
+        else tomb0
+      val scanned = scanEntriesRaw(spark, dir, dirty)
+        .withColumn("__dv_file", regexp_extract(
+          col("_metadata.file_path"),
+          "([^/]+/bucket=[0-9a-f]+/[^/]+)$", 1))
+        .withColumn("__dv_pos", col("_metadata.row_index"))
+      val live = scanned.join(tomb,
+        scanned("__dv_file") === tomb("file") &&
+          scanned("__dv_pos") === tomb("pos"), "left_anti")
+        .drop("__dv_file", "__dv_pos")
+      if (clean.isEmpty) live
+      else scanEntriesRaw(spark, dir, clean)
+        .unionByName(live, allowMissingColumns = true)
+    }
+  }
 
   /** The snapshot's LOGICAL view of a physically-named frame: one
     * projection renaming mapped physicals and excluding dropped ones
@@ -1455,7 +1654,8 @@ object MergeTable {
       version: Option[Long] = None): DataFrame = {
     val v = version.getOrElse(versions(spark, dir).lastOption.getOrElse(
       throw new IllegalArgumentException(s"no MergeTable at $dir")))
-    val files = readManifest(spark, dir, v).map(e => s"$dir/data/$e")
+    val man = readManifestFull(spark, dir, v)
+    val files = man.entries.map(e => s"$dir/data/$e")
     if (files.isEmpty)
       // a version whose every row died lists no files — there is no
       // schema to infer, so name the state instead of surfacing
@@ -1467,10 +1667,19 @@ object MergeTable {
     // mergeSchema: snapshots may mix pre- and post-evolution files
     // (upsert allows EXTEND-only schema changes); merging footers is
     // manifest-sized work, and older files' rows read null for newer
-    // columns — the standard parquet evolution contract
-    spark.read.option("basePath", s"$dir/data")
-      .option("mergeSchema", "true").parquet(files: _*)
-      .drop("v")
+    // columns — the standard parquet evolution contract.
+    // A DV-FREE snapshot keeps the partition-inferred `bucket` (the
+    // column [[graft.plans.KeyToBucketPruning]] turns into a
+    // partition filter — the zero-DV path is byte-identical to
+    // pre-DV builds); a snapshot carrying tombstones routes through
+    // the DV-aware split instead, whose derived string bucket trades
+    // plan-level bucket pruning for row-identity joins until OPTIMIZE
+    // materializes the deletes and the table returns to the fast path.
+    if (man.dvf.isEmpty)
+      spark.read.option("basePath", s"$dir/data")
+        .option("mergeSchema", "true").parquet(files: _*)
+        .drop("v")
+    else readEntries(spark, dir, man, man.entries)
   }
 
   /** The table at a version (default: latest) — resolves that
@@ -1644,9 +1853,12 @@ object MergeTable {
       md.entries.size.toLong, buckets.size.toLong,
       attested.map(fpRows), vs.size.toLong,
       tags(spark, dir).size.toLong,
-      constraints(spark, dir).size.toLong))
+      constraints(spark, dir).size.toLong,
+      md.dvs.size.toLong, md.dvf.values.sum,
+      md.props.size.toLong))
       .toDF("key_col", "version", "hex_digits", "files", "buckets",
-        "rows", "versions_retained", "tags", "constraints")
+        "rows", "versions_retained", "tags", "constraints",
+        "dv_files", "dv_tombstones", "properties")
   }
 
   /** Register the SQL table-valued surface (`merge_table`,
@@ -1697,7 +1909,8 @@ object MergeTable {
     val entries = man.entries.filter(e => buckets.contains(bucketOfEntry(e)))
     if (entries.isEmpty) readTable(spark, dir, Some(v)).filter(lit(false))
     else applyLogicalView(
-      readEntries(spark, dir, entries).filter(col(key).isin(keys: _*)),
+      readEntries(spark, dir, man, entries)
+        .filter(col(key).isin(keys: _*)),
       man.cols)
   }
 
@@ -1790,7 +2003,7 @@ object MergeTable {
       // batch's own shape stands in for the (empty) existing side
       val existing =
         if (rewritten.isEmpty) batch.limit(0)
-        else readEntries(spark, dir, rewritten)
+        else readEntries(spark, dir, man, rewritten)
       val matched = existing.join(batch.select(key), Seq(key), "left_semi")
         .count()
       // SCHEMA EVOLUTION, extend-only: the batch may ADD columns (old
@@ -1821,7 +2034,8 @@ object MergeTable {
         man.hexDigits, beforeCommit, keptFps = man.fps -- impacted,
         tokens = man.tokens,
         keptSts = man.sts.view.filterKeys(kept.toSet).toMap,
-        cols = man.cols)
+        cols = man.cols, keptDvs = man.dvs, keptDvf = man.dvf,
+        props = man.props)
       CowStats(next, impacted.size.toLong, rewritten.size.toLong,
         fresh.size.toLong, matched, nBatch - matched)
     }
@@ -1851,7 +2065,7 @@ object MergeTable {
     // irrelevant — zero rows write zero files)
     val existing =
       if (rewritten.isEmpty) ks.limit(0)
-      else readEntries(spark, dir, rewritten)
+      else readEntries(spark, dir, man, rewritten)
     val matched = existing.join(ks.select(key), Seq(key), "left_semi")
       .count()
     val survivors = existing.join(ks.select(key), Seq(key), "left_anti")
@@ -1861,9 +2075,177 @@ object MergeTable {
       man.hexDigits, () => (), keptFps = man.fps -- impacted,
       tokens = man.tokens,
       keptSts = man.sts.view.filterKeys(kept.toSet).toMap,
-      cols = man.cols)
+      cols = man.cols, keptDvs = man.dvs, keptDvf = man.dvf,
+      props = man.props)
     CowStats(next, impacted.size.toLong, rewritten.size.toLong,
       fresh.size.toLong, matched, 0L)
+  }
+
+  final case class MorDeleteStats(version: Long, rowsDeleted: Long,
+    filesAffected: Long, bucketsTouched: Long, dvFilesAdded: Long)
+
+  /** MERGE-ON-READ delete by key: instead of rewriting every impacted
+    * bucket (the [[deleteKeys]] copy-on-write contract — write
+    * amplification ∝ bucket size however few rows die), the matching
+    * rows' parquet ROW IDENTITIES (file, row index) land in a
+    * DELETION-VECTOR file under `_dvs/` and the new manifest annotates
+    * the affected data files (`#dvf=`) — ZERO data files rewritten,
+    * write cost ∝ deleted rows. Reads anti-join the tombstones (only
+    * dirty files pay — see [[readEntries]]); [[optimize]] of a dirty
+    * bucket materializes the deletes and sheds its annotations; the
+    * manifest's `#requires=dv` reader gate keeps a DV-blind engine
+    * from silently resurrecting the rows.
+    *
+    * The impacted buckets' content FINGERPRINTS are DECREMENTED
+    * exactly: the fp hash channels are order-independent SUMS of
+    * per-row xxhash64, so subtracting the deleted rows' contributions
+    * (one O(deleted rows) aggregate over the candidate scan) yields
+    * the survivors' fingerprint bit-for-bit — [[fsckDeep]] re-attests
+    * it, [[changes]] prunes by it, and a later rewrite's read-back
+    * fingerprint lands on the same value, which is why compaction
+    * stays CDC-free even while purging tombstones. A legacy bucket
+    * carrying NO fingerprint refuses the MOR path loudly (its CDC
+    * fallback is file-list identity, which a tombstone-only commit
+    * does not change — silence would hide the deletes from the
+    * changefeed); use [[deleteKeys]] there.
+    *
+    * Rows stay readable at PRIOR versions until [[vacuum]] — same
+    * retention contract as every writer here. Deleting a key twice is
+    * exact: already-tombstoned rows are invisible to the candidate
+    * scan, so replays decrement nothing. */
+  def deleteKeysMor(spark: SparkSession, dir: String,
+      keys: DataFrame): MorDeleteStats =
+    retryOnConflict("deleteKeysMor", dir) {
+      val key = keyMeta(spark, dir, None)
+      val cur = versions(spark, dir).lastOption.getOrElse(
+        throw new IllegalArgumentException(s"no MergeTable at $dir"))
+      val man = readManifestFull(spark, dir, cur)
+      val ks = keys.select(col(keys.columns.head).as(key))
+        .withColumn("bucket", bucketCol(col(key), man.hexDigits))
+        .localCheckpoint(true)
+      val impacted = ks.select("bucket").distinct()
+        .collect().map(_.getString(0)).toSet
+      val candidates = man.entries.filter(e =>
+        impacted.contains(bucketOfEntry(e)))
+      morTombstone(spark, dir, cur, man, candidates,
+        live => live.join(ks.select(key), Seq(key), "left_semi"))
+    }
+
+  /** MERGE-ON-READ predicate delete — `cond` speaks the table's
+    * LOGICAL column names (the SQL `DELETE … WHERE` shape). Scans the
+    * snapshot once to find victims (file pruning applies where the
+    * predicate is manifest-stats-prunable), writes their row
+    * identities as tombstones, rewrites nothing. */
+  def deleteWhereMor(spark: SparkSession, dir: String,
+      cond: Column): MorDeleteStats =
+    retryOnConflict("deleteWhereMor", dir) {
+      val cur = versions(spark, dir).lastOption.getOrElse(
+        throw new IllegalArgumentException(s"no MergeTable at $dir"))
+      val man = readManifestFull(spark, dir, cur)
+      morTombstone(spark, dir, cur, man, man.entries, { live =>
+        // the predicate resolves against the LOGICAL view, but the
+        // fingerprint decrement must hash PHYSICAL columns (names
+        // drive the hash-input sort order; dropped physicals still
+        // contribute bytes) — so pick row IDENTITIES logically, then
+        // semi-join them back onto the physical frame
+        // checkpoint severs the self-join lineage (ids derives from
+        // `live`) and materializes only O(deleted rows)
+        val ids = applyLogicalView(live, man.cols).filter(cond)
+          .select(col("__dv_file"), col("__dv_pos"))
+          .localCheckpoint(true)
+        live.join(broadcast(ids), Seq("__dv_file", "__dv_pos"),
+          "left_semi")
+      })
+    }
+
+  /** Shared MOR tombstone writer: `pick` selects the victims from the
+    * LIVE rows (existing tombstones pre-applied — a dead row must not
+    * decrement twice) of `candidates`, which carry `__dv_file` /
+    * `__dv_pos` row identities alongside the physical payload. */
+  private def morTombstone(spark: SparkSession, dir: String, cur: Long,
+      man: ManifestData, candidates: Seq[String],
+      pick: DataFrame => DataFrame): MorDeleteStats = {
+    if (candidates.isEmpty)
+      return MorDeleteStats(cur, 0L, 0L, 0L, 0L)
+    val scanned = scanEntriesRaw(spark, dir, candidates)
+      .withColumn("__dv_file", regexp_extract(
+        col("_metadata.file_path"),
+        "([^/]+/bucket=[0-9a-f]+/[^/]+)$", 1))
+      .withColumn("__dv_pos", col("_metadata.row_index"))
+    val dirty = candidates.filter(man.dvf.contains)
+    val live =
+      if (dirty.isEmpty) scanned
+      else {
+        val tomb0 = dvTombstones(spark, dir, man, dirty)
+        val tomb = if (dirty.map(man.dvf).sum <= DvBroadcastMaxRows)
+          broadcast(tomb0) else tomb0
+        scanned.join(tomb,
+          scanned("__dv_file") === tomb("file") &&
+            scanned("__dv_pos") === tomb("pos"), "left_anti")
+      }
+    // victims materialize ONCE (O(deleted rows)) and serve both the
+    // decrement aggregate and the tombstone write
+    val hits = pick(live).localCheckpoint(true)
+    val payload = hits.columns
+      .filterNot(c => c == "bucket" || c == "__dv_file" ||
+        c == "__dv_pos").sorted.toSeq
+    val agg = hits.select(Seq(col("bucket"), col("__dv_file")) ++
+        fpHashCols(payload): _*)
+      .groupBy("bucket", "__dv_file")
+      .agg(count(lit(1)).as("n"), sum("fp_h").as("h"),
+        sum("fp_h2").as("h2"))
+      .collect()
+    if (agg.isEmpty) return MorDeleteStats(cur, 0L, 0L, 0L, 0L)
+    val unattested = agg.map(_.getString(0)).distinct
+      .filterNot(man.fps.contains)
+    require(unattested.isEmpty,
+      "deletion vectors need per-bucket fingerprints, but bucket(s) " +
+        s"${unattested.sorted.mkString(", ")} carry none (legacy " +
+        "writer) — their CDC fallback is file-list identity, which a " +
+        "tombstone-only commit does not change, so the changefeed " +
+        "would silently miss these deletes; use deleteKeys " +
+        "(copy-on-write) or optimize the table first")
+    val nTomb = agg.map(_.getLong(2)).sum
+    val newFps = man.fps ++ agg.groupBy(_.getString(0)).map {
+      case (b, rs) =>
+        val dn = rs.map(_.getLong(2)).sum
+        val dh1 = rs.map(r => BigInt(r.getDecimal(3).toBigInteger)).sum
+        val dh2 = rs.map(r => BigInt(r.getDecimal(4).toBigInteger)).sum
+        val parts = man.fps(b).split(":")
+        val comps = Seq((parts(0).toLong - dn).toString) ++
+          (if (parts.length > 1) Seq((BigInt(parts(1)) - dh1).toString)
+           else Nil) ++
+          (if (parts.length > 2) Seq((BigInt(parts(2)) - dh2).toString)
+           else Nil)
+        b -> comps.mkString(":")
+    }
+    val perFile = agg.groupBy(_.getString(1)).view
+      .mapValues(_.map(_.getLong(2)).sum).toMap
+    val dvName = s"dv=${cur + 1}-${attemptTag()}"
+    val nParts = math.max(1L,
+      nTomb / DvBroadcastMaxRows).toInt
+    hits.select(col("__dv_file").as("file"), col("__dv_pos").as("pos"))
+      .repartition(nParts)
+      .write.mode("errorifexists").parquet(s"$dir/_dvs/$dvName")
+    val fs = hadoopFs(spark, dir)
+    val newDvs = fs.listStatus(new Path(s"$dir/_dvs/$dvName"))
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+      .map(st => s"_dvs/$dvName/${st.getPath.getName}").toSeq.sorted
+    val newDvf = man.dvf ++ perFile.map { case (f, n) =>
+      f -> (man.dvf.getOrElse(f, 0L) + n)
+    }
+    try {
+      commitManifest(spark, dir, cur + 1, man.entries, man.hexDigits,
+        newFps, tokens = man.tokens, sts = man.sts, cols = man.cols,
+        dvs = man.dvs ++ newDvs, dvf = newDvf, props = man.props)
+      MorDeleteStats(cur + 1, nTomb, perFile.size.toLong,
+        agg.map(_.getString(0)).distinct.length.toLong,
+        newDvs.size.toLong)
+    } catch {
+      case e: CommitConflictException =>
+        fs.delete(new Path(s"$dir/_dvs/$dvName"), true)
+        throw e
+    }
   }
 
   /** Clause actions for [[merge]] — the conditional three-way MERGE
@@ -1996,7 +2378,7 @@ object MergeTable {
       // on the way back down, at toPhysical below
       val existing =
         if (rewritten.isEmpty) batch.limit(0)
-        else applyLogicalView(readEntries(spark, dir, rewritten),
+        else applyLogicalView(readEntries(spark, dir, man, rewritten),
           man.cols)
       val tgtCols = existing.columns.filterNot(_ == "bucket").toSeq
       val srcCols = batch.columns.filterNot(_ == "bucket").toSeq
@@ -2090,7 +2472,8 @@ object MergeTable {
         man.hexDigits, beforeCommit, keptFps = man.fps -- impacted,
         tokens = newTokens,
         keptSts = man.sts.view.filterKeys(kept.toSet).toMap,
-        cols = man.cols)
+        cols = man.cols, keptDvs = man.dvs, keptDvf = man.dvf,
+        props = man.props)
       MergeStats(next, impacted.size.toLong, rewritten.size.toLong,
         fresh.size.toLong, total(updatedIds), total(deleteIds),
         total(insertIds), counts.getOrElse(0, 0L))
@@ -2179,7 +2562,7 @@ object MergeTable {
     // rewrite lists ONLY the doomed buckets' files (O(scope), the
     // impacted-bucket read path) — never a table scan.
     val all = (if (kept.isEmpty) readPhysical(spark, dir, Some(cur))
-      else readEntries(spark, dir, doomed)).localCheckpoint(true)
+      else readEntries(spark, dir, man, doomed)).localCheckpoint(true)
     val physSort = man.cols.collectFirst {
       case (p, l) if l == sortCol => p }.getOrElse(sortCol)
     // STRIPING (maxRecordsPerFile) needs a TOTAL order so stripe
@@ -2196,7 +2579,8 @@ object MergeTable {
       man.hexDigits, () => (), sortCols = sortCols,
       keptFps = man.fps -- doomedBuckets, tokens = man.tokens,
       keptSts = man.sts.view.filterKeys(kept.toSet).toMap,
-      maxRecordsPerFile = maxRecordsPerFile, cols = man.cols)
+      maxRecordsPerFile = maxRecordsPerFile, cols = man.cols,
+      keptDvs = man.dvs, keptDvf = man.dvf, props = man.props)
     CowStats(next, doomedBuckets.size.toLong, doomed.size.toLong,
       fresh.size.toLong, 0L, 0L)
     }
@@ -2256,7 +2640,7 @@ object MergeTable {
         case (p, l) if l == c => p }.getOrElse(c)
       val all = Layout.withZVal(
         if (kept.isEmpty) readPhysical(spark, dir, Some(cur))
-        else readEntries(spark, dir, doomed), phys(xCol), phys(yCol))
+        else readEntries(spark, dir, man, doomed), phys(xCol), phys(yCol))
         .localCheckpoint(true)
       val doomedBuckets = doomed.map(bucketOfEntry).toSet
       val fresh = commitEpoch(spark, dir, next, all, kept,
@@ -2265,7 +2649,8 @@ object MergeTable {
         dropAfterSort = Seq("zval"),
         keptFps = man.fps -- doomedBuckets, tokens = man.tokens,
         keptSts = man.sts.view.filterKeys(kept.toSet).toMap,
-        maxRecordsPerFile = maxRecordsPerFile, cols = man.cols)
+        maxRecordsPerFile = maxRecordsPerFile, cols = man.cols,
+        keptDvs = man.dvs, keptDvf = man.dvf, props = man.props)
       CowStats(next, doomedBuckets.size.toLong,
         doomed.size.toLong, fresh.size.toLong, 0L, 0L)
       }
@@ -2297,7 +2682,8 @@ object MergeTable {
       val rehashed = readPhysical(spark, dir, Some(cur)).drop("bucket")
         .withColumn("bucket", bucketCol(col(key), newHexDigits))
       val fresh = commitEpoch(spark, dir, next, rehashed, Seq.empty,
-        newHexDigits, () => (), tokens = man.tokens, cols = man.cols)
+        newHexDigits, () => (), tokens = man.tokens, cols = man.cols,
+        props = man.props)
       CowStats(next, fresh.size.toLong, man.entries.size.toLong,
         fresh.size.toLong, 0L, 0L)
     }
@@ -2359,7 +2745,9 @@ object MergeTable {
       vs.splitAt(math.max(0, vs.size - retainVersions))
     val drop = dropRaw.filterNot(pinned)
     val keep = dropRaw.filter(pinned) ++ keepSuffix
-    val live = keep.flatMap(readManifest(spark, dir, _)).toSet
+    val keptMans = keep.map(readManifestFull(spark, dir, _))
+    val live = keptMans.flatMap(_.entries).toSet
+    val liveDvs = keptMans.flatMap(_.dvs).toSet
     val cur = vs.lastOption.getOrElse(0L)
     // 1) expired manifests + stale commit temps (metadata only)
     drop.foreach(v => fs.delete(manifestPath(dir, v), false))
@@ -2401,7 +2789,18 @@ object MergeTable {
     }
     parMeta(doomed)(rel =>
       fs.delete(new Path(s"$dir/data/$rel"), false)): Unit
-    VacuumStats(doomed.size.toLong, live.size.toLong, drop.size.toLong,
+    // deletion-vector files sweep under the same contract: referenced
+    // by any retained manifest → kept; else (expired histories,
+    // crashed MOR attempts, fully-purged tables) aged files drop —
+    // after the manifests, preserving the crash ordering
+    val doomedDvs = walkDvFiles(fs, dir).collect {
+      case (rel, mtime)
+          if !liveDvs.contains(rel) && mtime <= sweepBefore => rel
+    }
+    parMeta(doomedDvs)(rel =>
+      fs.delete(new Path(s"$dir/$rel"), false)): Unit
+    VacuumStats((doomed.size + doomedDvs.size).toLong,
+      (live.size + liveDvs.size).toLong, drop.size.toLong,
       keep.size.toLong)
   }
 
@@ -2503,7 +2902,9 @@ object MergeTable {
     // renamed column is the SAME column (physical identity — the diff
     // joins and compares physically, so a rename-only window yields
     // no rows), and a dropped column stops appearing
-    val viewCols = readManifestFull(spark, dir, toV).cols
+    val manFrom = readManifestFull(spark, dir, fromV)
+    val manTo = readManifestFull(spark, dir, toV)
+    val viewCols = manTo.cols
     val changed = changedBuckets(spark, dir, fromV, toV).toSet
     // prune the FILE LISTS, not a partition filter over a full-table
     // scan: a scan of all files pays an O(files) mergeSchema footer
@@ -2513,11 +2914,10 @@ object MergeTable {
     // files keeps the whole diff O(changed buckets) from the first
     // byte, and the all-unchanged case below never touches data at
     // all.
-    def sideEntries(v: Long): Seq[String] =
-      readManifest(spark, dir, v)
-        .filter(e => changed.contains(bucketOfEntry(e)))
-    val ff = sideEntries(fromV)
-    val tf = sideEntries(toV)
+    def sideEntries(m: ManifestData): Seq[String] =
+      m.entries.filter(e => changed.contains(bucketOfEntry(e)))
+    val ff = sideEntries(manFrom)
+    val tf = sideEntries(manTo)
     if (ff.isEmpty && tf.isEmpty) {
       // quiet window (every bucket fingerprint-identical — e.g. a
       // changefeed run straddling OPTIMIZE): zero rows, and the cost
@@ -2553,15 +2953,20 @@ object MergeTable {
     }
     // a side with no changed files (every changed bucket born after
     // fromV, or dropped by toV) reads the OTHER side's files for its
-    // schema and contributes zero rows
-    def side0(es: Seq[String], other: Seq[String]): DataFrame = {
+    // schema and contributes zero rows. Each side applies ITS OWN
+    // version's tombstones (a merge-on-read delete changes the same
+    // files' logical rows, so the diff must read each endpoint's DV
+    // state — a DV-only window then classifies the masked rows as
+    // deletes through the ordinary full-outer diff).
+    def side0(m: ManifestData, es: Seq[String],
+        other: Seq[String]): DataFrame = {
       val d = applyLogicalView(
-        readEntries(spark, dir, if (es.nonEmpty) es else other)
+        readEntries(spark, dir, m, if (es.nonEmpty) es else other)
           .drop("bucket"), viewCols)
       if (es.nonEmpty) d else d.limit(0)
     }
-    val tFrom = side0(ff, tf)
-    val tTo = side0(tf, ff)
+    val tFrom = side0(manFrom, ff, tf)
+    val tTo = side0(manTo, tf, ff)
     // align both sides on the UNION of their columns (a diff may
     // straddle a schema evolution; the older side reads null for the
     // newer columns, so an evolved value registers as an update)

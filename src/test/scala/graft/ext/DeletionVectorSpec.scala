@@ -1,0 +1,292 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** MERGE-ON-READ deletion vectors: a keyed/predicate delete writes
+  * TOMBSTONES (file, row index) instead of rewriting buckets — zero
+  * data files touched, reads anti-join only dirty files, fingerprints
+  * decrement EXACTLY (fsckDeep re-attests; compaction that purges the
+  * tombstones lands on the same fingerprint, so OPTIMIZE stays
+  * CDC-free), rewrites materialize the deletes (no resurrection),
+  * vacuum keeps referenced DV files and sweeps expired ones, and the
+  * manifest's `#requires=` capability line gates DV-blind readers. */
+class DeletionVectorSpec extends SparkSpec {
+
+  private def mkTable(n: Int = 500, hexDigits: Int = 1): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dv")
+      .resolve("t").toString
+    val df = (1 to n).map(i => (i.toLong, s"v$i", i.toLong * 10))
+      .toDF("key", "value", "cents")
+    MergeTable.create(df, dir, "key", hexDigits)
+    dir
+  }
+
+  private def fileIds(dir: String): Map[String, (Long, Long)] = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(s"$dir/data")
+    fs.listStatus(root).filter(_.isDirectory).flatMap { epoch =>
+      fs.listStatus(epoch.getPath).filter(_.isDirectory).flatMap { d =>
+        fs.listStatus(d.getPath).filter(_.isFile)
+          .filterNot(_.getPath.getName.startsWith("_"))
+          .map(f => s"${epoch.getPath.getName}/${d.getPath.getName}/" +
+            f.getPath.getName -> (f.getLen, f.getModificationTime))
+      }
+    }.toMap
+  }
+
+  private def keysOf(dir: String, v: Option[Long] = None): Set[Long] =
+    MergeTable.readTable(spark, dir, v)
+      .select("key").collect().map(_.getLong(0)).toSet
+
+  test("deleteKeysMor removes the rows WITHOUT touching any data " +
+      "file; prior versions still see them; re-delete is a no-op") {
+    import spark.implicits._
+    val dir = mkTable()
+    val before = fileIds(dir)
+    val doomed = Seq(7L, 42L, 301L, 499L)
+    val st = MergeTable.deleteKeysMor(spark, dir, doomed.toDF("key"))
+    assert(st.version === 2L)
+    assert(st.rowsDeleted === 4L)
+    assert(st.dvFilesAdded >= 1L)
+    // ZERO data-file writes — byte-identical file set
+    assert(fileIds(dir) === before)
+    assert(keysOf(dir) === (1 to 500).map(_.toLong).toSet -- doomed)
+    // time travel: version 1 still carries the rows
+    assert(keysOf(dir, Some(1L)) === (1 to 500).map(_.toLong).toSet)
+    // replay: the rows are already dead — nothing decrements twice
+    val st2 = MergeTable.deleteKeysMor(spark, dir, doomed.toDF("key"))
+    assert(st2.rowsDeleted === 0L)
+    assert(MergeTable.versions(spark, dir) === Seq(1L, 2L))
+    // a second MOR delete stacks on the first
+    val st3 = MergeTable.deleteKeysMor(spark, dir, Seq(1L, 2L).toDF("k"))
+    assert(st3.rowsDeleted === 2L && st3.version === 3L)
+    assert(keysOf(dir) ===
+      (3 to 500).map(_.toLong).toSet -- doomed)
+    assert(fileIds(dir) === before)
+  }
+
+  test("fingerprint decrement is EXACT: fsckDeep re-attests the " +
+      "tombstoned snapshot clean, and history/detail row counts are " +
+      "the logical (post-delete) counts") {
+    import spark.implicits._
+    val dir = mkTable()
+    MergeTable.deleteKeysMor(spark, dir,
+      (1 to 100 by 3).map(_.toLong).toDF("key"))
+    val rep = MergeTable.fsckDeep(spark, dir)
+    assert(rep.mismatched.isEmpty && rep.unattested.isEmpty)
+    assert(rep.bucketsChecked > 0)
+    val hist = MergeTable.history(spark, dir)
+      .orderBy("v").collect()
+    assert(hist(0).getLong(3) === 500L)
+    assert(hist(1).getLong(3) === 500L - 34L)
+    val det = MergeTable.detail(spark, dir).collect().head
+    assert(det.getAs[Long]("dv_tombstones") === 34L)
+    assert(det.getAs[Long]("dv_files") >= 1L)
+  }
+
+  test("deleteWhereMor speaks LOGICAL names (post-rename) and the " +
+      "decrement still hashes physical columns: fsckDeep clean") {
+    import spark.implicits._
+    val dir = mkTable()
+    MergeTable.renameColumn(spark, dir, "cents", "pennies")
+    val st = MergeTable.deleteWhereMor(spark, dir,
+      col("pennies") > lit(4900L))
+    assert(st.rowsDeleted === 10L) // keys 491..500
+    assert(keysOf(dir) === (1 to 490).map(_.toLong).toSet)
+    assert(MergeTable.fsckDeep(spark, dir).mismatched.isEmpty)
+  }
+
+  test("a rewrite of a dirty bucket MATERIALIZES the deletes (no " +
+      "resurrection) through upsert, COW delete, merge, and scoped " +
+      "optimize; untouched dirty buckets keep their tombstones") {
+    import spark.implicits._
+    val dir = mkTable()
+    MergeTable.deleteKeysMor(spark, dir,
+      (1 to 500 by 7).map(_.toLong).toDF("key")) // 72 keys, most buckets
+    val alive = keysOf(dir)
+    // upsert a fresh key: its bucket rewrites; deleted rows must stay dead
+    MergeTable.upsert(spark, dir,
+      Seq((1001L, "new", 1L)).toDF("key", "value", "cents"))
+    assert(keysOf(dir) === alive + 1001L)
+    // COW-delete one live key
+    MergeTable.deleteKeys(spark, dir, Seq(2L).toDF("key"))
+    assert(keysOf(dir) === alive + 1001L - 2L)
+    // merge UpdateAll on another live key
+    MergeTable.merge(spark, dir,
+      Seq((3L, "upd", 30L)).toDF("key", "value", "cents"),
+      matched = Seq(MergeTable.MergeWhen(None,
+        MergeTable.MergeAction.UpdateAll)),
+      notMatched = Seq(MergeTable.MergeWhen(None,
+        MergeTable.MergeAction.UpdateAll)))
+    assert(keysOf(dir) === alive + 1001L - 2L)
+    assert(MergeTable.readKeys(spark, dir, Seq(3L))
+      .select("value").collect().head.getString(0) === "upd")
+    // tombstoned keys are invisible to point lookups too
+    assert(MergeTable.readKeys(spark, dir, Seq(1L, 8L)).count() === 0L)
+    // full optimize purges every tombstone; contents identical
+    MergeTable.optimize(spark, dir, "cents")
+    val det = MergeTable.detail(spark, dir).collect().head
+    assert(det.getAs[Long]("dv_tombstones") === 0L)
+    assert(det.getAs[Long]("dv_files") === 0L)
+    assert(keysOf(dir) === alive + 1001L - 2L)
+    assert(MergeTable.fsckDeep(spark, dir).mismatched.isEmpty)
+  }
+
+  test("OPTIMIZE across a DV purge stays CDC-FREE: the materialized " +
+      "survivors' read-back fingerprint equals the decremented one, " +
+      "so a changefeed window straddling the compaction is quiet") {
+    import spark.implicits._
+    val dir = mkTable()
+    MergeTable.deleteKeysMor(spark, dir,
+      (10 to 60 by 5).map(_.toLong).toDF("key"))
+    val v2 = MergeTable.versions(spark, dir).last
+    val st = MergeTable.optimize(spark, dir, "cents")
+    assert(st.filesWritten > 0)
+    // the DV-only window classifies the masked rows as deletes...
+    val w1 = MergeTable.changes(spark, dir, 1L, v2)
+      .groupBy("change").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(w1 === Map("delete" -> 11L))
+    // ...and the optimize-only window diffs to zero rows
+    assert(MergeTable.changes(spark, dir, v2, st.version).count() === 0L)
+    // straddling both: still just the deletes
+    val w2 = MergeTable.changes(spark, dir, 1L, st.version)
+      .groupBy("change").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(w2 === Map("delete" -> 11L))
+  }
+
+  test("vacuum KEEPS deletion-vector files referenced by retained " +
+      "manifests and SWEEPS them once the history expires or a purge " +
+      "drops the reference; fsck audits them as referenced files") {
+    import spark.implicits._
+    val dir = mkTable()
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dvCount(): Int = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/_dvs")
+      if (!fs.exists(p)) 0
+      else fs.listStatus(p).filter(_.isDirectory).flatMap(d =>
+        fs.listStatus(d.getPath).filter(_.isFile)
+          .filterNot(_.getPath.getName.startsWith("_"))).length
+    }
+    MergeTable.deleteKeysMor(spark, dir, Seq(5L, 6L).toDF("key"))
+    assert(dvCount() >= 1)
+    val rep0 = MergeTable.fsck(spark, dir)
+    assert(rep0.orphans === 0L && rep0.missing === 0L)
+    // retention keeps v2 (the DV version): its dv files must survive
+    MergeTable.vacuum(spark, dir, retainVersions = 1,
+      minFileAgeMs = 0L)
+    assert(dvCount() >= 1)
+    assert(keysOf(dir) === (1 to 500).map(_.toLong).toSet - 5L - 6L)
+    // optimize materializes; the dv files lose their reference and
+    // the next vacuum reclaims them
+    MergeTable.optimize(spark, dir, "cents")
+    MergeTable.vacuum(spark, dir, retainVersions = 1,
+      minFileAgeMs = 0L)
+    assert(dvCount() === 0)
+    assert(MergeTable.fsck(spark, dir).missing === 0L)
+    assert(keysOf(dir) === (1 to 500).map(_.toLong).toSet - 5L - 6L)
+  }
+
+  test("the #requires= capability line gates unknown features " +
+      "loudly — a manifest demanding a capability this engine lacks " +
+      "refuses to read instead of returning wrong rows") {
+    import spark.implicits._
+    val dir = mkTable(20)
+    // plant a future capability into a copy of the head manifest
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mp = new org.apache.hadoop.fs.Path(s"$dir/_manifests/v000000001")
+    val in = fs.open(mp)
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    fs.delete(mp, false)
+    val out = fs.create(mp, true)
+    try out.write(("#requires=row-lineage\n" + body).getBytes("UTF-8"))
+    finally out.close()
+    val e = intercept[IllegalStateException] {
+      MergeTable.readTable(spark, dir).collect()
+    }
+    assert(e.getMessage.contains("row-lineage"))
+    assert(e.getMessage.contains("capabilit"))
+  }
+
+  test("restore carries the DELETION-VECTOR state with the data and " +
+      "keeps the HEAD's properties: rolling back to the tombstoned " +
+      "snapshot re-masks the rows") {
+    import spark.implicits._
+    val dir = mkTable()
+    MergeTable.deleteKeysMor(spark, dir, Seq(9L, 10L).toDF("key")) // v2
+    MergeTable.setProperties(spark, dir,
+      Map("graft.deletes.mode" -> "mor")) // v3
+    MergeTable.upsert(spark, dir,
+      Seq((9L, "back", 90L)).toDF("key", "value", "cents")) // v4: 9 returns
+    assert(keysOf(dir).contains(9L))
+    val v = MergeTable.restore(spark, dir, 2L)
+    assert(v === 5L)
+    assert(keysOf(dir) === (1 to 500).map(_.toLong).toSet - 9L - 10L)
+    // properties survive the data rollback (operational config)
+    assert(MergeTable.properties(spark, dir) ===
+      Map("graft.deletes.mode" -> "mor"))
+    assert(MergeTable.fsckDeep(spark, dir).mismatched.isEmpty)
+  }
+
+  test("table properties are VERSIONED metadata-only commits: set, " +
+      "merge, unset; time travel reads each version's own map") {
+    import spark.implicits._
+    val dir = mkTable(20)
+    val files = fileIds(dir)
+    val v2 = MergeTable.setProperties(spark, dir,
+      Map("a" -> "1", "graft.deletes.mode" -> "mor"))
+    val v3 = MergeTable.setProperties(spark, dir, Map("a" -> "2"))
+    val v4 = MergeTable.unsetProperties(spark, dir, Seq("a", "nope"))
+    assert((v2, v3, v4) === ((2L, 3L, 4L)))
+    assert(fileIds(dir) === files) // zero data writes
+    assert(MergeTable.properties(spark, dir, Some(2L))("a") === "1")
+    assert(MergeTable.properties(spark, dir, Some(3L))("a") === "2")
+    assert(MergeTable.properties(spark, dir) ===
+      Map("graft.deletes.mode" -> "mor"))
+    // invalid keys refuse loudly
+    intercept[IllegalArgumentException] {
+      MergeTable.setProperties(spark, dir, Map("a:b" -> "x"))
+    }
+  }
+
+  test("MOR deletes compose with the streaming changefeed source: " +
+      "a subscription over a DV-only commit delivers the deletes") {
+    import spark.implicits._
+    val dir = mkTable(60)
+    MergeTable.deleteKeysMor(spark, dir,
+      Seq(11L, 12L, 13L).toDF("key"))
+    val out = MergeTable.changes(spark, dir, 1L, 2L)
+      .select("key", "change").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out === Set((11L, "delete"), (12L, "delete"), (13L, "delete")))
+  }
+
+  test("a MOR delete against an UNATTESTED (legacy no-fingerprint) " +
+      "bucket refuses loudly instead of hiding the deletes from CDC") {
+    import spark.implicits._
+    val dir = mkTable(40)
+    // strip the #fp= lines from the head manifest (legacy shape)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mp = new org.apache.hadoop.fs.Path(s"$dir/_manifests/v000000001")
+    val in = fs.open(mp)
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().toList finally in.close()
+    fs.delete(mp, false)
+    val out = fs.create(mp, true)
+    try out.write(lines.filterNot(_.startsWith("#fp="))
+      .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    val e = intercept[IllegalArgumentException] {
+      MergeTable.deleteKeysMor(spark, dir, Seq(1L).toDF("key"))
+    }
+    assert(e.getMessage.contains("fingerprint"))
+  }
+}
