@@ -200,7 +200,8 @@ object MergeTable {
     cols: Map[String, String] = Map.empty,
     dvs: Seq[String] = Nil,
     dvf: Map[String, Long] = Map.empty,
-    props: Map[String, String] = Map.empty)
+    props: Map[String, String] = Map.empty,
+    bls: Map[String, String] = Map.empty)
 
   /** Reader capabilities THIS engine implements. A manifest whose
     * `#requires=` lines name anything else fails loudly at read time —
@@ -326,8 +327,23 @@ object MergeTable {
         val cut = body.indexOf(':')
         body.take(cut) -> body.drop(cut + 1)
     }.toMap
+    // per-FILE BLOOM FILTERS (`#bl=<file>|col:m:<base64>|...`) —
+    // equality-predicate file skipping for non-clustered columns;
+    // advisory like stats (a bloom-blind reader prunes nothing, which
+    // is sound).
+    val bls = lines.flatMap { l =>
+      if (!l.startsWith("#bl=")) None
+      else {
+        val body = l.drop(4)
+        val cut = body.indexOf('|')
+        if (cut < 0) Some(body -> "")
+        else Some(body.take(cut) -> body.drop(cut + 1))
+      }
+    }.groupBy(_._1).map { case (f, bs) =>
+      f -> bs.map(_._2).filter(_.nonEmpty).mkString("|")
+    }
     ManifestData(hex, lines.filterNot(_.startsWith("#")), fps, toks,
-      sts, colMap, dvs, dvf, props)
+      sts, colMap, dvs, dvf, props, bls)
   }
 
   private def readManifest(spark: SparkSession, dir: String,
@@ -575,7 +591,8 @@ object MergeTable {
       val next = cur + 1
       commitManifest(spark, dir, next, man.entries, man.hexDigits,
         man.fps, tokens = man.tokens, sts = man.sts, cols = man.cols,
-        dvs = man.dvs, dvf = man.dvf, props = man.props ++ kvs)
+        dvs = man.dvs, dvf = man.dvf, props = man.props ++ kvs,
+        bls = man.bls)
       next
     }
 
@@ -591,7 +608,8 @@ object MergeTable {
       val next = cur + 1
       commitManifest(spark, dir, next, man.entries, man.hexDigits,
         man.fps, tokens = man.tokens, sts = man.sts, cols = man.cols,
-        dvs = man.dvs, dvf = man.dvf, props = man.props -- keys)
+        dvs = man.dvs, dvf = man.dvf, props = man.props -- keys,
+        bls = man.bls)
       next
     }
 
@@ -637,7 +655,8 @@ object MergeTable {
       // delete-mode knob back)
       commitManifest(spark, dir, next, old.entries, old.hexDigits,
         old.fps, tokens = toks, sts = old.sts, cols = old.cols,
-        dvs = old.dvs, dvf = old.dvf, props = head.props)
+        dvs = old.dvs, dvf = old.dvf, props = head.props,
+        bls = old.bls)
       next
     }
 
@@ -711,7 +730,8 @@ object MergeTable {
       val next = cur + 1
       commitManifest(spark, dir, next, man.entries, man.hexDigits,
         man.fps, tokens = man.tokens, sts = man.sts, cols = newCols,
-        dvs = man.dvs, dvf = man.dvf, props = man.props)
+        dvs = man.dvs, dvf = man.dvf, props = man.props,
+        bls = man.bls)
       next
     }
 
@@ -773,7 +793,8 @@ object MergeTable {
       cols: Map[String, String] = Map.empty,
       dvs: Seq[String] = Nil,
       dvf: Map[String, Long] = Map.empty,
-      props: Map[String, String] = Map.empty): Unit = {
+      props: Map[String, String] = Map.empty,
+      bls: Map[String, String] = Map.empty): Unit = {
     val fs = hadoopFs(spark, dir)
     fs.mkdirs(manifestDir(dir))
     val p = manifestPath(dir, v)
@@ -843,10 +864,13 @@ object MergeTable {
         s"table property key '$k' must be ':'-free and single-line")
       s"#prop=$k:$pv"
     }
+    // blooms only for files the manifest lists (the stats discipline)
+    val blLines = bls.toSeq.filter(e => entries.toSet.contains(e._1))
+      .sortBy(_._1).map { case (f, body) => s"#bl=$f|$body" }
     try out.write(
       ((s"#hex=$hexDigits" +: tokLines) ++ propLines ++ colLines ++
         dvLines ++ fpLines ++
-        stLines ++ entries.sorted).mkString("\n").getBytes("UTF-8"))
+        stLines ++ blLines ++ entries.sorted).mkString("\n").getBytes("UTF-8"))
     finally out.close()
     beforePromote()
     val qualified = fs.makeQualified(p)
@@ -1111,6 +1135,114 @@ object MergeTable {
       r.getString(0) -> body
     }.toMap
     (fps, sts)
+  }
+
+  /** Per-file BLOOM FILTERS of a just-written epoch, for the columns
+    * the `graft.bloom.columns` table property names (integral/string
+    * columns; others fall out at probe time) — EQUALITY-predicate file
+    * skipping for columns the layout does NOT cluster by, where
+    * min/max stats span near-global ranges and can never skip a file.
+    * k = 4 probe positions per value from disjoint md5 slices of the
+    * value's STRING rendering (the q91 arithmetic — exactly
+    * restatable in the oracle, so acceptance pins planned file counts
+    * EXACTLY, collisions and all), OR-ed into m/64 words per (file,
+    * column); `graft.bloom.bits` sizes m (default 4096 — 512 bytes of
+    * manifest line per file-column; size for rows-per-stripe, and
+    * pair with STRIPE so n per file keeps the filter sparse). One
+    * extra columnar scan of the epoch, paid only by bloom-enabled
+    * tables; driver rows are O(files × m/64), the manifest cost
+    * class. Advisory: a bloom-blind reader prunes nothing (sound). */
+  private def epochBlooms(spark: SparkSession, dir: String,
+      epochName: String, blCols: Seq[String], mBits: Long)
+      : Map[String, String] = {
+    require(mBits >= 64 && mBits % 64 == 0,
+      s"graft.bloom.bits must be a positive multiple of 64, got $mBits")
+    blCols.foreach(c => require(
+      c.nonEmpty && !c.exists(ch => ch == ':' || ch == '|' || ch == '`'),
+      s"graft.bloom.columns name '$c' carries delimiters"))
+    val epochPath = s"$dir/data/$epochName"
+    val df = spark.read.option("basePath", epochPath).parquet(epochPath)
+    val present = blCols.filter(df.columns.contains)
+    if (present.isEmpty) return Map.empty
+    val fileCol = regexp_extract(col("_metadata.file_path"),
+      "([^/]+/bucket=[0-9a-f]+/[^/]+)$", 1).as("fp_file")
+    val perCol = present.map { c =>
+      val posArr =
+        s"""transform(sequence(0, 3), i ->
+           |  cast(conv(substring(md5(cast(`$c` as string)),
+           |    1 + i * 8, 8), 16, 10) as bigint) % $mBits""".stripMargin +
+          ")"
+      df.filter(col(c).isNotNull)
+        .select(fileCol, lit(c).as("bl_col"),
+          explode(expr(posArr)).as("p"))
+    }.reduce(_ unionAll _)
+    val words = perCol
+      .groupBy(col("fp_file"), col("bl_col"),
+        expr("cast(p div 64 as int)").as("wd"))
+      .agg(expr("bit_or(shiftleft(cast(1 as bigint), " +
+        "cast(p % 64 as int)))").as("bits"))
+      .collect()
+    words.groupBy(_.getString(0)).map { case (f, rs) =>
+      val body = rs.groupBy(_.getString(1)).toSeq.sortBy(_._1)
+        .map { case (c, ws) =>
+          val arr = new Array[Long]((mBits / 64).toInt)
+          ws.foreach(r => arr(r.getInt(2)) = r.getLong(3))
+          val bb = java.nio.ByteBuffer.allocate(arr.length * 8)
+          arr.foreach(bb.putLong)
+          s"$c:$mBits:${java.util.Base64.getEncoder
+            .encodeToString(bb.array())}"
+        }.mkString("|")
+      f -> body
+    }
+  }
+
+  /** Probe positions of one value's string rendering — the PLAN-time
+    * twin of [[epochBlooms]]' write-side arithmetic (identical md5
+    * slices, identical modulus). */
+  private[graft] def bloomPositions(rendered: String,
+      mBits: Long): Seq[Long] = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(rendered.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    (0 until 4).map(i =>
+      java.lang.Long.parseLong(h.substring(i * 8, i * 8 + 8), 16) % mBits)
+  }
+
+  /** Per-file bloom filters of the table at `dir`: entry relpath →
+    * column → (m bits, words), unioned over every retained manifest
+    * (file and bloom are immutable together — the stats discipline).
+    * Cached per dir against the manifest listing. Not checkpointed
+    * (blooms are the BULKY annotation; the read is O(retained
+    * manifests), bounded by vacuum retention). */
+  private val bloomCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[(Long, Long)],
+      Map[String, Map[String, (Long, Array[Long])]])]()
+
+  private[graft] def fileBloomIndex(spark: SparkSession, dir: String)
+      : Map[String, Map[String, (Long, Array[Long])]] = {
+    val key = new Path(dir).toUri.toString
+    val listing = manifestLens(spark, dir)
+    val cached = bloomCache.get(key)
+    if (cached != null && cached._1 == listing) return cached._2
+    val built = listing.map(_._1)
+      .map(v => readManifestFull(spark, dir, v).bls)
+      .foldLeft(Map.empty[String, String])(_ ++ _)
+      .map { case (f, body) =>
+        f -> body.split('|').toSeq.filter(_.nonEmpty).flatMap { seg =>
+          val parts = seg.split(":", 3)
+          if (parts.length != 3) None
+          else scala.util.Try {
+            val m = parts(1).toLong
+            val bytes = java.util.Base64.getDecoder.decode(parts(2))
+            val bb = java.nio.ByteBuffer.wrap(bytes)
+            val arr = new Array[Long](bytes.length / 8)
+            (0 until arr.length).foreach(i => arr(i) = bb.getLong())
+            parts(0) -> ((m, arr))
+          }.toOption
+        }.toMap
+      }
+    bloomCache.put(key, (listing, built))
+    built
   }
 
   /** Parsed per-file column stats for the table at `dir`: entry
@@ -1490,7 +1622,8 @@ object MergeTable {
       cols: Map[String, String] = Map.empty,
       keptDvs: Seq[String] = Nil,
       keptDvf: Map[String, Long] = Map.empty,
-      props: Map[String, String] = Map.empty)
+      props: Map[String, String] = Map.empty,
+      keptBls: Map[String, String] = Map.empty)
       : Seq[String] = {
     val epochName = s"v=$next-${attemptTag()}"
     writeEpoch(rows, dir, epochName, hexDigits, blockBytes, sortCols,
@@ -1499,11 +1632,21 @@ object MergeTable {
     val (freshFps, freshSts) =
       if (fresh.isEmpty) (Map.empty[String, String], Map.empty[String, String])
       else epochStats(spark, dir, epochName)
+    // bloom build rides the table property (set-then-rewrite: files
+    // written before the property was set stay unattested — sound)
+    val blCols = props.get("graft.bloom.columns")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+    val freshBls =
+      if (fresh.isEmpty || blCols.isEmpty) Map.empty[String, String]
+      else epochBlooms(spark, dir, epochName, blCols,
+        props.get("graft.bloom.bits").map(_.toLong).getOrElse(4096L))
     beforeCommit()
     try {
       commitManifest(spark, dir, next, kept ++ fresh, hexDigits,
         keptFps ++ freshFps, tokens = tokens, sts = keptSts ++ freshSts,
-        cols = cols, dvs = keptDvs, dvf = keptDvf, props = props)
+        cols = cols, dvs = keptDvs, dvf = keptDvf, props = props,
+        bls = keptBls ++ freshBls)
       fresh
     }
     catch { case e: CommitConflictException =>
@@ -2035,7 +2178,7 @@ object MergeTable {
         tokens = man.tokens,
         keptSts = man.sts.view.filterKeys(kept.toSet).toMap,
         cols = man.cols, keptDvs = man.dvs, keptDvf = man.dvf,
-        props = man.props)
+        props = man.props, keptBls = man.bls)
       CowStats(next, impacted.size.toLong, rewritten.size.toLong,
         fresh.size.toLong, matched, nBatch - matched)
     }
@@ -2076,7 +2219,7 @@ object MergeTable {
       tokens = man.tokens,
       keptSts = man.sts.view.filterKeys(kept.toSet).toMap,
       cols = man.cols, keptDvs = man.dvs, keptDvf = man.dvf,
-      props = man.props)
+      props = man.props, keptBls = man.bls)
     CowStats(next, impacted.size.toLong, rewritten.size.toLong,
       fresh.size.toLong, matched, 0L)
   }
@@ -2237,7 +2380,8 @@ object MergeTable {
     try {
       commitManifest(spark, dir, cur + 1, man.entries, man.hexDigits,
         newFps, tokens = man.tokens, sts = man.sts, cols = man.cols,
-        dvs = man.dvs ++ newDvs, dvf = newDvf, props = man.props)
+        dvs = man.dvs ++ newDvs, dvf = newDvf, props = man.props,
+        bls = man.bls)
       MorDeleteStats(cur + 1, nTomb, perFile.size.toLong,
         agg.map(_.getString(0)).distinct.length.toLong,
         newDvs.size.toLong)
@@ -2473,7 +2617,7 @@ object MergeTable {
         tokens = newTokens,
         keptSts = man.sts.view.filterKeys(kept.toSet).toMap,
         cols = man.cols, keptDvs = man.dvs, keptDvf = man.dvf,
-        props = man.props)
+        props = man.props, keptBls = man.bls)
       MergeStats(next, impacted.size.toLong, rewritten.size.toLong,
         fresh.size.toLong, total(updatedIds), total(deleteIds),
         total(insertIds), counts.getOrElse(0, 0L))
@@ -2580,7 +2724,8 @@ object MergeTable {
       keptFps = man.fps -- doomedBuckets, tokens = man.tokens,
       keptSts = man.sts.view.filterKeys(kept.toSet).toMap,
       maxRecordsPerFile = maxRecordsPerFile, cols = man.cols,
-      keptDvs = man.dvs, keptDvf = man.dvf, props = man.props)
+      keptDvs = man.dvs, keptDvf = man.dvf, props = man.props,
+      keptBls = man.bls)
     CowStats(next, doomedBuckets.size.toLong, doomed.size.toLong,
       fresh.size.toLong, 0L, 0L)
     }
@@ -2650,7 +2795,8 @@ object MergeTable {
         keptFps = man.fps -- doomedBuckets, tokens = man.tokens,
         keptSts = man.sts.view.filterKeys(kept.toSet).toMap,
         maxRecordsPerFile = maxRecordsPerFile, cols = man.cols,
-        keptDvs = man.dvs, keptDvf = man.dvf, props = man.props)
+        keptDvs = man.dvs, keptDvf = man.dvf, props = man.props,
+        keptBls = man.bls)
       CowStats(next, doomedBuckets.size.toLong,
         doomed.size.toLong, fresh.size.toLong, 0L, 0L)
       }
@@ -2683,7 +2829,7 @@ object MergeTable {
         .withColumn("bucket", bucketCol(col(key), newHexDigits))
       val fresh = commitEpoch(spark, dir, next, rehashed, Seq.empty,
         newHexDigits, () => (), tokens = man.tokens, cols = man.cols,
-        props = man.props)
+        props = man.props)  // bls rebuild with the rewrite (all fresh)
       CowStats(next, fresh.size.toLong, man.entries.size.toLong,
         fresh.size.toLong, 0L, 0L)
     }
@@ -3879,6 +4025,178 @@ object MergeTable {
     },
     lifecycleStateSql(HEX_DIGITS))
 
+  /** q176 — MERGE-ON-READ DELETION VECTORS acceptance, SQL-first:
+    * create (16 buckets) → `SET TBLPROPERTIES ('graft.deletes.mode' =
+    * 'mor')` → a predicate `DELETE` (key % 101 = 0 →
+    * [[deleteWhereMor]]) → a keyed `DELETE … IN (1,2,3)`
+    * ([[deleteKeysMor]]) — and the gate pins the MOR contract:
+    *  - ZERO data files touched across both deletes (manifest entry
+    *    sets byte-identical, Scala require; `files_total`
+    *    oracle-pinned as the distinct non-empty buckets),
+    *  - `dv_tombstones` equals the deleted-row count the oracle
+    *    re-derives,
+    *  - the CDC window over the tombstone-only commits classifies
+    *    exactly those rows as deletes (`cdc_deletes` — the decremented
+    *    fingerprints are what let [[changedBuckets]] see them),
+    *  - [[fsckDeep]] re-attests the decremented fingerprints clean
+    *    (the decrement is EXACT, not approximate),
+    *  - time travel still reads the pre-delete row count
+    *    (`rows_before_delete`),
+    *  - a full OPTIMIZE then MATERIALIZES the deletes (tombstones drop
+    *    to zero) and the FINAL STATE — the row output — matches the
+    *    oracle's base-minus-deleted restatement verbatim. */
+  private val q176DeletionVectors = QueryDef(
+    (s, dir) => {
+      val out = graft.core.Timing.build {
+        val o = java.nio.file.Files.createTempDirectory("graft-q176")
+          .resolve("table").toString
+        val base = baseRows(s, dir).localCheckpoint(true)
+        create(base, o, "key", hexDigits = 1)
+        o
+      }
+      s.sql(s"ALTER TABLE merge_table.`$out` SET TBLPROPERTIES " +
+        "('graft.deletes.mode' = 'mor')")
+      val before = readManifest(s, out, 2L).toSet
+      val r1 = s.sql(
+        s"DELETE FROM merge_table.`$out` WHERE key % 101 = 0")
+        .collect().head
+      require(r1.getLong(0) == 3L, "q176: first DELETE commits v3")
+      val r2 = s.sql(
+        s"DELETE FROM merge_table.`$out` WHERE key IN (1, 2, 3)")
+        .collect().head
+      require(r2.getLong(0) == 4L, "q176: second DELETE commits v4")
+      val after = readManifest(s, out, 4L).toSet
+      require(after == before,
+        "q176: MOR deletes must not touch a single data file")
+      val det = detail(s, out).collect().head
+      val tombs = det.getAs[Long]("dv_tombstones")
+      require(tombs == r1.getLong(2) + r2.getLong(2),
+        s"q176: tombstones $tombs != deleted " +
+          s"${r1.getLong(2)} + ${r2.getLong(2)}")
+      require(det.getAs[Long]("dv_files") >= 1L,
+        "q176: deletion-vector files must exist")
+      val rowsV2 = readTable(s, out, Some(2L)).count()
+      val cdcDel = changes(s, out, 2L, 4L)
+        .filter(col("change") === "delete").count()
+      val deep = fsckDeep(s, out)
+      require(deep.mismatched.isEmpty && deep.unattested.isEmpty,
+        s"q176: decremented fingerprints must re-attest: $deep")
+      optimize(s, out, "cents") // materializes; tombstones purge
+      val detAfter = detail(s, out).collect().head
+      require(detAfter.getAs[Long]("dv_tombstones") == 0L &&
+        detAfter.getAs[Long]("dv_files") == 0L,
+        "q176: OPTIMIZE must purge every tombstone")
+      readTable(s, out)
+        .select("key", "cust", "status", "cents", "bucket")
+        .withColumn("files_total", lit(before.size.toLong))
+        .withColumn("dv_tombstones", lit(tombs))
+        .withColumn("cdc_deletes", lit(cdcDel))
+        .withColumn("rows_before_delete", lit(rowsV2))
+        .orderBy("key")
+    },
+    s"""WITH base AS (
+       |  SELECT o_orderkey AS key, o_custkey AS cust,
+       |         o_orderstatus AS status,
+       |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+       |  FROM orders),
+       |g AS (SELECT base.*, ${bucketSql("key", 1)} AS bkt FROM base),
+       |del AS (SELECT key FROM base
+       |        WHERE key % 101 = 0 OR key IN (1, 2, 3)),
+       |dn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM del),
+       |fb AS (SELECT CAST(count(DISTINCT bkt) AS BIGINT) AS n FROM g),
+       |rv AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base)
+       |SELECT key, cust, status, cents, bkt AS bucket,
+       |       (SELECT n FROM fb) AS files_total,
+       |       (SELECT n FROM dn) AS dv_tombstones,
+       |       (SELECT n FROM dn) AS cdc_deletes,
+       |       (SELECT n FROM rv) AS rows_before_delete
+       |FROM g WHERE key NOT IN (SELECT key FROM del)
+       |ORDER BY key""".stripMargin)
+
+  /** q177 — BLOOM-FILTER FILE SKIPPING acceptance: equality
+    * predicates on a column the layout does NOT cluster by. A
+    * cents-striped table's per-file cust min/max spans near-global
+    * ranges (hash buckets + an orthogonal sort), so `WHERE cust = ?`
+    * can barely skip a file on bounds — the per-file BLOOM
+    * (`graft.bloom.columns`, built by the same optimize rewrite that
+    * stripes) is what prunes. The PLANNED file count is pinned to the
+    * oracle's EXACT re-derivation: the k=4 md5-slice probe positions
+    * are pure SQL (the q91 arithmetic), so the oracle rebuilds every
+    * file's position set over the stripe model and counts the files
+    * whose bits cover the probe — false positives arise from the SAME
+    * position collisions on both sides, which is what makes a
+    * probabilistic structure hash-gateable at all. Result rows are
+    * the full equality slice (bloom pruning must never drop a match —
+    * no false negatives by construction). */
+  private val Q177_STRIPE = 512L
+  private val Q177_BITS = 4096L
+
+  private val q177BloomPruning = QueryDef(
+    (s, dir) => {
+      val out = graft.core.Timing.build {
+        val o = java.nio.file.Files.createTempDirectory("graft-q177")
+          .resolve("table").toString
+        val base = baseRows(s, dir).localCheckpoint(true)
+        create(base, o, "key", hexDigits = 1)
+        o
+      }
+      s.sql(s"ALTER TABLE merge_table.`$out` SET TBLPROPERTIES " +
+        s"('graft.bloom.columns' = 'cust', " +
+        s"'graft.bloom.bits' = '$Q177_BITS')")
+      s.sql(s"OPTIMIZE merge_table.`$out` SORT BY cents " +
+        s"STRIPE $Q177_STRIPE")
+      val probe = readTable(s, out).filter(col("key") === 7L)
+        .select("cust").collect().head.getLong(0)
+      graft.plans.StatsFilePruning.enable(s)
+      val q = readTable(s, out).filter(col("cust") === probe)
+      val scanned = q.queryExecution.executedPlan.collectLeaves()
+        .collectFirst {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.selectedPartitions.totalNumberOfFiles
+        }.getOrElse(sys.error("q177: probe did not plan a file scan"))
+      val filesTotal = readManifest(s, out, versions(s, out).last)
+        .size.toLong
+      require(scanned < filesTotal,
+        s"q177: the bloom must skip files ($scanned of $filesTotal)")
+      q.select("key", "cust", "status", "cents")
+        .withColumn("files_scanned", lit(scanned))
+        .withColumn("files_total", lit(filesTotal))
+        .orderBy("key")
+    },
+    s"""WITH base AS (
+       |  SELECT o_orderkey AS key, o_custkey AS cust,
+       |         o_orderstatus AS status,
+       |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+       |  FROM orders),
+       |pr AS (SELECT cust AS c FROM base WHERE key = 7),
+       |g AS (SELECT base.*, ${bucketSql("key", 1)} AS bkt FROM base),
+       |f AS (SELECT *, ((row_number() OVER (PARTITION BY bkt
+       |        ORDER BY cents, key)) - 1) // $Q177_STRIPE AS fid FROM g),
+       |ft AS (SELECT CAST(count(*) AS BIGINT) AS n
+       |       FROM (SELECT DISTINCT bkt, fid FROM f)),
+       |pp AS (SELECT DISTINCT
+       |         CAST(('0x' || substr(md5(CAST(c AS VARCHAR)),
+       |           1 + i * 8, 8)) AS BIGINT) % $Q177_BITS AS p
+       |       FROM pr, UNNEST([0, 1, 2, 3]) t(i)),
+       |fpos AS (SELECT DISTINCT bkt, fid,
+       |           CAST(('0x' || substr(md5(CAST(cust AS VARCHAR)),
+       |             1 + i * 8, 8)) AS BIGINT) % $Q177_BITS AS p
+       |         FROM f, UNNEST([0, 1, 2, 3]) t(i)),
+       |hit AS (SELECT bkt, fid FROM fpos JOIN pp USING (p)
+       |        GROUP BY bkt, fid
+       |        HAVING count(DISTINCT p) = (SELECT count(*) FROM pp)),
+       |st AS (SELECT bkt, fid, min(cust) AS cmn, max(cust) AS cmx
+       |       FROM f GROUP BY bkt, fid),
+       |keepf AS (SELECT st.bkt, st.fid
+       |          FROM st JOIN hit USING (bkt, fid) CROSS JOIN pr
+       |          WHERE st.cmn <= pr.c AND st.cmx >= pr.c),
+       |fs AS (SELECT CAST(count(*) AS BIGINT) AS n FROM keepf)
+       |SELECT key, cust, status, cents,
+       |       (SELECT n FROM fs) AS files_scanned,
+       |       (SELECT n FROM ft) AS files_total
+       |FROM base, pr WHERE cust = c
+       |ORDER BY key""".stripMargin)
+
   /** q153 — LAYOUT-ONLY COMMITS ARE CDC-FREE, the round-13
     * short-circuit priced end-to-end through the WIRED publisher:
     * create → bootstrap pin → batch-1 upsert → publish (a real batch:
@@ -4582,6 +4900,8 @@ object MergeTable {
     "q173_sql_insert" -> q173SqlInsert,
     "q174_scoped_optimize" -> q174ScopedOptimize,
     "q175_sql_lifecycle" -> q175SqlLifecycle,
+    "q176_deletion_vectors" -> q176DeletionVectors,
+    "q177_bloom_pruning" -> q177BloomPruning,
     "q166_sql_merge_dml" -> q166SqlMergeDml,
     "q168_schema_evolution" -> q168SchemaEvolution,
     "q169_sql_update_delete" -> q169SqlUpdateDelete,

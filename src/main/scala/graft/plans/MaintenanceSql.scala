@@ -88,6 +88,45 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*CREATE\s+MERGE_TABLE\s+`([^`]+)`\s+KEY\s+
       |([A-Za-z_][A-Za-z0-9_]*)(?:\s+BUCKETS\s+(\d+))?\s+AS\s+(.+?);?\s*"""
       .stripMargin.replace("\n", "").r
+  // table properties — versioned metadata-only commits (`#prop=`
+  // manifest lines): the knob surface writers consult for routing
+  // (e.g. 'graft.deletes.mode' = 'mor' switches SQL DELETE to
+  // deletion vectors). Spark's own grammar only reaches these verbs
+  // for CATALOG tables; the path-addressed snapshot table needs its
+  // own productions.
+  private val SetProps =
+    ("""(?is)\s*ALTER\s+TABLE\s+merge_table\s*\.\s*`([^`]+)`\s+""" +
+      """SET\s+TBLPROPERTIES\s*\(([^)]*)\)\s*;?\s*""").r
+  private val UnsetProps =
+    ("""(?is)\s*ALTER\s+TABLE\s+merge_table\s*\.\s*`([^`]+)`\s+""" +
+      """UNSET\s+TBLPROPERTIES\s*\(([^)]*)\)\s*;?\s*""").r
+  private val ShowProps =
+    """(?is)\s*SHOW\s+TBLPROPERTIES\s+merge_table\s*\.\s*`([^`]+)`\s*;?\s*""".r
+  private val PropPair = """'([^']*)'\s*=\s*'([^']*)'""".r
+  private val PropKey = """'([^']*)'""".r
+
+  /** Parse a TBLPROPERTIES body: `'k' = 'v', …` (SET) or `'k', …`
+    * (UNSET). Matched-but-malformed is a loud error — the statement
+    * already committed to the shape. */
+  private def propsOf(body: String): Map[String, String] = {
+    val pairs = PropPair.findAllMatchIn(body).map(m =>
+      m.group(1) -> m.group(2)).toSeq
+    val residue = PropPair.replaceAllIn(body, "")
+      .replaceAll("[,\\s]", "")
+    require(pairs.nonEmpty && residue.isEmpty,
+      "SET TBLPROPERTIES takes ('key' = 'value', …) with " +
+        s"single-quoted literals; could not parse: $body")
+    pairs.toMap
+  }
+  private def propKeysOf(body: String): Seq[String] = {
+    val keys = PropKey.findAllMatchIn(body).map(_.group(1)).toSeq
+    val residue = PropKey.replaceAllIn(body, "")
+      .replaceAll("[,\\s]", "")
+    require(keys.nonEmpty && residue.isEmpty,
+      "UNSET TBLPROPERTIES takes ('key', …) with single-quoted " +
+        s"literals; could not parse: $body")
+    keys
+  }
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case OptimizeSort(dir, where, col, stripe) =>
@@ -121,6 +160,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       }
       GraftCreateTableCommand(dir, key, hex,
         new CapturedPlan(delegate.parseQuery(query)))
+    case SetProps(dir, body) =>
+      GraftPropertiesCommand(dir, set = propsOf(body), unset = Nil)
+    case UnsetProps(dir, body) =>
+      GraftPropertiesCommand(dir, set = Map.empty,
+        unset = propKeysOf(body))
+    case ShowProps(dir) => GraftShowPropertiesCommand(dir)
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -203,6 +248,39 @@ final case class GraftCreateTableCommand(dir: String, key: String,
     val files = MergeTable.readTable(spark, dir).inputFiles.length.toLong
     Seq(Row(1L, files))
   }
+}
+
+/** `ALTER TABLE merge_table.`/dir`` SET/UNSET TBLPROPERTIES (…)` —
+  * one versioned metadata-only commit through
+  * [[MergeTable.setProperties]]/[[MergeTable.unsetProperties]].
+  * One row back: the committed version. */
+final case class GraftPropertiesCommand(dir: String,
+    set: Map[String, String], unset: Seq[String])
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v =
+      if (set.nonEmpty) MergeTable.setProperties(spark, dir, set)
+      else MergeTable.unsetProperties(spark, dir, unset)
+    Seq(Row(v))
+  }
+}
+
+/** `SHOW TBLPROPERTIES merge_table.`/dir`` — the head snapshot's
+  * property map, one (key, value) row each, key-sorted. */
+final case class GraftShowPropertiesCommand(dir: String)
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("key", org.apache.spark.sql.types.StringType)(),
+    AttributeReference("value", org.apache.spark.sql.types.StringType)())
+
+  override def run(spark: SparkSession): Seq[Row] =
+    MergeTable.properties(spark, dir).toSeq.sortBy(_._1)
+      .map { case (k, v) => Row(k, v) }
 }
 
 /** `VACUUM merge_table.`/dir` RETAIN n VERSIONS` — expire history

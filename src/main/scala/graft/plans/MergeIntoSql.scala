@@ -439,6 +439,38 @@ final case class GraftUpdateDeleteCommand(dir: String,
         }.toMap
         MergeTable.MergeAction.Update(m)
       }
+    // MERGE-ON-READ routing: with 'graft.deletes.mode' = 'mor' set
+    // (SET TBLPROPERTIES), DELETE writes deletion vectors instead of
+    // rewriting buckets — same SQL, tombstone write path. The
+    // predicate re-resolves against the table's plain logical names
+    // (no tgt struct — deleteWhereMor reads the logical view).
+    if (isDelete && MergeTable.properties(spark, dir)
+        .get("graft.deletes.mode").contains("mor")) {
+      def toPlainCol(e: Expression): Column =
+        Bridge.column(e.transformUp {
+          case ua: UnresolvedAttribute => ua.nameParts match {
+            case Seq(q, c) if tgtAlias.contains(q) =>
+              UnresolvedAttribute(Seq(c))
+            case Seq(c) if tgtCols.contains(c) => ua
+            case other => throw new IllegalArgumentException(
+              "DELETE FROM merge_table: WHERE reference " +
+                s"'${other.mkString(".")}' does not name a table column")
+          }
+        })
+      val st = condition.flatMap(keyPin(_, key)) match {
+        // pure key pin: O(impacted buckets) candidate scan by key
+        case Some((lits, Nil)) =>
+          keysDf(spark, key, t.schema(key).dataType, lits) match {
+            case Some(ks) => MergeTable.deleteKeysMor(spark, dir, ks)
+            case None => MergeTable.deleteWhereMor(spark, dir,
+              toPlainCol(condition.get))
+          }
+        case _ => MergeTable.deleteWhereMor(spark, dir,
+          condition.map(toPlainCol).getOrElse(
+            org.apache.spark.sql.functions.lit(true)))
+      }
+      return Seq(Row(st.version, 0L, st.rowsDeleted))
+    }
     // keyed fast path: WHERE pins the key to literals
     condition.flatMap(keyPin(_, key)).foreach { case (lits, rest) =>
       keysDf(spark, key, t.schema(key).dataType, lits).foreach { ks =>

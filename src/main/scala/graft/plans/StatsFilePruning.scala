@@ -226,6 +226,57 @@ object StatsFilePruning extends Rule[LogicalPlan] with PredicateHelper {
     bounds.toMap
   }
 
+  /** EQUALITY probes for BLOOM file skipping: one (column, rendered
+    * values) entry per `col = lit` / `col IN (…)` conjunct over an
+    * integral or string attribute — the two kinds whose internal
+    * value renders identically to the write-side
+    * `md5(cast(col as string))` (dates/timestamps render differently
+    * from their internal ints and are excluded). A file passes a
+    * conjunct when ANY of its values might be present. */
+  private def eqProbes(cond: Expression, lr: LogicalRelation)
+      : Seq[(String, Seq[String])] = {
+    def own(a: AttributeReference): Boolean =
+      lr.outputSet.contains(a) && (a.dataType match {
+        case ByteType | ShortType | IntegerType | LongType |
+             StringType => true
+        case _ => false
+      })
+    def render(a: AttributeReference, v: Any): Option[String] =
+      (a.dataType, v) match {
+        case (_, null) => None
+        case (ByteType, b: java.lang.Byte) => Some(b.toString)
+        case (ShortType, s: java.lang.Short) => Some(s.toString)
+        case (IntegerType, i: java.lang.Integer) => Some(i.toString)
+        case (LongType, n: java.lang.Long) => Some(n.toString)
+        // analysis upcasts literals to the column type, but InSet
+        // values keep their internal class — accept the narrower ones
+        case (LongType, i: java.lang.Integer) => Some(i.toString)
+        case (LongType, s: java.lang.Short) => Some(s.toString)
+        case (IntegerType, s: java.lang.Short) => Some(s.toString)
+        case (StringType, s: UTF8String) => Some(s.toString)
+        case _ => None
+      }
+    def lits(a: AttributeReference, vs: Seq[Any])
+        : Option[(String, Seq[String])] = {
+      val rendered = vs.map(render(a, _))
+      if (rendered.exists(_.isEmpty)) None
+      else Some(a.name -> rendered.flatten)
+    }
+    splitConjunctivePredicates(cond).flatMap {
+      case EqualTo(a: AttributeReference, l: Literal) if own(a) &&
+          l.dataType == a.dataType => lits(a, Seq(l.value))
+      case EqualTo(l: Literal, a: AttributeReference) if own(a) &&
+          l.dataType == a.dataType => lits(a, Seq(l.value))
+      case In(a: AttributeReference, vs) if own(a) && vs.nonEmpty &&
+          vs.forall(v => v.isInstanceOf[Literal] &&
+            v.dataType == a.dataType) =>
+        lits(a, vs.map(_.asInstanceOf[Literal].value))
+      case InSet(a: AttributeReference, vs) if own(a) && vs.nonEmpty =>
+        lits(a, vs.toSeq)
+      case _ => None
+    }
+  }
+
   private def pruneFilter(f: Filter, cond: Expression,
       lr: LogicalRelation, hfs: HadoopFsRelation): LogicalPlan = {
     val rs = ranges(cond, lr)
@@ -254,9 +305,32 @@ object StatsFilePruning extends Rule[LogicalPlan] with PredicateHelper {
     if (!fs.exists(new Path(dir, "_manifests")) ||
         !fs.exists(new Path(dir, "_graft_meta"))) return f
     val stats = graft.ext.MergeTable.fileStatsIndex(spark, dir)
+    // BLOOM skipping: an attested file drops when EVERY value of some
+    // equality conjunct provably misses its filter (all-probe-bits
+    // set is the only way a present value reads — no false negatives,
+    // so pruning can only drop files with no match)
+    val probes = eqProbes(cond, lr)
+    val blooms =
+      if (probes.isEmpty)
+        Map.empty[String, Map[String, (Long, Array[Long])]]
+      else graft.ext.MergeTable.fileBloomIndex(spark, dir)
+    def bloomKeep(rel: String): Boolean =
+      probes.isEmpty || {
+        val fb = blooms.getOrElse(rel, Map.empty)
+        probes.forall { case (cname, values) =>
+          fb.get(cname) match {
+            case None => true // column unattested: never prune
+            case Some((m, words)) => values.exists { v =>
+              graft.ext.MergeTable.bloomPositions(v, m).forall { p =>
+                ((words((p / 64).toInt) >>> (p % 64).toInt) & 1L) == 1L
+              }
+            }
+          }
+        }
+      }
     val keep = files.zip(parsed.flatten.map(_._2)).filter {
-      case (_, rel) =>
-        stats.get(rel) match {
+      case (_, rel) => bloomKeep(rel) &&
+        (stats.get(rel) match {
           case None => true // unattested file: never prune
           case Some(colStats) =>
             rs.forall { case (cname, (lo, hi)) =>
@@ -274,7 +348,7 @@ object StatsFilePruning extends Rule[LogicalPlan] with PredicateHelper {
                 case _ => true
               }
             }
-        }
+        })
     }.map(_._1)
     if (keep.length >= files.length) return f
     // swap ONLY the file index: same options (incl. basePath, so the

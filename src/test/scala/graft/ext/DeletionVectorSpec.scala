@@ -268,6 +268,46 @@ class DeletionVectorSpec extends SparkSpec {
     assert(out === Set((11L, "delete"), (12L, "delete"), (13L, "delete")))
   }
 
+  test("SQL surface: SET/UNSET/SHOW TBLPROPERTIES are versioned " +
+      "commits, and with graft.deletes.mode=mor a plain SQL DELETE " +
+      "writes deletion vectors — zero data files touched") {
+    import spark.implicits._
+    val dir = mkTable()
+    val before = fileIds(dir)
+    spark.sql(s"ALTER TABLE merge_table.`$dir` SET TBLPROPERTIES " +
+      "('graft.deletes.mode' = 'mor', 'owner' = 'graft')")
+    val shown = spark.sql(s"SHOW TBLPROPERTIES merge_table.`$dir`")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown === Map("graft.deletes.mode" -> "mor",
+      "owner" -> "graft"))
+    // keyed DELETE → deleteKeysMor (no rewrite)
+    val r1 = spark.sql(
+      s"DELETE FROM merge_table.`$dir` WHERE key IN (1, 2, 3)")
+      .collect().head
+    assert(r1.getLong(2) === 3L)
+    // predicate DELETE → deleteWhereMor (no rewrite)
+    val r2 = spark.sql(
+      s"DELETE FROM merge_table.`$dir` WHERE cents > 4950")
+      .collect().head
+    assert(r2.getLong(2) === 5L) // keys 496..500
+    assert(fileIds(dir) === before)
+    assert(keysOf(dir) ===
+      (4 to 495).map(_.toLong).toSet)
+    assert(MergeTable.fsckDeep(spark, dir).mismatched.isEmpty)
+    // UNSET flips DELETE back to copy-on-write: files rewrite
+    spark.sql(s"ALTER TABLE merge_table.`$dir` UNSET TBLPROPERTIES " +
+      "('graft.deletes.mode')")
+    spark.sql(s"DELETE FROM merge_table.`$dir` WHERE key = 4")
+    assert(fileIds(dir) !== before)
+    assert(keysOf(dir) === (5 to 495).map(_.toLong).toSet)
+    // UPDATE never routes through MOR (tombstones only mask)
+    spark.sql(s"ALTER TABLE merge_table.`$dir` SET TBLPROPERTIES " +
+      "('graft.deletes.mode' = 'mor')")
+    spark.sql(s"UPDATE merge_table.`$dir` SET value = 'x' WHERE key = 5")
+    assert(MergeTable.readKeys(spark, dir, Seq(5L))
+      .select("value").collect().head.getString(0) === "x")
+  }
+
   test("a MOR delete against an UNATTESTED (legacy no-fingerprint) " +
       "bucket refuses loudly instead of hiding the deletes from CDC") {
     import spark.implicits._
