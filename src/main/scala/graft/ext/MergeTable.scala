@@ -2305,11 +2305,31 @@ object MergeTable {
     * LIVE rows (existing tombstones pre-applied — a dead row must not
     * decrement twice) of `candidates`, which carry `__dv_file` /
     * `__dv_pos` row identities alongside the physical payload. */
-  private def morTombstone(spark: SparkSession, dir: String, cur: Long,
-      man: ManifestData, candidates: Seq[String],
-      pick: DataFrame => DataFrame): MorDeleteStats = {
-    if (candidates.isEmpty)
-      return MorDeleteStats(cur, 0L, 0L, 0L, 0L)
+  /** The computed-and-written (but UNCOMMITTED) half of a
+    * merge-on-read mutation: tombstones on disk under
+    * `_dvs/<dvName>`, per-file counts, and per-bucket fingerprint
+    * DECREMENTS rendered in the fp wire shape ("dn:dh1:dh2") for
+    * [[fpCombine]]. The caller owns the manifest commit — and must
+    * delete `_dvs/<dvName>` on a lost race. */
+  private final case class MorPlan(nTomb: Long,
+    perFile: Map[String, Long], fpDelta: Map[String, String],
+    newDvs: Seq[String], dvName: String)
+
+  /** Component-wise fp arithmetic over the `rows:h1[:h2]` wire shape:
+    * the hash channels are SUMS, so content deltas add and subtract
+    * exactly. Width = the narrower side (a legacy two-component
+    * attestation keeps its two — [[fpAgrees]]' prefix semantics). */
+  private def fpCombine(a: String, b: String, sign: Int): String = {
+    val as = a.split(":"); val bs = b.split(":")
+    (0 until math.min(as.length, bs.length))
+      .map(i => (BigInt(as(i)) + sign * BigInt(bs(i))).toString)
+      .mkString(":")
+  }
+
+  private def morTombstonePlan(spark: SparkSession, dir: String,
+      cur: Long, man: ManifestData, candidates: Seq[String],
+      pick: DataFrame => DataFrame): Option[MorPlan] = {
+    if (candidates.isEmpty) return None
     val scanned = scanEntriesRaw(spark, dir, candidates)
       .withColumn("__dv_file", regexp_extract(
         col("_metadata.file_path"),
@@ -2338,7 +2358,7 @@ object MergeTable {
       .agg(count(lit(1)).as("n"), sum("fp_h").as("h"),
         sum("fp_h2").as("h2"))
       .collect()
-    if (agg.isEmpty) return MorDeleteStats(cur, 0L, 0L, 0L, 0L)
+    if (agg.isEmpty) return None
     val unattested = agg.map(_.getString(0)).distinct
       .filterNot(man.fps.contains)
     require(unattested.isEmpty,
@@ -2349,18 +2369,11 @@ object MergeTable {
         "would silently miss these deletes; use deleteKeys " +
         "(copy-on-write) or optimize the table first")
     val nTomb = agg.map(_.getLong(2)).sum
-    val newFps = man.fps ++ agg.groupBy(_.getString(0)).map {
-      case (b, rs) =>
-        val dn = rs.map(_.getLong(2)).sum
-        val dh1 = rs.map(r => BigInt(r.getDecimal(3).toBigInteger)).sum
-        val dh2 = rs.map(r => BigInt(r.getDecimal(4).toBigInteger)).sum
-        val parts = man.fps(b).split(":")
-        val comps = Seq((parts(0).toLong - dn).toString) ++
-          (if (parts.length > 1) Seq((BigInt(parts(1)) - dh1).toString)
-           else Nil) ++
-          (if (parts.length > 2) Seq((BigInt(parts(2)) - dh2).toString)
-           else Nil)
-        b -> comps.mkString(":")
+    val fpDelta = agg.groupBy(_.getString(0)).map { case (b, rs) =>
+      val dn = rs.map(_.getLong(2)).sum
+      val dh1 = rs.map(r => BigInt(r.getDecimal(3).toBigInteger)).sum
+      val dh2 = rs.map(r => BigInt(r.getDecimal(4).toBigInteger)).sum
+      b -> s"$dn:$dh1:$dh2"
     }
     val perFile = agg.groupBy(_.getString(1)).view
       .mapValues(_.map(_.getLong(2)).sum).toMap
@@ -2374,23 +2387,154 @@ object MergeTable {
     val newDvs = fs.listStatus(new Path(s"$dir/_dvs/$dvName"))
       .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
       .map(st => s"_dvs/$dvName/${st.getPath.getName}").toSeq.sorted
-    val newDvf = man.dvf ++ perFile.map { case (f, n) =>
-      f -> (man.dvf.getOrElse(f, 0L) + n)
-    }
-    try {
-      commitManifest(spark, dir, cur + 1, man.entries, man.hexDigits,
-        newFps, tokens = man.tokens, sts = man.sts, cols = man.cols,
-        dvs = man.dvs ++ newDvs, dvf = newDvf, props = man.props,
-        bls = man.bls)
-      MorDeleteStats(cur + 1, nTomb, perFile.size.toLong,
-        agg.map(_.getString(0)).distinct.length.toLong,
-        newDvs.size.toLong)
-    } catch {
-      case e: CommitConflictException =>
-        fs.delete(new Path(s"$dir/_dvs/$dvName"), true)
-        throw e
-    }
+    Some(MorPlan(nTomb, perFile, fpDelta, newDvs, dvName))
   }
+
+  /** Commit half of the MOR delete verbs: decremented fingerprints,
+    * merged dvf counts, same entries. */
+  private def morTombstone(spark: SparkSession, dir: String, cur: Long,
+      man: ManifestData, candidates: Seq[String],
+      pick: DataFrame => DataFrame): MorDeleteStats =
+    morTombstonePlan(spark, dir, cur, man, candidates, pick) match {
+      case None => MorDeleteStats(cur, 0L, 0L, 0L, 0L)
+      case Some(p) =>
+        val newFps = man.fps ++ p.fpDelta.map { case (b, d) =>
+          b -> fpCombine(man.fps(b), d, -1)
+        }
+        val newDvf = man.dvf ++ p.perFile.map { case (f, n) =>
+          f -> (man.dvf.getOrElse(f, 0L) + n)
+        }
+        try {
+          commitManifest(spark, dir, cur + 1, man.entries,
+            man.hexDigits, newFps, tokens = man.tokens, sts = man.sts,
+            cols = man.cols, dvs = man.dvs ++ p.newDvs, dvf = newDvf,
+            props = man.props, bls = man.bls)
+          MorDeleteStats(cur + 1, p.nTomb, p.perFile.size.toLong,
+            p.fpDelta.size.toLong, p.newDvs.size.toLong)
+        } catch {
+          case e: CommitConflictException =>
+            hadoopFs(spark, dir)
+              .delete(new Path(s"$dir/_dvs/${p.dvName}"), true)
+            throw e
+        }
+    }
+
+  final case class MorUpsertStats(version: Long, bucketsTouched: Long,
+    filesAppended: Long, rowsMatched: Long, rowsInserted: Long,
+    dvFilesAdded: Long)
+
+  /** MERGE-ON-READ upsert: matched keys' live old rows are TOMBSTONED
+    * (deletion vectors, [[deleteKeysMor]]'s machinery) and the batch
+    * lands as a small APPEND epoch in the same buckets — ZERO existing
+    * files rewritten, write cost O(batch) however large the impacted
+    * buckets (copy-on-write [[upsert]] rewrites them wholesale; this
+    * is the Delta DV-merge write path). The read side merges epochs
+    * per bucket (mergeSchema) and anti-joins the tombstones; OPTIMIZE
+    * compacts the accumulated small files and purges the tombstones.
+    *
+    * Bucket fingerprints stay EXACT by pure arithmetic: old fp MINUS
+    * the tombstoned rows' hash sums PLUS the appended epoch's read-back
+    * fp — every term a component-wise sum, so [[fsckDeep]] re-attests
+    * and the changefeed sees precisely the changed buckets. Same
+    * validation surface as [[upsert]]: one row per key, extend-only
+    * schema, CHECK constraints, reserved names.
+    *
+    * The trade: each MOR upsert still READS the impacted buckets (row
+    * identities of the matched keys), and reads accumulate one small
+    * file per touched bucket per commit until OPTIMIZE — the classic
+    * MOR read tax. Use for small/latency-sensitive batches; COW for
+    * bulk rewrites. */
+  def upsertMor(spark: SparkSession, dir: String,
+      updates: DataFrame): MorUpsertStats =
+    retryOnConflict("upsertMor", dir) {
+      require(!updates.columns.contains("v"),
+        "column name v is reserved for the table layout (version " +
+          "epoch) — rename before upsert")
+      val key = keyMeta(spark, dir, None)
+      val cur = versions(spark, dir).lastOption.getOrElse(
+        throw new IllegalArgumentException(s"no MergeTable at $dir"))
+      val man = readManifestFull(spark, dir, cur)
+      val batch = toPhysical(updates, man.cols)
+        .withColumn("bucket", bucketCol(col(key), man.hexDigits))
+        .localCheckpoint(true)
+      val perBucket = batch.groupBy("bucket")
+        .agg(count(lit(1)), count_distinct(col(key))).collect()
+      val impacted = perBucket.map(_.getString(0)).toSet
+      val nBatch = perBucket.map(_.getLong(1)).sum
+      val nKeys = perBucket.map(_.getLong(2)).sum
+      require(nBatch == nKeys,
+        s"upsertMor batch has $nBatch rows over $nKeys keys — at most " +
+          "one row per key (collapse to latest upstream)")
+      if (nBatch == 0L)
+        return MorUpsertStats(cur, 0L, 0L, 0L, 0L, 0L)
+      val candidates = man.entries.filter(e =>
+        impacted.contains(bucketOfEntry(e)))
+      // extend-only evolution gate — the upsert contract verbatim
+      val existingCols =
+        if (candidates.isEmpty) batch.columns.toSet
+        else scanEntriesRaw(spark, dir, candidates).columns.toSet
+      val droppedPhys = man.cols.filter(_._2.isEmpty).keySet
+      val missing = existingCols -- batch.columns.toSet --
+        droppedPhys - "bucket"
+      require(missing.isEmpty,
+        s"upsertMor batch is missing table columns: " +
+          s"${missing.mkString(",")} (schema changes are extend-only)")
+      enforceConstraints(spark, dir,
+        applyLogicalView(batch, man.cols), "upsertMor")
+      val plan = morTombstonePlan(spark, dir, cur, man, candidates,
+        live => live.join(batch.select(key), Seq(key), "left_semi"))
+      val matched = plan.map(_.nTomb).getOrElse(0L)
+      val next = cur + 1
+      val epochName = s"v=$next-${attemptTag()}"
+      writeEpoch(batch, dir, epochName, man.hexDigits)
+      val fresh = epochEntries(spark, dir, epochName)
+      val (freshFps, freshSts) =
+        if (fresh.isEmpty)
+          (Map.empty[String, String], Map.empty[String, String])
+        else epochStats(spark, dir, epochName)
+      val blCols = man.props.get("graft.bloom.columns")
+        .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Nil)
+      val freshBls =
+        if (fresh.isEmpty || blCols.isEmpty) Map.empty[String, String]
+        else epochBlooms(spark, dir, epochName, blCols,
+          man.props.get("graft.bloom.bits").map(_.toLong)
+            .getOrElse(4096L))
+      val delta = plan.map(_.fpDelta).getOrElse(Map.empty)
+      // old MINUS tombstoned PLUS appended, per bucket — each term a
+      // component sum, so the result is the bucket's exact content fp
+      val newFps = (man.fps.keySet ++ freshFps.keySet).map { b =>
+        val afterDel = man.fps.get(b).map(fp =>
+          delta.get(b).map(fpCombine(fp, _, -1)).getOrElse(fp))
+        val combined = (afterDel, freshFps.get(b)) match {
+          case (Some(a), Some(f)) => fpCombine(a, f, 1)
+          case (Some(a), None) => a
+          case (None, Some(f)) => f
+          case (None, None) => sys.error("unreachable")
+        }
+        b -> combined
+      }.toMap
+      val newDvf = man.dvf ++ plan.map(_.perFile.map { case (f, n) =>
+        f -> (man.dvf.getOrElse(f, 0L) + n)
+      }).getOrElse(Map.empty)
+      try {
+        commitManifest(spark, dir, next, man.entries ++ fresh,
+          man.hexDigits, newFps, tokens = man.tokens,
+          sts = man.sts ++ freshSts, cols = man.cols,
+          dvs = man.dvs ++ plan.map(_.newDvs).getOrElse(Nil),
+          dvf = newDvf, props = man.props, bls = man.bls ++ freshBls)
+        MorUpsertStats(next, impacted.size.toLong, fresh.size.toLong,
+          matched, nBatch - matched,
+          plan.map(_.newDvs.size.toLong).getOrElse(0L))
+      } catch {
+        case e: CommitConflictException =>
+          val fs = hadoopFs(spark, dir)
+          fs.delete(new Path(s"$dir/data/$epochName"), true)
+          plan.foreach(p =>
+            fs.delete(new Path(s"$dir/_dvs/${p.dvName}"), true))
+          throw e
+      }
+    }
 
   /** Clause actions for [[merge]] — the conditional three-way MERGE
     * (SQL:2003 / Delta-Iceberg `MERGE INTO`) re-expressed over the COW
@@ -4197,6 +4341,53 @@ object MergeTable {
        |FROM base, pr WHERE cust = c
        |ORDER BY key""".stripMargin)
 
+  /** q178 — MERGE-ON-READ UPSERT acceptance: the q140 lifecycle
+    * (create → batch 1 updates+inserts → batch 2 re-updates a subset,
+    * latest-wins) replayed through [[upsertMor]] and held to the SAME
+    * final-state oracle verbatim — the write path changes (tombstone +
+    * append instead of bucket rewrite), the table must not. The
+    * amplification pins are the point: NO base file is rewritten by
+    * either batch (entry-set require — copy-on-write rewrote ~39
+    * buckets here, q141), appended files ≤ touched buckets per batch,
+    * matched/inserted counts exact (batch 2's keys are a subset of
+    * batch 1's — its tombstones hit the APPENDED epoch's rows, the
+    * multi-epoch-bucket stress), and [[fsckDeep]] re-attests the
+    * three-term fingerprint arithmetic (old − tombstoned + appended)
+    * across every mixed-epoch bucket. */
+  private val q178MorLifecycle = QueryDef(
+    (s, dir) => {
+      val (out, base) = graft.core.Timing.build {
+        val o = java.nio.file.Files.createTempDirectory("graft-q178")
+          .resolve("table").toString
+        val b = baseRows(s, dir).localCheckpoint(true)
+        create(b, o, "key")
+        (o, b)
+      }
+      val baseFiles = readManifest(s, out, 1L).toSet
+      val st1 = upsertMor(s, out, batch1(base))
+      val st2 = upsertMor(s, out, batch2(base))
+      val finalFiles = readManifest(s, out, 3L).toSet
+      require(baseFiles.subsetOf(finalFiles),
+        "q178: a MOR upsert must never rewrite a base file")
+      val nUpd = base.filter(col("key") % 101 === 0).count()
+      val nIns = base.filter(col("key") % 103 === 0).count()
+      val nUpd2 = base.filter(col("key") % 202 === 0).count()
+      require(st1.rowsMatched == nUpd && st1.rowsInserted == nIns,
+        s"q178: batch-1 counts ${st1.rowsMatched}/${st1.rowsInserted}" +
+          s" != $nUpd/$nIns")
+      require(st2.rowsMatched == nUpd2 && st2.rowsInserted == 0L,
+        s"q178: batch-2 counts ${st2.rowsMatched}/${st2.rowsInserted}" +
+          s" != $nUpd2/0")
+      require(st1.filesAppended <= st1.bucketsTouched &&
+        st2.filesAppended <= st2.bucketsTouched,
+        "q178: the append epoch writes at most one file per bucket")
+      val deep = fsckDeep(s, out)
+      require(deep.mismatched.isEmpty && deep.unattested.isEmpty,
+        s"q178: mixed-epoch fingerprints must re-attest: $deep")
+      lifecycleState(s, out)
+    },
+    lifecycleStateSql(HEX_DIGITS))
+
   /** q153 — LAYOUT-ONLY COMMITS ARE CDC-FREE, the round-13
     * short-circuit priced end-to-end through the WIRED publisher:
     * create → bootstrap pin → batch-1 upsert → publish (a real batch:
@@ -4902,6 +5093,7 @@ object MergeTable {
     "q175_sql_lifecycle" -> q175SqlLifecycle,
     "q176_deletion_vectors" -> q176DeletionVectors,
     "q177_bloom_pruning" -> q177BloomPruning,
+    "q178_mor_lifecycle" -> q178MorLifecycle,
     "q166_sql_merge_dml" -> q166SqlMergeDml,
     "q168_schema_evolution" -> q168SchemaEvolution,
     "q169_sql_update_delete" -> q169SqlUpdateDelete,

@@ -308,6 +308,90 @@ class DeletionVectorSpec extends SparkSpec {
       .select("value").collect().head.getString(0) === "x")
   }
 
+  test("upsertMor: matched rows tombstone, the batch APPENDS as a " +
+      "small epoch — zero existing files touched, O(batch) written — " +
+      "and the fingerprint arithmetic (old - tombstoned + appended) " +
+      "re-attests exactly") {
+    import spark.implicits._
+    val dir = mkTable()
+    val before = fileIds(dir)
+    val st = MergeTable.upsertMor(spark, dir,
+      Seq((7L, "u7", 70L), (42L, "u42", 420L), (9001L, "new", 1L))
+        .toDF("key", "value", "cents"))
+    assert(st.version === 2L)
+    assert(st.rowsMatched === 2L && st.rowsInserted === 1L)
+    // every pre-existing file byte-identical; fresh files = one per
+    // touched bucket in the append epoch
+    val after = fileIds(dir)
+    assert(before.toSet.subsetOf(after.toSet))
+    assert((after.keySet -- before.keySet).size === st.filesAppended)
+    assert(st.filesAppended <= st.bucketsTouched)
+    // content: updated values win, insert lands, rest untouched
+    val got = MergeTable.readTable(spark, dir)
+      .select("key", "value").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(7L) === "u7" && got(42L) === "u42" &&
+      got(9001L) === "new" && got(8L) === "v8")
+    assert(got.size === 501)
+    // exact fp arithmetic: deep audit green across the mixed-epoch,
+    // tombstoned buckets
+    val deep = MergeTable.fsckDeep(spark, dir)
+    assert(deep.mismatched.isEmpty && deep.unattested.isEmpty)
+    // the CDC window classifies updates and the insert
+    val ch = MergeTable.changes(spark, dir, 1L, 2L)
+      .groupBy("change").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ch === Map("update" -> 2L, "insert" -> 1L))
+    // time travel: v1 pre-update values
+    assert(MergeTable.readTable(spark, dir, Some(1L))
+      .filter(col("key") === 7L).select("value")
+      .collect().head.getString(0) === "v7")
+    // a second MOR upsert on the same key replaces the appended row
+    MergeTable.upsertMor(spark, dir,
+      Seq((7L, "u7b", 71L)).toDF("key", "value", "cents"))
+    assert(MergeTable.readKeys(spark, dir, Seq(7L))
+      .select("value").collect().head.getString(0) === "u7b")
+    assert(MergeTable.fsckDeep(spark, dir).mismatched.isEmpty)
+    // optimize compacts the small appended files and purges tombstones
+    MergeTable.optimize(spark, dir, "cents")
+    val det = MergeTable.detail(spark, dir).collect().head
+    assert(det.getAs[Long]("dv_tombstones") === 0L)
+    assert(MergeTable.readKeys(spark, dir, Seq(7L))
+      .select("value").collect().head.getString(0) === "u7b")
+    assert(MergeTable.fsckDeep(spark, dir).mismatched.isEmpty)
+  }
+
+  test("upsertMor honors the upsert contract: extend-only schema " +
+      "(missing column refuses; added column reads null for old " +
+      "rows), one-row-per-key gate, and COW/MOR writers interleave") {
+    import spark.implicits._
+    val dir = mkTable(100)
+    val e1 = intercept[IllegalArgumentException] {
+      MergeTable.upsertMor(spark, dir,
+        Seq((1L, "x")).toDF("key", "value")) // cents missing
+    }
+    assert(e1.getMessage.contains("extend-only"))
+    val e2 = intercept[IllegalArgumentException] {
+      MergeTable.upsertMor(spark, dir,
+        Seq((1L, "a", 1L), (1L, "b", 2L)).toDF("key", "value", "cents"))
+    }
+    assert(e2.getMessage.contains("one row per key"))
+    // extension: a new column appends; old rows read null
+    MergeTable.upsertMor(spark, dir,
+      Seq((1L, "x1", 10L, "extra")).toDF("key", "value", "cents", "note"))
+    val t = MergeTable.readTable(spark, dir)
+    assert(t.filter(col("key") === 1L).select("note")
+      .collect().head.getString(0) === "extra")
+    assert(t.filter(col("key") === 2L).select("note")
+      .collect().head.isNullAt(0))
+    // COW upsert on a MOR-touched bucket materializes its tombstones
+    MergeTable.upsert(spark, dir,
+      Seq((1L, "x2", 11L, "e2")).toDF("key", "value", "cents", "note"))
+    assert(MergeTable.readKeys(spark, dir, Seq(1L))
+      .select("value").collect().head.getString(0) === "x2")
+    assert(MergeTable.fsckDeep(spark, dir).mismatched.isEmpty)
+  }
+
   test("a MOR delete against an UNATTESTED (legacy no-fingerprint) " +
       "bucket refuses loudly instead of hiding the deletes from CDC") {
     import spark.implicits._
