@@ -38,6 +38,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(graft.ext.MergeTable.getClass.getName,
         "merge_table"),
       graft.ext.MergeTable.tableFunctionBuilder))
+    // TIMESTAMP time travel (in-commit timestamps, strictly monotone)
+    e.injectTableFunction((
+      new FunctionIdentifier("merge_table_as_of"),
+      new ExpressionInfo(graft.ext.MergeTable.getClass.getName,
+        "merge_table_as_of"),
+      graft.ext.MergeTable.asOfFunctionBuilder))
     // CDC batch between committed versions — the fingerprint
     // short-circuit and changed-bucket file pruning ride into SQL
     e.injectTableFunction((

@@ -201,7 +201,8 @@ object MergeTable {
     dvs: Seq[String] = Nil,
     dvf: Map[String, Long] = Map.empty,
     props: Map[String, String] = Map.empty,
-    bls: Map[String, String] = Map.empty)
+    bls: Map[String, String] = Map.empty,
+    ts: Option[Long] = None)
 
   /** Reader capabilities THIS engine implements. A manifest whose
     * `#requires=` lines name anything else fails loudly at read time —
@@ -342,8 +343,15 @@ object MergeTable {
     }.groupBy(_._1).map { case (f, bs) =>
       f -> bs.map(_._2).filter(_.nonEmpty).mkString("|")
     }
+    // IN-COMMIT TIMESTAMP (`#ts=<epochMillis>`): the commit's own wall
+    // clock, written with the manifest so copies/restores of the
+    // directory cannot shift history (the Delta ICT rationale); legacy
+    // manifests fall back to file mtime in [[commitTimes]].
+    val ts = lines.collectFirst {
+      case l if l.startsWith("#ts=") => l.drop(4).trim.toLong
+    }
     ManifestData(hex, lines.filterNot(_.startsWith("#")), fps, toks,
-      sts, colMap, dvs, dvf, props, bls)
+      sts, colMap, dvs, dvf, props, bls, ts)
   }
 
   private def readManifest(spark: SparkSession, dir: String,
@@ -868,7 +876,9 @@ object MergeTable {
     val blLines = bls.toSeq.filter(e => entries.toSet.contains(e._1))
       .sortBy(_._1).map { case (f, body) => s"#bl=$f|$body" }
     try out.write(
-      ((s"#hex=$hexDigits" +: tokLines) ++ propLines ++ colLines ++
+      ((Seq(s"#hex=$hexDigits",
+        s"#ts=${System.currentTimeMillis()}") ++ tokLines) ++
+        propLines ++ colLines ++
         dvLines ++ fpLines ++
         stLines ++ blLines ++ entries.sorted).mkString("\n").getBytes("UTF-8"))
     finally out.close()
@@ -1898,6 +1908,49 @@ object MergeTable {
       readTable(spark, dir, version).queryExecution.logical
   }
 
+  /** Builder for `merge_table_as_of(dir, ts)` — TIMESTAMP time
+    * travel in SQL: `ts` is a timestamp literal (`TIMESTAMP '…'`) or
+    * a string in ISO-instant or `yyyy-MM-dd HH:mm:ss[.SSS]` form
+    * (zone-free strings read as UTC — the engine's session
+    * discipline); resolution through [[versionAsOf]]'s strictly
+    * monotone in-commit timestamps. */
+  private[graft] val asOfFunctionBuilder
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    exprs =>
+      require(exprs.length == 2,
+        s"merge_table_as_of(dir, ts) takes 2 arguments, got ${exprs.length}")
+      val dir = litString("merge_table_as_of", exprs.head, "dir")
+      val spark = org.apache.spark.sql.SparkSession.active
+      val e = exprs(1)
+      require(e.foldable, "merge_table_as_of: ts must be a literal")
+      val tsMillis = (e.dataType, e.eval()) match {
+        case (org.apache.spark.sql.types.TimestampType,
+            micros: java.lang.Long) => micros.longValue / 1000L
+        case (_, s: org.apache.spark.unsafe.types.UTF8String) =>
+          parseTsMillis(s.toString)
+        case (_, other) => throw new IllegalArgumentException(
+          "merge_table_as_of: ts must be a TIMESTAMP or a string " +
+            s"timestamp, got $other")
+      }
+      readTable(spark, dir, Some(versionAsOf(spark, dir, tsMillis)))
+        .queryExecution.logical
+  }
+
+  /** ISO instant ('2026-08-16T01:00:00Z') or 'yyyy-MM-dd HH:mm:ss
+    * [.SSS]' (read as UTC) → epoch millis. */
+  private def parseTsMillis(s: String): Long =
+    scala.util.Try(java.time.Instant.parse(s).toEpochMilli).getOrElse {
+      val fmt = java.time.format.DateTimeFormatter.ofPattern(
+        "yyyy-MM-dd HH:mm:ss[.SSS]")
+      scala.util.Try(java.time.LocalDateTime.parse(s, fmt)
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
+        .getOrElse(throw new IllegalArgumentException(
+          s"merge_table_as_of: cannot parse timestamp '$s' — use an " +
+            "ISO instant ('2026-08-16T01:00:00Z') or " +
+            "'yyyy-MM-dd HH:mm:ss[.SSS]' (UTC)"))
+    }
+
   /** Builder for `table_changes(dir, fromV[, toV])`: the CDC batch
     * between two committed versions as plain SQL — [[changes]]'s plan
     * spliced at analysis, so the fingerprint short-circuit and the
@@ -1955,16 +2008,57 @@ object MergeTable {
   }
 
   /** The manifest-only version ledger behind `merge_table_history`. */
+  /** Effective COMMIT TIMESTAMPS (epoch millis) per retained version,
+    * STRICTLY increasing: each version's raw clock is the manifest's
+    * own `#ts=` line (in-commit — directory copies cannot shift it;
+    * legacy manifests fall back to file mtime), monotonized as
+    * eff(v) = max(raw(v), eff(prev) + 1) so clock skew between
+    * concurrent writers can never make AS OF resolution ambiguous —
+    * the Delta in-commit-timestamp discipline. */
+  def commitTimes(spark: SparkSession, dir: String)
+      : Seq[(Long, Long)] = {
+    val fs = hadoopFs(spark, dir)
+    var eff = Long.MinValue
+    versions(spark, dir).sorted.map { v =>
+      val raw = readManifestFull(spark, dir, v).ts.getOrElse(
+        fs.getFileStatus(manifestPath(dir, v)).getModificationTime)
+      eff = math.max(raw, if (eff == Long.MinValue) raw else eff + 1)
+      v -> eff
+    }
+  }
+
+  /** The latest version whose effective commit time is at or before
+    * `tsMillis` — loud when the timestamp predates the oldest
+    * RETAINED commit (vacuum may have expired earlier history; naming
+    * that beats silently serving the oldest survivor). */
+  def versionAsOf(spark: SparkSession, dir: String,
+      tsMillis: Long): Long = {
+    val times = commitTimes(spark, dir)
+    times.filter(_._2 <= tsMillis).lastOption.map(_._1).getOrElse(
+      throw new IllegalArgumentException(
+        s"no version of the MergeTable at $dir is as old as " +
+          s"$tsMillis — the oldest retained commit is " +
+          s"${times.headOption.map(_._2).getOrElse(-1L)} " +
+          "(earlier history may have been vacuumed)"))
+  }
+
+  /** [[readTable]] resolved by TIMESTAMP instead of version. */
+  def readTableAsOf(spark: SparkSession, dir: String,
+      tsMillis: Long): DataFrame =
+    readTable(spark, dir, Some(versionAsOf(spark, dir, tsMillis)))
+
   def history(spark: SparkSession, dir: String): DataFrame = {
+    val times = commitTimes(spark, dir).toMap
     val rows = versions(spark, dir).sorted.map { v =>
       val md = readManifestFull(spark, dir, v)
       val buckets = md.entries.map(bucketOfEntry).distinct
       val attested = fpTotal(md.fps, buckets.toSet)
       (v, md.entries.size.toLong, buckets.size.toLong,
-        attested.map(fpRows))
+        attested.map(fpRows),
+        new java.sql.Timestamp(times(v)))
     }
     import spark.implicits._
-    rows.toDF("v", "files", "buckets", "rows")
+    rows.toDF("v", "files", "buckets", "rows", "commit_ts")
   }
 
   /** Builder for `merge_table_detail(dir)`: the one-row DESCRIBE
@@ -2011,6 +2105,7 @@ object MergeTable {
     * idempotent (re-registration overwrites with the same builder). */
   def registerSql(spark: SparkSession): Unit =
     Seq("merge_table" -> tableFunctionBuilder,
+      "merge_table_as_of" -> asOfFunctionBuilder,
       "table_changes" -> changesFunctionBuilder,
       "merge_table_history" -> historyFunctionBuilder,
       "merge_table_detail" -> detailFunctionBuilder)
@@ -4388,6 +4483,67 @@ object MergeTable {
     },
     lifecycleStateSql(HEX_DIGITS))
 
+  /** q179 — TIMESTAMP TIME TRAVEL acceptance: the q142 version
+    * signatures re-resolved through [[versionAsOf]] — each version's
+    * own effective in-commit timestamp must resolve to exactly that
+    * version (strict monotonization makes the boundary unambiguous
+    * even under writer clock skew), and a far-future probe resolves to
+    * the head. A pre-history probe must refuse loudly (Scala require —
+    * vacuumed history is named, not silently substituted). The oracle
+    * is q142's signature arithmetic keyed by probe label: wall-clock
+    * values never enter the output, only what they RESOLVE to. */
+  private val q179TimestampTravel = QueryDef(
+    (s, dir) => {
+      val out = memoLifecycle(s, dir)._1
+      val times = commitTimes(s, out)
+      require(times.map(_._2) == times.map(_._2).sorted &&
+        times.map(_._2).distinct.size == times.size,
+        "q179: effective commit times must be strictly increasing")
+      val early = intercept(versionAsOf(s, out, times.head._2 - 1))
+      require(early, "q179: a pre-history timestamp must refuse")
+      def sig(label: String, ts: Long): DataFrame =
+        readTableAsOf(s, out, ts)
+          .agg(count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"),
+            sum(when(col("key") < 0, 1L).otherwise(0L)).as("n_inserted"))
+          .select(lit(label).as("probe"), col("n_rows"),
+            col("sum_cents"), col("n_inserted"))
+      val probes = times.map { case (v, ts) => sig(s"v$v", ts) } :+
+        sig("late", times.last._2 + 3600L * 1000L)
+      probes.reduce(_ unionByName _).orderBy("probe")
+    },
+    s"""WITH base AS (
+       |  SELECT o_orderkey AS key,
+       |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+       |  FROM orders),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |             CAST(sum(cents) AS BIGINT) AS c FROM base),
+       |u1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base
+       |       WHERE key % 101 = 0),
+       |i1 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |              CAST(coalesce(sum(cents), 0) AS BIGINT) AS c
+       |       FROM base WHERE key % 103 = 0),
+       |u2 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base
+       |       WHERE key % 202 = 0)
+       |SELECT 'v1' AS probe, n.n AS n_rows, n.c AS sum_cents,
+       |       CAST(0 AS BIGINT) AS n_inserted FROM n
+       |UNION ALL
+       |SELECT 'v2', n.n + i1.n, n.c + u1.n * 100 + i1.c, i1.n
+       |FROM n, u1, i1
+       |UNION ALL
+       |SELECT 'v3', n.n + i1.n, n.c + u1.n * 100 + u2.n * 200 + i1.c,
+       |       i1.n
+       |FROM n, u1, i1, u2
+       |UNION ALL
+       |SELECT 'late', n.n + i1.n,
+       |       n.c + u1.n * 100 + u2.n * 200 + i1.c, i1.n
+       |FROM n, u1, i1, u2
+       |ORDER BY probe""".stripMargin)
+
+  /** True when `body` throws IllegalArgumentException. */
+  private def intercept(body: => Any): Boolean =
+    try { body; false }
+    catch { case _: IllegalArgumentException => true }
+
   /** q153 — LAYOUT-ONLY COMMITS ARE CDC-FREE, the round-13
     * short-circuit priced end-to-end through the WIRED publisher:
     * create → bootstrap pin → batch-1 upsert → publish (a real batch:
@@ -5094,6 +5250,7 @@ object MergeTable {
     "q176_deletion_vectors" -> q176DeletionVectors,
     "q177_bloom_pruning" -> q177BloomPruning,
     "q178_mor_lifecycle" -> q178MorLifecycle,
+    "q179_timestamp_travel" -> q179TimestampTravel,
     "q166_sql_merge_dml" -> q166SqlMergeDml,
     "q168_schema_evolution" -> q168SchemaEvolution,
     "q169_sql_update_delete" -> q169SqlUpdateDelete,
