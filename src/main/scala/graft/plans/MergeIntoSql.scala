@@ -439,24 +439,55 @@ final case class GraftUpdateDeleteCommand(dir: String,
         }.toMap
         MergeTable.MergeAction.Update(m)
       }
-    // MERGE-ON-READ routing: with 'graft.deletes.mode' = 'mor' set
-    // (SET TBLPROPERTIES), DELETE writes deletion vectors instead of
-    // rewriting buckets — same SQL, tombstone write path. The
+    // MERGE-ON-READ routing: with 'graft.deletes.mode' /
+    // 'graft.updates.mode' = 'mor' set (SET TBLPROPERTIES), the verb
+    // writes deletion vectors (+ an append epoch for UPDATE) instead
+    // of rewriting buckets — same SQL, tombstone write path. The
     // predicate re-resolves against the table's plain logical names
-    // (no tgt struct — deleteWhereMor reads the logical view).
+    // (no tgt struct — the MOR verbs read the logical view).
+    def toPlainCol(e: Expression): Column =
+      Bridge.column(e.transformUp {
+        case ua: UnresolvedAttribute => ua.nameParts match {
+          case Seq(q, c) if tgtAlias.contains(q) =>
+            UnresolvedAttribute(Seq(c))
+          case Seq(c) if tgtCols.contains(c) => ua
+          case other => throw new IllegalArgumentException(
+            s"${if (isDelete) "DELETE FROM" else "UPDATE"} " +
+              "merge_table: reference " +
+              s"'${other.mkString(".")}' does not name a table column")
+        }
+      })
+    if (!isDelete && MergeTable.properties(spark, dir)
+        .get("graft.updates.mode").contains("mor")) {
+      require(assignments.nonEmpty, "UPDATE needs a SET clause")
+      val base = t.drop("bucket")
+      val affected = condition.map(c => base.filter(toPlainCol(c)))
+        .getOrElse(base)
+      val setMap = assignments.map { a =>
+        val n = a.key match {
+          case ua: UnresolvedAttribute => ua.nameParts.last
+          case ar: AttributeReference => ar.name
+          case other => throw new IllegalArgumentException(
+            s"UPDATE merge_table: cannot assign to ${other.sql}")
+        }
+        require(n != key,
+          s"UPDATE merge_table: the key column $key cannot be SET — " +
+            "a re-keyed row belongs to a different bucket")
+        n -> toPlainCol(a.value)
+      }.toMap
+      // every SET sees OLD values (one projection, SQL UPDATE
+      // semantics); a fresh name EXTENDS the schema (upsert contract)
+      val existing = affected.columns.toSeq
+      val updated = affected.select(
+        existing.map(c => setMap.getOrElse(c,
+          org.apache.spark.sql.functions.col(c)).as(c)) ++
+        setMap.view.filterKeys(!existing.contains(_)).toSeq
+          .sortBy(_._1).map { case (n, c) => c.as(n) }: _*)
+      val st = MergeTable.upsertMor(spark, dir, updated)
+      return Seq(Row(st.version, st.rowsMatched + st.rowsInserted, 0L))
+    }
     if (isDelete && MergeTable.properties(spark, dir)
         .get("graft.deletes.mode").contains("mor")) {
-      def toPlainCol(e: Expression): Column =
-        Bridge.column(e.transformUp {
-          case ua: UnresolvedAttribute => ua.nameParts match {
-            case Seq(q, c) if tgtAlias.contains(q) =>
-              UnresolvedAttribute(Seq(c))
-            case Seq(c) if tgtCols.contains(c) => ua
-            case other => throw new IllegalArgumentException(
-              "DELETE FROM merge_table: WHERE reference " +
-                s"'${other.mkString(".")}' does not name a table column")
-          }
-        })
       val st = condition.flatMap(keyPin(_, key)) match {
         // pure key pin: O(impacted buckets) candidate scan by key
         case Some((lits, Nil)) =>

@@ -454,6 +454,67 @@ object ScaleProbe {
       .withColumn("odate", date_add(lit(java.sql.Date.valueOf(
         "2020-01-01")), (col("key") % 1461).cast("int"))))
 
+    // --- MOR vs COW WRITE-AMPLIFICATION LEG: a fixed 40-key batch
+    // against buckets that GROW with scale (16 buckets, n rows). The
+    // copy-on-write upsert rewrites every impacted bucket (write
+    // bytes ∝ table/16·touched); the merge-on-read upsert tombstones
+    // + appends (write bytes ∝ batch). Both still READ the impacted
+    // buckets, so wall time converges to the scan at scale — the
+    // bytes-written exponent is the claim under test.
+    {
+      case class MorCell(scale: Int, n: Long, cowS: Double,
+        morS: Double, cowBytes: Long, morBytes: Long)
+      def dataBytes(d: String): Long = {
+        val fs = new org.apache.hadoop.fs.Path(d).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        def walk(p: org.apache.hadoop.fs.Path): Long =
+          if (!fs.exists(p)) 0L
+          else fs.listStatus(p).map(st =>
+            if (st.isDirectory) walk(st.getPath) else st.getLen).sum
+        walk(new org.apache.hadoop.fs.Path(s"$d/data")) +
+          walk(new org.apache.hadoop.fs.Path(s"$d/_dvs"))
+      }
+      val morCells = scales.map { sc =>
+        val n = baseN * 10 * sc
+        def mk(t: String): String = {
+          val d = s"$tmp/mor_${t}_s$sc"
+          graft.ext.MergeTable.create(
+            spark.range(n).select(col("id").as("key"),
+              (col("id") % 97).as("payload")), d, "key", 1)
+          d
+        }
+        val batch = spark.range(40).select(
+          (col("id") * (n / 40)).as("key"), lit(-1L).as("payload"))
+          .localCheckpoint(true)
+        val tCow = mk("cow"); val tMor = mk("mor")
+        val cowB0 = dataBytes(tCow); val morB0 = dataBytes(tMor)
+        val cowS = timeMinOf(2) {
+          graft.ext.MergeTable.upsert(spark, tCow, batch): Unit
+        }
+        val morS = timeMinOf(2) {
+          graft.ext.MergeTable.upsertMor(spark, tMor, batch): Unit
+        }
+        // 3 commits each (warmup + 2 timed): bytes per commit
+        val cowBytes = (dataBytes(tCow) - cowB0) / 3
+        val morBytes = (dataBytes(tMor) - morB0) / 3
+        println(f"[scaleprobe] mor scale=${sc}x n=$n " +
+          f"cow_upsert=${cowS}%.3fs mor_upsert=${morS}%.3fs " +
+          f"cow_bytes/commit=$cowBytes mor_bytes/commit=$morBytes " +
+          f"amplification=${cowBytes.toDouble /
+            math.max(1L, morBytes)}%.1fx")
+        MorCell(sc, n, cowS, morS, cowBytes, morBytes)
+      }
+      def morexpo(m: MorCell => Double): Double = {
+        val (a, b) = (morCells.head, morCells.last)
+        math.log(m(b) / m(a)) / math.log(b.n.toDouble / a.n)
+      }
+      println(f"[scaleprobe] MOR EXPONENTS (1x -> ${scales.last}x): " +
+        f"cow_time=${morexpo(_.cowS)}%.2f " +
+        f"mor_time=${morexpo(_.morS)}%.2f " +
+        f"cow_bytes=${morexpo(_.cowBytes.toDouble)}%.2f " +
+        f"mor_bytes=${morexpo(_.morBytes.toDouble)}%.2f")
+    }
+
     // --- MANIFEST SCALING LEG (vs BUCKET COUNT, not corpus size) ---
     // Manifests re-list every live file each commit, so commit metadata
     // cost and the changefeed's manifest-read cost are O(buckets)/

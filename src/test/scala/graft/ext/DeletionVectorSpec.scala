@@ -300,12 +300,27 @@ class DeletionVectorSpec extends SparkSpec {
     spark.sql(s"DELETE FROM merge_table.`$dir` WHERE key = 4")
     assert(fileIds(dir) !== before)
     assert(keysOf(dir) === (5 to 495).map(_.toLong).toSet)
-    // UPDATE never routes through MOR (tombstones only mask)
+    // UPDATE without its own mode flag stays copy-on-write
     spark.sql(s"ALTER TABLE merge_table.`$dir` SET TBLPROPERTIES " +
       "('graft.deletes.mode' = 'mor')")
     spark.sql(s"UPDATE merge_table.`$dir` SET value = 'x' WHERE key = 5")
     assert(MergeTable.readKeys(spark, dir, Seq(5L))
       .select("value").collect().head.getString(0) === "x")
+    // with graft.updates.mode=mor, UPDATE tombstones + appends: no
+    // existing file rewritten, SETs see OLD values
+    spark.sql(s"ALTER TABLE merge_table.`$dir` SET TBLPROPERTIES " +
+      "('graft.updates.mode' = 'mor')")
+    val filesPre = fileIds(dir)
+    val r3 = spark.sql(s"UPDATE merge_table.`$dir` " +
+      "SET value = 'y', cents = cents + 5 WHERE key IN (6, 7)")
+      .collect().head
+    assert(r3.getLong(1) === 2L)
+    assert(filesPre.toSet.subsetOf(fileIds(dir).toSet))
+    val rows = MergeTable.readKeys(spark, dir, Seq(6L, 7L))
+      .select("key", "value", "cents").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(rows(6L) === (("y", 65L)) && rows(7L) === (("y", 75L)))
+    assert(MergeTable.fsckDeep(spark, dir).mismatched.isEmpty)
   }
 
   test("upsertMor: matched rows tombstone, the batch APPENDS as a " +
