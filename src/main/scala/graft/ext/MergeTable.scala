@@ -1560,9 +1560,14 @@ object MergeTable {
     val buckets = man.entries.map(bucketOfEntry).distinct
     val (attested, unattested) = buckets.partition(man.fps.contains)
     // prefix comparison: a legacy two-component attestation verifies
-    // its two components; a current one all three
-    val mismatched = attested.filter(b =>
-      !actual.get(b).exists(fpAgrees(man.fps(b), _)))
+    // its two components; a current one all three. A bucket whose
+    // every row is TOMBSTONED (merge-on-read) lists files but scans
+    // to zero rows — its recompute is the implicit all-zero
+    // fingerprint, exactly what the exact decrement left attested.
+    val mismatched = attested.filter { b =>
+      val zero = man.fps(b).split(":").map(_ => "0").mkString(":")
+      !fpAgrees(man.fps(b), actual.getOrElse(b, zero))
+    }
     FsckDeepReport(attested.size.toLong, mismatched.sorted,
       unattested.sorted)
   }
@@ -2701,13 +2706,30 @@ object MergeTable {
     * exploits; the two-streams spec plants a competing commit there to
     * prove the retry protocol re-dispatches the clauses against the
     * winner's snapshot with the idempotency token intact. */
+  /** [[merge]] with MERGE-ON-READ writes: same clause algebra, but
+    * changed/deleted target rows TOMBSTONE (deletion vectors) and
+    * updated/inserted rows land as a small APPEND epoch — zero
+    * existing files rewritten, the [[upsertMor]] cost model applied
+    * to the full conditional merge. Carried rows stay as untouched
+    * bytes (and are not re-validated — their content is unchanged);
+    * constraints check exactly the appended rows. Routed from SQL
+    * `MERGE INTO` when `graft.merges.mode` = `mor`. */
+  def mergeMor(spark: SparkSession, dir: String, source: DataFrame,
+      matched: Seq[MergeWhen] = Nil,
+      notMatched: Seq[MergeWhen] = Nil,
+      notMatchedBySource: Seq[MergeWhen] = Nil,
+      idempotencyToken: Option[String] = None): MergeStats =
+    mergeWithHook(spark, dir, source, matched, notMatched,
+      notMatchedBySource, idempotencyToken, () => (), mor = true)
+
   private[graft] def mergeWithHook(spark: SparkSession, dir: String,
       source: DataFrame,
       matched: Seq[MergeWhen],
       notMatched: Seq[MergeWhen],
       notMatchedBySource: Seq[MergeWhen],
       idempotencyToken: Option[String],
-      beforeCommit: () => Unit): MergeStats =
+      beforeCommit: () => Unit,
+      mor: Boolean = false): MergeStats =
     retryOnConflict("merge", dir) {
       import MergeAction._
       require(matched.nonEmpty || notMatched.nonEmpty ||
@@ -2759,11 +2781,37 @@ object MergeTable {
       // the clause algebra runs in LOGICAL space (conditions and SET
       // names are user-facing); the physical boundary is crossed once
       // on the way back down, at toPhysical below
-      val existing =
+      val existing0 =
         if (rewritten.isEmpty) batch.limit(0)
-        else applyLogicalView(readEntries(spark, dir, man, rewritten),
-          man.cols)
-      val tgtCols = existing.columns.filterNot(_ == "bucket").toSeq
+        else if (!mor) readEntries(spark, dir, man, rewritten)
+        else {
+          // MOR carries each target row's PARQUET IDENTITY so the
+          // clause verdicts can translate into tombstones
+          val scanned = scanEntriesRaw(spark, dir, rewritten)
+            .withColumn("__dv_file", regexp_extract(
+              col("_metadata.file_path"),
+              "([^/]+/bucket=[0-9a-f]+/[^/]+)$", 1))
+            .withColumn("__dv_pos", col("_metadata.row_index"))
+          val dirty = rewritten.filter(man.dvf.contains)
+          if (dirty.isEmpty) scanned
+          else {
+            val tomb0 = dvTombstones(spark, dir, man, dirty)
+            val tomb = if (dirty.map(man.dvf).sum <= DvBroadcastMaxRows)
+              broadcast(tomb0) else tomb0
+            scanned.join(tomb,
+              scanned("__dv_file") === tomb("file") &&
+                scanned("__dv_pos") === tomb("pos"), "left_anti")
+          }
+        }
+      val existing = {
+        val e0 = applyLogicalView(existing0, man.cols)
+        if (mor && !e0.columns.contains("__dv_file"))
+          e0.withColumn("__dv_file", lit(null).cast("string"))
+            .withColumn("__dv_pos", lit(null).cast("long"))
+        else e0
+      }
+      val tgtCols = existing.columns.filterNot(c =>
+        c == "bucket" || c == "__dv_file" || c == "__dv_pos").toSeq
       val srcCols = batch.columns.filterNot(_ == "bucket").toSeq
       if ((matched ++ notMatched).exists(_.action == UpdateAll)) {
         val dropped = tgtCols.toSet -- srcCols.toSet
@@ -2772,8 +2820,9 @@ object MergeTable {
             " required by an UpdateAll/insert clause (schema changes " +
             "are extend-only)")
       }
-      val t = existing.select(col(key).as("__gk"),
-        struct(tgtCols.map(col): _*).as("tgt"))
+      val t = existing.select(Seq(col(key).as("__gk"),
+        struct(tgtCols.map(col): _*).as("tgt")) ++
+        (if (mor) Seq(col("__dv_file"), col("__dv_pos")) else Nil): _*)
       val s = batch.select(col(key).as("__gk"),
         struct(srcCols.map(col): _*).as("src"))
       // the using-column full outer join COALESCES the key, so every
@@ -2835,13 +2884,6 @@ object MergeTable {
           when(col("__act") === cl.id, v).otherwise(acc)
         }.as(c)
       }
-      val doomed = (deleteIds :+ (-1)).map(java.lang.Integer.valueOf)
-      val survivorsL = classified
-        .filter(!col("__act").isin(doomed: _*))
-        .select(col("__gk").as(key) +: outExprs: _*)
-      enforceConstraints(spark, dir, survivorsL, "merge")
-      val survivors = toPhysical(survivorsL, man.cols)
-        .withColumn("bucket", bucketCol(col(key), man.hexDigits))
       val next = cur + 1
       // the new token JOINS the carried-forward map (and a replayed id
       // never regresses a newer one — max, the monotone frontier)
@@ -2851,6 +2893,88 @@ object MergeTable {
         val sid = t.take(cut); val id = t.drop(cut + 1).toLong
         man.tokens + (sid -> math.max(id, man.tokens.getOrElse(sid, Long.MinValue)))
       }.getOrElse(man.tokens)
+      if (mor) {
+        // every CHANGED or DELETED target row tombstones; carries (0)
+        // stay as untouched bytes, skipped sources (-1) are ignored
+        val moveIds = updatedIds.filter(id =>
+          clauses.exists(cl => cl.id == id && cl.cls != NM)) ++ deleteIds
+        val nMove = total(moveIds)
+        val pickIds = classified
+          .filter(col("__act").isin(
+              moveIds.map(java.lang.Integer.valueOf): _*) &&
+            col("__dv_file").isNotNull)
+          .select(col("__dv_file"), col("__dv_pos"))
+          .localCheckpoint(true)
+        val plan0 = morTombstonePlan(spark, dir, cur, man, rewritten,
+          live => live.join(
+            if (nMove <= DvBroadcastMaxRows) broadcast(pickIds)
+            else pickIds,
+            Seq("__dv_file", "__dv_pos"), "left_semi"))
+        val appendIds = (updatedIds ++ insertIds)
+          .map(java.lang.Integer.valueOf)
+        val appendedL = classified
+          .filter(col("__act").isin(appendIds: _*))
+          .select(col("__gk").as(key) +: outExprs: _*)
+        enforceConstraints(spark, dir, appendedL, "merge")
+        val appended = toPhysical(appendedL, man.cols)
+          .withColumn("bucket", bucketCol(col(key), man.hexDigits))
+        val epochName = s"v=$next-${attemptTag()}"
+        writeEpoch(appended, dir, epochName, man.hexDigits)
+        val fresh = epochEntries(spark, dir, epochName)
+        val (freshFps, freshSts) =
+          if (fresh.isEmpty)
+            (Map.empty[String, String], Map.empty[String, String])
+          else epochStats(spark, dir, epochName)
+        val blCols = man.props.get("graft.bloom.columns")
+          .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(Nil)
+        val freshBls =
+          if (fresh.isEmpty || blCols.isEmpty)
+            Map.empty[String, String]
+          else epochBlooms(spark, dir, epochName, blCols,
+            man.props.get("graft.bloom.bits").map(_.toLong)
+              .getOrElse(4096L))
+        val delta = plan0.map(_.fpDelta).getOrElse(Map.empty)
+        val newFps = (man.fps.keySet ++ freshFps.keySet).map { b =>
+          val afterDel = man.fps.get(b).map(fp =>
+            delta.get(b).map(fpCombine(fp, _, -1)).getOrElse(fp))
+          b -> ((afterDel, freshFps.get(b)) match {
+            case (Some(a), Some(f)) => fpCombine(a, f, 1)
+            case (Some(a), None) => a
+            case (None, Some(f)) => f
+            case (None, None) => sys.error("unreachable")
+          })
+        }.toMap
+        val newDvf = man.dvf ++ plan0.map(_.perFile.map {
+          case (f, n) => f -> (man.dvf.getOrElse(f, 0L) + n)
+        }).getOrElse(Map.empty)
+        beforeCommit()
+        try {
+          commitManifest(spark, dir, next, man.entries ++ fresh,
+            man.hexDigits, newFps, tokens = newTokens,
+            sts = man.sts ++ freshSts, cols = man.cols,
+            dvs = man.dvs ++ plan0.map(_.newDvs).getOrElse(Nil),
+            dvf = newDvf, props = man.props, bls = man.bls ++ freshBls)
+        } catch {
+          case e: CommitConflictException =>
+            val fs = hadoopFs(spark, dir)
+            fs.delete(new Path(s"$dir/data/$epochName"), true)
+            plan0.foreach(pl =>
+              fs.delete(new Path(s"$dir/_dvs/${pl.dvName}"), true))
+            throw e
+        }
+        return MergeStats(next, impacted.size.toLong,
+          rewritten.size.toLong, fresh.size.toLong,
+          total(updatedIds), total(deleteIds),
+          total(insertIds), counts.getOrElse(0, 0L))
+      }
+      val doomed = (deleteIds :+ (-1)).map(java.lang.Integer.valueOf)
+      val survivorsL = classified
+        .filter(!col("__act").isin(doomed: _*))
+        .select(col("__gk").as(key) +: outExprs: _*)
+      enforceConstraints(spark, dir, survivorsL, "merge")
+      val survivors = toPhysical(survivorsL, man.cols)
+        .withColumn("bucket", bucketCol(col(key), man.hexDigits))
       val fresh = commitEpoch(spark, dir, next, survivors, kept,
         man.hexDigits, beforeCommit, keptFps = man.fps -- impacted,
         tokens = newTokens,
@@ -4927,6 +5051,65 @@ object MergeTable {
        |FROM r WHERE act IN (0, 1, 3, 4)
        |ORDER BY key""".stripMargin)
 
+  /** q180 — MERGE-ON-READ MERGE acceptance: q161's five-clause merge
+    * (conditional matched update with a schema-extending `note`,
+    * fall-through delete, conditional insert, by-source aging + reap)
+    * replayed through [[mergeMor]] and held to q161's IDENTICAL
+    * oracle — clause algebra unchanged, write path swapped for
+    * tombstones + one append epoch. The by-source clauses force the
+    * full-table classification read, and STILL no base file is
+    * rewritten (entry-superset require) — the merge that copy-on-write
+    * prices as a full-table rewrite lands as O(changed rows) of new
+    * bytes. [[fsckDeep]] re-attests the three-term fingerprints
+    * across every touched bucket (tombstoned aged/reaped/updated rows
+    * + appended updated/inserted rows + schema extension). */
+  private val q180MorMerge = QueryDef(
+    (s, dir) => {
+      val root = graft.core.Timing.build {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft-q180").resolve("t").toString
+        create(baseRows(s, dir).select("key", "cents", "status"), out,
+          "key")
+        out
+      }
+      val baseFiles = readManifest(s, root, 1L).toSet
+      val t = readTable(s, root).select("key", "cents", "status")
+      val src = t.filter(col("key") % 13 === 0)
+        .select(col("key"),
+          (col("cents") + (col("key") % 200) - 100).as("cents"),
+          col("status"))
+        .unionByName(t.filter(col("key") % 17 === 0)
+          .select((-col("key") - 1).as("key"),
+            (col("cents") + 50).as("cents"), lit("N").as("status")))
+      val st = mergeMor(s, root, src,
+        matched = Seq(
+          MergeWhen(Some(col("src.cents") > col("tgt.cents")),
+            MergeAction.Update(Map("cents" -> col("src.cents"),
+              "note" -> lit("up")))),
+          MergeWhen(None, MergeAction.Delete)),
+        notMatched = Seq(
+          MergeWhen(Some(col("src.cents") % 3 =!= 0),
+            MergeAction.UpdateAll)),
+        notMatchedBySource = Seq(
+          MergeWhen(Some(col("tgt.key") % 19 === 0),
+            MergeAction.Update(Map("cents" -> (col("tgt.cents") + 1),
+              "note" -> lit("aged")))),
+          MergeWhen(Some(col("tgt.key") % 23 === 0),
+            MergeAction.Delete)))
+      require(baseFiles.subsetOf(readManifest(s, root, 2L).toSet),
+        "q180: a MOR merge must never rewrite a base file")
+      val deep = fsckDeep(s, root)
+      require(deep.mismatched.isEmpty && deep.unattested.isEmpty,
+        s"q180: merged fingerprints must re-attest: $deep")
+      readTable(s, root)
+        .select("key", "cents", "status", "note")
+        .withColumn("n_upd", lit(st.rowsUpdated))
+        .withColumn("n_del", lit(st.rowsDeleted))
+        .withColumn("n_ins", lit(st.rowsInserted))
+        .orderBy("key")
+    },
+    q161MergeClauses.oracle.get)
+
   /** q166 — SQL MERGE INTO acceptance: q161's five-clause merge
     * replayed VERBATIM through a real `MERGE INTO merge_table.'/dir'`
     * statement — Spark's own grammar, the
@@ -5251,6 +5434,7 @@ object MergeTable {
     "q177_bloom_pruning" -> q177BloomPruning,
     "q178_mor_lifecycle" -> q178MorLifecycle,
     "q179_timestamp_travel" -> q179TimestampTravel,
+    "q180_mor_merge" -> q180MorMerge,
     "q166_sql_merge_dml" -> q166SqlMergeDml,
     "q168_schema_evolution" -> q168SchemaEvolution,
     "q169_sql_update_delete" -> q169SqlUpdateDelete,

@@ -287,9 +287,17 @@ final case class GraftMergeCommand(dir: String, captured: CapturedMerge)
           s"SOURCE action $other")
     }
 
-    val st = MergeTable.merge(spark, dir, srcDf,
-      matched = matched, notMatched = notMatched,
-      notMatchedBySource = bySource)
+    // 'graft.merges.mode' = 'mor' routes the whole clause merge
+    // through deletion vectors + an append epoch (MergeTable.mergeMor)
+    val st =
+      if (MergeTable.properties(spark, dir)
+          .get("graft.merges.mode").contains("mor"))
+        MergeTable.mergeMor(spark, dir, srcDf,
+          matched = matched, notMatched = notMatched,
+          notMatchedBySource = bySource)
+      else MergeTable.merge(spark, dir, srcDf,
+        matched = matched, notMatched = notMatched,
+        notMatchedBySource = bySource)
     Seq(Row(st.version, st.rowsUpdated, st.rowsDeleted, st.rowsInserted,
       st.rowsCarried))
   }

@@ -407,6 +407,91 @@ class DeletionVectorSpec extends SparkSpec {
     assert(MergeTable.fsckDeep(spark, dir).mismatched.isEmpty)
   }
 
+  test("mergeMor: the full clause algebra (conditional update, " +
+      "fall-through delete, insert, by-source aging + reap) lands as " +
+      "tombstones + one append epoch — equivalent to the COW merge " +
+      "row-for-row, zero base files rewritten, fsckDeep green, and " +
+      "the CDC windows identical") {
+    import spark.implicits._
+    val dirCow = mkTable()
+    val dirMor = mkTable()
+    val src = (Seq((2L, "up2", 1000L), (4L, "up4", 1L),
+      (6L, "up6", 6000L)) ++
+      Seq((9001L, "new1", 10L), (9002L, "new2", 20L)))
+      .toDF("key", "value", "cents")
+    def clauses = (
+      Seq(
+        MergeTable.MergeWhen(Some(col("src.cents") > col("tgt.cents")),
+          MergeTable.MergeAction.UpdateAll),
+        MergeTable.MergeWhen(None, MergeTable.MergeAction.Delete)),
+      Seq(MergeTable.MergeWhen(None, MergeTable.MergeAction.UpdateAll)),
+      Seq(
+        MergeTable.MergeWhen(Some(col("tgt.key") > lit(495L)),
+          MergeTable.MergeAction.Delete),
+        MergeTable.MergeWhen(Some(col("tgt.key") > lit(490L)),
+          MergeTable.MergeAction.Update(Map(
+            "value" -> concat(col("tgt.value"), lit("-aged")))))))
+    val (m, nm, bs) = clauses
+    val stCow = MergeTable.merge(spark, dirCow, src, m, nm, bs)
+    val before = fileIds(dirMor)
+    val stMor = MergeTable.mergeMor(spark, dirMor, src, m, nm, bs)
+    // identical clause accounting
+    assert((stMor.rowsUpdated, stMor.rowsDeleted, stMor.rowsInserted,
+      stMor.rowsCarried) === ((stCow.rowsUpdated, stCow.rowsDeleted,
+      stCow.rowsInserted, stCow.rowsCarried)))
+    // zero base files rewritten on the MOR side
+    assert(before.toSet.subsetOf(fileIds(dirMor).toSet))
+    // row-for-row identical final states
+    def state(d: String) = MergeTable.readTable(spark, d)
+      .select("key", "value", "cents").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(state(dirMor) === state(dirCow))
+    // the fingerprint arithmetic attests the mixed outcome
+    val deep = MergeTable.fsckDeep(spark, dirMor)
+    assert(deep.mismatched.isEmpty && deep.unattested.isEmpty)
+    // CDC windows identical (fingerprint-pruned on both sides)
+    def cdc(d: String) = MergeTable.changes(spark, d, 1L, 2L)
+      .select("key", "change").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(cdc(dirMor) === cdc(dirCow))
+    // SQL MERGE INTO routes through MOR under the property
+    spark.sql(s"ALTER TABLE merge_table.`$dirMor` SET TBLPROPERTIES " +
+      "('graft.merges.mode' = 'mor')")
+    val filesPre = fileIds(dirMor)
+    src.createOrReplaceTempView("dv_merge_src")
+    spark.sql(
+      s"""MERGE INTO merge_table.`$dirMor` t
+         |USING (SELECT key, value, cents + 1 AS cents
+         |       FROM dv_merge_src) s
+         |ON t.key = s.key
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    assert(filesPre.toSet.subsetOf(fileIds(dirMor).toSet))
+    assert(MergeTable.readKeys(spark, dirMor, Seq(9001L))
+      .select("cents").collect().head.getLong(0) === 11L)
+    assert(MergeTable.fsckDeep(spark, dirMor).mismatched.isEmpty)
+  }
+
+  test("a bucket whose EVERY row is tombstoned attests as the " +
+      "implicit all-zero fingerprint: fsckDeep green, reads empty, " +
+      "CDC classifies the full-bucket wipe") {
+    import spark.implicits._
+    val dir = mkTable(300)
+    val doomed = MergeTable.readTable(spark, dir)
+      .filter(col("bucket") === "0").select("key")
+      .collect().map(_.getLong(0)).toSeq
+    assert(doomed.nonEmpty)
+    val st = MergeTable.deleteKeysMor(spark, dir, doomed.toDF("key"))
+    assert(st.rowsDeleted === doomed.size.toLong)
+    val deep = MergeTable.fsckDeep(spark, dir)
+    assert(deep.mismatched.isEmpty && deep.unattested.isEmpty)
+    assert(MergeTable.readTable(spark, dir)
+      .filter(col("bucket") === "0").count() === 0L)
+    assert(MergeTable.changes(spark, dir, 1L, 2L)
+      .filter(col("change") === "delete").count() ===
+      doomed.size.toLong)
+  }
+
   test("a MOR delete against an UNATTESTED (legacy no-fingerprint) " +
       "bucket refuses loudly instead of hiding the deletes from CDC") {
     import spark.implicits._
