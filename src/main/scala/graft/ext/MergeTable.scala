@@ -668,6 +668,35 @@ object MergeTable {
       next
     }
 
+  /** [[restore]] resolved by TIMESTAMP instead of version — the
+    * "roll back to before the bad batch landed at 02:14" operator
+    * idiom: resolution rides [[versionAsOf]]'s strictly-monotone
+    * effective commit times (loud when the timestamp predates retained
+    * history — a rollback must never silently restore the oldest
+    * survivor instead of the snapshot the operator named). */
+  def restoreAsOf(spark: SparkSession, dir: String,
+      tsMillis: Long): Long =
+    restore(spark, dir, versionAsOf(spark, dir, tsMillis))
+
+  /** [[vacuum]] with a TIME-based retention contract (the Delta
+    * `VACUUM … RETAIN <n> HOURS` muscle memory, re-expressed over
+    * this table's version-expiry semantics): every version whose
+    * EFFECTIVE commit time ([[commitTimes]] — in-commit, persisted
+    * monotone) falls within `retainMillis` of now survives; the
+    * current version and every tag pin survive regardless (the
+    * [[vacuum]] contract). Because effective times are strictly
+    * increasing, the retained set is exactly a version suffix, so
+    * this delegates to the version-count sweep — one retention
+    * implementation, two dialects. */
+  def vacuumRetainTime(spark: SparkSession, dir: String,
+      retainMillis: Long,
+      minFileAgeMs: Long = DefaultVacuumGraceMs): VacuumStats = {
+    require(retainMillis >= 0L, "retention window must be non-negative")
+    val cutoff = System.currentTimeMillis() - retainMillis
+    val keep = math.max(1, commitTimes(spark, dir).count(_._2 >= cutoff))
+    vacuum(spark, dir, keep, minFileAgeMs)
+  }
+
   /** Shared validation + metadata-only commit for the two schema
     * evolution verbs beyond extend-only. The PHYSICAL column names in
     * the parquet files are immutable; the manifest's `#col=` mapping
@@ -860,7 +889,7 @@ object MergeTable {
     // so its files' dvf lines drop here, exactly like stats); once no
     // dirty file remains the dv files themselves stop being referenced
     // (vacuum reclaims them) and the reader-capability gate lifts.
-    val dvfLive = dvf.view.filterKeys(entries.toSet).toMap
+    val dvfLive = dvf.view.filterKeys(entrySet).toMap
     val dvLines =
       if (dvfLive.isEmpty) Nil
       else Seq("#requires=dv") ++
@@ -873,11 +902,25 @@ object MergeTable {
       s"#prop=$k:$pv"
     }
     // blooms only for files the manifest lists (the stats discipline)
-    val blLines = bls.toSeq.filter(e => entries.toSet.contains(e._1))
+    val blLines = bls.toSeq.filter(e => entrySet.contains(e._1))
       .sortBy(_._1).map { case (f, body) => s"#bl=$f|$body" }
+    // the IN-COMMIT TIMESTAMP is monotonized AT WRITE TIME against the
+    // predecessor's persisted `#ts=` (max(now, prev + 1)): with only
+    // read-time monotonization, vacuuming early versions under writer
+    // clock skew could shift later versions' EFFECTIVE times backwards
+    // and re-resolve a past AS OF probe to a different snapshot. A
+    // persisted-monotone chain is stable under any history expiry;
+    // [[commitTimes]]' read-time pass remains for legacy manifests
+    // (mtime fallback) and is the identity over commits written here.
+    val prevTs = versions(spark, dir).filter(_ < v).lastOption.map { pv =>
+      readManifestFull(spark, dir, pv).ts.getOrElse(
+        fs.getFileStatus(manifestPath(dir, pv)).getModificationTime)
+    }
+    val commitTs = math.max(System.currentTimeMillis(),
+      prevTs.map(_ + 1L).getOrElse(Long.MinValue))
     try out.write(
       ((Seq(s"#hex=$hexDigits",
-        s"#ts=${System.currentTimeMillis()}") ++ tokLines) ++
+        s"#ts=$commitTs") ++ tokLines) ++
         propLines ++ colLines ++
         dvLines ++ fpLines ++
         stLines ++ blLines ++ entries.sorted).mkString("\n").getBytes("UTF-8"))
@@ -1698,20 +1741,40 @@ object MergeTable {
     * just to plan a 40-file read (measured by the ScaleProbe manifest
     * leg: 7.6 s/upsert at 4096 buckets before, flat after). */
   private def scanEntriesRaw(spark: SparkSession, dir: String,
-      entries: Seq[String]): DataFrame =
-    // the bucket id comes from the FILE PATH, never from partition
-    // inference: over a SPARSE file set the inferred type is unsafe —
+      entries: Seq[String]): DataFrame = {
+    // two-step read: a mergeSchema PROBE resolves the union data
+    // schema (one footer pass — the price the old single-step read
+    // paid anyway), then the real scan passes that schema back
+    // EXPLICITLY with the layout partition columns (`v`, `bucket`)
+    // FORCED to STRING. Forcing the type kills partition-type
+    // inference — over a SPARSE file set the inferred type is unsafe:
     // a lone "bucket=8f" dir infers DOUBLE 8.0 (Java's parseDouble
-    // accepts the f/d suffix), which would relocate the rewritten
-    // epoch to a bucket named "8.0" (the epochFingerprints trap, round
-    // 12, now bitten on the read side). The full-table read never hit
-    // it only because mixed hex values force a string fallback.
-    spark.read.option("basePath", s"$dir/data")
-      .option("mergeSchema", "true")
-      .parquet(entries.map(e => s"$dir/data/$e"): _*)
-      .drop("v").drop("bucket")
-      .withColumn("bucket",
-        regexp_extract(col("_metadata.file_path"), "/bucket=([^/]+)/", 1))
+    // accepts the f/d suffix), the round-12 epochFingerprints trap —
+    // while keeping `bucket` a genuine PARTITION column of the scan.
+    // The string partition value IS the directory text, byte-identical
+    // to the regexp this read derived it with before round 17, but
+    // partition-backed: [[graft.plans.KeyToBucketPruning]] can now
+    // turn a `key = <lit>` filter into a bucket partition filter on
+    // EVERY snapshot read — including the DV-aware dirty-file scan,
+    // so a point lookup on a tombstone-carrying table stays
+    // O(impacted buckets) between a MOR write and the OPTIMIZE that
+    // purges it (the footer KeyHexMeta stamp rides the probe schema
+    // into the explicit one). It also pins bucket's TYPE: DV-free and
+    // DV-bearing snapshots of one table agree on string forever.
+    val paths = entries.map(e => s"$dir/data/$e")
+    val probe = spark.read.option("basePath", s"$dir/data")
+      .option("mergeSchema", "true").parquet(paths: _*)
+    val forced = org.apache.spark.sql.types.StructType(probe.schema.map {
+      f =>
+        if (f.name == "bucket" || f.name == "v")
+          f.copy(dataType = org.apache.spark.sql.types.StringType)
+        else f
+    })
+    val dataCols = probe.columns.filterNot(c => c == "bucket" || c == "v")
+    spark.read.option("basePath", s"$dir/data").schema(forced)
+      .parquet(paths: _*)
+      .select((dataCols :+ "bucket").map(col): _*)
+  }
 
   /** Tombstone sets at or below this many rows broadcast to the
     * anti-join (a DV is small by design — a table whose tombstones
@@ -1813,8 +1876,7 @@ object MergeTable {
     val v = version.getOrElse(versions(spark, dir).lastOption.getOrElse(
       throw new IllegalArgumentException(s"no MergeTable at $dir")))
     val man = readManifestFull(spark, dir, v)
-    val files = man.entries.map(e => s"$dir/data/$e")
-    if (files.isEmpty)
+    if (man.entries.isEmpty)
       // a version whose every row died lists no files — there is no
       // schema to infer, so name the state instead of surfacing
       // Spark's opaque unable-to-infer error
@@ -1826,17 +1888,14 @@ object MergeTable {
     // (upsert allows EXTEND-only schema changes); merging footers is
     // manifest-sized work, and older files' rows read null for newer
     // columns — the standard parquet evolution contract.
-    // A DV-FREE snapshot keeps the partition-inferred `bucket` (the
-    // column [[graft.plans.KeyToBucketPruning]] turns into a
-    // partition filter — the zero-DV path is byte-identical to
-    // pre-DV builds); a snapshot carrying tombstones routes through
-    // the DV-aware split instead, whose derived string bucket trades
-    // plan-level bucket pruning for row-identity joins until OPTIMIZE
-    // materializes the deletes and the table returns to the fast path.
-    if (man.dvf.isEmpty)
-      spark.read.option("basePath", s"$dir/data")
-        .option("mergeSchema", "true").parquet(files: _*)
-        .drop("v")
+    // BOTH branches read through [[scanEntriesRaw]]'s explicit-schema
+    // scan, so `bucket` is a STRING-typed partition column whether or
+    // not the snapshot carries tombstones — one type contract across
+    // DV/non-DV versions, and [[graft.plans.KeyToBucketPruning]]'s
+    // partition filter prunes the dirty-file scan exactly as it does
+    // the clean one (the DV read's extra cost is the row-identity
+    // anti-join, never a lost pruning property).
+    if (man.dvf.isEmpty) scanEntriesRaw(spark, dir, man.entries)
     else readEntries(spark, dir, man, man.entries)
   }
 
@@ -1943,8 +2002,10 @@ object MergeTable {
   }
 
   /** ISO instant ('2026-08-16T01:00:00Z') or 'yyyy-MM-dd HH:mm:ss
-    * [.SSS]' (read as UTC) → epoch millis. */
-  private def parseTsMillis(s: String): Long =
+    * [.SSS]' (read as UTC) → epoch millis — shared by the SQL
+    * timestamp-travel surfaces (`merge_table_as_of`, `RESTORE … TO
+    * TIMESTAMP AS OF`). */
+  private[graft] def parseTsMillis(s: String): Long =
     scala.util.Try(java.time.Instant.parse(s).toEpochMilli).getOrElse {
       val fmt = java.time.format.DateTimeFormatter.ofPattern(
         "yyyy-MM-dd HH:mm:ss[.SSS]")
@@ -2019,7 +2080,13 @@ object MergeTable {
     * legacy manifests fall back to file mtime), monotonized as
     * eff(v) = max(raw(v), eff(prev) + 1) so clock skew between
     * concurrent writers can never make AS OF resolution ambiguous —
-    * the Delta in-commit-timestamp discipline. */
+    * the Delta in-commit-timestamp discipline. The current writer
+    * already persists `#ts=` MONOTONE (max(now, predecessor + 1) at
+    * commit time — see [[commitManifest]]), so for tables written by
+    * it this read-time pass is the identity and resolution is STABLE
+    * under vacuum: expiring early history can never shift a later
+    * version's effective time (the pass remains for legacy/mtime
+    * manifests, whose raw clocks may interleave). */
   def commitTimes(spark: SparkSession, dir: String)
       : Seq[(Long, Long)] = {
     val fs = hadoopFs(spark, dir)
@@ -2091,16 +2158,21 @@ object MergeTable {
     val buckets = md.entries.map(bucketOfEntry).distinct
     val attested = fpTotal(md.fps, buckets.toSet)
     import spark.implicits._
+    // bloom COVERAGE (files_with_bloom vs files) makes equality-
+    // skipping health observable: blooms are advisory, so a coverage
+    // gap (files written before the property was set) degrades
+    // silently at plan time — this is where an operator sees it
     Seq((keyMeta(spark, dir, None), cur, md.hexDigits.toLong,
       md.entries.size.toLong, buckets.size.toLong,
       attested.map(fpRows), vs.size.toLong,
       tags(spark, dir).size.toLong,
       constraints(spark, dir).size.toLong,
       md.dvs.size.toLong, md.dvf.values.sum,
-      md.props.size.toLong))
+      md.props.size.toLong,
+      md.bls.keySet.count(md.entries.toSet).toLong))
       .toDF("key_col", "version", "hex_digits", "files", "buckets",
         "rows", "versions_retained", "tags", "constraints",
-        "dv_files", "dv_tombstones", "properties")
+        "dv_files", "dv_tombstones", "properties", "files_with_bloom")
   }
 
   /** Register the SQL table-valued surface (`merge_table`,
@@ -2396,7 +2468,18 @@ object MergeTable {
         val ids = applyLogicalView(live, man.cols).filter(cond)
           .select(col("__dv_file"), col("__dv_pos"))
           .localCheckpoint(true)
-        live.join(broadcast(ids), Seq("__dv_file", "__dv_pos"),
+        // the victim set is O(deleted rows) and a predicate delete can
+        // match ANY fraction of the table (SQL DELETE without WHERE
+        // routes here as lit(true) — the natural retention-purge
+        // shape), so the broadcast is GATED like every sibling
+        // tombstone side (readEntries, morTombstonePlan, mergeMor):
+        // small sets broadcast, larger ones take the shuffle semi-join
+        // — degradation, never a driver OOM. The count is against the
+        // already-materialized checkpoint, so it prices one cached
+        // aggregate, not a recompute.
+        val idsJoin = if (ids.count() <= DvBroadcastMaxRows)
+          broadcast(ids) else ids
+        live.join(idsJoin, Seq("__dv_file", "__dv_pos"),
           "left_semi")
       })
     }
@@ -3197,6 +3280,106 @@ object MergeTable {
         fresh.size.toLong, 0L, 0L)
     }
   }
+
+  final case class DvCompactStats(version: Long, bucketsCompacted: Long,
+    filesBefore: Long, filesAfter: Long, tombstonesPurged: Long)
+
+  /** DV / SMALL-EPOCH COMPACTION — the merge-on-read lifecycle's own
+    * maintenance verb (Iceberg's rewrite-position-deletes plus Delta's
+    * small-file compaction, scoped to exactly the buckets that need
+    * it): every bucket carrying a TOMBSTONED file or more than
+    * `maxFilesPerBucket` data files (MOR appends leave one small file
+    * per touched bucket per commit) is rewritten from its LIVE rows —
+    * tombstones applied, accumulated epochs folded, ONE file per
+    * bucket — while every other bucket's files are re-listed VERBATIM.
+    * No sort, no re-clustering: this recovers the MOR read tax
+    * (row-identity anti-joins + per-file open cost) without paying
+    * [[optimize]]'s table- or scope-wide layout rewrite; run OPTIMIZE
+    * when you want clustering too.
+    *
+    * Fingerprints are the INTEGRITY GATE, not an output: the MOR
+    * write arithmetic (old − tombstoned + appended, every term a
+    * component sum) means the manifest's per-bucket fingerprint is
+    * already EXACTLY the live rows' fingerprint — so the rewrite's
+    * read-back fp is REQUIRED to match it, and compaction aborts
+    * loudly (epoch deleted, nothing committed) on any mismatch rather
+    * than laundering a corrupted bucket into a fresh attestation.
+    * Matching fps make the commit provably CDC-FREE: a changefeed
+    * window straddling it prunes every compacted bucket unread. A
+    * bucket whose every row was tombstoned attests as the all-zero
+    * fingerprint, writes no file, and drops out of the manifest.
+    * Tombstone files stop being referenced once no annotated data
+    * file remains; [[vacuum]] reclaims them like any other
+    * unreferenced file. */
+  def compactDvs(spark: SparkSession, dir: String,
+      maxFilesPerBucket: Int = 1,
+      buckets: Option[Seq[String]] = None): DvCompactStats =
+    retryOnConflict("compactDvs", dir) {
+      require(maxFilesPerBucket >= 1,
+        "a bucket keeps at least one file per epoch written")
+      val cur = versions(spark, dir).lastOption.getOrElse(
+        throw new IllegalArgumentException(s"no MergeTable at $dir"))
+      val man = readManifestFull(spark, dir, cur)
+      val scope = normalizeScope(buckets, man.hexDigits)
+      val target = man.entries.groupBy(bucketOfEntry).collect {
+        case (b, es) if scope.forall(_.contains(b)) &&
+            (es.size > maxFilesPerBucket ||
+              es.exists(man.dvf.contains)) => b
+      }.toSet
+      if (target.isEmpty) DvCompactStats(cur, 0L, 0L, 0L, 0L)
+      else {
+        val (doomed, kept) = man.entries.partition(e =>
+          target.contains(bucketOfEntry(e)))
+        val live = readEntries(spark, dir, man, doomed)
+          .localCheckpoint(true)
+        val next = cur + 1
+        val epochName = s"v=$next-${attemptTag()}"
+        val fs = hadoopFs(spark, dir)
+        writeEpoch(live, dir, epochName, man.hexDigits)
+        val fresh = epochEntries(spark, dir, epochName)
+        val (freshFps, freshSts) =
+          if (fresh.isEmpty)
+            (Map.empty[String, String], Map.empty[String, String])
+          else epochStats(spark, dir, epochName)
+        // the attestation gate: read-back == manifest, per bucket
+        val drifted = freshFps.collect {
+          case (b, fp) if !man.fps.get(b).exists(fpAgrees(_, fp)) => b
+        }
+        val vanished = (target -- freshFps.keySet).filterNot(b =>
+          man.fps.get(b).exists(_.split(":").forall(c => BigInt(c) == 0)))
+        if (drifted.nonEmpty || vanished.nonEmpty) {
+          fs.delete(new Path(s"$dir/data/$epochName"), true)
+          throw new IllegalStateException(
+            s"compactDvs at $dir: rewritten bucket(s) " +
+              (drifted ++ vanished).toSeq.sorted.mkString(", ") +
+              " do not re-attest their manifest fingerprints — the " +
+              "table is corrupt (run fsckDeep); nothing was committed")
+        }
+        val blCols = man.props.get("graft.bloom.columns")
+          .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(Nil)
+        val freshBls =
+          if (fresh.isEmpty || blCols.isEmpty) Map.empty[String, String]
+          else epochBlooms(spark, dir, epochName, blCols,
+            man.props.get("graft.bloom.bits").map(_.toLong)
+              .getOrElse(4096L))
+        try {
+          commitManifest(spark, dir, next, kept ++ fresh,
+            man.hexDigits, (man.fps -- (target -- freshFps.keySet)),
+            tokens = man.tokens,
+            sts = man.sts.view.filterKeys(kept.toSet).toMap ++ freshSts,
+            cols = man.cols, dvs = man.dvs, dvf = man.dvf,
+            props = man.props, bls = man.bls ++ freshBls)
+          DvCompactStats(next, target.size.toLong, doomed.size.toLong,
+            fresh.size.toLong,
+            doomed.flatMap(man.dvf.get).sum)
+        } catch {
+          case e: CommitConflictException =>
+            fs.delete(new Path(s"$dir/data/$epochName"), true)
+            throw e
+        }
+      }
+    }
 
   /** Drop all but the last `retainVersions` manifests and delete every
     * data file no retained manifest references — the retention job
@@ -5405,6 +5588,335 @@ object MergeTable {
        |       CAST(1 AS BIGINT) AS n_cons
        |FROM base ORDER BY key""".stripMargin)
 
+  /** Every [[org.apache.spark.sql.execution.FileSourceScanExec]] in a
+    * physical plan, descending through AQE wrappers: an
+    * AdaptiveSparkPlanExec is a LEAF to collect/collectLeaves (it
+    * hides its subtree until execution), so a multi-scan plan — the
+    * DV split is a union + anti-join — yields no scans to a naive
+    * walk; the file-pruning gates need the scans the plan actually
+    * scheduled (file listing is decided at planning, so reading the
+    * adaptive plan's current physical tree pre-execution is exact). */
+  private def collectFileScans(
+      p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+    p.collect {
+      case a: org.apache.spark.sql.execution.adaptive
+          .AdaptiveSparkPlanExec => collectFileScans(a.executedPlan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        Seq(f)
+    }.flatten
+
+  /** The DISTINCT data-file paths a plan's scans schedule (tombstone
+    * `_dvs/` parquet excluded — the gates price DATA file pruning). */
+  private def plannedDataFiles(df: DataFrame): Seq[String] =
+    collectFileScans(df.queryExecution.executedPlan)
+      .flatMap(_.selectedPartitions
+        .toPartitionArray.map(_.filePath.toString))
+      .filter(_.contains("/data/v=")).distinct
+
+  /** q181 — DV-AWARE POINT-LOOKUP PRUNING acceptance (q157's scale
+    * property re-proven on a TOMBSTONE-CARRYING snapshot): create at
+    * width 1, MOR-delete a key slice ([[deleteKeysMor]] — zero data
+    * files touched, so the table reads through the DV split until
+    * OPTIMIZE), then point-look-up the `key % 2003 = 0` slice — one
+    * of whose keys was deliberately deleted — through BOTH paths.
+    * The declarative path's EXECUTED PLAN must schedule exactly the
+    * impacted buckets' data files (summed across the clean and dirty
+    * scans — [[graft.plans.KeyToBucketPruning]]'s partition filter
+    * now fires on both, because the DV read keeps `bucket` a real
+    * string partition column), and [[readKeys]] must agree; the
+    * oracle re-derives the file count from the same md5 arithmetic
+    * (one live file per impacted bucket) and the rows prove the
+    * deleted key stays dead through a pruned read. Before round 17
+    * this was the one place MOR silently lost an already-won scale
+    * property: the dirty scan's derived bucket was a data column and
+    * every point lookup between a MOR write and the next OPTIMIZE
+    * scanned the full snapshot. */
+  private val q181MorPointLookup = QueryDef(
+    (s, dir) => {
+      val out = graft.core.Timing.build {
+        val o = java.nio.file.Files.createTempDirectory("graft-q181")
+          .resolve("table").toString
+        create(baseRows(s, dir).localCheckpoint(true), o, "key",
+          hexDigits = 1)
+        o
+      }
+      val base = baseRows(s, dir)
+      val ks: Seq[Long] = base.filter(col("key") % 2003 === 0)
+        .select(col("key").cast("long"))
+        .collect().map(_.getLong(0)).toSeq.sorted
+      require(ks.nonEmpty, "q181 fixture: no lookup keys at this SF")
+      val delKeys = base
+        .filter(col("key") % 101 === 0 || col("key") === ks.head)
+        .select(col("key").cast("long"))
+      val st = deleteKeysMor(s, out, delKeys)
+      require(st.rowsDeleted > 0 && st.dvFilesAdded > 0,
+        s"q181 fixture: the MOR delete must tombstone rows, got $st")
+      val det = detail(s, out).collect().head
+      require(det.getAs[Long]("dv_tombstones") > 0L,
+        "q181: the lookup must run against LIVE deletion vectors")
+      graft.plans.KeyToBucketPruning.enable(s)
+      val lookup = readTable(s, out)
+        .filter(col("key").isin(ks: _*))
+      val dataFiles = plannedDataFiles(lookup)
+      require(dataFiles.nonEmpty,
+        "q181: lookup did not plan a data-file scan")
+      val man = readManifestFull(s, out, versions(s, out).last)
+      val impacted = ks
+        .map(k => graft.plans.KeyToBucketPruning.bucketOf(k.toString, 1))
+        .toSet
+      val expected = man.entries.count(e =>
+        impacted.contains(bucketOfEntry(e)))
+      require(dataFiles.size == expected,
+        s"q181: the DV-aware point lookup planned ${dataFiles.size} " +
+          s"data files, expected the $expected impacted-bucket files " +
+          "— bucket pruning is not firing on the tombstone-carrying " +
+          "snapshot")
+      val filesApi = readKeys(s, out, ks).inputFiles
+        .count(_.contains("/data/v=")).toLong
+      lookup.select("key", "cust", "status", "cents", "bucket")
+        .withColumn("files_scanned", lit(dataFiles.size.toLong))
+        .withColumn("files_api", lit(filesApi))
+        .orderBy("key")
+    },
+    s"""WITH base AS (
+       |  SELECT o_orderkey AS key, o_custkey AS cust,
+       |         o_orderstatus AS status,
+       |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+       |  FROM orders),
+       |sel AS (SELECT * FROM base WHERE key % 2003 = 0),
+       |del AS (SELECT key FROM base WHERE key % 101 = 0
+       |        UNION SELECT min(key) FROM sel),
+       |fb AS (SELECT CAST(count(DISTINCT ${bucketSql("key", 1)})
+       |         AS BIGINT) AS n FROM sel)
+       |SELECT key, cust, status, cents,
+       |       ${bucketSql("key", 1)} AS bucket,
+       |       (SELECT n FROM fb) AS files_scanned,
+       |       (SELECT n FROM fb) AS files_api
+       |FROM sel WHERE key NOT IN (SELECT key FROM del)
+       |ORDER BY key""".stripMargin)
+
+  /** q182 — DV/SMALL-EPOCH COMPACTION acceptance ([[compactDvs]] via
+    * SQL `OPTIMIZE … COMPACT`): the q178 MOR lifecycle (create width
+    * 1, two [[upsertMor]] batches — tombstones + two append epochs
+    * per touched bucket) followed by one compaction, and the gate
+    * pins the verb's whole contract:
+    *  - CDC-FREE: [[changedBuckets]] across the compaction commit is
+    *    EMPTY (the read-back fingerprints re-attested the manifest's,
+    *    so a changefeed window straddling compaction prunes every
+    *    bucket unread — cheaper than OPTIMIZE, which is merely
+    *    row-free, not scan-free, across legacy buckets);
+    *  - tombstones and DV files drop to ZERO and [[fsckDeep]] is
+    *    clean;
+    *  - the file arithmetic is oracle-pinned: files_before = the
+    *    target buckets' base files plus each batch's appended files
+    *    (all three terms md5-derivable), files_after = one file per
+    *    target bucket, tombstones_purged = the two batches' matched
+    *    rows; untouched clean buckets are NOT rewritten (the verb is
+    *    O(dirty buckets), never a table rewrite);
+    *  - the final STATE matches the q140/q178 lifecycle oracle
+    *    verbatim — compaction changes layout, provably not content. */
+  private val q182CompactDvs = QueryDef(
+    (s, dir) => {
+      val (out, base) = graft.core.Timing.build {
+        val o = java.nio.file.Files.createTempDirectory("graft-q182")
+          .resolve("table").toString
+        val b = baseRows(s, dir).localCheckpoint(true)
+        create(b, o, "key", hexDigits = 1)
+        (o, b)
+      }
+      val st1 = upsertMor(s, out, batch1(base))
+      val st2 = upsertMor(s, out, batch2(base))
+      val preV = versions(s, out).last
+      val preDet = detail(s, out).collect().head
+      require(preDet.getAs[Long]("dv_tombstones") ==
+        st1.rowsMatched + st2.rowsMatched,
+        "q182 fixture: tombstones must equal the batches' matches")
+      val row = s.sql(s"OPTIMIZE merge_table.`$out` COMPACT")
+        .collect().head
+      require(row.getLong(0) == preV + 1,
+        s"q182: compaction must commit v${preV + 1}")
+      require(changedBuckets(s, out, preV, row.getLong(0)).isEmpty,
+        "q182: compaction must be CDC-free — every rewritten " +
+          "bucket's read-back fingerprint re-attests the manifest's")
+      val det = detail(s, out).collect().head
+      require(det.getAs[Long]("dv_tombstones") == 0L &&
+        det.getAs[Long]("dv_files") == 0L,
+        "q182: compaction must purge every tombstone annotation")
+      val man = readManifestFull(s, out, row.getLong(0))
+      val perBucket = man.entries.groupBy(bucketOfEntry).values
+        .map(_.size).toSet
+      require(perBucket == Set(1),
+        s"q182: every bucket must fold to one file, got $perBucket")
+      val deep = fsckDeep(s, out)
+      require(deep.mismatched.isEmpty && deep.unattested.isEmpty,
+        s"q182: compacted fingerprints must re-attest: $deep")
+      lifecycleState(s, out)
+        .withColumn("files_before", lit(row.getLong(2)))
+        .withColumn("files_after", lit(row.getLong(3)))
+        .withColumn("tombstones_purged", lit(row.getLong(4)))
+    },
+    s"""WITH $lifecycleFinCte,
+       |b1 AS (SELECT ${bucketSql("key", 1)} AS b FROM base
+       |       WHERE key % 101 = 0
+       |       UNION
+       |       SELECT ${bucketSql("(-key - 1)", 1)} FROM base
+       |       WHERE key % 103 = 0),
+       |b2 AS (SELECT DISTINCT ${bucketSql("key", 1)} AS b FROM base
+       |       WHERE key % 202 = 0),
+       |tgt AS (SELECT DISTINCT b FROM (SELECT b FROM b1
+       |        UNION ALL SELECT b FROM b2)),
+       |fbefore AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM tgt)
+       |         + (SELECT CAST(count(*) AS BIGINT) FROM b1)
+       |         + (SELECT CAST(count(*) AS BIGINT) FROM b2) AS n),
+       |purged AS (SELECT CAST(
+       |         (SELECT count(*) FROM base WHERE key % 101 = 0)
+       |       + (SELECT count(*) FROM base WHERE key % 202 = 0)
+       |       AS BIGINT) AS n)
+       |SELECT key, cust, status, cents,
+       |       ${bucketSql("key", 1)} AS bucket,
+       |       (SELECT n FROM fbefore) AS files_before,
+       |       (SELECT CAST(count(*) AS BIGINT) FROM tgt) AS files_after,
+       |       (SELECT n FROM purged) AS tombstones_purged
+       |FROM fin ORDER BY key""".stripMargin)
+
+  /** q183 — BLOOM CONTINUITY ACROSS MOR APPENDS: q177's bloomed,
+    * cents-striped table takes an [[upsertMor]] batch (the two
+    * smallest keys, cents bumped — one of them is the probe row
+    * itself), and the gate pins that equality skipping SURVIVES the
+    * merge-on-read write path: the append epoch's files carry blooms
+    * written by the same commit (files_with_bloom == files, the
+    * [[detail]] coverage metric, oracle-restated as stripes + appended
+    * buckets), the probe still PRUNES (planned files < total, Scala
+    * require), and the probe's result includes the UPDATED row riding
+    * the append epoch — a bloom false negative on a fresh MOR file
+    * would drop it, and the hash gate would catch the loss. */
+  private val q183BloomMorContinuity = QueryDef(
+    (s, dir) => {
+      val out = graft.core.Timing.build {
+        val o = java.nio.file.Files.createTempDirectory("graft-q183")
+          .resolve("table").toString
+        val base = baseRows(s, dir).localCheckpoint(true)
+        create(base, o, "key", hexDigits = 1)
+        o
+      }
+      s.sql(s"ALTER TABLE merge_table.`$out` SET TBLPROPERTIES " +
+        s"('graft.bloom.columns' = 'cust', " +
+        s"'graft.bloom.bits' = '$Q177_BITS')")
+      s.sql(s"OPTIMIZE merge_table.`$out` SORT BY cents " +
+        s"STRIPE $Q177_STRIPE")
+      val base = baseRows(s, dir)
+      val upd: Seq[Long] = base.select(col("key").cast("long"))
+        .orderBy("key").limit(2)
+        .collect().map(_.getLong(0)).toSeq
+      val batch = base.filter(col("key").isin(upd: _*))
+        .withColumn("cents", col("cents") + 50)
+      val st = upsertMor(s, out, batch)
+      require(st.rowsMatched == 2L && st.filesAppended >= 1L,
+        s"q183 fixture: the MOR upsert must append an epoch, got $st")
+      val det = detail(s, out).collect().head
+      require(det.getAs[Long]("files_with_bloom") ==
+        det.getAs[Long]("files"),
+        "q183: the append epoch's files must carry blooms — coverage " +
+          s"is ${det.getAs[Long]("files_with_bloom")} of " +
+          s"${det.getAs[Long]("files")}")
+      val probe = readKeys(s, out, Seq(upd.head))
+        .select("cust").collect().head.getLong(0)
+      graft.plans.StatsFilePruning.enable(s)
+      val q = readTable(s, out).filter(col("cust") === probe)
+      val scanned = plannedDataFiles(q).size.toLong
+      val filesTotal = det.getAs[Long]("files")
+      require(scanned > 0L && scanned < filesTotal,
+        s"q183: the bloom must still skip files after the MOR append " +
+          s"($scanned of $filesTotal)")
+      q.select("key", "cust", "status", "cents")
+        .withColumn("files_total", lit(filesTotal))
+        .withColumn("files_with_bloom",
+          lit(det.getAs[Long]("files_with_bloom")))
+        .orderBy("key")
+    },
+    s"""WITH base AS (
+       |  SELECT o_orderkey AS key, o_custkey AS cust,
+       |         o_orderstatus AS status,
+       |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+       |  FROM orders),
+       |upd AS (SELECT key FROM base ORDER BY key LIMIT 2),
+       |pr AS (SELECT cust AS c FROM base
+       |       WHERE key = (SELECT min(key) FROM upd)),
+       |g AS (SELECT base.*, ${bucketSql("key", 1)} AS bkt FROM base),
+       |f AS (SELECT *, ((row_number() OVER (PARTITION BY bkt
+       |        ORDER BY cents, key)) - 1) // $Q177_STRIPE AS fid FROM g),
+       |ft AS (SELECT CAST(count(*) AS BIGINT) AS n
+       |       FROM (SELECT DISTINCT bkt, fid FROM f)),
+       |ab AS (SELECT CAST(count(DISTINCT ${bucketSql("key", 1)})
+       |         AS BIGINT) AS n FROM upd),
+       |tot AS (SELECT (SELECT n FROM ft) + (SELECT n FROM ab) AS n)
+       |SELECT key, cust, status,
+       |       CASE WHEN key IN (SELECT key FROM upd)
+       |            THEN cents + 50 ELSE cents END AS cents,
+       |       (SELECT n FROM tot) AS files_total,
+       |       (SELECT n FROM tot) AS files_with_bloom
+       |FROM base, pr WHERE cust = c
+       |ORDER BY key""".stripMargin)
+
+  /** q184 — TIMESTAMP-TRAVEL MAINTENANCE ergonomics (`RESTORE … TO
+    * TIMESTAMP AS OF` + `VACUUM … RETAIN <duration>`): on a fresh
+    * lifecycle table, roll back to v1 BY TIMESTAMP through plain SQL
+    * (the restore commits v4 re-listing v1's files — pure metadata),
+    * then vacuum by DURATION twice — a 30-day window that must retain
+    * everything, and a zero-minute window that must expire all but
+    * the head. The stability pin closes ADVICE r16 #4: the head's
+    * effective commit time, probed through [[versionAsOf]] BEFORE and
+    * AFTER the expiry, resolves to the same version — in-commit
+    * timestamps are persisted monotone at write time, so history
+    * expiry can never shift an AS OF resolution. Rows: the restored
+    * (= base) state with the restore/vacuum stats oracle-pinned. */
+  private val q184TimestampMaintenance = QueryDef(
+    (s, dir) => {
+      val out = runLifecycle(s, dir, "q184")
+      val t1 = commitTimes(s, out).head._2
+      val iso = java.time.Instant.ofEpochMilli(t1).toString
+      val r = s.sql(s"RESTORE merge_table.`$out` TO TIMESTAMP AS OF " +
+        s"'$iso'").collect().head
+      require(r.getLong(0) == 4L && r.getLong(1) == 1L,
+        s"q184: the timestamp restore must commit v4 re-listing v1, " +
+          s"got $r")
+      val tHead = commitTimes(s, out).last._2
+      require(versionAsOf(s, out, tHead) == 4L,
+        "q184: the head's effective time must resolve to the head")
+      val keepAll = s.sql(s"VACUUM merge_table.`$out` RETAIN 30 DAYS")
+        .collect().head
+      require(keepAll.getLong(2) == 0L && keepAll.getLong(3) == 4L,
+        s"q184: a 30-day window must retain all 4 versions, got $keepAll")
+      val expire = s.sql(s"VACUUM merge_table.`$out` RETAIN 0 MINUTES")
+        .collect().head
+      require(expire.getLong(2) == 3L && expire.getLong(3) == 1L,
+        s"q184: a zero-minute window must keep only the head, got $expire")
+      require(versionAsOf(s, out, tHead) == 4L,
+        "q184: history expiry must not shift AS OF resolution — the " +
+          "persisted in-commit timestamps are monotone, so the head's " +
+          "effective time is stable under vacuum")
+      readTable(s, out)
+        .select("key", "cust", "status", "cents", "bucket")
+        .withColumn("restored_version", lit(r.getLong(1)))
+        .withColumn("new_version", lit(r.getLong(0)))
+        .withColumn("versions_kept_time", lit(keepAll.getLong(3)))
+        .withColumn("versions_kept_expire", lit(expire.getLong(3)))
+        .orderBy("key")
+    },
+    s"""WITH base AS (
+       |  SELECT o_orderkey AS key, o_custkey AS cust,
+       |         o_orderstatus AS status,
+       |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+       |  FROM orders)
+       |SELECT key, cust, status, cents,
+       |       ${bucketSql("key")} AS bucket,
+       |       CAST(1 AS BIGINT) AS restored_version,
+       |       CAST(4 AS BIGINT) AS new_version,
+       |       CAST(4 AS BIGINT) AS versions_kept_time,
+       |       CAST(1 AS BIGINT) AS versions_kept_expire
+       |FROM base ORDER BY key""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
     "q148_table_fsck" -> q148TableFsck,
     "q140_cow_upsert" -> q140CowUpsert,
@@ -5435,6 +5947,10 @@ object MergeTable {
     "q178_mor_lifecycle" -> q178MorLifecycle,
     "q179_timestamp_travel" -> q179TimestampTravel,
     "q180_mor_merge" -> q180MorMerge,
+    "q181_mor_point_lookup" -> q181MorPointLookup,
+    "q182_compact_dvs" -> q182CompactDvs,
+    "q183_bloom_mor_continuity" -> q183BloomMorContinuity,
+    "q184_timestamp_maintenance" -> q184TimestampMaintenance,
     "q166_sql_merge_dml" -> q166SqlMergeDml,
     "q168_schema_evolution" -> q168SchemaEvolution,
     "q169_sql_update_delete" -> q169SqlUpdateDelete,

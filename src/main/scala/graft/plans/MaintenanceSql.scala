@@ -21,7 +21,10 @@ import graft.ext.MergeTable
   * CREATE MERGE_TABLE `/dir` KEY keyCol [BUCKETS n] AS SELECT …
   * OPTIMIZE merge_table.`/dir` [WHERE bucket IN ('0a', …)] SORT BY col [STRIPE n]
   * OPTIMIZE merge_table.`/dir` [WHERE bucket IN ('0a', …)] ZORDER BY (xCol, yCol) [STRIPE n]
-  * VACUUM merge_table.`/dir` RETAIN n VERSIONS
+  * OPTIMIZE merge_table.`/dir` [WHERE bucket IN ('0a', …)] COMPACT [MAX FILES n]
+  * VACUUM merge_table.`/dir` RETAIN n {VERSIONS | MINUTES | HOURS | DAYS}
+  * RESTORE merge_table.`/dir` TO VERSION AS OF n
+  * RESTORE merge_table.`/dir` TO TIMESTAMP AS OF '2026-08-16T01:00:00Z'
   * }}}
   *
   * Each routes to the SAME engine verb the API exposes ([[MergeTable
@@ -73,10 +76,26 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         s.substring(1, s.length - 1)
       }
     }
+  // COMPACT — the merge-on-read maintenance verb (deletion-vector
+  // materialization + small-epoch folding, no re-sort): routes to
+  // [[MergeTable.compactDvs]]; MAX FILES caps the per-bucket file
+  // count a bucket may keep before it is folded (default 1)
+  private val OptimizeCompact =
+    ("""(?is)\s*OPTIMIZE\s+merge_table\s*\.\s*`([^`]+)`""" + WhereRe +
+      """\s+COMPACT(?:\s+MAX\s+FILES\s+(\d+))?\s*;?\s*""").r
   private val Vacuum =
     """(?is)\s*VACUUM\s+merge_table\s*\.\s*`([^`]+)`
-      |(?:\s+RETAIN\s+(\d+)\s+VERSIONS?)?\s*;?\s*"""
+      |(?:\s+RETAIN\s+(\d+)\s+(VERSIONS?|MINUTES?|HOURS?|DAYS?))?\s*;?\s*"""
       .stripMargin.replace("\n", "").r
+  // RESTORE — Delta's rollback muscle memory, both dialects: a
+  // version number or a timestamp resolved through the strictly
+  // monotone effective commit times (pre-history refuses loudly)
+  private val RestoreVersion =
+    ("""(?is)\s*RESTORE\s+merge_table\s*\.\s*`([^`]+)`\s+TO\s+""" +
+      """VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""").r
+  private val RestoreTimestamp =
+    ("""(?is)\s*RESTORE\s+merge_table\s*\.\s*`([^`]+)`\s+TO\s+""" +
+      """TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""").r
   // the CREATE verb completes the SQL-only lifecycle (create → INSERT
   // → MERGE/UPDATE/DELETE → OPTIMIZE/VACUUM → merge_table() reads):
   // `CREATE MERGE_TABLE` cannot collide with Spark's grammar (CREATE
@@ -135,7 +154,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case OptimizeZ(dir, where, x, y, stripe) =>
       GraftOptimizeCommand(dir, Right((x, y)),
         Option(stripe).map(_.toLong), scopeOf(where))
-    case Vacuum(dir, retain) =>
+    case OptimizeCompact(dir, where, maxFiles) =>
+      GraftCompactCommand(dir,
+        Option(maxFiles).map(_.toInt).getOrElse(1), scopeOf(where))
+    case Vacuum(dir, retain, unit) =>
       // RETAIN is MANDATORY in the SQL form: the statement borrows
       // Delta's VACUUM syntax but not its semantics (Delta's sweeps
       // stale files inside a retention window and never drops table
@@ -145,10 +167,25 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       if (retain == null)
         throw new IllegalArgumentException(
           "VACUUM merge_table requires an explicit retention: " +
-            "`VACUUM merge_table.`<dir>` RETAIN n VERSIONS` — unlike " +
-            "Delta's VACUUM, this statement EXPIRES table versions " +
-            "past the retention window; RETAIN 1 keeps only the head")
-      else GraftVacuumCommand(dir, retain.toInt)
+            "`VACUUM merge_table.`<dir>` RETAIN n VERSIONS` (or " +
+            "MINUTES/HOURS/DAYS for a time window over the in-commit " +
+            "timestamps) — unlike Delta's VACUUM, this statement " +
+            "EXPIRES table versions past the retention window; " +
+            "RETAIN 1 VERSIONS keeps only the head")
+      else unit.toUpperCase match {
+        case u if u.startsWith("VERSION") =>
+          GraftVacuumCommand(dir, Left(retain.toInt))
+        case u =>
+          val perUnit =
+            if (u.startsWith("MINUTE")) 60L * 1000
+            else if (u.startsWith("HOUR")) 3600L * 1000
+            else 24L * 3600 * 1000
+          GraftVacuumCommand(dir, Right(retain.toLong * perUnit))
+      }
+    case RestoreVersion(dir, v) =>
+      GraftRestoreCommand(dir, Left(v.toLong))
+    case RestoreTimestamp(dir, ts) =>
+      GraftRestoreCommand(dir, Right(ts))
     case CreateTable(dir, key, buckets, query) =>
       val hex = Option(buckets).map { b =>
         val n = b.toLong
@@ -283,11 +320,15 @@ final case class GraftShowPropertiesCommand(dir: String)
       .map { case (k, v) => Row(k, v) }
 }
 
-/** `VACUUM merge_table.`/dir` RETAIN n VERSIONS` — expire history
-  * past the retention window (tag-pinned versions always retained)
-  * and sweep unreferenced files under the engine's default grace. */
+/** `VACUUM merge_table.`/dir` RETAIN n {VERSIONS|MINUTES|HOURS|DAYS}`
+  * — expire history past the retention window (tag-pinned versions
+  * always retained) and sweep unreferenced files under the engine's
+  * default grace. A count retains that many versions; a duration
+  * retains every version whose effective in-commit timestamp falls
+  * inside the window ([[MergeTable.vacuumRetainTime]] — the Delta
+  * RETAIN-hours dialect over version-expiry semantics). */
 final case class GraftVacuumCommand(dir: String,
-    retainVersions: Int) extends LeafRunnableCommand {
+    retain: Either[Int, Long]) extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
     AttributeReference("files_deleted", LongType)(),
@@ -296,8 +337,55 @@ final case class GraftVacuumCommand(dir: String,
     AttributeReference("versions_kept", LongType)())
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val st = MergeTable.vacuum(spark, dir, retainVersions)
+    val st = retain match {
+      case Left(n) => MergeTable.vacuum(spark, dir, n)
+      case Right(ms) => MergeTable.vacuumRetainTime(spark, dir, ms)
+    }
     Seq(Row(st.filesDeleted, st.filesLive, st.versionsDropped,
       st.versionsLive))
+  }
+}
+
+/** `OPTIMIZE merge_table.`/dir` [WHERE …] COMPACT [MAX FILES n]` —
+  * merge-on-read maintenance: materialize deletion vectors and fold
+  * accumulated append epochs, per bucket, without a layout re-sort
+  * ([[MergeTable.compactDvs]] — fingerprint-attested, CDC-free). */
+final case class GraftCompactCommand(dir: String, maxFiles: Int,
+    scope: Option[Seq[String]] = None) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType)(),
+    AttributeReference("buckets_compacted", LongType)(),
+    AttributeReference("files_before", LongType)(),
+    AttributeReference("files_after", LongType)(),
+    AttributeReference("tombstones_purged", LongType)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val st = MergeTable.compactDvs(spark, dir, maxFiles, scope)
+    Seq(Row(st.version, st.bucketsCompacted, st.filesBefore,
+      st.filesAfter, st.tombstonesPurged))
+  }
+}
+
+/** `RESTORE merge_table.`/dir` TO {VERSION|TIMESTAMP} AS OF …` — the
+  * pure-metadata rollback ([[MergeTable.restore]]); the timestamp
+  * dialect resolves through the strictly monotone effective commit
+  * times and refuses pre-history loudly. One row back: the NEW
+  * version committed and the version it restored. */
+final case class GraftRestoreCommand(dir: String,
+    to: Either[Long, String]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType)(),
+    AttributeReference("restored_version", LongType)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val target = to match {
+      case Left(v) => v
+      case Right(ts) => MergeTable.versionAsOf(spark, dir,
+        MergeTable.parseTsMillis(ts))
+    }
+    val v = MergeTable.restore(spark, dir, target)
+    Seq(Row(v, target))
   }
 }
