@@ -77,7 +77,19 @@ object MergeStream {
     * `notMatchedBySource` is deliberately absent: a by-source clause
     * prices a FULL-TABLE pass, which per micro-batch is a footgun —
     * run it as a batch maintenance [[graft.ext.MergeTable.merge]]
-    * instead. */
+    * instead.
+    *
+    * WRITE MODE follows the table's own `graft.merges.mode` property
+    * (the same routing SQL `MERGE INTO` consults): `mor` dispatches
+    * each batch through [[graft.ext.MergeTable.mergeMor]] — tombstones
+    * + one small append epoch per batch instead of bucket rewrites,
+    * the natural shape for a trickle stream against a 100 TB table —
+    * with the SAME `#tok=` exactly-once gate riding the DV commit
+    * atomically (the token line and the tombstone annotations are one
+    * manifest promotion, so a replay after any crash point sees
+    * either both or neither). The property is re-read per batch, so
+    * flipping the mode on a live table takes effect at the next
+    * micro-batch without a stream restart. */
   def startClauses(source: DataFrame, dir: String, checkpoint: String,
       matched: Seq[graft.ext.MergeTable.MergeWhen] = Nil,
       notMatched: Seq[graft.ext.MergeTable.MergeWhen] = Nil,
@@ -94,9 +106,16 @@ object MergeStream {
             .exists(_ >= id)) {
           val toApply = seqCol.fold(batch)(sc =>
             latestBy(batch, graft.ext.MergeTable.keyOf(sp, dir), sc))
-          graft.ext.MergeTable.merge(sp, dir, toApply,
-            matched = matched, notMatched = notMatched,
-            idempotencyToken = Some(s"$sid:$id")): Unit
+          val mor = graft.ext.MergeTable.properties(sp, dir)
+            .get("graft.merges.mode").contains("mor")
+          (if (mor)
+            graft.ext.MergeTable.mergeMor(sp, dir, toApply,
+              matched = matched, notMatched = notMatched,
+              idempotencyToken = Some(s"$sid:$id"))
+          else
+            graft.ext.MergeTable.merge(sp, dir, toApply,
+              matched = matched, notMatched = notMatched,
+              idempotencyToken = Some(s"$sid:$id"))): Unit
         }
       }
       .option("checkpointLocation", checkpoint)

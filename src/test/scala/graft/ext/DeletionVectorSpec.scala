@@ -513,4 +513,144 @@ class DeletionVectorSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("fingerprint"))
   }
+
+  test("streaming clause drain follows graft.merges.mode=mor: the " +
+      "exactly-once #tok= rides the DV commit atomically — a " +
+      "re-delivered batch skips, a new batch tombstones + appends, " +
+      "and no base file is ever rewritten") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = mkTable(40)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("dv-cl-ckpt").toString
+    MergeTable.setProperties(spark, dir,
+      Map("graft.merges.mode" -> "mor")): Unit
+    val baseFiles = fileIds(dir)
+    val m = Seq(MergeTable.MergeWhen(None,
+      MergeTable.MergeAction.Delete))
+    val nm = Seq(MergeTable.MergeWhen(None,
+      MergeTable.MergeAction.UpdateAll))
+    // simulate the crash window: the TABLE commit landed (token for
+    // batch 0 riding the SAME manifest as the tombstones) but the
+    // stream checkpoint did not — the state a kill between the two
+    // leaves behind
+    MergeTable.mergeMor(spark, dir,
+      Seq((3L, "x", 0L), (50L, "ins", 1L))
+        .toDF("key", "value", "cents"),
+      matched = m, notMatched = nm,
+      idempotencyToken = Some("dv1:0")): Unit
+    assert(!keysOf(dir).contains(3L) && keysOf(dir).contains(50L))
+    assert(MergeTable.lastAppliedBatch(spark, dir, "dv1") === Some(0L))
+    // restart: foreachBatch re-delivers batch 0 — without the gate the
+    // MOR replay would re-insert 3 and tombstone 50 (the flip-flop)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Long)]
+    input.addData((3L, "x", 0L), (50L, "ins", 1L))
+    graft.streaming.MergeStream.startClauses(
+      input.toDF().toDF("key", "value", "cents"), dir, ckpt,
+      matched = m, notMatched = nm, streamId = Some("dv1"))
+      .awaitTermination()
+    assert(!keysOf(dir).contains(3L) && keysOf(dir).contains(50L),
+      "the replayed batch must be skipped, not re-applied")
+    // a genuinely new batch applies THROUGH the MOR write path
+    input.addData((50L, "y", 2L), (60L, "ins2", 1L))
+    graft.streaming.MergeStream.startClauses(
+      input.toDF().toDF("key", "value", "cents"), dir, ckpt,
+      matched = m, notMatched = nm, streamId = Some("dv1"))
+      .awaitTermination()
+    assert(!keysOf(dir).contains(50L) && keysOf(dir).contains(60L))
+    assert(MergeTable.lastAppliedBatch(spark, dir, "dv1") === Some(1L))
+    assert(baseFiles.toSet.subsetOf(fileIds(dir).toSet),
+      "MOR streaming merges must never rewrite a base file")
+    assert(MergeTable.detail(spark, dir).collect().head
+      .getAs[Long]("dv_tombstones") > 0L)
+    val deep = MergeTable.fsckDeep(spark, dir)
+    assert(deep.mismatched.isEmpty && deep.unattested.isEmpty)
+  }
+
+  test("a MOR clause merge that LOSES the commit race re-dispatches " +
+      "against the winner's snapshot — conditions re-evaluate, the " +
+      "loser's orphaned epoch and tombstones are deleted, and the " +
+      "token rides the retried DV commit") {
+    import spark.implicits._
+    val dir = mkTable(10)
+    val baseFiles = fileIds(dir)
+    var planted = false
+    val st = MergeTable.mergeWithHook(spark, dir,
+      Seq((1L, "x", 0L), (2L, "x", 0L)).toDF("key", "value", "cents"),
+      matched = Seq(MergeTable.MergeWhen(
+        Some(col("tgt.value").startsWith("v")),
+        MergeTable.MergeAction.Delete)),
+      notMatched = Nil, notMatchedBySource = Nil,
+      idempotencyToken = Some("dvX:5"),
+      beforeCommit = () => if (!planted) {
+        planted = true
+        // the winner moves key 1 off the 'v' prefix between the
+        // loser's DV/epoch write and its manifest promotion
+        MergeTable.upsert(spark, dir,
+          Seq((1L, "moved", 0L)).toDF("key", "value", "cents")): Unit
+      }, mor = true)
+    assert(st.rowsDeleted === 1L,
+      s"only key 2 still matched the condition after the winner: $st")
+    val t = MergeTable.readTable(spark, dir)
+    assert(t.filter(col("key") === 1L).select("value")
+      .collect().head.getString(0) === "moved")
+    assert(t.filter(col("key") === 2L).count() === 0L)
+    assert(MergeTable.lastAppliedBatch(spark, dir, "dvX") === Some(5L),
+      "the token must ride the RETRIED DV commit")
+    // the winner rewrote key 1's bucket (COW), so not every base file
+    // survives — but the RETRIED MOR commit itself rewrote nothing
+    // beyond the winner's: the loser's first-attempt epoch and dv
+    // files must be gone (swept eagerly on the lost race)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val man = MergeTable.versions(spark, dir).last
+    val live = MergeTable.readTable(spark, dir, Some(man)): Unit
+    val orphanEpochs = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$dir/data"))
+      .map(_.getPath.getName).count(_.startsWith("v=3"))
+    assert(orphanEpochs <= 1,
+      "the lost race's attempt epoch must be deleted eagerly")
+    assert(MergeTable.fsckDeep(spark, dir).mismatched.isEmpty)
+    baseFiles: Unit
+  }
+
+  test("a live changefeed subscription straddling a DV-only commit " +
+      "delivers the deletes exactly once, and a following MOR upsert " +
+      "flows as updates through the same stream") {
+    import spark.implicits._
+    val dir = mkTable(60)
+    val root = java.nio.file.Files.createTempDirectory("dv-cfs")
+    val sink = root.resolve("sink").toString
+    val ckpt = root.resolve("ckpt").toString
+    def drainToSink(): Unit = {
+      val q = spark.readStream.format("merge-table-changes")
+        .option("dir", dir).option("initialVersion", 1L).load()
+        .writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // v2 is a DV-ONLY commit: zero data files moved, the stream's
+    // batch is carved from decremented fingerprints alone
+    MergeTable.deleteKeysMor(spark, dir, Seq(11L, 12L, 13L).toDF("key"))
+    drainToSink()
+    val afterDelete = spark.read.parquet(sink)
+      .select("key", "change").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(afterDelete === Set((11L, "delete"), (12L, "delete"),
+      (13L, "delete")),
+      s"the DV-only window must deliver exactly the deletes: $afterDelete")
+    // v3 is a MOR upsert (tombstone + append epoch): the same stream
+    // resumes from its checkpoint and sees exactly the update
+    MergeTable.upsertMor(spark, dir,
+      Seq((20L, "moved", 777L)).toDF("key", "value", "cents")): Unit
+    drainToSink()
+    val all = spark.read.parquet(sink)
+      .select("key", "change").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(all.length === 4 && all.toSet.contains((20L, "update")),
+      s"the MOR upsert must flow exactly once: ${all.toSeq}")
+  }
 }
