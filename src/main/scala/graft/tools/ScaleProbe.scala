@@ -515,6 +515,63 @@ object ScaleProbe {
         f"mor_bytes=${morexpo(_.morBytes.toDouble)}%.2f")
     }
 
+    // --- MOR READ-TAX RECOVERY LEG (round 17): the other half of the
+    // MOR trade. Six small upsertMor batches fragment the table (one
+    // extra file per touched bucket per commit, plus tombstones the
+    // reader anti-joins); compactDvs folds every dirty bucket back to
+    // one file and purges the tombstones WITHOUT a re-sort. Claims:
+    // the fragmented scan pays a measurable tax, the compacted scan
+    // recovers it (compacted <= fragmented), compaction is CDC-FREE
+    // (changedBuckets empty across the commit — the fingerprint
+    // re-attestation), and compaction wall time tracks the dirty
+    // buckets' rows, not the file count alone.
+    {
+      case class CompCell(scale: Int, n: Long, files0: Long,
+        fragS: Double, compactS: Double, compS: Double, filesAfter: Long)
+      val compCells = scales.map { sc =>
+        val n = baseN * 10 * sc
+        val dir = s"$tmp/comp_s$sc"
+        graft.ext.MergeTable.create(
+          spark.range(n).select(col("id").as("key"),
+            (col("id") % 97).as("payload")), dir, "key", 1)
+        (0 until 6).foreach { i =>
+          val batch = spark.range(40).select(
+            (col("id") * (n / 40) + i).as("key"),
+            lit(-2L - i).as("payload")).localCheckpoint(true)
+          graft.ext.MergeTable.upsertMor(spark, dir, batch): Unit
+        }
+        def scanS = timeMinOf(3) {
+          graft.ext.MergeTable.readTable(spark, dir)
+            .agg(sum("payload")).collect(): Unit
+        }
+        val files0 = graft.ext.MergeTable.readTable(spark, dir)
+          .inputFiles.count(_.contains("/data/v=")).toLong
+        val fragS = scanS
+        val preV = graft.ext.MergeTable.versions(spark, dir).last
+        val t0 = System.nanoTime()
+        val st = graft.ext.MergeTable.compactDvs(spark, dir)
+        val compactS = (System.nanoTime() - t0) / 1e9
+        require(graft.ext.MergeTable
+          .changedBuckets(spark, dir, preV, st.version).isEmpty,
+          "compaction must be CDC-free")
+        val compS = scanS
+        println(f"[scaleprobe] compact scale=${sc}x n=$n " +
+          f"files_frag=$files0 scan_frag=${fragS}%.3fs " +
+          f"compact=${compactS}%.3fs scan_compacted=${compS}%.3fs " +
+          f"files_after=${st.filesAfter} " +
+          f"tax_recovered=${(fragS - compS) / fragS * 100}%.0f%%")
+        CompCell(sc, n, files0, fragS, compactS, compS, st.filesAfter)
+      }
+      def cexpo(m: CompCell => Double): Double = {
+        val (a, b) = (compCells.head, compCells.last)
+        math.log(m(b) / m(a)) / math.log(b.n.toDouble / a.n)
+      }
+      println(f"[scaleprobe] COMPACT EXPONENTS (1x -> ${scales.last}x): " +
+        f"scan_frag_time=${cexpo(_.fragS)}%.2f " +
+        f"compact_time=${cexpo(_.compactS)}%.2f " +
+        f"scan_compacted_time=${cexpo(_.compS)}%.2f")
+    }
+
     // --- MANIFEST SCALING LEG (vs BUCKET COUNT, not corpus size) ---
     // Manifests re-list every live file each commit, so commit metadata
     // cost and the changefeed's manifest-read cost are O(buckets)/
