@@ -202,7 +202,8 @@ object MergeTable {
     dvf: Map[String, Long] = Map.empty,
     props: Map[String, String] = Map.empty,
     bls: Map[String, String] = Map.empty,
-    ts: Option[Long] = None)
+    ts: Option[Long] = None,
+    eschs: Map[String, String] = Map.empty)
 
   /** Reader capabilities THIS engine implements. A manifest whose
     * `#requires=` lines name anything else fails loudly at read time —
@@ -350,8 +351,22 @@ object MergeTable {
     val ts = lines.collectFirst {
       case l if l.startsWith("#ts=") => l.drop(4).trim.toLong
     }
+    // per-EPOCH physical schemas ("#esch=<epochName>|<StructType
+    // json>") — the Iceberg/Delta schema-in-metadata discipline: a
+    // snapshot read whose every epoch carries one resolves its scan
+    // schema from the manifest alone, O(retained epochs), instead of
+    // merging O(table files) parquet footers in a plan-time Spark
+    // job. Advisory: an epoch without a line (legacy commit) routes
+    // the read through the footer-merge probe, which is merely
+    // slower, never wrong.
+    val eschs = lines.collect {
+      case l if l.startsWith("#esch=") =>
+        val body = l.drop(6)
+        val cut = body.indexOf('|')
+        body.take(cut) -> body.drop(cut + 1)
+    }.toMap
     ManifestData(hex, lines.filterNot(_.startsWith("#")), fps, toks,
-      sts, colMap, dvs, dvf, props, bls, ts)
+      sts, colMap, dvs, dvf, props, bls, ts, eschs)
   }
 
   private def readManifest(spark: SparkSession, dir: String,
@@ -600,7 +615,7 @@ object MergeTable {
       commitManifest(spark, dir, next, man.entries, man.hexDigits,
         man.fps, tokens = man.tokens, sts = man.sts, cols = man.cols,
         dvs = man.dvs, dvf = man.dvf, props = man.props ++ kvs,
-        bls = man.bls)
+        bls = man.bls, eschs = man.eschs)
       next
     }
 
@@ -617,7 +632,7 @@ object MergeTable {
       commitManifest(spark, dir, next, man.entries, man.hexDigits,
         man.fps, tokens = man.tokens, sts = man.sts, cols = man.cols,
         dvs = man.dvs, dvf = man.dvf, props = man.props -- keys,
-        bls = man.bls)
+        bls = man.bls, eschs = man.eschs)
       next
     }
 
@@ -664,7 +679,7 @@ object MergeTable {
       commitManifest(spark, dir, next, old.entries, old.hexDigits,
         old.fps, tokens = toks, sts = old.sts, cols = old.cols,
         dvs = old.dvs, dvf = old.dvf, props = head.props,
-        bls = old.bls)
+        bls = old.bls, eschs = old.eschs)
       next
     }
 
@@ -768,7 +783,7 @@ object MergeTable {
       commitManifest(spark, dir, next, man.entries, man.hexDigits,
         man.fps, tokens = man.tokens, sts = man.sts, cols = newCols,
         dvs = man.dvs, dvf = man.dvf, props = man.props,
-        bls = man.bls)
+        bls = man.bls, eschs = man.eschs)
       next
     }
 
@@ -831,7 +846,8 @@ object MergeTable {
       dvs: Seq[String] = Nil,
       dvf: Map[String, Long] = Map.empty,
       props: Map[String, String] = Map.empty,
-      bls: Map[String, String] = Map.empty): Unit = {
+      bls: Map[String, String] = Map.empty,
+      eschs: Map[String, String] = Map.empty): Unit = {
     val fs = hadoopFs(spark, dir)
     fs.mkdirs(manifestDir(dir))
     val p = manifestPath(dir, v)
@@ -904,6 +920,14 @@ object MergeTable {
     // blooms only for files the manifest lists (the stats discipline)
     val blLines = bls.toSeq.filter(e => entrySet.contains(e._1))
       .sortBy(_._1).map { case (f, body) => s"#bl=$f|$body" }
+    // epoch schemas only for epochs that still own a listed entry
+    val liveEpochs = entries.map(e => e.take(e.indexOf('/'))).toSet
+    val eschLines = eschs.toSeq.filter(e => liveEpochs.contains(e._1))
+      .sortBy(_._1).map { case (ep, json) =>
+        require(!json.exists(c => c == '\n' || c == '\r'),
+          s"epoch schema for $ep must be single-line JSON")
+        s"#esch=$ep|$json"
+      }
     // the IN-COMMIT TIMESTAMP is monotonized AT WRITE TIME against the
     // predecessor's persisted `#ts=` (max(now, prev + 1)): with only
     // read-time monotonization, vacuuming early versions under writer
@@ -921,7 +945,7 @@ object MergeTable {
     try out.write(
       ((Seq(s"#hex=$hexDigits",
         s"#ts=$commitTs") ++ tokLines) ++
-        propLines ++ colLines ++
+        propLines ++ colLines ++ eschLines ++
         dvLines ++ fpLines ++
         stLines ++ blLines ++ entries.sorted).mkString("\n").getBytes("UTF-8"))
     finally out.close()
@@ -1671,6 +1695,21 @@ object MergeTable {
     w.partitionBy("bucket").parquet(s"$dir/data/$epochName")
   }
 
+  /** The just-written epoch's DATA schema (file columns; the bucket
+    * partition column excluded), read back from its own footers —
+    * O(epoch files), the write's own size class — rendered as the
+    * single-line JSON the manifest's `#esch=` line persists, so every
+    * LATER read of any snapshot listing this epoch resolves its scan
+    * schema from metadata alone (field metadata, incl. the KeyHexMeta
+    * pruning stamp, rides the JSON). */
+  private def epochSchema(spark: SparkSession, dir: String,
+      epochName: String): String = {
+    val p = s"$dir/data/$epochName"
+    org.apache.spark.sql.types.StructType(
+      spark.read.option("basePath", p).parquet(p)
+        .schema.filterNot(_.name == "bucket")).json
+  }
+
   /** Write `rows` as version `next`'s epoch under a writer-unique
     * attempt dir and commit `kept ++ fresh` atomically; returns the
     * fresh entries. `keptFps` carries the untouched buckets' content
@@ -1692,7 +1731,8 @@ object MergeTable {
       keptDvs: Seq[String] = Nil,
       keptDvf: Map[String, Long] = Map.empty,
       props: Map[String, String] = Map.empty,
-      keptBls: Map[String, String] = Map.empty)
+      keptBls: Map[String, String] = Map.empty,
+      keptEschs: Map[String, String] = Map.empty)
       : Seq[String] = {
     val epochName = s"v=$next-${attemptTag()}"
     writeEpoch(rows, dir, epochName, hexDigits, blockBytes, sortCols,
@@ -1710,12 +1750,15 @@ object MergeTable {
       if (fresh.isEmpty || blCols.isEmpty) Map.empty[String, String]
       else epochBlooms(spark, dir, epochName, blCols,
         props.get("graft.bloom.bits").map(_.toLong).getOrElse(4096L))
+    val freshEschs =
+      if (fresh.isEmpty) Map.empty[String, String]
+      else Map(epochName -> epochSchema(spark, dir, epochName))
     beforeCommit()
     try {
       commitManifest(spark, dir, next, kept ++ fresh, hexDigits,
         keptFps ++ freshFps, tokens = tokens, sts = keptSts ++ freshSts,
         cols = cols, dvs = keptDvs, dvf = keptDvf, props = props,
-        bls = keptBls ++ freshBls)
+        bls = keptBls ++ freshBls, eschs = keptEschs ++ freshEschs)
       fresh
     }
     catch { case e: CommitConflictException =>
@@ -1751,40 +1794,97 @@ object MergeTable {
     * filtering it would pay an O(table-files) footer merge per write
     * just to plan a 40-file read (measured by the ScaleProbe manifest
     * leg: 7.6 s/upsert at 4096 buckets before, flat after). */
-  private def scanEntriesRaw(spark: SparkSession, dir: String,
-      entries: Seq[String]): DataFrame = {
-    // two-step read: a mergeSchema PROBE resolves the union data
-    // schema (one footer pass — the price the old single-step read
-    // paid anyway), then the real scan passes that schema back
-    // EXPLICITLY with the layout partition columns (`v`, `bucket`)
-    // FORCED to STRING. Forcing the type kills partition-type
-    // inference — over a SPARSE file set the inferred type is unsafe:
-    // a lone "bucket=8f" dir infers DOUBLE 8.0 (Java's parseDouble
-    // accepts the f/d suffix), the round-12 epochFingerprints trap —
-    // while keeping `bucket` a genuine PARTITION column of the scan.
-    // The string partition value IS the directory text, byte-identical
-    // to the regexp this read derived it with before round 17, but
-    // partition-backed: [[graft.plans.KeyToBucketPruning]] can now
-    // turn a `key = <lit>` filter into a bucket partition filter on
-    // EVERY snapshot read — including the DV-aware dirty-file scan,
-    // so a point lookup on a tombstone-carrying table stays
-    // O(impacted buckets) between a MOR write and the OPTIMIZE that
-    // purges it (the footer KeyHexMeta stamp rides the probe schema
-    // into the explicit one). It also pins bucket's TYPE: DV-free and
-    // DV-bearing snapshots of one table agree on string forever.
-    val paths = entries.map(e => s"$dir/data/$e")
-    val probe = spark.read.option("basePath", s"$dir/data")
-      .option("mergeSchema", "true").parquet(paths: _*)
-    val forced = org.apache.spark.sql.types.StructType(probe.schema.map {
-      f =>
-        if (f.name == "bucket" || f.name == "v")
-          f.copy(dataType = org.apache.spark.sql.types.StringType)
+  /** Extend-only schema union of two epoch schemas: `a`'s fields in
+    * order, `b`'s new fields appended; a shared field keeps `a`'s
+    * slot (metadata included — every epoch stamps the key, so the
+    * KeyHexMeta survives whichever side seeds) with nullability
+    * widened. None on a dataType conflict — the caller falls back to
+    * the footer-merge probe, whose numeric-widening reconciliation is
+    * the authority for schemas this engine's extend-only writers
+    * never produce. */
+  private def mergeEpochSchemas(a: org.apache.spark.sql.types.StructType,
+      b: org.apache.spark.sql.types.StructType)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val an = a.fieldNames.toSet
+    if (b.fields.exists(f =>
+        an.contains(f.name) && a(f.name).dataType != f.dataType)) None
+    else Some(org.apache.spark.sql.types.StructType(
+      a.fields.map { f =>
+        if (b.fieldNames.contains(f.name))
+          f.copy(nullable = f.nullable || b(f.name).nullable)
         else f
-    })
-    val dataCols = probe.columns.filterNot(c => c == "bucket" || c == "v")
+      } ++ b.fields.filterNot(f => an.contains(f.name))))
+  }
+
+  /** The union DATA schema of `entries` resolved from persisted
+    * `#esch=` lines alone — Some only when EVERY epoch in the subset
+    * carries one and the union is conflict-free; epochs merge in
+    * version order (deterministic however the entry list is
+    * ordered). */
+  private def persistedSchema(entries: Seq[String],
+      eschs: Map[String, String])
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val epochs = entries.map(e => e.take(e.indexOf('/'))).distinct
+    if (!epochs.forall(eschs.contains)) None
+    else scala.util.Try {
+      def vOf(ep: String): Long =
+        ep.drop(2).takeWhile(_.isDigit).toLong
+      epochs.sortBy(ep => (vOf(ep), ep))
+        .map(ep => org.apache.spark.sql.types.DataType
+          .fromJson(eschs(ep))
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+        .foldLeft(Option(org.apache.spark.sql.types.StructType(Nil))) {
+          case (Some(acc), s) =>
+            if (acc.isEmpty) Some(s) else mergeEpochSchemas(acc, s)
+          case (None, _) => None
+        }
+    }.toOption.flatten.filter(_.nonEmpty)
+  }
+
+  private def scanEntriesRaw(spark: SparkSession, dir: String,
+      entries: Seq[String],
+      eschs: Map[String, String] = Map.empty): DataFrame = {
+    // the scan takes an EXPLICIT schema with the layout partition
+    // columns (`v`, `bucket`) FORCED to STRING. Forcing the type
+    // kills partition-type inference — over a SPARSE file set the
+    // inferred type is unsafe: a lone "bucket=8f" dir infers DOUBLE
+    // 8.0 (Java's parseDouble accepts the f/d suffix), the round-12
+    // epochFingerprints trap — while keeping `bucket` a genuine
+    // PARTITION column of the scan. The string partition value IS
+    // the directory text, byte-identical to the regexp this read
+    // derived it with before round 17, but partition-backed:
+    // [[graft.plans.KeyToBucketPruning]] can turn a `key = <lit>`
+    // filter into a bucket partition filter on EVERY snapshot read —
+    // including the DV-aware dirty-file scan, so a point lookup on a
+    // tombstone-carrying table stays O(impacted buckets) between a
+    // MOR write and the OPTIMIZE that purges it. It also pins
+    // bucket's TYPE: DV-free and DV-bearing snapshots agree on
+    // string forever.
+    //
+    // The DATA schema comes from the manifest's persisted `#esch=`
+    // epoch schemas when the subset is fully covered — O(epochs)
+    // driver work, NO footer job however many files the snapshot
+    // lists (the Iceberg/Delta schema-in-metadata read path; field
+    // metadata, incl. the KeyHexMeta pruning stamp, rides the JSON).
+    // A legacy epoch without one falls back to the mergeSchema
+    // PROBE — one footer pass, the price every read paid before
+    // round 17.
+    val paths = entries.map(e => s"$dir/data/$e")
+    val data: org.apache.spark.sql.types.StructType =
+      persistedSchema(entries, eschs).getOrElse {
+        val probe = spark.read.option("basePath", s"$dir/data")
+          .option("mergeSchema", "true").parquet(paths: _*)
+        org.apache.spark.sql.types.StructType(
+          probe.schema.filterNot(f => f.name == "bucket" || f.name == "v"))
+      }
+    val str = org.apache.spark.sql.types.StringType
+    val forced = org.apache.spark.sql.types.StructType(
+      data.fields ++ Seq(
+        org.apache.spark.sql.types.StructField("v", str),
+        org.apache.spark.sql.types.StructField("bucket", str)))
     spark.read.option("basePath", s"$dir/data").schema(forced)
       .parquet(paths: _*)
-      .select((dataCols :+ "bucket").map(col): _*)
+      .select((data.fieldNames.toSeq :+ "bucket").map(col): _*)
   }
 
   /** Tombstone sets at or below this many rows broadcast to the
@@ -1816,14 +1916,14 @@ object MergeTable {
   private def readEntries(spark: SparkSession, dir: String,
       man: ManifestData, entries: Seq[String]): DataFrame = {
     val dirty = entries.filter(man.dvf.contains)
-    if (dirty.isEmpty) scanEntriesRaw(spark, dir, entries)
+    if (dirty.isEmpty) scanEntriesRaw(spark, dir, entries, man.eschs)
     else {
       val clean = entries.filterNot(man.dvf.contains)
       val nTomb = dirty.map(man.dvf).sum
       val tomb0 = dvTombstones(spark, dir, man, dirty)
       val tomb = if (nTomb <= DvBroadcastMaxRows) broadcast(tomb0)
         else tomb0
-      val scanned = scanEntriesRaw(spark, dir, dirty)
+      val scanned = scanEntriesRaw(spark, dir, dirty, man.eschs)
         .withColumn("__dv_file", regexp_extract(
           col("_metadata.file_path"),
           "([^/]+/bucket=[0-9a-f]+/[^/]+)$", 1))
@@ -1833,7 +1933,7 @@ object MergeTable {
           scanned("__dv_pos") === tomb("pos"), "left_anti")
         .drop("__dv_file", "__dv_pos")
       if (clean.isEmpty) live
-      else scanEntriesRaw(spark, dir, clean)
+      else scanEntriesRaw(spark, dir, clean, man.eschs)
         .unionByName(live, allowMissingColumns = true)
     }
   }
@@ -1906,7 +2006,7 @@ object MergeTable {
     // partition filter prunes the dirty-file scan exactly as it does
     // the clean one (the DV read's extra cost is the row-identity
     // anti-join, never a lost pruning property).
-    if (man.dvf.isEmpty) scanEntriesRaw(spark, dir, man.entries)
+    if (man.dvf.isEmpty) scanEntriesRaw(spark, dir, man.entries, man.eschs)
     else readEntries(spark, dir, man, man.entries)
   }
 
@@ -2361,7 +2461,7 @@ object MergeTable {
         tokens = man.tokens,
         keptSts = man.sts.view.filterKeys(kept.toSet).toMap,
         cols = man.cols, keptDvs = man.dvs, keptDvf = man.dvf,
-        props = man.props, keptBls = man.bls)
+        props = man.props, keptBls = man.bls, keptEschs = man.eschs)
       CowStats(next, impacted.size.toLong, rewritten.size.toLong,
         fresh.size.toLong, matched, nBatch - matched)
     }
@@ -2402,7 +2502,7 @@ object MergeTable {
       tokens = man.tokens,
       keptSts = man.sts.view.filterKeys(kept.toSet).toMap,
       cols = man.cols, keptDvs = man.dvs, keptDvf = man.dvf,
-      props = man.props, keptBls = man.bls)
+      props = man.props, keptBls = man.bls, keptEschs = man.eschs)
     CowStats(next, impacted.size.toLong, rewritten.size.toLong,
       fresh.size.toLong, matched, 0L)
   }
@@ -2524,7 +2624,7 @@ object MergeTable {
       cur: Long, man: ManifestData, candidates: Seq[String],
       pick: DataFrame => DataFrame): Option[MorPlan] = {
     if (candidates.isEmpty) return None
-    val scanned = scanEntriesRaw(spark, dir, candidates)
+    val scanned = scanEntriesRaw(spark, dir, candidates, man.eschs)
       .withColumn("__dv_file", regexp_extract(
         col("_metadata.file_path"),
         "([^/]+/bucket=[0-9a-f]+/[^/]+)$", 1))
@@ -2602,7 +2702,7 @@ object MergeTable {
           commitManifest(spark, dir, cur + 1, man.entries,
             man.hexDigits, newFps, tokens = man.tokens, sts = man.sts,
             cols = man.cols, dvs = man.dvs ++ p.newDvs, dvf = newDvf,
-            props = man.props, bls = man.bls)
+            props = man.props, bls = man.bls, eschs = man.eschs)
           MorDeleteStats(cur + 1, p.nTomb, p.perFile.size.toLong,
             p.fpDelta.size.toLong, p.newDvs.size.toLong)
         } catch {
@@ -2666,7 +2766,7 @@ object MergeTable {
       // extend-only evolution gate — the upsert contract verbatim
       val existingCols =
         if (candidates.isEmpty) batch.columns.toSet
-        else scanEntriesRaw(spark, dir, candidates).columns.toSet
+        else scanEntriesRaw(spark, dir, candidates, man.eschs).columns.toSet
       val droppedPhys = man.cols.filter(_._2.isEmpty).keySet
       val missing = existingCols -- batch.columns.toSet --
         droppedPhys - "bucket"
@@ -2716,7 +2816,9 @@ object MergeTable {
           man.hexDigits, newFps, tokens = man.tokens,
           sts = man.sts ++ freshSts, cols = man.cols,
           dvs = man.dvs ++ plan.map(_.newDvs).getOrElse(Nil),
-          dvf = newDvf, props = man.props, bls = man.bls ++ freshBls)
+          dvf = newDvf, props = man.props, bls = man.bls ++ freshBls,
+          eschs = man.eschs ++ (if (fresh.isEmpty) Map.empty
+            else Map(epochName -> epochSchema(spark, dir, epochName))))
         MorUpsertStats(next, impacted.size.toLong, fresh.size.toLong,
           matched, nBatch - matched,
           plan.map(_.newDvs.size.toLong).getOrElse(0L))
@@ -2881,7 +2983,7 @@ object MergeTable {
         else {
           // MOR carries each target row's PARQUET IDENTITY so the
           // clause verdicts can translate into tombstones
-          val scanned = scanEntriesRaw(spark, dir, rewritten)
+          val scanned = scanEntriesRaw(spark, dir, rewritten, man.eschs)
             .withColumn("__dv_file", regexp_extract(
               col("_metadata.file_path"),
               "([^/]+/bucket=[0-9a-f]+/[^/]+)$", 1))
@@ -3048,7 +3150,9 @@ object MergeTable {
             man.hexDigits, newFps, tokens = newTokens,
             sts = man.sts ++ freshSts, cols = man.cols,
             dvs = man.dvs ++ plan0.map(_.newDvs).getOrElse(Nil),
-            dvf = newDvf, props = man.props, bls = man.bls ++ freshBls)
+            dvf = newDvf, props = man.props, bls = man.bls ++ freshBls,
+            eschs = man.eschs ++ (if (fresh.isEmpty) Map.empty
+              else Map(epochName -> epochSchema(spark, dir, epochName))))
         } catch {
           case e: CommitConflictException =>
             val fs = hadoopFs(spark, dir)
@@ -3074,7 +3178,7 @@ object MergeTable {
         tokens = newTokens,
         keptSts = man.sts.view.filterKeys(kept.toSet).toMap,
         cols = man.cols, keptDvs = man.dvs, keptDvf = man.dvf,
-        props = man.props, keptBls = man.bls)
+        props = man.props, keptBls = man.bls, keptEschs = man.eschs)
       MergeStats(next, impacted.size.toLong, rewritten.size.toLong,
         fresh.size.toLong, total(updatedIds), total(deleteIds),
         total(insertIds), counts.getOrElse(0, 0L))
@@ -3182,7 +3286,7 @@ object MergeTable {
       keptSts = man.sts.view.filterKeys(kept.toSet).toMap,
       maxRecordsPerFile = maxRecordsPerFile, cols = man.cols,
       keptDvs = man.dvs, keptDvf = man.dvf, props = man.props,
-      keptBls = man.bls)
+      keptBls = man.bls, keptEschs = man.eschs)
     CowStats(next, doomedBuckets.size.toLong, doomed.size.toLong,
       fresh.size.toLong, 0L, 0L)
     }
@@ -3253,7 +3357,7 @@ object MergeTable {
         keptSts = man.sts.view.filterKeys(kept.toSet).toMap,
         maxRecordsPerFile = maxRecordsPerFile, cols = man.cols,
         keptDvs = man.dvs, keptDvf = man.dvf, props = man.props,
-        keptBls = man.bls)
+        keptBls = man.bls, keptEschs = man.eschs)
       CowStats(next, doomedBuckets.size.toLong,
         doomed.size.toLong, fresh.size.toLong, 0L, 0L)
       }
@@ -3380,7 +3484,9 @@ object MergeTable {
             tokens = man.tokens,
             sts = man.sts.view.filterKeys(kept.toSet).toMap ++ freshSts,
             cols = man.cols, dvs = man.dvs, dvf = man.dvf,
-            props = man.props, bls = man.bls ++ freshBls)
+            props = man.props, bls = man.bls ++ freshBls,
+            eschs = man.eschs ++ (if (fresh.isEmpty) Map.empty
+              else Map(epochName -> epochSchema(spark, dir, epochName))))
           DvCompactStats(next, target.size.toLong, doomed.size.toLong,
             fresh.size.toLong,
             doomed.flatMap(man.dvf.get).sum)

@@ -156,4 +156,44 @@ class ManifestHardeningSpec extends SparkSpec {
         s"$scanned of $total files planned")
     assert(q.count() === (100 to 200).size.toLong)
   }
+  test("a manifest stripped of #esch= lines (legacy writer) reads " +
+      "through the footer-merge probe with identical rows, schema, " +
+      "column order, and point-lookup pruning") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-esch")
+      .resolve("t").toString
+    MergeTable.create(
+      (1 to 120).map(i => (i.toLong, s"v$i", i.toLong * 3))
+        .toDF("key", "value", "cents"), dir, "key", 1)
+    // evolution epoch: batch EXTENDS the schema, so the snapshot
+    // spans two epochs with different file schemas
+    MergeTable.upsert(spark, dir,
+      Seq((1L, "x", 5L, "extra")).toDF("key", "value", "cents", "note"))
+    val withEsch = MergeTable.readTable(spark, dir)
+    val schemaE = withEsch.schema
+    val rowsE = withEsch.orderBy("key").collect().toSeq
+    // strip the persisted epoch schemas from the head manifest — the
+    // shape a pre-round-17 writer leaves behind
+    val man = java.nio.file.Paths.get(dir, "_manifests", "v000000002")
+    val lines = java.nio.file.Files.readAllLines(man)
+    assert(lines.stream().anyMatch(_.startsWith("#esch=")),
+      "fixture: the current writer must persist epoch schemas")
+    val stripped = new java.util.ArrayList[String]()
+    lines.forEach(l => if (!l.startsWith("#esch=")) stripped.add(l): Unit)
+    java.nio.file.Files.write(man, stripped)
+    val legacy = MergeTable.readTable(spark, dir)
+    assert(legacy.schema === schemaE,
+      "the probe fallback must resolve the identical schema " +
+        "(types, order, nullability, field metadata)")
+    assert(legacy.orderBy("key").collect().toSeq === rowsE)
+    // pruning still fires on the probe path (footer metadata intact)
+    graft.plans.KeyToBucketPruning.enable(spark)
+    val scans = legacy.filter(col("key") === 17L)
+      .queryExecution.executedPlan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.totalNumberOfFiles
+      }.get
+    assert(scans < MergeTable.readTable(spark, dir).inputFiles.length,
+      "the legacy probe path must still prune point lookups")
+  }
 }
