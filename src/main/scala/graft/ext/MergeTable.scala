@@ -5763,8 +5763,16 @@ object MergeTable {
         .select(col("key").cast("long"))
         .collect().map(_.getLong(0)).toSeq.sorted
       require(ks.nonEmpty, "q181 fixture: no lookup keys at this SF")
+      // the smallest lookup key is deleted DELIBERATELY (a pruned read
+      // must not resurrect it) — but only when another survives, so
+      // the gate keeps result rows at every SF. The general %101 rule
+      // exempts the lookup slice for the same reason: key 0 is both
+      // %2003 and %101 at every SF, and at sf0.001 it is the ONLY
+      // lookup key.
+      val delExtra = if (ks.size > 1) Seq(ks.head) else Nil
       val delKeys = base
-        .filter(col("key") % 101 === 0 || col("key") === ks.head)
+        .filter((col("key") % 101 === 0 && !(col("key") % 2003 === 0)) ||
+          col("key").isin(delExtra: _*))
         .select(col("key").cast("long"))
       val st = deleteKeysMor(s, out, delKeys)
       require(st.rowsDeleted > 0 && st.dvFilesAdded > 0,
@@ -5802,8 +5810,10 @@ object MergeTable {
        |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
        |  FROM orders),
        |sel AS (SELECT * FROM base WHERE key % 2003 = 0),
-       |del AS (SELECT key FROM base WHERE key % 101 = 0
-       |        UNION SELECT min(key) FROM sel),
+       |del AS (SELECT key FROM base
+       |        WHERE key % 101 = 0 AND key % 2003 <> 0
+       |        UNION
+       |        SELECT min(key) FROM sel HAVING count(*) > 1),
        |fb AS (SELECT CAST(count(DISTINCT ${bucketSql("key", 1)})
        |         AS BIGINT) AS n FROM sel)
        |SELECT key, cust, status, cents,
