@@ -701,15 +701,22 @@ object MergeTable {
     * current version and every tag pin survive regardless (the
     * [[vacuum]] contract). Because effective times are strictly
     * increasing, the retained set is exactly a version suffix, so
-    * this delegates to the version-count sweep — one retention
-    * implementation, two dialects. */
+    * this delegates to the version sweep — one retention
+    * implementation, two dialects. The cutoff resolves to a concrete
+    * VERSION FLOOR before the sweep (not a keep-count): a commit
+    * landing between the clock read and the sweep's own listing
+    * grows the retained set instead of shifting a count-based suffix
+    * past a version still inside the window. */
   def vacuumRetainTime(spark: SparkSession, dir: String,
       retainMillis: Long,
       minFileAgeMs: Long = DefaultVacuumGraceMs): VacuumStats = {
     require(retainMillis >= 0L, "retention window must be non-negative")
     val cutoff = System.currentTimeMillis() - retainMillis
-    val keep = math.max(1, commitTimes(spark, dir).count(_._2 >= cutoff))
-    vacuum(spark, dir, keep, minFileAgeMs)
+    val times = commitTimes(spark, dir)
+    val floor = times.find(_._2 >= cutoff).map(_._1)
+      .orElse(times.lastOption.map(_._1))
+    vacuumWithHook(spark, dir, 1, () => (), minFileAgeMs,
+      keepFrom = floor)
   }
 
   /** Shared validation + metadata-only commit for the two schema
@@ -929,19 +936,23 @@ object MergeTable {
         s"#esch=$ep|$json"
       }
     // the IN-COMMIT TIMESTAMP is monotonized AT WRITE TIME against the
-    // predecessor's persisted `#ts=` (max(now, prev + 1)): with only
-    // read-time monotonization, vacuuming early versions under writer
-    // clock skew could shift later versions' EFFECTIVE times backwards
-    // and re-resolve a past AS OF probe to a different snapshot. A
-    // persisted-monotone chain is stable under any history expiry;
-    // [[commitTimes]]' read-time pass remains for legacy manifests
-    // (mtime fallback) and is the identity over commits written here.
-    val prevTs = versions(spark, dir).filter(_ < v).lastOption.map { pv =>
-      readManifestFull(spark, dir, pv).ts.getOrElse(
-        fs.getFileStatus(manifestPath(dir, pv)).getModificationTime)
-    }
+    // predecessor's EFFECTIVE commit time — the same fold
+    // [[commitTimes]] resolves AS OF against, NOT the predecessor's
+    // raw `#ts=`/mtime: with only read-time monotonization (or a
+    // raw-anchored write), vacuuming early versions under writer
+    // clock skew could shift later versions' EFFECTIVE times
+    // backwards and re-resolve a past AS OF probe to a different
+    // snapshot — including on tables with a legacy (mtime-clocked)
+    // prefix, where raw clocks may interleave and the raw anchor
+    // undercuts the chain. A persisted-monotone chain is stable
+    // under any history expiry; [[commitTimes]]' read-time pass
+    // remains for legacy manifests and is the identity over commits
+    // written here. Raw clocks ride [[rawTs]]'s immutable cache, so
+    // a warm writer pays ZERO extra manifest reads for the anchor.
+    val prevEff = effectiveTs(spark, dir,
+      versions(spark, dir).filter(_ < v))
     val commitTs = math.max(System.currentTimeMillis(),
-      prevTs.map(_ + 1L).getOrElse(Long.MinValue))
+      prevEff.map(_ + 1L).getOrElse(Long.MinValue))
     try out.write(
       ((Seq(s"#hex=$hexDigits",
         s"#ts=$commitTs") ++ tokLines) ++
@@ -975,6 +986,9 @@ object MergeTable {
       // destination exists — the same no-overwrite promotion
       if (!fs.rename(tmp, p)) { fs.delete(tmp, false); conflict(dir, v, null) }
     }
+    // the promoted manifest's raw clock is now immutable — seed the
+    // cache so the successor commit's monotone anchor is read-free
+    rawTsCache.put((dir, v), java.lang.Long.valueOf(commitTs)): Unit
   }
 
   private def bucketOfEntry(e: String): String = {
@@ -1841,6 +1855,13 @@ object MergeTable {
     }.toOption.flatten.filter(_.nonEmpty)
   }
 
+  /** Footer-probed DATA schema (as JSON, the `#esch=` wire form) per
+    * (dir, epoch): a legacy epoch with no persisted schema line is
+    * just as immutable as an annotated one, so the probe is paid once
+    * per JVM instead of once per scan. */
+  private val epochProbeCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), String]
+
   private def scanEntriesRaw(spark: SparkSession, dir: String,
       entries: Seq[String],
       eschs: Map[String, String] = Map.empty): DataFrame = {
@@ -1870,12 +1891,30 @@ object MergeTable {
     // PROBE — one footer pass, the price every read paid before
     // round 17.
     val paths = entries.map(e => s"$dir/data/$e")
+    def footerProbe(ps: Seq[String]) =
+      org.apache.spark.sql.types.StructType(
+        spark.read.option("basePath", s"$dir/data")
+          .option("mergeSchema", "true").parquet(ps: _*)
+          .schema.filterNot(f => f.name == "bucket" || f.name == "v"))
     val data: org.apache.spark.sql.types.StructType =
       persistedSchema(entries, eschs).getOrElse {
-        val probe = spark.read.option("basePath", s"$dir/data")
-          .option("mergeSchema", "true").parquet(paths: _*)
-        org.apache.spark.sql.types.StructType(
-          probe.schema.filterNot(f => f.name == "bucket" || f.name == "v"))
+        // legacy epochs without `#esch=`: probe each ONCE per (dir,
+        // epoch) per JVM — an epoch's files are written in one pass
+        // and immutable, so the footer cost is paid once, not on
+        // every scan (a readEntries DV split calls this up to three
+        // times per read, and before this cache a single legacy
+        // epoch put the WHOLE snapshot back on the per-scan probe)
+        val filled = entries.groupBy(e => e.take(e.indexOf('/')))
+          .map { case (ep, es) =>
+            ep -> eschs.getOrElse(ep,
+              epochProbeCache.computeIfAbsent((dir, ep), _ =>
+                footerProbe(es.map(e => s"$dir/data/$e")).json))
+          }
+        persistedSchema(entries, filled).getOrElse(
+          // a conflicting union (legacy numeric widening) stays on
+          // the global footer-merge probe — Spark's reconciliation
+          // is the authority for schemas our writers never produce
+          footerProbe(paths))
       }
     val str = org.apache.spark.sql.types.StringType
     val forced = org.apache.spark.sql.types.StructType(
@@ -2200,15 +2239,43 @@ object MergeTable {
     * manifests, whose raw clocks may interleave). */
   def commitTimes(spark: SparkSession, dir: String)
       : Seq[(Long, Long)] = {
-    val fs = hadoopFs(spark, dir)
     var eff = Long.MinValue
     versions(spark, dir).sorted.map { v =>
-      val raw = readManifestFull(spark, dir, v).ts.getOrElse(
-        fs.getFileStatus(manifestPath(dir, v)).getModificationTime)
+      val raw = rawTs(spark, dir, v)
       eff = math.max(raw, if (eff == Long.MinValue) raw else eff + 1)
       v -> eff
     }
   }
+
+  /** A promoted manifest's RAW in-commit clock (`#ts=`, mtime for
+    * legacy manifests) is immutable — cache it per (dir, version) so
+    * the effective-time fold and every commit's monotone anchor cost
+    * zero manifest reads once warm. */
+  private val rawTsCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long), java.lang.Long]
+
+  private def rawTs(spark: SparkSession, dir: String, v: Long): Long =
+    rawTsCache.computeIfAbsent((dir, v), _ =>
+      java.lang.Long.valueOf(readManifestFull(spark, dir, v).ts.getOrElse(
+        hadoopFs(spark, dir)
+          .getFileStatus(manifestPath(dir, v)).getModificationTime)))
+
+  /** Specs that TAMPER a promoted manifest's `#ts=` in place (clock-
+    * skew simulations) step outside the immutability contract the
+    * cache rides on — they drop the table's cached clocks first. */
+  private[ext] def invalidateTimestampCache(dir: String): Unit = {
+    rawTsCache.keySet.removeIf(_._1 == dir): Unit
+  }
+
+  /** The EFFECTIVE (monotonized) commit time of the newest version in
+    * `vs` — the same fold [[commitTimes]] runs over the retained
+    * chain; None when `vs` is empty. */
+  private def effectiveTs(spark: SparkSession, dir: String,
+      vs: Seq[Long]): Option[Long] =
+    vs.sorted.foldLeft(Option.empty[Long]) { (eff, v) =>
+      val raw = rawTs(spark, dir, v)
+      Some(eff.fold(raw)(e => math.max(raw, e + 1)))
+    }
 
   /** The latest version whose effective commit time is at or before
     * `tsMillis` — loud when the timestamp predates the oldest
@@ -3210,6 +3277,24 @@ object MergeTable {
       .map(v => readManifestFull(spark, dir, v).tokens.get(streamId))
       .collectFirst { case Some(id) => id }
 
+  /** One manifest walk for a streaming batch's admission gate: the
+    * newest applied batch id for `streamId` AND the head properties
+    * (write-mode routing) off the SAME read — [[lastAppliedBatch]] +
+    * [[properties]] fused, so a foreachBatch gate costs one head-
+    * manifest read per micro-batch instead of two. Tokens carry
+    * forward on every commit path, so the head normally answers
+    * immediately; the walk continues only over token-less history. */
+  def streamBatchGate(spark: SparkSession, dir: String,
+      streamId: String): (Option[Long], Map[String, String]) = {
+    var props = Option.empty[Map[String, String]]
+    val last = versions(spark, dir).reverse.iterator.map { v =>
+      val man = readManifestFull(spark, dir, v)
+      if (props.isEmpty) props = Some(man.props)
+      man.tokens.get(streamId)
+    }.collectFirst { case Some(id) => id }
+    (last, props.getOrElse(Map.empty))
+  }
+
   /** OPTIMIZE — a contents-invariant, layout-changing version: rewrite
     * every bucket with rows sorted by `sortCol` (so parquet row-group
     * min/max stats prune scans on that column WITHIN each hash bucket —
@@ -3402,11 +3487,17 @@ object MergeTable {
   /** DV / SMALL-EPOCH COMPACTION — the merge-on-read lifecycle's own
     * maintenance verb (Iceberg's rewrite-position-deletes plus Delta's
     * small-file compaction, scoped to exactly the buckets that need
-    * it): every bucket carrying a TOMBSTONED file or more than
-    * `maxFilesPerBucket` data files (MOR appends leave one small file
-    * per touched bucket per commit) is rewritten from its LIVE rows —
-    * tombstones applied, accumulated epochs folded, ONE file per
-    * bucket — while every other bucket's files are re-listed VERBATIM.
+    * it): every bucket carrying a TOMBSTONED file, or FRAGMENTED
+    * across more than one epoch with more than `maxFilesPerBucket`
+    * data files (MOR appends leave one small file per touched bucket
+    * per commit), is rewritten from its LIVE rows — tombstones
+    * applied, accumulated epochs folded, ONE file per bucket — while
+    * every other bucket's files are re-listed VERBATIM. A clean
+    * SINGLE-epoch multi-file bucket is never a target: that shape is
+    * a deliberate layout (OPTIMIZE SORT … STRIPE writes N sorted
+    * stripes per bucket for value-predicate file skipping), not
+    * compaction debt, and folding it would silently destroy the sort
+    * order and per-stripe stats a prior OPTIMIZE paid for.
     * No sort, no re-clustering: this recovers the MOR read tax
     * (row-identity anti-joins + per-file open cost) without paying
     * [[optimize]]'s table- or scope-wide layout rewrite; run OPTIMIZE
@@ -3423,6 +3514,12 @@ object MergeTable {
     * window straddling it prunes every compacted bucket unread. A
     * bucket whose every row was tombstoned attests as the all-zero
     * fingerprint, writes no file, and drops out of the manifest.
+    * A legacy UNATTESTED bucket (no `#fp=` line — the state
+    * [[fsckDeep]] reports as unattested, not corrupt) has nothing to
+    * re-attest: it is rewritten and its read-back fingerprint is
+    * COMMITTED, attesting it going forward — honestly visible to the
+    * changefeed as changed rather than laundered into the CDC-free
+    * claim, and never misdiagnosed as corruption.
     * Tombstone files stop being referenced once no annotated data
     * file remains; [[vacuum]] reclaims them like any other
     * unreferenced file. */
@@ -3438,8 +3535,10 @@ object MergeTable {
       val scope = normalizeScope(buckets, man.hexDigits)
       val target = man.entries.groupBy(bucketOfEntry).collect {
         case (b, es) if scope.forall(_.contains(b)) &&
-            (es.size > maxFilesPerBucket ||
-              es.exists(man.dvf.contains)) => b
+            (es.exists(man.dvf.contains) ||
+              (es.size > maxFilesPerBucket &&
+                es.map(e => e.take(e.indexOf('/'))).distinct.size > 1))
+          => b
       }.toSet
       if (target.isEmpty) DvCompactStats(cur, 0L, 0L, 0L, 0L)
       else {
@@ -3456,12 +3555,15 @@ object MergeTable {
           if (fresh.isEmpty)
             (Map.empty[String, String], Map.empty[String, String])
           else epochStats(spark, dir, epochName)
-        // the attestation gate: read-back == manifest, per bucket
+        // the attestation gate: read-back == manifest, per bucket —
+        // for ATTESTED buckets only; an unattested (legacy, no #fp=)
+        // bucket has no claim to check and gains one from the rewrite
+        val unattested = target.filterNot(man.fps.contains)
         val drifted = freshFps.collect {
-          case (b, fp) if !man.fps.get(b).exists(fpAgrees(_, fp)) => b
+          case (b, fp) if man.fps.get(b).exists(!fpAgrees(_, fp)) => b
         }
-        val vanished = (target -- freshFps.keySet).filterNot(b =>
-          man.fps.get(b).exists(_.split(":").forall(c => BigInt(c) == 0)))
+        val vanished = (target -- freshFps.keySet).filter(b =>
+          man.fps.get(b).exists(!_.split(":").forall(c => BigInt(c) == 0)))
         if (drifted.nonEmpty || vanished.nonEmpty) {
           fs.delete(new Path(s"$dir/data/$epochName"), true)
           throw new IllegalStateException(
@@ -3480,7 +3582,9 @@ object MergeTable {
               .getOrElse(4096L))
         try {
           commitManifest(spark, dir, next, kept ++ fresh,
-            man.hexDigits, (man.fps -- (target -- freshFps.keySet)),
+            man.hexDigits,
+            (man.fps -- (target -- freshFps.keySet)) ++
+              freshFps.view.filterKeys(unattested).toMap,
             tokens = man.tokens,
             sts = man.sts.view.filterKeys(kept.toSet).toMap ++ freshSts,
             cols = man.cols, dvs = man.dvs, dvf = man.dvf,
@@ -3539,7 +3643,8 @@ object MergeTable {
     * aftermath is benign orphans, never missing files. */
   private[graft] def vacuumWithHook(spark: SparkSession, dir: String,
       retainVersions: Int, afterManifestDrop: () => Unit,
-      minFileAgeMs: Long = DefaultVacuumGraceMs): VacuumStats = {
+      minFileAgeMs: Long = DefaultVacuumGraceMs,
+      keepFrom: Option[Long] = None): VacuumStats = {
     require(retainVersions >= 1, "must retain at least the current version")
     val sweepBefore = System.currentTimeMillis() - minFileAgeMs
     val fs = hadoopFs(spark, dir)
@@ -3550,8 +3655,14 @@ object MergeTable {
     // would silently break every reproducibility pin older than the
     // retention horizon
     val pinned = tags(spark, dir).values.toSet
-    val (dropRaw, keepSuffix) =
-      vs.splitAt(math.max(0, vs.size - retainVersions))
+    // `keepFrom` (time-based retention) keeps every version AT OR
+    // ABOVE the floor against THIS listing — commits racing in since
+    // the floor was resolved are newer and simply retained, so the
+    // time contract cannot be undercut by a count shift
+    val (dropRaw, keepSuffix) = keepFrom match {
+      case Some(f) => vs.partition(_ < f)
+      case None => vs.splitAt(math.max(0, vs.size - retainVersions))
+    }
     val drop = dropRaw.filterNot(pinned)
     val keep = dropRaw.filter(pinned) ++ keepSuffix
     val keptMans = keep.map(readManifestFull(spark, dir, _))

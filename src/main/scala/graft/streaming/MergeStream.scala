@@ -102,12 +102,13 @@ object MergeStream {
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val sp = batch.sparkSession
-        if (!graft.ext.MergeTable.lastAppliedBatch(sp, dir, sid)
-            .exists(_ >= id)) {
+        // replay gate + mode routing off ONE head-manifest read
+        val (last, props) =
+          graft.ext.MergeTable.streamBatchGate(sp, dir, sid)
+        if (!last.exists(_ >= id)) {
           val toApply = seqCol.fold(batch)(sc =>
             latestBy(batch, graft.ext.MergeTable.keyOf(sp, dir), sc))
-          val mor = graft.ext.MergeTable.properties(sp, dir)
-            .get("graft.merges.mode").contains("mor")
+          val mor = props.get("graft.merges.mode").contains("mor")
           (if (mor)
             graft.ext.MergeTable.mergeMor(sp, dir, toApply,
               matched = matched, notMatched = notMatched,

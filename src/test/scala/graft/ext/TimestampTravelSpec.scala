@@ -65,12 +65,61 @@ class TimestampTravelSpec extends SparkSpec {
     val out = fs.create(mp, true)
     try out.write(skewed.mkString("\n").getBytes("UTF-8"))
     finally out.close()
+    // in-place tampering breaks the manifest-immutability contract the
+    // raw-clock cache rides on — drop it, as any out-of-band editor must
+    MergeTable.invalidateTimestampCache(dir)
     val times = MergeTable.commitTimes(spark, dir)
     assert(times.map(_._2) === times.map(_._2).sorted)
     assert(times.map(_._2).distinct.size === 3)
     // v3's effective time is v2's + 1 (raw went backwards)
     assert(times(2)._2 === times(1)._2 + 1)
     assert(MergeTable.versionAsOf(spark, dir, times(2)._2) === 3L)
+  }
+
+  test("a new commit anchors its persisted #ts= on the predecessor's " +
+      "EFFECTIVE time (not its raw clock), so AS OF resolution to " +
+      "retained versions is stable across vacuum even over a skewed " +
+      "legacy prefix") {
+    import spark.implicits._
+    val dir = mkTable()
+    // skew v2's raw clock one hour into the future (out-of-band edit:
+    // drop the table's cached clocks, as any such editor must)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mp = new org.apache.hadoop.fs.Path(s"$dir/_manifests/v000000002")
+    val in = fs.open(mp)
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().toList finally in.close()
+    val out = fs.create(mp, true)
+    try out.write(lines.map(l =>
+      if (l.startsWith("#ts=")) s"#ts=${l.drop(4).toLong + 3600000L}"
+      else l).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    MergeTable.invalidateTimestampCache(dir)
+    val pre = MergeTable.commitTimes(spark, dir).toMap // v3 eff > now+1h
+    MergeTable.upsert(spark, dir,
+      Seq((103L, 103L)).toDF("key", "n")) // v4, written by this engine
+    // the PERSISTED raw clock of v4 must clear v3's EFFECTIVE time —
+    // a raw-anchored writer would stamp wall-clock (an hour short)
+    // and leave stability to read-time repair that vacuum undoes
+    MergeTable.invalidateTimestampCache(dir)
+    val eff4 = MergeTable.commitTimes(spark, dir).toMap
+    assert(eff4(4L) === pre(3L) + 1,
+      "v4's anchor must ride the effective chain past the skew")
+    val rawLine = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/_manifests/v000000004")
+      val i = fs.open(p)
+      try scala.io.Source.fromInputStream(i, "UTF-8").getLines()
+        .find(_.startsWith("#ts=")).get.drop(4).toLong
+      finally i.close()
+    }
+    assert(rawLine === pre(3L) + 1, "persisted, not read-time-repaired")
+    // expire v1-v2 (the skew source); retained resolution must not move
+    val st = MergeTable.vacuum(spark, dir, retainVersions = 2,
+      minFileAgeMs = 0L)
+    assert(st.versionsLive === 2L)
+    assert(MergeTable.versionAsOf(spark, dir, pre(3L)) === 3L)
+    assert(MergeTable.versionAsOf(spark, dir, eff4(4L)) === 4L)
   }
 
   test("merge_table_as_of SQL TVF: timestamp literals and string " +
