@@ -136,6 +136,43 @@ class DvCompactionSpec extends SparkSpec {
     assert(deep.mismatched.isEmpty && deep.unattested.isEmpty)
   }
 
+  test("compactDvs never folds a clean STRIPED bucket — single-epoch " +
+      "multi-file layout is a deliberate OPTIMIZE artifact, not " +
+      "compaction debt; a tombstoned striped bucket still folds and " +
+      "its neighbors keep their stripes") {
+    import spark.implicits._
+    val dir = mkTable(400)
+    MergeTable.optimize(spark, dir, "cents",
+      maxRecordsPerFile = Some(10L)): Unit
+    def filesPerBucket: Map[String, Int] =
+      MergeTable.readTable(spark, dir).inputFiles.toSeq
+        .flatMap("bucket=([0-9a-f]+)".r.findFirstMatchIn(_)
+          .map(_.group(1)))
+        .groupBy(identity).view.mapValues(_.size).toMap
+    val fb0 = filesPerBucket
+    assert(fb0.values.exists(_ > 1),
+      "the stripe layout must produce multi-file buckets")
+    val st = MergeTable.compactDvs(spark, dir)
+    assert(st.bucketsCompacted === 0L,
+      "clean striped buckets are never compaction targets")
+    assert(filesPerBucket === fb0)
+    // dirty ONE bucket; only it folds, the rest keep their stripes
+    val victims = MergeTable.readTable(spark, dir)
+      .filter(col("bucket") === "0").select("key")
+      .collect().map(_.getLong(0)).take(2).toSeq
+    assert(victims.nonEmpty)
+    MergeTable.deleteKeysMor(spark, dir, victims.toDF("key")): Unit
+    val pre = state(dir)
+    val st2 = MergeTable.compactDvs(spark, dir)
+    assert(st2.bucketsCompacted === 1L)
+    assert(state(dir) === pre)
+    val fb1 = filesPerBucket
+    assert(fb1("0") === 1, "the dirty bucket folds to one file")
+    (fb0 - "0").foreach { case (b, n) =>
+      assert(fb1(b) === n, s"bucket $b must keep its stripe layout")
+    }
+  }
+
   test("compactDvs REFUSES to commit when a rewritten bucket's " +
       "read-back fingerprint does not re-attest the manifest's — " +
       "corruption aborts loudly, nothing lands") {
