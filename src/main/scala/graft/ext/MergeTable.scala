@@ -1153,9 +1153,15 @@ object MergeTable {
     java.lang.Boolean.getBoolean("graft.cow.probe.bareFingerprints")
 
   private def epochStats(spark: SparkSession, dir: String,
-      epochName: String): (Map[String, String], Map[String, String]) = {
+      epochName: String)
+      : (Map[String, String], Map[String, String], String) = {
     val epochPath = s"$dir/data/$epochName"
     val df = spark.read.option("basePath", epochPath).parquet(epochPath)
+    // the epoch's DATA schema (the `#esch=` line) rides THIS relation —
+    // the read-back the fingerprints require anyway — so a commit pays
+    // exactly one listing + footer resolution, not a second one
+    val schemaJson = org.apache.spark.sql.types.StructType(
+      df.schema.filterNot(_.name == "bucket")).json
     val payload = df.columns.filter(_ != "bucket").sorted
     if (bareFingerprintProbe) {
       // r13 shape: per-BUCKET single-channel fingerprints, no stats
@@ -1168,7 +1174,7 @@ object MergeTable {
         .collect()
       return (rows.map(r => r.getString(0) ->
         s"${r.getLong(1)}:${BigInt(r.getDecimal(2).toBigInteger)}").toMap,
-        Map.empty)
+        Map.empty, schemaJson)
     }
     val stCols = statColumns(df.schema)
     // the bucket id comes from the FILE PATH, not the inferred
@@ -1225,7 +1231,7 @@ object MergeTable {
       }.mkString("|")
       r.getString(0) -> body
     }.toMap
-    (fps, sts)
+    (fps, sts, schemaJson)
   }
 
   /** Per-file BLOOM FILTERS of a just-written epoch, for the columns
@@ -1709,21 +1715,6 @@ object MergeTable {
     w.partitionBy("bucket").parquet(s"$dir/data/$epochName")
   }
 
-  /** The just-written epoch's DATA schema (file columns; the bucket
-    * partition column excluded), read back from its own footers —
-    * O(epoch files), the write's own size class — rendered as the
-    * single-line JSON the manifest's `#esch=` line persists, so every
-    * LATER read of any snapshot listing this epoch resolves its scan
-    * schema from metadata alone (field metadata, incl. the KeyHexMeta
-    * pruning stamp, rides the JSON). */
-  private def epochSchema(spark: SparkSession, dir: String,
-      epochName: String): String = {
-    val p = s"$dir/data/$epochName"
-    org.apache.spark.sql.types.StructType(
-      spark.read.option("basePath", p).parquet(p)
-        .schema.filterNot(_.name == "bucket")).json
-  }
-
   /** Write `rows` as version `next`'s epoch under a writer-unique
     * attempt dir and commit `kept ++ fresh` atomically; returns the
     * fresh entries. `keptFps` carries the untouched buckets' content
@@ -1752,8 +1743,9 @@ object MergeTable {
     writeEpoch(rows, dir, epochName, hexDigits, blockBytes, sortCols,
       dropAfterSort, maxRecordsPerFile)
     val fresh = epochEntries(spark, dir, epochName)
-    val (freshFps, freshSts) =
-      if (fresh.isEmpty) (Map.empty[String, String], Map.empty[String, String])
+    val (freshFps, freshSts, freshSchema) =
+      if (fresh.isEmpty)
+        (Map.empty[String, String], Map.empty[String, String], "")
       else epochStats(spark, dir, epochName)
     // bloom build rides the table property (set-then-rewrite: files
     // written before the property was set stay unattested — sound)
@@ -1766,7 +1758,7 @@ object MergeTable {
         props.get("graft.bloom.bits").map(_.toLong).getOrElse(4096L))
     val freshEschs =
       if (fresh.isEmpty) Map.empty[String, String]
-      else Map(epochName -> epochSchema(spark, dir, epochName))
+      else Map(epochName -> freshSchema)
     beforeCommit()
     try {
       commitManifest(spark, dir, next, kept ++ fresh, hexDigits,
@@ -2849,9 +2841,9 @@ object MergeTable {
       val epochName = s"v=$next-${attemptTag()}"
       writeEpoch(batch, dir, epochName, man.hexDigits)
       val fresh = epochEntries(spark, dir, epochName)
-      val (freshFps, freshSts) =
+      val (freshFps, freshSts, freshSchema) =
         if (fresh.isEmpty)
-          (Map.empty[String, String], Map.empty[String, String])
+          (Map.empty[String, String], Map.empty[String, String], "")
         else epochStats(spark, dir, epochName)
       val blCols = man.props.get("graft.bloom.columns")
         .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
@@ -2885,7 +2877,7 @@ object MergeTable {
           dvs = man.dvs ++ plan.map(_.newDvs).getOrElse(Nil),
           dvf = newDvf, props = man.props, bls = man.bls ++ freshBls,
           eschs = man.eschs ++ (if (fresh.isEmpty) Map.empty
-            else Map(epochName -> epochSchema(spark, dir, epochName))))
+            else Map(epochName -> freshSchema)))
         MorUpsertStats(next, impacted.size.toLong, fresh.size.toLong,
           matched, nBatch - matched,
           plan.map(_.newDvs.size.toLong).getOrElse(0L))
@@ -3184,9 +3176,9 @@ object MergeTable {
         val epochName = s"v=$next-${attemptTag()}"
         writeEpoch(appended, dir, epochName, man.hexDigits)
         val fresh = epochEntries(spark, dir, epochName)
-        val (freshFps, freshSts) =
+        val (freshFps, freshSts, freshSchema) =
           if (fresh.isEmpty)
-            (Map.empty[String, String], Map.empty[String, String])
+            (Map.empty[String, String], Map.empty[String, String], "")
           else epochStats(spark, dir, epochName)
         val blCols = man.props.get("graft.bloom.columns")
           .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
@@ -3219,7 +3211,7 @@ object MergeTable {
             dvs = man.dvs ++ plan0.map(_.newDvs).getOrElse(Nil),
             dvf = newDvf, props = man.props, bls = man.bls ++ freshBls,
             eschs = man.eschs ++ (if (fresh.isEmpty) Map.empty
-              else Map(epochName -> epochSchema(spark, dir, epochName))))
+              else Map(epochName -> freshSchema)))
         } catch {
           case e: CommitConflictException =>
             val fs = hadoopFs(spark, dir)
@@ -3551,9 +3543,9 @@ object MergeTable {
         val fs = hadoopFs(spark, dir)
         writeEpoch(live, dir, epochName, man.hexDigits)
         val fresh = epochEntries(spark, dir, epochName)
-        val (freshFps, freshSts) =
+        val (freshFps, freshSts, freshSchema) =
           if (fresh.isEmpty)
-            (Map.empty[String, String], Map.empty[String, String])
+            (Map.empty[String, String], Map.empty[String, String], "")
           else epochStats(spark, dir, epochName)
         // the attestation gate: read-back == manifest, per bucket —
         // for ATTESTED buckets only; an unattested (legacy, no #fp=)
@@ -3590,7 +3582,7 @@ object MergeTable {
             cols = man.cols, dvs = man.dvs, dvf = man.dvf,
             props = man.props, bls = man.bls ++ freshBls,
             eschs = man.eschs ++ (if (fresh.isEmpty) Map.empty
-              else Map(epochName -> epochSchema(spark, dir, epochName))))
+              else Map(epochName -> freshSchema)))
           DvCompactStats(next, target.size.toLong, doomed.size.toLong,
             fresh.size.toLong,
             doomed.flatMap(man.dvf.get).sum)
