@@ -2232,10 +2232,11 @@ object MergeTable {
   def commitTimes(spark: SparkSession, dir: String)
       : Seq[(Long, Long)] = {
     var eff = Long.MinValue
-    versions(spark, dir).sorted.map { v =>
-      val raw = rawTs(spark, dir, v)
-      eff = math.max(raw, if (eff == Long.MinValue) raw else eff + 1)
-      v -> eff
+    versions(spark, dir).sorted.flatMap { v =>
+      rawTsOpt(spark, dir, v).map { raw =>
+        eff = math.max(raw, if (eff == Long.MinValue) raw else eff + 1)
+        v -> eff
+      }
     }
   }
 
@@ -2252,6 +2253,17 @@ object MergeTable {
         hadoopFs(spark, dir)
           .getFileStatus(manifestPath(dir, v)).getModificationTime)))
 
+  /** [[rawTs]] that treats a version vanished between the listing and
+    * the read — a CONCURRENT VACUUM expiring history mid-fold — as
+    * absent rather than an error: an expired version cannot affect
+    * any future AS OF resolution (read-time folds see the same
+    * retained set), so skipping it keeps a racing commit or history
+    * query from failing spuriously. */
+  private def rawTsOpt(spark: SparkSession, dir: String,
+      v: Long): Option[Long] =
+    try Some(rawTs(spark, dir, v))
+    catch { case _: IllegalArgumentException => None }
+
   /** Specs that TAMPER a promoted manifest's `#ts=` in place (clock-
     * skew simulations) step outside the immutability contract the
     * cache rides on — they drop the table's cached clocks first. */
@@ -2265,8 +2277,10 @@ object MergeTable {
   private def effectiveTs(spark: SparkSession, dir: String,
       vs: Seq[Long]): Option[Long] =
     vs.sorted.foldLeft(Option.empty[Long]) { (eff, v) =>
-      val raw = rawTs(spark, dir, v)
-      Some(eff.fold(raw)(e => math.max(raw, e + 1)))
+      rawTsOpt(spark, dir, v) match {
+        case Some(raw) => Some(eff.fold(raw)(e => math.max(raw, e + 1)))
+        case None => eff // vacuumed mid-fold: gone from read-time too
+      }
     }
 
   /** The latest version whose effective commit time is at or before
@@ -3357,12 +3371,22 @@ object MergeTable {
       if (maxRecordsPerFile.isDefined) Seq(physSort, key)
       else Seq(physSort)
     val doomedBuckets = doomed.map(bucketOfEntry).toSet
+    // a FULL-table optimize DECLARES the table's layout as versioned
+    // properties so maintenance that rewrites buckets later
+    // ([[compactDvs]]) can reconstruct it instead of silently
+    // unsorting them; a scoped run changes only part of the table and
+    // leaves the declaration alone
+    val layoutProps =
+      if (buckets.isDefined) man.props
+      else (man.props - "graft.layout.zorder" - "graft.layout.stripe") ++
+        Map("graft.layout.sort" -> sortCol) ++
+        maxRecordsPerFile.map(n => "graft.layout.stripe" -> n.toString)
     val fresh = commitEpoch(spark, dir, next, all, kept,
       man.hexDigits, () => (), sortCols = sortCols,
       keptFps = man.fps -- doomedBuckets, tokens = man.tokens,
       keptSts = man.sts.view.filterKeys(kept.toSet).toMap,
       maxRecordsPerFile = maxRecordsPerFile, cols = man.cols,
-      keptDvs = man.dvs, keptDvf = man.dvf, props = man.props,
+      keptDvs = man.dvs, keptDvf = man.dvf, props = layoutProps,
       keptBls = man.bls, keptEschs = man.eschs)
     CowStats(next, doomedBuckets.size.toLong, doomed.size.toLong,
       fresh.size.toLong, 0L, 0L)
@@ -3426,6 +3450,12 @@ object MergeTable {
         else readEntries(spark, dir, man, doomed), phys(xCol), phys(yCol))
         .localCheckpoint(true)
       val doomedBuckets = doomed.map(bucketOfEntry).toSet
+      // the layout declaration, z-order dialect (see [[optimize]])
+      val layoutProps =
+        if (buckets.isDefined) man.props
+        else (man.props - "graft.layout.sort" - "graft.layout.stripe") ++
+          Map("graft.layout.zorder" -> s"$xCol,$yCol") ++
+          maxRecordsPerFile.map(n => "graft.layout.stripe" -> n.toString)
       val fresh = commitEpoch(spark, dir, next, all, kept,
         man.hexDigits, () => (), blockBytes,
         sortCols = Seq("zval", key),
@@ -3433,7 +3463,7 @@ object MergeTable {
         keptFps = man.fps -- doomedBuckets, tokens = man.tokens,
         keptSts = man.sts.view.filterKeys(kept.toSet).toMap,
         maxRecordsPerFile = maxRecordsPerFile, cols = man.cols,
-        keptDvs = man.dvs, keptDvf = man.dvf, props = man.props,
+        keptDvs = man.dvs, keptDvf = man.dvf, props = layoutProps,
         keptBls = man.bls, keptEschs = man.eschs)
       CowStats(next, doomedBuckets.size.toLong,
         doomed.size.toLong, fresh.size.toLong, 0L, 0L)
@@ -3483,17 +3513,22 @@ object MergeTable {
     * across more than one epoch with more than `maxFilesPerBucket`
     * data files (MOR appends leave one small file per touched bucket
     * per commit), is rewritten from its LIVE rows — tombstones
-    * applied, accumulated epochs folded, ONE file per bucket — while
-    * every other bucket's files are re-listed VERBATIM. A clean
-    * SINGLE-epoch multi-file bucket is never a target: that shape is
-    * a deliberate layout (OPTIMIZE SORT … STRIPE writes N sorted
-    * stripes per bucket for value-predicate file skipping), not
-    * compaction debt, and folding it would silently destroy the sort
-    * order and per-stripe stats a prior OPTIMIZE paid for.
-    * No sort, no re-clustering: this recovers the MOR read tax
-    * (row-identity anti-joins + per-file open cost) without paying
-    * [[optimize]]'s table- or scope-wide layout rewrite; run OPTIMIZE
-    * when you want clustering too.
+    * applied, accumulated epochs folded — while every other bucket's
+    * files are re-listed VERBATIM. A clean SINGLE-epoch multi-file
+    * bucket is never a target: that shape is a deliberate layout
+    * (OPTIMIZE SORT … STRIPE writes N sorted stripes per bucket for
+    * value-predicate file skipping), not compaction debt, and folding
+    * it would silently destroy the sort order and per-stripe stats a
+    * prior OPTIMIZE paid for. For the buckets it DOES rewrite, the
+    * fold reconstructs the table's DECLARED layout
+    * (`graft.layout.sort` / `.zorder` / `.stripe` — versioned
+    * properties a full-table OPTIMIZE records), so a striped bucket
+    * dirtied by one MOR append comes back striped and sorted, not
+    * folded flat; an undeclared table folds to ONE unsorted file per
+    * bucket, the plain small-file shape. Either way this recovers the
+    * MOR read tax (row-identity anti-joins + per-file open cost) at
+    * O(dirty buckets) — never [[optimize]]'s table- or scope-wide
+    * rewrite; run OPTIMIZE to change the declared layout itself.
     *
     * Fingerprints are the INTEGRITY GATE, not an output: the MOR
     * write arithmetic (old − tombstoned + appended, every term a
@@ -3541,7 +3576,33 @@ object MergeTable {
         val next = cur + 1
         val epochName = s"v=$next-${attemptTag()}"
         val fs = hadoopFs(spark, dir)
-        writeEpoch(live, dir, epochName, man.hexDigits)
+        // a table whose last FULL optimize declared a layout
+        // (graft.layout.sort / .zorder / .stripe — versioned
+        // properties) gets that layout RECONSTRUCTED for the buckets
+        // this fold rewrites: one MOR append must not let the next
+        // compaction silently unsort what OPTIMIZE paid for. The
+        // fold's fingerprints are order-independent sums, so the
+        // re-sort costs nothing of the CDC-free attestation.
+        val key = keyMeta(spark, dir, None)
+        def phys(c: String): String = man.cols.collectFirst {
+          case (p, l) if l == c => p }.getOrElse(c)
+        val stripe = man.props.get("graft.layout.stripe").map(_.toLong)
+        val (folded, sortCols, dropAfter) =
+          (man.props.get("graft.layout.zorder"),
+           man.props.get("graft.layout.sort")) match {
+            case (Some(xy), _) if xy.contains(",") =>
+              val Array(x, y) = xy.split(",", 2)
+              (graft.ext.Layout.withZVal(live, phys(x), phys(y)),
+                Seq("zval", key), Seq("zval"))
+            case (None, Some(sc)) =>
+              (live,
+                if (stripe.isDefined) Seq(phys(sc), key)
+                else Seq(phys(sc)), Nil)
+            case _ => (live, Seq.empty[String], Seq.empty[String])
+          }
+        writeEpoch(folded, dir, epochName, man.hexDigits,
+          sortCols = sortCols, dropAfterSort = dropAfter,
+          maxRecordsPerFile = stripe)
         val fresh = epochEntries(spark, dir, epochName)
         val (freshFps, freshSts, freshSchema) =
           if (fresh.isEmpty)
@@ -3556,13 +3617,27 @@ object MergeTable {
         }
         val vanished = (target -- freshFps.keySet).filter(b =>
           man.fps.get(b).exists(!_.split(":").forall(c => BigInt(c) == 0)))
-        if (drifted.nonEmpty || vanished.nonEmpty) {
+        // an UNATTESTED bucket that vanishes in the fold is
+        // undecidable: with no fingerprint there is no way to prove
+        // its every row was tombstoned rather than lost — refuse
+        // loudly rather than silently drop its entries
+        val vanishedBlind = (target -- freshFps.keySet)
+          .filterNot(man.fps.contains)
+        if (drifted.nonEmpty || vanished.nonEmpty ||
+            vanishedBlind.nonEmpty) {
           fs.delete(new Path(s"$dir/data/$epochName"), true)
           throw new IllegalStateException(
             s"compactDvs at $dir: rewritten bucket(s) " +
-              (drifted ++ vanished).toSeq.sorted.mkString(", ") +
-              " do not re-attest their manifest fingerprints — the " +
-              "table is corrupt (run fsckDeep); nothing was committed")
+              (drifted ++ vanished ++ vanishedBlind).toSeq.sorted
+                .mkString(", ") +
+              " do not re-attest their manifest fingerprints" +
+              (if (vanishedBlind.nonEmpty)
+                 s" (${vanishedBlind.toSeq.sorted.mkString(", ")}: " +
+                   "unattested AND fully tombstoned — cannot prove " +
+                   "the tombstones covered every row)"
+               else "") +
+              " — the table is corrupt (run fsckDeep); nothing was " +
+              "committed")
         }
         val blCols = man.props.get("graft.bloom.columns")
           .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
@@ -3663,6 +3738,15 @@ object MergeTable {
     val cur = vs.lastOption.getOrElse(0L)
     // 1) expired manifests + stale commit temps (metadata only)
     drop.foreach(v => fs.delete(manifestPath(dir, v), false))
+    // the metadata caches ride manifest immutability; expired
+    // versions' entries (and legacy epochs no retained manifest
+    // lists) would otherwise accumulate forever in a long-lived
+    // driver that vacuums periodically
+    drop.foreach(v => rawTsCache.remove((dir, v)))
+    val keptEpochs = keptMans
+      .flatMap(_.entries.map(e => e.take(e.indexOf('/')))).toSet
+    epochProbeCache.keySet.removeIf(k =>
+      k._1 == dir && !keptEpochs.contains(k._2)): Unit
     // stats checkpoints union facts across ALL versions ever seen;
     // once manifests expire, drop the checkpoints too so the next
     // stats read rebuilds from the retained manifests only (the

@@ -136,14 +136,17 @@ class DvCompactionSpec extends SparkSpec {
     assert(deep.mismatched.isEmpty && deep.unattested.isEmpty)
   }
 
-  test("compactDvs never folds a clean STRIPED bucket — single-epoch " +
-      "multi-file layout is a deliberate OPTIMIZE artifact, not " +
-      "compaction debt; a tombstoned striped bucket still folds and " +
-      "its neighbors keep their stripes") {
+  test("compactDvs never folds a clean STRIPED bucket, and when a " +
+      "striped bucket IS dirtied the fold RECONSTRUCTS the declared " +
+      "layout (sorted stripes), never a flat file; neighbors are " +
+      "re-listed untouched") {
     import spark.implicits._
     val dir = mkTable(400)
     MergeTable.optimize(spark, dir, "cents",
       maxRecordsPerFile = Some(10L)): Unit
+    assert(MergeTable.properties(spark, dir) ===
+      Map("graft.layout.sort" -> "cents", "graft.layout.stripe" -> "10"),
+      "a full optimize must declare the layout")
     def filesPerBucket: Map[String, Int] =
       MergeTable.readTable(spark, dir).inputFiles.toSeq
         .flatMap("bucket=([0-9a-f]+)".r.findFirstMatchIn(_)
@@ -156,20 +159,40 @@ class DvCompactionSpec extends SparkSpec {
     assert(st.bucketsCompacted === 0L,
       "clean striped buckets are never compaction targets")
     assert(filesPerBucket === fb0)
-    // dirty ONE bucket; only it folds, the rest keep their stripes
-    val victims = MergeTable.readTable(spark, dir)
+    // dirty ONE bucket (a delete + an upserted row); only it rewrites
+    val b0rows = MergeTable.readTable(spark, dir)
       .filter(col("bucket") === "0").select("key")
-      .collect().map(_.getLong(0)).take(2).toSeq
-    assert(victims.nonEmpty)
-    MergeTable.deleteKeysMor(spark, dir, victims.toDF("key")): Unit
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(b0rows.size > 10, "bucket 0 must span several stripes")
+    MergeTable.deleteKeysMor(spark, dir,
+      b0rows.take(2).toDF("key")): Unit
     val pre = state(dir)
+    val preV = MergeTable.versions(spark, dir).last
     val st2 = MergeTable.compactDvs(spark, dir)
     assert(st2.bucketsCompacted === 1L)
     assert(state(dir) === pre)
+    // CDC-free even through the re-sort (fps are order-independent)
+    assert(MergeTable.changedBuckets(spark, dir, preV, st2.version)
+      .isEmpty)
     val fb1 = filesPerBucket
-    assert(fb1("0") === 1, "the dirty bucket folds to one file")
+    val liveB0 = b0rows.size - 2
+    assert(fb1("0") === (liveB0 + 9) / 10,
+      s"the fold must RE-STRIPE bucket 0 (live=$liveB0): $fb1")
     (fb0 - "0").foreach { case (b, n) =>
       assert(fb1(b) === n, s"bucket $b must keep its stripe layout")
+    }
+    // and the reconstructed stripes are SORTED: per-file cents ranges
+    // are disjoint, so value-predicate file skipping keeps working
+    val ranges = spark.read
+      .parquet(MergeTable.readTable(spark, dir).inputFiles
+        .filter(_.contains("bucket=0/")): _*)
+      .withColumn("__f", input_file_name())
+      .groupBy("__f").agg(min("cents").as("mn"), max("cents").as("mx"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, aMx), (bMn, _)) =>
+        assert(aMx <= bMn, s"stripe ranges must be disjoint: $ranges")
+      case _ =>
     }
   }
 
