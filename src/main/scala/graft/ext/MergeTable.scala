@@ -6231,8 +6231,121 @@ object MergeTable {
        |       CAST(1 AS BIGINT) AS versions_kept_expire
        |FROM base ORDER BY key""".stripMargin)
 
+  /** Stripe size for the q185 instrument — q164's shape: several
+    * stripe files per bucket at sf0.01 so the fold has real layout to
+    * reconstruct and the range probe real files to skip. */
+  private val Q185_STRIPE = 256L
+
+  /** q185 — LAYOUT-DECLARED COMPACTION acceptance: a full-table
+    * `OPTIMIZE … SORT BY cents STRIPE n` DECLARES the layout as
+    * versioned properties; one [[upsertMor]] batch then dirties the
+    * %97 buckets (tombstone + append epoch), and [[compactDvs]] must
+    * RECONSTRUCT the declared layout for exactly those buckets —
+    * sorted stripes, not a flat fold — while re-listing every clean
+    * bucket verbatim. The gate pins all of it against the oracle's
+    * own re-derivation over the FINAL state (rank per md5-bucket by
+    * (cents, key), chunk at the stripe size — one model covers both
+    * the untouched stripes, whose buckets hold no %97 key and so kept
+    * their values, and the reconstructed ones):
+    *  - files_total = Σ per bucket ceil(rows/stripe) — the fold
+    *    re-striped, it did not flatten;
+    *  - files_scanned for a center cents-band through the PLAIN
+    *    DataFrame read = the stripe-overlap count — value-predicate
+    *    file skipping SURVIVES the MOR write + compaction round-trip
+    *    (before this round the fold unsorted the bucket and the model
+    *    would overcount);
+    *  - the band's ROWS ride the pruned plan — a stripe wrongly
+    *    skipped fails the hash gate;
+    *  - in-fixture: the compaction is CDC-free, purges every
+    *    tombstone, and fsckDeep re-attests. */
+  private val q185LayoutCompaction = QueryDef(
+    (s, dir) => {
+      val (out, base) = graft.core.Timing.build {
+        val o = java.nio.file.Files.createTempDirectory("graft-q185")
+          .resolve("table").toString
+        val b = baseRows(s, dir).localCheckpoint(true)
+        create(b, o, "key", hexDigits = 1)
+        (o, b)
+      }
+      s.sql(s"OPTIMIZE merge_table.`$out` SORT BY cents " +
+        s"STRIPE $Q185_STRIPE")
+      require(properties(s, out) == Map(
+        "graft.layout.sort" -> "cents",
+        "graft.layout.stripe" -> Q185_STRIPE.toString),
+        "q185: a full optimize must declare the table's layout")
+      val batch = base.filter(col("key") % 97 === 0)
+        .withColumn("cents", col("cents") + lit(7L))
+      val st = upsertMor(s, out, batch)
+      require(st.rowsMatched > 0L && st.filesAppended >= 1L,
+        s"q185 fixture: the MOR upsert must append an epoch, got $st")
+      val preV = versions(s, out).last
+      val cst = compactDvs(s, out)
+      require(cst.bucketsCompacted > 0L && cst.tombstonesPurged ==
+        st.rowsMatched,
+        s"q185: the fold must purge exactly the batch's tombstones: $cst")
+      require(changedBuckets(s, out, preV, cst.version).isEmpty,
+        "q185: layout reconstruction must stay CDC-free — the " +
+          "re-sort cannot move the order-independent fingerprints")
+      val det = detail(s, out).collect().head
+      require(det.getAs[Long]("dv_tombstones") == 0L,
+        "q185: compaction must purge every tombstone annotation")
+      val deep = fsckDeep(s, out)
+      require(deep.mismatched.isEmpty && deep.unattested.isEmpty,
+        s"q185: reconstructed fingerprints must re-attest: $deep")
+      val filesTotal = readManifest(s, out, versions(s, out).last)
+        .size.toLong
+      val b = readTable(s, out).agg(min("cents"), max("cents"))
+        .collect().head
+      val (mny, mxy) = (b.getLong(0), b.getLong(1))
+      val (y1, y2) = (mny + (mxy - mny) * 7 / 16,
+        mny + (mxy - mny) * 9 / 16)
+      graft.plans.StatsFilePruning.enable(s)
+      val q = readTable(s, out).filter(col("cents").between(y1, y2))
+      val scanned = plannedDataFiles(q).size.toLong
+      // strict skipping only when buckets actually hold >1 stripe (at
+      // the sf0.001 smoke scale each bucket is one stripe and the
+      // band overlaps every file); the ORACLE pin enforces the exact
+      // overlap count at every SF regardless
+      require(scanned > 0L && (filesTotal <= 16L || scanned < filesTotal),
+        s"q185: the reconstructed stripes must skip files " +
+          s"($scanned of $filesTotal)")
+      q.select("key", "cust", "status", "cents")
+        .withColumn("files_scanned", lit(scanned))
+        .withColumn("files_total", lit(filesTotal))
+        .orderBy("key")
+    },
+    s"""WITH base AS (
+       |  SELECT o_orderkey AS key, o_custkey AS cust,
+       |         o_orderstatus AS status,
+       |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+       |  FROM orders),
+       |fin AS (SELECT key, cust, status,
+       |          CASE WHEN key % 97 = 0 THEN cents + 7
+       |               ELSE cents END AS cents
+       |        FROM base),
+       |bb AS (SELECT min(cents) AS mny, max(cents) AS mxy FROM fin),
+       |p AS (SELECT mny + ((mxy - mny) * 7) // 16 AS y1,
+       |             mny + ((mxy - mny) * 9) // 16 AS y2 FROM bb),
+       |g AS (SELECT fin.*, ${bucketSql("key", 1)} AS bkt FROM fin),
+       |f AS (SELECT *, ((row_number() OVER (PARTITION BY bkt
+       |        ORDER BY cents, key)) - 1) // $Q185_STRIPE AS fid FROM g),
+       |st AS (SELECT bkt, fid, min(cents) AS fmn, max(cents) AS fmx
+       |       FROM f GROUP BY bkt, fid),
+       |cnt AS (SELECT
+       |    CAST(sum(CASE WHEN fmn <= y2 AND fmx >= y1
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+       |    CAST(count(*) AS BIGINT) AS files_total
+       |  FROM st, p)
+       |SELECT key, cust, status, cents,
+       |       (SELECT files_scanned FROM cnt) AS files_scanned,
+       |       (SELECT files_total FROM cnt) AS files_total
+       |FROM fin, p
+       |WHERE cents BETWEEN y1 AND y2
+       |ORDER BY key""".stripMargin)
+
   val defs: Map[String, QueryDef] = Map(
     "q148_table_fsck" -> q148TableFsck,
+    "q185_layout_compaction" -> q185LayoutCompaction,
     "q140_cow_upsert" -> q140CowUpsert,
     "q141_cow_amplification" -> q141CowAmplification,
     "q142_time_travel" -> q142TimeTravel,
