@@ -193,6 +193,35 @@ object MergeTable {
     }
   }
 
+  /** Size-bounded LRU for driver-side metadata caches: the cached
+    * facts are immutable (promoted manifests, epoch schemas) so any
+    * eviction is merely a re-read, but an UNBOUNDED map leaks one
+    * entry per (dir, version)/(dir, epoch) forever in a long-lived
+    * driver that touches many tables and never vacuums them
+    * in-process. The value function runs OUTSIDE the map lock
+    * (values are idempotent — a racing double-compute wastes one
+    * probe, never corrupts). */
+  private final class BoundedCache[K, V](maxEntries: Int) {
+    private val m = java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[K, V](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[K, V]): Boolean = size() > maxEntries
+      })
+    def computeIfAbsent(k: K, f: K => V): V = {
+      val v0 = m.get(k)
+      if (v0 != null) v0
+      else {
+        val v = f(k)
+        val prev = m.putIfAbsent(k, v)
+        if (prev != null) prev else v
+      }
+    }
+    def put(k: K, v: V): Unit = { m.put(k, v); () }
+    def remove(k: K): Unit = { m.remove(k); () }
+    def removeIf(p: K => Boolean): Unit =
+      m.synchronized { m.keySet.removeIf(k => p(k)); () }
+  }
+
   private final case class ManifestData(hexDigits: Int,
     entries: Seq[String], fps: Map[String, String],
     tokens: Map[String, Long] = Map.empty,
@@ -363,6 +392,15 @@ object MergeTable {
       case l if l.startsWith("#esch=") =>
         val body = l.drop(6)
         val cut = body.indexOf('|')
+        // loud-on-corruption, the manifest discipline: a line with no
+        // '|' (or an empty epoch name) is not a legacy format — no
+        // writer ever produced one — so parsing it as epoch "" and
+        // silently dropping it at the next commit would swallow
+        // manifest corruption instead of surfacing it
+        if (cut <= 0) throw new IllegalStateException(
+          s"manifest v$v at $dir carries a malformed #esch= line " +
+            s"('${l.take(80)}'): no epoch|schema separator — the " +
+            "manifest is corrupt; restore it before reading")
         body.take(cut) -> body.drop(cut + 1)
     }.toMap
     ManifestData(hex, lines.filterNot(_.startsWith("#")), fps, toks,
@@ -988,7 +1026,7 @@ object MergeTable {
     }
     // the promoted manifest's raw clock is now immutable — seed the
     // cache so the successor commit's monotone anchor is read-free
-    rawTsCache.put((dir, v), java.lang.Long.valueOf(commitTs)): Unit
+    rawTsCache.put((dir, v), java.lang.Long.valueOf(commitTs))
   }
 
   private def bucketOfEntry(e: String): String = {
@@ -1715,15 +1753,32 @@ object MergeTable {
     w.partitionBy("bucket").parquet(s"$dir/data/$epochName")
   }
 
+  /** What [[commitEpoch]] actually committed: the VERSION (the planned
+    * one, or a later one when a lost race was recovered by the
+    * conflict-scoped fast re-commit) and the fresh entries under their
+    * committed epoch name. */
+  private final case class EpochCommit(version: Long, fresh: Seq[String])
+
+  /** Spec instrumentation: epoch DATA writes vs conflict-scoped fast
+    * re-commits — the two-writer spec asserts a disjoint-bucket race
+    * loser re-commits WITHOUT a second data write, and the ScaleProbe
+    * conflict leg prices the wasted bytes the fast path saves. */
+  private[graft] val epochWrites =
+    new java.util.concurrent.atomic.AtomicLong()
+  private[graft] val fastRecommits =
+    new java.util.concurrent.atomic.AtomicLong()
+
   /** Write `rows` as version `next`'s epoch under a writer-unique
     * attempt dir and commit `kept ++ fresh` atomically; returns the
     * fresh entries. `keptFps` carries the untouched buckets' content
     * fingerprints forward (inherited verbatim from the prior manifest);
     * the rewritten buckets' fingerprints are computed from the epoch's
-    * own files ([[epochFingerprints]]). On a lost race the attempt dir
-    * is eagerly deleted (a crash instead leaves an orphan for
-    * [[vacuum]]) and the conflict propagates to the caller's
-    * [[retryOnConflict]] loop. */
+    * own files ([[epochFingerprints]]). On a lost race the CONFLICT-
+    * SCOPED fast path first tries to RE-COMMIT the already-written
+    * attempt epoch against the winner's head (see [[fastRecommit]]);
+    * only when the race genuinely overlaps is the attempt dir deleted
+    * (a crash instead leaves an orphan for [[vacuum]]) and the
+    * conflict propagated to the caller's [[retryOnConflict]] loop. */
   private def commitEpoch(spark: SparkSession, dir: String, next: Long,
       rows: DataFrame, kept: Seq[String], hexDigits: Int,
       beforeCommit: () => Unit, blockBytes: Option[Long] = None,
@@ -1738,8 +1793,15 @@ object MergeTable {
       props: Map[String, String] = Map.empty,
       keptBls: Map[String, String] = Map.empty,
       keptEschs: Map[String, String] = Map.empty)
-      : Seq[String] = {
+      : EpochCommit = {
+    // the CONSTRAINT SET the verb body enforced against (the listing
+    // is cheap next to the epoch write): the fast re-commit path must
+    // not widen the enforce→commit window past a concurrent
+    // addConstraint — it compares this snapshot and bails to the full
+    // retry (which re-enforces) when the set changed
+    val consAtWrite = constraints(spark, dir)
     val epochName = s"v=$next-${attemptTag()}"
+    epochWrites.incrementAndGet(): Unit
     writeEpoch(rows, dir, epochName, hexDigits, blockBytes, sortCols,
       dropAfterSort, maxRecordsPerFile)
     val fresh = epochEntries(spark, dir, epochName)
@@ -1765,12 +1827,154 @@ object MergeTable {
         keptFps ++ freshFps, tokens = tokens, sts = keptSts ++ freshSts,
         cols = cols, dvs = keptDvs, dvf = keptDvf, props = props,
         bls = keptBls ++ freshBls, eschs = keptEschs ++ freshEschs)
-      fresh
+      EpochCommit(next, fresh)
     }
     catch { case e: CommitConflictException =>
-      hadoopFs(spark, dir).delete(new Path(s"$dir/data/$epochName"), true)
-      throw e
+      fastRecommit(spark, dir, next, epochName, fresh, freshFps,
+        freshSts, freshBls, freshSchema, hexDigits, kept, keptFps,
+        keptSts, keptBls, keptEschs, keptDvs, keptDvf, tokens, props,
+        cols, consAtWrite) match {
+        case Some(ec) => ec
+        case None =>
+          hadoopFs(spark, dir)
+            .delete(new Path(s"$dir/data/$epochName"), true)
+          throw e
+      }
     }
+  }
+
+  /** CONFLICT-SCOPED COMMIT RECOVERY (the Iceberg revalidate-and-
+    * relink discipline): a lost commit race whose winner touched only
+    * DISJOINT buckets invalidates NOTHING this attempt computed — the
+    * epoch files on disk are still exactly the rows the verb meant to
+    * write — so instead of deleting them and re-running the whole verb
+    * body (data reads, joins and all) in [[retryOnConflict]], RE-LIST
+    * the already-written attempt epoch against the winner's head and
+    * commit it as the next version. Eligibility is strict; any doubt
+    * falls back to the full retry (returns None):
+    *
+    *  - the verb changed no table metadata itself (same bucket width,
+    *    column mapping, properties and DV state as its base snapshot —
+    *    a full-table OPTIMIZE declaring layout, a REBUCKET, or a MOR
+    *    writer re-plans instead), and
+    *  - every bucket this attempt touched (fresh files' buckets plus
+    *    buckets it dropped entries from) is BYTE-IDENTICAL between the
+    *    base snapshot and the current head: same entry list, same
+    *    content fingerprint, same tombstone annotations — the winner's
+    *    writes were scoped elsewhere, and
+    *  - the winner changed no width/mapping/properties either, carries
+    *    none of this attempt's idempotency tokens, and the CHECK
+    *    constraint set is still the one the verb enforced against.
+    *
+    * The attempt dir is RENAMED to the committed version's epoch name
+    * (`v=<new>-<tag>`) so the epoch-name/version invariant every
+    * consumer relies on (schema-union order, vacuum's orphan
+    * classification) survives; entries/stats/bloom/schema keys are
+    * restated under the new name. Untouched buckets inherit the HEAD's
+    * entries and annotations (the winner's state), touched buckets
+    * this attempt's. Loops on further races (each re-validated against
+    * the then-head), bounded like [[retryOnConflict]].
+    *
+    * At 100 TB concurrency this is the write-throughput ceiling: a
+    * fleet of bucket-disjoint writers (the common case under hash
+    * bucketing) serializes only on the O(manifest) re-list instead of
+    * each redoing its O(bucket-data) read-merge-write per lost race —
+    * the ScaleProbe conflict leg prices the wasted bytes saved. */
+  private def fastRecommit(spark: SparkSession, dir: String,
+      next: Long, epochName: String, fresh: Seq[String],
+      freshFps: Map[String, String], freshSts: Map[String, String],
+      freshBls: Map[String, String], freshSchema: String,
+      hexDigits: Int, kept: Seq[String], keptFps: Map[String, String],
+      keptSts: Map[String, String], keptBls: Map[String, String],
+      keptEschs: Map[String, String], keptDvs: Seq[String],
+      keptDvf: Map[String, Long], tokens: Map[String, Long],
+      props: Map[String, String], cols: Map[String, String],
+      consAtWrite: Map[String, String],
+      maxAttempts: Int = 5): Option[EpochCommit] = {
+    if (next <= 1) return None // no base snapshot to scope against
+    val base =
+      try readManifestFull(spark, dir, next - 1)
+      catch { case scala.util.control.NonFatal(_) => return None }
+    // the verb's OWN metadata deltas disqualify it (conservative: a
+    // re-list cannot re-derive verb-side metadata against a new head)
+    if (hexDigits != base.hexDigits || cols != base.cols ||
+        props != base.props || keptDvs != base.dvs ||
+        keptDvf != base.dvf) return None
+    // tokens the verb is adding/advancing beyond its base snapshot
+    val tokenDelta = tokens.filter { case (sid, id) =>
+      !base.tokens.get(sid).contains(id) }
+    val keptSet = kept.toSet
+    val impacted = (fresh.map(bucketOfEntry) ++
+      base.entries.filterNot(keptSet).map(bucketOfEntry)).toSet
+    val baseBy = base.entries.groupBy(bucketOfEntry)
+    def dvfOf(m: ManifestData, b: String): Map[String, Long] =
+      m.dvf.filter(e => bucketOfEntry(e._1) == b)
+    val fs = hadoopFs(spark, dir)
+    var curName = epochName
+    // after the first rename the attempt dir no longer answers to the
+    // name the caller's cleanup deletes — every later bail-out must
+    // sweep the renamed dir itself
+    def bail(): Option[EpochCommit] = {
+      if (curName != epochName)
+        fs.delete(new Path(s"$dir/data/$curName"), true): Unit
+      None
+    }
+    var attempts = 0
+    while (attempts < maxAttempts) {
+      attempts += 1
+      val curV = versions(spark, dir).lastOption
+        .getOrElse(return bail())
+      if (curV < next) return bail() // torn head state — full retry
+      val head =
+        try readManifestFull(spark, dir, curV)
+        catch { case scala.util.control.NonFatal(_) => return bail() }
+      if (head.hexDigits != base.hexDigits || head.cols != base.cols ||
+          head.props != base.props) return bail()
+      if (tokenDelta.keys.exists(head.tokens.contains)) return bail()
+      if (constraints(spark, dir) != consAtWrite) return bail()
+      val headBy = head.entries.groupBy(bucketOfEntry)
+      val scopedClean = impacted.forall { b =>
+        baseBy.getOrElse(b, Nil).sorted ==
+          headBy.getOrElse(b, Nil).sorted &&
+        base.fps.get(b) == head.fps.get(b) &&
+        dvfOf(base, b) == dvfOf(head, b)
+      }
+      if (!scopedClean) return bail()
+      // RELINK: rename the attempt epoch to the new version's name and
+      // restate every path-keyed annotation under it
+      val newV = curV + 1
+      val newName = s"v=$newV-" + curName.drop(curName.indexOf('-') + 1)
+      if (!fs.rename(new Path(s"$dir/data/$curName"),
+          new Path(s"$dir/data/$newName"))) return bail()
+      curName = newName
+      def rekey(e: String) = newName + e.drop(e.indexOf('/'))
+      val freshR = fresh.map(rekey)
+      def rekeyM[V](m: Map[String, V]): Map[String, V] =
+        m.map { case (k, v) =>
+          (if (k.startsWith("v=")) rekey(k) else k) -> v }
+      val headKept = head.entries
+        .filterNot(e => impacted(bucketOfEntry(e)))
+      val keptImp = kept.filter(e => impacted(bucketOfEntry(e)))
+      val freshEschs =
+        if (freshR.isEmpty) Map.empty[String, String]
+        else Map(newName -> freshSchema)
+      try {
+        commitManifest(spark, dir, newV, headKept ++ keptImp ++ freshR,
+          hexDigits,
+          (head.fps -- impacted) ++
+            keptFps.view.filterKeys(impacted).toMap ++ freshFps,
+          tokens = head.tokens ++ tokenDelta,
+          sts = keptSts ++ head.sts ++ rekeyM(freshSts),
+          cols = head.cols, dvs = head.dvs, dvf = head.dvf,
+          props = head.props,
+          bls = keptBls ++ head.bls ++ rekeyM(freshBls),
+          eschs = keptEschs ++ head.eschs ++ freshEschs)
+        fastRecommits.incrementAndGet(): Unit
+        return Some(EpochCommit(newV, freshR))
+      }
+      catch { case _: CommitConflictException => () } // re-validate
+    }
+    bail()
   }
 
   /** Writer retry loop: `body` recomputes against the LATEST snapshot
@@ -1851,8 +2055,8 @@ object MergeTable {
     * (dir, epoch): a legacy epoch with no persisted schema line is
     * just as immutable as an annotated one, so the probe is paid once
     * per JVM instead of once per scan. */
-  private val epochProbeCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, String), String]
+  private val epochProbeCache =
+    new BoundedCache[(String, String), String](1 << 13)
 
   private def scanEntriesRaw(spark: SparkSession, dir: String,
       entries: Seq[String],
@@ -1905,7 +2109,16 @@ object MergeTable {
         persistedSchema(entries, filled).getOrElse(
           // a conflicting union (legacy numeric widening) stays on
           // the global footer-merge probe — Spark's reconciliation
-          // is the authority for schemas our writers never produce
+          // is the authority for schemas our writers never produce.
+          // COLUMN-ORDER CONTRACT: this engine's writers are extend-
+          // only, so the persisted/per-epoch paths above yield fields
+          // in epoch-VERSION order (first epoch to store a column
+          // owns its slot). A legacy table that lands here instead
+          // gets Spark's footer-merge order (lexicographic file
+          // paths — v=10 sorts before v=2), which can differ; that
+          // order is deterministic but positional consumers
+          // (INSERT ... SELECT *) over 10+-epoch legacy tables with
+          // per-epoch schema growth should select by name
           footerProbe(paths))
       }
     val str = org.apache.spark.sql.types.StringType
@@ -2244,8 +2457,8 @@ object MergeTable {
     * legacy manifests) is immutable — cache it per (dir, version) so
     * the effective-time fold and every commit's monotone anchor cost
     * zero manifest reads once warm. */
-  private val rawTsCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Long), java.lang.Long]
+  private val rawTsCache =
+    new BoundedCache[(String, Long), java.lang.Long](1 << 16)
 
   private def rawTs(spark: SparkSession, dir: String, v: Long): Long =
     rawTsCache.computeIfAbsent((dir, v), _ =>
@@ -2268,7 +2481,7 @@ object MergeTable {
     * skew simulations) step outside the immutability contract the
     * cache rides on — they drop the table's cached clocks first. */
   private[ext] def invalidateTimestampCache(dir: String): Unit = {
-    rawTsCache.keySet.removeIf(_._1 == dir): Unit
+    rawTsCache.removeIf(_._1 == dir)
   }
 
   /** The EFFECTIVE (monotonized) commit time of the newest version in
@@ -2436,7 +2649,7 @@ object MergeTable {
     keyMeta(s, dir, Some(keyCol))
     commitEpoch(s, dir, 1L,
       df.withColumn("bucket", bucketCol(col(keyCol), hexDigits)),
-      Seq.empty, hexDigits, () => ())
+      Seq.empty, hexDigits, () => ()): Unit
   }
 
   /** UPSERT `updates` (absolute rows, same schema as the table, no
@@ -2529,14 +2742,14 @@ object MergeTable {
       enforceConstraints(spark, dir, applyLogicalView(merged, man.cols),
         "upsert")
       val next = cur + 1
-      val fresh = commitEpoch(spark, dir, next, merged, kept,
+      val ec = commitEpoch(spark, dir, next, merged, kept,
         man.hexDigits, beforeCommit, keptFps = man.fps -- impacted,
         tokens = man.tokens,
         keptSts = man.sts.view.filterKeys(kept.toSet).toMap,
         cols = man.cols, keptDvs = man.dvs, keptDvf = man.dvf,
         props = man.props, keptBls = man.bls, keptEschs = man.eschs)
-      CowStats(next, impacted.size.toLong, rewritten.size.toLong,
-        fresh.size.toLong, matched, nBatch - matched)
+      CowStats(ec.version, impacted.size.toLong, rewritten.size.toLong,
+        ec.fresh.size.toLong, matched, nBatch - matched)
     }
 
   /** HARD-DELETE rows by key — the write-path complement of the index
@@ -2570,14 +2783,14 @@ object MergeTable {
     val survivors = existing.join(ks.select(key), Seq(key), "left_anti")
       .localCheckpoint(true)
     val next = cur + 1
-    val fresh = commitEpoch(spark, dir, next, survivors, kept,
+    val ec = commitEpoch(spark, dir, next, survivors, kept,
       man.hexDigits, () => (), keptFps = man.fps -- impacted,
       tokens = man.tokens,
       keptSts = man.sts.view.filterKeys(kept.toSet).toMap,
       cols = man.cols, keptDvs = man.dvs, keptDvf = man.dvf,
       props = man.props, keptBls = man.bls, keptEschs = man.eschs)
-    CowStats(next, impacted.size.toLong, rewritten.size.toLong,
-      fresh.size.toLong, matched, 0L)
+    CowStats(ec.version, impacted.size.toLong, rewritten.size.toLong,
+      ec.fresh.size.toLong, matched, 0L)
   }
 
   final case class MorDeleteStats(version: Long, rowsDeleted: Long,
@@ -3246,14 +3459,14 @@ object MergeTable {
       enforceConstraints(spark, dir, survivorsL, "merge")
       val survivors = toPhysical(survivorsL, man.cols)
         .withColumn("bucket", bucketCol(col(key), man.hexDigits))
-      val fresh = commitEpoch(spark, dir, next, survivors, kept,
+      val ec = commitEpoch(spark, dir, next, survivors, kept,
         man.hexDigits, beforeCommit, keptFps = man.fps -- impacted,
         tokens = newTokens,
         keptSts = man.sts.view.filterKeys(kept.toSet).toMap,
         cols = man.cols, keptDvs = man.dvs, keptDvf = man.dvf,
         props = man.props, keptBls = man.bls, keptEschs = man.eschs)
-      MergeStats(next, impacted.size.toLong, rewritten.size.toLong,
-        fresh.size.toLong, total(updatedIds), total(deleteIds),
+      MergeStats(ec.version, impacted.size.toLong, rewritten.size.toLong,
+        ec.fresh.size.toLong, total(updatedIds), total(deleteIds),
         total(insertIds), counts.getOrElse(0, 0L))
     }
 
@@ -3381,15 +3594,15 @@ object MergeTable {
       else (man.props - "graft.layout.zorder" - "graft.layout.stripe") ++
         Map("graft.layout.sort" -> sortCol) ++
         maxRecordsPerFile.map(n => "graft.layout.stripe" -> n.toString)
-    val fresh = commitEpoch(spark, dir, next, all, kept,
+    val ec = commitEpoch(spark, dir, next, all, kept,
       man.hexDigits, () => (), sortCols = sortCols,
       keptFps = man.fps -- doomedBuckets, tokens = man.tokens,
       keptSts = man.sts.view.filterKeys(kept.toSet).toMap,
       maxRecordsPerFile = maxRecordsPerFile, cols = man.cols,
       keptDvs = man.dvs, keptDvf = man.dvf, props = layoutProps,
       keptBls = man.bls, keptEschs = man.eschs)
-    CowStats(next, doomedBuckets.size.toLong, doomed.size.toLong,
-      fresh.size.toLong, 0L, 0L)
+    CowStats(ec.version, doomedBuckets.size.toLong, doomed.size.toLong,
+      ec.fresh.size.toLong, 0L, 0L)
     }
   }
 
@@ -3456,7 +3669,7 @@ object MergeTable {
         else (man.props - "graft.layout.sort" - "graft.layout.stripe") ++
           Map("graft.layout.zorder" -> s"$xCol,$yCol") ++
           maxRecordsPerFile.map(n => "graft.layout.stripe" -> n.toString)
-      val fresh = commitEpoch(spark, dir, next, all, kept,
+      val ec = commitEpoch(spark, dir, next, all, kept,
         man.hexDigits, () => (), blockBytes,
         sortCols = Seq("zval", key),
         dropAfterSort = Seq("zval"),
@@ -3465,8 +3678,8 @@ object MergeTable {
         maxRecordsPerFile = maxRecordsPerFile, cols = man.cols,
         keptDvs = man.dvs, keptDvf = man.dvf, props = layoutProps,
         keptBls = man.bls, keptEschs = man.eschs)
-      CowStats(next, doomedBuckets.size.toLong,
-        doomed.size.toLong, fresh.size.toLong, 0L, 0L)
+      CowStats(ec.version, doomedBuckets.size.toLong,
+        doomed.size.toLong, ec.fresh.size.toLong, 0L, 0L)
       }
     }
 
@@ -3495,11 +3708,11 @@ object MergeTable {
       val next = cur + 1
       val rehashed = readPhysical(spark, dir, Some(cur)).drop("bucket")
         .withColumn("bucket", bucketCol(col(key), newHexDigits))
-      val fresh = commitEpoch(spark, dir, next, rehashed, Seq.empty,
+      val ec = commitEpoch(spark, dir, next, rehashed, Seq.empty,
         newHexDigits, () => (), tokens = man.tokens, cols = man.cols,
         props = man.props)  // bls rebuild with the rewrite (all fresh)
-      CowStats(next, fresh.size.toLong, man.entries.size.toLong,
-        fresh.size.toLong, 0L, 0L)
+      CowStats(ec.version, ec.fresh.size.toLong,
+        man.entries.size.toLong, ec.fresh.size.toLong, 0L, 0L)
     }
   }
 
@@ -3745,8 +3958,8 @@ object MergeTable {
     drop.foreach(v => rawTsCache.remove((dir, v)))
     val keptEpochs = keptMans
       .flatMap(_.entries.map(e => e.take(e.indexOf('/')))).toSet
-    epochProbeCache.keySet.removeIf(k =>
-      k._1 == dir && !keptEpochs.contains(k._2)): Unit
+    epochProbeCache.removeIf(k =>
+      k._1 == dir && !keptEpochs.contains(k._2))
     // stats checkpoints union facts across ALL versions ever seen;
     // once manifests expire, drop the checkpoints too so the next
     // stats read rebuilds from the retained manifests only (the
