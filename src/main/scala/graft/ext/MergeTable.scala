@@ -853,6 +853,89 @@ object MergeTable {
   def dropColumn(spark: SparkSession, dir: String, name: String): Long =
     alterMapping(spark, dir, "dropColumn", name, None)
 
+  /** WIDEN a column's type — the Iceberg type-promotion model as a
+    * metadata commit: int family → long, float → double, decimal
+    * precision growth at the same scale. The files keep their narrow
+    * physical type forever; from this version on every read SCANS
+    * under the widened schema (Spark's parquet readers upcast
+    * natively, so predicate pushdown and `#st=` stats pruning work on
+    * the widened column exactly as on a native one — integral and
+    * same-scale-decimal bounds are long-encoded identically in both
+    * regimes), new epochs physically store the wide type, and time
+    * travel reads each snapshot under its own declared regime.
+    *
+    * The ONE non-metadata cost is honest and paid here: bucket
+    * content fingerprints hash TYPED values, so existing buckets are
+    * RE-ATTESTED under the widened types in the same commit — one
+    * O(snapshot) columnar read, ZERO data writes (at 100 TB this is
+    * a scan, not a rewrite — still ~3 orders cheaper than Delta's
+    * pre-widening full-table rewrite migration). A changefeed window
+    * straddling the declaration falls back from fp identity to
+    * entry+tombstone identity ([[changedBuckets]]) and stays quiet.
+    *
+    * The KEY column is not widenable (bucket identity and the
+    * KeyHexMeta pruning stamp ride its physical form); narrowing or
+    * cross-family casts refuse loudly. `name` is the LOGICAL name;
+    * `target` a type DDL string (`bigint`, `double`,
+    * `decimal(14,2)`). */
+  def widenColumn(spark: SparkSession, dir: String, name: String,
+      target: String): Long =
+    retryOnConflict("widenColumn", dir) {
+      val key = keyMeta(spark, dir, None)
+      val cur = versions(spark, dir).lastOption.getOrElse(
+        throw new IllegalArgumentException(s"no MergeTable at $dir"))
+      val man = readManifestFull(spark, dir, cur)
+      val phys = man.cols.collectFirst {
+        case (p, l) if l == name => p }.getOrElse(name)
+      require(!man.cols.get(phys).contains(""),
+        s"widenColumn: '$name' was dropped from this table")
+      require(phys != key && name != key,
+        "widenColumn: the key column cannot be widened (bucket " +
+          "identity and the pruning stamp ride its physical form)")
+      val to = org.apache.spark.sql.types.DataType.fromDDL(target)
+      // current EFFECTIVE type: the head read's schema (any prior
+      // widening already applied) — widening is monotone
+      val schema = readPhysical(spark, dir, Some(cur)).schema
+      require(schema.fieldNames.contains(phys),
+        s"widenColumn: no column '$name' in the current snapshot " +
+          s"(${schema.fieldNames.mkString(",")})")
+      val from = schema(phys).dataType
+      require(canWiden(from, to),
+        s"widenColumn: ${from.simpleString} -> ${to.simpleString} is " +
+          "not a lossless promotion (int family -> long, float -> " +
+          "double, decimal precision growth at the same scale)")
+      val wides1 = widesOf(man.props) + (phys -> to)
+      // RE-ATTESTATION: recompute every bucket's live-content
+      // fingerprint under the widened hash regime (DV-applied — fps
+      // attest LIVE rows); a bucket attested before but with zero
+      // live rows keeps its width-matched all-zero attestation
+      val live = readEntries(spark, dir,
+        man.copy(props = man.props +
+          (WidenPropPrefix + phys -> to.catalogString)), man.entries)
+      val payload = live.columns.filter(_ != "bucket").sorted.toSeq
+      val computed = live
+        .select(col("bucket") +: fpHashCols(payload): _*)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), sum("fp_h").as("h"),
+          sum("fp_h2").as("h2"))
+        .collect()
+        .map(r => r.getString(0) ->
+          s"${r.getLong(1)}:${BigInt(r.getDecimal(2).toBigInteger)}:${
+            BigInt(r.getDecimal(3).toBigInteger)}")
+        .toMap
+      val newFps = man.fps.map { case (b, fp) =>
+        b -> computed.getOrElse(b,
+          fp.split(":").map(_ => "0").mkString(":"))
+      } ++ (computed -- man.fps.keySet)
+      val next = cur + 1
+      commitManifest(spark, dir, next, man.entries, man.hexDigits,
+        newFps, tokens = man.tokens, sts = man.sts, cols = man.cols,
+        dvs = man.dvs, dvf = man.dvf,
+        props = man.props + (WidenPropPrefix + phys -> to.catalogString),
+        bls = man.bls, eschs = man.eschs)
+      next
+    }
+
   private def conflict(dir: String, v: Long,
       cause: Throwable): Nothing =
     throw new CommitConflictException(
@@ -1063,10 +1146,23 @@ object MergeTable {
   /** The two per-row fingerprint hash columns over `payload` (sorted
     * column names) — shared by the epoch write-back and [[fsckDeep]]'s
     * recompute so the attestation and the audit can never drift. */
-  private def fpHashCols(payload: Seq[String]): Seq[Column] = Seq(
-    xxhash64(payload.map(col): _*).cast("decimal(38,0)").as("fp_h"),
-    xxhash64((lit(Fp2Salt) +: payload.map(col)): _*)
-      .cast("decimal(38,0)").as("fp_h2"))
+  /** `wides` canonicalizes the hash inputs to the table's DECLARED
+    * types (xxhash64 is width-sensitive: int 5 and long 5 hash
+    * differently), so an epoch physically storing the narrow type
+    * still fingerprints identically to the widened read every OTHER
+    * hash site sees — [[widenColumn]] re-attests existing buckets
+    * under the same contract. Callers whose input relation is already
+    * the widened read pass nothing. */
+  private def fpHashCols(payload: Seq[String],
+      wides: Map[String, org.apache.spark.sql.types.DataType] =
+        Map.empty): Seq[Column] = {
+    def pc(c: String): Column =
+      wides.get(c).map(col(c).cast(_)).getOrElse(col(c))
+    Seq(
+      xxhash64(payload.map(pc): _*).cast("decimal(38,0)").as("fp_h"),
+      xxhash64((lit(Fp2Salt) +: payload.map(pc)): _*)
+        .cast("decimal(38,0)").as("fp_h2"))
+  }
 
   /** Component-prefix fingerprint comparison: fingerprints are
     * `rows:h1[:h2]` — current commits write all three, legacy
@@ -1191,7 +1287,9 @@ object MergeTable {
     java.lang.Boolean.getBoolean("graft.cow.probe.bareFingerprints")
 
   private def epochStats(spark: SparkSession, dir: String,
-      epochName: String)
+      epochName: String,
+      wides: Map[String, org.apache.spark.sql.types.DataType] =
+        Map.empty)
       : (Map[String, String], Map[String, String], String) = {
     val epochPath = s"$dir/data/$epochName"
     val df = spark.read.option("basePath", epochPath).parquet(epochPath)
@@ -1232,7 +1330,7 @@ object MergeTable {
           "([^/]+/bucket=[0-9a-f]+/[^/]+)$", 1).as("fp_file"),
         regexp_extract(col("_metadata.file_path"),
           "bucket=([0-9a-f]+)/", 1).as("fp_bucket")) ++
-      fpHashCols(payload) ++ stCols.map(f => col(f.name)): _*)
+      fpHashCols(payload, wides) ++ stCols.map(f => col(f.name)): _*)
     // min/max are aggregated NATIVELY (string/date/decimal semantics
     // are the engine's own) and encoded driver-side into StatBound
     // tokens — O(epoch files) driver rows, the manifest cost class
@@ -1808,7 +1906,7 @@ object MergeTable {
     val (freshFps, freshSts, freshSchema) =
       if (fresh.isEmpty)
         (Map.empty[String, String], Map.empty[String, String], "")
-      else epochStats(spark, dir, epochName)
+      else epochStats(spark, dir, epochName, widesOf(props))
     // bloom build rides the table property (set-then-rewrite: files
     // written before the property was set stay unattested — sound)
     val blCols = props.get("graft.bloom.columns")
@@ -2060,7 +2158,9 @@ object MergeTable {
 
   private def scanEntriesRaw(spark: SparkSession, dir: String,
       entries: Seq[String],
-      eschs: Map[String, String] = Map.empty): DataFrame = {
+      eschs: Map[String, String] = Map.empty,
+      wides: Map[String, org.apache.spark.sql.types.DataType] =
+        Map.empty): DataFrame = {
     // the scan takes an EXPLICIT schema with the layout partition
     // columns (`v`, `bucket`) FORCED to STRING. Forcing the type
     // kills partition-type inference — over a SPARSE file set the
@@ -2092,19 +2192,35 @@ object MergeTable {
         spark.read.option("basePath", s"$dir/data")
           .option("mergeSchema", "true").parquet(ps: _*)
           .schema.filterNot(f => f.name == "bucket" || f.name == "v"))
+    // declared TYPE WIDENINGS apply to each epoch schema BEFORE the
+    // union: a pre-widen epoch (int) and a post-widen one (long) both
+    // resolve to the declared type, so the extend-only union stays
+    // conflict-free across the promotion and the scan schema below
+    // drives Spark's native parquet upcast on the old files
+    def widenJson(j: String): String =
+      if (wides.isEmpty) j
+      else applyWidesTo(org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType], wides).json
+    val eschsW =
+      if (wides.isEmpty) eschs
+      else eschs.map { case (ep, j) => ep -> widenJson(j) }
     val data: org.apache.spark.sql.types.StructType =
-      persistedSchema(entries, eschs).getOrElse {
+      persistedSchema(entries, eschsW).getOrElse {
         // legacy epochs without `#esch=`: probe each ONCE per (dir,
         // epoch) per JVM — an epoch's files are written in one pass
         // and immutable, so the footer cost is paid once, not on
         // every scan (a readEntries DV split calls this up to three
         // times per read, and before this cache a single legacy
         // epoch put the WHOLE snapshot back on the per-scan probe)
+        // the probe cache stores the epoch's RAW physical schema (a
+        // per-(dir, epoch) immutable fact); widening — a per-VERSION
+        // property — applies on use, so time travel to a pre-widen
+        // snapshot reads its own regime through the same cache
         val filled = entries.groupBy(e => e.take(e.indexOf('/')))
           .map { case (ep, es) =>
-            ep -> eschs.getOrElse(ep,
-              epochProbeCache.computeIfAbsent((dir, ep), _ =>
-                footerProbe(es.map(e => s"$dir/data/$e")).json))
+            ep -> eschsW.getOrElse(ep,
+              widenJson(epochProbeCache.computeIfAbsent((dir, ep), _ =>
+                footerProbe(es.map(e => s"$dir/data/$e")).json)))
           }
         persistedSchema(entries, filled).getOrElse(
           // a conflicting union (legacy numeric widening) stays on
@@ -2119,7 +2235,7 @@ object MergeTable {
           // order is deterministic but positional consumers
           // (INSERT ... SELECT *) over 10+-epoch legacy tables with
           // per-epoch schema growth should select by name
-          footerProbe(paths))
+          applyWidesTo(footerProbe(paths), wides))
       }
     val str = org.apache.spark.sql.types.StringType
     val forced = org.apache.spark.sql.types.StructType(
@@ -2159,15 +2275,17 @@ object MergeTable {
     * (the typical compliance-delete shape). */
   private def readEntries(spark: SparkSession, dir: String,
       man: ManifestData, entries: Seq[String]): DataFrame = {
+    val wides = widesOf(man.props)
     val dirty = entries.filter(man.dvf.contains)
-    if (dirty.isEmpty) scanEntriesRaw(spark, dir, entries, man.eschs)
+    if (dirty.isEmpty)
+      scanEntriesRaw(spark, dir, entries, man.eschs, wides)
     else {
       val clean = entries.filterNot(man.dvf.contains)
       val nTomb = dirty.map(man.dvf).sum
       val tomb0 = dvTombstones(spark, dir, man, dirty)
       val tomb = if (nTomb <= DvBroadcastMaxRows) broadcast(tomb0)
         else tomb0
-      val scanned = scanEntriesRaw(spark, dir, dirty, man.eschs)
+      val scanned = scanEntriesRaw(spark, dir, dirty, man.eschs, wides)
         .withColumn("__dv_file", regexp_extract(
           col("_metadata.file_path"),
           "([^/]+/bucket=[0-9a-f]+/[^/]+)$", 1))
@@ -2177,7 +2295,7 @@ object MergeTable {
           scanned("__dv_pos") === tomb("pos"), "left_anti")
         .drop("__dv_file", "__dv_pos")
       if (clean.isEmpty) live
-      else scanEntriesRaw(spark, dir, clean, man.eschs)
+      else scanEntriesRaw(spark, dir, clean, man.eschs, wides)
         .unionByName(live, allowMissingColumns = true)
     }
   }
@@ -2206,6 +2324,61 @@ object MergeTable {
     * silently resurrect dead bytes under a stale name (re-adding a
     * dropped/renamed name needs an id-based format; this one forbids
     * it, explicitly). */
+  /** TYPE-WIDENING declarations ride table properties
+    * (`graft.widen.<physical> = <type DDL>`) — carried forward by
+    * every commit, versioned, time-travel-consistent (a pre-widen
+    * snapshot's props lack the line, so it reads its own narrower
+    * regime), and visible to the conflict gates (a concurrent widen
+    * disqualifies the fast re-commit via the props compare). The
+    * files keep their physical type forever; every read SCANS under
+    * the widened schema (Spark's parquet readers perform the
+    * int→long / float→double / decimal-precision upcast natively),
+    * so predicates push down and stats prune on the widened column
+    * exactly as on a native one. */
+  private[ext] val WidenPropPrefix = "graft.widen."
+
+  private def widesOf(props: Map[String, String])
+      : Map[String, org.apache.spark.sql.types.DataType] =
+    props.collect { case (k, v) if k.startsWith(WidenPropPrefix) =>
+      k.stripPrefix(WidenPropPrefix) ->
+        org.apache.spark.sql.types.DataType.fromDDL(v) }
+
+  /** The Iceberg type-promotion table: exactly the conversions every
+    * parquet reader can perform losslessly on scan. */
+  private def canWiden(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (a: DecimalType, b: DecimalType) =>
+        b.scale == a.scale && b.precision > a.precision
+      case _ => false
+    }
+  }
+
+  private def applyWidesTo(
+      st: org.apache.spark.sql.types.StructType,
+      wides: Map[String, org.apache.spark.sql.types.DataType])
+      : org.apache.spark.sql.types.StructType =
+    if (wides.isEmpty) st
+    else org.apache.spark.sql.types.StructType(st.fields.map(f =>
+      wides.get(f.name).map(dt => f.copy(dataType = dt)).getOrElse(f)))
+
+  /** Cast a batch's widened columns to their declared type so new
+    * epochs physically converge on it (a narrower batch still reads
+    * correctly either way — the scan upcasts — but converging keeps
+    * epoch schemas from fanning out). */
+  private def applyWidesCast(df: DataFrame,
+      wides: Map[String, org.apache.spark.sql.types.DataType])
+      : DataFrame =
+    if (wides.isEmpty || !df.columns.exists(wides.contains)) df
+    else df.select(df.columns.toSeq.map { c =>
+      wides.get(c).map(dt => col(c).cast(dt).as(c)).getOrElse(col(c))
+    }: _*)
+
   private def toPhysical(df: DataFrame,
       cols: Map[String, String]): DataFrame =
     if (cols.isEmpty) df
@@ -2250,7 +2423,8 @@ object MergeTable {
     // partition filter prunes the dirty-file scan exactly as it does
     // the clean one (the DV read's extra cost is the row-identity
     // anti-join, never a lost pruning property).
-    if (man.dvf.isEmpty) scanEntriesRaw(spark, dir, man.entries, man.eschs)
+    if (man.dvf.isEmpty) scanEntriesRaw(spark, dir, man.entries,
+      man.eschs, widesOf(man.props))
     else readEntries(spark, dir, man, man.entries)
   }
 
@@ -2687,7 +2861,8 @@ object MergeTable {
         throw new IllegalArgumentException(s"no MergeTable at $dir"))
       val man = readManifestFull(spark, dir, cur)
       // the batch arrives in LOGICAL names; the files speak physical
-      val batch = toPhysical(updates, man.cols)
+      val batch = applyWidesCast(toPhysical(updates, man.cols),
+          widesOf(man.props))
         .withColumn("bucket", bucketCol(col(key), man.hexDigits))
         .localCheckpoint(true)
       // ONE aggregate job serves both driver needs: the impacted-bucket
@@ -2910,7 +3085,8 @@ object MergeTable {
       cur: Long, man: ManifestData, candidates: Seq[String],
       pick: DataFrame => DataFrame): Option[MorPlan] = {
     if (candidates.isEmpty) return None
-    val scanned = scanEntriesRaw(spark, dir, candidates, man.eschs)
+    val scanned = scanEntriesRaw(spark, dir, candidates, man.eschs,
+        widesOf(man.props))
       .withColumn("__dv_file", regexp_extract(
         col("_metadata.file_path"),
         "([^/]+/bucket=[0-9a-f]+/[^/]+)$", 1))
@@ -3034,7 +3210,8 @@ object MergeTable {
       val cur = versions(spark, dir).lastOption.getOrElse(
         throw new IllegalArgumentException(s"no MergeTable at $dir"))
       val man = readManifestFull(spark, dir, cur)
-      val batch = toPhysical(updates, man.cols)
+      val batch = applyWidesCast(toPhysical(updates, man.cols),
+          widesOf(man.props))
         .withColumn("bucket", bucketCol(col(key), man.hexDigits))
         .localCheckpoint(true)
       val perBucket = batch.groupBy("bucket")
@@ -3052,7 +3229,8 @@ object MergeTable {
       // extend-only evolution gate — the upsert contract verbatim
       val existingCols =
         if (candidates.isEmpty) batch.columns.toSet
-        else scanEntriesRaw(spark, dir, candidates, man.eschs).columns.toSet
+        else scanEntriesRaw(spark, dir, candidates, man.eschs,
+          widesOf(man.props)).columns.toSet
       val droppedPhys = man.cols.filter(_._2.isEmpty).keySet
       val missing = existingCols -- batch.columns.toSet --
         droppedPhys - "bucket"
@@ -3071,7 +3249,7 @@ object MergeTable {
       val (freshFps, freshSts, freshSchema) =
         if (fresh.isEmpty)
           (Map.empty[String, String], Map.empty[String, String], "")
-        else epochStats(spark, dir, epochName)
+        else epochStats(spark, dir, epochName, widesOf(man.props))
       val blCols = man.props.get("graft.bloom.columns")
         .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(Nil)
@@ -3269,7 +3447,8 @@ object MergeTable {
         else {
           // MOR carries each target row's PARQUET IDENTITY so the
           // clause verdicts can translate into tombstones
-          val scanned = scanEntriesRaw(spark, dir, rewritten, man.eschs)
+          val scanned = scanEntriesRaw(spark, dir, rewritten,
+            man.eschs, widesOf(man.props))
             .withColumn("__dv_file", regexp_extract(
               col("_metadata.file_path"),
               "([^/]+/bucket=[0-9a-f]+/[^/]+)$", 1))
@@ -3398,7 +3577,8 @@ object MergeTable {
           .filter(col("__act").isin(appendIds: _*))
           .select(col("__gk").as(key) +: outExprs: _*)
         enforceConstraints(spark, dir, appendedL, "merge")
-        val appended = toPhysical(appendedL, man.cols)
+        val appended = applyWidesCast(toPhysical(appendedL, man.cols),
+            widesOf(man.props))
           .withColumn("bucket", bucketCol(col(key), man.hexDigits))
         val epochName = s"v=$next-${attemptTag()}"
         writeEpoch(appended, dir, epochName, man.hexDigits)
@@ -3406,7 +3586,7 @@ object MergeTable {
         val (freshFps, freshSts, freshSchema) =
           if (fresh.isEmpty)
             (Map.empty[String, String], Map.empty[String, String], "")
-          else epochStats(spark, dir, epochName)
+          else epochStats(spark, dir, epochName, widesOf(man.props))
         val blCols = man.props.get("graft.bloom.columns")
           .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
           .getOrElse(Nil)
@@ -3457,7 +3637,8 @@ object MergeTable {
         .filter(!col("__act").isin(doomed: _*))
         .select(col("__gk").as(key) +: outExprs: _*)
       enforceConstraints(spark, dir, survivorsL, "merge")
-      val survivors = toPhysical(survivorsL, man.cols)
+      val survivors = applyWidesCast(toPhysical(survivorsL, man.cols),
+          widesOf(man.props))
         .withColumn("bucket", bucketCol(col(key), man.hexDigits))
       val ec = commitEpoch(spark, dir, next, survivors, kept,
         man.hexDigits, beforeCommit, keptFps = man.fps -- impacted,
@@ -3820,7 +4001,7 @@ object MergeTable {
         val (freshFps, freshSts, freshSchema) =
           if (fresh.isEmpty)
             (Map.empty[String, String], Map.empty[String, String], "")
-          else epochStats(spark, dir, epochName)
+          else epochStats(spark, dir, epochName, widesOf(man.props))
         // the attestation gate: read-back == manifest, per bucket —
         // for ATTESTED buckets only; an unattested (legacy, no #fp=)
         // bucket has no claim to check and gains one from the rewrite
@@ -4074,10 +4255,21 @@ object MergeTable {
               b <- fpTotal(mt.fps, bt.keySet)) yield fpAgrees(a, b))
           .contains(true))
       return Seq.empty
+    // a window straddling a TYPE-WIDENING declaration crosses a hash
+    // regime (fingerprints canonicalize to the declared types, which
+    // differ across the boundary) — per-bucket fp comparison would
+    // flag EVERY bucket, so fall back to entry-list + tombstone
+    // identity: a widen is metadata-only (same files, same DVs), so
+    // the fallback keeps it CDC-quiet while still catching real
+    // writes (new epoch files) and MOR deletes (dvf deltas) that rode
+    // the same window
+    val regimeCrossed = widesOf(mf.props) != widesOf(mt.props)
+    def dvfB(m: ManifestData, b: String): Map[String, Long] =
+      m.dvf.filter(e => bucketOfEntry(e._1) == b)
     (bf.keySet ++ bt.keySet).filter { b =>
       (mf.fps.get(b), mt.fps.get(b)) match {
-        case (Some(a), Some(c)) => !fpAgrees(a, c)
-        case _ => bf.get(b) != bt.get(b)
+        case (Some(a), Some(c)) if !regimeCrossed => !fpAgrees(a, c)
+        case _ => bf.get(b) != bt.get(b) || dvfB(mf, b) != dvfB(mt, b)
       }
     }.toSeq.sorted
   }
@@ -6007,6 +6199,116 @@ object MergeTable {
        |       CAST(0 AS BIGINT) AS drop_cdc
        |FROM fin ORDER BY key""".stripMargin)
 
+  /** q186 — TYPE-WIDENING EVOLUTION acceptance (the Iceberg promotion
+    * model, q170's stats machinery as harness): create the keyed
+    * orders table with an INT `qty`, stripe-OPTIMIZE on it (int files
+    * whose `#st=` bounds are long-encoded), WIDEN qty int→long — a
+    * metadata commit ([[widenColumn]]: zero data writes, fingerprints
+    * re-attested under the widened hash regime) — then land a batch
+    * of BEYOND-int values (`key % 2003`), rewriting only those
+    * buckets. Oracle-pinned probes ride every row: the widen window
+    * is CDC-QUIET (`widen_cdc` = 0, the entry+tombstone fallback in
+    * [[changedBuckets]]); TIME TRAVEL reads the pre-widen snapshot
+    * under its own INT regime while the head scans LONG on the same
+    * files (`v2_int` / `head_long`); and the INT-written stats bounds
+    * still PRUNE under LONG predicates — a mid-range box plans
+    * exactly the intersecting stripes plus the rewritten buckets'
+    * (full-range) files, and a beyond-int probe plans ONLY the
+    * rewritten buckets with exactly the new rows, both counts
+    * re-derived by the oracle from the md5-bucket + stripe
+    * arithmetic. At 100 TB the claim under gate is Iceberg's: type
+    * evolution costs one metadata commit plus an attestation scan —
+    * never a table rewrite — and loses no pruning. */
+  private val q186TypeWidening = QueryDef(
+    (s, dir) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-q186").resolve("t").toString
+      val base = Tables(s, dir, "orders").select(
+        col("o_orderkey").as("key"),
+        round(col("o_totalprice")).cast("int").as("qty"),
+        col("o_orderstatus").as("status")).localCheckpoint(true)
+      create(base, out, "key", hexDigits = 1)
+      optimize(s, out, "qty",
+        maxRecordsPerFile = Some(Q170_STRIPE)): Unit
+      val vW = widenColumn(s, out, "qty", "bigint")
+      val widenCdc = changes(s, out, vW - 1, vW).count()
+      val v2Int = if (readTable(s, out, Some(vW - 1))
+          .schema("qty").dataType ==
+          org.apache.spark.sql.types.IntegerType) 1L else 0L
+      upsert(s, out, base.filter(col("key") % 2003 === 0)
+        .select(col("key"),
+          (col("key").cast("long") * 1000000000L).as("qty"),
+          col("status"))): Unit
+      val head = readTable(s, out)
+      val headLong = if (head.schema("qty").dataType ==
+          org.apache.spark.sql.types.LongType) 1L else 0L
+      graft.plans.StatsFilePruning.enable(s)
+      val b0 = base.agg(min("qty"), max("qty")).collect().head
+      val (mn, mx) = (b0.getInt(0).toLong, b0.getInt(1).toLong)
+      val lo = mn + (mx - mn) * 7 / 16
+      val hi = mn + (mx - mn) * 8 / 16
+      val box = readTable(s, out)
+        .filter(col("qty").between(lit(lo), lit(hi)))
+      val dScanned = plannedDataFiles(box).size.toLong
+      val beyond = readTable(s, out)
+        .filter(col("qty") >= lit(2200000000L))
+      val bScanned = plannedDataFiles(beyond).size.toLong
+      val bRows = beyond.count()
+      val filesTotal = readManifest(s, out,
+        versions(s, out).last).size.toLong
+      head.select("key", "status", "qty", "bucket")
+        .withColumn("widen_cdc", lit(widenCdc))
+        .withColumn("v2_int", lit(v2Int))
+        .withColumn("head_long", lit(headLong))
+        .withColumn("d_scanned", lit(dScanned))
+        .withColumn("b_scanned", lit(bScanned))
+        .withColumn("b_rows", lit(bRows))
+        .withColumn("files_total", lit(filesTotal))
+        .orderBy("key")
+    },
+    s"""WITH base AS (
+       |  SELECT o_orderkey AS key,
+       |         CAST(round(o_totalprice) AS INTEGER) AS qty,
+       |         o_orderstatus AS status
+       |  FROM orders),
+       |g AS (SELECT base.*, ${bucketSql("key", 1)} AS bkt FROM base),
+       |rew AS (SELECT DISTINCT bkt FROM g WHERE key % 2003 = 0),
+       |bb AS (SELECT CAST(min(qty) AS BIGINT) AS mn,
+       |              CAST(max(qty) AS BIGINT) AS mx FROM base),
+       |bx AS (SELECT mn + ((mx - mn) * 7) // 16 AS lo,
+       |              mn + ((mx - mn) * 8) // 16 AS hi FROM bb),
+       |fs AS (SELECT g.*, ((row_number() OVER (PARTITION BY bkt
+       |         ORDER BY qty, key)) - 1) // $Q170_STRIPE AS fid
+       |       FROM g WHERE bkt NOT IN (SELECT bkt FROM rew)),
+       |st AS (SELECT bkt, fid, min(qty) AS fmn, max(qty) AS fmx
+       |       FROM fs GROUP BY bkt, fid),
+       |fin AS (SELECT key, status,
+       |               CASE WHEN key % 2003 = 0 THEN key * 1000000000
+       |                    ELSE CAST(qty AS BIGINT) END AS qty,
+       |               bkt FROM g),
+       |rs AS (SELECT bkt, min(qty) AS fmn, max(qty) AS fmx FROM fin
+       |       WHERE bkt IN (SELECT bkt FROM rew) GROUP BY bkt),
+       |cnt AS (SELECT
+       |  (SELECT CAST(count(*) AS BIGINT) FROM st, bx
+       |     WHERE fmn <= hi AND fmx >= lo)
+       |  + (SELECT CAST(count(*) AS BIGINT) FROM rs, bx
+       |     WHERE fmn <= hi AND fmx >= lo) AS d_scanned,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM rs
+       |     WHERE fmx >= 2200000000) AS b_scanned,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM fin
+       |     WHERE qty >= 2200000000) AS b_rows,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM st)
+       |  + (SELECT CAST(count(*) AS BIGINT) FROM rs) AS files_total)
+       |SELECT key, status, qty, ${bucketSql("key", 1)} AS bucket,
+       |       CAST(0 AS BIGINT) AS widen_cdc,
+       |       CAST(1 AS BIGINT) AS v2_int,
+       |       CAST(1 AS BIGINT) AS head_long,
+       |       (SELECT d_scanned FROM cnt) AS d_scanned,
+       |       (SELECT b_scanned FROM cnt) AS b_scanned,
+       |       (SELECT b_rows FROM cnt) AS b_rows,
+       |       (SELECT files_total FROM cnt) AS files_total
+       |FROM fin ORDER BY key""".stripMargin)
+
   /** q162 — TAG + RESTORE acceptance: create the keyed orders table,
     * land a bad batch (batch1), pin v1 under an immutable tag, RESTORE
     * to the tag's version (a pure-metadata commit re-listing v1's
@@ -6125,7 +6427,7 @@ object MergeTable {
 
   /** The DISTINCT data-file paths a plan's scans schedule (tombstone
     * `_dvs/` parquet excluded — the gates price DATA file pruning). */
-  private def plannedDataFiles(df: DataFrame): Seq[String] =
+  private[graft] def plannedDataFiles(df: DataFrame): Seq[String] =
     collectFileScans(df.queryExecution.executedPlan)
       .flatMap(_.selectedPartitions
         .toPartitionArray.map(_.filePath.toString))
@@ -6594,5 +6896,6 @@ object MergeTable {
     "q166_sql_merge_dml" -> q166SqlMergeDml,
     "q168_schema_evolution" -> q168SchemaEvolution,
     "q169_sql_update_delete" -> q169SqlUpdateDelete,
+    "q186_type_widening" -> q186TypeWidening,
   )
 }

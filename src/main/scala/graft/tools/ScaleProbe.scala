@@ -665,6 +665,144 @@ object ScaleProbe {
     println(f"[scaleprobe] VACUUM EXPONENTS (1x -> ${scales.last}x " +
       f"files): vacuum_time=${vexpo(_.vacS)}%.2f " +
       f"fsck_time=${vexpo(_.fsckS)}%.2f")
+
+    // --- CONFLICT-SCOPE LEG (round 18): wasted bytes per lost commit
+    // race. A DISJOINT-bucket race loser takes the fast re-commit
+    // (relink, no second data write); an OVERLAPPING-bucket loser
+    // re-runs the body — which is also exactly what EVERY loser paid
+    // before the fast path existed, so the overlap cell doubles as
+    // the "before" price. Claims: disjoint-loss bytes ≈ 2 bucket
+    // epochs (loser once + winner once), overlap-loss ≈ 3 (loser's
+    // wasted attempt on top), both growing ∝ bucket size (exponent
+    // ≈ 1 in n) — the SAVED bytes therefore also grow ∝ n, which at
+    // 100 TB concurrency is the write-throughput ceiling the fast
+    // path lifts.
+    {
+      case class ConCell(scale: Int, n: Long, disjointS: Double,
+        overlapS: Double, disjointBytes: Long, overlapBytes: Long,
+        fastHits: Long)
+      def fsWritten(): Long = {
+        import scala.jdk.CollectionConverters._
+        org.apache.hadoop.fs.FileSystem.getAllStatistics.asScala
+          .filter(_.getScheme == "file").map(_.getBytesWritten).sum
+      }
+      val conCells = scales.map { sc =>
+        val n = baseN * 10 * sc
+        val d = s"$tmp/conflict_s$sc"
+        graft.ext.MergeTable.create(
+          spark.range(n).select(col("id").as("key"),
+            (col("id") % 97).as("payload")), d, "key", 1)
+        val kb = graft.ext.MergeTable.readTable(spark, d)
+          .filter(col("key") < 64).select("key", "bucket").collect()
+          .map(r => r.getLong(0) -> r.getString(1)).toMap
+        val kA = kb.keys.min
+        val kDisj = kb.keys.filter(k => kb(k) != kb(kA)).min
+        val kOver = kb.keys.filter(k => kb(k) == kb(kA) && k != kA).min
+        def losingUpsert(winnerKey: Long): (Double, Long) = {
+          var fired = false
+          val b0 = fsWritten()
+          val t0 = System.nanoTime()
+          graft.ext.MergeTable.upsertWithHook(spark, d,
+            spark.range(1).select(lit(kA).as("key"),
+              lit(-1L).as("payload")),
+            () => { if (!fired) { fired = true
+              graft.ext.MergeTable.upsert(spark, d,
+                spark.range(1).select(lit(winnerKey).as("key"),
+                  lit(-2L).as("payload"))): Unit } }): Unit
+          ((System.nanoTime() - t0) / 1e9, fsWritten() - b0)
+        }
+        val f0 = graft.ext.MergeTable.fastRecommits.get()
+        val (ds, db) = losingUpsert(kDisj)
+        val fastHits = graft.ext.MergeTable.fastRecommits.get() - f0
+        require(fastHits == 1L,
+          "the disjoint race loser must take the fast re-commit path")
+        val (os, ob) = losingUpsert(kOver)
+        require(graft.ext.MergeTable.fastRecommits.get() - f0 == 1L,
+          "the overlapping race loser must NOT take the fast path")
+        println(f"[scaleprobe] conflict scale=${sc}x n=$n " +
+          f"disjoint_loss=${ds}%.3fs/${db}b " +
+          f"overlap_loss=${os}%.3fs/${ob}b " +
+          f"wasted_before_minus_after=${ob - db}b")
+        ConCell(sc, n, ds, os, db, ob, fastHits)
+      }
+      def conexpo(m: ConCell => Double): Double = {
+        val (a, b) = (conCells.head, conCells.last)
+        math.log(m(b) / m(a)) / math.log(b.n.toDouble / a.n)
+      }
+      println(f"[scaleprobe] CONFLICT EXPONENTS (1x -> " +
+        f"${scales.last}x rows): disjoint_bytes=" +
+        f"${conexpo(_.disjointBytes.toDouble)}%.2f overlap_bytes=" +
+        f"${conexpo(_.overlapBytes.toDouble)}%.2f saved_ratio_at_10x=" +
+        f"${conCells.last.overlapBytes.toDouble /
+          conCells.last.disjointBytes}%.2f")
+    }
+
+    // --- DV-AWARE POINT-LOOKUP LEG (round 18, q181's property at
+    // scale): a tombstone-CARRYING striped table at hexDigits 2 whose
+    // TOTAL file count grows 1×/3×/10× (constant stripe size, growing
+    // rows). A single-key lookup must plan O(1) data files at every
+    // scale — bucket partition pruning (256 → 1 bucket) composed with
+    // per-stripe key stats pruning, surviving the DV read split —
+    // and plan time must stay O(manifest), not O(files) (the `#esch=`
+    // schema path: no footer job at plan time). Claims: planned-file
+    // exponent ≈ 0, lookup wall time ≈ flat.
+    {
+      case class DvLookCell(scale: Int, tableFiles: Long,
+        planned: Long, planS: Double, lookS: Double, apiS: Double)
+      graft.plans.KeyToBucketPruning.enable(spark)
+      val dvCells = scales.map { sc =>
+        val n = baseN * 20 * sc
+        val d = s"$tmp/dvlook_s$sc"
+        graft.ext.MergeTable.create(
+          spark.range(n).select(col("id").as("key"),
+            (col("id") % 97).as("payload")), d, "key", 2)
+        // constant stripe size -> stripes (files) grow ∝ rows
+        graft.ext.MergeTable.optimize(spark, d, "key",
+          maxRecordsPerFile = Some(150L)): Unit
+        // dirty it AFTER the layout: MOR deletes touch zero data
+        // files, so the snapshot under test carries live tombstones
+        graft.ext.MergeTable.deleteKeysMor(spark, d,
+          spark.range(20).select((col("id") * 101 + 7).as("key"))): Unit
+        val tableFiles = graft.ext.MergeTable.fsck(spark, d).referenced
+        // the lookup key IS a tombstoned key: the impacted bucket is
+        // dirty, so the DV split path (not the clean fast path) is
+        // what gets priced; the correct answer is zero rows
+        val look = graft.ext.MergeTable.readTable(spark, d)
+          .filter(col("key") === 7L)
+        val tp = System.nanoTime()
+        val planned = graft.ext.MergeTable.plannedDataFiles(look).size
+        val planS = (System.nanoTime() - tp) / 1e9
+        // EXECUTION of the pruned plan (relation built once — the
+        // declarative path's O(files) InMemoryFileIndex listing is a
+        // separate, already-priced cost class: the manifest leg; the
+        // API path below pays only the impacted buckets' listing)
+        val lookS = timeMinOf(3) {
+          require(look.count() == 0L,
+            "a tombstoned key must read as deleted")
+        }
+        val apiS = timeMinOf(3) {
+          require(graft.ext.MergeTable.readKeys(spark, d, Seq(7L))
+            .count() == 0L, "api-path lookup resurrected a tombstone")
+        }
+        require(planned > 0 && planned <= 4,
+          s"DV-bearing point lookup planned $planned files — bucket + " +
+            "stripe pruning did not hold through the tombstones")
+        println(f"[scaleprobe] dvlookup scale=${sc}x " +
+          f"table_files=$tableFiles planned=$planned " +
+          f"plan=${planS}%.3fs lookup=${lookS}%.3fs api=${apiS}%.3fs")
+        DvLookCell(sc, tableFiles, planned.toLong, planS, lookS, apiS)
+      }
+      def dvexpo(m: DvLookCell => Double): Double = {
+        val (a, b) = (dvCells.head, dvCells.last)
+        math.log(m(b) / m(a)) /
+          math.log(b.tableFiles.toDouble / a.tableFiles)
+      }
+      println(f"[scaleprobe] DVLOOKUP EXPONENTS (1x -> ${scales.last}x " +
+        f"files): planned_files=${dvexpo(_.planned.toDouble)}%.2f " +
+        f"plan_time=${dvexpo(_.planS)}%.2f " +
+        f"exec_time=${dvexpo(_.lookS)}%.2f " +
+        f"api_time=${dvexpo(_.apiS)}%.2f")
+    }
     spark.stop()
   }
 }
