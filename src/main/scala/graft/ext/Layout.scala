@@ -162,6 +162,65 @@ object Layout {
       .drop("xb", "yb")
   }
 
+  /** N-ARY round-robin bit interleave: bit `b` of dimension `i` lands
+    * at position `b*k + i` — the k=2 instance is value-identical to
+    * [[zSql]]'s x-even/y-odd layout (dimension 0 takes the even
+    * positions), so the binary curve is the n=2 special case and a
+    * 2-column layout built through either path sorts identically.
+    * 8 bits per dimension keeps k ≤ 7 inside signed-64 arithmetic
+    * (56 curve bits). Rendered in shift/mask/multiply terms valid in
+    * BOTH dialects, the [[zSql]] discipline. */
+  private def zSqlN(bs: Seq[String]): String = {
+    val k = bs.size
+    bs.zipWithIndex.flatMap { case (b, i) =>
+      (0 until BITS).map(bit =>
+        s"((($b >> $bit) & 1) * ${1L << (k * bit + i)})")
+    }.mkString("(", " + ", ")")
+  }
+  private[ext] def zExprN(bs: Seq[String]): String = zSqlN(bs)
+
+  /** [[withZVal]] at n dimensions (2..7): equi-width 8-bit buckets
+    * per column over data-derived bounds (one min/max job for ALL
+    * dimensions — still a single cheap aggregate at any scale),
+    * round-robin interleave, same overflow guards. Callers sort or
+    * range-exchange on `zval` and drop it. */
+  def withZValN(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2 && cols.size <= 7,
+      s"z-order takes 2..7 clustering columns, got ${cols.size}")
+    require(cols.distinct.size == cols.size,
+      s"duplicate z-order columns: ${cols.mkString(",")}")
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType,
+      ShortType}
+    cols.foreach { c =>
+      val dt = df.schema(c).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType)
+          .contains(dt),
+        s"z-order on $c: clustering columns must be integral " +
+          s"(byte/short/int/long), got ${dt.simpleString}")
+    }
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c).cast("long")), max(col(c).cast("long"))))
+    val b = df.agg(aggs.head, aggs.tail: _*).collect().head
+    val bounds = cols.zipWithIndex.map { case (c, i) =>
+      require(!b.isNullAt(2 * i),
+        s"z-order on $c: the input is EMPTY (or the clustering " +
+          "column is all-null) — no bounds exist to build the curve")
+      val (mn, mx) = (b.getLong(2 * i), b.getLong(2 * i + 1))
+      require(mx - mn >= 0,
+        s"z-order on $c: the domain span [$mn, $mx] exceeds signed " +
+          "64-bit arithmetic and would mis-bucket — shift or split " +
+          "the key domain first")
+      (c, mn, mx)
+    }
+    val bNames = cols.indices.map(i => s"__zb$i")
+    val withB = bounds.zip(bNames).foldLeft(df) {
+      case (d, ((c, mn, mx), bn)) =>
+        d.withColumn(bn, expr(sparkBucket(c, s"${mn}L", s"${mx}L")))
+    }
+    withB.withColumn("zval", expr(zSqlN(bNames)))
+      .drop(bNames: _*)
+  }
+
   /** lineitem with bounds + 8-bit buckets + z-value attached — the
     * shared front half of q136/q137. Bounds ride a one-row broadcast
     * (an O(1) relation at any scale). */
@@ -201,6 +260,47 @@ object Layout {
     s"""WITH $curveCte
        |SELECT l_orderkey, l_linenumber, xb, yb, zval
        |FROM z ORDER BY l_orderkey, l_linenumber""")
+
+  /** q187 — the N-ARY curve, row by row (q136's lockstep-expression
+    * discipline at THREE dimensions): 8-bit quantization of
+    * (l_partkey, l_suppkey, l_linenumber) and the round-robin 24-bit
+    * interleave for every lineitem row, generator-rendered so both
+    * engines evaluate the identical arithmetic. Pins the n-column
+    * generalization ([[withZValN]], `graft.layout.zorder=a,b,c`)
+    * bit-for-bit BEFORE any layout builds on it; the narrow third
+    * dimension (l_linenumber spans 1..7) also pins the multiply-first
+    * normalization at its degenerate end — un-normalized it would
+    * occupy only the low bits and the curve would silently collapse
+    * to the 2-d case. Pure projection over one broadcast bounds row —
+    * a map stage at any scale. */
+  private val q187Zorder3Curve = QueryDef(
+    (s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val bounds = li.agg(
+        min("l_partkey").as("mnx"), max("l_partkey").as("mxx"),
+        min("l_suppkey").as("mny"), max("l_suppkey").as("mxy"),
+        min("l_linenumber").as("mnw"), max("l_linenumber").as("mxw"))
+      li.crossJoin(broadcast(bounds))
+        .withColumn("xb", expr(sparkBucket("l_partkey", "mnx", "mxx")))
+        .withColumn("yb", expr(sparkBucket("l_suppkey", "mny", "mxy")))
+        .withColumn("wb", expr(sparkBucket("l_linenumber", "mnw", "mxw")))
+        .withColumn("zval", expr(zSqlN(Seq("xb", "yb", "wb"))))
+        .select("l_orderkey", "l_linenumber", "xb", "yb", "wb", "zval")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    s"""WITH b AS (SELECT min(l_partkey) AS mnx, max(l_partkey) AS mxx,
+       |                  min(l_suppkey) AS mny, max(l_suppkey) AS mxy,
+       |                  min(l_linenumber) AS mnw,
+       |                  max(l_linenumber) AS mxw
+       |           FROM lineitem),
+       |g AS (SELECT l_orderkey, l_linenumber,
+       |             ${duckBucket("l_partkey", "mnx", "mxx")} AS xb,
+       |             ${duckBucket("l_suppkey", "mny", "mxy")} AS yb,
+       |             ${duckBucket("l_linenumber", "mnw", "mxw")} AS wb
+       |      FROM lineitem, b)
+       |SELECT l_orderkey, l_linenumber, xb, yb, wb,
+       |       ${zSqlN(Seq("xb", "yb", "wb"))} AS zval
+       |FROM g ORDER BY l_orderkey, l_linenumber""")
 
   /** q137 — the skipping ACCEPTANCE INSTRUMENT at BOTH granularities:
     * one row pricing what a min/max-stats reader opens under three
@@ -475,5 +575,6 @@ object Layout {
   val defs: Map[String, QueryDef] = Map(
     "q136_zorder_curve" -> q136ZorderCurve,
     "q137_zorder_skipping" -> q137ZorderSkipping,
+    "q187_zorder3_curve" -> q187Zorder3Curve,
   )
 }

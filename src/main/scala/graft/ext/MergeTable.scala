@@ -407,7 +407,7 @@ object MergeTable {
       sts, colMap, dvs, dvf, props, bls, ts, eschs)
   }
 
-  private def readManifest(spark: SparkSession, dir: String,
+  private[graft] def readManifest(spark: SparkSession, dir: String,
       v: Long): Seq[String] = readManifestFull(spark, dir, v).entries
 
   /** The key column an existing table at `dir` is keyed by. */
@@ -2733,6 +2733,14 @@ object MergeTable {
     // skipping health observable: blooms are advisory, so a coverage
     // gap (files written before the property was set) degrades
     // silently at plan time — this is where an operator sees it
+    // the advisor's verdict rides the same row, so an operator's ONE
+    // describe-detail probe also answers "does this table need
+    // maintenance, and what exactly would run"
+    val advice = maintenanceAdvice(spark, dir)
+    val adviceStr =
+      if (advice.isEmpty) "none"
+      else advice.map(a =>
+        s"${a.action}:${a.buckets.size} bucket(s)").mkString("; ")
     Seq((keyMeta(spark, dir, None), cur, md.hexDigits.toLong,
       md.entries.size.toLong, buckets.size.toLong,
       attested.map(fpRows), vs.size.toLong,
@@ -2740,10 +2748,12 @@ object MergeTable {
       constraints(spark, dir).size.toLong,
       md.dvs.size.toLong, md.dvf.values.sum,
       md.props.size.toLong,
-      md.bls.keySet.count(md.entries.toSet).toLong))
+      md.bls.keySet.count(md.entries.toSet).toLong,
+      adviceStr))
       .toDF("key_col", "version", "hex_digits", "files", "buckets",
         "rows", "versions_retained", "tags", "constraints",
-        "dv_files", "dv_tombstones", "properties", "files_with_bloom")
+        "dv_files", "dv_tombstones", "properties", "files_with_bloom",
+        "maintenance_advice")
   }
 
   /** Register the SQL table-valued surface (`merge_table`,
@@ -3823,6 +3833,20 @@ object MergeTable {
       yCol: String, blockBytes: Option[Long] = None,
       maxRecordsPerFile: Option[Long] = None,
       buckets: Option[Seq[String]] = None): CowStats =
+    optimizeZOrderN(spark, dir, Seq(xCol, yCol), blockBytes,
+      maxRecordsPerFile, buckets)
+
+  /** [[optimizeZOrder]] at N clustering dimensions (2..7) —
+    * [[Layout.withZValN]]'s round-robin curve, whose k=2 instance is
+    * value-identical to the binary curve (so the 2-column entry point
+    * delegates here without changing a byte of existing layouts).
+    * A full-table run declares `graft.layout.zorder=<c1,...,cn>`;
+    * [[compactDvs]] reconstructs the same n-ary curve for folded
+    * buckets. */
+  def optimizeZOrderN(spark: SparkSession, dir: String,
+      zCols: Seq[String], blockBytes: Option[Long] = None,
+      maxRecordsPerFile: Option[Long] = None,
+      buckets: Option[Seq[String]] = None): CowStats =
     retryOnConflict("optimizeZOrder", dir) {
       val key = keyMeta(spark, dir, None)
       val cur = versions(spark, dir).lastOption.getOrElse(
@@ -3839,16 +3863,16 @@ object MergeTable {
       else {
       def phys(c: String): String = man.cols.collectFirst {
         case (p, l) if l == c => p }.getOrElse(c)
-      val all = Layout.withZVal(
+      val all = Layout.withZValN(
         if (kept.isEmpty) readPhysical(spark, dir, Some(cur))
-        else readEntries(spark, dir, man, doomed), phys(xCol), phys(yCol))
+        else readEntries(spark, dir, man, doomed), zCols.map(phys))
         .localCheckpoint(true)
       val doomedBuckets = doomed.map(bucketOfEntry).toSet
       // the layout declaration, z-order dialect (see [[optimize]])
       val layoutProps =
         if (buckets.isDefined) man.props
         else (man.props - "graft.layout.sort" - "graft.layout.stripe") ++
-          Map("graft.layout.zorder" -> s"$xCol,$yCol") ++
+          Map("graft.layout.zorder" -> zCols.mkString(",")) ++
           maxRecordsPerFile.map(n => "graft.layout.stripe" -> n.toString)
       val ec = commitEpoch(spark, dir, next, all, kept,
         man.hexDigits, () => (), blockBytes,
@@ -3985,8 +4009,10 @@ object MergeTable {
           (man.props.get("graft.layout.zorder"),
            man.props.get("graft.layout.sort")) match {
             case (Some(xy), _) if xy.contains(",") =>
-              val Array(x, y) = xy.split(",", 2)
-              (graft.ext.Layout.withZVal(live, phys(x), phys(y)),
+              // n-ary declaration: reconstruct the same round-robin
+              // curve optimizeZOrderN declared, however many columns
+              val cs = xy.split(",").toSeq.map(c => phys(c.trim))
+              (graft.ext.Layout.withZValN(live, cs),
                 Seq("zval", key), Seq("zval"))
             case (None, Some(sc)) =>
               (live,
@@ -4041,6 +4067,30 @@ object MergeTable {
           else epochBlooms(spark, dir, epochName, blCols,
             man.props.get("graft.bloom.bits").map(_.toLong)
               .getOrElse(4096L))
+        // DV-file RETENTION: a scoped fold can EXHAUST a tombstone
+        // file (every data file it annotates was just rewritten)
+        // while other DV files still cover out-of-scope dirty
+        // buckets. Re-listing every `#dv=` would keep the exhausted
+        // file on every later DV read's scan and in vacuum's live
+        // set until the whole table is clean — so read the retained
+        // tombstones once (O(DV bytes), the same relation every MOR
+        // read pays) and keep only files annotating a SURVIVING
+        // dirty data file. commitManifest then drops the `#dvf=`
+        // lines of folded files as before; the two prunings together
+        // keep the DV set ∝ live tombstones.
+        val survivingDirty = kept.filter(man.dvf.contains)
+        val keepDvs =
+          if (man.dvs.isEmpty || survivingDirty.isEmpty) Nil
+          else {
+            import spark.implicits._
+            val sd = survivingDirty.toDF("file")
+            val needed = spark.read
+              .parquet(man.dvs.map(p => s"$dir/$p"): _*)
+              .select(col("_metadata.file_path").as("dvp"), col("file"))
+              .join(broadcast(sd), Seq("file"), "left_semi")
+              .select("dvp").distinct().collect().map(_.getString(0))
+            man.dvs.filter(p => needed.exists(_.endsWith("/" + p)))
+          }
         try {
           commitManifest(spark, dir, next, kept ++ fresh,
             man.hexDigits,
@@ -4048,7 +4098,7 @@ object MergeTable {
               freshFps.view.filterKeys(unattested).toMap,
             tokens = man.tokens,
             sts = man.sts.view.filterKeys(kept.toSet).toMap ++ freshSts,
-            cols = man.cols, dvs = man.dvs, dvf = man.dvf,
+            cols = man.cols, dvs = keepDvs, dvf = man.dvf,
             props = man.props, bls = man.bls ++ freshBls,
             eschs = man.eschs ++ (if (fresh.isEmpty) Map.empty
               else Map(epochName -> freshSchema)))
@@ -4060,6 +4110,116 @@ object MergeTable {
             fs.delete(new Path(s"$dir/data/$epochName"), true)
             throw e
         }
+      }
+    }
+
+  final case class MaintenanceAdvice(action: String,
+    buckets: Seq[String], metric: Double, threshold: Double,
+    reason: String)
+
+  /** Threshold-driven MAINTENANCE ADVISOR — the health signals
+    * `merge_table_detail` exposes, turned into the exact plan a
+    * maintainer would run (Delta's auto-compaction / Iceberg's
+    * maintenance procedures, declared per table). Thresholds ride
+    * table properties so each table carries its own policy:
+    *
+    *  - `graft.maintenance.maxDvRatio` (default 0.10): live
+    *    tombstones / live rows; over it, advise [[compactDvs]] on
+    *    exactly the TOMBSTONED buckets (the MOR read-tax recovery).
+    *  - `graft.maintenance.maxFilesPerBucket` (default 4): a bucket
+    *    fragmented across more than this many files spanning >1 epoch
+    *    advises [[compactDvs]] on exactly those buckets.
+    *  - `graft.maintenance.minBloomCoverage` (default 1.0, active
+    *    only when `graft.bloom.columns` is set): files-with-bloom /
+    *    files below it advises a scoped [[optimize]] of the
+    *    UNCOVERED buckets (rewriting attaches the blooms), sorted by
+    *    the declared layout (`graft.layout.sort`) or the key.
+    *
+    * Pure READ — O(manifest) driver work, no data touched; returns
+    * the advice list ([[maintain]] executes it, and
+    * `graft.maintenance.auto=true` makes [[graft.streaming
+    * .MergeStream]] run it after every micro-batch). An advice's
+    * bucket list is exact, so the executed plan is O(advised
+    * buckets), never a table rewrite — the 100 TB discipline every
+    * maintenance verb here keeps. */
+  def maintenanceAdvice(spark: SparkSession, dir: String)
+      : Seq[MaintenanceAdvice] = {
+    val cur = versions(spark, dir).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"no MergeTable at $dir"))
+    val man = readManifestFull(spark, dir, cur)
+    val p = man.props
+    def prop(k: String, dflt: Double): Double =
+      p.get(k).map(_.toDouble).getOrElse(dflt)
+    val byBucket = man.entries.groupBy(bucketOfEntry)
+    val out = Seq.newBuilder[MaintenanceAdvice]
+    // 1) tombstone ratio -> fold the dirty buckets
+    val tomb = man.dvf.values.sum
+    if (tomb > 0) {
+      val rows = fpTotal(man.fps, byBucket.keySet).map(fpRows)
+      val ratio = rows.filter(_ > 0)
+        .map(r => tomb.toDouble / r).getOrElse(1.0)
+      val thr = prop("graft.maintenance.maxDvRatio", 0.10)
+      if (ratio > thr)
+        out += MaintenanceAdvice("compact_dvs",
+          byBucket.collect { case (b, es)
+            if es.exists(man.dvf.contains) => b }.toSeq.sorted,
+          ratio, thr,
+          s"$tomb live tombstones tax every read of the dirty buckets")
+    }
+    // 2) per-bucket fragmentation -> fold the fragmented buckets
+    // (minus any already advised by the tombstone rule: one fold per
+    // bucket per round)
+    val advised = out.result().flatMap(_.buckets).toSet
+    val maxFiles = prop("graft.maintenance.maxFilesPerBucket", 4.0)
+    val fragmented = byBucket.collect {
+      case (b, es) if !advised(b) && es.size > maxFiles &&
+        es.map(e => e.take(e.indexOf('/'))).distinct.size > 1 => b
+    }.toSeq.sorted
+    if (fragmented.nonEmpty)
+      out += MaintenanceAdvice("compact_dvs", fragmented,
+        byBucket(fragmented.head).size.toDouble, maxFiles,
+        s"${fragmented.size} bucket(s) fragmented past " +
+          s"${maxFiles.toInt} files")
+    // 3) bloom coverage -> rewrite (scoped optimize) uncovered buckets
+    if (p.contains("graft.bloom.columns") && man.entries.nonEmpty) {
+      val covered = man.bls.keySet
+      val cov = man.entries.count(covered) .toDouble / man.entries.size
+      val thr = prop("graft.maintenance.minBloomCoverage", 1.0)
+      if (cov < thr) {
+        val uncovered = man.entries.filterNot(covered)
+          .map(bucketOfEntry).distinct.sorted
+        out += MaintenanceAdvice("optimize", uncovered, cov, thr,
+          "files written before the bloom declaration skip nothing " +
+            "at plan time")
+      }
+    }
+    out.result()
+  }
+
+  /** Execute [[maintenanceAdvice]]'s plan verbatim: each compact_dvs
+    * advice folds exactly its buckets; each optimize advice rewrites
+    * exactly its buckets under the declared layout sort (or the key).
+    * Returns (advice, committed version) pairs — empty when the table
+    * is healthy. */
+  def maintain(spark: SparkSession, dir: String)
+      : Seq[(MaintenanceAdvice, Long)] =
+    maintenanceAdvice(spark, dir).map { a =>
+      a.action match {
+        case "compact_dvs" =>
+          val mf = properties(spark, dir)
+            .get("graft.maintenance.maxFilesPerBucket")
+            .map(_.toDouble.toInt).getOrElse(4)
+          a -> compactDvs(spark, dir, maxFilesPerBucket = mf,
+            buckets = Some(a.buckets)).version
+        case "optimize" =>
+          val props = properties(spark, dir)
+          val sortCol = props.getOrElse("graft.layout.sort",
+            keyMeta(spark, dir, None))
+          a -> optimize(spark, dir, sortCol,
+            maxRecordsPerFile =
+              props.get("graft.layout.stripe").map(_.toLong),
+            buckets = Some(a.buckets)).version
+        case other => sys.error(s"unknown maintenance action $other")
       }
     }
 

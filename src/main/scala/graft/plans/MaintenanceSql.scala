@@ -56,10 +56,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     ("""(?is)\s*OPTIMIZE\s+merge_table\s*\.\s*`([^`]+)`""" + WhereRe +
       """\s+SORT\s+BY\s+([A-Za-z_][A-Za-z0-9_]*)""" +
       """(?:\s+STRIPE\s+(\d+))?\s*;?\s*""").r
+  // the column list generalizes to N dimensions (2..7 — the
+  // engine's n-ary round-robin curve, optimizeZOrderN)
   private val OptimizeZ =
     ("""(?is)\s*OPTIMIZE\s+merge_table\s*\.\s*`([^`]+)`""" + WhereRe +
-      """\s+ZORDER\s+BY\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*,\s*""" +
-      """([A-Za-z_][A-Za-z0-9_]*)\s*\)(?:\s+STRIPE\s+(\d+))?\s*;?\s*""").r
+      """\s+ZORDER\s+BY\s*\(\s*([A-Za-z_][A-Za-z0-9_,\s]*)\s*\)""" +
+      """(?:\s+STRIPE\s+(\d+))?\s*;?\s*""").r
 
   /** Parse the WHERE bucket IN list: quoted ids, comma-separated. A
     * matched-but-malformed list is a loud error, not a delegation —
@@ -151,8 +153,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case OptimizeSort(dir, where, col, stripe) =>
       GraftOptimizeCommand(dir, Left(col),
         Option(stripe).map(_.toLong), scopeOf(where))
-    case OptimizeZ(dir, where, x, y, stripe) =>
-      GraftOptimizeCommand(dir, Right((x, y)),
+    case OptimizeZ(dir, where, cols, stripe) =>
+      val cs = cols.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      require(cs.size >= 2,
+        s"OPTIMIZE ... ZORDER BY takes at least two columns, got: $cols")
+      GraftOptimizeCommand(dir, Right(cs),
         Option(stripe).map(_.toLong), scopeOf(where))
     case OptimizeCompact(dir, where, maxFiles) =>
       GraftCompactCommand(dir,
@@ -230,7 +235,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   * (…)` — incremental compaction; out-of-scope files are re-listed,
   * never rewritten). One row of [[MergeTable.CowStats]] back. */
 final case class GraftOptimizeCommand(dir: String,
-    by: Either[String, (String, String)],
+    by: Either[String, Seq[String]],
     stripe: Option[Long],
     scope: Option[Seq[String]] = None) extends LeafRunnableCommand {
 
@@ -244,8 +249,8 @@ final case class GraftOptimizeCommand(dir: String,
       case Left(c) =>
         MergeTable.optimize(spark, dir, c, maxRecordsPerFile = stripe,
           buckets = scope)
-      case Right((x, y)) =>
-        MergeTable.optimizeZOrder(spark, dir, x, y,
+      case Right(zCols) =>
+        MergeTable.optimizeZOrderN(spark, dir, zCols,
           maxRecordsPerFile = stripe, buckets = scope)
     }
     Seq(Row(st.version, st.filesRead, st.filesWritten))

@@ -27,6 +27,18 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
   * instead of corrupting the table). */
 object MergeStream {
 
+  /** Post-batch AUTO-MAINTENANCE for the plain upsert drain: one
+    * head-properties read decides (the upsert path has no
+    * streamBatchGate read to piggyback on), and only a table that
+    * declared `graft.maintenance.auto=true` pays the advisor walk —
+    * which then folds/rewrites exactly the threshold-crossing buckets
+    * ([[graft.ext.MergeTable.maintain]]). */
+  private def maintainIfAuto(
+      sp: org.apache.spark.sql.SparkSession, dir: String): Unit =
+    if (graft.ext.MergeTable.properties(sp, dir)
+        .get("graft.maintenance.auto").contains("true"))
+      graft.ext.MergeTable.maintain(sp, dir): Unit
+
   /** Collapse a batch to the latest row per key by `seqCol` (ties
     * break deterministically on the remaining columns, so a replayed
     * batch collapses identically). */
@@ -53,6 +65,7 @@ object MergeStream {
             graft.ext.MergeTable.keyOf(batch.sparkSession, dir), sc)
         }
         graft.ext.MergeTable.upsert(batch.sparkSession, dir, toApply): Unit
+        maintainIfAuto(batch.sparkSession, dir)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
@@ -117,6 +130,12 @@ object MergeStream {
             graft.ext.MergeTable.merge(sp, dir, toApply,
               matched = matched, notMatched = notMatched,
               idempotencyToken = Some(s"$sid:$id"))): Unit
+          // the pre-batch props read already told us whether this
+          // table wants the post-batch maintainer — zero extra
+          // manifest reads when it doesn't (the streamBatchGate
+          // discipline)
+          if (props.get("graft.maintenance.auto").contains("true"))
+            graft.ext.MergeTable.maintain(sp, dir): Unit
         }
       }
       .option("checkpointLocation", checkpoint)

@@ -63,6 +63,55 @@ class MaintenanceSqlSpec extends SparkSpec {
     assert(MergeTable.readTable(spark, dir).count() === 3200L)
   }
 
+  test("OPTIMIZE ... ZORDER BY (x, y, key) — the N-column list — " +
+      "declares the 3-d curve and commits") {
+    val dir = mkTable(1600)
+    val st = spark.sql(
+      s"OPTIMIZE merge_table.`$dir` ZORDER BY (x, y, key) STRIPE 200")
+      .collect()
+    assert(st.head.getLong(0) === 2L)
+    assert(MergeTable.properties(spark, dir)
+      .get("graft.layout.zorder").contains("x,y,key"))
+    assert(MergeTable.readTable(spark, dir).count() === 1600L)
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(s"OPTIMIZE merge_table.`$dir` ZORDER BY (x)")
+    }
+    assert(e.getMessage.contains("at least two columns"))
+  }
+
+  test("OPTIMIZE ... WHERE bucket IN (...) COMPACT MAX FILES n " +
+      "composes through the parser: the SQL path folds exactly the " +
+      "scoped dirty bucket (out-of-scope tombstones stay) and MAX " +
+      "FILES rides through to the engine verb — q182's gate, " +
+      "parser-pinned") {
+    import spark.implicits._
+    val dir = mkTable(800)
+    val kb = MergeTable.readTable(spark, dir).select("key", "bucket")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val kA = kb.keys.min
+    val kB = kb.keys.filter(k => kb(k) != kb(kA)).min
+    MergeTable.deleteKeysMor(spark, dir, Seq(kA).toDF("key")): Unit
+    MergeTable.deleteKeysMor(spark, dir, Seq(kB).toDF("key")): Unit
+    val st = spark.sql(
+      s"OPTIMIZE merge_table.`$dir` WHERE bucket IN ('${kb(kA)}') " +
+        "COMPACT MAX FILES 3").collect()
+    assert(st.length === 1)
+    assert(st.head.getAs[Long]("buckets_compacted") === 1L,
+      "the scope must fold exactly one bucket")
+    assert(st.head.getAs[Long]("tombstones_purged") === 1L)
+    // out-of-scope bucket keeps its tombstone until its own fold
+    val det = MergeTable.detail(spark, dir).collect().head
+    assert(det.getAs[Long]("dv_tombstones") === 1L)
+    assert(MergeTable.readTable(spark, dir).count() === 798L)
+    // the second scoped statement clears it; MAX FILES parses too
+    val st2 = spark.sql(
+      s"OPTIMIZE merge_table.`$dir` WHERE bucket IN ('${kb(kB)}') " +
+        "COMPACT").collect()
+    assert(st2.head.getAs[Long]("tombstones_purged") === 1L)
+    assert(MergeTable.detail(spark, dir).collect().head
+      .getAs[Long]("dv_tombstones") === 0L)
+  }
+
   test("OPTIMIZE ... WHERE bucket IN (...) rewrites ONLY the scoped " +
       "buckets (out-of-scope files re-listed verbatim), stays " +
       "CDC-free (zero changed buckets), and a malformed scope is " +
