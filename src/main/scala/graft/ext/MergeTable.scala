@@ -6769,6 +6769,77 @@ object MergeTable {
        |       (SELECT n FROM purged) AS tombstones_purged
        |FROM fin ORDER BY key""".stripMargin)
 
+  /** q188 — MAINTENANCE ADVISOR acceptance (q182's MOR fixture under
+    * the policy engine): the lifecycle table takes two [[upsertMor]]
+    * batches (tombstones + append epochs), the table DECLARES a
+    * tombstone-ratio policy (`graft.maintenance.maxDvRatio=0.001` —
+    * a per-table property, so the policy travels with the data), and
+    * [[maintain]] executes exactly what [[maintenanceAdvice]] names.
+    * Oracle-pinned probes ride every row: ONE advice
+    * (`advice_actions`), its bucket list is EXACTLY the tombstoned
+    * buckets (`advised_buckets` = distinct md5 buckets of the
+    * matched keys — `key % 101`, which contains `key % 202`),
+    * the fold purges exactly the two batches' matches
+    * (`tombstones_purged`), and afterward the table is healthy: zero
+    * tombstones, zero advice (`post_*`). Final contents equal the
+    * lifecycle oracle row for row — maintenance moved no data. At
+    * 100 TB the claim is the advisor's cost model: the walk is
+    * O(manifest), the executed plan O(advised buckets), so policy
+    * enforcement scales with the damage, not the table. */
+  private val q188AutoMaintenance = QueryDef(
+    (s, dir) => {
+      val (out, base) = graft.core.Timing.build {
+        val o = java.nio.file.Files.createTempDirectory("graft-q188")
+          .resolve("table").toString
+        val b = baseRows(s, dir).localCheckpoint(true)
+        create(b, o, "key", hexDigits = 1)
+        (o, b)
+      }
+      setProperties(s, out,
+        Map("graft.maintenance.maxDvRatio" -> "0.001")): Unit
+      val st1 = upsertMor(s, out, batch1(base))
+      val st2 = upsertMor(s, out, batch2(base))
+      val preTomb = detail(s, out).collect().head
+        .getAs[Long]("dv_tombstones")
+      require(preTomb == st1.rowsMatched + st2.rowsMatched,
+        "q188 fixture: tombstones must equal the batches' matches")
+      val advice = maintenanceAdvice(s, out)
+      require(advice.map(_.action) == Seq("compact_dvs"),
+        s"q188: expected one compact_dvs advice, got $advice")
+      val ran = maintain(s, out)
+      require(ran.size == 1 && ran.head._2 ==
+          versions(s, out).last,
+        "q188: maintain must commit the advised fold")
+      val post = maintenanceAdvice(s, out)
+      val det = detail(s, out).collect().head
+      require(det.getAs[Long]("dv_tombstones") == 0L &&
+          det.getAs[Long]("dv_files") == 0L,
+        "q188: maintenance must leave the table clean")
+      lifecycleState(s, out)
+        .withColumn("advice_actions", lit(advice.size.toLong))
+        .withColumn("advised_buckets",
+          lit(advice.head.buckets.size.toLong))
+        .withColumn("tombstones_purged", lit(preTomb))
+        .withColumn("post_tombstones",
+          lit(det.getAs[Long]("dv_tombstones")))
+        .withColumn("post_advice", lit(post.size.toLong))
+    },
+    s"""WITH $lifecycleFinCte,
+       |adv AS (SELECT CAST(count(DISTINCT ${bucketSql("key", 1)})
+       |          AS BIGINT) AS nb FROM base WHERE key % 101 = 0),
+       |purged AS (SELECT CAST(
+       |         (SELECT count(*) FROM base WHERE key % 101 = 0)
+       |       + (SELECT count(*) FROM base WHERE key % 202 = 0)
+       |       AS BIGINT) AS n)
+       |SELECT key, cust, status, cents,
+       |       ${bucketSql("key", 1)} AS bucket,
+       |       CAST(1 AS BIGINT) AS advice_actions,
+       |       (SELECT nb FROM adv) AS advised_buckets,
+       |       (SELECT n FROM purged) AS tombstones_purged,
+       |       CAST(0 AS BIGINT) AS post_tombstones,
+       |       CAST(0 AS BIGINT) AS post_advice
+       |FROM fin ORDER BY key""".stripMargin)
+
   /** q183 — BLOOM CONTINUITY ACROSS MOR APPENDS: q177's bloomed,
     * cents-striped table takes an [[upsertMor]] batch (the two
     * smallest keys, cents bumped — one of them is the probe row
@@ -7057,5 +7128,6 @@ object MergeTable {
     "q168_schema_evolution" -> q168SchemaEvolution,
     "q169_sql_update_delete" -> q169SqlUpdateDelete,
     "q186_type_widening" -> q186TypeWidening,
+    "q188_auto_maintenance" -> q188AutoMaintenance,
   )
 }

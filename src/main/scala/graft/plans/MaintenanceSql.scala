@@ -123,6 +123,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       """UNSET\s+TBLPROPERTIES\s*\(([^)]*)\)\s*;?\s*""").r
   private val ShowProps =
     """(?is)\s*SHOW\s+TBLPROPERTIES\s+merge_table\s*\.\s*`([^`]+)`\s*;?\s*""".r
+  // TYPE WIDENING as SQL — the Iceberg `ALTER COLUMN … TYPE` dialect;
+  // routes to MergeTable.widenColumn (promotion table enforced there)
+  private val WidenCol =
+    ("""(?is)\s*ALTER\s+TABLE\s+merge_table\s*\.\s*`([^`]+)`\s+""" +
+      """ALTER\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+TYPE\s+""" +
+      """([A-Za-z0-9_(),\s]+?)\s*;?\s*""").r
   private val PropPair = """'([^']*)'\s*=\s*'([^']*)'""".r
   private val PropKey = """'([^']*)'""".r
 
@@ -208,6 +214,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       GraftPropertiesCommand(dir, set = Map.empty,
         unset = propKeysOf(body))
     case ShowProps(dir) => GraftShowPropertiesCommand(dir)
+    case WidenCol(dir, column, tpe) =>
+      GraftWidenColumnCommand(dir, column, tpe.trim)
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -309,6 +317,22 @@ final case class GraftPropertiesCommand(dir: String,
       else MergeTable.unsetProperties(spark, dir, unset)
     Seq(Row(v))
   }
+}
+
+/** `ALTER TABLE merge_table.`/dir`` ALTER COLUMN c TYPE t` — the
+  * TYPE-WIDENING promotion as SQL ([[MergeTable.widenColumn]]: int
+  * family → long, float → double, decimal precision growth at the
+  * same scale) — a metadata commit plus the fingerprint
+  * re-attestation scan; old files upcast at scan, new epochs store
+  * the wide type. One row back: the committed version. */
+final case class GraftWidenColumnCommand(dir: String, column: String,
+    target: String) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType)())
+
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(MergeTable.widenColumn(spark, dir, column, target)))
 }
 
 /** `SHOW TBLPROPERTIES merge_table.`/dir`` — the head snapshot's

@@ -56,7 +56,8 @@ class PlanGuardSpec extends SparkSpec {
     "q137_zorder_skipping" -> "acceptance instrument: one-row broadcast bounds relation + three one-row layout-count relations combined into the single acceptance row",
     "q138_sketch_rollup" -> "one-row broadcast bounds/date-range relations + the one-row served x exact combine of the acceptance row",
     "q145_histogram_rollup" -> "acceptance instrument: one-row broadcast bounds/count relations + six one-row rank-bin/exact-percentile combines into the single acceptance row",
-    "q171_rollup_sql" -> "acceptance instrument: the one-row SQL-served summary row x one-row broadcast exact-distinct combine (the q138 shape through rollup_view)")
+    "q171_rollup_sql" -> "acceptance instrument: the one-row SQL-served summary row x one-row broadcast exact-distinct combine (the q138 shape through rollup_view)",
+    "q187_zorder3_curve" -> "one-row broadcast bounds relation feeding the 3-d curve quantization (q136's shape, third dimension added)")
 
   for (name <- SparkEntry.queries.keys.toSeq.sorted)
     test(s"$name plan has no scale-killer joins") {

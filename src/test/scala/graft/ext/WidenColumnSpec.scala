@@ -155,6 +155,37 @@ class WidenColumnSpec extends SparkSpec {
     assert(MergeTable.fsckDeep(spark, dir).mismatched.isEmpty)
   }
 
+  test("SQL surface: ALTER TABLE ... ALTER COLUMN c TYPE t routes " +
+      "to widenColumn (promotion enforced, version row back)") {
+    val dir = mkTable()
+    val v = spark.sql(
+      s"ALTER TABLE merge_table.`$dir` ALTER COLUMN qty TYPE bigint")
+      .collect()
+    assert(v.length === 1 && v.head.getLong(0) === 2L)
+    assert(MergeTable.readTable(spark, dir)
+      .schema("qty").dataType === LongType)
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(
+        s"ALTER TABLE merge_table.`$dir` ALTER COLUMN qty TYPE int")
+    }
+    assert(e.getMessage.contains("not a lossless promotion"))
+    // decimal spelling with precision parses through the type group
+    val d2 = java.nio.file.Files.createTempDirectory("graft-widen-sq")
+      .resolve("t").toString
+    import spark.implicits._
+    MergeTable.create(
+      (1 to 10).map(i => (i.toLong, BigDecimal(i))).toDF("key", "amt")
+        .select(org.apache.spark.sql.functions.col("key"),
+          org.apache.spark.sql.functions.col("amt")
+            .cast(DecimalType(10, 2)).as("amt")),
+      d2, "key", 1)
+    spark.sql(
+      s"ALTER TABLE merge_table.`$d2` ALTER COLUMN amt TYPE " +
+        "decimal(14,2)").collect()
+    assert(MergeTable.readTable(spark, d2)
+      .schema("amt").dataType === DecimalType(14, 2))
+  }
+
   test("a concurrent widen disqualifies the conflict-scoped fast " +
       "re-commit (props change), and the loser's retry lands in the " +
       "widened regime") {
