@@ -12,7 +12,10 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 
 object SparkSpec {
   lazy val session: SparkSession = {
-    val s = SparkSession.builder()
+    // SessionTuning: the specs run under the same I/O-layer configs as
+    // Verify/Bench (raw local FS, driver-side listing), so any behavior
+    // difference those configs could introduce is covered by the suite
+    val s = graft.core.SessionTuning(SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.warehouse.dir",
@@ -24,7 +27,7 @@ object SparkSpec {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
