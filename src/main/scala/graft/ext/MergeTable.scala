@@ -1853,9 +1853,21 @@ object MergeTable {
 
   /** What [[commitEpoch]] actually committed: the VERSION (the planned
     * one, or a later one when a lost race was recovered by the
-    * conflict-scoped fast re-commit) and the fresh entries under their
-    * committed epoch name. */
-  private final case class EpochCommit(version: Long, fresh: Seq[String])
+    * conflict-scoped fast re-commit), the fresh entries under their
+    * committed epoch name, and the fresh epoch's total ROW COUNT
+    * (from the read-back fingerprints' row components — free at commit
+    * time, and what lets [[upsert]]/[[deleteKeys]] derive rowsMatched
+    * arithmetically instead of paying a dedicated semi-join count job
+    * per verb; see OPTIMIZATION_r18.md). */
+  private final case class EpochCommit(version: Long, fresh: Seq[String],
+    freshRows: Long)
+
+  /** Row count carried by a fingerprint map (the `rows` component of
+    * each `rows:h1[:h2]` value). */
+  private def fpRows(fps: Map[String, String]): Long =
+    fps.valuesIterator.map(v => v.substring(0,
+      v.indexOf(':') match { case -1 => v.length; case i => i }).toLong)
+      .sum
 
   /** Spec instrumentation: epoch DATA writes vs conflict-scoped fast
     * re-commits — the two-writer spec asserts a disjoint-bucket race
@@ -1925,7 +1937,7 @@ object MergeTable {
         keptFps ++ freshFps, tokens = tokens, sts = keptSts ++ freshSts,
         cols = cols, dvs = keptDvs, dvf = keptDvf, props = props,
         bls = keptBls ++ freshBls, eschs = keptEschs ++ freshEschs)
-      EpochCommit(next, fresh)
+      EpochCommit(next, fresh, fpRows(freshFps))
     }
     catch { case e: CommitConflictException =>
       fastRecommit(spark, dir, next, epochName, fresh, freshFps,
@@ -2068,7 +2080,7 @@ object MergeTable {
           bls = keptBls ++ head.bls ++ rekeyM(freshBls),
           eschs = keptEschs ++ head.eschs ++ freshEschs)
         fastRecommits.incrementAndGet(): Unit
-        return Some(EpochCommit(newV, freshR))
+        return Some(EpochCommit(newV, freshR, fpRows(freshFps)))
       }
       catch { case _: CommitConflictException => () } // re-validate
     }
@@ -2901,8 +2913,20 @@ object MergeTable {
       val existing =
         if (rewritten.isEmpty) batch.limit(0)
         else readEntries(spark, dir, man, rewritten)
-      val matched = existing.join(batch.select(key), Seq(key), "left_semi")
-        .count()
+      // rowsMatched is DERIVED, not counted (guide §1.2 — fewer
+      // passes): the manifest's per-bucket fingerprints carry exact
+      // LIVE row counts (tombstone deletes decrement them), so
+      //   matched = existingLive + |batch| - |merged epoch rows|
+      // with |merged epoch rows| read off the commit's own read-back
+      // fingerprints. That removes a full semi-join pass over the
+      // impacted buckets per upsert. A legacy bucket carrying no
+      // fingerprint falls back to the counted path.
+      val rewrittenBuckets = rewritten.map(bucketOfEntry).distinct
+      val attested = rewrittenBuckets.forall(man.fps.contains)
+      val matchedCounted =
+        if (attested) -1L
+        else existing.join(batch.select(key), Seq(key), "left_semi")
+          .count()
       // SCHEMA EVOLUTION, extend-only: the batch may ADD columns (old
       // rows read null for them via mergeSchema) but must carry every
       // column the impacted files physically store — a batch silently
@@ -2920,10 +2944,15 @@ object MergeTable {
       require(dropped.isEmpty,
         s"upsert batch is missing table columns: ${dropped.mkString(",")}" +
           " (schema changes are extend-only)")
+      // no materialization pass here (r18): both consumers — the
+      // constraint aggregate (only when constraints exist) and the
+      // epoch write — recompute the join from the deterministic
+      // parquet scan + the already-checkpointed batch; the former
+      // localCheckpoint(true) paid a full extra pass over the merged
+      // rows on every upsert
       val merged = existing
         .join(batch.select(key), Seq(key), "left_anti")
         .unionByName(batch, allowMissingColumns = true)
-        .localCheckpoint(true) // materialize before writing the epoch
       enforceConstraints(spark, dir, applyLogicalView(merged, man.cols),
         "upsert")
       val next = cur + 1
@@ -2933,6 +2962,11 @@ object MergeTable {
         keptSts = man.sts.view.filterKeys(kept.toSet).toMap,
         cols = man.cols, keptDvs = man.dvs, keptDvf = man.dvf,
         props = man.props, keptBls = man.bls, keptEschs = man.eschs)
+      val matched =
+        if (attested)
+          rewrittenBuckets.map(b => fpRows(Map(b -> man.fps(b)))).sum +
+            nBatch - ec.freshRows
+        else matchedCounted
       CowStats(ec.version, impacted.size.toLong, rewritten.size.toLong,
         ec.fresh.size.toLong, matched, nBatch - matched)
     }
@@ -2963,10 +2997,16 @@ object MergeTable {
     val existing =
       if (rewritten.isEmpty) ks.limit(0)
       else readEntries(spark, dir, man, rewritten)
-    val matched = existing.join(ks.select(key), Seq(key), "left_semi")
-      .count()
+    // rowsMatched derived from fingerprint row counts (the upsert
+    // discipline): matched = existingLive - |survivor epoch rows|;
+    // and no materialization pass on the survivors — the epoch write
+    // is their only consumer (r18, guide §1.2)
+    val rewrittenBuckets = rewritten.map(bucketOfEntry).distinct
+    val attested = rewrittenBuckets.forall(man.fps.contains)
+    val matchedCounted =
+      if (attested) -1L
+      else existing.join(ks.select(key), Seq(key), "left_semi").count()
     val survivors = existing.join(ks.select(key), Seq(key), "left_anti")
-      .localCheckpoint(true)
     val next = cur + 1
     val ec = commitEpoch(spark, dir, next, survivors, kept,
       man.hexDigits, () => (), keptFps = man.fps -- impacted,
@@ -2974,6 +3014,11 @@ object MergeTable {
       keptSts = man.sts.view.filterKeys(kept.toSet).toMap,
       cols = man.cols, keptDvs = man.dvs, keptDvf = man.dvf,
       props = man.props, keptBls = man.bls, keptEschs = man.eschs)
+    val matched =
+      if (attested)
+        rewrittenBuckets.map(b => fpRows(Map(b -> man.fps(b)))).sum -
+          ec.freshRows
+      else matchedCounted
     CowStats(ec.version, impacted.size.toLong, rewritten.size.toLong,
       ec.fresh.size.toLong, matched, 0L)
   }
@@ -3761,8 +3806,12 @@ object MergeTable {
     // the layout-only commit would stop being CDC-free. A scoped
     // rewrite lists ONLY the doomed buckets' files (O(scope), the
     // impacted-bucket read path) — never a table scan.
-    val all = (if (kept.isEmpty) readPhysical(spark, dir, Some(cur))
-      else readEntries(spark, dir, man, doomed)).localCheckpoint(true)
+    // no localCheckpoint (r18): the epoch write is the ONLY consumer
+    // of this deterministic snapshot scan — the former eager
+    // checkpoint paid a full extra pass over every rewritten row on
+    // every optimize (q170 runs three of them)
+    val all = if (kept.isEmpty) readPhysical(spark, dir, Some(cur))
+      else readEntries(spark, dir, man, doomed)
     val physSort = man.cols.collectFirst {
       case (p, l) if l == sortCol => p }.getOrElse(sortCol)
     // STRIPING (maxRecordsPerFile) needs a TOTAL order so stripe

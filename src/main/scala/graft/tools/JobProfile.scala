@@ -41,6 +41,10 @@ object JobProfile {
             .flatMap(p => Option(p.getProperty("spark.job.description")))
             .orElse(Option(js.properties)
               .flatMap(p => Option(p.getProperty("callSite.short"))))
+            .orElse(js.stageInfos.lastOption.map(si =>
+              si.name + " | " + si.details.linesIterator.toSeq
+                .filter(l => l.contains("graft") && !l.contains("JobProfile"))
+                .take(2).mkString(" <- ").trim))
             .getOrElse("?")
           val j = Job(js.jobId, d, System.nanoTime(), 0L)
           jobs.add(j); byId.put(js.jobId, j): Unit
