@@ -267,27 +267,42 @@ object IvfPqIndex {
     // query-side grid, inline (≤ a handful of rows — no corpus spread)
     val qg = queries.select(col("vec_id"),
       expr(Similarity.gridSql).as("qa"))
-    val lut = Similarity.probeLut(qg, coarse, subcents, nprobe)
+    // ONE execution of the probe-cell window (≤ queries·nprobe rows —
+    // bounded driver state) serves BOTH driver needs: the probed-cell
+    // IN-set below AND, fed back as a LOCAL relation, the ADC LUT's
+    // input — the LUT explode runs over the collected rows instead of
+    // re-running the probeCells scan+window inside the broadcast
+    // build. Same expressions, same arithmetic, one fewer query
+    // execution per serve (r18; the serve path was driver-analysis
+    // bound, not compute bound).
+    val pcPlan = Similarity.probeCells(qg, coarse, nprobe)
+    val pcRows = pcPlan.collect()
+    val pcLocal = spark.createDataFrame(
+      java.util.Arrays.asList(pcRows: _*), pcPlan.schema)
+    val lut = Similarity.probeLutOver(pcLocal, subcents)
     // STATIC partition pruning on the cell= layout: the probed-cell set
-    // is known BEFORE the scan (≤ queries·nprobe rows, ≤ COARSE_K
-    // distinct — bounded driver state) and the LUT join would drop
+    // is known BEFORE the scan and the LUT join would drop
     // unprobed-cell rows anyway, so put the IN-set where the file index
     // can act on it: the scan lists only probed `cell=` directories
     // instead of reading the whole code table and discarding at the
     // join. Deterministic — unlike runtime DPP, which this composes
     // with but does not depend on. ScanPruningSpec asserts the
     // PartitionFilters line.
-    val probedCells = Similarity.probeCells(qg, coarse, nprobe)
-      .select("p_cell").distinct().collect().map(_.getInt(0)).toSeq
+    val probedCells = pcRows.map(_.getAs[Int]("p_cell")).distinct.toSeq
     val cutoff = idRowCutoff(spark)
     // lazily-forgotten ids vanish from the serve before any ranking
     // work; both the tombstone anti-join and the allowed-id semi-join
-    // go through the size gate — ids only, broadcast only when small
-    val tombs = readTombstones(spark, indexDir)
-    val cand = allowed.foldLeft(
-        idFilter(readIndex(spark, indexDir)
-            .filter(col("cell").isin(probedCells: _*)),
-          tombs, tombs.count(), "left_anti", cutoff)) {
+    // go through the size gate — ids only, broadcast only when small.
+    // No tombstone side table on disk (the common case) = no
+    // anti-join and no count job at all.
+    val probed = readIndex(spark, indexDir)
+      .filter(col("cell").isin(probedCells: _*))
+    val afterTombs = readTombstonesOpt(spark, indexDir) match {
+      case Some(tombs) =>
+        idFilter(probed, tombs, tombs.count(), "left_anti", cutoff)
+      case None => probed
+    }
+    val cand = allowed.foldLeft(afterTombs) {
         case (df, (ids, n)) => idFilter(df, ids, n, "left_semi", cutoff)
       }
       .select(col("vec_id").as("n_id"), col("cell").as("p_cell"),
@@ -328,6 +343,16 @@ object IvfPqIndex {
       indexDir: String): DataFrame =
     DedupIndex.readOrEmpty(spark, s"$indexDir/_tombstones", tombSchema)
 
+  /** None when no tombstone side table exists on disk — the common
+    * case, where the serve/compact paths can skip the anti-join (and
+    * its count job) entirely instead of joining an empty relation. */
+  private def readTombstonesOpt(spark: SparkSession,
+      indexDir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/_tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(readTombstones(spark, indexDir)) else None
+  }
+
   /** COMPACT the code table: collapse all run partitions into the
     * reserved `batch=-1` epoch at one file per cell — content invariant
     * (modulo the batch bookkeeping column), codebook meta carried by
@@ -345,11 +370,13 @@ object IvfPqIndex {
       // physical retirement of lazy tombstones: drop their rows from the
       // rewrite; the directory swap discards the `_tombstones` side
       // table along with the old layout, so the next serve needs no
-      // anti-join work for them
-      val tombs = readTombstones(spark, indexDir)
-      val live = excludeBatch.foldLeft(
-          idFilter(readIndex(spark, indexDir), tombs, tombs.count(),
-            "left_anti", idRowCutoff(spark))) {
+      // anti-join work for them (no side table on disk = no anti-join)
+      val afterTombs = readTombstonesOpt(spark, indexDir) match {
+        case Some(tombs) => idFilter(readIndex(spark, indexDir), tombs,
+          tombs.count(), "left_anti", idRowCutoff(spark))
+        case None => readIndex(spark, indexDir)
+      }
+      val live = excludeBatch.foldLeft(afterTombs) {
         (df, b) => df.filter(col("batch") =!= b)
       }
       live.drop("batch").withColumn("batch", lit(-1L))
@@ -383,6 +410,7 @@ object IvfPqIndex {
           "frozen at create (admitted codes are encoded against them) — " +
           "retraining means building a new index")
     fs.mkdirs(path.getParent)
+    metaCache.remove(indexDir): Unit // recycled path must re-read
     val sb = new StringBuilder
     coarse.foreach { case (cell, c) =>
       sb.append("C ").append(cell).append(' ')
@@ -396,7 +424,34 @@ object IvfPqIndex {
     try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
   }
 
+  /** Parsed-codebook cache: the meta file is IMMUTABLE once written
+    * (create throws if it exists; add/forget/compact never touch it —
+    * rewriteAndSwap byte-copies it), so one parse per (JVM, indexDir)
+    * suffices — a serve-heavy cell paid an FS read + ~17k-line parse
+    * per search before this. Bounded (LRU by insertion order, parsed
+    * codebooks are a few hundred KB each); invalidated by writeMeta so
+    * re-creating an index at a recycled path can never serve stale
+    * codebooks. */
+  private val metaCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String,
+        (Seq[(Int, Seq[Long])], Seq[(Int, Int, Seq[Long])])](
+        16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String,
+            (Seq[(Int, Seq[Long])], Seq[(Int, Int, Seq[Long])])])
+          : Boolean = size() > 32
+    })
+
   private def readMeta(spark: SparkSession, indexDir: String)
+      : (Seq[(Int, Seq[Long])], Seq[(Int, Int, Seq[Long])]) = {
+    val cached = metaCache.get(indexDir)
+    if (cached != null) return cached
+    val parsed = readMetaUncached(spark, indexDir)
+    metaCache.put(indexDir, parsed)
+    parsed
+  }
+
+  private def readMetaUncached(spark: SparkSession, indexDir: String)
       : (Seq[(Int, Seq[Long])], Seq[(Int, Int, Seq[Long])]) = {
     val path = new org.apache.hadoop.fs.Path(indexDir, "_graft_meta")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -1383,15 +1383,24 @@ object Similarity {
     * candidates whose OWN cell is the probed one (p_cell = n_cell), so
     * each candidate's ADC sum uses exactly the LUT of the cell it was
     * encoded against. */
-  private[ext] def probeLut(q: DataFrame, coarse: Seq[(Int, Seq[Long])],
-      subcents: Seq[(Int, Int, Seq[Long])], nprobe: Int): DataFrame =
-    probeCells(q, coarse, nprobe)
-      .withColumn("__pc", typedLit(subcents))
+  /** The LUT explode over an already-built probe-cell frame — split
+    * out so a serve that has COLLECTED the (tiny) probe-cell set can
+    * feed it back as a local relation instead of re-running the
+    * probeCells window inside the broadcast build (same expressions,
+    * same arithmetic, one fewer execution of the corpus-side scan
+    * per serve; see IvfPqIndex.scoredCandidates). */
+  private[ext] def probeLutOver(pc: DataFrame,
+      subcents: Seq[(Int, Int, Seq[Long])]): DataFrame =
+    pc.withColumn("__pc", typedLit(subcents))
       .select(col("q_id"), col("p_cell"), col("p_rank"),
         explode(expr(adcLutSql)).as("t"))
       .select(col("q_id"), col("p_cell"), col("p_rank"),
         col("t.sub").as("sub"), col("t.code").as("code"),
         col("t.d2q").as("d2q"))
+
+  private[ext] def probeLut(q: DataFrame, coarse: Seq[(Int, Seq[Long])],
+      subcents: Seq[(Int, Int, Seq[Long])], nprobe: Int): DataFrame =
+    probeLutOver(probeCells(q, coarse, nprobe), subcents)
 
   private val q93IvfPqTopk = QueryDef(
     (s, dir) => {
