@@ -84,8 +84,14 @@ object IvfPqIndex {
     * at create time because every admitted code is encoded against
     * them; retraining means building a new index. */
   def create(spark: SparkSession, indexDir: String,
-      train: DataFrame): Unit = {
-    val eg = Similarity.gridFrame(spark, train)
+      train: DataFrame): Unit =
+    createFromGrid(spark, indexDir, Similarity.gridFrame(spark, train))
+
+  /** [[create]] over an ALREADY-GRIDDED (vec_id, qa) frame — lets a
+    * caller that grids the same batch for both create and add (the
+    * two-batch fixture) pay the spread+checkpoint once (r18). */
+  private def createFromGrid(spark: SparkSession, indexDir: String,
+      eg: DataFrame): Unit = {
     val cSeed = eg.orderBy("vec_id").limit(COARSE_K)
       .select(col("vec_id").cast("int").as("cell"), col("qa"))
       .collect().map(r => r.getInt(0) -> r.getSeq[Long](1).toSeq)
@@ -114,10 +120,14 @@ object IvfPqIndex {
     * the written (vec_id, codes, cell) rows. Throws if [[create]]
     * never ran, or on the reserved runId -1 (the compacted epoch). */
   def add(spark: SparkSession, indexDir: String, batch: DataFrame,
-      runId: Long): DataFrame = {
+      runId: Long): DataFrame =
+    addFromGrid(spark, indexDir, Similarity.gridFrame(spark, batch),
+      runId)
+
+  private def addFromGrid(spark: SparkSession, indexDir: String,
+      eg: DataFrame, runId: Long): DataFrame = {
     require(runId >= 0, "runId -1 is reserved for the compacted epoch")
     val (coarse, subcents) = readMeta(spark, indexDir)
-    val eg = Similarity.gridFrame(spark, batch)
     val af = Similarity.coarseWithBest(eg, coarse)
       .select(col("vec_id"), col("best.cell").as("cell"))
     // residual + PQ codes, all frozen-codebook per-row argmins; codes
@@ -489,8 +499,11 @@ object IvfPqIndex {
       .select("vec_id", "embedding")
     val batchB = e.filter(col("vec_id") % 2 === 1)
       .select("vec_id", "embedding")
-    create(s, idx, batchA)
-    add(s, idx, batchA, runId = 0L)
+    // batch A is both the training frame and the first admission: grid
+    // it once (spread + checkpoint) for create AND add (r18)
+    val egA = Similarity.gridFrame(s, batchA)
+    createFromGrid(s, idx, egA)
+    addFromGrid(s, idx, egA, runId = 0L)
     add(s, idx, batchB, runId = 1L)
     idx
   }
