@@ -19,12 +19,16 @@ import org.apache.spark.sql.SparkSession
   *    deployments on high-latency object stores can lower it back via
   *    SPARK_GRAFT_LIST_THRESHOLD.
   *
-  *  - `fs.file.impl = RawLocalFileSystem` (local-scheme only).
-  *    Hadoop's checksummed LocalFileSystem writes a `.crc` sidecar per
-  *    file — doubling file creates on every epoch write (256 bucket
-  *    files per commit at the default table width) and adding checksum
-  *    reads to every scan, while parquet already carries page-level
-  *    checksums. This knob touches only the `file://` scheme, so it is
+  *  - `fs.file.impl = graft.core.NoChecksumLocalFileSystem`
+  *    (local-scheme only). Hadoop's checksummed LocalFileSystem writes
+  *    a `.crc` sidecar per file — doubling file creates on every epoch
+  *    write (256 bucket files per commit at the default table width)
+  *    and adding checksum reads to every scan, while parquet already
+  *    carries page-level checksums. A LocalFileSystem SUBCLASS with
+  *    checksums off (not RawLocalFileSystem: Spark's RocksDB
+  *    state-store file manager hard-casts the file:// FS to
+  *    LocalFileSystem — EventsStreamSpec caught the raw variant
+  *    failing that cast). Touches only the `file://` scheme, so it is
   *    inert on HDFS/S3 deployments; SPARK_GRAFT_RAW_LOCAL_FS=false
   *    restores the checksummed FS.
   *
@@ -46,7 +50,7 @@ object SessionTuning {
       listThreshold)
     if (rawFs)
       b1.config("spark.hadoop.fs.file.impl",
-        "org.apache.hadoop.fs.RawLocalFileSystem")
+        classOf[NoChecksumLocalFileSystem].getName)
     else b1
   }
 }
